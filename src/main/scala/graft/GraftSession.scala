@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * Local runs use `local[N]` with shuffle partitions sized to cores
+  * (not Spark's default 200); on a real cluster the same builder is
+  * used without a master and AQE re-sizes shuffles at runtime.
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Parquet pushdown is on by default; pin the settings that the
+      // engine's plans depend on so cluster-side overrides can't
+      // silently regress scan pruning.
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

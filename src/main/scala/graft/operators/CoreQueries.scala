@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operators over the TPC-H-ish tables.
+  *
+  * Oracle-parity rules (SURVEY.md §6): money math runs in
+  * DECIMAL(18,2) (exact, associative — immune to parallel summation
+  * order) and final aggregates are cast to DOUBLE, which is
+  * bit-identical between Spark and DuckDB. Every window/top-K has a
+  * deterministic tiebreak.
+  */
+object CoreQueries {
+
+  /** Cast a raw double money/measure column to exact decimal. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def one: Column = lit(1).cast(DecimalType(18, 2))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** #1 Group-by aggregation (TPC-H Q1 shape): partial aggregation
+    * (map-side combine) makes this a single shuffle of one row per
+    * (flag, status) per partition — scales linearly to any SF.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+          * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** #2 Filter + projection; both reach the parquet scan
+    * (PushedFilters + 4-column ReadSchema — asserted in PlanSpec).
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_shipdate").cast("date").as("ship_date"))
+
+  /** #3 Multi-way join + agg. customer is small relative to the
+    * facts → broadcast; orders⨝lineitem shuffles on the join key
+    * (at 100 TB this is the bucketed-join candidate).
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  /** #4 Broadcast dimension join chain (no shuffle for the dims). */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(dec(col("s_acctbal"))).cast("double").as("total_acctbal"))
+  }
+
+  /** #5 Top-N per key via row_number with deterministic tiebreak. */
+  def q5WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** #6 Distinct / count-distinct (expand-based multi-distinct). */
+  def q6Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      count(lit(1)).as("n_rows"))
+
+  /** #7 Semi/anti join: EXISTS / NOT EXISTS per market segment. */
+  def q7SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+  }
+
+  /** #8 Conditional (pivot-style) aggregation over the event stream. */
+  def q8ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(tpe: String) = sum(when(col("event_type") === tpe, 1L).otherwise(0L))
+    t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        cnt("click").as("n_click"),
+        cnt("view").as("n_view"),
+        cnt("purchase").as("n_purchase"),
+        cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("purchase_value"))
+  }
+
+  /** #9 ROLLUP hierarchical aggregation (region → nation → total). */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+  }
+
+  /** #10 Global top-K with rank. `orderBy.limit` plans as
+    * TakeOrderedAndProject (per-partition top-K + driver merge of K
+    * rows) — no global shuffle; the rank window then runs over just
+    * K rows, unlike a naive global row_number which would move the
+    * whole table to one partition.
+    */
+  def q10TopKOrders(spark: SparkSession, dir: String): DataFrame = {
+    val topK = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      .limit(20)
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    topK.withColumn("rank", row_number().over(w))
+  }
+
+  /** queries-map fragment for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_broadcast_join" -> (q4BroadcastJoin _),
+    "q5_window_topn" -> (q5WindowTopN _),
+    "q6_distinct" -> (q6Distinct _),
+    "q7_semi_anti" -> (q7SemiAnti _),
+    "q8_conditional_agg" -> (q8ConditionalAgg _),
+    "q9_rollup" -> (q9Rollup _),
+    "q10_topk_orders" -> (q10TopKOrders _))
+
+  /** DuckDB-parity oracle SQL (same aliases, same decimal math). */
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_quantity > 45""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q4_broadcast_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q5_window_topn" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q6_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q7_semi_anti" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+        |  CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q8_conditional_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events
+        |GROUP BY CAST(date_trunc('day', ts) AS DATE)""".stripMargin,
+    "q9_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q10_topk_orders" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+        |  FROM orders) WHERE rank <= 20""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, TimestampType}
+
+/** Batch source readers with ingestion-metadata stamping.
+  *
+  * Mirrors the capability of the reference's batch readers
+  * (ingest-framework/framework/src/sparkbuilder/readers/batch_readers.py:5-86):
+  * every ingested DataFrame carries the control columns the merge
+  * writers and DQ layer key on. Implemented as plain `Column`
+  * expressions over Spark's `_metadata` hidden column so the whole
+  * read stays inside one codegen'd scan — no RDD hops, no UDFs.
+  */
+object Sources {
+
+  /** Control columns stamped at ingest; downstream SCD2 state columns
+    * start as nulls and are owned by the merge writer.
+    */
+  val controlColumns: Seq[String] = Seq(
+    "row_creation_time", "file_modification_time", "file_path",
+    "start_time", "end_time", "is_current", "delete_time")
+
+  private def stamp(df: DataFrame): DataFrame =
+    df.withColumn("row_creation_time", current_timestamp())
+      .withColumn("file_modification_time", col("_metadata.file_modification_time"))
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("start_time", lit(null).cast(TimestampType))
+      .withColumn("end_time", lit(null).cast(TimestampType))
+      .withColumn("is_current", lit(null).cast(IntegerType))
+      .withColumn("delete_time", lit(null).cast(TimestampType))
+
+  def readParquet(spark: SparkSession, path: String,
+                  options: Map[String, String] = Map.empty): DataFrame =
+    stamp(spark.read.options(options).parquet(path))
+
+  def readCsv(spark: SparkSession, path: String,
+              options: Map[String, String] = Map.empty): DataFrame =
+    stamp(spark.read.options(options).csv(path))
+
+  def readJson(spark: SparkSession, path: String,
+               options: Map[String, String] = Map.empty): DataFrame =
+    stamp(spark.read.options(options).json(path))
+
+  def readOrc(spark: SparkSession, path: String,
+              options: Map[String, String] = Map.empty): DataFrame =
+    stamp(spark.read.options(options).orc(path))
+
+  def readTable(spark: SparkSession, name: String): DataFrame =
+    spark.read.table(name)
+
+  /** Format-dispatched read, the config-driven entry point. */
+  def read(spark: SparkSession, format: String, path: String,
+           options: Map[String, String] = Map.empty): DataFrame =
+    format.toLowerCase match {
+      case "parquet" => readParquet(spark, path, options)
+      case "csv"     => readCsv(spark, path, options)
+      case "json"    => readJson(spark, path, options)
+      case "orc"     => readOrc(spark, path, options)
+      case "table"   => readTable(spark, path)
+      case other     => throw new IllegalArgumentException(s"unsupported source format: $other")
+    }
+
+  /** Drop ingest control columns (silver-layer projection). */
+  def dropControlColumns(df: DataFrame): DataFrame =
+    df.drop(controlColumns: _*)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CoreQueriesSpec extends SparkSpec {
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every query has matching oracle column names (sorted)") {
+    // oracle SQL aliases must match Spark output columns exactly
+    SparkEntry.oracleSql.keys.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"oracleSql for unknown query $name")
+    }
+  }
+
+  test("q1 aggregates are exact-decimal derived") {
+    val row = SparkEntry.queries("q1_agg")(spark, sf)
+      .filter(col("l_returnflag") === "A" || col("l_returnflag") === "N")
+      .agg(sum("count_order")).collect()(0)
+    assert(row.getLong(0) > 0)
+  }
+
+  test("q5 window top-n keeps at most 3 rows per customer") {
+    val mx = SparkEntry.queries("q5_window_topn")(spark, sf)
+      .groupBy("o_custkey").count().agg(max("count")).collect()(0).getLong(0)
+    assert(mx <= 3)
+  }
+
+  test("q10 returns exactly 20 ranked orders") {
+    val df = SparkEntry.queries("q10_topk_orders")(spark, sf)
+    assert(df.count() == 20)
+    assert(df.agg(max("rank")).collect()(0).getInt(0) == 20)
+  }
+
+  test("q7 semi+anti counts partition the customer set") {
+    val c = Tables.load(spark, sf, "customer").count()
+    val df = SparkEntry.queries("q7_semi_anti")(spark, sf)
+    val tot = df.agg(sum(col("with_orders") + col("without_orders"))).collect()(0).getLong(0)
+    assert(tot == c)
+  }
+}

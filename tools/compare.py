@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Dev-only oracle-parity harness (driver-side python; NOT part of the
+library). Replicates the driver's correctness gate: run Verify via
+sbt, then execute each oracle SQL in DuckDB over the same parquet
+tables and compare values exactly (columns sorted by name, rows sorted
+by all columns).
+
+Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-verify] [query ...]
+"""
+import sys, os, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if v is None:
+        return "NULL"
+    return str(v)
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = sorted(tuple(norm(x) for x in row) for row in zip(*data)) if data else []
+    return cols, rows
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_verify = "--skip-verify" in sys.argv
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    only = set(args[2:])
+
+    if not skip_verify:
+        rc = os.system(
+            f"cd /root/repo && sbt --error 'runMain graft.Verify {sfdir} {outdir}' 1>&2")
+        if rc != 0:
+            print("sbt Verify failed"); sys.exit(1)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        spark_tbl = pq.read_table(files[0])
+        try:
+            duck_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+        sc, sr = table_rows(spark_tbl)
+        dc, dr = table_rows(duck_tbl)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}"); n_fail += 1; continue
+        if sr != dr:
+            n_fail += 1
+            print(f"FAIL {name}: {len(sr)} vs {len(dr)} rows; first diffs:")
+            for a, b in list(zip(sr, dr))[:200]:
+                if a != b:
+                    print(f"  spark={a}\n  duck ={b}")
+                    break
+            onlys = [r for r in sr if r not in set(dr)][:3]
+            onlyd = [r for r in dr if r not in set(sr)][:3]
+            if onlys: print(f"  only-spark: {onlys}")
+            if onlyd: print(f"  only-duck : {onlyd}")
+            continue
+        n_pass += 1
+        print(f"PASS {name} ({len(sr)} rows)")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
