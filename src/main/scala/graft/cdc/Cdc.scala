@@ -1,0 +1,163 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC primitives: latest-per-key compaction, op-splits, and pure
+  * (no-IO) SCD merge plans.
+  *
+  * Capability counterpart of the reference's CDC model and merge SQL
+  * (ingest-framework/framework/src/sparkbuilder/transformations/cdc/
+  * common.py and writers/batch_writers.py:59-163) — re-expressed as
+  * composable DataFrame plans instead of string-built MERGE
+  * statements, so Catalyst sees one optimizable tree and the same
+  * code path serves batch and foreachBatch streaming.
+  */
+object Cdc {
+
+  /** Deterministic "latest" ordering: the order column descending,
+    * then tiebreak columns descending. Every CDC compaction must be
+    * deterministic or re-runs produce different tables.
+    */
+  private def latestWindow(keys: Seq[String], orderBy: Seq[Column]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+
+  /** Last-writer-wins compaction: one row per key (reference's
+    * `ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ord DESC) = 1`
+    * preprocessing). Single hash shuffle on the keys.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
+    df.withColumn("_rn", row_number().over(latestWindow(keys, orderBy)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+  /** Split a CDC feed by operation (reference CDCTransactionDataFrame
+    * get_inserts/get_updates/get_deletes).
+    */
+  def splitOps(df: DataFrame, opCol: String,
+               insertVal: String = "insert", updateVal: String = "update",
+               deleteVal: String = "delete"): (DataFrame, DataFrame, DataFrame) =
+    (df.filter(col(opCol) === insertVal),
+      df.filter(col(opCol) === updateVal),
+      df.filter(col(opCol) === deleteVal))
+
+  /** Primary-key validity: no nulls, no duplicates (reference
+    * MergeDataFrame.is_valid_primary_key) — one aggregate pass.
+    */
+  def isValidPrimaryKey(df: DataFrame, keys: Seq[String]): Boolean = {
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val row = df.agg(
+      sum(when(anyNull, 1L).otherwise(0L)).as("nulls"),
+      count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(col): _*)).as("nd")).collect()(0)
+    row.getLong(0) == 0 && row.getLong(1) == row.getLong(2)
+  }
+
+  /** SCD type-1 merge as a pure plan: updates (deduped to latest per
+    * key) overwrite matching target rows; unmatched target rows are
+    * kept; new keys are inserted. One shuffle per side on the keys.
+    * `deleteMissing` drops target keys absent from the source (the
+    * reference's full-snapshot "NOT MATCHED BY SOURCE → DELETE").
+    */
+  def scd1Merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                orderBy: Seq[Column], deleteMissing: Boolean = false): DataFrame = {
+    val latest = latestPerKey(updates, keys, orderBy)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    if (deleteMissing) latest // full-snapshot source: absent keys drop out
+    else target.join(latest, keys, "left_anti").unionByName(latest)
+  }
+
+  /** Apply a CDC op feed to a target: inserts+updates upsert, deletes
+    * remove (delete wins over earlier ops for the same key only if it
+    * is the latest op — op precedence is by the order columns).
+    */
+  def applyOps(target: DataFrame, feed: DataFrame, keys: Seq[String],
+               opCol: String, orderBy: Seq[Column],
+               deleteVal: String = "delete"): DataFrame = {
+    val latest = latestPerKey(feed, keys, orderBy)
+    val upserts = latest.filter(col(opCol) =!= deleteVal)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    val deletes = latest.filter(col(opCol) === deleteVal).select(keys.map(col): _*)
+    target
+      .join(latest.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(upserts)
+      .join(deletes, keys, "left_anti")
+  }
+
+  /** SCD type-2 history from an event/version feed using event time:
+    * each version row gets [start_time, end_time) from its own
+    * timestamp and the next version's (lead window), latest row is
+    * current. Deterministic — no wall-clock.
+    */
+  def scd2History(versions: DataFrame, keys: Seq[String], tsCol: String,
+                  tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc +: tiebreak: _*)
+    versions
+      .withColumn("start_time", col(tsCol))
+      .withColumn("end_time", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", when(col("end_time").isNull, 1).otherwise(0))
+  }
+
+  /** SCD type-2 merge as a pure plan (wall-clock variant used by the
+    * writer): close changed current rows, insert new versions, keep
+    * history; optionally soft-delete keys missing from the source.
+    * Target must carry is_current/start_time/end_time/delete_time.
+    */
+  def scd2Merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                orderBy: Seq[Column], deleteMissing: Boolean = false): DataFrame = {
+    val now = current_timestamp()
+    val dataCols = target.columns
+      .filterNot(keys.contains)
+      .filterNot(Seq("is_current", "start_time", "end_time", "delete_time").contains)
+    val latest = latestPerKey(updates, keys, orderBy)
+      .select((keys ++ dataCols).map(col): _*)
+
+    val current = target.filter(col("is_current") === 1)
+    val history = target.filter(col("is_current") =!= 1 || col("is_current").isNull)
+
+    val snap = dataCols.foldLeft(latest) { (d, c) => d.withColumnRenamed(c, s"_new_$c") }
+    val joined = current.join(snap.withColumn("_matched", lit(1)), keys, "full_outer")
+    val changed = dataCols.map(c => !(col(c) <=> col(s"_new_$c"))).reduceOption(_ || _).getOrElse(lit(false))
+
+    // matched + changed → closed old row
+    val closedChanged = joined
+      .filter(col("_matched") === 1 && col("is_current") === 1 && changed)
+      .select(current.columns.map(col).toIndexedSeq: _*)
+      .withColumn("is_current", lit(0))
+      .withColumn("end_time", now)
+    // matched + unchanged → untouched current row
+    val unchanged = joined
+      .filter(col("_matched") === 1 && col("is_current") === 1 && !changed)
+      .select(current.columns.map(col).toIndexedSeq: _*)
+    // new or changed key → fresh current version
+    val inserted = joined
+      .filter(col("_matched") === 1 && (col("is_current").isNull || changed))
+      .select(keys.map(col) ++ dataCols.map(c => col(s"_new_$c").as(c)): _*)
+      .withColumn("is_current", lit(1))
+      .withColumn("start_time", now)
+      .withColumn("end_time", lit(null).cast("timestamp"))
+      .withColumn("delete_time", lit(null).cast("timestamp"))
+      .select(current.columns.map(col).toIndexedSeq: _*)
+    // missing from source → soft delete
+    val deleted =
+      if (!deleteMissing) current.limit(0)
+      else joined.filter(col("_matched").isNull && col("is_current") === 1)
+        .select(current.columns.map(col).toIndexedSeq: _*)
+        .withColumn("is_current", lit(0))
+        .withColumn("end_time", now)
+        .withColumn("delete_time", now)
+    val untouchedMissing =
+      if (deleteMissing) current.limit(0)
+      else joined.filter(col("_matched").isNull && col("is_current") === 1)
+        .select(current.columns.map(col).toIndexedSeq: _*)
+
+    history
+      .unionByName(closedChanged)
+      .unionByName(unchanged)
+      .unionByName(inserted)
+      .unionByName(deleted)
+      .unionByName(untouchedMissing)
+  }
+}
