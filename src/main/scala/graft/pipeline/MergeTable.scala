@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, current_timestamp, lit}
 
 import graft.cdc.Cdc
 
@@ -83,7 +83,6 @@ object MergeTable {
   def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String], orderBy: String,
                 deleteMissing: Boolean = false): MergeStats = {
-    import org.apache.spark.sql.functions._
     val ord = Seq(col(orderBy).desc) ++ keys.map(col(_).desc)
     if (!exists(path)) {
       val first = Cdc.latestPerKey(updates, keys, ord)

@@ -18,7 +18,7 @@ final case class Pipeline(transforms: Seq[Transform]) {
 }
 
 object Pipeline {
-  def apply(transforms: Transform*): Pipeline = new Pipeline(transforms.toSeq)
+  def of(transforms: Transform*): Pipeline = new Pipeline(transforms.toSeq)
 }
 
 /** End-to-end ingestion job config (reference's JSON config dict,
