@@ -20,17 +20,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val path = s"$sfDir/$table.parquet"
     if (table == "events") {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try {
-        // schema is resolved eagerly inside read(), while the conf is set
-        spark.read.parquet(path)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+      // Set-and-leave (always the same value) — a set/restore dance
+      // would race with concurrent loads on a shared session. The flag
+      // only affects TIMESTAMP(NANOS) columns, which exist nowhere
+      // else in the test tables, so leaving it on is inert.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(path)
   }
 }

@@ -54,19 +54,52 @@ object Cdc {
     row.getLong(0) == 0 && row.getLong(1) == row.getLong(2)
   }
 
-  /** SCD type-1 merge as a pure plan: updates (deduped to latest per
-    * key) overwrite matching target rows; unmatched target rows are
-    * kept; new keys are inserted. One shuffle per side on the keys.
+  /** SCD type-1 merge as a pure plan, with per-row `_action` tags
+    * (`insert` / `update` / `unchanged` / `delete` / `keep`) so the
+    * caller can aggregate merge statistics with `observe()` in the
+    * same job — no extra passes. ONE full-outer shuffle join on the
+    * keys (vs the naive anti-join + union which reads the target
+    * twice). `compareExclude` columns (ingest control columns) are
+    * carried but ignored by change detection, mirroring the
+    * reference's hash-of-business-columns update condition
+    * (ingest-framework writers/batch_writers.py:59-163) — without it
+    * every re-ingest of identical data would count as an update
+    * because `row_creation_time` always differs.
+    */
+  def scd1MergeTagged(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                      orderBy: Seq[Column], deleteMissing: Boolean = false,
+                      compareExclude: Seq[String] = Nil): DataFrame = {
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    val compareCols = dataCols.filterNot(compareExclude.contains)
+    val latest = latestPerKey(updates, keys, orderBy)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    val snap = dataCols.foldLeft(latest) { (d, c) => d.withColumnRenamed(c, s"_new_$c") }
+      .withColumn("_src_present", lit(1))
+    val joined = target.withColumn("_tgt_present", lit(1))
+      .join(snap, keys, "full_outer")
+    val changed = compareCols.map(c => !(col(c) <=> col(s"_new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val action = when(col("_tgt_present").isNull, "insert")
+      .when(col("_src_present").isNull, if (deleteMissing) "delete" else "keep")
+      .when(changed, "update")
+      .otherwise("unchanged")
+    val takeNew = col("_action").isin("insert", "update")
+    joined
+      .withColumn("_action", action)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(takeNew, col(s"_new_$c")).otherwise(col(c)).as(c)) :+ col("_action"): _*)
+  }
+
+  /** SCD type-1 merge (untagged): the final upserted table.
     * `deleteMissing` drops target keys absent from the source (the
     * reference's full-snapshot "NOT MATCHED BY SOURCE → DELETE").
     */
   def scd1Merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
-                orderBy: Seq[Column], deleteMissing: Boolean = false): DataFrame = {
-    val latest = latestPerKey(updates, keys, orderBy)
-      .select(target.columns.map(col).toIndexedSeq: _*)
-    if (deleteMissing) latest // full-snapshot source: absent keys drop out
-    else target.join(latest, keys, "left_anti").unionByName(latest)
-  }
+                orderBy: Seq[Column], deleteMissing: Boolean = false,
+                compareExclude: Seq[String] = Nil): DataFrame =
+    scd1MergeTagged(target, updates, keys, orderBy, deleteMissing, compareExclude)
+      .filter(col("_action") =!= "delete")
+      .drop("_action")
 
   /** Apply a CDC op feed to a target: inserts+updates upsert, deletes
     * remove (delete wins over earlier ops for the same key only if it
@@ -101,25 +134,34 @@ object Cdc {
   }
 
   /** SCD type-2 merge as a pure plan (wall-clock variant used by the
-    * writer): close changed current rows, insert new versions, keep
+    * writer), with per-row `_action` tags (`history` / `close` /
+    * `unchanged` / `insert` / `delete` / `keep`) for observe()-based
+    * stats. Close changed current rows, insert new versions, keep
     * history; optionally soft-delete keys missing from the source.
     * Target must carry is_current/start_time/end_time/delete_time.
+    * `compareExclude` columns are carried but not compared (see
+    * scd1MergeTagged — prevents unbounded spurious history from
+    * ingest-control timestamps).
     */
-  def scd2Merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
-                orderBy: Seq[Column], deleteMissing: Boolean = false): DataFrame = {
+  def scd2MergeTagged(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                      orderBy: Seq[Column], deleteMissing: Boolean = false,
+                      compareExclude: Seq[String] = Nil): DataFrame = {
     val now = current_timestamp()
     val dataCols = target.columns
       .filterNot(keys.contains)
       .filterNot(Seq("is_current", "start_time", "end_time", "delete_time").contains)
+    val compareCols = dataCols.filterNot(compareExclude.contains)
     val latest = latestPerKey(updates, keys, orderBy)
       .select((keys ++ dataCols).map(col): _*)
 
     val current = target.filter(col("is_current") === 1)
     val history = target.filter(col("is_current") =!= 1 || col("is_current").isNull)
+      .withColumn("_action", lit("history"))
 
     val snap = dataCols.foldLeft(latest) { (d, c) => d.withColumnRenamed(c, s"_new_$c") }
     val joined = current.join(snap.withColumn("_matched", lit(1)), keys, "full_outer")
-    val changed = dataCols.map(c => !(col(c) <=> col(s"_new_$c"))).reduceOption(_ || _).getOrElse(lit(false))
+    val changed = compareCols.map(c => !(col(c) <=> col(s"_new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
     // matched + changed → closed old row
     val closedChanged = joined
@@ -127,10 +169,12 @@ object Cdc {
       .select(current.columns.map(col).toIndexedSeq: _*)
       .withColumn("is_current", lit(0))
       .withColumn("end_time", now)
+      .withColumn("_action", lit("close"))
     // matched + unchanged → untouched current row
     val unchanged = joined
       .filter(col("_matched") === 1 && col("is_current") === 1 && !changed)
       .select(current.columns.map(col).toIndexedSeq: _*)
+      .withColumn("_action", lit("unchanged"))
     // new or changed key → fresh current version
     val inserted = joined
       .filter(col("_matched") === 1 && (col("is_current").isNull || changed))
@@ -140,24 +184,29 @@ object Cdc {
       .withColumn("end_time", lit(null).cast("timestamp"))
       .withColumn("delete_time", lit(null).cast("timestamp"))
       .select(current.columns.map(col).toIndexedSeq: _*)
-    // missing from source → soft delete
-    val deleted =
-      if (!deleteMissing) current.limit(0)
-      else joined.filter(col("_matched").isNull && col("is_current") === 1)
-        .select(current.columns.map(col).toIndexedSeq: _*)
-        .withColumn("is_current", lit(0))
-        .withColumn("end_time", now)
-        .withColumn("delete_time", now)
-    val untouchedMissing =
-      if (deleteMissing) current.limit(0)
-      else joined.filter(col("_matched").isNull && col("is_current") === 1)
-        .select(current.columns.map(col).toIndexedSeq: _*)
+      .withColumn("_action", lit("insert"))
+    // missing from source → soft delete (or keep when not full-snapshot)
+    val missing = joined.filter(col("_matched").isNull && col("is_current") === 1)
+      .select(current.columns.map(col).toIndexedSeq: _*)
+    val missingOut =
+      if (deleteMissing)
+        missing.withColumn("is_current", lit(0))
+          .withColumn("end_time", now)
+          .withColumn("delete_time", now)
+          .withColumn("_action", lit("delete"))
+      else missing.withColumn("_action", lit("keep"))
 
     history
       .unionByName(closedChanged)
       .unionByName(unchanged)
       .unionByName(inserted)
-      .unionByName(deleted)
-      .unionByName(untouchedMissing)
+      .unionByName(missingOut)
   }
+
+  /** SCD type-2 merge (untagged final table). */
+  def scd2Merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                orderBy: Seq[Column], deleteMissing: Boolean = false,
+                compareExclude: Seq[String] = Nil): DataFrame =
+    scd2MergeTagged(target, updates, keys, orderBy, deleteMissing, compareExclude)
+      .drop("_action")
 }

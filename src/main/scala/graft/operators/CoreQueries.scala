@@ -54,16 +54,18 @@ object CoreQueries {
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
         col("l_shipdate").cast("date").as("ship_date"))
 
-  /** #3 Multi-way join + agg. customer is small relative to the
-    * facts → broadcast; orders⨝lineitem shuffles on the join key
-    * (at 100 TB this is the bucketed-join candidate).
+  /** #3 Multi-way join + agg. customer is a fact-scale table (15M
+    * rows at sf100) so it carries NO broadcast hint — AQE picks
+    * broadcast when the runtime size is under the threshold and falls
+    * back to shuffle join at scale. orders⨝lineitem shuffles on the
+    * join key (at 100 TB this is the bucketed-join candidate).
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val o = t(spark, dir, "orders")
     val li = t(spark, dir, "lineitem")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
       .groupBy(col("c_mktsegment"))
       .agg(

@@ -22,17 +22,19 @@ object Audit {
   }
 
   /** Deterministic merge-shape statistics for a prospective SCD1
-    * merge, computed from key sets only (no wall-clock, oracle-able).
+    * merge as a single-join PLAN (no driver actions, no wall-clock,
+    * oracle-able): matched keys count as `num_matched`, source-only
+    * keys as `num_inserted`, target-only keys as `num_untouched`
+    * (keys the merge would not touch — NOT "matched but unchanged").
     */
   def mergeShape(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val tKeys = target.select(keys.map(col): _*).distinct()
+      .withColumn("_t", lit(1))
     val uKeys = updates.select(keys.map(col): _*).distinct()
-    val updated = tKeys.join(uKeys, keys, "left_semi").count()
-    val inserted = uKeys.join(tKeys, keys, "left_anti").count()
-    val unchanged = tKeys.join(uKeys, keys, "left_anti").count()
-    val spark = target.sparkSession
-    import spark.implicits._
-    Seq((inserted, updated, unchanged))
-      .toDF("num_inserted", "num_updated", "num_unchanged")
+      .withColumn("_u", lit(1))
+    tKeys.join(uKeys, keys, "full_outer").agg(
+      sum(when(col("_t").isNotNull && col("_u").isNotNull, 1L).otherwise(0L)).as("num_matched"),
+      sum(when(col("_t").isNull, 1L).otherwise(0L)).as("num_inserted"),
+      sum(when(col("_u").isNull, 1L).otherwise(0L)).as("num_untouched"))
   }
 }

@@ -3,10 +3,12 @@ package graft.pipeline
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, current_timestamp, lit}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, current_timestamp, lit, sum, when}
+import org.apache.spark.sql.types.MapType
 
 import graft.cdc.Cdc
+import graft.sources.Sources
 
 final case class MergeStats(inserted: Long, updated: Long, deleted: Long)
 
@@ -55,55 +57,92 @@ object MergeTable {
     next
   }
 
-  /** SCD1 merge into the table (creates it on first write). */
+  /** Deterministic "latest" ordering: the order column descending,
+    * then EVERY other orderable column descending (sorted by name).
+    * The keys are the window's partition columns, so they can never
+    * break ties; tiebreaking on row content gives a total order where
+    * the only remaining ties are fully identical rows — for which the
+    * winner is immaterial. Re-running the same merge always produces
+    * the same table, regardless of partitioning.
+    */
+  private def deterministicOrd(updates: DataFrame, keys: Seq[String],
+                               orderBy: String): Seq[Column] = {
+    val tiebreak = updates.schema.fields
+      .filterNot(f => f.dataType.isInstanceOf[MapType]) // maps are unorderable
+      .map(_.name)
+      .filterNot(c => keys.contains(c) || c == orderBy)
+      .sorted
+    col(orderBy).desc +: tiebreak.map(col(_).desc).toSeq
+  }
+
+  private def actionCount(a: String): Column =
+    sum(when(col("_action") === a, 1L).otherwise(0L)).as(a)
+
+  /** Run the write with `observe()` metrics: stats come out of the
+    * SAME job that writes the snapshot — zero extra passes (the
+    * round-1 version ran 3-4 extra join/count jobs per merge, which
+    * at 100 TB means 3-4 redundant full scans).
+    */
+  private def writeTagged(tagged: DataFrame, path: String,
+                          dropActions: Seq[String]): MergeStats = {
+    val obs = Observation()
+    val observed = tagged.observe(obs,
+      actionCount("insert"), actionCount("update"), actionCount("close"),
+      actionCount("delete"))
+    val out = if (dropActions.isEmpty) observed
+      else observed.filter(!col("_action").isin(dropActions: _*))
+    writeSnapshot(out.drop("_action"), path)
+    val m = obs.get
+    def g(k: String): Long = m.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
+    MergeStats(inserted = g("insert"), updated = g("update") + g("close"),
+      deleted = g("delete"))
+  }
+
+  /** SCD1 merge into the table (creates it on first write). Ingest
+    * control columns are excluded from change detection so re-running
+    * an identical extract is a no-op merge (all rows `unchanged`).
+    */
   def scd1Merge(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String], orderBy: String,
-                deleteMissing: Boolean = false): MergeStats = {
-    val ord = Seq(col(orderBy).desc) ++ keys.map(col(_).desc)
+                deleteMissing: Boolean = false,
+                compareExclude: Seq[String] = Sources.controlColumns): MergeStats = {
+    val ord = deterministicOrd(updates, keys, orderBy)
     if (!exists(path)) {
+      val obs = Observation()
       val first = Cdc.latestPerKey(updates, keys, ord)
+        .observe(obs, count(lit(1)).as("n"))
       writeSnapshot(first, path)
-      MergeStats(inserted = first.count(), updated = 0, deleted = 0)
+      MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0, deleted = 0)
     } else {
       val target = read(spark, path)
-      val merged = Cdc.scd1Merge(target, updates.select(target.columns.map(col).toIndexedSeq: _*),
-        keys, ord, deleteMissing)
-      // stats from one pass over key sets (cheap: keys only)
-      val tKeys = target.select(keys.map(col): _*)
-      val uKeys = updates.select(keys.map(col): _*).distinct()
-      val updated = tKeys.join(uKeys, keys, "left_semi").count()
-      val inserted = uKeys.join(tKeys, keys, "left_anti").count()
-      val deleted = if (deleteMissing) tKeys.join(uKeys, keys, "left_anti").count() else 0L
-      writeSnapshot(merged, path)
-      MergeStats(inserted, updated, deleted)
+      val tagged = Cdc.scd1MergeTagged(target,
+        updates.select(target.columns.map(col).toIndexedSeq: _*),
+        keys, ord, deleteMissing, compareExclude)
+      writeTagged(tagged, path, dropActions = Seq("delete"))
     }
   }
 
   /** SCD2 merge into the table (creates it with history columns). */
   def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String], orderBy: String,
-                deleteMissing: Boolean = false): MergeStats = {
-    val ord = Seq(col(orderBy).desc) ++ keys.map(col(_).desc)
+                deleteMissing: Boolean = false,
+                compareExclude: Seq[String] = Sources.controlColumns): MergeStats = {
+    val ord = deterministicOrd(updates, keys, orderBy)
     if (!exists(path)) {
+      val obs = Observation()
       val first = Cdc.latestPerKey(updates, keys, ord)
         .withColumn("is_current", lit(1))
         .withColumn("start_time", current_timestamp())
         .withColumn("end_time", lit(null).cast("timestamp"))
         .withColumn("delete_time", lit(null).cast("timestamp"))
+        .observe(obs, count(lit(1)).as("n"))
       writeSnapshot(first, path)
-      MergeStats(inserted = first.count(), updated = 0, deleted = 0)
+      MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0, deleted = 0)
     } else {
       val target = read(spark, path)
-      val merged = Cdc.scd2Merge(target, updates, keys, ord, deleteMissing)
-      val before = target.filter(col("is_current") === 1).count()
-      writeSnapshot(merged, path)
-      val after = read(spark, path)
-      val currentAfter = after.filter(col("is_current") === 1).count()
-      val versions = after.count()
-      MergeStats(
-        inserted = currentAfter,
-        updated = versions - currentAfter,
-        deleted = after.filter(col("delete_time").isNotNull).count())
+      val tagged = Cdc.scd2MergeTagged(target, updates, keys, ord,
+        deleteMissing, compareExclude)
+      writeTagged(tagged, path, dropActions = Nil)
     }
   }
 }

@@ -44,7 +44,12 @@ final case class IngestConfig(
     transforms: Seq[Transform] = Nil,
     writes: Seq[WriteConfig] = Nil,
     dqRules: Seq[graft.dq.DqRule] = Nil,
-    auditTablePath: Option[String] = None)
+    auditTablePath: Option[String] = None,
+    failOnDqViolation: Boolean = false)
+
+/** Thrown when `failOnDqViolation` is set and any rule fails. */
+final class DqViolationException(val failed: Seq[String])
+  extends RuntimeException(s"DQ rules violated: ${failed.mkString(", ")}")
 
 /** Runs an IngestConfig end-to-end (batch). Streaming ingestion with
   * identical merge semantics lives in graft.streaming.StreamingIngest.
@@ -60,10 +65,18 @@ object IngestJob {
   def run(spark: SparkSession, cfg: IngestConfig): DataFrame = {
     val df = transform(read(spark, cfg), cfg)
     if (cfg.dqRules.nonEmpty) {
-      val dq = graft.dq.DataQuality.evaluate(df, cfg.dqRules)
+      // Rules are always materialized (collect is over one row per
+      // rule — tiny); violations gate the write when configured,
+      // matching the reference DQ layer's fail-the-pipeline surface.
+      val dq = graft.dq.DataQuality.evaluate(df, cfg.dqRules).cache()
+      val failed = dq.filter(!org.apache.spark.sql.functions.col("passed"))
+        .select("rule_name").collect().map(_.getString(0)).toSeq
       cfg.auditTablePath.foreach { p =>
         dq.write.mode("append").parquet(s"$p/dq_results")
       }
+      dq.unpersist()
+      if (cfg.failOnDqViolation && failed.nonEmpty)
+        throw new DqViolationException(failed)
     }
     cfg.writes.foreach { wc =>
       val stats = wc.mode match {

@@ -83,13 +83,20 @@ case object LowercaseCols extends Transform {
 final case class SqlTransform(sql: String, substitutions: Map[String, String] = Map.empty)
     extends Transform {
   def apply(df: DataFrame): DataFrame = {
-    val view = s"graft_sql_view_${System.identityHashCode(df).toHexString}"
+    val view = s"graft_sql_view_${SqlTransform.viewCounter.incrementAndGet()}"
     df.createOrReplaceTempView(view)
     val rendered = substitutions.foldLeft(sql.replace("{{table_view}}", view)) {
       case (s, (k, v)) => s.replace(s"{{$k}}", v)
     }
     df.sparkSession.sql(rendered)
   }
+}
+
+object SqlTransform {
+  /** Monotonic view names — identityHashCode could collide across
+    * frames (or recur after GC) and silently rebind a view mid-plan.
+    */
+  private[pipeline] val viewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Escape hatch: arbitrary DataFrame function (reference `py`

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+import graft.pipeline.MergeTable
+
+class MergeSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_merge").toString
+
+  private def tableHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(col)
+    df.select(md5(concat_ws("", cols.map(_.cast("string")): _*)).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")).as("s"))
+      .collect()(0).getLong(0).toString
+  }
+
+  private def updates1 = Seq(
+    (1L, "a", 10.0, 1), (2L, "b", 20.0, 1), (3L, "c", 30.0, 1),
+    // duplicate key 3 with SAME ord → tiebreak must be deterministic
+    (3L, "c2", 31.0, 1)
+  ).toDF("id", "name", "val", "ord")
+
+  private def updates2 = Seq(
+    (2L, "b9", 21.0, 2), (4L, "d", 40.0, 2)
+  ).toDF("id", "name", "val", "ord")
+
+  test("scd1 merge is deterministic across re-runs (equal-ord ties)") {
+    val hashes = (1 to 3).map { _ =>
+      val p = tmp()
+      MergeTable.scd1Merge(spark, p, updates1.repartition(7), Seq("id"), "ord")
+      MergeTable.scd1Merge(spark, p, updates2.repartition(3), Seq("id"), "ord")
+      tableHash(MergeTable.read(spark, p))
+    }
+    assert(hashes.distinct.size == 1, s"non-deterministic merges: $hashes")
+  }
+
+  test("scd1 merge stats are computed from the write job itself") {
+    val p = tmp()
+    val s0 = MergeTable.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    assert(s0.inserted == 3 && s0.updated == 0 && s0.deleted == 0)
+    val s1 = MergeTable.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+    assert(s1.inserted == 1, s"expected 1 insert (key 4), got $s1")
+    assert(s1.updated == 1, s"expected 1 update (key 2), got $s1")
+    assert(s1.deleted == 0)
+    // re-merging identical data must be a no-op (0 updates)
+    val s2 = MergeTable.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+    assert(s2.inserted == 0 && s2.updated == 0, s"re-merge not a no-op: $s2")
+    assert(MergeTable.read(spark, p).count() == 4)
+  }
+
+  test("scd1 deleteMissing drops absent keys and counts them") {
+    val p = tmp()
+    MergeTable.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    val s = MergeTable.scd1Merge(spark, p, updates2, Seq("id"), "ord",
+      deleteMissing = true)
+    assert(s.deleted == 2, s"keys 1,3 should be deleted: $s")
+    assert(MergeTable.read(spark, p).select("id").as[Long].collect().sorted
+      .sameElements(Array(2L, 4L)))
+  }
+
+  test("scd2 merge versions changed rows and keeps history") {
+    val p = tmp()
+    MergeTable.scd2Merge(spark, p, updates1, Seq("id"), "ord")
+    val s = MergeTable.scd2Merge(spark, p, updates2, Seq("id"), "ord")
+    assert(s.inserted == 2, s"new version for key 2 + new key 4: $s")
+    assert(s.updated == 1, s"closed old version of key 2: $s")
+    val t = MergeTable.read(spark, p)
+    assert(t.filter(col("is_current") === 1).count() == 4)
+    assert(t.filter(col("id") === 2).count() == 2) // old + new version
+    assert(t.filter(col("id") === 2 && col("is_current") === 0 &&
+      col("end_time").isNotNull).count() == 1)
+  }
+
+  test("scd2 change detection ignores compare-excluded control columns") {
+    val p = tmp()
+    val withCtrl = updates1.withColumn("row_creation_time", current_timestamp())
+    MergeTable.scd2Merge(spark, p, withCtrl, Seq("id"), "ord")
+    // same business data, new wall-clock control column → no new versions
+    val again = updates1.withColumn("row_creation_time",
+      current_timestamp() + expr("INTERVAL 1 HOUR"))
+    val s = MergeTable.scd2Merge(spark, p, again, Seq("id"), "ord")
+    assert(s.inserted == 0 && s.updated == 0,
+      s"control-column churn created spurious history: $s")
+  }
+
+  test("cdc applyOps: latest op wins, deletes remove") {
+    val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
+    val feed = Seq(
+      (1L, "a2", "update", 2), (2L, "x", "delete", 2),
+      (3L, "c", "insert", 2), (3L, "c2", "update", 3)
+    ).toDF("id", "v", "op", "ord")
+    val out = Cdc.applyOps(target, feed, Seq("id"), "op",
+      Seq(col("ord").desc, col("v").desc))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sameElements(Array((1L, "a2"), (3L, "c2"))))
+  }
+}
