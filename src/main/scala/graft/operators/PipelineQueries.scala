@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.cdc.Cdc
+import graft.dq._
+import graft.pipeline._
+import graft.sources.Sources
+
+/** Oracle-checked queries exercising the ingestion-pipeline surface
+  * (SURVEY.md §2 #11-21): transform chains, templated SQL, diffs,
+  * CDC compaction/apply, SCD merges, DQ, audit, metadata stamping.
+  *
+  * Each query is DETERMINISTIC (no wall-clock) so the driver's DuckDB
+  * oracle can replay it; the event-time cutoff 2024-01-15 splits the
+  * events table into a "target state" half and an "update feed" half
+  * to exercise merge semantics on real data.
+  */
+object PipelineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private val T0 = "2024-01-15 00:00:00"
+
+  /** Deterministic CDC ordering used by every events-derived merge. */
+  private def evOrd: Seq[Column] = Seq(col("ts").desc, col("event_id").desc)
+
+  private def preState(spark: SparkSession, dir: String): DataFrame =
+    Cdc.latestPerKey(
+      t(spark, dir, "events").filter(col("ts") < lit(T0).cast("timestamp")),
+      Seq("user_id"), evOrd)
+      .select(col("user_id"), col("event_type"), col("value"))
+
+  private def postFeed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").filter(col("ts") >= lit(T0).cast("timestamp"))
+
+  /** #11 Config-driven transform chain: the whole chain folds into ONE
+    * Catalyst plan — the Where still pushes to the parquet scan even
+    * though renames/casts/normalizes follow it in config order.
+    */
+  def pipeTransformChain(spark: SparkSession, dir: String): DataFrame = {
+    val chain = Pipeline.of(
+      Where("l_quantity > 30"),
+      Select(Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_tax", "l_shipdate")),
+      Rename(Seq("l_orderkey" -> "Order Key", "l_partkey" -> "Part Key")),
+      NormalizeCols,
+      LowercaseCols,
+      Cast(Seq("l_extendedprice" -> "decimal(18,2)", "l_tax" -> "decimal(18,2)")),
+      WithColumnExpr("gross",
+        "CAST(l_extendedprice * (CAST(1 AS DECIMAL(18,2)) + l_tax) AS DOUBLE)"),
+      WithColumnExpr("ship_date", "CAST(l_shipdate AS DATE)"),
+      Drop(Seq("l_shipdate", "l_extendedprice", "l_tax")))
+    chain(t(spark, dir, "lineitem"))
+  }
+
+  /** #12 Templated SQL transform over a registered view. */
+  def pipeSqlTransform(spark: SparkSession, dir: String): DataFrame =
+    SqlTransform(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM {{table_view}}
+        |WHERE l_returnflag = '{{flag}}'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      Map("flag" -> "R"))(t(spark, dir, "lineitem"))
+
+  /** #13 Brute-force changed-row diff: synthetic extract vs snapshot
+    * derived from orders by key-modulus filters (inserts where
+    * key%3=0, deletes where key%5=0, updates where key%7=0).
+    */
+  def pipeBruteForceDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val price = col("o_totalprice").cast(DecimalType(18, 2))
+    val snapshot = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), price.as("price"))
+    val source = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 7 === 0, price + lit(1).cast(DecimalType(18, 2)))
+          .otherwise(price).as("price"))
+    BruteForceDiff.diff(source, snapshot, Seq("o_orderkey"))
+      .withColumn("price", col("price").cast("double"))
+  }
+
+  /** #14 CDC latest-per-key compaction over the event stream. */
+  def cdcLatestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Cdc.latestPerKey(t(spark, dir, "events"), Seq("user_id"), evOrd)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+
+  /** #15 CDC op-split apply: error events act as deletes, everything
+    * else upserts; latest op per key wins.
+    */
+  def cdcApplyOps(spark: SparkSession, dir: String): DataFrame = {
+    val feed = postFeed(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", "delete")
+        .otherwise("upsert"))
+    Cdc.applyOps(preState(spark, dir), feed, Seq("user_id"), "op", evOrd)
+  }
+
+  /** #16 SCD1 merge (tagged): pre-cutoff state merged with the
+    * post-cutoff feed; the `merge_action` column exposes the
+    * insert/update/unchanged/keep decision for each key.
+    */
+  def scd1Merge(spark: SparkSession, dir: String): DataFrame =
+    Cdc.scd1MergeTagged(preState(spark, dir), postFeed(spark, dir),
+      Seq("user_id"), evOrd)
+      .withColumnRenamed("_action", "merge_action")
+
+  /** #17 SCD2 history from event time (deterministic — no wall-clock):
+    * each event is a version row with [start,end) validity.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    Cdc.scd2History(
+      t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts")),
+      Seq("user_id"), "ts", Seq(col("event_id").asc))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("start_time"), col("end_time"), col("is_current"))
+
+  /** #18 DQ per-column profile (completeness + cardinality, one pass). */
+  def dqMetrics(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.profile(t(spark, dir, "orders"),
+      Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+
+  /** #19 DQ rule evaluation: N rules, ONE aggregate pass. */
+  def dqRules(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.evaluate(t(spark, dir, "lineitem"), Seq(
+      NotNull("l_orderkey"),
+      Unique("l_orderkey"),
+      InRange("l_quantity", 1, 50),
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      MatchesRegex("l_linestatus", "^[OF]$"),
+      CustomPredicate("negative_price", "l_extendedprice < 0")))
+
+  /** #20 Audit merge-shape record: single-join plan, no actions. */
+  def auditLog(spark: SparkSession, dir: String): DataFrame = {
+    val target = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val updates = t(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    Audit.mergeShape(target, updates, Seq("custkey"))
+  }
+
+  /** #21 Ingest metadata stamping (rows-only oracle: absolute paths
+    * and mtimes are environment-dependent, so the check is shape).
+    */
+  def ingestMetadata(spark: SparkSession, dir: String): DataFrame =
+    Sources.readParquet(spark, s"$dir/lineitem.parquet")
+      .groupBy(col("file_path"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("file_modification_time").isNull, 1L).otherwise(0L))
+          .as("n_null_mtime"),
+        sum(when(col("row_creation_time").isNull, 1L).otherwise(0L))
+          .as("n_null_created"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_transform_chain" -> (pipeTransformChain _),
+    "pipe_sql_transform" -> (pipeSqlTransform _),
+    "pipe_brute_force_diff" -> (pipeBruteForceDiff _),
+    "cdc_latest_per_key" -> (cdcLatestPerKey _),
+    "cdc_apply_ops" -> (cdcApplyOps _),
+    "scd1_merge" -> (scd1Merge _),
+    "scd2_history" -> (scd2History _),
+    "dq_metrics" -> (dqMetrics _),
+    "dq_rules" -> (dqRules _),
+    "audit_log" -> (auditLog _),
+    "ingest_metadata" -> (ingestMetadata _))
+
+  private val preSql =
+    """SELECT user_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""".stripMargin
+
+  private val postSql =
+    """SELECT user_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_transform_chain" ->
+      """SELECT l_orderkey AS order_key, l_partkey AS part_key, l_quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_quantity > 30""".stripMargin,
+    "pipe_sql_transform" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "pipe_brute_force_diff" ->
+      """WITH snapshot AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |source AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (
+        |  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    s.o_custkey AS o_custkey, CAST(s.price AS DOUBLE) AS price,
+        |    CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+        |         WHEN s.o_orderkey IS NULL THEN 'delete'
+        |         WHEN s.o_custkey IS DISTINCT FROM t.o_custkey
+        |           OR s.price IS DISTINCT FROM t.price THEN 'update' END AS diff_type
+        |  FROM source s FULL OUTER JOIN snapshot t ON s.o_orderkey = t.o_orderkey)
+        |SELECT * FROM j WHERE diff_type IS NOT NULL""".stripMargin,
+    "cdc_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "cdc_apply_ops" ->
+      s"""WITH pre AS ($preSql), post AS ($postSql)
+         |SELECT user_id, event_type, value FROM pre
+         |WHERE user_id NOT IN (SELECT user_id FROM post)
+         |UNION ALL
+         |SELECT user_id, event_type, value FROM post WHERE event_type <> 'error'""".stripMargin,
+    "scd1_merge" ->
+      s"""WITH pre AS ($preSql), post AS ($postSql),
+         |j AS (
+         |  SELECT t.user_id AS t_uid, s.user_id AS s_uid,
+         |    t.event_type AS t_et, t.value AS t_v,
+         |    s.event_type AS s_et, s.value AS s_v
+         |  FROM post s FULL OUTER JOIN pre t ON s.user_id = t.user_id),
+         |a AS (
+         |  SELECT *, CASE WHEN t_uid IS NULL THEN 'insert'
+         |    WHEN s_uid IS NULL THEN 'keep'
+         |    WHEN s_et IS DISTINCT FROM t_et OR s_v IS DISTINCT FROM t_v THEN 'update'
+         |    ELSE 'unchanged' END AS merge_action FROM j)
+         |SELECT COALESCE(s_uid, t_uid) AS user_id,
+         |  CASE WHEN merge_action IN ('insert','update') THEN s_et ELSE t_et END AS event_type,
+         |  CASE WHEN merge_action IN ('insert','update') THEN s_v ELSE t_v END AS value,
+         |  merge_action
+         |FROM a""".stripMargin,
+    "scd2_history" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  CAST(ts AS TIMESTAMP) AS start_time,
+        |  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP) AS end_time,
+        |  CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM events""".stripMargin,
+    "dq_metrics" ->
+      """SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders""".stripMargin,
+    "dq_rules" ->
+      """SELECT 'not_null(l_orderkey)' AS rule_name, 'l_orderkey' AS column_name,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey)', 'l_orderkey', COUNT(*),
+        |  CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT),
+        |  COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_quantity,1.0,50.0)', 'l_quantity', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'in_set(l_returnflag)', 'l_returnflag', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'matches_regex(l_linestatus)', 'l_linestatus', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_linestatus IS NULL OR NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN l_linestatus IS NULL OR NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'negative_price', '', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) = 0 FROM lineitem""".stripMargin,
+    "audit_log" ->
+      """WITH t AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |u AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+        |SELECT
+        |  CAST(SUM(CASE WHEN t.custkey IS NOT NULL AND u.custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS num_matched,
+        |  CAST(SUM(CASE WHEN t.custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS num_inserted,
+        |  CAST(SUM(CASE WHEN u.custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS num_untouched
+        |FROM t FULL OUTER JOIN u ON t.custkey = u.custkey""".stripMargin)
+    // ingest_metadata: rows-only (absolute file paths + mtimes are
+    // environment-dependent) — intentionally omitted from oracleSql.
+}
