@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: language
+  * ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built-in `Column` expressions (no UDFs) so the whole
+  * pass stays inside whole-stage codegen — one narrow projection over
+  * the corpus, no shuffle at any scale. The capability extends the
+  * reference's transformation surface (ingest-framework
+  * transformations/common_transformations.py applies single F.*
+  * functions per config row) to corpus analytics.
+  */
+object TextAnalysis {
+
+  /** Non-overlapping occurrence count of literal `needle` via the
+    * length/replace trick — identical left-to-right semantics in
+    * every SQL engine, codegen-friendly, no regex compilation.
+    */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit(""))))
+      / needle.length).cast("long")
+
+  /** Marker-word language ID: score each language by total marker
+    * occurrences, pick the argmax (ties broken by marker-list order,
+    * all-zero → "und"). The classic n-gram-profile heuristic reduced
+    * to its scalable core: one codegen'd projection, no shuffle.
+    */
+  def languageScores(text: Column, markers: Seq[(String, Seq[String])]): Seq[(String, Column)] =
+    markers.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(text, w)).reduce(_ + _)
+    }
+
+  def languageGuess(scores: Seq[(String, Column)]): Column = {
+    val allZero = scores.map(_._2 === 0L).reduce(_ && _)
+    // first language whose score is >= all later scores (stable argmax)
+    val pick = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        if (rest.isEmpty) elseCol
+        else when(rest.map(s >= _).reduce(_ && _), lang).otherwise(elseCol)
+    }
+    when(allZero, "und").otherwise(pick)
+  }
+
+  /** Quality metrics per document: lengths, word shape, stopword and
+    * punctuation ratios, plus a pass/fail gate. Each ratio is ONE
+    * IEEE division of exact integer counts — bit-identical across
+    * engines regardless of parallelism.
+    */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val nChars = length(text).cast("long")
+    val nWords = size(split(text, " ")).cast("long")
+    val letters = length(regexp_replace(text, "[^a-z]", "")).cast("long")
+    val stops = stopwords
+      .map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w "))
+      .reduce(_ + _)
+    val punct = occurrences(text, ".") + occurrences(text, ",") +
+      occurrences(text, "!") + occurrences(text, "?")
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "avg_word_len" -> (length(regexp_replace(text, " ", "")).cast("double") / nWords),
+      "alpha_ratio" -> (letters.cast("double") / nChars),
+      "stopword_ratio" -> (stops.cast("double") / nWords),
+      "punct_ratio" -> (punct.cast("double") / nChars))
+  }
+
+  /** Token counts: whitespace tokens, regex word-ish tokens (a
+    * BPE-style pre-tokenizer split), and a chars/4 BPE estimate.
+    */
+  def tokenMetrics(text: Column): Seq[(String, Column)] = {
+    val pat = "[a-z0-9]+|[^a-z0-9 ]"
+    Seq(
+      "ws_tokens" -> size(split(text, " ")).cast("long"),
+      "re_tokens" -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("long"),
+      "est_bpe_tokens" -> ceil(length(text) / 4.0).cast("long"))
+  }
+
+  /** Polynomial rolling-hash fingerprint (mod a large prime) folded
+    * over the character codes with `aggregate` — a deterministic
+    * 31-base Rabin-Karp hash computed inside codegen; the same value
+    * on any engine that folds left-to-right.
+    */
+  def fingerprint(text: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)),
+        i => ascii(text.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * mult + c) % mod)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Oracle-checked text-analysis queries (SURVEY.md §2 #34-37) over
+  * the `documents` corpus. All four are single codegen'd projections:
+  * at 100 TB they read each document once and shuffle nothing.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Marker vocabularies for the language-ID heuristic. The corpus is
+    * synthetic (one shared vocabulary), so the markers are vocabulary
+    * words — the operator under test is the scoring machinery.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "table", "row"),
+    "de" -> Seq("merge", "batch", "window"),
+    "fr" -> Seq("filter", "scan", "stream"),
+    "zh" -> Seq("join", "group", "hash"))
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scores = TextAnalysis.languageScores(col("text"), markers)
+    d.select(
+      col("doc_id") +: col("lang").as("declared_lang") +:
+        scores.map { case (l, c) => c.as(s"score_$l") } :+
+        TextAnalysis.languageGuess(scores).as("lang_guess"): _*)
+  }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.qualityMetrics(col("text"), Seq("the", "a"))
+    val pass = (col("n_words") >= 20L) && (col("avg_word_len") < 8.0)
+    docs(spark, dir)
+      .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("quality_pass", pass)
+  }
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.tokenMetrics(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id") +: length(col("text")).cast("long").as("n_chars") +:
+        m.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("re_tokens"))
+  }
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  /** occurrence-count SQL fragment (length/replace trick). */
+  private def occ(expr: String, w: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$w', ''))) / ${w.length} AS BIGINT)"
+
+  private def score(ws: Seq[String]): String =
+    ws.map(w => occ("text", w)).mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_langid" -> {
+      val s = markers.map { case (l, ws) => s"${score(ws)} AS score_$l" }
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS declared_lang, ${s.mkString(", ")}
+         |  FROM documents)
+         |SELECT *,
+         |  CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_zh = 0 THEN 'und'
+         |       WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |       WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |       WHEN score_fr >= score_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_guess
+         |FROM scored""".stripMargin
+    },
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |  CAST(${occ("' ' || text || ' '", " the ")} + ${occ("' ' || text || ' '", " a ")} AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+         |  CAST(${occ("text", ".")} + ${occ("text", ",")} + ${occ("text", "!")} + ${occ("text", "?")} AS DOUBLE) / length(text) AS punct_ratio,
+         |  len(string_split(text, ' ')) >= 20 AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) < 8.0 AS quality_pass
+         |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS chars_per_token
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin)
+}
