@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static kernels shared by interpreted eval and generated code.
+  * Generated Java calls these through the static forwarders on the
+  * companion class (JIT inlines them), so the expressions stay inside
+  * whole-stage codegen with a tight primitive loop — no boxing, no
+  * Scala closures, no UDF serialization.
+  */
+object VectorOps {
+
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * Zero-norm or length-mismatched inputs yield 0.0 (callers filter
+    * on the score, so a "no signal" zero beats a null-propagation
+    * special case).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Signed-random-projection bucket id: `planes` Rademacher (+/-1)
+    * hyperplanes with weights derived from a splitmix64-style mix of
+    * (seed, plane, dim) — deterministic on every executor, no
+    * broadcast weight matrix needed. Returns an int in
+    * [0, 2^planes). Cosine-similar vectors collide with high
+    * probability (SRP-LSH), so an equi-join on the bucket id replaces
+    * the all-pairs cross join.
+    */
+  def srpBucket(v: ArrayData, planes: Int, seed: Long): Int = {
+    val d = v.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        var z = seed + (p.toLong << 32) + i.toLong
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+        z = z ^ (z >>> 33)
+        val w = if ((z & 1L) == 0L) 1.0 else -1.0
+        acc += w * v.getFloat(i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** `cosine_sim(a, b)`: codegen'd cosine similarity over
+  * `array<float>` embedding columns. The scalar kernel of the
+  * dedup-embedding and ANN operators (SURVEY.md §2 #31-33).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `srp_bucket(v)`: signed-random-projection LSH bucket id for an
+  * `array<float>` embedding (the shuffle key of the bucketed ANN
+  * path — join on this instead of cross-joining the corpus).
+  */
+case class SrpBucket(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 30, "planes must be in [1,30]")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "srp_bucket"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.srpBucket(v.asInstanceOf[ArrayData], planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorOps.srpBucket($v, $planes, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Column API for the vector expressions. */
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CosineSimilarity(org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  def srpBucket(v: Column, planes: Int = 6, seed: Long = 42L): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SrpBucket(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v), planes, seed))
+}

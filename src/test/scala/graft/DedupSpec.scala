@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("exact dedup keeps min id per identical text") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keep_doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(Array((1L, 3L), (2L, 1L))))
+  }
+
+  test("ngram jaccard finds planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tail"),              // near-dup of 1
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardStats(df, "doc_id", "text",
+      n = 5, maxDf = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 1L, "doc1 should have doc2 as near-dup") // n_near
+    assert(out(1).getLong(2) == 1L)
+    assert(out(2).getLong(2) == 0L)
+    assert(out(0).getDouble(3) > 0.8)
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val h = df.select(HashFunctions.simhash64(split(col("text"), " ")).as("h"))
+      .as[Long].collect()
+    assert(h(0) == h(1) && h(0) != h(2))
+    val stats = Dedup.simhashStats(df, "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_id").collect()
+    assert(stats(0).getLong(3) == 1L, s"identical pair is near: ${stats.mkString}")
+  }
+
+  test("cosine expression matches hand computation and self-sim is 1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f, 2.0f), Array(1.0f, 2.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val out = df.select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("minhash lsh: near-identical docs land in a shared band bucket") {
+    val base = "one two three four five six seven eight nine ten " * 3
+    val df = Seq((1L, base), (2L, base + "x"),
+      (3L, "totally other vocabulary nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshStats(df, "doc_id", "text",
+      n = 5, numPerm = 64, bands = 16, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) >= 1L, "near-identical pair must be a candidate")
+    assert(out(2).getLong(1) == 0L, "disjoint doc has no candidates")
+  }
+
+  test("ann brute force returns k ranked neighbors per vector") {
+    val out = Similarity.annBruteForce(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding", k = 3)
+    val counts = out.groupBy("vec_id").count().select(max("count"), min("count"))
+      .collect()(0)
+    assert(counts.getLong(0) == 3 && counts.getLong(1) == 3)
+  }
+
+  test("ann lsh plan contains no cartesian or nested-loop join") {
+    val plan = Similarity.annLsh(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // and it still produces neighbors
+    val n = Similarity.annLsh(Tables.load(spark, sf, "embeddings"),
+      "vec_id", "embedding").count()
+    assert(n > 0)
+  }
+}
