@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Oracle-checked event-stream queries (#24-26). */
+object EventQueries {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  private val probeTimes = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00",
+    "2024-01-28 00:00:00")
+
+  def eventsWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    Events.windowedAgg(ev(spark, dir))
+
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionize(ev(spark, dir))
+
+  def asofJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val probes = e.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(array(probeTimes.map(t => lit(t).cast("timestamp")): _*))
+          .as("probe_ts"))
+    Events.asofJoin(e, probes, "user_id", "ts", "probe_ts",
+      Seq("event_id", "event_type", "value"), "event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_windowed_agg" -> (eventsWindowedAgg _),
+    "events_sessionize" -> (eventsSessionize _),
+    "asof_join" -> (asofJoinQuery _))
+
+  val oracleSql: Map[String, String] = Map(
+    "events_windowed_agg" ->
+      """SELECT
+        |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+        |  make_timestamp(((epoch_us(ts) // 21600000000) + 1) * 21600000000) AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  date_diff('microsecond', CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP)) / 1000000.0 AS duration_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "asof_join" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id, probe_ts
+        |  FROM events CROSS JOIN (VALUES
+        |    (TIMESTAMP '2024-01-10 00:00:00'),
+        |    (TIMESTAMP '2024-01-20 00:00:00'),
+        |    (TIMESTAMP '2024-01-28 00:00:00')) AS v(probe_ts)),
+        |ranked AS (
+        |  SELECT p.user_id, p.probe_ts, e.event_id, e.event_type, e.value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY p.user_id, p.probe_ts
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
+        |  FROM probes p
+        |  JOIN events e ON e.user_id = p.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) <= p.probe_ts)
+        |SELECT user_id, probe_ts, event_id, event_type, value
+        |FROM ranked WHERE rn = 1""".stripMargin)
+}
