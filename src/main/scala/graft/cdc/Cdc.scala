@@ -68,7 +68,8 @@ object Cdc {
     */
   def scd1MergeTagged(target: DataFrame, updates: DataFrame, keys: Seq[String],
                       orderBy: Seq[Column], deleteMissing: Boolean = false,
-                      compareExclude: Seq[String] = Nil): DataFrame = {
+                      compareExclude: Seq[String] = Nil,
+                      orderGuard: Option[String] = None): DataFrame = {
     val dataCols = target.columns.filterNot(keys.contains).toSeq
     val compareCols = dataCols.filterNot(compareExclude.contains)
     val latest = latestPerKey(updates, keys, orderBy)
@@ -79,9 +80,20 @@ object Cdc {
       .join(snap, keys, "full_outer")
     val changed = compareCols.map(c => !(col(c) <=> col(s"_new_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
+    // Order guard: a matched source row only wins if it is at least as
+    // new as the target row (src ord >= tgt ord). Makes merges
+    // idempotent AND arrival-order independent: replaying an old
+    // extract (or a late/out-of-order streaming micro-batch) can never
+    // regress the table — the foundation of the foreachBatch streaming
+    // path's batch-equivalence.
+    val srcNewEnough = orderGuard match {
+      case Some(ord) => col(ord).isNull || col(s"_new_$ord") >= col(ord)
+      case None      => lit(true)
+    }
     val action = when(col("_tgt_present").isNull, "insert")
       .when(col("_src_present").isNull, if (deleteMissing) "delete" else "keep")
-      .when(changed, "update")
+      .when(changed && srcNewEnough, "update")
+      .when(changed, "stale")
       .otherwise("unchanged")
     val takeNew = col("_action").isin("insert", "update")
     joined
@@ -96,8 +108,10 @@ object Cdc {
     */
   def scd1Merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
                 orderBy: Seq[Column], deleteMissing: Boolean = false,
-                compareExclude: Seq[String] = Nil): DataFrame =
-    scd1MergeTagged(target, updates, keys, orderBy, deleteMissing, compareExclude)
+                compareExclude: Seq[String] = Nil,
+                orderGuard: Option[String] = None): DataFrame =
+    scd1MergeTagged(target, updates, keys, orderBy, deleteMissing,
+      compareExclude, orderGuard)
       .filter(col("_action") =!= "delete")
       .drop("_action")
 

@@ -117,7 +117,7 @@ object MergeTable {
       val target = read(spark, path)
       val tagged = Cdc.scd1MergeTagged(target,
         updates.select(target.columns.map(col).toIndexedSeq: _*),
-        keys, ord, deleteMissing, compareExclude)
+        keys, ord, deleteMissing, compareExclude, orderGuard = Some(orderBy))
       writeTagged(tagged, path, dropActions = Seq("delete"))
     }
   }

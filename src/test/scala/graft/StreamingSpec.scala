@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+import graft.operators.Events
+import graft.pipeline.MergeTable
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpec {
+
+  /** Split sf0.001 events into 3 chronological files with strictly
+    * increasing mtimes so the file stream replays them in order (and
+    * the order-guard makes the result correct even if it didn't).
+    */
+  private def stageEventFiles(): (String, org.apache.spark.sql.DataFrame) = {
+    val src = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val cuts = Seq(
+      ("1970-01-01", "2024-01-10"),
+      ("2024-01-10", "2024-01-20"),
+      ("2024-01-20", "2099-01-01"))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = src.filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+      val tmp = s"$dir/stage$i"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = Paths.get(dir, f"part$i%02d.parquet")
+      Files.move(f, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    (dir, src)
+  }
+
+  test("streaming foreachBatch SCD1 merge equals batch latest-per-key") {
+    val (dir, src) = stageEventFiles()
+    val table = Files.createTempDirectory("graft_stream_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingIngest.mergeSink(stream, table, ckpt,
+      keys = Seq("user_id"), orderBy = "ts", compareExclude = Nil)
+    q.awaitTermination(120000)
+
+    val got = MergeTable.read(spark, table)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = Cdc.latestPerKey(src, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc, col("event_type").desc,
+        col("value").desc))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      s"stream table ${got.length} rows vs batch ${want.length}")
+  }
+
+  test("streaming windowed agg equals batch windowed agg") {
+    val (dir, src) = stageEventFiles()
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val agg = StreamingIngest.windowedAgg(stream, "ts", "1 hour", "6 hours")
+    val name = s"stream_agg_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name)
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    val want = Events.windowedAgg(src)
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.sameElements(want), s"${got.length} vs ${want.length} windows")
+  }
+
+  test("out-of-order batch cannot regress the merge table") {
+    import SparkSpec.spark.implicits._
+    val table = Files.createTempDirectory("graft_ooo").toString
+    val newer = Seq((1L, "v2", 20)).toDF("id", "v", "ord")
+    val older = Seq((1L, "v1", 10), (2L, "w1", 10)).toDF("id", "v", "ord")
+    MergeTable.scd1Merge(spark, table, newer, Seq("id"), "ord", compareExclude = Nil)
+    val s = MergeTable.scd1Merge(spark, table, older, Seq("id"), "ord", compareExclude = Nil)
+    assert(s.inserted == 1 && s.updated == 0, s"late data must not update: $s")
+    val rows = MergeTable.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sameElements(Array((1L, "v2"), (2L, "w1"))),
+      s"late batch regressed the table: ${rows.mkString}")
+  }
+}
