@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Query entry for the multimodal binary-column surface (#38). The
+  * decode-stub feature extraction is covered by MultimodalSpec; this
+  * query oracle-checks the binary payload plumbing (byte lengths,
+  * content hashes, typed metadata).
+  */
+object MultimodalQueries {
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metaQuery(
+      Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (multimodalMeta _))
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST((doc_id % 16 + 1) * 64 AS INT) AS width,
+        |  CAST((doc_id % 9 + 1) * 64 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 100 + 1) * 30 ELSE 0 END AS INT) AS n_frames
+        |FROM documents""".stripMargin)
+}
