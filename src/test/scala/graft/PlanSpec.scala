@@ -1,0 +1,80 @@
+package graft
+
+/** Plan-shape assertions: the optimizations the engine's 100 TB story
+  * depends on must be visible in the actual plans, not just intended.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q2 filter and projection reach the parquet scan") {
+    val plan = formatted("q2_filter_project")
+    assert(plan.contains("PushedFilters:") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      s"shipdate filter not pushed:\n${plan.take(3000)}")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      "quantity filter not pushed")
+    // ReadSchema must be the 4 needed columns, not the whole table
+    val read = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("pipe_transform_chain pushes its Where through the whole chain") {
+    val plan = formatted("pipe_transform_chain")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      "config-chain filter must reach the scan through rename/cast/normalize")
+  }
+
+  test("q3 carries no forced broadcast on the fact-scale customer table") {
+    val analyzed = SparkEntry.queries("q3_join_agg")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "customer must not be hint-broadcast; AQE decides at runtime")
+  }
+
+  test("q4 dimension joins broadcast (no shuffle for dims)") {
+    val plan = SparkEntry.queries("q4_broadcast_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q10 plans as TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q10_topk_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q1 keeps partial (map-side) aggregation") {
+    val plan = SparkEntry.queries("q1_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregates, got $aggs:\n${plan.take(1500)}")
+  }
+
+  test("text analysis and dedup shingle plans stay UDF-free") {
+    Seq("text_fingerprint", "text_quality", "dedup_exact").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$q plan contains a UDF")
+    }
+  }
+
+  test("custom expressions run inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val proj = Tables.load(spark, sf, "documents")
+      .select(graft.functions.HashFunctions.simhash64(split(col("text"), " ")))
+    val plan = proj.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1)"), s"simhash projection fell out of codegen:\n$plan")
+    val cos = Tables.load(spark, sf, "embeddings")
+      .select(graft.functions.VectorFunctions.cosineSim(col("embedding"), col("embedding")))
+    assert(cos.queryExecution.executedPlan.toString.contains("*(1)"),
+      "cosine projection fell out of codegen")
+  }
+}
