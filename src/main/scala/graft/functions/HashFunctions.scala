@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -55,6 +55,104 @@ object HashOps {
   }
 }
 
+object HashOpsShingle {
+
+  private def mix(x: Long): Long = {
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct 64-bit hashes of all byte n-grams of `text` in one
+    * pass: a rolling FNV-1a window per position, dedup via sort.
+    * The hot kernel of the near-dup operators — interpreted
+    * higher-order `transform(sequence(...))` over a corpus is 50-100x
+    * slower than this loop because HOFs never enter codegen.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val count = math.max(bytes.length - n + 1, 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      val end = math.min(i + n, bytes.length)
+      var k = i
+      while (k < end) { h ^= (bytes(k) & 0xffL); h *= 0x100000001b3L; k += 1; j += 1 }
+      out(i) = mix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    i = 0
+    while (i < count) {
+      if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** MinHash signature over a shingle-hash array: `numPerm` seeded
+    * splitmix re-hashes, min per permutation — one tight loop, no
+    * per-permutation shuffle or interpreted lambda.
+    */
+  def minhashSignature(shash: ArrayData, numPerm: Int, seed: Long): ArrayData = {
+    val sig = new Array[Long](numPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shash.numElements()
+    var i = 0
+    while (i < n) {
+      val h = shash.getLong(i)
+      var p = 0
+      while (p < numPerm) {
+        val z = mix(h + seed + p * 0x9e3779b97f4a7c15L)
+        if (z < sig(p)) sig(p) = z
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `shingle_hashes(text)`: codegen'd distinct byte-n-gram hash set. */
+case class ShingleHashes64(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(text: Any): Any =
+    HashOpsShingle.shingleHashes(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.HashOpsShingle.shingleHashes($t, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shash)`: codegen'd MinHash signature. */
+case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
+    extends UnaryExpression {
+  require(numPerm > 0, "numPerm must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(shash: Any): Any =
+    HashOpsShingle.minhashSignature(shash.asInstanceOf[ArrayData], numPerm, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.HashOpsShingle.minhashSignature($s, $numPerm, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)`: codegen'd 64-bit SimHash of an
   * `array<string>` token column (SURVEY.md §2 #30).
   */
@@ -74,6 +172,15 @@ case class SimHash64(child: Expression)
 }
 
 object HashFunctions {
-  def simhash64(tokens: Column): Column = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-    SimHash64(org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes64(ColumnBridge.expression(text), n))
+
+  def minhashSignature(shash: Column, numPerm: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(shash), numPerm, seed))
 }

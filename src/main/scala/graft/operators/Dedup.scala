@@ -28,6 +28,21 @@ object Dedup {
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => col(textCol).substr(i, lit(n))))).as("shingle"))
 
+  /** Distinct shingle HASHES per document as one `array<long>` row:
+    * (id, shash), via the codegen'd ShingleHashes64 expression (byte
+    * n-grams — identical to character n-grams on ASCII corpora).
+    * The workhorse projection of the near-dup operators: text becomes
+    * 8-byte hashes inside the scan, set sizes and intersections are
+    * per-row array ops, and nothing string-typed ever shuffles.
+    * (64-bit hashing makes set equality probabilistic: collision odds
+    * are ~|shingles|^2/2^64 per doc pair — negligible against a 0.1
+    * Jaccard threshold at any realistic corpus size.)
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      HashFunctions.shingleHashes(col(textCol), n).as("shash"))
+
   /** #27 Exact dedup: hash-groupBy keep-min-id. The shuffle carries
     * (md5, id) pairs only.
     */
@@ -35,27 +50,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Verify candidate pairs against full shingle sets and aggregate
-    * per-document stats. Shared tail of the Jaccard-style near-dup
-    * operators: candidates (ida < idb) -> true Jaccard -> per-doc
-    * (n_candidates, n_near, max_jaccard), left-joined back so every
-    * document reports (0 candidates => nulls/zeroes, never a dropped
-    * row).
+  /** Verify candidate pairs against full shingle-hash sets and
+    * aggregate per-document stats. Shared tail of the Jaccard-style
+    * near-dup operators: candidates (ida < idb) join the per-doc hash
+    * arrays, Jaccard = |intersect| / |union| as per-row array math
+    * (no shingle-level join), then per-doc (n_candidates, n_near,
+    * max_jaccard) left-joined back so every document reports.
     */
-  private def jaccardPairStats(df: DataFrame, idCol: String, sh: DataFrame,
+  private def jaccardPairStats(df: DataFrame, idCol: String, docsH: DataFrame,
                                cand: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val shared = cand
-      .join(sh.as("sa"), col("sa.id") === col("ida"))
-      .join(sh.as("sb"), col("sb.id") === col("idb") &&
-        col("sb.shingle") === col("sa.shingle"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-    val jac = shared
-      .join(sizes.as("za"), col("za.id") === col("ida"))
-      .join(sizes.as("zb"), col("zb.id") === col("idb"))
+    val jac = cand
+      .join(docsH.as("da"), col("da.id") === col("ida"))
+      .join(docsH.as("db"), col("db.id") === col("idb"))
+      .withColumn("_shared",
+        size(array_intersect(col("da.shash"), col("db.shash"))))
       .select(col("ida"), col("idb"),
-        (col("shared").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("shared"))).as("jaccard"))
+        (col("_shared").cast("double") /
+          (size(col("da.shash")) + size(col("db.shash")) - col("_shared")))
+          .as("jaccard"))
     val both = jac.select(col("ida").as("id"), col("jaccard"))
       .unionByName(jac.select(col("idb").as("id"), col("jaccard")))
     val per = both.groupBy("id").agg(
@@ -69,52 +81,67 @@ object Dedup {
         col("max_jaccard"))
   }
 
+  /** Unordered candidate pairs from (id, bucketKey...) rows WITHOUT a
+    * self-join: group ids per bucket, then a double explode emits the
+    * in-bucket pairs. The expensive upstream frame is computed ONCE
+    * (a self-join would recompute it on both sides) and the shuffle
+    * carries only (bucketKey, id).
+    */
+  private def bucketPairs(rows: DataFrame, bucketCols: Seq[String]): DataFrame =
+    rows.groupBy(bucketCols.map(col): _*)
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ida"), col("ids"))
+      .select(col("ida"), explode(col("ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .distinct()
+
   /** #28 N-gram Jaccard near-dup. Candidates = pairs sharing at least
     * one RARE shingle (document frequency <= maxDf): frequent
     * shingles carry no discriminative signal and would make the
-    * shingle self-join quadratic in the corpus size, so they are
+    * bucket pairing quadratic in the corpus size, so they are
     * excluded from candidate generation (not from verification).
     */
   def ngramJaccardStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, maxDf: Int = 20,
                         threshold: Double = 0.1): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val rsh = sh.join(rare, Seq("shingle"))
-    val cand = rsh.as("a").join(rsh.as("b"),
-      col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
-    jaccardPairStats(df, idCol, sh, cand, threshold)
+    val docsH = shingleHashes(df, idCol, textCol, n)
+    val sh = docsH.select(col("id"), explode(col("shash")).as("h"))
+    val rareBuckets = sh.groupBy("h").agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxDf && size(col("ids")) > 1)
+    val cand = rareBuckets
+      .select(explode(col("ids")).as("ida"), col("ids"))
+      .select(col("ida"), explode(col("ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .distinct()
+    jaccardPairStats(df, idCol, docsH, cand, threshold)
   }
 
   /** #29 MinHash+LSH near-dup: numPerm permutations approximated by
-    * seeded xxhash64 over shingles (min per seed), banded into
-    * `bands` groups whose hashes become the LSH bucket keys. The
-    * shuffle carries (band, bandHash, id) — never shingle sets; only
-    * band-collision pairs are verified with true Jaccard.
+    * re-hashing each shingle hash with a per-permutation seed, min
+    * per seed — all computed INSIDE the row with transform/array_min
+    * (no explode, no groupBy: the signature stage shuffles nothing).
+    * Band hashes become LSH bucket keys; the only shuffle carries
+    * (band, bandHash, id); band-collision pairs are verified with
+    * true Jaccard over the hash sets.
     */
   def minhashLshStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.1): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
-    val sh = shingles(df, idCol, textCol, n)
-    val sigCols = (0 until numPerm).map(p =>
-      min(xxhash64(col("shingle"), lit(p))).as(s"h$p"))
-    val sigs = sh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
+    val docsH = shingleHashes(df, idCol, textCol, n)
+    val sig = HashFunctions.minhashSignature(col("shash"), numPerm)
+    val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(p => col(s"h$p")): _*).as("bhash"))
+        xxhash64(slice(col("_sig"), b * r + 1, r)).as("bhash"))
     }
-    val bandRows = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    val bandRows = docsH
+      .select(col("id"), sig.as("_sig"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-      col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb")).distinct()
-    jaccardPairStats(df, idCol, sh, cand, threshold)
+    val cand = bucketPairs(bandRows, Seq("band", "bhash"))
+    jaccardPairStats(df, idCol, docsH, cand, threshold)
   }
 
   /** #30 SimHash near-dup: 64-bit SimHash (custom codegen'd Catalyst

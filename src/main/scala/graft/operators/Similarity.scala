@@ -29,13 +29,21 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** #32 Exact top-K neighbors by cosine, brute force. */
+  /** #32 Exact top-K neighbors by cosine, brute force. Cosine is
+    * symmetric, so each unordered pair is scored once (a.id < b.id)
+    * and mirrored for ranking — half the kernel work of the naive
+    * a != b cross join.
+    */
   def annBruteForce(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 5): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val pairs = e.as("a").join(e.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+    val half = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
         VectorFunctions.cosineSim(col("a.v"), col("b.v")).as("cos_sim"))
+    val pairs = half
+      .select(col("ida").as("vec_id"), col("idb").as("neighbor_id"), col("cos_sim"))
+      .unionByName(half.select(col("idb").as("vec_id"),
+        col("ida").as("neighbor_id"), col("cos_sim")))
     topKWithin(pairs, k)
   }
 
