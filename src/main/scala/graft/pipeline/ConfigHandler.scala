@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.dq._
+
+/** JSON config parsing + validation: the "config-driven" entry point
+  * (capability counterpart of the reference's
+  * utils/config_handler.py:1-172, which validates JSON dicts and
+  * resolves control-table indirection). A config file fully drives
+  * read -> transforms -> DQ -> writes without touching Scala code.
+  *
+  * Parsing uses jackson-databind (already on Spark's classpath — no
+  * new dependency) and fails fast with the offending path in the
+  * error message.
+  */
+object ConfigHandler {
+
+  private val mapper = new ObjectMapper()
+
+  final class ConfigError(path: String, msg: String)
+    extends IllegalArgumentException(s"config error at $path: $msg")
+
+  def load(path: String): IngestConfig =
+    parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def parse(json: String): IngestConfig = {
+    val root = mapper.readTree(json)
+    if (root == null || !root.isObject)
+      throw new ConfigError("$", "config must be a JSON object")
+    IngestConfig(
+      source = parseSource(need(root, "source", "$")),
+      transforms = arr(root, "transforms").zipWithIndex
+        .map { case (n, i) => parseTransform(n, s"$$.transforms[$i]") },
+      writes = arr(root, "writes").zipWithIndex
+        .map { case (n, i) => parseWrite(n, s"$$.writes[$i]") },
+      dqRules = arr(root, "dqRules").zipWithIndex
+        .map { case (n, i) => parseDqRule(n, s"$$.dqRules[$i]") },
+      auditTablePath = opt(root, "auditTablePath").map(_.asText),
+      failOnDqViolation = opt(root, "failOnDqViolation").exists(_.asBoolean))
+  }
+
+  private def need(n: JsonNode, field: String, at: String): JsonNode = {
+    val v = n.get(field)
+    if (v == null || v.isNull) throw new ConfigError(at, s"missing required field '$field'")
+    v
+  }
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    opt(n, field).map(_.elements.asScala.toSeq).getOrElse(Nil)
+  private def strSeq(n: JsonNode): Seq[String] = n.elements.asScala.map(_.asText).toSeq
+  private def strMap(n: JsonNode): Seq[(String, String)] =
+    n.properties.asScala.toSeq.map(e => e.getKey -> e.getValue.asText)
+
+  private def parseSource(n: JsonNode): SourceConfig =
+    SourceConfig(
+      format = need(n, "format", "$.source").asText,
+      path = need(n, "path", "$.source").asText,
+      options = opt(n, "options").map(o => strMap(o).toMap).getOrElse(Map.empty))
+
+  private def parseWrite(n: JsonNode, at: String): WriteConfig = {
+    val mode = opt(n, "mode").map(_.asText).getOrElse("append")
+    if (!Seq("append", "overwrite", "merge").contains(mode))
+      throw new ConfigError(at, s"unknown write mode '$mode'")
+    val extract = opt(n, "extractMode").map(_.asText).getOrElse("ie")
+    if (!Seq("ie", "fe").contains(extract))
+      throw new ConfigError(at, s"extractMode must be 'ie' or 'fe', got '$extract'")
+    val w = WriteConfig(
+      path = need(n, "path", at).asText,
+      mode = mode,
+      keys = opt(n, "keys").map(strSeq).getOrElse(Nil),
+      scdType = opt(n, "scdType").map(_.asInt).getOrElse(1),
+      orderBy = opt(n, "orderBy").map(_.asText).getOrElse("file_modification_time"),
+      format = opt(n, "format").map(_.asText).getOrElse("parquet"),
+      medallionLayer = opt(n, "medallionLayer").map(_.asText).getOrElse(""),
+      extractMode = extract)
+    if (w.mode == "merge" && w.keys.isEmpty)
+      throw new ConfigError(at, "merge mode requires non-empty 'keys'")
+    w
+  }
+
+  private def parseTransform(n: JsonNode, at: String): Transform =
+    need(n, "type", at).asText match {
+      case "where"  => Where(need(n, "condition", at).asText)
+      case "select" => Select(strSeq(need(n, "columns", at)))
+      case "drop"   => Drop(strSeq(need(n, "columns", at)))
+      case "rename" => Rename(strMap(need(n, "mapping", at)))
+      case "cast"   => Cast(strMap(need(n, "mapping", at)))
+      case "rename_and_cast" =>
+        RenameAndCast(arr(n, "specs").map(s => (
+          need(s, "from", at).asText, need(s, "to", at).asText,
+          need(s, "type", at).asText)))
+      case "with_column" =>
+        WithColumnExpr(need(n, "name", at).asText, need(n, "expr", at).asText)
+      case "normalize_cols" => NormalizeCols
+      case "lowercase_cols" => LowercaseCols
+      case "sql" =>
+        SqlTransform(need(n, "query", at).asText,
+          opt(n, "substitutions").map(s => strMap(s).toMap).getOrElse(Map.empty))
+      case other => throw new ConfigError(at, s"unknown transform type '$other'")
+    }
+
+  private def parseDqRule(n: JsonNode, at: String): DqRule =
+    need(n, "type", at).asText match {
+      case "not_null" => NotNull(need(n, "column", at).asText)
+      case "unique"   => Unique(need(n, "column", at).asText)
+      case "in_range" => InRange(need(n, "column", at).asText,
+        need(n, "min", at).asDouble, need(n, "max", at).asDouble)
+      case "in_set" => InSet(need(n, "column", at).asText,
+        strSeq(need(n, "values", at)))
+      case "matches_regex" => MatchesRegex(need(n, "column", at).asText,
+        need(n, "pattern", at).asText)
+      case "custom" => CustomPredicate(need(n, "name", at).asText,
+        need(n, "predicate", at).asText)
+      case other => throw new ConfigError(at, s"unknown dq rule type '$other'")
+    }
+}

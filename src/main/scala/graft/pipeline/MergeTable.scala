@@ -122,6 +122,29 @@ object MergeTable {
     }
   }
 
+  /** Replay a multi-file extract in file-modification order
+    * (reference `get_base_file_path_list_from_table` +
+    * per-file apply, writers/writer.py:158-212,292-297): when one
+    * batch spans several CDC extract files, each file's rows must
+    * merge in mtime order or an older file could win inside the
+    * batch. The loop is over FILES (driver-side, tiny); each merge is
+    * a full distributed plan. Requires the Sources control columns
+    * (`file_path`, `file_modification_time`).
+    */
+  def mergeOrderedByFile(spark: SparkSession, path: String, updates: DataFrame,
+                         keys: Seq[String], orderBy: String, scdType: Int = 1,
+                         deleteMissing: Boolean = false): Seq[MergeStats] = {
+    val files = updates.select(col("file_path"), col("file_modification_time"))
+      .distinct()
+      .orderBy(col("file_modification_time").asc, col("file_path").asc)
+      .collect().map(_.getString(0))
+    files.toSeq.map { f =>
+      val part = updates.filter(col("file_path") === f)
+      if (scdType == 2) scd2Merge(spark, path, part, keys, orderBy, deleteMissing)
+      else scd1Merge(spark, path, part, keys, orderBy, deleteMissing)
+    }
+  }
+
   /** SCD2 merge into the table (creates it with history columns). */
   def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String], orderBy: String,

@@ -37,7 +37,12 @@ final case class WriteConfig(
     scdType: Int = 1,
     orderBy: String = "file_modification_time",
     format: String = "parquet",
-    medallionLayer: String = "")
+    medallionLayer: String = "",
+    /** "ie" = incremental extract (absent keys untouched);
+      * "fe" = full extract (absent keys deleted/closed) — the
+      * reference's IE/FE write dispatch (writers/writer.py:787,933).
+      */
+    extractMode: String = "ie")
 
 final case class IngestConfig(
     source: SourceConfig,
@@ -79,10 +84,13 @@ object IngestJob {
         throw new DqViolationException(failed)
     }
     cfg.writes.foreach { wc =>
+      val deleteMissing = wc.extractMode == "fe"
       val stats = wc.mode match {
         case "merge" =>
-          if (wc.scdType == 2) MergeTable.scd2Merge(spark, wc.path, df, wc.keys, wc.orderBy)
-          else MergeTable.scd1Merge(spark, wc.path, df, wc.keys, wc.orderBy)
+          if (wc.scdType == 2)
+            MergeTable.scd2Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
+          else
+            MergeTable.scd1Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
         case m =>
           df.write.mode(m).format(wc.format).save(wc.path)
           MergeStats(inserted = -1, updated = -1, deleted = -1)
@@ -92,5 +100,38 @@ object IngestJob {
       }
     }
     df
+  }
+
+  /** Medallion orchestration (reference `run_medallion` =
+    * `_run_bronze` + `_run_silver`, builder/engine.py): run the
+    * bronze ingest, then read the bronze table back, apply the
+    * silver transforms (control columns dropped — silver is the
+    * business-facing layer), and write the silver targets. Returns
+    * (bronze, silver) frames.
+    */
+  def runMedallion(spark: SparkSession, bronze: IngestConfig,
+                   silverTransforms: Seq[Transform],
+                   silverWrites: Seq[WriteConfig]): (DataFrame, DataFrame) = {
+    require(bronze.writes.nonEmpty, "medallion bronze config needs a write target")
+    val bronzeDf = run(spark, bronze)
+    val bronzeBack = bronze.writes.head.mode match {
+      case "merge" => MergeTable.read(spark, bronze.writes.head.path)
+      case _       => spark.read.format(bronze.writes.head.format)
+        .load(bronze.writes.head.path)
+    }
+    val silverDf = Pipeline(silverTransforms)(
+      graft.sources.Sources.dropControlColumns(bronzeBack))
+    silverWrites.foreach { wc =>
+      val deleteMissing = wc.extractMode == "fe"
+      wc.mode match {
+        case "merge" =>
+          if (wc.scdType == 2)
+            MergeTable.scd2Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
+          else
+            MergeTable.scd1Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
+        case m => silverDf.write.mode(m).format(wc.format).save(wc.path)
+      }
+    }
+    (bronzeDf, silverDf)
   }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+class ConfigSpec extends SparkSpec {
+
+  private def stageSource(): String = {
+    val dir = Files.createTempDirectory("graft_cfg_src").toString + "/orders"
+    Tables.load(spark, sf, "orders").write.parquet(dir)
+    dir
+  }
+
+  test("JSON config drives a full ingest: read, transform, dq, merge, audit") {
+    val src = stageSource()
+    val table = Files.createTempDirectory("graft_cfg_tbl").toString
+    val audit = Files.createTempDirectory("graft_cfg_audit").toString
+    val cfg = ConfigHandler.parse(
+      s"""{
+         |  "source": {"format": "parquet", "path": "$src"},
+         |  "transforms": [
+         |    {"type": "where", "condition": "o_totalprice > 1000"},
+         |    {"type": "with_column", "name": "price_band",
+         |     "expr": "CAST(o_totalprice / 10000 AS INT)"},
+         |    {"type": "lowercase_cols"}
+         |  ],
+         |  "dqRules": [
+         |    {"type": "not_null", "column": "o_orderkey"},
+         |    {"type": "unique", "column": "o_orderkey"}
+         |  ],
+         |  "writes": [{"path": "$table", "mode": "merge",
+         |              "keys": ["o_orderkey"], "scdType": 1,
+         |              "orderBy": "file_modification_time"}],
+         |  "auditTablePath": "$audit",
+         |  "failOnDqViolation": true
+         |}""".stripMargin)
+    val df = IngestJob.run(spark, cfg)
+    assert(df.columns.contains("price_band"))
+    val t = MergeTable.read(spark, table)
+    assert(t.count() > 0 && t.count() == df.count())
+    assert(spark.read.parquet(s"$audit/dq_results").count() == 2)
+    assert(spark.read.parquet(s"$audit/audit_log").count() == 1)
+  }
+
+  test("failOnDqViolation gates the write") {
+    val src = stageSource()
+    val table = Files.createTempDirectory("graft_cfg_fail").toString
+    val cfg = ConfigHandler.parse(
+      s"""{
+         |  "source": {"format": "parquet", "path": "$src"},
+         |  "dqRules": [{"type": "in_range", "column": "o_totalprice",
+         |               "min": 0, "max": 1}],
+         |  "writes": [{"path": "$table", "mode": "merge", "keys": ["o_orderkey"]}],
+         |  "failOnDqViolation": true
+         |}""".stripMargin)
+    intercept[DqViolationException](IngestJob.run(spark, cfg))
+    assert(!MergeTable.exists(table), "violating write must not land")
+  }
+
+  test("config validation fails fast with the offending path") {
+    val bad = intercept[IllegalArgumentException](ConfigHandler.parse(
+      """{"source": {"format": "parquet", "path": "/x"},
+        |"writes": [{"path": "/y", "mode": "merge"}]}""".stripMargin))
+    assert(bad.getMessage.contains("$.writes[0]") &&
+      bad.getMessage.contains("keys"))
+    val badMode = intercept[IllegalArgumentException](ConfigHandler.parse(
+      """{"source": {"format": "parquet", "path": "/x"},
+        |"writes": [{"path": "/y", "mode": "sideways"}]}""".stripMargin))
+    assert(badMode.getMessage.contains("sideways"))
+  }
+
+  test("fe extract mode deletes keys missing from the source") {
+    import SparkSpec.spark.implicits._
+    val dir = Files.createTempDirectory("graft_fe").toString
+    val table = s"$dir/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/full1")
+    Seq((1L, "a2")).toDF("id", "v").write.parquet(s"$dir/full2")
+    def cfg(src: String) = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$table", "mode": "merge", "keys": ["id"],
+         |            "orderBy": "file_modification_time",
+         |            "extractMode": "fe"}]}""".stripMargin)
+    IngestJob.run(spark, cfg(s"$dir/full1"))
+    IngestJob.run(spark, cfg(s"$dir/full2"))
+    val ids = MergeTable.read(spark, table).select("id").as[Long].collect()
+    assert(ids.sameElements(Array(1L)), s"fe must drop id 2: ${ids.mkString}")
+  }
+
+  test("medallion bronze to silver chaining") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_medallion").toString
+    val bronze = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/bronze", "mode": "merge",
+         |            "keys": ["o_orderkey"], "medallionLayer": "bronze"}]}""".stripMargin)
+    val (_, silver) = IngestJob.runMedallion(spark, bronze,
+      silverTransforms = Seq(
+        Where("o_orderstatus = 'O'"),
+        Select(Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+      silverWrites = Seq(WriteConfig(path = s"$dir/silver", mode = "merge",
+        keys = Seq("o_orderkey"), orderBy = "o_orderkey",
+        medallionLayer = "silver")))
+    val s = MergeTable.read(spark, s"$dir/silver")
+    assert(s.columns.sorted.sameElements(
+      Array("o_custkey", "o_orderkey", "o_totalprice")))
+    assert(s.count() == silver.count() && s.count() > 0)
+    assert(!s.columns.contains("file_path"), "silver must drop control columns")
+  }
+
+  test("per-file ordered apply replays extracts in mtime order") {
+    import SparkSpec.spark.implicits._
+    import java.nio.file.attribute.FileTime
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft_ordered").toString
+    // two extract files, same key, older mtime carries newer-looking ord
+    Seq((1L, "old", 5)).toDF("id", "v", "ord")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((1L, "new", 5)).toDF("id", "v", "ord")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    def stamp(sub: String, t: Long): Unit =
+      Files.list(Paths.get(s"$dir/$sub")).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    stamp("f1", 1700000000000L); stamp("f2", 1700000060000L)
+    val updates = graft.sources.Sources.readParquet(spark,
+      s"$dir/{f1,f2}/*.parquet")
+    val table = s"$dir/table"
+    val stats = MergeTable.mergeOrderedByFile(spark, table, updates,
+      Seq("id"), "ord")
+    assert(stats.length == 2)
+    val v = MergeTable.read(spark, table)
+      .filter(col("id") === 1).select("v").as[String].collect()
+    assert(v.sameElements(Array("new")),
+      s"later-mtime file must win equal-ord rows: ${v.mkString}")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+
+  private lazy val orders = Tables.load(spark, sf, "orders")
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def roundTrip(format: String,
+                        writeOpts: Map[String, String] = Map.empty,
+                        readOpts: Map[String, String] = Map.empty): Unit = {
+    val dir = Files.createTempDirectory(s"graft_src_$format").toString + "/data"
+    orders.write.options(writeOpts).format(format).save(dir)
+    val back = Sources.read(spark, format, dir, readOpts)
+    assert(back.count() == orders.count(), s"$format row count")
+    Sources.controlColumns.foreach(c =>
+      assert(back.columns.contains(c), s"$format missing control column $c"))
+    assert(back.filter(col("file_path").isNull ||
+      col("file_modification_time").isNull).count() == 0,
+      s"$format control columns not populated")
+    val sum = back.agg(org.apache.spark.sql.functions.sum(
+      col("o_orderkey").cast("long"))).collect()(0).getLong(0)
+    val want = orders.agg(org.apache.spark.sql.functions.sum(
+      col("o_orderkey"))).collect()(0).getLong(0)
+    assert(sum == want, s"$format data fidelity")
+  }
+
+  test("parquet round-trip stamps control columns")(roundTrip("parquet"))
+  test("orc round-trip stamps control columns")(roundTrip("orc"))
+  test("json round-trip stamps control columns")(roundTrip("json"))
+  test("csv round-trip stamps control columns")(
+    roundTrip("csv", Map("header" -> "true"),
+      Map("header" -> "true", "inferSchema" -> "true")))
+
+  test("unknown format fails clearly") {
+    val e = intercept[IllegalArgumentException](
+      Sources.read(spark, "avro-nope", "/tmp/x"))
+    assert(e.getMessage.contains("avro-nope"))
+  }
+
+  test("dropControlColumns restores the business schema") {
+    val dir = Files.createTempDirectory("graft_src_drop").toString + "/data"
+    orders.write.parquet(dir)
+    val back = Sources.dropControlColumns(Sources.readParquet(spark, dir))
+    assert(back.columns.sorted.sameElements(orders.columns.sorted))
+  }
+}
