@@ -27,6 +27,8 @@ object GraftSession {
     val spark = builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${sys.props.getOrElse("user.name", "u")}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

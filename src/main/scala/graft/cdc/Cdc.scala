@@ -132,6 +132,22 @@ object Cdc {
       .join(deletes, keys, "left_anti")
   }
 
+  /** Out-of-order delete guard (reference
+    * `handle_out_of_order_deletes`, transformations/cdc/common.py:
+    * 67-76): a delete for a key the target has never seen is an
+    * out-of-order arrival (the delete outran its insert across
+    * extracts) — drop it rather than tombstone a phantom row. One
+    * left_semi against the target keys; everything else passes
+    * through untouched.
+    */
+  def dropUnmatchedDeletes(feed: DataFrame, target: DataFrame,
+                           keys: Seq[String], opCol: String,
+                           deleteVal: String = "delete"): DataFrame = {
+    val deletes = feed.filter(col(opCol) === deleteVal)
+      .join(target.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    feed.filter(col(opCol) =!= deleteVal).unionByName(deletes)
+  }
+
   /** SCD type-2 history from an event/version feed using event time:
     * each version row gets [start_time, end_time) from its own
     * timestamp and the next version's (lead window), latest row is
