@@ -1,11 +1,24 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{IntegerType, StructType, TimestampType}
 
 import graft.pipeline.MergeTable
+
+/** Typed event row for stateful sessionization. (Top-level classes:
+  * object-nested case classes break Catalyst encoder codegen.)
+  */
+final case class SessionEvent(user_id: Long, event_id: Long,
+                              ts: java.sql.Timestamp, value: Double)
+
+/** Emitted when a session closes (gap exceeded or watermark timeout). */
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp,
+                               n_events: Long, total_value: Double)
+
+final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
 /** Streaming ingestion (SURVEY.md §2 #23-24): the Spark-native
   * counterpart of the reference's Autoloader-style streaming readers
@@ -67,6 +80,71 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Custom-state streaming sessionization via flatMapGroupsWithState
+    * (#25's streaming form): per-user session state lives in the
+    * state store, closes on a gap or event-time timeout, and only
+    * CLOSED sessions are emitted (append mode). The state per key is
+    * one small tuple — bounded by user cardinality, not event volume.
+    *
+    * Events inside a micro-batch are sorted per key (micro-batch
+    * group iterators carry no order guarantee); late cross-batch
+    * events are bounded by the watermark.
+    */
+  // java.sql.Timestamp.getTime is ms-precision; state math runs in
+  // MICROSECONDS so closed sessions are bit-identical to the batch
+  // operator's unix_micros arithmetic.
+  private def toMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def sessionizeStateful(events: Dataset[SessionEvent], gapSec: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          def close(s: SessionState) = ClosedSession(userId,
+            fromMicros(s.start), fromMicros(s.end), s.n, s.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.end + gapUs, 1000L)) // timeout API is ms
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Streaming tumbling-window aggregation with watermark (#24) —
     * the same shape as Events.windowedAgg so batch and stream

@@ -82,6 +82,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want), s"${got.length} vs ${want.length} windows")
   }
 
+  test("stateful sessionization closes sessions matching the batch operator") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.SessionEvent
+    val (dir, src) = stageEventFiles()
+    val gapSec = 12 * 3600L
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("user_id", "event_id", "ts", "value").as[SessionEvent]
+    val closed = StreamingIngest.sessionizeStateful(stream, gapSec)
+    val name = s"stream_sessions_${System.nanoTime()}"
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = Events.sessionize(src, gapSec)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "no sessions closed")
+    assert(got.subsetOf(batch),
+      s"closed sessions must match batch sessions; extras: ${(got -- batch).take(3)}")
+    // every non-final session must have closed (only each user's last
+    // session may still sit in the state store at end of stream)
+    val users = src.select("user_id").distinct().count()
+    assert(got.size >= batch.size - users,
+      s"${got.size} closed vs ${batch.size} batch sessions for $users users")
+  }
+
   test("out-of-order batch cannot regress the merge table") {
     import SparkSpec.spark.implicits._
     val table = Files.createTempDirectory("graft_ooo").toString
