@@ -77,10 +77,9 @@ object HashOpsShingle {
     var i = 0
     while (i < count) {
       var h = 0xcbf29ce484222325L
-      var j = 0
       val end = math.min(i + n, bytes.length)
       var k = i
-      while (k < end) { h ^= (bytes(k) & 0xffL); h *= 0x100000001b3L; k += 1; j += 1 }
+      while (k < end) { h ^= (bytes(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
       out(i) = mix(h)
       i += 1
     }
