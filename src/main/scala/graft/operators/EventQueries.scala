@@ -17,6 +17,9 @@ object EventQueries {
   def eventsWindowedAgg(spark: SparkSession, dir: String): DataFrame =
     Events.windowedAgg(ev(spark, dir))
 
+  def eventsSlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Events.slidingAgg(ev(spark, dir))
+
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
     Events.sessionize(ev(spark, dir))
 
@@ -32,6 +35,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
+    "events_sliding_agg" -> (eventsSlidingAgg _),
     "events_sessionize" -> (eventsSessionize _),
     "asof_join" -> (asofJoinQuery _))
 
@@ -43,6 +47,17 @@ object EventQueries {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "events_sliding_agg" ->
+      """SELECT
+        |  make_timestamp(start_us) AS window_start,
+        |  make_timestamp(start_us + 21600000000) AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT e.*, (epoch_us(ts) // 10800000000) * 10800000000 - s.off AS start_us
+        |  FROM events e
+        |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(10800000000 AS BIGINT))) s(off))
         |GROUP BY 1, 2, 3""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (

@@ -28,6 +28,19 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding-window aggregation: length `windowLen`, sliding every
+    * `slide` — each event lands in len/slide windows (Spark expands
+    * rows inside codegen before the one aggregate shuffle; no
+    * self-join). Same shape as the streaming sliding agg.
+    */
+  def slidingAgg(events: DataFrame, windowLen: String = "6 hours",
+                 slide: String = "3 hours"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** #25 Gap-based sessionization: a new session starts when the gap
     * to the previous event exceeds `gapSec`. lag -> cumsum gives the
     * session sequence without any iterative processing; one shuffle
