@@ -54,6 +54,18 @@ object Cdc {
     row.getLong(0) == 0 && row.getLong(1) == row.getLong(2)
   }
 
+  /** Throw if any merge-key column is null: null keys silently
+    * collapse into one latestPerKey group and join as non-matches,
+    * corrupting merges downstream. One cheap aggregate (duplicates
+    * are fine here — the merge dedups; nulls are not).
+    */
+  def requireNonNullKeys(df: DataFrame, keys: Seq[String]): Unit = {
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val n = df.agg(sum(when(anyNull, 1L).otherwise(0L))).collect()(0).getLong(0)
+    if (n > 0) throw new IllegalArgumentException(
+      s"$n rows carry null merge keys (${keys.mkString(",")})")
+  }
+
   /** SCD type-1 merge as a pure plan, with per-row `_action` tags
     * (`insert` / `update` / `unchanged` / `delete` / `keep`) so the
     * caller can aggregate merge statistics with `observe()` in the

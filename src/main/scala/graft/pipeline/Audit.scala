@@ -21,6 +21,22 @@ object Audit {
         to_json(struct(col("num_inserted"), col("num_updated"), col("num_deleted"))))
   }
 
+  /** Run-level audit record (reference audit/utils.py job/run
+    * metadata capture): one row per job run with identity, timing,
+    * and outcome.
+    */
+  def runRecord(spark: SparkSession, jobName: String, runId: String,
+                startedAtMs: Long, finishedAtMs: Long,
+                nWrites: Int, status: String): DataFrame = {
+    import spark.implicits._
+    Seq((jobName, runId, new java.sql.Timestamp(startedAtMs),
+      new java.sql.Timestamp(finishedAtMs),
+      (finishedAtMs - startedAtMs) / 1000.0, nWrites, status))
+      .toDF("job_name", "run_id", "started_at", "finished_at",
+        "duration_sec", "n_writes", "status")
+      .withColumn("audit_user", expr("current_user()"))
+  }
+
   /** Deterministic merge-shape statistics for a prospective SCD1
     * merge as a single-join PLAN (no driver actions, no wall-clock,
     * oracle-able): matched keys count as `num_matched`, source-only

@@ -50,7 +50,12 @@ final case class IngestConfig(
     writes: Seq[WriteConfig] = Nil,
     dqRules: Seq[graft.dq.DqRule] = Nil,
     auditTablePath: Option[String] = None,
-    failOnDqViolation: Boolean = false)
+    failOnDqViolation: Boolean = false,
+    /** Validate merge keys are non-null before any merge write
+      * (reference primary-key validation) — null keys corrupt
+      * latest-per-key compaction silently.
+      */
+    validateKeys: Boolean = true)
 
 /** Thrown when `failOnDqViolation` is set and any rule fails. */
 final class DqViolationException(val failed: Seq[String])
@@ -68,6 +73,18 @@ object IngestJob {
 
   /** Full run: read → transform → dq → write(s) → audit. */
   def run(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    val startedAt = System.currentTimeMillis()
+    val runId = java.util.UUID.randomUUID().toString
+    def finishRecord(status: String): Unit = cfg.auditTablePath.foreach { p =>
+      Audit.runRecord(spark, cfg.source.path, runId, startedAt,
+        System.currentTimeMillis(), cfg.writes.length, status)
+        .write.mode("append").parquet(s"$p/run_log")
+    }
+    try { val out = runInner(spark, cfg); finishRecord("success"); out }
+    catch { case e: Throwable => finishRecord(s"failed: ${e.getClass.getSimpleName}"); throw e }
+  }
+
+  private def runInner(spark: SparkSession, cfg: IngestConfig): DataFrame = {
     val df = transform(read(spark, cfg), cfg)
     if (cfg.dqRules.nonEmpty) {
       // Rules are always materialized (collect is over one row per
@@ -85,6 +102,8 @@ object IngestJob {
     }
     cfg.writes.foreach { wc =>
       val deleteMissing = wc.extractMode == "fe"
+      if (wc.mode == "merge" && cfg.validateKeys)
+        graft.cdc.Cdc.requireNonNullKeys(df, wc.keys)
       val stats = wc.mode match {
         case "merge" =>
           if (wc.scdType == 2)

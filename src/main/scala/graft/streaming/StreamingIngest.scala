@@ -67,13 +67,33 @@ object StreamingIngest {
     */
   def mergeSink(source: DataFrame, tablePath: String, checkpoint: String,
                 keys: Seq[String], orderBy: String,
-                compareExclude: Seq[String] = graft.sources.Sources.controlColumns)
+                compareExclude: Seq[String] = graft.sources.Sources.controlColumns,
+                dqRules: Seq[graft.dq.DqRule] = Nil,
+                dqResultsPath: Option[String] = None)
       : StreamingQuery =
     source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          MergeTable.scd1Merge(batch.sparkSession, tablePath, batch,
-            keys, orderBy, compareExclude = compareExclude)
+          // per-micro-batch DQ (reference streams DQ results to a log
+          // table per batch): a violating batch is skipped, not
+          // merged — the checkpoint will not re-deliver it, so the
+          // violation record is the operational signal.
+          val violations =
+            if (dqRules.isEmpty) Nil
+            else {
+              val dq = graft.dq.DataQuality.evaluate(batch, dqRules)
+                .withColumn("batch_id", lit(batchId)).cache()
+              dqResultsPath.foreach(p =>
+                dq.write.mode("append").parquet(p))
+              val bad = dq.filter(!col("passed"))
+                .select("rule_name").collect().map(_.getString(0)).toSeq
+              dq.unpersist()
+              bad
+            }
+          if (violations.isEmpty) {
+            MergeTable.scd1Merge(batch.sparkSession, tablePath, batch,
+              keys, orderBy, compareExclude = compareExclude)
+          }
           ()
         }
       }

@@ -90,6 +90,34 @@ class ConfigSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L)), s"fe must drop id 2: ${ids.mkString}")
   }
 
+  test("null merge keys are rejected before the write") {
+    import SparkSpec.spark.implicits._
+    val dir = Files.createTempDirectory("graft_nullkey").toString
+    Seq((Some(1L), "a"), (None, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/src")
+    val cfg = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$dir/src"},
+         |"writes": [{"path": "$dir/tbl", "mode": "merge", "keys": ["id"]}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](IngestJob.run(spark, cfg))
+    assert(e.getMessage.contains("null merge keys"))
+    assert(!MergeTable.exists(s"$dir/tbl"))
+  }
+
+  test("run records capture job outcome and timing") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_runlog").toString
+    val cfg = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/tbl", "mode": "merge", "keys": ["o_orderkey"]}],
+         |"auditTablePath": "$dir/audit"}""".stripMargin)
+    IngestJob.run(spark, cfg)
+    val log = spark.read.parquet(s"$dir/audit/run_log")
+    assert(log.count() == 1)
+    val r = log.collect()(0)
+    assert(r.getAs[String]("status") == "success")
+    assert(r.getAs[Double]("duration_sec") >= 0.0)
+  }
+
   test("medallion bronze to silver chaining") {
     val src = stageSource()
     val dir = Files.createTempDirectory("graft_medallion").toString

@@ -113,6 +113,26 @@ class StreamingSpec extends SparkSpec {
       s"${got.size} closed vs ${batch.size} batch sessions for $users users")
   }
 
+  test("streaming merge sink gates violating micro-batches on DQ") {
+    val (dir, src) = stageEventFiles()
+    val table = Files.createTempDirectory("graft_sdq_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_sdq_ckpt").toString
+    val dqOut = Files.createTempDirectory("graft_sdq_out").toString + "/dq"
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // rule violated by every batch -> nothing may merge, results logged
+    val q = StreamingIngest.mergeSink(stream, table, ckpt,
+      keys = Seq("user_id"), orderBy = "ts", compareExclude = Nil,
+      dqRules = Seq(graft.dq.InRange("value", 0, 0.001)),
+      dqResultsPath = Some(dqOut))
+    q.awaitTermination(120000)
+    assert(!MergeTable.exists(table), "violating batches must not merge")
+    val dq = spark.read.parquet(dqOut)
+    assert(dq.count() == 3, "one DQ row per micro-batch")
+    assert(dq.filter(col("passed")).count() == 0)
+  }
+
   test("out-of-order batch cannot regress the merge table") {
     import SparkSpec.spark.implicits._
     val table = Files.createTempDirectory("graft_ooo").toString
