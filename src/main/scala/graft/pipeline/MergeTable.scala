@@ -122,6 +122,74 @@ object MergeTable {
     }
   }
 
+  /** Partition-pruned SCD1 merge: only partitions of `partitionCol`
+    * that the updates actually touch are merged and rewritten; every
+    * other partition's files are carried into the new snapshot
+    * version as straight file copies (the copy-on-write shape Delta/
+    * Iceberg implement with manifests — here with version dirs). At
+    * 100 TB with date-partitioned tables this turns a full-table
+    * rewrite into a rewrite of the hot partitions only.
+    *
+    * Requires `updates` to carry `partitionCol`. Incremental extracts
+    * only: `deleteMissing` needs global key visibility, so full
+    * extracts must use the unpruned scd1Merge.
+    */
+  def scd1MergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String], orderBy: String, partitionCol: String,
+                      compareExclude: Seq[String] = Sources.controlColumns)
+      : MergeStats = {
+    require(updates.columns.contains(partitionCol),
+      s"updates must carry partition column $partitionCol")
+    val ord = deterministicOrd(updates, keys, orderBy)
+    if (!exists(path)) {
+      val obs = Observation()
+      val first = Cdc.latestPerKey(updates, keys, ord)
+        .observe(obs, count(lit(1)).as("n"))
+      writeSnapshot(first, path, partitionBy = Seq(partitionCol))
+      return MergeStats(obs.get("n").asInstanceOf[Long], 0, 0)
+    }
+    val prevVersion = currentVersion(path).get
+    val affected = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val target = read(spark, path)
+    val affectedTarget = target.filter(col(partitionCol).isin(affected: _*))
+    val tagged = Cdc.scd1MergeTagged(affectedTarget,
+      updates.select(affectedTarget.columns.map(col).toIndexedSeq: _*),
+      keys, ord, deleteMissing = false, compareExclude,
+      orderGuard = Some(orderBy))
+
+    // write ONLY affected partitions, then hard-carry the rest
+    val next = prevVersion + 1
+    val obs = Observation()
+    val observed = tagged.observe(obs,
+      actionCount("insert"), actionCount("update"), actionCount("close"),
+      actionCount("delete"))
+    observed.drop("_action").write.mode("overwrite")
+      .partitionBy(partitionCol).parquet(s"$path/v=$next")
+    val affectedDirs = affected.map(v => s"$partitionCol=$v").toSet
+    val prevDir = java.nio.file.Paths.get(path, s"v=$prevVersion")
+    java.nio.file.Files.list(prevDir).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(s"$partitionCol=") && !affectedDirs.contains(name)) {
+        val dest = java.nio.file.Paths.get(path, s"v=$next", name)
+        java.nio.file.Files.createDirectories(dest)
+        java.nio.file.Files.list(p).forEach { f =>
+          java.nio.file.Files.copy(f, dest.resolve(f.getFileName.toString),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    val tmp = java.nio.file.Paths.get(path, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "_CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val m = obs.get
+    def g(k: String): Long = m.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
+    MergeStats(g("insert"), g("update") + g("close"), g("delete"))
+  }
+
   /** Replay a multi-file extract in file-modification order
     * (reference `get_base_file_path_list_from_table` +
     * per-file apply, writers/writer.py:158-212,292-297): when one

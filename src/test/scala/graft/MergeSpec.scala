@@ -89,6 +89,38 @@ class MergeSpec extends SparkSpec {
       s"control-column churn created spurious history: $s")
   }
 
+  test("partition-pruned merge rewrites only touched partitions") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = tmp()
+    val base = Seq(
+      (1L, "a", 1, 0L), (2L, "b", 1, 0L),   // bucket 0
+      (3L, "c", 1, 1L), (4L, "d", 1, 1L)    // bucket 1
+    ).toDF("id", "v", "ord", "bucket")
+    MergeTable.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    val filesBefore = JFiles.list(Paths.get(p, "v=0", "bucket=0"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+
+    // updates touch ONLY bucket 1
+    val upd = Seq((3L, "c9", 2, 1L), (5L, "e", 2, 1L))
+      .toDF("id", "v", "ord", "bucket")
+    val s = MergeTable.scd1MergePruned(spark, p, upd, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    assert(s.inserted == 1 && s.updated == 1, s"$s")
+
+    val rows = MergeTable.read(spark, p)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.sameElements(Array((1L, "a"), (2L, "b"), (3L, "c9"),
+      (4L, "d"), (5L, "e"))), rows.mkString(","))
+
+    // untouched bucket 0 files were carried over byte-for-byte
+    val filesAfter = JFiles.list(Paths.get(p, "v=1", "bucket=0"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(filesAfter == filesBefore,
+      s"untouched partition must be copied, not rewritten: $filesBefore vs $filesAfter")
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
