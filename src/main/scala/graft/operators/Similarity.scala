@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 
+/** Output row of the ANN operators. */
+final case class Neighbor(vec_id: Long, rank: Int, neighbor_id: Long,
+                          cos_sim: Double)
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2 #32-33).
   *
@@ -29,13 +33,59 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** #32 Exact top-K neighbors by cosine, brute force. Cosine is
-    * symmetric, so each unordered pair is scored once (a.id < b.id)
-    * and mirrored for ranking — half the kernel work of the naive
-    * a != b cross join.
+  /** #32 Exact top-K neighbors by cosine. The corpus (id, vector)
+    * pairs are broadcast once (64-dim floats: ~0.5 KB/vector — fine
+    * up to ~1M vectors) and each partition scans it with a bounded
+    * insertion buffer per probe vector: one pass, no 4M-row pair
+    * materialization, no window sort. Exact same results as the
+    * join+window formulation (asserted in DedupSpec); beyond
+    * broadcastable corpus sizes, annLsh is the path.
     */
   def annBruteForce(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val corpus = spark.sparkContext.broadcast(e.collect())
+    e.mapPartitions { rows =>
+      val cand = corpus.value
+      rows.flatMap { case (id, v) =>
+        // bounded top-k by (cos desc, neighbor_id asc), insertion sort
+        val topIds = new Array[Long](k)
+        val topCos = new Array[Double](k)
+        var filled = 0
+        var c = 0
+        while (c < cand.length) {
+          val (cid, cv) = cand(c)
+          if (cid != id) {
+            val cos = cosineF(v, cv)
+            var pos = filled
+            while (pos > 0 && (topCos(pos - 1) < cos ||
+              (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
+            if (pos < k) {
+              val last = math.min(filled, k - 1)
+              var m = last
+              while (m > pos) {
+                topIds(m) = topIds(m - 1); topCos(m) = topCos(m - 1); m -= 1
+              }
+              topIds(pos) = cid; topCos(pos) = cos
+              if (filled < k) filled += 1
+            }
+          }
+          c += 1
+        }
+        (0 until filled).map(r => Neighbor(id, r + 1, topIds(r), topCos(r)))
+      }
+    }.toDF()
+  }
+
+  /** Reference join+window formulation of #32 (kept for the
+    * result-equality spec and as the shape that works when neither
+    * side broadcasts).
+    */
+  def annBruteForceJoin(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int = 5): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val half = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
@@ -45,6 +95,19 @@ object Similarity {
       .unionByName(half.select(col("idb").as("vec_id"),
         col("ida").as("neighbor_id"), col("cos_sim")))
     topKWithin(pairs, k)
+  }
+
+  /** Same op order as VectorOps.cosine so results are bit-identical. */
+  private def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** #33 LSH-bucketed top-K: equi-join on SRP bucket, top-K within.

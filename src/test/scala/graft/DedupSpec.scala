@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     assert(counts.getLong(0) == 3 && counts.getLong(1) == 3)
   }
 
+  test("broadcast ann equals the join+window formulation exactly") {
+    val e = Tables.load(spark, sf, "embeddings")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "rank", "neighbor_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val fast = key(Similarity.annBruteForce(e, "vec_id", "embedding", k = 4))
+    val ref = key(Similarity.annBruteForceJoin(e, "vec_id", "embedding", k = 4))
+    assert(fast.length == ref.length && fast.sameElements(ref),
+      s"${fast.length} vs ${ref.length}; first diff: ${
+        fast.zip(ref).find(p => p._1 != p._2)}")
+  }
+
   test("ann lsh plan contains no cartesian or nested-loop join") {
     val plan = Similarity.annLsh(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
