@@ -105,6 +105,20 @@ object CoreQueries {
       countDistinct(col("l_orderkey")).as("n_orders"),
       count(lit(1)).as("n_rows"))
 
+  /** #6b Sketch companion to q6: HLL++ approx distinct counts. At
+    * 100 TB the exact 3-way countDistinct expands every row 3x before
+    * the shuffle; the sketch version shuffles fixed-size registers
+    * instead (relativeSD 0.01 -> ~24 KB per sketch, thousands of
+    * times smaller than the expand). Rows-only (DuckDB's HLL differs)
+    * but deterministic: register merges are commutative.
+    */
+  def q6ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders_approx"),
+      count(lit(1)).as("n_rows"))
+
   /** #7 Semi/anti join: EXISTS / NOT EXISTS per market segment. */
   def q7SemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -169,6 +183,7 @@ object CoreQueries {
     "q4_broadcast_join" -> (q4BroadcastJoin _),
     "q5_window_topn" -> (q5WindowTopN _),
     "q6_distinct" -> (q6Distinct _),
+    "q6_approx_distinct" -> (q6ApproxDistinct _),
     "q7_semi_anti" -> (q7SemiAnti _),
     "q8_conditional_agg" -> (q8ConditionalAgg _),
     "q9_rollup" -> (q9Rollup _),

@@ -37,6 +37,16 @@ class CoreQueriesSpec extends SparkSpec {
     assert(df.agg(max("rank")).collect()(0).getInt(0) == 20)
   }
 
+  test("q6 approx distinct is within 5% of exact") {
+    val exact = SparkEntry.queries("q6_distinct")(spark, sf).collect()(0)
+    val approx = SparkEntry.queries("q6_approx_distinct")(spark, sf).collect()(0)
+    (0 until 3).foreach { i =>
+      val e = exact.getLong(i).toDouble
+      val a = approx.getLong(i).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
+    }
+  }
+
   test("q7 semi+anti counts partition the customer set") {
     val c = Tables.load(spark, sf, "customer").count()
     val df = SparkEntry.queries("q7_semi_anti")(spark, sf)
