@@ -13,6 +13,7 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions registration for graft's custom Catalyst
+  * expressions, so plain SQL users get them too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT cosine_sim(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * (On a cluster, set `spark.sql.extensions=graft.functions.GraftExtensions`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, fn: String, pos: Int): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, _)          => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b)")
+        CosineSimilarity(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("srp_bucket"),
+      info("srp_bucket", "srp_bucket(v[, planes[, seed]]) - SRP-LSH bucket id"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 3, "srp_bucket(v[, planes[, seed]])")
+        val planes = if (args.length > 1) intArg(args(1), "srp_bucket", 2) else 6
+        val seed = if (args.length > 2) longArg(args(2), "srp_bucket", 3) else 42L
+        SrpBucket(args(0), planes, seed)
+      }))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(tokens)")
+        SimHash64(args(0))
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text[, n]) - distinct byte n-gram hashes"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2, "shingle_hashes(text[, n])")
+        val n = if (args.length > 1) intArg(args(1), "shingle_hashes", 2) else 5
+        ShingleHashes64(args(0), n)
+      }))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shash[, numPerm[, seed]]) - MinHash signature"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 3, "minhash_sig(shash[, numPerm[, seed]])")
+        val perm = if (args.length > 1) intArg(args(1), "minhash_sig", 2) else 64
+        val seed = if (args.length > 2) longArg(args(2), "minhash_sig", 3) else 42L
+        MinHashSignature(args(0), perm, seed)
+      }))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from plain SQL") {
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("ext_docs")
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("ext_embs")
+
+    val sim = spark.sql(
+      "SELECT simhash64(split(text, ' ')) AS h FROM ext_docs LIMIT 5")
+      .collect()
+    assert(sim.length == 5 && sim.forall(!_.isNullAt(0)))
+
+    val cos = spark.sql(
+      """SELECT cosine_sim(embedding, embedding) AS c
+        |FROM ext_embs LIMIT 3""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
+
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes(text, 5)) AS n FROM ext_docs LIMIT 3")
+      .collect().map(_.getInt(0))
+    assert(sh.forall(_ > 0))
+
+    val mh = spark.sql(
+      """SELECT size(minhash_sig(shingle_hashes(text), 32)) AS n
+        |FROM ext_docs LIMIT 3""".stripMargin)
+      .collect().map(_.getInt(0))
+    assert(mh.forall(_ == 32))
+
+    val bucket = spark.sql(
+      "SELECT srp_bucket(embedding, 6) AS b FROM ext_embs LIMIT 10")
+      .collect().map(_.getInt(0))
+    assert(bucket.forall(b => b >= 0 && b < 64))
+  }
+
+  test("non-literal parameters are rejected with a clear error") {
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("ext_docs2")
+    val e = intercept[Exception](spark.sql(
+      "SELECT shingle_hashes(text, CAST(n_chars AS INT)) FROM ext_docs2")
+      .collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
