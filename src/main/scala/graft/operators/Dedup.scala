@@ -57,9 +57,9 @@ object Dedup {
     * (no shingle-level join), then per-doc (n_candidates, n_near,
     * max_jaccard) left-joined back so every document reports.
     */
-  private def jaccardPairStats(df: DataFrame, idCol: String, docsH: DataFrame,
-                               cand: DataFrame, threshold: Double): DataFrame = {
-    val jac = cand
+  /** True Jaccard for candidate pairs from per-doc hash arrays. */
+  private def pairJaccard(docsH: DataFrame, cand: DataFrame): DataFrame =
+    cand
       .join(docsH.as("da"), col("da.id") === col("ida"))
       .join(docsH.as("db"), col("db.id") === col("idb"))
       .withColumn("_shared",
@@ -68,6 +68,10 @@ object Dedup {
         (col("_shared").cast("double") /
           (size(col("da.shash")) + size(col("db.shash")) - col("_shared")))
           .as("jaccard"))
+
+  private def jaccardPairStats(df: DataFrame, idCol: String, docsH: DataFrame,
+                               cand: DataFrame, threshold: Double): DataFrame = {
+    val jac = pairJaccard(docsH, cand)
     val both = jac.select(col("ida").as("id"), col("jaccard"))
       .unionByName(jac.select(col("idb").as("id"), col("jaccard")))
     val per = both.groupBy("id").agg(
@@ -128,6 +132,14 @@ object Dedup {
   def minhashLshStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.1): DataFrame = {
+    val (docsH, cand) = minhashCandidates(df, idCol, textCol, n, numPerm, bands)
+    jaccardPairStats(df, idCol, docsH, cand, threshold)
+  }
+
+  /** MinHash band buckets -> (per-doc hash arrays, candidate pairs). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, numPerm: Int = 64, bands: Int = 16)
+      : (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
     val docsH = shingleHashes(df, idCol, textCol, n)
@@ -140,8 +152,22 @@ object Dedup {
       .select(col("id"), sig.as("_sig"))
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val cand = bucketPairs(bandRows, Seq("band", "bhash"))
-    jaccardPairStats(df, idCol, docsH, cand, threshold)
+    (docsH, bucketPairs(bandRows, Seq("band", "bhash")))
+  }
+
+  /** End-to-end near-dup resolution: MinHash-LSH candidates, verified
+    * at `threshold`, clustered, one canonical survivor per cluster.
+    * Output: (id, canonical, is_dup) for every document.
+    */
+  def dedupResolve(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, numPerm: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.1): DataFrame = {
+    val (docsH, cand) = minhashCandidates(df, idCol, textCol, n, numPerm, bands)
+    val near = pairJaccard(docsH, cand).filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"))
+    resolveClusters(df.select(col(idCol).as("id")), near)
+      .select(col("id").as(idCol), col("canonical"),
+        (col("id") =!= col("canonical")).as("is_dup"))
   }
 
   /** #30 SimHash near-dup: 64-bit SimHash (custom codegen'd Catalyst
@@ -179,6 +205,45 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         col("min_hamming"))
+  }
+
+  /** Resolve near-dup candidate pairs into clusters: iterative
+    * min-label propagation (each id adopts the smallest id reachable
+    * through its neighbors) until fixpoint — the dataframe form of
+    * connected components. Each iteration is one join+aggregate;
+    * convergence is bounded by the cluster diameter, which for
+    * near-dup graphs is tiny (dup clusters are near-cliques), so
+    * `maxIter` of ~10 covers 100 TB corpora. Returns (id, canonical)
+    * for EVERY id in `ids` (singletons map to themselves) — the
+    * keep/drop decision is `id != canonical`.
+    */
+  def resolveClusters(ids: DataFrame, pairs: DataFrame,
+                      maxIter: Int = 10): DataFrame = {
+    // localCheckpoint each iteration: without it every round's plan
+    // embeds all previous rounds' plans and the lineage explodes
+    // (OOM at plan stringification long before any data is big)
+    val edges = pairs.select(col("ida"), col("idb"))
+      .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .localCheckpoint(true)
+    var labels = ids.select(col("id"), col("id").as("canonical"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels, edges("idb") === labels("id"))
+        .select(col("ida").as("id"), col("canonical"))
+      val next = labels.select(col("id"), col("canonical"))
+        .unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("canonical")).as("canonical"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("canonical", "prev"), "id")
+        .filter(col("canonical") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
   }
 
   /** #31 Embedding-cosine near-dup, brute-force all-pairs baseline

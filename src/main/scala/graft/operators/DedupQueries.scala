@@ -27,6 +27,8 @@ object DedupQueries {
       Dedup.simhashStats(docs(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingStats(embs(s, d), "vec_id", "embedding")),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupResolve(docs(s, d), "doc_id", "text")),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>

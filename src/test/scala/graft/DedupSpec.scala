@@ -75,6 +75,32 @@ class DedupSpec extends SparkSpec {
     assert(counts.getLong(0) == 3 && counts.getLong(1) == 3)
   }
 
+  test("cluster resolution assigns one canonical per near-dup cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val df = Seq(
+      (10L, base), (11L, base + "x"), (12L, base + "yy"),  // cluster -> 10
+      (20L, "totally different other words entirely unrelated content"),
+      (30L, "third unique document nothing shared with the others at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupResolve(df, "doc_id", "text",
+      numPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(out.sameElements(Array(
+      (10L, 10L, false), (11L, 10L, true), (12L, 10L, true),
+      (20L, 20L, false), (30L, 30L, false))), out.mkString(","))
+  }
+
+  test("cluster resolution follows transitive chains") {
+    import org.apache.spark.sql.functions.col
+    val ids = (1L to 6L).toDF("id")
+    // chain 1-2-3-4 plus pair 5-6: min label must propagate the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("ida", "idb")
+    val got = Dedup.resolveClusters(ids, pairs)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L))), got.mkString(","))
+  }
+
   test("broadcast ann equals the join+window formulation exactly") {
     val e = Tables.load(spark, sf, "embeddings")
     def key(df: org.apache.spark.sql.DataFrame) = df
