@@ -109,7 +109,9 @@ object Dedup {
   def ngramJaccardStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, maxDf: Int = 20,
                         threshold: Double = 0.1): DataFrame = {
-    val docsH = shingleHashes(df, idCol, textCol, n)
+    // materialize once: the hash arrays feed candidate generation AND
+    // both sides of the verify join (3 evaluations otherwise)
+    val docsH = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
     val sh = docsH.select(col("id"), explode(col("shash")).as("h"))
     val rareBuckets = sh.groupBy("h").agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxDf && size(col("ids")) > 1)
@@ -142,7 +144,9 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
-    val docsH = shingleHashes(df, idCol, textCol, n)
+    // materialized once: feeds the signature projection and both
+    // sides of the candidate-verify join
+    val docsH = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
     val sig = HashFunctions.minhashSignature(col("shash"), numPerm)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
