@@ -137,14 +137,39 @@ object MergeTable {
   def scd1MergePruned(spark: SparkSession, path: String, updates: DataFrame,
                       keys: Seq[String], orderBy: String, partitionCol: String,
                       compareExclude: Seq[String] = Sources.controlColumns)
-      : MergeStats = {
+      : MergeStats =
+    mergePruned(spark, path, updates, keys, orderBy, partitionCol,
+      scdType = 1, compareExclude)
+
+  /** SCD2 form of the pruned merge: affected partitions carry their
+    * history rows through the rewrite (scd2MergeTagged keeps them);
+    * untouched partitions — current AND history — are file-copied.
+    * Requires the partition column to be stable per key (a key that
+    * moved partitions would exist in two).
+    */
+  def scd2MergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String], orderBy: String, partitionCol: String,
+                      compareExclude: Seq[String] = Sources.controlColumns)
+      : MergeStats =
+    mergePruned(spark, path, updates, keys, orderBy, partitionCol,
+      scdType = 2, compareExclude)
+
+  private def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                          keys: Seq[String], orderBy: String,
+                          partitionCol: String, scdType: Int,
+                          compareExclude: Seq[String]): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry partition column $partitionCol")
     val ord = deterministicOrd(updates, keys, orderBy)
     if (!exists(path)) {
       val obs = Observation()
-      val first = Cdc.latestPerKey(updates, keys, ord)
-        .observe(obs, count(lit(1)).as("n"))
+      val base = Cdc.latestPerKey(updates, keys, ord)
+      val first = (if (scdType == 2)
+        base.withColumn("is_current", lit(1))
+          .withColumn("start_time", current_timestamp())
+          .withColumn("end_time", lit(null).cast("timestamp"))
+          .withColumn("delete_time", lit(null).cast("timestamp"))
+      else base).observe(obs, count(lit(1)).as("n"))
       writeSnapshot(first, path, partitionBy = Seq(partitionCol))
       return MergeStats(obs.get("n").asInstanceOf[Long], 0, 0)
     }
@@ -153,10 +178,15 @@ object MergeTable {
       .collect().map(_.get(0)).toSeq
     val target = read(spark, path)
     val affectedTarget = target.filter(col(partitionCol).isin(affected: _*))
-    val tagged = Cdc.scd1MergeTagged(affectedTarget,
-      updates.select(affectedTarget.columns.map(col).toIndexedSeq: _*),
-      keys, ord, deleteMissing = false, compareExclude,
-      orderGuard = Some(orderBy))
+    val tagged =
+      if (scdType == 2)
+        Cdc.scd2MergeTagged(affectedTarget, updates, keys, ord,
+          deleteMissing = false, compareExclude)
+      else
+        Cdc.scd1MergeTagged(affectedTarget,
+          updates.select(affectedTarget.columns.map(col).toIndexedSeq: _*),
+          keys, ord, deleteMissing = false, compareExclude,
+          orderGuard = Some(orderBy))
 
     // write ONLY affected partitions, then hard-carry the rest
     val next = prevVersion + 1

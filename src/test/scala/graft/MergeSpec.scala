@@ -121,6 +121,33 @@ class MergeSpec extends SparkSpec {
       s"untouched partition must be copied, not rewritten: $filesBefore vs $filesAfter")
   }
 
+  test("scd2 pruned merge versions touched partitions, copies the rest") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = tmp()
+    val base = Seq(
+      (1L, "a", 1, 0L), (2L, "b", 1, 0L),
+      (3L, "c", 1, 1L), (4L, "d", 1, 1L)
+    ).toDF("id", "v", "ord", "bucket")
+    MergeTable.scd2MergePruned(spark, p, base, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    val before = JFiles.list(Paths.get(p, "v=0", "bucket=0"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+
+    val upd = Seq((3L, "c9", 2, 1L)).toDF("id", "v", "ord", "bucket")
+    val s = MergeTable.scd2MergePruned(spark, p, upd, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    assert(s.inserted == 1 && s.updated == 1, s"$s")
+
+    val t = MergeTable.read(spark, p)
+    assert(t.count() == 5, "4 current + 1 closed version")
+    assert(t.filter(col("id") === 3 && col("is_current") === 0).count() == 1)
+    assert(t.filter(col("is_current") === 1).count() == 4)
+    val after = JFiles.list(Paths.get(p, "v=1", "bucket=0"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(after == before, "untouched partition must be copied")
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
