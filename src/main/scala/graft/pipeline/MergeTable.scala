@@ -43,6 +43,49 @@ object MergeTable {
     spark.read.parquet(s"$path/v=$v")
   }
 
+  /** Time travel: read a specific snapshot version (fails if it has
+    * been vacuumed).
+    */
+  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val dir = java.nio.file.Paths.get(path, s"v=$version")
+    if (!Files.exists(dir)) throw new IllegalStateException(
+      s"version $version does not exist at $path (vacuumed?)")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** List snapshot versions present on disk (ascending). */
+  def versions(path: String): Seq[Int] = {
+    val dir = java.nio.file.Paths.get(path)
+    if (!Files.exists(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+        .toSeq.sorted
+    }
+  }
+
+  /** Drop all snapshot versions older than the newest `keepVersions`
+    * (the current version is always kept) — the VACUUM every
+    * copy-on-write table needs or storage grows with every merge.
+    * Returns the versions removed.
+    */
+  def vacuum(path: String, keepVersions: Int = 2): Seq[Int] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val cur = currentVersion(path).getOrElse(return Nil)
+    val all = versions(path)
+    val drop = all.filter(_ <= cur).dropRight(keepVersions)
+      .filterNot(_ == cur)
+    import scala.jdk.CollectionConverters._
+    drop.foreach { v =>
+      val dir = java.nio.file.Paths.get(path, s"v=$v")
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    drop
+  }
+
   /** Write a new snapshot version and atomically swap the pointer. */
   def writeSnapshot(df: DataFrame, path: String,
                     partitionBy: Seq[String] = Nil): Int = {

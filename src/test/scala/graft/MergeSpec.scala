@@ -148,6 +148,22 @@ class MergeSpec extends SparkSpec {
     assert(after == before, "untouched partition must be copied")
   }
 
+  test("time travel reads old versions; vacuum drops them") {
+    val p = tmp()
+    MergeTable.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    MergeTable.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+    val s3 = Seq((6L, "f", 60.0, 3)).toDF("id", "name", "val", "ord")
+    MergeTable.scd1Merge(spark, p, s3, Seq("id"), "ord")
+    assert(MergeTable.versions(p) == Seq(0, 1, 2))
+    assert(MergeTable.readVersion(spark, p, 0).count() == 3)
+    assert(MergeTable.readVersion(spark, p, 2).count() == 5)
+    val dropped = MergeTable.vacuum(p, keepVersions = 1)
+    assert(dropped == Seq(0, 1), dropped.mkString(","))
+    assert(MergeTable.versions(p) == Seq(2))
+    assert(MergeTable.read(spark, p).count() == 5) // current unaffected
+    intercept[IllegalStateException](MergeTable.readVersion(spark, p, 0))
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
