@@ -71,7 +71,9 @@ object Dedup {
 
   private def jaccardPairStats(df: DataFrame, idCol: String, docsH: DataFrame,
                                cand: DataFrame, threshold: Double): DataFrame = {
-    val jac = pairJaccard(docsH, cand)
+    // checkpoint before mirroring: the union references jac twice and
+    // would otherwise run the whole candidate+verify pipeline twice
+    val jac = pairJaccard(docsH, cand).localCheckpoint(true)
     val both = jac.select(col("ida").as("id"), col("jaccard"))
       .unionByName(jac.select(col("idb").as("id"), col("jaccard")))
     val per = both.groupBy("id").agg(
@@ -198,6 +200,7 @@ object Dedup {
       .select(col("a.id").as("ida"), col("a.simhash").as("ha"),
         col("b.id").as("idb"), col("b.simhash").as("hb")).distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .localCheckpoint(true) // mirrored below: avoid double evaluation
     val both = cand.select(col("ida").as("id"), col("hamming"))
       .unionByName(cand.select(col("idb").as("id"), col("hamming")))
     val per = both.groupBy("id").agg(
@@ -226,8 +229,9 @@ object Dedup {
     // localCheckpoint each iteration: without it every round's plan
     // embeds all previous rounds' plans and the lineage explodes
     // (OOM at plan stringification long before any data is big)
-    val edges = pairs.select(col("ida"), col("idb"))
-      .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+    val p = pairs.localCheckpoint(true) // evaluate the pair pipeline ONCE
+    val edges = p.select(col("ida"), col("idb"))
+      .unionByName(p.select(col("idb").as("ida"), col("ida").as("idb")))
       .localCheckpoint(true)
     var labels = ids.select(col("id"), col("id").as("canonical"))
       .localCheckpoint(true)
@@ -260,6 +264,7 @@ object Dedup {
     val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         VectorFunctions.cosineSim(col("a.v"), col("b.v")).as("cos"))
+      .localCheckpoint(true) // mirrored below: avoid double evaluation
     val both = pairs.select(col("ida").as("id"), col("cos"))
       .unionByName(pairs.select(col("idb").as("id"), col("cos")))
     val per = both.groupBy("id").agg(
