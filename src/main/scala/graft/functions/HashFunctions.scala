@@ -116,6 +116,43 @@ object HashOpsShingle {
   }
 }
 
+object SetOps {
+  /** Intersection size of two SORTED distinct long arrays: one linear
+    * merge, zero allocation — vs array_intersect which builds a hash
+    * set per row (interpreted, allocation-heavy). The verify kernel
+    * of the Jaccard operators (ShingleHashes64 output is sorted).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** `sorted_intersect_count(a, b)`: codegen'd merge-intersect size. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `shingle_hashes(text)`: codegen'd distinct byte-n-gram hash set. */
 case class ShingleHashes64(child: Expression, n: Int)
     extends UnaryExpression {
@@ -182,4 +219,8 @@ object HashFunctions {
   def minhashSignature(shash: Column, numPerm: Int, seed: Long = 42L): Column =
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(shash), numPerm, seed))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

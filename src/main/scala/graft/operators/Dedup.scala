@@ -57,13 +57,17 @@ object Dedup {
     * (no shingle-level join), then per-doc (n_candidates, n_near,
     * max_jaccard) left-joined back so every document reports.
     */
-  /** True Jaccard for candidate pairs from per-doc hash arrays. */
+  /** True Jaccard for candidate pairs from per-doc hash arrays.
+    * The hash arrays are sorted (ShingleHashes64 contract), so the
+    * intersection is a codegen'd linear merge — no per-pair hash-set
+    * allocation.
+    */
   private def pairJaccard(docsH: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(docsH.as("da"), col("da.id") === col("ida"))
       .join(docsH.as("db"), col("db.id") === col("idb"))
       .withColumn("_shared",
-        size(array_intersect(col("da.shash"), col("db.shash"))))
+        HashFunctions.sortedIntersectCount(col("da.shash"), col("db.shash")))
       .select(col("ida"), col("idb"),
         (col("_shared").cast("double") /
           (size(col("da.shash")) + size(col("db.shash")) - col("_shared")))

@@ -27,8 +27,11 @@ object DedupQueries {
       Dedup.simhashStats(docs(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingStats(embs(s, d), "vec_id", "embedding")),
+    // 0.8 is the conventional near-dup resolution threshold (weaker
+    // similarity is analysis signal, not a drop decision); it also
+    // keeps the cluster graph sparse on shared-vocabulary corpora
     "dedup_clusters" -> ((s, d) =>
-      Dedup.dedupResolve(docs(s, d), "doc_id", "text")),
+      Dedup.dedupResolve(docs(s, d), "doc_id", "text", threshold = 0.8)),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>

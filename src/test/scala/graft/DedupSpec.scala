@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     assert(counts.getLong(0) == 3 && counts.getLong(1) == 3)
   }
 
+  test("sorted intersect count equals array_intersect size") {
+    val df = Tables.load(spark, sf, "documents").limit(50)
+    val h = graft.operators.Dedup.shingleHashes(df, "doc_id", "text", 5)
+    val pairs = h.as("a").crossJoin(h.as("b")).limit(500)
+      .select(
+        HashFunctions.sortedIntersectCount(col("a.shash"), col("b.shash")).as("fast"),
+        size(array_intersect(col("a.shash"), col("b.shash"))).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("cluster resolution assigns one canonical per near-dup cluster") {
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     val df = Seq(
