@@ -116,6 +116,41 @@ object HashOpsShingle {
   }
 }
 
+object PolyOps {
+  /** Polynomial rolling hash over the byte sequence:
+    * fold (acc * mult + byte) % mod — byte-for-byte the value the
+    * interpreted aggregate(transform(sequence...)) fold produces on
+    * ASCII text (ascii(char) == byte), at codegen loop speed.
+    */
+  def polyHash(s: UTF8String, mult: Long, mod: Long): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * mult + (bytes(i) & 0xffL)) % mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `poly_hash(text)`: codegen'd Rabin-Karp document fingerprint. */
+case class PolyHash64(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(text: Any): Any =
+    PolyOps.polyHash(text.asInstanceOf[UTF8String], mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.PolyOps.polyHash($t, ${mult}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+}
+
 object SetOps {
   /** Intersection size of two SORTED distinct long arrays: one linear
     * merge, zero allocation — vs array_intersect which builds a hash
@@ -223,4 +258,7 @@ object HashFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def polyHash(text: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    ColumnBridge.column(PolyHash64(ColumnBridge.expression(text), mult, mod))
 }

@@ -79,12 +79,20 @@ object TextAnalysis {
       "est_bpe_tokens" -> ceil(length(text) / 4.0).cast("long"))
   }
 
-  /** Polynomial rolling-hash fingerprint (mod a large prime) folded
-    * over the character codes with `aggregate` — a deterministic
-    * 31-base Rabin-Karp hash computed inside codegen; the same value
-    * on any engine that folds left-to-right.
+  /** Polynomial rolling-hash fingerprint (mod a large prime) over
+    * the byte codes: a deterministic 31-base Rabin-Karp hash via the
+    * codegen'd PolyHash64 expression — the same value any engine
+    * computes by folding left-to-right (the DuckDB oracle uses
+    * list_reduce over ascii codes; identical on ASCII text).
     */
   def fingerprint(text: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    graft.functions.HashFunctions.polyHash(text, mult, mod)
+
+  /** The same fold expressed with built-in higher-order functions —
+    * kept as the reference semantics (HOFs are interpreted, so the
+    * custom expression above is the hot-path form).
+    */
+  def fingerprintHof(text: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     aggregate(
       transform(sequence(lit(1), length(text)),
         i => ascii(text.substr(i, lit(1))).cast("long")),

@@ -22,6 +22,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == (('a'.toInt * 31 + 'b'.toInt) * 31 + 'c'.toInt).toLong)
   }
 
+  test("codegen fingerprint equals the HOF fold on the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bad = docs.select(
+      TextAnalysis.fingerprint(col("text")).as("fast"),
+      TextAnalysis.fingerprintHof(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
   test("language guess is a stable argmax with und fallback") {
     val df = Seq("merge batch join join", "xyzzy", "the table row").toDF("text")
     val scores = TextAnalysis.languageScores(col("text"), Seq(
