@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling + sequence packing for training-data pipelines.
+  *
+  * Both are pure projections/windows — no RNG (hash-deterministic
+  * sampling reproduces exactly across runs, engines, and cluster
+  * sizes, and lets a later run EXTEND a sample by raising the rate:
+  * the kept set is monotone in the rate).
+  */
+object Sampling {
+
+  /** Uniform [0, 2^32) bucket from the md5 of the id — portable
+    * across engines (md5 is everywhere; xxhash64 is not).
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic stratified sampling: keep a row iff its hash
+    * bucket falls below the stratum's rate. One codegen'd filter —
+    * no sampleBy/RNG, so the sample is stable under re-runs and
+    * repartitioning, and rates can differ per stratum (e.g. keep
+    * all rare-language documents, 10% of English).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, v).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", hashBucket(col(idCol)))
+      .filter(col("sample_bucket") < rate * 4294967296.0)
+  }
+
+  /** Contiguous-fill sequence packing: shard the corpus (so the
+    * running sum is a PARTITIONED window — a global cumsum would
+    * serialize 100 TB through one task), order within shard, and
+    * assign each document to the token-capacity bin its running
+    * offset lands in. Documents may straddle bins (contiguous-fill
+    * model, the dominant packing used for LLM pretraining batches);
+    * `token_offset` says where in the bin the document starts.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    capacity: Long, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("pack_shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_shard", pmod(col(idCol), lit(shards)).cast("int"))
+      .withColumn("_cum_before",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin_id",
+        col("pack_shard") * 1000000L +
+          floor(col("_cum_before") / capacity.toDouble).cast("long"))
+      .withColumn("token_offset", col("_cum_before") % capacity)
+      .drop("_cum_before")
+  }
+}
