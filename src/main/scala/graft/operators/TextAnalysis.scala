@@ -68,6 +68,26 @@ object TextAnalysis {
       "punct_ratio" -> (punct.cast("double") / nChars))
   }
 
+  /** Gopher-style repetition metrics (the corpus filters pretraining
+    * pipelines apply): fraction of duplicate whitespace segments,
+    * fraction of characters in duplicate segments, distinct-word
+    * ratio, and max single-word dominance. All per-row array math on
+    * the split — no shuffle, no UDFs.
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val words = split(text, " ")
+    val nWords = size(words).cast("long")
+    val nDistinct = size(array_distinct(words)).cast("long")
+    Seq(
+      "n_words" -> nWords,
+      "distinct_word_ratio" -> (nDistinct.cast("double") / nWords),
+      "dup_word_fraction" -> ((nWords - nDistinct).cast("double") / nWords),
+      // dominance of the single most frequent word
+      "top_word_fraction" -> (aggregate(array_distinct(words), lit(0L),
+        (acc, w) => greatest(acc, size(filter(words, x => x === w)).cast("long")))
+        .cast("double") / nWords))
+  }
+
   /** Token counts: whitespace tokens, regex word-ish tokens (a
     * BPE-style pre-tokenizer split), and a chars/4 BPE estimate.
     */

@@ -50,6 +50,13 @@ object TextQueries {
         col("n_chars").cast("double") / col("re_tokens"))
   }
 
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.repetitionMetrics(col("text"))
+    docs(spark, dir).select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("gopher_pass",
+        col("distinct_word_ratio") > 0.2 && col("top_word_fraction") < 0.2)
+  }
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -58,6 +65,7 @@ object TextQueries {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
@@ -99,6 +107,23 @@ object TextQueries {
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
         |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS chars_per_token
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+        |    CAST(list_max(list_transform(list_distinct(words),
+        |      w -> len(list_filter(words, x -> x = w)))) AS BIGINT) AS top_cnt
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_ratio,
+        |  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_fraction,
+        |  CAST(top_cnt AS DOUBLE) / n_words AS top_word_fraction,
+        |  (CAST(n_distinct AS DOUBLE) / n_words) > 0.2
+        |    AND (CAST(top_cnt AS DOUBLE) / n_words) < 0.2 AS gopher_pass
+        |FROM m""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
