@@ -27,6 +27,42 @@ object ConfigHandler {
     parse(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Control-table indirection (reference `_read_table_configs`):
+    * a small table holds one JSON config per source; every enabled
+    * row becomes an IngestConfig — the pattern that lets ONE generic
+    * job ingest a whole fleet of sources, adding sources by inserting
+    * rows instead of deploying code. Config tables are inherently
+    * small (one row per source), so the collect is a few KB.
+    */
+  def fromControlTable(configs: org.apache.spark.sql.DataFrame,
+                       jsonCol: String = "config_json",
+                       enabledCol: Option[String] = Some("enabled"))
+      : Seq[(String, IngestConfig)] = {
+    import org.apache.spark.sql.functions.col
+    val active = enabledCol match {
+      case Some(c) if configs.columns.contains(c) => configs.filter(col(c))
+      case _                                      => configs
+    }
+    active.select(col(jsonCol)).collect().toSeq.map { r =>
+      val json = r.getString(0)
+      val cfg = parse(json)
+      cfg.source.path -> cfg
+    }
+  }
+
+  /** Run every enabled config from a control table in sequence,
+    * returning per-source outcomes (the generic foreach-ingestion
+    * job). A failure in one source does not stop the rest.
+    */
+  def runAll(spark: org.apache.spark.sql.SparkSession,
+             configs: org.apache.spark.sql.DataFrame,
+             jsonCol: String = "config_json")
+      : Seq[(String, Either[Throwable, Long])] =
+    fromControlTable(configs, jsonCol).map { case (name, cfg) =>
+      name -> (try Right(IngestJob.run(spark, cfg).count())
+      catch { case e: Throwable => Left(e) })
+    }
+
   def parse(json: String): IngestConfig = {
     val root = mapper.readTree(json)
     if (root == null || !root.isObject)

@@ -118,6 +118,27 @@ class ConfigSpec extends SparkSpec {
     assert(r.getAs[Double]("duration_sec") >= 0.0)
   }
 
+  test("control-table indirection runs a fleet of configs") {
+    import SparkSpec.spark.implicits._
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_fleet").toString
+    def cfgJson(i: Int, where: String) =
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"transforms": [{"type": "where", "condition": "$where"}],
+         |"writes": [{"path": "$dir/t$i", "mode": "merge", "keys": ["o_orderkey"]}]}"""
+        .stripMargin.replace("\n", " ")
+    val control = Seq(
+      (cfgJson(1, "o_totalprice > 1000"), true),
+      (cfgJson(2, "o_orderstatus = 'O'"), true),
+      (cfgJson(3, "1 = 1"), false) // disabled: must not run
+    ).toDF("config_json", "enabled")
+    val results = ConfigHandler.runAll(spark, control)
+    assert(results.length == 2)
+    assert(results.forall(_._2.isRight), results.mkString("; "))
+    assert(MergeTable.exists(s"$dir/t1") && MergeTable.exists(s"$dir/t2"))
+    assert(!MergeTable.exists(s"$dir/t3"), "disabled config must not run")
+  }
+
   test("medallion bronze to silver chaining") {
     val src = stageSource()
     val dir = Files.createTempDirectory("graft_medallion").toString
