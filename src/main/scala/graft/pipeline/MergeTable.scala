@@ -141,14 +141,32 @@ object MergeTable {
       deleted = g("delete"))
   }
 
+  /** Widen the target with any columns the updates carry that the
+    * table lacks (as nulls on historical rows) — additive schema
+    * evolution, the only safe automatic kind. Without this a new
+    * upstream column would be silently DROPPED by the merge
+    * projection. Removed/renamed source columns still require an
+    * explicit migration.
+    */
+  private def evolveTarget(target: DataFrame, updates: DataFrame,
+                           allow: Boolean): DataFrame =
+    if (!allow) target
+    else updates.schema.fields
+      .filterNot(f => target.columns.contains(f.name))
+      .foldLeft(target)((t, f) =>
+        t.withColumn(f.name, lit(null).cast(f.dataType)))
+
   /** SCD1 merge into the table (creates it on first write). Ingest
     * control columns are excluded from change detection so re-running
     * an identical extract is a no-op merge (all rows `unchanged`).
+    * New source columns are added to the table automatically
+    * (`schemaEvolution`, additive-only).
     */
   def scd1Merge(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String], orderBy: String,
                 deleteMissing: Boolean = false,
-                compareExclude: Seq[String] = Sources.controlColumns): MergeStats = {
+                compareExclude: Seq[String] = Sources.controlColumns,
+                schemaEvolution: Boolean = true): MergeStats = {
     val ord = deterministicOrd(updates, keys, orderBy)
     if (!exists(path)) {
       val obs = Observation()
@@ -157,7 +175,7 @@ object MergeTable {
       writeSnapshot(first, path)
       MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0, deleted = 0)
     } else {
-      val target = read(spark, path)
+      val target = evolveTarget(read(spark, path), updates, schemaEvolution)
       val tagged = Cdc.scd1MergeTagged(target,
         updates.select(target.columns.map(col).toIndexedSeq: _*),
         keys, ord, deleteMissing, compareExclude, orderGuard = Some(orderBy))
@@ -290,7 +308,8 @@ object MergeTable {
   def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
                 keys: Seq[String], orderBy: String,
                 deleteMissing: Boolean = false,
-                compareExclude: Seq[String] = Sources.controlColumns): MergeStats = {
+                compareExclude: Seq[String] = Sources.controlColumns,
+                schemaEvolution: Boolean = true): MergeStats = {
     val ord = deterministicOrd(updates, keys, orderBy)
     if (!exists(path)) {
       val obs = Observation()
@@ -303,7 +322,7 @@ object MergeTable {
       writeSnapshot(first, path)
       MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0, deleted = 0)
     } else {
-      val target = read(spark, path)
+      val target = evolveTarget(read(spark, path), updates, schemaEvolution)
       val tagged = Cdc.scd2MergeTagged(target, updates, keys, ord,
         deleteMissing, compareExclude)
       writeTagged(tagged, path, dropActions = Nil)

@@ -148,6 +148,22 @@ class MergeSpec extends SparkSpec {
     assert(after == before, "untouched partition must be copied")
   }
 
+  test("additive schema evolution: new source columns widen the table") {
+    val p = tmp()
+    MergeTable.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    val widened = Seq((2L, "b9", 21.0, 2, "extra-b"), (9L, "z", 90.0, 2, "extra-z"))
+      .toDF("id", "name", "val", "ord", "note")
+    val s = MergeTable.scd1Merge(spark, p, widened, Seq("id"), "ord")
+    assert(s.inserted == 1 && s.updated == 1, s"$s")
+    val t = MergeTable.read(spark, p)
+    assert(t.columns.contains("note"))
+    val notes = t.select("id", "note").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(notes(2L).contains("extra-b") && notes(9L).contains("extra-z"))
+    assert(notes(1L).isEmpty && notes(3L).isEmpty,
+      "historical rows carry null for evolved columns")
+  }
+
   test("time travel reads old versions; vacuum drops them") {
     val p = tmp()
     MergeTable.scd1Merge(spark, p, updates1, Seq("id"), "ord")
