@@ -56,14 +56,16 @@ object Cdc {
 
   /** Throw if any merge-key column is null: null keys silently
     * collapse into one latestPerKey group and join as non-matches,
-    * corrupting merges downstream. One cheap aggregate (duplicates
-    * are fine here — the merge dedups; nulls are not).
+    * corrupting merges downstream. `filter(...).limit(1)` short-
+    * circuits the scan at the first offending row (and, unlike
+    * `sum(when(...))`, is a no-op on an EMPTY updates frame — an
+    * empty incremental extract must be a no-op merge, not a crash).
     */
   def requireNonNullKeys(df: DataFrame, keys: Seq[String]): Unit = {
     val anyNull = keys.map(col(_).isNull).reduce(_ || _)
-    val n = df.agg(sum(when(anyNull, 1L).otherwise(0L))).collect()(0).getLong(0)
-    if (n > 0) throw new IllegalArgumentException(
-      s"$n rows carry null merge keys (${keys.mkString(",")})")
+    if (df.filter(anyNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"null merge keys present (${keys.mkString(",")})")
   }
 
   /** SCD type-1 merge as a pure plan, with per-row `_action` tags
@@ -144,13 +146,16 @@ object Cdc {
       .join(deletes, keys, "left_anti")
   }
 
-  /** Out-of-order delete guard (reference
-    * `handle_out_of_order_deletes`, transformations/cdc/common.py:
-    * 67-76): a delete for a key the target has never seen is an
-    * out-of-order arrival (the delete outran its insert across
-    * extracts) — drop it rather than tombstone a phantom row. One
-    * left_semi against the target keys; everything else passes
-    * through untouched.
+  /** Out-of-order delete guard: a delete for a key the target has
+    * never seen is an out-of-order arrival (the delete outran its
+    * insert across extracts) — drop it from the FEED rather than
+    * tombstone a phantom row. Same intent as the reference's
+    * `handle_out_of_order_deletes` (transformations/cdc/common.py:
+    * 67-76) but a deliberately different mechanism: the reference
+    * left-anti-joins the TARGET against the updates and rewrites the
+    * target table; filtering the (much smaller) feed reaches the same
+    * end state without a target rewrite. One left_semi against the
+    * target keys; everything else passes through untouched.
     */
   def dropUnmatchedDeletes(feed: DataFrame, target: DataFrame,
                            keys: Seq[String], opCol: String,

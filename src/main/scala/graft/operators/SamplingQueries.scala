@@ -52,6 +52,6 @@ object SamplingQueries {
         |  FROM t)
         |SELECT doc_id, lang, est_tokens, pack_shard,
         |  pack_shard * 1000000 + CAST(cb // 2048 AS BIGINT) AS bin_id,
-        |  cb % 2048 AS token_offset
+        |  CAST(cb % 2048 AS BIGINT) AS token_offset
         |FROM c""".stripMargin)
 }

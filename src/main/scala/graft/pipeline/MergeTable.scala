@@ -237,6 +237,13 @@ object MergeTable {
     val prevVersion = currentVersion(path).get
     val affected = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // A null partition value would bypass the isin() pruning filter
+    // (its target rows would never merge) AND land in a
+    // __HIVE_DEFAULT_PARTITION__ directory the value-based carry
+    // logic can't name — reject instead of corrupting silently.
+    require(!affected.contains(null),
+      s"pruned merge: updates carry null $partitionCol values; " +
+        "null partitions cannot be pruned — use the unpruned merge")
     val target = read(spark, path)
     val affectedTarget = target.filter(col(partitionCol).isin(affected: _*))
     val tagged =
@@ -257,11 +264,25 @@ object MergeTable {
       actionCount("delete"))
     observed.drop("_action").write.mode("overwrite")
       .partitionBy(partitionCol).parquet(s"$path/v=$next")
-    val affectedDirs = affected.map(v => s"$partitionCol=$v").toSet
+    // Carry every previous-version partition directory the merge did
+    // NOT rewrite. Affected dirs are identified by DIFFING against
+    // what Spark actually wrote into v=next — never by rendering
+    // values to directory names ourselves, which breaks the moment
+    // Spark URL-escapes a special character or formats a timestamp
+    // (the merged output of an affected partition would then be
+    // silently duplicated by a carried copy of its old files).
+    // Sound because a pruned merge never drops rows (the pruned path
+    // has no deleteMissing), so every affected partition appears in
+    // v=next.
+    import scala.jdk.CollectionConverters._
+    val writtenDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, s"v=$next"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(s"$partitionCol=")).toSet
     val prevDir = java.nio.file.Paths.get(path, s"v=$prevVersion")
     java.nio.file.Files.list(prevDir).forEach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith(s"$partitionCol=") && !affectedDirs.contains(name)) {
+      if (name.startsWith(s"$partitionCol=") && !writtenDirs.contains(name)) {
         val dest = java.nio.file.Paths.get(path, s"v=$next", name)
         java.nio.file.Files.createDirectories(dest)
         java.nio.file.Files.list(p).forEach { f =>
@@ -289,6 +310,12 @@ object MergeTable {
     * batch. The loop is over FILES (driver-side, tiny); each merge is
     * a full distributed plan. Requires the Sources control columns
     * (`file_path`, `file_modification_time`).
+    *
+    * `deleteMissing` (full-extract semantics) is applied ONCE at the
+    * end against the union of ALL files' keys — never per file:
+    * per-file deletes would successively drop every key present only
+    * in earlier files, leaving roughly the last file's keys. The
+    * final element of the returned stats is the delete phase.
     */
   def mergeOrderedByFile(spark: SparkSession, path: String, updates: DataFrame,
                          keys: Seq[String], orderBy: String, scdType: Int = 1,
@@ -297,11 +324,45 @@ object MergeTable {
       .distinct()
       .orderBy(col("file_modification_time").asc, col("file_path").asc)
       .collect().map(_.getString(0))
-    files.toSeq.map { f =>
+    val upserts = files.toSeq.map { f =>
       val part = updates.filter(col("file_path") === f)
-      if (scdType == 2) scd2Merge(spark, path, part, keys, orderBy, deleteMissing)
-      else scd1Merge(spark, path, part, keys, orderBy, deleteMissing)
+      if (scdType == 2)
+        scd2Merge(spark, path, part, keys, orderBy, deleteMissing = false)
+      else
+        scd1Merge(spark, path, part, keys, orderBy, deleteMissing = false)
     }
+    if (!deleteMissing) upserts
+    else upserts :+ deleteKeysMissingFrom(spark, path, updates, keys, scdType)
+  }
+
+  /** Delete-phase of a full extract: drop (SCD1) or soft-delete
+    * (SCD2) every target key absent from `present`. One left join on
+    * the distinct source keys; stats from the same writing job.
+    */
+  private def deleteKeysMissingFrom(spark: SparkSession, path: String,
+                                    present: DataFrame, keys: Seq[String],
+                                    scdType: Int): MergeStats = {
+    val presentKeys = present.select(keys.map(col): _*).distinct()
+      .withColumn("_present", lit(1))
+    val target = read(spark, path)
+    val joined = target.join(presentKeys, keys, "left")
+    val tagged =
+      if (scdType == 2) {
+        val isDel = col("_present").isNull && col("is_current") === 1
+        val now = current_timestamp()
+        joined
+          .withColumn("_action", when(isDel, "delete").otherwise("keep"))
+          .withColumn("is_current", when(isDel, lit(0)).otherwise(col("is_current")))
+          .withColumn("end_time", when(isDel, now).otherwise(col("end_time")))
+          .withColumn("delete_time", when(isDel, now).otherwise(col("delete_time")))
+          .drop("_present")
+      } else
+        joined
+          .withColumn("_action",
+            when(col("_present").isNull, "delete").otherwise("keep"))
+          .drop("_present")
+    writeTagged(tagged, path,
+      dropActions = if (scdType == 2) Nil else Seq("delete"))
   }
 
   /** SCD2 merge into the table (creates it with history columns). */

@@ -180,6 +180,77 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalStateException](MergeTable.readVersion(spark, p, 0))
   }
 
+  test("requireNonNullKeys is a no-op on an empty updates frame") {
+    val empty = updates1.filter(col("id") < 0)
+    Cdc.requireNonNullKeys(empty, Seq("id")) // must not throw
+    val withNull = Seq((Some(1L), "a"), (None, "b")).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      Cdc.requireNonNullKeys(withNull, Seq("id")))
+  }
+
+  test("empty updates frame is a no-op merge, not a crash") {
+    val p = tmp()
+    MergeTable.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    val s = MergeTable.scd1Merge(spark, p, updates1.filter(col("id") < 0),
+      Seq("id"), "ord")
+    assert(s.inserted == 0 && s.updated == 0 && s.deleted == 0, s"$s")
+    assert(MergeTable.read(spark, p).count() == 3)
+  }
+
+  test("mergeOrderedByFile applies deleteMissing once over ALL files") {
+    val p = tmp()
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1), (9L, "gone", 1))
+      .toDF("id", "v", "ord")
+    MergeTable.scd1Merge(spark, p, base, Seq("id"), "ord")
+    // full extract split across two files: keys 1,2 in f1; key 3 in f2.
+    // Per-file deleteMissing would drop 1,2 while merging f2; the
+    // single end-phase delete must only drop key 9.
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:01")
+    val ts2 = java.sql.Timestamp.valueOf("2026-01-01 00:00:02")
+    val multi = Seq(
+      (1L, "a2", 2, "f1", ts1), (2L, "b2", 2, "f1", ts1),
+      (3L, "c2", 2, "f2", ts2)
+    ).toDF("id", "v", "ord", "file_path", "file_modification_time")
+    val stats = MergeTable.mergeOrderedByFile(spark, p,
+      multi, Seq("id"), "ord", scdType = 1, deleteMissing = true)
+    assert(stats.last.deleted == 1, s"only key 9 deleted: ${stats.last}")
+    val ids = MergeTable.read(spark, p).select("id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), ids.mkString(","))
+  }
+
+  test("pruned merge carries escaped partition directories exactly once") {
+    // partition values with characters Spark URL-escapes in directory
+    // names (space, colon) — value-based dir matching would duplicate
+    // the rewritten partition's rows with a stale carried copy
+    val p = tmp()
+    val base = Seq(
+      (1L, "a", 1, "with space"), (2L, "b", 1, "with:colon"),
+      (3L, "c", 1, "plain")
+    ).toDF("id", "v", "ord", "bucket")
+    MergeTable.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    val upd = Seq((1L, "a9", 2, "with space")).toDF("id", "v", "ord", "bucket")
+    val s = MergeTable.scd1MergePruned(spark, p, upd, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    assert(s.updated == 1, s"$s")
+    val t = MergeTable.read(spark, p)
+    assert(t.count() == 3, s"duplicated rows after carry: ${t.count()}")
+    assert(t.filter(col("id") === 1).select("v").as[String].collect()
+      .sameElements(Array("a9")))
+  }
+
+  test("pruned merge rejects null partition values") {
+    val p = tmp()
+    val base = Seq((1L, "a", 1, Some("x"))).toDF("id", "v", "ord", "bucket")
+    MergeTable.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    val nullPart = Seq((2L, "b", 2, Option.empty[String]))
+      .toDF("id", "v", "ord", "bucket")
+    intercept[IllegalArgumentException](
+      MergeTable.scd1MergePruned(spark, p, nullPart, Seq("id"), "ord", "bucket",
+        compareExclude = Nil))
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
