@@ -171,7 +171,14 @@ object CoreQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
       .limit(20)
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    // The rank window runs over exactly K=20 rows (post-limit), so a
+    // single partition is the intent, not an accident — partition on
+    // a constant to declare that (and keep WindowExec's
+    // all-data-to-one-partition warning out of 100 TB job logs, where
+    // it must stay a real alarm). pmod(key, 1) rather than lit(0):
+    // a foldable key is optimized out, re-emptying the partition spec.
+    val w = Window.partitionBy(pmod(col("o_orderkey"), lit(1)))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
     topK.withColumn("rank", row_number().over(w))
   }
 

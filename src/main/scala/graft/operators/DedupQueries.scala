@@ -4,13 +4,118 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 
-/** Query entries for the dedup + similarity operators (#27-33).
-  * dedup_exact and dedup_ngram_jaccard have full DuckDB oracles; the
-  * hash/LSH/float operators are rows-only (seeded hash families and
-  * IEEE float rank ties aren't portably expressible in DuckDB SQL)
-  * but every output is still fully deterministic.
+/** Query entries for the dedup + similarity operators (#27-33),
+  * each with a full value-exact DuckDB oracle.
+  *
+  * The hash/float oracles replicate the engine's kernels in portable
+  * SQL: 64-bit wraparound multiplication is done in HUGEINT via a
+  * hi/lo-32 split (DuckDB errors on BIGINT overflow instead of
+  * wrapping), unsigned shifts/xor run in the UBIGINT domain, and
+  * float math mirrors the Scala kernels' exact fold order with
+  * `list_reduce` (sequential fold == the kernels' accumulation loop,
+  * so doubles are BIT-identical — no tolerance needed). Byte-level
+  * hashing uses `ascii(substr(...))`, valid because the test corpus
+  * is ASCII (asserted by the octet_length==length check in
+  * TESTDATA.md; same assumption as the text_fingerprint oracle).
   */
 object DedupQueries {
+
+  /** (u * const) mod 2^64 in HUGEINT via hi/lo-32 split of the
+    * constant — u*const can reach 2^128 which overflows HUGEINT, but
+    * u*lo32 and u*hi32 stay under 2^96.
+    */
+  private def mulmod64(u: String, hi: Long, lo: Long): String =
+    s"""CAST((
+       |    (CAST($u AS HUGEINT) * $lo) % 18446744073709551616 +
+       |    ((CAST($u AS HUGEINT) * $hi) % 4294967296) * 4294967296
+       |  ) % 18446744073709551616 AS UBIGINT)""".stripMargin
+
+  /** FNV-1a 64 of a string column's bytes (HashOps.fnv1a64): fold
+    * xor-then-multiply over the ascii codes; 0x100000001b3 is 40 bits
+    * so the product fits HUGEINT without a split.
+    */
+  private def fnvSql(strCol: String): String =
+    s"""list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+       |      list_transform(range(1, length($strCol) + 1),
+       |        i -> CAST(ascii(substr($strCol, CAST(i AS INT), 1)) AS UBIGINT))),
+       |      (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+       |                     % 18446744073709551616 AS UBIGINT))""".stripMargin
+
+  /** Exact-order cosine (VectorOps.cosine): sequential list_reduce
+    * folds == the kernel's single accumulation loop, bit-identical
+    * doubles.
+    */
+  private val selfNormSql =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (acc, v) -> acc + v)""".stripMargin
+
+  private val cosSql =
+    """CASE WHEN a.nn = 0.0 OR b.nn = 0.0 THEN 0.0
+      |         ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, len(a.embedding) + 1),
+      |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |           (acc, v) -> acc + v) / (sqrt(a.nn) * sqrt(b.nn)) END""".stripMargin
+
+  /** Shared CTE chain reproducing ShingleHashes64 -> MinHashSignature
+    * -> band buckets -> verified candidate pairs (Dedup.
+    * minhashCandidates + pairJaccard). Spark buckets on
+    * xxhash64(band slice); the oracle buckets on the slice VALUES —
+    * identical partitioning (hash equality == slice equality).
+    * MinHash mins compare as SIGNED longs (Java `<`), hence the
+    * unsigned->signed reinterpretation before `min`.
+    */
+  private val minhashCtes: String = {
+    val fnv = fnvSql("shingle")
+    val mix1a = mulmod64("xor(f, f >> 30)", 3210233709L, 484763065L)
+    val mix1b = mulmod64("xor(z, z >> 27)", 2496678331L, 321982955L)
+    val mix2a = mulmod64("xor(z0, z0 >> 30)", 3210233709L, 484763065L)
+    val mix2b = mulmod64("xor(z1, z1 >> 27)", 2496678331L, 321982955L)
+    s"""sh0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, greatest(length(text) - 4, 1) + 1),
+       |      pos -> substr(text, CAST(pos AS INT), 5)))) AS shingle
+       |  FROM documents),
+       |fnv AS (
+       |  SELECT doc_id, $fnv AS f
+       |  FROM sh0),
+       |mx1 AS (SELECT doc_id, $mix1a AS z FROM fnv),
+       |mx2 AS (SELECT doc_id, $mix1b AS z FROM mx1),
+       |shash AS (SELECT DISTINCT doc_id, xor(z, z >> 31) AS h FROM mx2),
+       |sig AS (
+       |  SELECT doc_id, CAST(p AS INT) AS p,
+       |    min(CAST(CASE WHEN m >= 9223372036854775808
+       |        THEN CAST(m AS HUGEINT) - 18446744073709551616
+       |        ELSE CAST(m AS HUGEINT) END AS BIGINT)) AS sigp
+       |  FROM (
+       |    SELECT doc_id, p, xor(z2, z2 >> 31) AS m
+       |    FROM (
+       |      SELECT doc_id, p, $mix2b AS z2
+       |      FROM (
+       |        SELECT doc_id, p, $mix2a AS z1
+       |        FROM (
+       |          SELECT s.doc_id, CAST(t.p AS INT) AS p,
+       |            CAST((CAST(s.h AS HUGEINT) + 42 +
+       |              (CAST(t.p AS HUGEINT) * 11400714819323198485) % 18446744073709551616
+       |            ) % 18446744073709551616 AS UBIGINT) AS z0
+       |          FROM shash s, range(64) t(p)) q0) q1) q2) q3
+       |  GROUP BY doc_id, p),
+       |bandkeys AS (
+       |  SELECT doc_id, CAST(p // 4 AS INT) AS band, list(sigp ORDER BY p) AS bkey
+       |  FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bandkeys a JOIN bandkeys b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shash GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.ida, c.idb, COUNT(*) AS sh
+       |  FROM cand c
+       |  JOIN shash sa ON sa.doc_id = c.ida
+       |  JOIN shash sb ON sb.doc_id = c.idb AND sb.h = sa.h
+       |  GROUP BY c.ida, c.idb)""".stripMargin
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -37,7 +142,185 @@ object DedupQueries {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.annLsh(embs(s, d), "vec_id", "embedding")))
 
+  private val minhashStatsSql: String =
+    s"""WITH $minhashCtes,
+       |jac AS (
+       |  SELECT c.ida, c.idb,
+       |    CAST(COALESCE(s.sh, 0) AS DOUBLE) /
+       |      (za.n + zb.n - COALESCE(s.sh, 0)) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN shared s ON s.ida = c.ida AND s.idb = c.idb
+       |  JOIN sizes za ON za.doc_id = c.ida
+       |  JOIN sizes zb ON zb.doc_id = c.idb),
+       |per AS (
+       |  SELECT id, COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |    max(jaccard) AS max_jaccard
+       |  FROM (SELECT ida AS id, jaccard FROM jac
+       |        UNION ALL SELECT idb AS id, jaccard FROM jac)
+       |  GROUP BY id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_candidates, 0) AS n_candidates,
+       |  COALESCE(p.n_near, 0) AS n_near,
+       |  p.max_jaccard
+       |FROM documents d LEFT JOIN per p ON p.id = d.doc_id""".stripMargin
+
+  /** Connected components of the verified >=0.8 pairs: a recursive
+    * CTE computes the min id reachable from each node — the fixpoint
+    * Dedup.resolveClusters's label propagation converges to.
+    */
+  private val clustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |near AS (
+       |  SELECT c.ida, c.idb
+       |  FROM cand c
+       |  LEFT JOIN shared s ON s.ida = c.ida AND s.idb = c.idb
+       |  JOIN sizes za ON za.doc_id = c.ida
+       |  JOIN sizes zb ON zb.doc_id = c.idb
+       |  WHERE CAST(COALESCE(s.sh, 0) AS DOUBLE)
+       |        / (za.n + zb.n - COALESCE(s.sh, 0)) >= 0.8),
+       |edges AS (
+       |  SELECT ida AS src, idb AS dst FROM near
+       |  UNION ALL SELECT idb, ida FROM near),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id AS doc_id, min(r) AS canonical, min(r) != id AS is_dup
+       |FROM reach GROUP BY id""".stripMargin
+
+  /** SimHash (HashOps.simhash64): FNV-1a per whitespace token, +/-1
+    * votes per bit, sign -> bit; candidates share one of the four
+    * 16-bit chunks; hamming = bit_count(xor). All in the UBIGINT
+    * domain; the output column reinterprets as signed to match the
+    * engine's LongType.
+    */
+  private val simhashSql: String = {
+    val fnv = fnvSql("tok")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |fnv AS (
+       |  SELECT doc_id, $fnv AS h
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id, CAST(b AS INT) AS b,
+       |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM fnv, range(64) t(b)
+       |  GROUP BY doc_id, b),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS UBIGINT) AS u
+       |  FROM votes GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, u, CAST(c AS INT) AS chunk,
+       |    (u >> (CAST(c AS INT) * 16)) & 65535 AS cval
+       |  FROM sim, range(4) t(c)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, a.u AS ua, b.doc_id AS idb, b.u AS ub
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT ida, idb, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming FROM cand),
+       |per AS (
+       |  SELECT id, COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |    min(hamming) AS min_hamming
+       |  FROM (SELECT ida AS id, hamming FROM ham
+       |        UNION ALL SELECT idb AS id, hamming FROM ham)
+       |  GROUP BY id)
+       |SELECT s.doc_id,
+       |  CAST(CASE WHEN s.u >= 9223372036854775808
+       |       THEN CAST(s.u AS HUGEINT) - 18446744073709551616
+       |       ELSE CAST(s.u AS HUGEINT) END AS BIGINT) AS simhash,
+       |  COALESCE(p.n_candidates, 0) AS n_candidates,
+       |  COALESCE(p.n_near, 0) AS n_near,
+       |  p.min_hamming
+       |FROM sim s LEFT JOIN per p ON p.id = s.doc_id""".stripMargin
+  }
+
+  private val embeddingStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $selfNormSql AS nn
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    $cosSql AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+       |per AS (
+       |  SELECT id,
+       |    CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |    max(cos) AS max_cos
+       |  FROM (SELECT ida AS id, cos FROM c UNION ALL SELECT idb AS id, cos FROM c)
+       |  GROUP BY id)
+       |SELECT e.vec_id, COALESCE(per.n_near, 0) AS n_near, per.max_cos
+       |FROM e LEFT JOIN per ON per.id = e.vec_id""".stripMargin
+
+  private val annBruteForceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $selfNormSql AS nn
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $cosSql AS cos_sim
+       |  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM c)
+       |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
+
+  /** SRP bucket (VectorOps.srpBucket): the splitmix-style mix of
+    * (seed=42, plane, dim) gives Rademacher weights; the per-plane
+    * dot is the same sequential fold. Dim count (64) matches the
+    * embeddings tables; the engine reads the true array length.
+    */
+  private val annLshSql: String = {
+    val mixA = mulmod64("xor(z0, z0 >> 33)", 4283543511L, 3981806797L)
+    val mixB = mulmod64("xor(z1, z1 >> 33)", 3301882366L, 444984403L)
+    s"""WITH params AS (
+       |  SELECT CAST(p AS INT) AS p, CAST(i AS INT) AS i,
+       |    CAST(42 + p * 4294967296 + i AS UBIGINT) AS z0
+       |  FROM range(6) t1(p), range(64) t2(i)),
+       |m1 AS (SELECT p, i, $mixA AS z1 FROM params),
+       |m2 AS (SELECT p, i, $mixB AS z2 FROM m1),
+       |wt AS (
+       |  SELECT p, list(CASE WHEN xor(z2, z2 >> 33) % 2 = 0 THEN 1.0 ELSE -1.0 END
+       |                 ORDER BY i) AS wl
+       |  FROM m2 GROUP BY p),
+       |acc AS (
+       |  SELECT e.vec_id, wt.p,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(e.embedding) + 1),
+       |        i -> wt.wl[i] * CAST(e.embedding[i] AS DOUBLE))),
+       |      (a, x) -> a + x) AS dot
+       |  FROM embeddings e, wt),
+       |buck AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+       |  FROM acc GROUP BY vec_id),
+       |e AS (
+       |  SELECT em.vec_id, em.embedding, b.bucket, $selfNormSql AS nn
+       |  FROM embeddings em JOIN buck b ON b.vec_id = em.vec_id),
+       |c AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $cosSql AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM c)
+       |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashStatsSql,
+    "dedup_clusters" -> clustersSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding" -> embeddingStatsSql,
+    "ann_bruteforce_topk" -> annBruteForceSql,
+    "ann_lsh_topk" -> annLshSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
