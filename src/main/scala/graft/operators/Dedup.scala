@@ -237,7 +237,13 @@ object Dedup {
     val edges = p.select(col("ida"), col("idb"))
       .unionByName(p.select(col("idb").as("ida"), col("ida").as("idb")))
       .localCheckpoint(true)
-    var labels = ids.select(col("id"), col("id").as("canonical"))
+    // Propagate over the ACTIVE subgraph only — nodes that appear in
+    // at least one pair. Singletons can never change label, and at
+    // corpus scale they dominate (the near-dup graph is a sliver of
+    // 100 TB): iterating over all ids would shuffle the whole corpus
+    // once per round for no information.
+    var labels = edges.select(col("ida").as("id")).distinct()
+      .withColumn("canonical", col("id"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
@@ -255,7 +261,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    labels
+    // singletons (no edges) map to themselves via the left join
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
   }
 
   /** #31 Embedding-cosine near-dup, brute-force all-pairs baseline

@@ -50,6 +50,35 @@ object StreamingIngest {
       .withColumn("is_current", lit(null).cast(IntegerType))
       .withColumn("delete_time", lit(null).cast(TimestampType))
 
+  /** Streaming read with schema INFERRED from a batch `limit(0)`
+    * read of the same path (the reference's create_streaming_reader
+    * does exactly this — streaming_readers.py:40-48 — because file
+    * streams require an explicit schema), plus the reference's
+    * column-name sanitization (`/` → `_`, SAP-style paths).
+    */
+  def readStreamInferred(spark: SparkSession, format: String, path: String,
+                         options: Map[String, String] = Map.empty): DataFrame = {
+    val schema = spark.read.format(format)
+      .option("recursiveFileLookup", "true").load(path).limit(0).schema
+    val df = readStream(spark, format, path, schema, options)
+    df.select(df.columns.map(c => col(s"`$c`").alias(c.replace("/", "_")))
+      .toIndexedSeq: _*)
+  }
+
+  /** Plain streaming append sink (reference
+    * streaming_write_table_append, streaming_writers.py): availableNow
+    * replay into an append-mode file sink. For merge semantics use
+    * mergeSink; this is the bronze-landing shape.
+    */
+  def appendSink(source: DataFrame, path: String, checkpoint: String,
+                 format: String = "parquet"): StreamingQuery =
+    source.writeStream.format(format)
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked dedup: bounded state (the reference's streaming
     * dedup has no state bound at all). `eventTimeCol` drives the
     * watermark; duplicates of `keys` arriving within `delay` are
@@ -178,4 +207,40 @@ object StreamingIngest {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming sliding-window aggregation with watermark — the same
+    * shape as Events.slidingAgg. Spark expands each row into its
+    * len/slide windows inside codegen before one aggregate shuffle;
+    * watermark bounds the open-window state.
+    */
+  def slidingAgg(df: DataFrame, eventTimeCol: String, delay: String,
+                 windowLen: String, slide: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Watermarked stream-stream interval join: each left row pairs
+    * with right rows of the same key whose event time falls in
+    * [left ts - lookback, left ts]. Both sides carry watermarks and
+    * the join condition time-bounds BOTH event times, so Spark can
+    * evict state — the only stream-stream join shape that doesn't
+    * grow state forever. Columns are prefix-renamed (`l_`/`r_`)
+    * before the join so the output is unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   delay: String, lookback: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$leftTsCol", delay)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$rightTsCol", delay)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$rightTsCol") >= col(s"l_$leftTsCol") - expr(s"INTERVAL $lookback") &&
+        col(s"r_$rightTsCol") <= col(s"l_$leftTsCol"))
+  }
 }

@@ -133,6 +133,91 @@ class StreamingSpec extends SparkSpec {
     assert(dq.filter(col("passed")).count() == 0)
   }
 
+  test("streaming sliding agg equals batch sliding agg") {
+    val (dir, src) = stageEventFiles()
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val agg = StreamingIngest.slidingAgg(stream, "ts", "1 hour", "6 hours", "3 hours")
+    val name = s"stream_sliding_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name)
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    val want = Events.slidingAgg(src)
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.sameElements(want), s"${got.length} vs ${want.length} windows")
+  }
+
+  test("streaming append sink lands every row exactly once") {
+    val (dir, src) = stageEventFiles()
+    val out = Files.createTempDirectory("graft_append_out").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_append_ckpt").toString
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    StreamingIngest.appendSink(stream, out, ckpt).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == src.count(), "append sink must land all rows")
+    // restart with the same checkpoint: nothing new, no duplicates
+    val stream2 = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    StreamingIngest.appendSink(stream2, out, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == src.count(),
+      "checkpoint restart must not re-append")
+  }
+
+  test("inferred-schema streaming read matches the batch schema") {
+    val (dir, src) = stageEventFiles()
+    val stream = StreamingIngest.readStreamInferred(spark, "parquet", dir)
+    val business = stream.schema.fields.map(f => f.name -> f.dataType).toMap
+    src.schema.fields.foreach { f =>
+      assert(business.get(f.name).contains(f.dataType),
+        s"inferred stream schema missing/mismatched ${f.name}")
+    }
+    assert(stream.isStreaming)
+  }
+
+  test("stream-stream interval join equals the batch range join") {
+    val (dir, src) = stageEventFiles()
+    val purchases = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .filter(col("event_type") === "purchase")
+    val clicks = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .filter(col("event_type") === "click")
+    val joined = StreamingIngest.intervalJoin(purchases, clicks,
+      "user_id", "ts", "ts", delay = "1 hour", lookback = "2 hours")
+      .select(col("l_event_id"), col("r_event_id"))
+    val name = s"stream_ssj_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val c = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+    val want = p.join(c, p("user_id") === c("user_id") &&
+        col("cts") >= col("pts") - expr("INTERVAL 2 hours") &&
+        col("cts") <= col("pts"))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(want.nonEmpty, "batch range join found no pairs — test data too sparse")
+    assert(got.sameElements(want), s"${got.length} vs ${want.length} joined pairs")
+  }
+
   test("out-of-order batch cannot regress the merge table") {
     import SparkSpec.spark.implicits._
     val table = Files.createTempDirectory("graft_ooo").toString
