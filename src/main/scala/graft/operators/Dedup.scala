@@ -266,6 +266,30 @@ object Dedup {
       .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any
+    * `n`-gram with a benchmark/eval set (the standard n=13 exact-
+    * overlap decontamination pass of LLM training pipelines). The
+    * benchmark side reduces to a DISTINCT set of shingle hashes —
+    * eval sets are small by definition, so it is broadcast and the
+    * corpus-side scan never shuffles: each doc's hash array explodes,
+    * probes the broadcast set, and aggregates back to one row.
+    * `n_hits` = how many distinct n-grams of the document appear in
+    * the benchmark; `contaminated` = n_hits > 0.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val c = shingleHashes(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("shash")).as("h"))
+    val b = shingleHashes(benchmark, idCol, textCol, n)
+      .select(explode(col("shash")).as("h")).distinct()
+    val hits = c.join(broadcast(b), "h")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** #31 Embedding-cosine near-dup, brute-force all-pairs baseline
     * (the correctness oracle for the LSH path — see
     * Similarity.annLsh for the shape that survives 100 TB).

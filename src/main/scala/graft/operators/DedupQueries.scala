@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 
@@ -140,7 +141,16 @@ object DedupQueries {
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
-      Similarity.annLsh(embs(s, d), "vec_id", "embedding")))
+      Similarity.annLsh(embs(s, d), "vec_id", "embedding")),
+    // benchmark decontamination: docs from src0 play the eval set,
+    // everything else is the training corpus; n=13 exact overlap
+    "dedup_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminate(
+        all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"),
+        "doc_id", "text", n = 13)
+    }))
 
   private val minhashStatsSql: String =
     s"""WITH $minhashCtes,
@@ -314,7 +324,33 @@ object DedupQueries {
        |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** Decontamination oracle joins on the 13-gram STRINGS — the engine
+    * joins on their 64-bit hashes; the two agree unless FNV+mix
+    * collides two distinct 13-grams inside one document (≈ |doc|²/2^64,
+    * and any such event would be deterministic and caught here).
+    */
+  private val decontaminateSql: String = {
+    def shingles13(where: String) =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 12, 1) + 1),
+         |    pos -> substr(text, CAST(pos AS INT), 13)))) AS sh
+         |  FROM documents WHERE $where""".stripMargin
+    s"""WITH corp AS (
+       |  ${shingles13("source != 'src0'")}),
+       |bench AS (
+       |  SELECT DISTINCT sh FROM (${shingles13("source = 'src0'")})),
+       |hits AS (
+       |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM corp c JOIN bench b ON b.sh = c.sh
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.source != 'src0'""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_decontaminate" -> decontaminateSql,
     "dedup_minhash_lsh" -> minhashStatsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_simhash" -> simhashSql,

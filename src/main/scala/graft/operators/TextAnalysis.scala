@@ -45,6 +45,20 @@ object TextAnalysis {
     when(allZero, "und").otherwise(pick)
   }
 
+  /** Corpus vocabulary heavy hitters: exact top-K words by frequency
+    * with a deterministic tiebreak (count desc, word asc). The
+    * aggregate keeps map-side partial counts and `orderBy.limit`
+    * plans as TakeOrderedAndProject — per-partition top-K plus a
+    * K-row driver merge, never a global sort. The standard first look
+    * at a new corpus (tokenizer coverage, boilerplate detection).
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
   /** Quality metrics per document: lengths, word shape, stopword and
     * punctuation ratios, plus a pass/fail gate. Each ratio is ONE
     * IEEE division of exact integer counts — bit-identical across

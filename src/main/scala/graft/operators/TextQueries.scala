@@ -61,12 +61,16 @@ object TextQueries {
     docs(spark, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
+  def textVocabTopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(docs(spark, dir), "text", k = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_vocab_topk" -> (textVocabTopK _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -131,5 +135,12 @@ object TextQueries {
         |      list_transform(range(1, length(text) + 1),
         |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "text_vocab_topk" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word
+        |ORDER BY n DESC, word ASC
+        |LIMIT 100""".stripMargin)
 }

@@ -124,6 +124,32 @@ class DedupSpec extends SparkSpec {
         fast.zip(ref).find(p => p._1 != p._2)}")
   }
 
+  test("decontaminate flags exactly the docs sharing a 13-gram with the benchmark") {
+    import SparkSpec.spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps over something else"), // shares 13-grams
+      (2L, "completely unrelated content with no overlap at all"),
+      (3L, "quick brown cat")  // longest shared run "quick brown " = 12 < 13
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.map(_._1).sameElements(Array(1L, 2L, 3L)))
+    assert(out(0)._3 && out(0)._2 > 0, s"doc 1 shares 13-grams: ${out(0)}")
+    assert(!out(1)._3 && out(1)._2 == 0, s"doc 2 is clean: ${out(1)}")
+    assert(!out(2)._3, s"doc 3's overlap is shorter than 13: ${out(2)}")
+  }
+
+  test("decontaminate broadcast side is the benchmark hash set") {
+    val all = Tables.load(spark, sf, "documents")
+    val plan = Dedup.decontaminate(
+      all.filter(org.apache.spark.sql.functions.col("source") =!= "src0"),
+      all.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+      "doc_id", "text", 13).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("ann lsh plan contains no cartesian or nested-loop join") {
     val plan = Similarity.annLsh(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")

@@ -47,4 +47,17 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("alpha_ratio") > 1.0 || col("stopword_ratio") < 0.0).count()
     assert(bad == 0)
   }
+
+  test("vocab top-K is ordered, deterministic, and plans as TakeOrdered") {
+    import SparkSpec.spark.implicits._
+    val df = Seq("b a a", "a c b", "c a b").toDF("text")
+    val out = TextAnalysis.vocabTopK(df, "text", k = 2)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sameElements(Array(("a", 4L), ("b", 3L))), rows.mkString(","))
+    val plan = TextAnalysis.vocabTopK(
+      Tables.load(spark, sf, "documents"), "text", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-K must not global-sort: ${plan.take(1500)}")
+  }
 }
