@@ -32,6 +32,37 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Dot product of two float vectors, accumulated in double — the
+    * pair-loop half of `cosine`. When norms are precomputed once per
+    * vector (`selfNorm`), pair similarity costs one accumulation
+    * stream instead of three; `dot/(sqrt(na)*sqrt(nb))` is
+    * bit-identical to `cosine` because each sum runs over the same
+    * elements in the same order.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      d += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    d
+  }
+
+  /** Sum of squares of a float vector, accumulated in double. */
+  def selfNorm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
   /** Signed-random-projection bucket id: `planes` Rademacher (+/-1)
     * hyperplanes with weights derived from a splitmix64-style mix of
     * (seed, plane, dim) — deterministic on every executor, no
@@ -104,12 +135,56 @@ case class SrpBucket(child: Expression, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `dot_product(a, b)`: codegen'd double dot product over
+  * `array<float>` columns — pair with precomputed `self_norm` columns
+  * so N² similarity loops do one accumulation stream, not three.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `self_norm(a)`: codegen'd sum of squares of an `array<float>`. */
+case class SelfNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "self_norm"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.selfNorm(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.selfNorm($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SelfNorm =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the vector expressions. */
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       CosineSimilarity(org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      DotProduct(org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  def selfNorm(a: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SelfNorm(org.apache.spark.sql.graftbridge.ColumnBridge.expression(a)))
 
   def srpBucket(v: Column, planes: Int = 6, seed: Long = 42L): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

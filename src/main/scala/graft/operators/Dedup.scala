@@ -296,10 +296,16 @@ object Dedup {
     */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.4): DataFrame = {
-    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // norms precomputed per vector: the N² pair loop runs one dot
+    // accumulation instead of three (bit-identical doubles — same
+    // elements, same order per sum)
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.selfNorm(col(vecCol)).as("nn"))
     val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        VectorFunctions.cosineSim(col("a.v"), col("b.v")).as("cos"))
+        Similarity.cosFromParts(
+          VectorFunctions.dotProduct(col("a.v"), col("b.v")),
+          col("a.nn"), col("b.nn")).as("cos"))
       .localCheckpoint(true) // mirrored below: avoid double evaluation
     val both = pairs.select(col("ida").as("id"), col("cos"))
       .unionByName(pairs.select(col("idb").as("id"), col("cos")))

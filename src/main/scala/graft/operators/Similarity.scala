@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,13 +33,16 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** #32 Exact top-K neighbors by cosine. The corpus (id, vector)
-    * pairs are broadcast once (64-dim floats: ~0.5 KB/vector — fine
-    * up to ~1M vectors) and each partition scans it with a bounded
-    * insertion buffer per probe vector: one pass, no 4M-row pair
-    * materialization, no window sort. Exact same results as the
-    * join+window formulation (asserted in DedupSpec); beyond
-    * broadcastable corpus sizes, annLsh is the path.
+  /** #32 Exact top-K neighbors by cosine. The corpus (id, vector,
+    * norm) triples are broadcast once (64-dim floats: ~0.5 KB/vector
+    * — fine up to ~1M vectors) and each partition scans it with a
+    * bounded insertion buffer per probe vector: one pass, no 4M-row
+    * pair materialization, no window sort. Norms are precomputed per
+    * VECTOR, so the N² inner loop runs one accumulation stream (dot)
+    * instead of three (dot+na+nb) — same doubles bit-for-bit, since
+    * each sum covers the same elements in the same order. Exact same
+    * results as the join+window formulation (asserted in DedupSpec);
+    * beyond broadcastable corpus sizes, annLsh is the path.
     */
   def annBruteForce(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 5): DataFrame = {
@@ -47,19 +50,23 @@ object Similarity {
     import spark.implicits._
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-    val corpus = spark.sparkContext.broadcast(e.collect())
+    val corpus = spark.sparkContext.broadcast(
+      e.collect().map { case (id, v) => (id, v, normF(v)) })
     e.mapPartitions { rows =>
       val cand = corpus.value
       rows.flatMap { case (id, v) =>
+        val na = normF(v)
         // bounded top-k by (cos desc, neighbor_id asc), insertion sort
         val topIds = new Array[Long](k)
         val topCos = new Array[Double](k)
         var filled = 0
         var c = 0
         while (c < cand.length) {
-          val (cid, cv) = cand(c)
+          val (cid, cv, nb) = cand(c)
           if (cid != id) {
-            val cos = cosineF(v, cv)
+            val cos =
+              if (na == 0.0 || nb == 0.0) 0.0
+              else dotF(v, cv) / (math.sqrt(na) * math.sqrt(nb))
             var pos = filled
             while (pos > 0 && (topCos(pos - 1) < cos ||
               (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
@@ -97,31 +104,47 @@ object Similarity {
     topKWithin(pairs, k)
   }
 
-  /** Same op order as VectorOps.cosine so results are bit-identical. */
-  private def cosineF(a: Array[Float], b: Array[Float]): Double = {
+  /** Same op order as VectorOps.dot/selfNorm so results are
+    * bit-identical to the Column-expression formulations.
+    */
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var dot = 0.0
     var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    dot
   }
 
+  private def normF(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  /** Cosine from a pair dot and per-vector norms — the column-side
+    * twin of the kernel above (and of VectorOps.cosine's zero-norm
+    * contract).
+    */
+  private[operators] def cosFromParts(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot / (sqrt(na) * sqrt(nb)))
+
   /** #33 LSH-bucketed top-K: equi-join on SRP bucket, top-K within.
-    * The plan must contain NO cartesian/nested-loop join — asserted
-    * in PlanSpec.
+    * Norms ride the (tiny) bucket rows so in-bucket pairs compute one
+    * dot each. The plan must contain NO cartesian/nested-loop join —
+    * asserted in PlanSpec.
     */
   def annLsh(df: DataFrame, idCol: String, vecCol: String,
              k: Int = 5, planes: Int = 6, seed: Long = 42L): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.selfNorm(col(vecCol)).as("nn"),
       VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
     val pairs = e.as("a").join(e.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
-        VectorFunctions.cosineSim(col("a.v"), col("b.v")).as("cos_sim"))
+        cosFromParts(VectorFunctions.dotProduct(col("a.v"), col("b.v")),
+          col("a.nn"), col("b.nn")).as("cos_sim"))
     topKWithin(pairs, k)
   }
 }
