@@ -91,4 +91,46 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("payload_md5"),
       col("width"), col("height"), col("sample_rate"), col("n_frames"))
+
+  /** Spread decode work evenly BY BYTES, not by row count: a 50 MB
+    * video next to 4 KB thumbnails makes row-hash partitioning skew
+    * executors badly. Rows are range-partitioned on (log2 size class,
+    * id-hash salt): each partition holds assets of one size class,
+    * salted so the heavy classes spread over many partitions — the
+    * per-partition byte total is bounded by class width × rows, not
+    * by luck.
+    */
+  def repartitionBySizeClass(assets: DataFrame, numPartitions: Int,
+                             payloadCol: String = "payload",
+                             idCol: String = "asset_id"): DataFrame =
+    assets
+      .withColumn("_size_class",
+        floor(log2(greatest(length(col(payloadCol)), lit(1)))).cast("int"))
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(1024)).cast("int"))
+      .repartitionByRange(numPartitions, col("_size_class"), col("_salt"))
+      .drop("_size_class", "_salt")
+
+  /** Frame sampling for video assets: every `everyN`-th frame index
+    * becomes its own row (sequence+explode — stays inside codegen,
+    * no UDF), ready for a per-frame decode. The frame "content" is a
+    * deterministic stub slice of the payload; a real codec replaces
+    * `frame_hash` with pixel output without touching the plan shape.
+    * Non-video assets pass through with a single frame row (idx 0).
+    */
+  def sampleFrames(assets: DataFrame, everyN: Int = 30): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val lastIdx = greatest(col("n_frames") - 1, lit(0)).cast("bigint")
+    val idxs = when(col("media_type") === "video",
+      sequence(lit(0L), lastIdx, lit(everyN.toLong)))
+      .otherwise(array(lit(0L)))
+    assets
+      .select(col("asset_id"), col("media_type"), col("payload"),
+        col("n_frames"), explode(idxs).as("frame_idx"))
+      .withColumn("frame_hash",
+        // stub per-frame content: hash of a frame-dependent payload slice
+        xxhash64(col("payload").substr(
+          (pmod(col("frame_idx"), greatest(length(col("payload")), lit(1)))
+            + 1).cast("int"), lit(64))))
+      .select("asset_id", "media_type", "n_frames", "frame_idx", "frame_hash")
+  }
 }

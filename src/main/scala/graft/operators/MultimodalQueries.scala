@@ -16,8 +16,18 @@ object MultimodalQueries {
     Multimodal.metaQuery(
       Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents")))
 
+  /** Frame-sampling plumbing (oracle covers the explode shape; the
+    * stub frame_hash is spec-verified — xxhash64 isn't portable SQL).
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents")),
+      everyN = 30)
+      .select("asset_id", "media_type", "n_frames", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -29,5 +39,16 @@ object MultimodalQueries {
         |  CAST((doc_id % 9 + 1) * 64 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 100 + 1) * 30 ELSE 0 END AS INT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 100 + 1) * 30 ELSE 0 END AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT asset_id, media_type, n_frames,
+        |  unnest(CASE WHEN media_type = 'video'
+        |         THEN range(0, CAST(n_frames AS BIGINT), 30)
+        |         ELSE [CAST(0 AS BIGINT)] END) AS frame_idx
+        |FROM a""".stripMargin)
 }
