@@ -96,11 +96,20 @@ object Dedup {
     * in-bucket pairs. The expensive upstream frame is computed ONCE
     * (a self-join would recompute it on both sides) and the shuffle
     * carries only (bucketKey, id).
+    *
+    * `maxBucket` guards the m²/2 explosion of degenerate buckets: a
+    * template flood (one boilerplate page × 1M copies) puts 10^6 ids
+    * in one LSH bucket → 5·10^11 pairs from a single key. Buckets
+    * beyond the cap carry no discriminative signal (exact-dedup
+    * catches identical floods far cheaper) and are dropped from
+    * CANDIDATE GENERATION only. Default = no cap, so small-corpus
+    * results (and their oracles) are unchanged.
     */
-  private def bucketPairs(rows: DataFrame, bucketCols: Seq[String]): DataFrame =
+  private def bucketPairs(rows: DataFrame, bucketCols: Seq[String],
+                          maxBucket: Int = Int.MaxValue): DataFrame =
     rows.groupBy(bucketCols.map(col): _*)
       .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(col("ids")).as("ida"), col("ids"))
       .select(col("ida"), explode(col("ids")).as("idb"))
       .filter(col("ida") < col("idb"))
@@ -144,9 +153,12 @@ object Dedup {
     jaccardPairStats(df, idCol, docsH, cand, threshold)
   }
 
-  /** MinHash band buckets -> (per-doc hash arrays, candidate pairs). */
+  /** MinHash band buckets -> (per-doc hash arrays, candidate pairs).
+    * `maxBucket` caps degenerate bucket sizes (see bucketPairs).
+    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, numPerm: Int = 64, bands: Int = 16)
+                        n: Int = 5, numPerm: Int = 64, bands: Int = 16,
+                        maxBucket: Int = Int.MaxValue)
       : (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
@@ -162,7 +174,7 @@ object Dedup {
       .select(col("id"), sig.as("_sig"))
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    (docsH, bucketPairs(bandRows, Seq("band", "bhash")))
+    (docsH, bucketPairs(bandRows, Seq("band", "bhash"), maxBucket))
   }
 
   /** End-to-end near-dup resolution: MinHash-LSH candidates, verified

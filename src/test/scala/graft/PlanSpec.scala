@@ -65,6 +65,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no query in the entry map plans a cartesian or nested-loop join") {
+    // the blanket 100 TB guard: any all-pairs physical join that
+    // sneaks into a plan is a scale regression, wherever it hides
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct")
+      // exceptions: the documented O(N²) baselines intentionally
+      // compare all pairs (broadcast side is the whole corpus), and
+      // IVF's centroid assignment broadcasts only the nlist centroid
+      // rows (bounded small — O(N*nlist), not all-pairs)
+      val exemptAllPairs =
+        Set("dedup_embedding", "ann_bruteforce_topk", "ann_ivf_topk")
+      if (!exemptAllPairs.contains(q))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("decontaminate pushes the source filter to the parquet scan") {
+    val plan = formatted("dedup_decontaminate")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*source[^\\]]*\\].*"),
+      s"source filter not pushed:\n${plan.take(3000)}")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val proj = Tables.load(spark, sf, "documents")
