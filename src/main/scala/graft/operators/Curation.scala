@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data
+  * pipeline actually runs, wired from the engine's own operators —
+  * quality gates (TextAnalysis), Gopher repetition gates, exact
+  * dedup keep-min-id (Dedup.exact semantics), benchmark
+  * decontamination (Dedup.decontaminate), and a token budget
+  * accounting roll-up.
+  *
+  * Scale shape: the gates are one codegen'd projection (no shuffle);
+  * dedup shuffles (md5, id) pairs only; decontamination broadcasts
+  * the benchmark shingle set; the final roll-up is a partial-agg
+  * groupBy. Nothing here is more expensive than its standalone
+  * operator — composition adds no extra passes over the text.
+  */
+object Curation {
+
+  /** Filter, dedup, and decontaminate a corpus, then account the
+    * surviving documents and estimated tokens per group.
+    *
+    * @param benchFilter rows matching this are the held-out benchmark
+    *                    (decontamination reference), excluded from
+    *                    the curated output
+    * @param groupCols   accounting grain of the output roll-up
+    * @param contamN     decontamination gram length in CHARS; 30
+    *                    chars ~ 5 words, the verbatim-leak scale (13
+    *                    chars ~ 2 words flags mere shared vocabulary)
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             benchFilter: Column, groupCols: Seq[String],
+             stopwords: Seq[String] = Seq("the", "a"),
+             minWords: Long = 20L, maxAvgWordLen: Double = 8.0,
+             minDistinctRatio: Double = 0.2,
+             maxTopWordFraction: Double = 0.2,
+             contamN: Int = 30): DataFrame = {
+    val corpus = docs.filter(not(benchFilter))
+    val bench = docs.filter(benchFilter)
+    // the SAME column builders as text_quality / text_repetition, so
+    // gate decisions are bit-identical to the standalone operators
+    val qm = TextAnalysis.qualityMetrics(col(textCol), stopwords).toMap
+    val rm = TextAnalysis.repetitionMetrics(col(textCol)).toMap
+    val est = TextAnalysis.tokenMetrics(col(textCol)).toMap.apply("est_bpe_tokens")
+    val gated = corpus
+      .filter(qm("n_words") >= minWords &&
+        qm("avg_word_len") < maxAvgWordLen &&
+        rm("distinct_word_ratio") > minDistinctRatio &&
+        rm("top_word_fraction") < maxTopWordFraction)
+      .withColumn("_est", est)
+      .withColumn("_h", md5(col(textCol)))
+    // exact-dedup among the gated survivors: keep the min id per hash
+    val keep = gated.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+    val kept = gated.join(keep, Seq("_h", idCol))
+    val contaminated = Dedup
+      .decontaminate(corpus, bench, idCol, textCol, contamN)
+      .filter(col("contaminated")).select(col(idCol))
+    val clean = kept.join(contaminated, Seq(idCol), "left_anti")
+    clean.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_est")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"))
+  }
+}

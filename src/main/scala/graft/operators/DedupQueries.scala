@@ -142,6 +142,14 @@ object DedupQueries {
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.annLsh(embs(s, d), "vec_id", "embedding")),
+    "ann_ivf_topk" -> ((s, d) =>
+      Similarity.annIvf(embs(s, d), "vec_id", "embedding")),
+    // full curation pipeline: quality + repetition gates -> exact
+    // dedup -> decontamination vs the src0 benchmark -> per
+    // (source, lang) doc/token accounting
+    "corpus_curate" -> ((s, d) =>
+      Curation.curate(docs(s, d), "doc_id", "text",
+        col("source") === "src0", Seq("source", "lang"))),
     // benchmark decontamination: docs from src0 play the eval set,
     // everything else is the training corpus; n=13 exact overlap
     "dedup_decontaminate" -> ((s, d) => {
@@ -324,6 +332,39 @@ object DedupQueries {
        |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** IVF oracle (Similarity.annIvf): same Knuth-hash centroid sample,
+    * nearest-centroid assignment and nprobe probing with the
+    * bit-exact sequential-fold cosine; ranks agree because the
+    * underlying doubles agree bit-for-bit and ties break on ids.
+    */
+  private val annIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, embedding, $selfNormSql AS nn
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT id AS cid, embedding, nn FROM e
+       |  ORDER BY (id * 2654435761) % 4294967296 ASC, id ASC
+       |  LIMIT 64),
+       |rr AS (
+       |  SELECT a.id, a.embedding, a.nn, b.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY a.id
+       |      ORDER BY $cosSql DESC, b.cid ASC) AS crank
+       |  FROM e a, cent b),
+       |lists AS (
+       |  SELECT cid, id AS neighbor_id, embedding, nn FROM rr WHERE crank = 1),
+       |probes AS (
+       |  SELECT cid, id, embedding, nn FROM rr WHERE crank <= 4),
+       |pairs AS (
+       |  SELECT a.id AS vec_id, b.neighbor_id, $cosSql AS cos_sim
+       |  FROM probes a JOIN lists b
+       |    ON a.cid = b.cid AND a.id != b.neighbor_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
+
   /** Decontamination oracle joins on the 13-gram STRINGS — the engine
     * joins on their 64-bit hashes; the two agree unless FNV+mix
     * collides two distinct 13-grams inside one document (≈ |doc|²/2^64,
@@ -349,7 +390,52 @@ object DedupQueries {
        |WHERE d.source != 'src0'""".stripMargin
   }
 
+  /** Curation oracle: replays the quality/repetition gates, keep-min
+    * exact dedup, and 13-gram decontamination with the same fragments
+    * the standalone oracles use, then rolls up.
+    */
+  private val corpusCurateSql: String = {
+    // 30-char decontamination grams (~5 words): the verbatim-leak
+    // scale, vs the 13-char overlap COUNTER in dedup_decontaminate
+    def shingles30(where: String) =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 29, 1) + 1),
+         |    pos -> substr(text, CAST(pos AS INT), 30)))) AS sh
+         |  FROM documents WHERE $where""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS awl,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+       |      w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS BIGINT) AS top_cnt,
+       |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est,
+       |    md5(text) AS h
+       |  FROM documents
+       |  WHERE source != 'src0'),
+       |g AS (
+       |  SELECT * FROM m
+       |  WHERE n_words >= 20 AND awl < 8.0
+       |    AND CAST(n_distinct AS DOUBLE) / n_words > 0.2
+       |    AND CAST(top_cnt AS DOUBLE) / n_words < 0.2),
+       |k AS (SELECT h, min(doc_id) AS doc_id FROM g GROUP BY h),
+       |kept AS (SELECT g.* FROM g JOIN k ON k.h = g.h AND k.doc_id = g.doc_id),
+       |corp AS (
+       |  ${shingles30("source != 'src0'")}),
+       |bench AS (
+       |  SELECT DISTINCT sh FROM (${shingles30("source = 'src0'")})),
+       |hits AS (
+       |  SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON b.sh = c.sh),
+       |clean AS (
+       |  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(est) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+       |FROM clean GROUP BY source, lang""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "corpus_curate" -> corpusCurateSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_minhash_lsh" -> minhashStatsSql,
     "dedup_clusters" -> clustersSql,
@@ -357,6 +443,7 @@ object DedupQueries {
     "dedup_embedding" -> embeddingStatsSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
+    "ann_ivf_topk" -> annIvfSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies

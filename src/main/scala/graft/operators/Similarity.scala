@@ -130,6 +130,58 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0))
       .otherwise(dot / (sqrt(na) * sqrt(nb)))
 
+  /** IVF-style ANN (inverted-file index), the second scale path next
+    * to `annLsh`. A deterministic multiplicative-hash sample of
+    * `nlist` vectors serves as the coarse quantizer: every vector is
+    * assigned to its nearest centroid (= its inverted list) and each
+    * probe vector searches the `nprobe` nearest lists. The assignment
+    * join broadcasts only the nlist centroid rows (bounded small —
+    * it is a BroadcastNestedLoopJoin by shape but O(N*nlist) by
+    * cost), and the candidate join is an EQUI-join on centroid id:
+    * at 100 TB the inverted lists are plain hash partitions, no
+    * all-pairs step anywhere. Recall tunes via nprobe/nlist.
+    *
+    * Centroids come from a reproducible Knuth-hash sample rather than
+    * k-means: Lloyd refinement averages floats in partition order,
+    * which is not reproducible across engines/runs (so not
+    * oracle-able); at scale you would refine on a driver-side sample
+    * and accept approximate centroids. The probed index (vector,
+    * list) rows are materialized once via localCheckpoint — both the
+    * inverted lists and the probe set read from it, so the
+    * assignment cross-join runs exactly once. Real IVF systems
+    * materialize the index too: N*nprobe rows, the replication
+    * factor is the probe width.
+    */
+  def annIvf(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 5, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      VectorFunctions.selfNorm(col(vecCol)).as("nn"))
+    val cent = e
+      .orderBy(pmod(col("id") * lit(2654435761L), lit(4294967296L)).asc,
+        col("id").asc)
+      .limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nn").as("cn"))
+    val probed = e.crossJoin(broadcast(cent))
+      .select(col("id"), col("v"), col("nn"), col("cid"),
+        cosFromParts(VectorFunctions.dotProduct(col("v"), col("cv")),
+          col("nn"), col("cn")).as("csim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crank") <= nprobe)
+      .select(col("cid"), col("id"), col("v"), col("nn"), col("crank"))
+      .localCheckpoint(true)
+    val lists = probed.filter(col("crank") === 1)
+      .select(col("cid").as("mcid"), col("id").as("neighbor_id"),
+        col("v").as("mv"), col("nn").as("mn"))
+    val probes = probed.select(col("cid"), col("id"), col("v"), col("nn"))
+    val pairs = probes.join(lists,
+        col("cid") === col("mcid") && col("id") =!= col("neighbor_id"))
+      .select(col("id").as("vec_id"), col("neighbor_id"),
+        cosFromParts(VectorFunctions.dotProduct(col("v"), col("mv")),
+          col("nn"), col("mn")).as("cos_sim"))
+    topKWithin(pairs, k)
+  }
+
   /** #33 LSH-bucketed top-K: equi-join on SRP bucket, top-K within.
     * Norms ride the (tiny) bucket rows so in-bucket pairs compute one
     * dot each. The plan must contain NO cartesian/nested-loop join —

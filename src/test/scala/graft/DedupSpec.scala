@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 
 class DedupSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
@@ -148,6 +148,52 @@ class DedupSpec extends SparkSpec {
       all.filter(org.apache.spark.sql.functions.col("source") === "src0"),
       "doc_id", "text", 13).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("corpus curation gates, dedups, decontaminates, and accounts") {
+    val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val good2 = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3).trim
+    val bench = "benchmark holdout sequence example row"
+    val rows = Seq(
+      (1L, good, "web", "en"),
+      (2L, good, "web", "en"),                   // exact dup of 1 -> dedup drops
+      (3L, "too short", "web", "en"),            // quality gate drops
+      (4L, ("spam " * 30).trim, "web", "en"),    // repetition gate drops
+      (5L, good2 + " benchmark holdout sequence example", "web", "en"), // contaminated (34-char verbatim overlap >= 30)
+      (6L, good2, "books", "en"),                // survives in its own group
+      (99L, bench, "src0", "en"))                // the benchmark itself
+    val out = Curation.curate(rows.toDF("doc_id", "text", "source", "lang"),
+      "doc_id", "text", col("source") === "src0", Seq("source", "lang"))
+      .collect()
+    assert(out.length == 2, out.mkString("; "))
+    val web = out.find(_.getString(0) == "web").get
+    assert(web.getLong(2) == 1L && web.getLong(4) == 1L,
+      s"web group should keep only doc 1: $web")
+    val books = out.find(_.getString(0) == "books").get
+    assert(books.getLong(2) == 1L && books.getLong(4) == 6L)
+    assert(web.getLong(3) == math.ceil(good.length / 4.0).toLong)
+  }
+
+  test("ann ivf pairs carry exact cosines and probe only nprobe lists") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val ivf = Similarity.annIvf(e, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2)
+    val exact = Similarity.annBruteForce(e, "vec_id", "embedding", k = 50)
+    // every IVF similarity must equal the exact pairwise cosine —
+    // IVF may MISS pairs (approximate recall), never mis-score them
+    val mismatch = ivf.as("i").join(exact.as("x"),
+        col("i.vec_id") === col("x.vec_id") &&
+        col("i.neighbor_id") === col("x.neighbor_id"))
+      .filter(col("i.cos_sim") =!= col("x.cos_sim")).count()
+    assert(mismatch == 0, s"$mismatch IVF pairs disagree with exact cosine")
+    // ranks well-formed, no self-pairs, deterministic across runs
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val again = Similarity.annIvf(e, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
   test("ann lsh plan contains no cartesian or nested-loop join") {
