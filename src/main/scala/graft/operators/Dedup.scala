@@ -328,4 +328,36 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("n_near"), lit(0L)).as("n_near"), col("max_cos"))
   }
+
+  /** #31 at scale: the same per-vector near-dup stats computed over
+    * SRP-bucketed candidate pairs only — the join becomes an
+    * equi-join on the hyperplane bucket id (one hash shuffle AQE can
+    * size), so cost is sum of in-bucket pair counts, not N². Vectors
+    * whose near-dups land across a hyperplane are missed — recall,
+    * not precision, is traded (every reported cosine is exact);
+    * `planes` tunes bucket size vs recall exactly as in
+    * Similarity.annLsh.
+    */
+  def embeddingStatsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.4, planes: Int = 6,
+                        seed: Long = 42L): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.selfNorm(col(vecCol)).as("nn"),
+      VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        Similarity.cosFromParts(
+          VectorFunctions.dotProduct(col("a.v"), col("b.v")),
+          col("a.nn"), col("b.nn")).as("cos"))
+      .localCheckpoint(true) // mirrored below: avoid double evaluation
+    val both = pairs.select(col("ida").as("id"), col("cos"))
+      .unionByName(pairs.select(col("idb").as("id"), col("cos")))
+    val per = both.groupBy("id").agg(
+      sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"),
+      max(col("cos")).as("max_cos"))
+    e.select(col("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("max_cos"))
+  }
 }

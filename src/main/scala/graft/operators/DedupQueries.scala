@@ -133,6 +133,8 @@ object DedupQueries {
       Dedup.simhashStats(docs(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingStats(embs(s, d), "vec_id", "embedding")),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingStatsLsh(embs(s, d), "vec_id", "embedding")),
     // 0.8 is the conventional near-dup resolution threshold (weaker
     // similarity is analysis signal, not a drop decision); it also
     // keeps the cluster graph sparse on shared-vocabulary corpora
@@ -293,10 +295,14 @@ object DedupQueries {
     * dot is the same sequential fold. Dim count (64) matches the
     * embeddings tables; the engine reads the true array length.
     */
-  private val annLshSql: String = {
+  /** CTE chain reproducing VectorOps.srpBucket + per-vector norms:
+    * `e(vec_id, embedding, bucket, nn)`. Shared by the LSH ANN and
+    * LSH embedding-stats oracles.
+    */
+  private val srpBucketCtes: String = {
     val mixA = mulmod64("xor(z0, z0 >> 33)", 4283543511L, 3981806797L)
     val mixB = mulmod64("xor(z1, z1 >> 33)", 3301882366L, 444984403L)
-    s"""WITH params AS (
+    s"""params AS (
        |  SELECT CAST(p AS INT) AS p, CAST(i AS INT) AS i,
        |    CAST(42 + p * 4294967296 + i AS UBIGINT) AS z0
        |  FROM range(6) t1(p), range(64) t2(i)),
@@ -319,7 +325,11 @@ object DedupQueries {
        |  FROM acc GROUP BY vec_id),
        |e AS (
        |  SELECT em.vec_id, em.embedding, b.bucket, $selfNormSql AS nn
-       |  FROM embeddings em JOIN buck b ON b.vec_id = em.vec_id),
+       |  FROM embeddings em JOIN buck b ON b.vec_id = em.vec_id)""".stripMargin
+  }
+
+  private val annLshSql: String =
+    s"""WITH $srpBucketCtes,
        |c AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    $cosSql AS cos_sim
@@ -330,7 +340,20 @@ object DedupQueries {
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM c)
        |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
-  }
+
+  private val embeddingLshStatsSql: String =
+    s"""WITH $srpBucketCtes,
+       |c AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb, $cosSql AS cos
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |per AS (
+       |  SELECT id,
+       |    CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |    max(cos) AS max_cos
+       |  FROM (SELECT ida AS id, cos FROM c UNION ALL SELECT idb AS id, cos FROM c)
+       |  GROUP BY id)
+       |SELECT e.vec_id, COALESCE(per.n_near, 0) AS n_near, per.max_cos
+       |FROM e LEFT JOIN per ON per.id = e.vec_id""".stripMargin
 
   /** IVF oracle (Similarity.annIvf): same Knuth-hash centroid sample,
     * nearest-centroid assignment and nprobe probing with the
@@ -441,6 +464,7 @@ object DedupQueries {
     "dedup_clusters" -> clustersSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" -> embeddingStatsSql,
+    "dedup_embedding_lsh" -> embeddingLshStatsSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,

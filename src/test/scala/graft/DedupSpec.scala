@@ -196,6 +196,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("embedding lsh stats are a recall-only subset of brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val exact = Dedup.embeddingStats(e, "vec_id", "embedding")
+    val lsh = Dedup.embeddingStatsLsh(e, "vec_id", "embedding")
+    val j = exact.as("x").join(lsh.as("l"), Seq("vec_id")).select(
+      col("x.n_near").as("xn"), col("l.n_near").as("ln"),
+      col("x.max_cos").as("xm"), col("l.max_cos").as("lm"))
+    // bucketing can only MISS pairs: n_near never exceeds exact, and
+    // any reported max_cos is <= the true max (and exactly equal when
+    // the true best pair shares a bucket)
+    assert(j.filter(col("ln") > col("xn")).count() == 0)
+    assert(j.filter(col("lm").isNotNull && col("lm") > col("xm")).count() == 0)
+    assert(lsh.count() == exact.count(), "one stats row per vector")
+  }
+
   test("ann lsh plan contains no cartesian or nested-loop join") {
     val plan = Similarity.annLsh(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
