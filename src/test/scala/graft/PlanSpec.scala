@@ -85,6 +85,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rank filters trigger WindowGroupLimit pushdown (bounded per-key top-N)") {
+    // Catalyst's InferWindowGroupLimit turns `row_number <= k` into a
+    // bounded per-group limit BEFORE the full window sort — the
+    // difference between "top-5 per key" costing O(n log k) and
+    // materializing every group at 100 TB. Assert it fires for the
+    // per-key top-N family.
+    Seq("q5_window_topn", "ann_lsh_topk").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q window rank filter did not infer a group limit:\n${plan.take(2500)}")
+    }
+  }
+
   test("decontaminate pushes the source filter to the parquet scan") {
     val plan = formatted("dedup_decontaminate")
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*source[^\\]]*\\].*"),

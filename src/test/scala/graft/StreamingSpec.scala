@@ -61,6 +61,38 @@ class StreamingSpec extends SparkSpec {
       s"stream table ${got.length} rows vs batch ${want.length}")
   }
 
+  test("watermarked streaming dedup drops in-window duplicate keys") {
+    val dir = Files.createTempDirectory("graft_dedup_src").toString
+    import SparkSpec.spark.implicits._
+    // duplicate keys planted across two files, all inside the
+    // watermark delay; event_id differentiates copies
+    val f1 = Seq((1L, "2024-01-01 00:00:10", "a"), (2L, "2024-01-01 00:00:20", "b"),
+      (3L, "2024-01-01 00:00:30", "a")).toDF("event_id", "ts_s", "doc_key")
+    val f2 = Seq((4L, "2024-01-01 00:01:00", "b"), (5L, "2024-01-01 00:01:10", "c"))
+      .toDF("event_id", "ts_s", "doc_key")
+    Seq(f1, f2).zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$dir/stage$i"
+      df.select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("doc_key")).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(f, Paths.get(dir, f"dd$i%02d.parquet"))
+    }
+    val schema = spark.read.parquet(s"$dir/dd00.parquet").schema
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      schema, Map("maxFilesPerTrigger" -> "1"))
+    val q = StreamingIngest.appendSink(
+      StreamingIngest.dedupWithinWatermark(stream, "ts", "10 minutes",
+        Seq("doc_key")), out, ckpt)
+    q.awaitTermination(120000)
+    val keys = spark.read.parquet(out).select("doc_key")
+      .collect().map(_.getString(0)).sorted
+    assert(keys.sameElements(Array("a", "b", "c")),
+      s"expected one row per key, got ${keys.mkString(",")}")
+  }
+
   test("streaming windowed agg equals batch windowed agg") {
     val (dir, src) = stageEventFiles()
     val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
