@@ -113,6 +113,55 @@ object TextAnalysis {
       "est_bpe_tokens" -> ceil(length(text) / 4.0).cast("long"))
   }
 
+  /** Fixed-window document chunking with overlap (the RAG/context-
+    * window ingestion shape): each document explodes into
+    * `ceil(max(len - overlap, 1) / stride)` chunks of `size` chars
+    * starting every `stride = size - overlap` chars. One generate +
+    * projection per row — no shuffle, no UDFs; chunk boundaries are
+    * pure arithmetic so any engine reproduces them exactly.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    val n = greatest(
+      ceil((length(col(textCol)) - lit(overlap)).cast("double") / stride)
+        .cast("int"), lit(1))
+    df.select(col(idCol), col(textCol).as("_t"), n.as("_n"))
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0), col("_n") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride + 1).cast("long").as("chunk_start"),
+        col("_t").substr((col("chunk_id") * stride + 1).cast("int"), lit(size))
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  /** PII redaction patterns: (name, regex, replacement token). The
+    * regexes stay inside the RE2-compatible subset (char classes,
+    * bounded repeats, \b) so every engine executes them identically.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Scrub all PII patterns from a text column (sequential global
+    * replaces — one codegen'd projection, no shuffle).
+    */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, lit(pat), lit(repl))
+    }
+
+  /** Per-pattern match counts over the ORIGINAL text (independent of
+    * replacement order).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat, _) =>
+      s"n_$name" -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    }
+
   /** Polynomial rolling-hash fingerprint (mod a large prime) over
     * the byte codes: a deterministic 31-base Rabin-Karp hash via the
     * codegen'd PolyHash64 expression — the same value any engine

@@ -64,13 +64,37 @@ object TextQueries {
   def textVocabTopK(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(spark, dir), "text", k = 100)
 
+  /** RAG-shape chunking: 200-char windows, 50-char overlap. */
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
+      size = 200, overlap = 50)
+
+  /** PII redaction. The synthetic corpus carries no PII, so the query
+    * plants a deterministic email/phone/IP per document (derived from
+    * doc_id) and then scrubs it — the machinery under test is the
+    * scrubber, value-checked via counts and the redacted-text md5.
+    */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-867-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.1.2."), pmod(col("doc_id"), lit(255)).cast("string"))
+    val counts = TextAnalysis.piiCounts(planted)
+    docs(spark, dir).select(
+      col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+
+        md5(TextAnalysis.redact(planted)).as("redacted_md5"): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_vocab_topk" -> (textVocabTopK _))
+    "text_vocab_topk" -> (textVocabTopK _),
+    "text_chunk" -> (textChunk _),
+    "text_redact" -> (textRedact _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -142,5 +166,34 @@ object TextQueries {
         |WHERE length(word) > 0
         |GROUP BY word
         |ORDER BY n DESC, word ASC
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+    "text_chunk" ->
+      """SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(i * 150 + 1 AS BIGINT) AS chunk_start,
+        |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text,
+        |  CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+        |FROM documents,
+        |  UNNEST(range(0, greatest(CAST(ceil(CAST(length(text) - 50 AS DOUBLE) / 150) AS BIGINT), 1))) AS t(i)""".stripMargin,
+    "text_redact" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or 555-867-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.1.2.' || CAST(doc_id % 255 AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ipv4', '<IP>', 'g')) AS redacted_md5
+         |FROM p""".stripMargin
+    })
 }

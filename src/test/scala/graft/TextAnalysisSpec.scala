@@ -48,6 +48,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("chunking covers every char with the declared overlap") {
+    import SparkSpec.spark.implicits._
+    val text = ("abcdefghij" * 35).take(340) // 340 chars
+    val df = Seq((7L, text), (8L, "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", size = 200, overlap = 50)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 7: ceil((340-50)/150) = 2 chunks at 1..200 and 151..340
+    val d7 = out.filter(_.getLong(0) == 7L)
+    assert(d7.length == 2)
+    assert(d7(0).getLong(2) == 1L && d7(0).getLong(4) == 200L)
+    assert(d7(1).getLong(2) == 151L && d7(1).getLong(4) == 190L)
+    assert(d7(0).getString(3) == text.substring(0, 200))
+    assert(d7(1).getString(3) == text.substring(150, 340))
+    // overlap region appears in both chunks
+    assert(d7(0).getString(3).takeRight(50) == d7(1).getString(3).take(50))
+    // short doc still yields exactly one chunk
+    val d8 = out.filter(_.getLong(0) == 8L)
+    assert(d8.length == 1 && d8(0).getString(3) == "tiny")
+    // reconstruction: dropping each chunk's leading overlap (after the
+    // first) and concatenating rebuilds the document exactly
+    val rebuilt = d7.zipWithIndex.map { case (r, i) =>
+      if (i == 0) r.getString(3) else r.getString(3).drop(50) }.mkString
+    assert(rebuilt == text)
+  }
+
+  test("pii redaction scrubs emails, phones, and ip addresses") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(
+      (1L, "mail jane.doe+x@corp.example.org or 555-123-4567 via 192.168.0.1"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val counts = TextAnalysis.piiCounts(col("text"))
+    val out = df.select(
+      col("doc_id") +: TextAnalysis.redact(col("text")).as("r") +:
+        counts.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    val r1 = out(0).getString(1)
+    assert(r1 == "mail <EMAIL> or <PHONE> via <IP>", r1)
+    assert(out(0).getLong(2) == 1L && out(0).getLong(3) == 1L &&
+      out(0).getLong(4) == 1L)
+    assert(out(1).getString(1) == "no pii here at all")
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L &&
+      out(1).getLong(4) == 0L)
+  }
+
   test("vocab top-K is ordered, deterministic, and plans as TakeOrdered") {
     import SparkSpec.spark.implicits._
     val df = Seq("b a a", "a c b", "c a b").toDF("text")
