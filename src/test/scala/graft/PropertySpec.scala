@@ -1,0 +1,82 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Randomized invariants (fixed seed — reproducible) for the
+  * operators whose correctness is arithmetic, not data-dependent:
+  * randomized inputs catch the edge cases fixtures miss (empty
+  * overlap, size==overlap+1, single-word docs, all-duplicate
+  * corpora).
+  */
+class PropertySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def randDoc(r: Random): String =
+    Seq.fill(1 + r.nextInt(60))(
+      Iterator.fill(1 + r.nextInt(8))(('a' + r.nextInt(26)).toChar).mkString)
+      .mkString(" ")
+
+  test("chunking always reconstructs the document exactly") {
+    val r = new Random(42)
+    (1 to 25).foreach { _ =>
+      val size = 20 + r.nextInt(100)
+      val overlap = r.nextInt(size min 20)
+      val texts = Seq.fill(5)(randDoc(r))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunk(df, "doc_id", "text", size, overlap)
+        .collect().groupBy(_.getLong(0))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val cs = chunks(i.toLong).sortBy(_.getLong(1))
+        val rebuilt = cs.zipWithIndex.map { case (row, j) =>
+          if (j == 0) row.getString(3) else row.getString(3).drop(overlap)
+        }.mkString
+        assert(rebuilt == t, s"size=$size overlap=$overlap len=${t.length}")
+        cs.init.foreach(row => assert(row.getLong(4) == size.toLong,
+          s"non-final chunk must be full-size (size=$size overlap=$overlap)"))
+      }
+    }
+  }
+
+  test("exact dedup partitions ids: groups count every copy, keeper is min id") {
+    val r = new Random(7)
+    (1 to 10).foreach { _ =>
+      val texts = Seq.fill(30)(s"document variant number ${r.nextInt(6)}")
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.exact(df, "doc_id", "text").collect()
+      assert(out.map(_.getLong(2)).sum == texts.length)
+      assert(out.length == texts.distinct.length)
+      out.foreach { row =>
+        val keep = row.getLong(1)
+        val ids = texts.zipWithIndex.collect {
+          case (t, i) if t == texts(keep.toInt) => i.toLong }
+        assert(keep == ids.min, "keeper must be the min id of its text group")
+      }
+    }
+  }
+
+  test("redaction is idempotent and leaves no matchable pii behind") {
+    val r = new Random(13)
+    val piis = Seq("a.b@c.io", "555-123-4567", "10.0.0.1", "x@y.org more", "")
+    (1 to 10).foreach { _ =>
+      val t = s"${randDoc(r)} ${piis(r.nextInt(piis.length))}"
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val a = df.select(TextAnalysis.redact(col("text")).as("r"))
+        .collect()(0).getString(0)
+      val b = Seq((1L, a)).toDF("doc_id", "text")
+        .select(TextAnalysis.redact(col("text")).as("r"))
+        .collect()(0).getString(0)
+      assert(a == b, "redact must be a fixpoint after one pass")
+      val counts = Seq((1L, a)).toDF("doc_id", "text")
+        .select(TextAnalysis.piiCounts(col("text")).map(_._2): _*)
+        .collect()(0)
+      (0 until 3).foreach(i => assert(counts.getLong(i) == 0L,
+        s"pattern $i still matches after redaction of: $t"))
+    }
+  }
+}
