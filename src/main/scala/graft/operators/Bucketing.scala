@@ -26,7 +26,8 @@ object Bucketing {
     val dir = java.nio.file.Paths.get(loc)
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq.reverse)
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
     df.write.mode("overwrite")

@@ -59,19 +59,31 @@ object CoreQueries {
     * broadcast when the runtime size is under the threshold and falls
     * back to shuffle join at scale. orders⨝lineitem shuffles on the
     * join key (at 100 TB this is the bucketed-join candidate).
+    *
+    * Lineitem is PRE-AGGREGATED per orderkey below the join —
+    * aggregation pushdown Catalyst doesn't do on its own. Decimal
+    * money sums are exact and associative, so regrouping cannot
+    * change the answer (the DuckDB oracle proves it); the join then
+    * carries one row per order instead of ~4 lineitems, the
+    * orderkey hash partitioning from the groupBy is reused by the
+    * join exchange, and n_orders becomes a plain count — the 3x
+    * countDistinct expand disappears.
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val o = t(spark, dir, "orders")
-    val li = t(spark, dir, "lineitem")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val liAgg = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .as("order_rev"))
+    liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        // one pre-agg row per order -> count == count distinct
+        count(col("o_orderkey")).as("n_orders"),
+        sum(col("order_rev")).cast("double").as("revenue"))
   }
 
   /** #4 Broadcast dimension join chain (no shuffle for the dims). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a training-data
@@ -43,18 +44,26 @@ object Curation {
     val qm = TextAnalysis.qualityMetrics(col(textCol), stopwords).toMap
     val rm = TextAnalysis.repetitionMetrics(col(textCol)).toMap
     val est = TextAnalysis.tokenMetrics(col(textCol)).toMap.apply("est_bpe_tokens")
-    val gated = corpus
+    // exact-dedup keep-min-id via ONE window pass (a groupBy+self-join
+    // would evaluate the gate projection — including the per-doc
+    // O(words²) top-word scan — twice); the survivors are materialized
+    // once and feed both decontamination shingling and the final join
+    val kept = corpus
       .filter(qm("n_words") >= minWords &&
         qm("avg_word_len") < maxAvgWordLen &&
         rm("distinct_word_ratio") > minDistinctRatio &&
         rm("top_word_fraction") < maxTopWordFraction)
       .withColumn("_est", est)
       .withColumn("_h", md5(col(textCol)))
-    // exact-dedup among the gated survivors: keep the min id per hash
-    val keep = gated.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
-    val kept = gated.join(keep, Seq("_h", idCol))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_h")).orderBy(col(idCol).asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(true)
+    // decontaminate only the kept survivors — dropping a doc the gates
+    // or dedup already removed is a no-op, so shingling the full
+    // corpus would be wasted text passes
     val contaminated = Dedup
-      .decontaminate(corpus, bench, idCol, textCol, contamN)
+      .decontaminate(kept, bench, idCol, textCol, contamN)
       .filter(col("contaminated")).select(col(idCol))
     val clean = kept.join(contaminated, Seq(idCol), "left_anti")
     clean.groupBy(groupCols.map(col): _*)

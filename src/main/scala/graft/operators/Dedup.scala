@@ -148,8 +148,10 @@ object Dedup {
     */
   def minhashLshStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numPerm: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.1): DataFrame = {
-    val (docsH, cand) = minhashCandidates(df, idCol, textCol, n, numPerm, bands)
+                      threshold: Double = 0.1,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (docsH, cand) =
+      minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket)
     jaccardPairStats(df, idCol, docsH, cand, threshold)
   }
 
@@ -183,8 +185,10 @@ object Dedup {
     */
   def dedupResolve(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, numPerm: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.1): DataFrame = {
-    val (docsH, cand) = minhashCandidates(df, idCol, textCol, n, numPerm, bands)
+                   threshold: Double = 0.1,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (docsH, cand) =
+      minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket)
     val near = pairJaccard(docsH, cand).filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"))
     resolveClusters(df.select(col(idCol).as("id")), near)

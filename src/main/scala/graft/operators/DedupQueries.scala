@@ -366,7 +366,7 @@ object DedupQueries {
        |  FROM embeddings),
        |cent AS (
        |  SELECT id AS cid, embedding, nn FROM e
-       |  ORDER BY (id * 2654435761) % 4294967296 ASC, id ASC
+       |  ORDER BY ((id % 2147483647) * 48271) % 2147483647 ASC, id ASC
        |  LIMIT 64),
        |rr AS (
        |  SELECT a.id, a.embedding, a.nn, b.cid,

@@ -125,6 +125,13 @@ object Similarity {
   /** Cosine from a pair dot and per-vector norms — the column-side
     * twin of the kernel above (and of VectorOps.cosine's zero-norm
     * contract).
+    *
+    * CONTRACT: vectors must share one fixed dimension (the embeddings
+    * schema guarantees it). The dot runs over the shared prefix while
+    * each norm covers its full vector, so a truncated/corrupt row
+    * would yield a deflated cosine here but a prefix cosine from
+    * VectorOps.cosine — equal-length input is what makes the two
+    * formulations (and the DuckDB oracles) bit-identical.
     */
   private[operators] def cosFromParts(dot: Column, na: Column, nb: Column): Column =
     when(na === 0.0 || nb === 0.0, lit(0.0))
@@ -141,7 +148,7 @@ object Similarity {
     * at 100 TB the inverted lists are plain hash partitions, no
     * all-pairs step anywhere. Recall tunes via nprobe/nlist.
     *
-    * Centroids come from a reproducible Knuth-hash sample rather than
+    * Centroids come from a reproducible Lehmer-hash sample rather than
     * k-means: Lloyd refinement averages floats in partition order,
     * which is not reproducible across engines/runs (so not
     * oracle-able); at scale you would refine on a driver-side sample
@@ -156,9 +163,13 @@ object Similarity {
              k: Int = 5, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"))
+    // Lehmer-style modular hash picks the sample: (id mod p) * a mod p
+    // with p = 2^31-1 never exceeds ~1.04e14, so it cannot overflow
+    // int64 for ANY id (a raw Knuth multiply would — an
+    // ArithmeticException under ANSI mode at snowflake-scale ids)
     val cent = e
-      .orderBy(pmod(col("id") * lit(2654435761L), lit(4294967296L)).asc,
-        col("id").asc)
+      .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
+        lit(2147483647L)).asc, col("id").asc)
       .limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nn").as("cn"))
     val probed = e.crossJoin(broadcast(cent))

@@ -59,10 +59,11 @@ object MergeTable {
     if (!Files.exists(dir)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
-        .toSeq.sorted
+      scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+          .toSeq.sorted)
     }
   }
 
@@ -80,7 +81,8 @@ object MergeTable {
     import scala.jdk.CollectionConverters._
     drop.foreach { v =>
       val dir = java.nio.file.Paths.get(path, s"v=$v")
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq.reverse)
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
     drop
@@ -275,17 +277,22 @@ object MergeTable {
     // has no deleteMissing), so every affected partition appears in
     // v=next.
     import scala.jdk.CollectionConverters._
-    val writtenDirs = java.nio.file.Files.list(
-        java.nio.file.Paths.get(path, s"v=$next"))
-      .iterator().asScala.map(_.getFileName.toString)
+    // Files.list streams hold a directory handle until closed — a
+    // long-lived driver running many pruned merges would otherwise
+    // leak one per call (eventual 'too many open files')
+    def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.iterator().asScala.toSeq)
+    val writtenDirs = listDir(java.nio.file.Paths.get(path, s"v=$next"))
+      .map(_.getFileName.toString)
       .filter(_.startsWith(s"$partitionCol=")).toSet
     val prevDir = java.nio.file.Paths.get(path, s"v=$prevVersion")
-    java.nio.file.Files.list(prevDir).forEach { p =>
+    listDir(prevDir).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith(s"$partitionCol=") && !writtenDirs.contains(name)) {
         val dest = java.nio.file.Paths.get(path, s"v=$next", name)
         java.nio.file.Files.createDirectories(dest)
-        java.nio.file.Files.list(p).forEach { f =>
+        listDir(p).foreach { f =>
           java.nio.file.Files.copy(f, dest.resolve(f.getFileName.toString),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }

@@ -58,8 +58,12 @@ object StreamingIngest {
     */
   def readStreamInferred(spark: SparkSession, format: String, path: String,
                          options: Map[String, String] = Map.empty): DataFrame = {
-    val schema = spark.read.format(format)
-      .option("recursiveFileLookup", "true").load(path).limit(0).schema
+    // The inference read MUST see the same files the stream will read
+    // (same options, e.g. csv header/delimiter, and no extra
+    // recursiveFileLookup the stream doesn't use) or the inferred
+    // schema describes a different dataset than the one ingested.
+    val schema = spark.read.format(format).options(options)
+      .load(path).limit(0).schema
     val df = readStream(spark, format, path, schema, options)
     df.select(df.columns.map(c => col(s"`$c`").alias(c.replace("/", "_")))
       .toIndexedSeq: _*)
@@ -197,16 +201,13 @@ object StreamingIngest {
 
   /** Streaming tumbling-window aggregation with watermark (#24) —
     * the same shape as Events.windowedAgg so batch and stream
-    * results are comparable.
+    * results are comparable. A tumbling window IS a sliding window
+    * whose slide equals its length; delegating keeps the two
+    * aggregation bodies from drifting apart.
     */
   def windowedAgg(df: DataFrame, eventTimeCol: String, delay: String,
                   windowLen: String): DataFrame =
-    df.withWatermark(eventTimeCol, delay)
-      .groupBy(window(col(eventTimeCol), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
-        col("event_type"), col("n_events"), col("total_value"))
+    slidingAgg(df, eventTimeCol, delay, windowLen, windowLen)
 
   /** Streaming sliding-window aggregation with watermark — the same
     * shape as Events.slidingAgg. Spark expands each row into its

@@ -150,6 +150,23 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("maxBucket cap drops flood buckets from candidate generation only") {
+    val flood = (1 to 20).map(i => (i.toLong, "identical template page body " * 3))
+    val base = "one two three four five six seven eight nine ten " * 2
+    val near = Seq((100L, base), (101L, base + "x"))
+    val df = (flood ++ near).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshStats(df, "doc_id", "text", maxBucket = 10)
+      .collect()
+    // the 20-copy flood shares every band bucket (size 20 > cap) ->
+    // no candidates generated for it; the small near-dup pair's
+    // buckets (size 2) are untouched
+    assert(capped.filter(_.getLong(0) <= 20L).map(_.getLong(1)).sum == 0L)
+    assert(capped.filter(_.getLong(0) >= 100L).forall(_.getLong(1) >= 1L))
+    // default (no cap) still pairs the whole flood
+    val full = Dedup.minhashLshStats(df, "doc_id", "text").collect()
+    assert(full.filter(_.getLong(0) <= 20L).forall(_.getLong(1) == 19L))
+  }
+
   test("corpus curation gates, dedups, decontaminates, and accounts") {
     val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
     val good2 = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3).trim
