@@ -197,6 +197,42 @@ object CoreQueries {
     topK.withColumn("rank", row_number().over(w))
   }
 
+  /** #11c Exact per-group percentiles by rank selection: the value at
+    * 1-based rank ceil(q*n) of the sorted group — SQL-standard
+    * percentile_disc, hand-rolled identically in both engines.
+    * (Built-in continuous percentiles interpolate with
+    * engine-specific float op order and are not bit-comparable;
+    * discrete selection returns an actual data value, which is.)
+    * One window sort per measure column; at 100 TB each is a single
+    * per-group sort, the same cost class as any ranked analytic.
+    * `approx_percentile` is the q6-style sketch companion when an
+    * error bound is acceptable.
+    */
+  def q11Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+      col("l_orderkey"), col("l_linenumber"))
+    def pcts(sortCol: String, out: Seq[(String, Double)]): DataFrame = {
+      val ranked = li
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col(sortCol).asc, col("l_orderkey").asc,
+              col("l_linenumber").asc)))
+      val aggs = out.map { case (as, q) =>
+        max(when(col("rn") === ceil(col("n") * q), col(sortCol))).as(as) }
+      ranked
+        .filter(out.map { case (_, q) => col("rn") === ceil(col("n") * q) }
+          .reduce(_ || _))
+        .groupBy(col("l_returnflag"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    pcts("l_quantity", Seq("median_qty" -> 0.5, "p95_qty" -> 0.95))
+      .join(pcts("l_extendedprice",
+        Seq("median_price" -> 0.5, "p95_price" -> 0.95)), Seq("l_returnflag"))
+  }
+
   /** queries-map fragment for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -209,7 +245,8 @@ object CoreQueries {
     "q7_semi_anti" -> (q7SemiAnti _),
     "q8_conditional_agg" -> (q8ConditionalAgg _),
     "q9_rollup" -> (q9Rollup _),
-    "q10_topk_orders" -> (q10TopKOrders _))
+    "q10_topk_orders" -> (q10TopKOrders _),
+    "q11_percentiles" -> (q11Percentiles _))
 
   /** DuckDB-parity oracle SQL (same aliases, same decimal math). */
   val oracleSql: Map[String, String] = Map(
@@ -282,5 +319,25 @@ object CoreQueries {
       """SELECT * FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
         |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
-        |  FROM orders) WHERE rank <= 20""".stripMargin)
+        |  FROM orders) WHERE rank <= 20""".stripMargin,
+    "q11_percentiles" -> {
+      def pcts(c: String, med: String, p95: String) =
+        s"""SELECT l_returnflag,
+           |    MAX(CASE WHEN rn = CEIL(n * 0.5) THEN $c END) AS $med,
+           |    MAX(CASE WHEN rn = CEIL(n * 0.95) THEN $c END) AS $p95
+           |  FROM (
+           |    SELECT l_returnflag, $c,
+           |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+           |        ORDER BY $c ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+           |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           |    FROM lineitem)
+           |  WHERE rn = CEIL(n * 0.5) OR rn = CEIL(n * 0.95)
+           |  GROUP BY l_returnflag""".stripMargin
+      s"""WITH qa AS (
+         |  ${pcts("l_quantity", "median_qty", "p95_qty")}),
+         |pa AS (
+         |  ${pcts("l_extendedprice", "median_price", "p95_price")})
+         |SELECT qa.l_returnflag, median_qty, p95_qty, median_price, p95_price
+         |FROM qa JOIN pa ON pa.l_returnflag = qa.l_returnflag""".stripMargin
+    })
 }

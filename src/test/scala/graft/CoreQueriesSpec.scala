@@ -47,6 +47,23 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q11 rank-selection percentiles match a hand computation") {
+    val got = SparkEntry.queries("q11_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val byFlag = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byFlag.foreach { case (flag, vs) =>
+      val (med, p95) = got(flag)
+      assert(med == vs(math.ceil(vs.length * 0.5).toInt - 1),
+        s"median for $flag")
+      assert(p95 == vs(math.ceil(vs.length * 0.95).toInt - 1),
+        s"p95 for $flag")
+    }
+  }
+
   test("q7 semi+anti counts partition the customer set") {
     val c = Tables.load(spark, sf, "customer").count()
     val df = SparkEntry.queries("q7_semi_anti")(spark, sf)
