@@ -69,5 +69,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (args.length > 2) longArg(args(2), "minhash_sig", 3) else 42L
         MinHashSignature(args(0), perm, seed)
       }))
+    e.injectFunction((FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(text[, mult[, mod]]) - rolling polynomial hash"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 3, "poly_hash(text[, mult[, mod]])")
+        val mult = if (args.length > 1) longArg(args(1), "poly_hash", 2) else 31L
+        val mod = if (args.length > 2) longArg(args(2), "poly_hash", 3) else 1000000007L
+        PolyHash64(args(0), mult, mod)
+      }))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double dot of two float arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b)")
+        DotProduct(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("self_norm"),
+      info("self_norm", "self_norm(v) - sum of squares of a float array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "self_norm(v)")
+        SelfNorm(args(0))
+      }))
   }
 }

@@ -32,6 +32,18 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT srp_bucket(embedding, 6) AS b FROM ext_embs LIMIT 10")
       .collect().map(_.getInt(0))
     assert(bucket.forall(b => b >= 0 && b < 64))
+
+    val ph = spark.sql(
+      "SELECT poly_hash(text) AS h FROM ext_docs LIMIT 3")
+      .collect().map(_.getLong(0))
+    assert(ph.forall(h => h >= 0 && h < 1000000007L))
+
+    // dot(v, v) == self_norm(v) by definition
+    val dn = spark.sql(
+      """SELECT dot_product(embedding, embedding) AS d,
+        |  self_norm(embedding) AS n FROM ext_embs LIMIT 5""".stripMargin)
+      .collect()
+    assert(dn.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
   test("non-literal parameters are rejected with a clear error") {
