@@ -33,13 +33,41 @@ object EventQueries {
       Seq("event_id", "event_type", "value"), "event_id")
   }
 
+  /** Semi-structured extraction: the `props` JSON payload column is
+    * parsed inline (`get_json_object` stays codegen'd — no UDF, no
+    * shuffle) and aggregated; null-safe for rows whose JSON lacks
+    * the key. The engine-side counterpart of the reference's
+    * pyspark_function per-column transforms for JSON columns.
+    */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
     "events_sessionize" -> (eventsSessionize _),
+    "events_json_extract" -> (eventsJsonExtract _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_json_extract" ->
+      """SELECT event_type,
+        |  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY event_type""".stripMargin,
     "events_windowed_agg" ->
       """SELECT
         |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
