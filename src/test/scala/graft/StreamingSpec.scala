@@ -250,6 +250,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want), s"${got.length} vs ${want.length} joined pairs")
   }
 
+  test("streaming medallion: bronze append then silver merge, chained") {
+    // the reference's main operating mode end-to-end: files stream
+    // into a bronze landing (append, availableNow), bronze streams
+    // into a silver SCD1 merge — each layer checkpointed and
+    // restartable independently
+    val (dir, src) = stageEventFiles()
+    val bronze = Files.createTempDirectory("graft_med_bronze").toString
+    val silver = Files.createTempDirectory("graft_med_silver").toString
+    val ck1 = Files.createTempDirectory("graft_med_ck1").toString
+    val ck2 = Files.createTempDirectory("graft_med_ck2").toString
+
+    val toBronze = StreamingIngest.readStream(spark, "parquet",
+      s"$dir/*.parquet", src.schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    StreamingIngest.appendSink(toBronze, bronze, ck1).awaitTermination(120000)
+
+    val toSilver = StreamingIngest.readStream(spark, "parquet",
+      s"$bronze/*.parquet", src.schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    StreamingIngest.mergeSink(toSilver, silver, ck2,
+      keys = Seq("user_id"), orderBy = "ts", compareExclude = Nil)
+      .awaitTermination(120000)
+
+    val got = MergeTable.read(spark, silver)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = Cdc.latestPerKey(src, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc, col("event_type").desc,
+        col("value").desc))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      s"silver ${got.length} rows vs batch ${want.length}")
+  }
+
   test("out-of-order batch cannot regress the merge table") {
     import SparkSpec.spark.implicits._
     val table = Files.createTempDirectory("graft_ooo").toString
