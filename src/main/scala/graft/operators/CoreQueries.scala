@@ -197,36 +197,36 @@ object CoreQueries {
     topK.withColumn("rank", row_number().over(w))
   }
 
-  /** #11c Exact per-group percentiles by rank selection: the value at
-    * 1-based rank ceil(q*n) of the sorted group — SQL-standard
-    * percentile_disc, hand-rolled identically in both engines.
+  /** #11c Exact per-group percentiles: the value at 1-based rank
+    * ceil(q*n) of the sorted group — SQL-standard percentile_disc.
     * (Built-in continuous percentiles interpolate with
     * engine-specific float op order and are not bit-comparable;
     * discrete selection returns an actual data value, which is.)
-    * One window sort per measure column; at 100 TB each is a single
-    * per-group sort, the same cost class as any ranked analytic.
-    * `approx_percentile` is the q6-style sketch companion when an
-    * error bound is acceptable.
+    *
+    * Computed over per-VALUE counts, not per-row ranks: groupBy
+    * (group, value) first (partial agg, one shuffle of the distinct
+    * values), then a running count over the distinct-value frame
+    * picks the smallest value whose cumulative count reaches the
+    * rank — identical values by definition. The low-cardinality
+    * group key means a per-ROW rank window would sort the whole
+    * table on |groups| tasks; the distinct-value frame is orders of
+    * magnitude smaller at any scale. `approx_percentile` is the
+    * q6-style sketch companion when an error bound is acceptable.
     */
   def q11Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(
-      col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-      col("l_orderkey"), col("l_linenumber"))
+    val li = t(spark, dir, "lineitem")
     def pcts(sortCol: String, out: Seq[(String, Double)]): DataFrame = {
-      val ranked = li
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("l_returnflag"))))
-        .withColumn("rn", row_number().over(
+      val counts = li.groupBy(col("l_returnflag"), col(sortCol))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = counts
+        .withColumn("cum", sum(col("cnt")).over(
           Window.partitionBy(col("l_returnflag"))
-            .orderBy(col(sortCol).asc, col("l_orderkey").asc,
-              col("l_linenumber").asc)))
+            .orderBy(col(sortCol).asc)))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag"))))
       val aggs = out.map { case (as, q) =>
-        max(when(col("rn") === ceil(col("n") * q), col(sortCol))).as(as) }
-      ranked
-        .filter(out.map { case (_, q) => col("rn") === ceil(col("n") * q) }
-          .reduce(_ || _))
-        .groupBy(col("l_returnflag"))
-        .agg(aggs.head, aggs.tail: _*)
+        min(when(col("cum") >= ceil(col("n") * q), col(sortCol))).as(as) }
+      cum.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
     }
     pcts("l_quantity", Seq("median_qty" -> 0.5, "p95_qty" -> 0.95))
       .join(pcts("l_extendedprice",
