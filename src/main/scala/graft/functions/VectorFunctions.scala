@@ -63,6 +63,65 @@ object VectorOps {
     s
   }
 
+  /** Dot of an ArrayData vector against a plain float[] (the
+    * broadcast-centroid side of `nearestCentroids`). Same element
+    * order and double accumulation as `dot`, so the cosines built
+    * from it are bit-identical to the DotProduct column formulation.
+    */
+  def dotVA(a: ArrayData, b: Array[Float]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      d += a.getFloat(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    d
+  }
+
+  /** Top-`nprobe` centroid ids for a vector, nearest-first — the IVF
+    * coarse-quantizer assignment as ONE codegen'd pass over the
+    * (small, plan-embedded) centroid arrays. Replaces the
+    * crossJoin(N×nlist) + row_number window formulation: the 64×
+    * intermediate never exists, each row emits its nprobe list ids
+    * directly. Ordering matches `ORDER BY cos DESC, cid ASC`
+    * bit-for-bit: cosine = dotVA/(sqrt(na)*sqrt(nb)) with the same
+    * sequential folds, ties broken by ascending centroid id via the
+    * bounded insertion sort (the `annBruteForce` kernel shape).
+    */
+  def nearestCentroids(v: ArrayData, centIds: Array[Long],
+                       centVecs: Array[Array[Float]],
+                       centNorms: Array[Double], nprobe: Int): ArrayData = {
+    val na = selfNorm(v)
+    val topIds = new Array[Long](nprobe)
+    val topCos = new Array[Double](nprobe)
+    var filled = 0
+    var c = 0
+    while (c < centIds.length) {
+      val cid = centIds(c)
+      val nb = centNorms(c)
+      val cos =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dotVA(v, centVecs(c)) / (math.sqrt(na) * math.sqrt(nb))
+      var pos = filled
+      while (pos > 0 && (topCos(pos - 1) < cos ||
+        (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
+      if (pos < nprobe) {
+        val last = math.min(filled, nprobe - 1)
+        var m = last
+        while (m > pos) {
+          topIds(m) = topIds(m - 1); topCos(m) = topCos(m - 1); m -= 1
+        }
+        topIds(pos) = cid; topCos(pos) = cos
+        if (filled < nprobe) filled += 1
+      }
+      c += 1
+    }
+    val out = new Array[Long](filled)
+    System.arraycopy(topIds, 0, out, 0, filled)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Signed-random-projection bucket id: `planes` Rademacher (+/-1)
     * hyperplanes with weights derived from a splitmix64-style mix of
     * (seed, plane, dim) — deterministic on every executor, no
@@ -135,6 +194,40 @@ case class SrpBucket(child: Expression, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `nearest_centroids(v)`: top-`nprobe` centroid ids for an
+  * `array<float>` vector, nearest-first by (cosine desc, cid asc).
+  * The centroid arrays ride the expression itself (a reference
+  * object in the generated class — the coarse quantizer is bounded
+  * at `nlist` rows by construction, so plan-embedding it is the
+  * broadcast), which turns IVF list assignment into a single
+  * codegen'd projection instead of a crossJoin + window.
+  */
+case class NearestCentroids(child: Expression, centIds: Array[Long],
+                            centVecs: Array[Array[Float]],
+                            centNorms: Array[Double], nprobe: Int)
+    extends UnaryExpression {
+  require(nprobe > 0, "nprobe must be positive")
+  require(centIds.length == centVecs.length && centIds.length == centNorms.length,
+    "centroid arrays must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCentroids(v.asInstanceOf[ArrayData], centIds, centVecs,
+      centNorms, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("centVecs", centVecs, "float[][]")
+    val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorOps.nearestCentroids($v, $ids, $vecs, $norms, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** `dot_product(a, b)`: codegen'd double dot product over
   * `array<float>` columns — pair with precomputed `self_norm` columns
   * so N² similarity loops do one accumulation stream, not three.
@@ -189,4 +282,11 @@ object VectorFunctions {
   def srpBucket(v: Column, planes: Int = 6, seed: Long = 42L): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       SrpBucket(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v), planes, seed))
+
+  def nearestCentroids(v: Column, centIds: Array[Long],
+                       centVecs: Array[Array[Float]],
+                       centNorms: Array[Double], nprobe: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      NearestCentroids(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        centIds, centVecs, centNorms, nprobe))
 }

@@ -102,18 +102,32 @@ object Dedup {
     * in one LSH bucket → 5·10^11 pairs from a single key. Buckets
     * beyond the cap carry no discriminative signal (exact-dedup
     * catches identical floods far cheaper) and are dropped from
-    * CANDIDATE GENERATION only. Default = no cap, so small-corpus
-    * results (and their oracles) are unchanged.
+    * CANDIDATE GENERATION only. The default is a FINITE 10k (≤ ~50M
+    * pairs from one key — survivable) precisely because the dangerous
+    * corpus is the one nobody anticipated; oracle callers that need
+    * bit-parity with an uncapped SQL oracle pass `Int.MaxValue`
+    * explicitly.
+    *
+    * `minHits` pre-filters pairs that collide in fewer than that many
+    * buckets (for banded MinHash: matching-band count). A pair at
+    * Jaccard s matches a band with prob s^r, so at a high resolution
+    * threshold the expected matching-band count b·s^r is far above 1
+    * and single-band collisions are almost surely below-threshold
+    * noise — dropping them before the exact-Jaccard verify join cuts
+    * its input without touching verified semantics. Default 1 = off.
     */
   private def bucketPairs(rows: DataFrame, bucketCols: Seq[String],
-                          maxBucket: Int = Int.MaxValue): DataFrame =
+                          maxBucket: Int = 10000,
+                          minHits: Int = 1): DataFrame =
     rows.groupBy(bucketCols.map(col): _*)
       .agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(col("ids")).as("ida"), col("ids"))
       .select(col("ida"), explode(col("ids")).as("idb"))
       .filter(col("ida") < col("idb"))
-      .distinct()
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("ida"), col("idb"))
 
   /** #28 N-gram Jaccard near-dup. Candidates = pairs sharing at least
     * one RARE shingle (document frequency <= maxDf): frequent
@@ -149,18 +163,19 @@ object Dedup {
   def minhashLshStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.1,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
+                      maxBucket: Int = 10000): DataFrame = {
     val (docsH, cand) =
       minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket)
     jaccardPairStats(df, idCol, docsH, cand, threshold)
   }
 
   /** MinHash band buckets -> (per-doc hash arrays, candidate pairs).
-    * `maxBucket` caps degenerate bucket sizes (see bucketPairs).
+    * `maxBucket` caps degenerate bucket sizes and `minBands` drops
+    * pairs colliding in fewer bands (see bucketPairs).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, numPerm: Int = 64, bands: Int = 16,
-                        maxBucket: Int = Int.MaxValue)
+                        maxBucket: Int = 10000, minBands: Int = 1)
       : (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
@@ -176,19 +191,27 @@ object Dedup {
       .select(col("id"), sig.as("_sig"))
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    (docsH, bucketPairs(bandRows, Seq("band", "bhash"), maxBucket))
+    (docsH, bucketPairs(bandRows, Seq("band", "bhash"), maxBucket, minBands))
   }
 
   /** End-to-end near-dup resolution: MinHash-LSH candidates, verified
     * at `threshold`, clustered, one canonical survivor per cluster.
     * Output: (id, canonical, is_dup) for every document.
+    *
+    * `minBands` is the matching-band pre-filter (see bucketPairs): at
+    * a resolution threshold like 0.8 with r = numPerm/bands = 4 rows
+    * per band, a true pair matches each band with prob 0.8^4 ≈ 0.41
+    * (expected ~6.5 of 16 bands), so requiring ≥2 matching bands
+    * drops ~99% of single-collision noise pairs from the exact-verify
+    * join while missing a true threshold pair with prob < 0.3%.
     */
   def dedupResolve(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.1,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = 10000, minBands: Int = 1): DataFrame = {
     val (docsH, cand) =
-      minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket)
+      minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket,
+        minBands)
     val near = pairJaccard(docsH, cand).filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"))
     resolveClusters(df.select(col(idCol).as("id")), near)
@@ -203,8 +226,12 @@ object Dedup {
     */
   def simhashStats(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
+    // materialize once: `chunks` self-joins below and `hashed` is read
+    // again for the final left join — without the checkpoint the scan
+    // and the SimHash64 kernel would evaluate three times
     val hashed = df.select(col(idCol).as("id"),
       HashFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
+      .localCheckpoint(true)
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * 16)
@@ -315,8 +342,11 @@ object Dedup {
     // norms precomputed per vector: the N² pair loop runs one dot
     // accumulation instead of three (bit-identical doubles — same
     // elements, same order per sum)
+    // materialize once: `e` feeds both sides of the self-join plus the
+    // final left join — three scans of the fact table otherwise
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"))
+      .localCheckpoint(true)
     val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         Similarity.cosFromParts(
@@ -345,9 +375,12 @@ object Dedup {
   def embeddingStatsLsh(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.4, planes: Int = 6,
                         seed: Long = 42L): DataFrame = {
+    // materialize once: `e` feeds both sides of the self-join plus the
+    // final left join (see embeddingStats)
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
       VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
+      .localCheckpoint(true)
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),

@@ -66,7 +66,7 @@ object DedupQueries {
     * MinHash mins compare as SIGNED longs (Java `<`), hence the
     * unsigned->signed reinterpretation before `min`.
     */
-  private val minhashCtes: String = {
+  private def minhashCtes(minBands: Int = 1): String = {
     val fnv = fnvSql("shingle")
     val mix1a = mulmod64("xor(f, f >> 30)", 3210233709L, 484763065L)
     val mix1b = mulmod64("xor(z, z >> 27)", 2496678331L, 321982955L)
@@ -106,9 +106,11 @@ object DedupQueries {
        |  SELECT doc_id, CAST(p // 4 AS INT) AS band, list(sigp ORDER BY p) AS bkey
        |  FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb
        |  FROM bandkeys a JOIN bandkeys b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= $minBands),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shash GROUP BY doc_id),
        |shared AS (
        |  SELECT c.ida, c.idb, COUNT(*) AS sh
@@ -127,8 +129,12 @@ object DedupQueries {
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardStats(docs(s, d), "doc_id", "text")),
+    // maxBucket = uncapped, explicitly: the SQL oracles have no bucket
+    // cap, so the oracle callers opt out of the operator's finite
+    // flood-guard default to stay bit-comparable at any SF
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshStats(docs(s, d), "doc_id", "text")),
+      Dedup.minhashLshStats(docs(s, d), "doc_id", "text",
+        maxBucket = Int.MaxValue)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashStats(docs(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
@@ -137,9 +143,13 @@ object DedupQueries {
       Dedup.embeddingStatsLsh(embs(s, d), "vec_id", "embedding")),
     // 0.8 is the conventional near-dup resolution threshold (weaker
     // similarity is analysis signal, not a drop decision); it also
-    // keeps the cluster graph sparse on shared-vocabulary corpora
+    // keeps the cluster graph sparse on shared-vocabulary corpora.
+    // minBands = 2: at threshold 0.8 a true pair matches ~6.5 of the
+    // 16 bands in expectation, so single-band collisions are noise —
+    // the oracle's cand CTE applies the same HAVING COUNT(*) >= 2
     "dedup_clusters" -> ((s, d) =>
-      Dedup.dedupResolve(docs(s, d), "doc_id", "text", threshold = 0.8)),
+      Dedup.dedupResolve(docs(s, d), "doc_id", "text", threshold = 0.8,
+        maxBucket = Int.MaxValue, minBands = 2)),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
@@ -163,7 +173,7 @@ object DedupQueries {
     }))
 
   private val minhashStatsSql: String =
-    s"""WITH $minhashCtes,
+    s"""WITH ${minhashCtes()},
        |jac AS (
        |  SELECT c.ida, c.idb,
        |    CAST(COALESCE(s.sh, 0) AS DOUBLE) /
@@ -190,7 +200,7 @@ object DedupQueries {
     * Dedup.resolveClusters's label propagation converges to.
     */
   private val clustersSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE ${minhashCtes(minBands = 2)},
        |near AS (
        |  SELECT c.ida, c.idb
        |  FROM cand c

@@ -43,15 +43,30 @@ object Similarity {
     * each sum covers the same elements in the same order. Exact same
     * results as the join+window formulation (asserted in DedupSpec);
     * beyond broadcastable corpus sizes, annLsh is the path.
+    *
+    * `maxCorpusRows` bounds the driver collect: the corpus is fetched
+    * through a `limit(cap + 1)` (no extra counting scan — at or under
+    * the cap the limited collect IS the full corpus) and the call
+    * fails fast when the cap is exceeded, instead of OOMing the
+    * driver mid-collect. The default (1M × ~0.5 KB/vector ≈ 0.5 GB)
+    * is the edge of comfortable broadcast territory.
     */
   def annBruteForce(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 5): DataFrame = {
+                    k: Int = 5, maxCorpusRows: Int = 1000000): DataFrame = {
+    require(maxCorpusRows > 0, "maxCorpusRows must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
+    val collected = e.limit(maxCorpusRows + 1).collect()
+    require(collected.length <= maxCorpusRows,
+      s"annBruteForce is the exact O(N^2) baseline and collects the corpus " +
+        s"to the driver; it exceeds maxCorpusRows=$maxCorpusRows here. Use " +
+        s"the bucketed scale paths instead: Similarity.annLsh (SRP-bucket " +
+        s"equi-join) or Similarity.annIvf (inverted-file lists), or raise " +
+        s"the cap explicitly if the driver can hold the corpus.")
     val corpus = spark.sparkContext.broadcast(
-      e.collect().map { case (id, v) => (id, v, normF(v)) })
+      collected.map { case (id, v) => (id, v, normF(v)) })
     e.mapPartitions { rows =>
       val cand = corpus.value
       rows.flatMap { case (id, v) =>
@@ -152,12 +167,16 @@ object Similarity {
     * k-means: Lloyd refinement averages floats in partition order,
     * which is not reproducible across engines/runs (so not
     * oracle-able); at scale you would refine on a driver-side sample
-    * and accept approximate centroids. The probed index (vector,
-    * list) rows are materialized once via localCheckpoint — both the
-    * inverted lists and the probe set read from it, so the
-    * assignment cross-join runs exactly once. Real IVF systems
-    * materialize the index too: N*nprobe rows, the replication
-    * factor is the probe width.
+    * and accept approximate centroids. List assignment is a single
+    * codegen'd `NearestCentroids` projection over the plan-embedded
+    * centroid arrays (nlist rows, collected once — the quantizer is
+    * driver-sized by construction, exactly like a trained k-means
+    * model) that emits each row's top-nprobe list ids nearest-first:
+    * no crossJoin, no window, no N×nlist intermediate. The assigned
+    * frame is materialized once via localCheckpoint — both the
+    * inverted lists (element 0 = nearest centroid) and the exploded
+    * N×nprobe probe set read from it, so the scan and the
+    * assignment kernel run exactly once.
     */
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
              k: Int = 5, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
@@ -167,24 +186,23 @@ object Similarity {
     // with p = 2^31-1 never exceeds ~1.04e14, so it cannot overflow
     // int64 for ANY id (a raw Knuth multiply would — an
     // ArithmeticException under ANSI mode at snowflake-scale ids)
-    val cent = e
+    val centRows = e
       .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
         lit(2147483647L)).asc, col("id").asc)
       .limit(nlist)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nn").as("cn"))
-    val probed = e.crossJoin(broadcast(cent))
-      .select(col("id"), col("v"), col("nn"), col("cid"),
-        cosFromParts(VectorFunctions.dotProduct(col("v"), col("cv")),
-          col("nn"), col("cn")).as("csim"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)))
-      .filter(col("crank") <= nprobe)
-      .select(col("cid"), col("id"), col("v"), col("nn"), col("crank"))
+      .collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Float](1).toArray)
+    val centNorms = centRows.map(_.getDouble(2))
+    val assigned = e
+      .withColumn("cids", VectorFunctions.nearestCentroids(col("v"),
+        centIds, centVecs, centNorms, nprobe))
       .localCheckpoint(true)
-    val lists = probed.filter(col("crank") === 1)
-      .select(col("cid").as("mcid"), col("id").as("neighbor_id"),
+    val lists = assigned
+      .select(col("cids").getItem(0).as("mcid"), col("id").as("neighbor_id"),
         col("v").as("mv"), col("nn").as("mn"))
-    val probes = probed.select(col("cid"), col("id"), col("v"), col("nn"))
+    val probes = assigned
+      .select(col("id"), col("v"), col("nn"), explode(col("cids")).as("cid"))
     val pairs = probes.join(lists,
         col("cid") === col("mcid") && col("id") =!= col("neighbor_id"))
       .select(col("id").as("vec_id"), col("neighbor_id"),

@@ -287,17 +287,25 @@ object MergeTable {
       .map(_.getFileName.toString)
       .filter(_.startsWith(s"$partitionCol=")).toSet
     val prevDir = java.nio.file.Paths.get(path, s"v=$prevVersion")
-    listDir(prevDir).foreach { p =>
+    // Build the (src, dst) copy list from directory METADATA only
+    // (driver-cheap even with 10^5 partitions), then run the byte
+    // copies as a DISTRIBUTED job: on an object store each file copy
+    // is a remote round-trip, and a driver-side loop over them is the
+    // classic hidden serial bottleneck of copy-on-write carries.
+    val copies = listDir(prevDir).flatMap { p =>
       val name = p.getFileName.toString
       if (name.startsWith(s"$partitionCol=") && !writtenDirs.contains(name)) {
-        val dest = java.nio.file.Paths.get(path, s"v=$next", name)
-        java.nio.file.Files.createDirectories(dest)
-        listDir(p).foreach { f =>
-          java.nio.file.Files.copy(f, dest.resolve(f.getFileName.toString),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(path, s"v=$next", name))
+        // data files only: hidden sidecars (.crc etc.) are an artifact
+        // of the local checksum FS and are regenerated by the copy
+        listDir(p).filterNot { f =>
+          val n = f.getFileName.toString
+          n.startsWith(".") || n.startsWith("_")
+        }.map(f => (f.toString, s"$path/v=$next/$name/${f.getFileName}"))
+      } else Nil
     }
+    distributedCopy(spark, copies)
     val tmp = java.nio.file.Paths.get(path, "_CURRENT.tmp")
     java.nio.file.Files.write(tmp,
       next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -307,6 +315,31 @@ object MergeTable {
     val m = obs.get
     def g(k: String): Long = m.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
     MergeStats(g("insert"), g("update") + g("close"), g("delete"))
+  }
+
+  /** Copy files executor-side through the Hadoop FileSystem API (so
+    * the same code paths work on HDFS/S3A as on local disk). Copies
+    * are independent, so slices = min(#files, defaultParallelism);
+    * an empty list short-circuits without scheduling a job.
+    */
+  private def distributedCopy(spark: SparkSession,
+                              copies: Seq[(String, String)]): Unit = {
+    if (copies.isEmpty) return
+    val sc = spark.sparkContext
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      sc.hadoopConfiguration)
+    val slices = math.min(copies.size, sc.defaultParallelism)
+    sc.parallelize(copies, slices).foreachPartition { it =>
+      val c = conf.value
+      it.foreach { case (src, dst) =>
+        val srcPath = new org.apache.hadoop.fs.Path(src)
+        val dstPath = new org.apache.hadoop.fs.Path(dst)
+        val srcFs = srcPath.getFileSystem(c)
+        val dstFs = dstPath.getFileSystem(c)
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, srcPath, dstFs, dstPath,
+          false, true, c)
+      }
+    }
   }
 
   /** Replay a multi-file extract in file-modification order

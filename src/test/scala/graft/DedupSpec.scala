@@ -162,9 +162,44 @@ class DedupSpec extends SparkSpec {
     // buckets (size 2) are untouched
     assert(capped.filter(_.getLong(0) <= 20L).map(_.getLong(1)).sum == 0L)
     assert(capped.filter(_.getLong(0) >= 100L).forall(_.getLong(1) >= 1L))
-    // default (no cap) still pairs the whole flood
+    // the default cap is finite (10k) but far above this 20-copy
+    // flood, so it still pairs the whole flood
     val full = Dedup.minhashLshStats(df, "doc_id", "text").collect()
     assert(full.filter(_.getLong(0) <= 20L).forall(_.getLong(1) == 19L))
+  }
+
+  test("ann brute force fails fast beyond its driver-collect cap") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annBruteForce(e, "vec_id", "embedding", k = 3,
+        maxCorpusRows = 10)
+    }
+    assert(err.getMessage.contains("annLsh") && err.getMessage.contains("annIvf"),
+      s"guard must point at the scale paths: ${err.getMessage}")
+    // at or under the cap the limited collect IS the corpus: results
+    // match the unguarded default exactly
+    val n = e.count().toInt
+    val capped = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3,
+      maxCorpusRows = n).collect().map(_.toString).sorted
+    val default = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3)
+      .collect().map(_.toString).sorted
+    assert(capped.sameElements(default))
+  }
+
+  test("minBands pre-filter drops pairs below the matching-band count") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val df = Seq((1L, base), (2L, base), // identical: all 16 bands match
+      (3L, "separate vocabulary entirely unshared with the first pair"))
+      .toDF("doc_id", "text")
+    // identical docs match every band, so they survive minBands = bands
+    val (_, keepAll) = Dedup.minhashCandidates(df, "doc_id", "text",
+      numPerm = 64, bands = 16, minBands = 16)
+    assert(keepAll.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sameElements(Array((1L, 2L))))
+    // no pair can match more bands than exist: minBands = 17 empties
+    val (_, none) = Dedup.minhashCandidates(df, "doc_id", "text",
+      numPerm = 64, bands = 16, minBands = 17)
+    assert(none.count() == 0)
   }
 
   test("corpus curation gates, dedups, decontaminates, and accounts") {

@@ -74,11 +74,9 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"$q plans a CartesianProduct")
       // exceptions: the documented O(N²) baselines intentionally
-      // compare all pairs (broadcast side is the whole corpus), and
-      // IVF's centroid assignment broadcasts only the nlist centroid
-      // rows (bounded small — O(N*nlist), not all-pairs)
+      // compare all pairs (broadcast side is the whole corpus)
       val exemptAllPairs =
-        Set("dedup_embedding", "ann_bruteforce_topk", "ann_ivf_topk")
+        Set("dedup_embedding", "ann_bruteforce_topk")
       if (!exemptAllPairs.contains(q))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$q plans a BroadcastNestedLoopJoin")
@@ -103,6 +101,22 @@ class PlanSpec extends SparkSpec {
     val plan = formatted("dedup_decontaminate")
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*source[^\\]]*\\].*"),
       s"source filter not pushed:\n${plan.take(3000)}")
+  }
+
+  test("ann_ivf assigns lists in one projection: no crossJoin, one window") {
+    // the IVF index build must NOT materialize N×nlist rows: list
+    // assignment is the codegen'd NearestCentroids projection, so the
+    // only Window left is the final per-probe top-K (and it carries a
+    // WindowGroupLimit)
+    val plan = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF index build reintroduced an all-pairs join:\n${plan.take(2000)}")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected at most the top-K window, got $windows")
+    assert(plan.contains("WindowGroupLimit"),
+      "final top-K window lost its group limit")
   }
 
   test("custom expressions run inside whole-stage codegen") {
