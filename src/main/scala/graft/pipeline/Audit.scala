@@ -37,6 +37,50 @@ object Audit {
       .withColumn("audit_user", expr("current_user()"))
   }
 
+  /** Streaming-run audit record with STATE-STORE metrics (the
+    * reference's audit `metrics` JSON captures per-run Spark metrics
+    * — audit/auditlogs.py; for a stateful stream the operational
+    * signal is the state store): one row per stateful operator of the
+    * query's most recent progress that carried state, with rows
+    * held/updated/evicted and memory, plus the full progress JSON for
+    * anything else an operator needs. A stateless query yields one
+    * row with a null operator so the run itself is still recorded.
+    *
+    * State growth across runs is THE early-warning signal of a
+    * watermark bug (state that never evicts ends in executor OOM
+    * weeks later) — recording `num_rows_total` per run makes it a
+    * one-query dashboard.
+    */
+  def streamingRunRecord(spark: SparkSession, jobName: String,
+                         query: org.apache.spark.sql.streaming.StreamingQuery)
+      : DataFrame = {
+    import spark.implicits._
+    val progress = query.recentProgress
+      .filter(_.stateOperators.nonEmpty).lastOption
+      .orElse(Option(query.lastProgress))
+    val base = progress match {
+      case Some(p) if p.stateOperators.nonEmpty =>
+        p.stateOperators.toSeq.map { so =>
+          (jobName, query.id.toString, query.runId.toString, p.batchId,
+            p.numInputRows, Option(so.operatorName),
+            Some(so.numRowsTotal), Some(so.numRowsUpdated),
+            Some(so.numRowsRemoved), Some(so.memoryUsedBytes), p.json)
+        }
+      case Some(p) =>
+        Seq((jobName, query.id.toString, query.runId.toString, p.batchId,
+          p.numInputRows, Option.empty[String], Option.empty[Long],
+          Option.empty[Long], Option.empty[Long], Option.empty[Long], p.json))
+      case None =>
+        Seq((jobName, query.id.toString, query.runId.toString, -1L, 0L,
+          Option.empty[String], Option.empty[Long], Option.empty[Long],
+          Option.empty[Long], Option.empty[Long], "{}"))
+    }
+    base.toDF("job_name", "query_id", "run_id", "batch_id", "num_input_rows",
+      "operator_name", "state_rows_total", "state_rows_updated",
+      "state_rows_removed", "state_memory_bytes", "progress_json")
+      .withColumn("audit_timestamp", current_timestamp())
+  }
+
   /** Deterministic merge-shape statistics for a prospective SCD1
     * merge as a single-join PLAN (no driver actions, no wall-clock,
     * oracle-able): matched keys count as `num_matched`, source-only

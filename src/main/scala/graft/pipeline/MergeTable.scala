@@ -29,7 +29,8 @@ final case class MergeStats(inserted: Long, updated: Long, deleted: Long)
   */
 object MergeTable {
 
-  private def currentVersion(path: String): Option[Int] = {
+  /** Version the `_CURRENT` pointer names, if the table exists. */
+  def currentVersion(path: String): Option[Int] = {
     val p = Paths.get(path, "_CURRENT")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
     else None

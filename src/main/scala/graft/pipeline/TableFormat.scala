@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Sources
+
+/** Deployment seam for the transactional-table layer.
+  *
+  * The reference registers Delta tables in a metastore and leans on
+  * `MERGE INTO` + ACID for its upserts (ingest-framework/framework/
+  * src/sparkbuilder/writers/writer.py:34-116 Delta upserts,
+  * writer.py:122 `_create_external_table_from_df`). Graft's pipeline
+  * operators program against THIS trait instead of a concrete
+  * format, so a deployment can swap the bundled snapshot-versioned
+  * parquet implementation for Delta or Iceberg by providing one
+  * object — the merge PLANS (Cdc.scd1MergeTagged/scd2MergeTagged)
+  * are format-independent; only commit/read mechanics differ:
+  *
+  *  - Delta: `read` = `spark.read.format("delta")`, merges via
+  *    `DeltaTable.merge`, `vacuum` via `VACUUM`, `readVersion` via
+  *    `versionAsOf`.
+  *  - Iceberg: reads by table identifier, merges via `MERGE INTO`,
+  *    `vacuum` = `expire_snapshots`, `readVersion` via
+  *    `snapshot-id`.
+  *
+  * The bundled [[SnapshotTableFormat]] keeps the engine
+  * dependency-free (immutable `v=N` snapshot dirs + an atomically
+  * swapped `_CURRENT` pointer).
+  */
+trait TableFormat {
+
+  /** Does a table exist at `path`? */
+  def exists(path: String): Boolean
+
+  /** Read the current table state. */
+  def read(spark: SparkSession, path: String): DataFrame
+
+  /** Time travel: read a specific committed version. */
+  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame
+
+  /** Committed versions, ascending. */
+  def versions(path: String): Seq[Int]
+
+  /** Current committed version, if the table exists. */
+  def currentVersion(path: String): Option[Int]
+
+  /** SCD1 upsert (latest row per key wins; optional delete-missing
+    * for full extracts). Creates the table on first write.
+    */
+  def scd1Merge(spark: SparkSession, path: String, updates: DataFrame,
+                keys: Seq[String], orderBy: String,
+                deleteMissing: Boolean = false,
+                compareExclude: Seq[String] = Sources.controlColumns,
+                schemaEvolution: Boolean = true): MergeStats
+
+  /** SCD2 merge (history rows with is_current/start/end/delete_time).
+    * Creates the table on first write.
+    */
+  def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
+                keys: Seq[String], orderBy: String,
+                deleteMissing: Boolean = false,
+                compareExclude: Seq[String] = Sources.controlColumns,
+                schemaEvolution: Boolean = true): MergeStats
+
+  /** Drop versions beyond the retention window. Returns dropped
+    * version ids.
+    */
+  def vacuum(path: String, keepVersions: Int = 2): Seq[Int]
+}
+
+/** The bundled implementation: [[MergeTable]]'s snapshot-versioned
+  * parquet with an atomic `_CURRENT` pointer swap.
+  */
+object SnapshotTableFormat extends TableFormat {
+  override def exists(path: String): Boolean = MergeTable.exists(path)
+
+  override def read(spark: SparkSession, path: String): DataFrame =
+    MergeTable.read(spark, path)
+
+  override def readVersion(spark: SparkSession, path: String,
+                           version: Int): DataFrame =
+    MergeTable.readVersion(spark, path, version)
+
+  override def versions(path: String): Seq[Int] = MergeTable.versions(path)
+
+  override def currentVersion(path: String): Option[Int] =
+    MergeTable.currentVersion(path)
+
+  override def scd1Merge(spark: SparkSession, path: String, updates: DataFrame,
+                         keys: Seq[String], orderBy: String,
+                         deleteMissing: Boolean,
+                         compareExclude: Seq[String],
+                         schemaEvolution: Boolean): MergeStats =
+    MergeTable.scd1Merge(spark, path, updates, keys, orderBy, deleteMissing,
+      compareExclude, schemaEvolution)
+
+  override def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
+                         keys: Seq[String], orderBy: String,
+                         deleteMissing: Boolean,
+                         compareExclude: Seq[String],
+                         schemaEvolution: Boolean): MergeStats =
+    MergeTable.scd2Merge(spark, path, updates, keys, orderBy, deleteMissing,
+      compareExclude, schemaEvolution)
+
+  override def vacuum(path: String, keepVersions: Int): Seq[Int] =
+    MergeTable.vacuum(path, keepVersions)
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.pipeline.MergeTable
+
+/** Incremental (streaming-style) reads FROM a MergeTable — the
+  * silver→gold hop of a medallion pipeline. The reference accepts
+  * `delta` as a streaming SOURCE type (ingest-framework readers/
+  * streaming_readers.py:14-19) and relies on Delta's change feed;
+  * graft's snapshot-versioned tables expose the same capability by
+  * treating the committed version sequence as the offset log:
+  *
+  *  - offsets    = snapshot versions (`v=N` dirs, `_CURRENT` = head)
+  *  - a batch    = the CHANGE ROWS between two committed versions
+  *                 (distributed full-row anti-join — copy-on-write
+  *                 rewrites unchanged rows byte-identically, so they
+  *                 cancel and only upserts survive)
+  *  - checkpoint = a `_PROCESSED` pointer file, committed atomically
+  *                 AFTER the batch function returns
+  *
+  * Delivery is at-least-once per version (a crash between the batch
+  * function and the offset commit re-delivers that version);
+  * downstream MergeTable merges are idempotent (scd1Merge's order
+  * guard), so the composed hop is effectively exactly-once — the
+  * same contract Structured Streaming's foreachBatch gives.
+  *
+  * Retention interplay: diffing needs the FROM snapshot on disk, so
+  * the consumer must not lag further behind than the producer's
+  * vacuum retention. If the from-version HAS been vacuumed, the batch
+  * falls back to the full current snapshot (safe under the idempotent
+  * downstream merge; a re-delivery, never a loss).
+  */
+object MergeTableStream {
+
+  private def processedFile(checkpoint: String) =
+    Paths.get(checkpoint, "_PROCESSED")
+
+  /** Last version committed by this consumer, if any. */
+  def lastProcessed(checkpoint: String): Option[Int] = {
+    val p = processedFile(checkpoint)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  private def commit(checkpoint: String, version: Int): Unit = {
+    Files.createDirectories(Paths.get(checkpoint))
+    val tmp = Paths.get(checkpoint, "_PROCESSED.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, processedFile(checkpoint),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Align `from` to `to`'s schema (additive evolution: columns new
+    * in `to` read as null on historical rows, which is exactly what
+    * the evolved snapshot stores for them — so unchanged rows still
+    * cancel in the diff).
+    */
+  private def aligned(from: DataFrame, to: DataFrame): DataFrame =
+    to.schema.fields.foldLeft(from.select(
+      to.columns.filter(from.columns.contains).map(col).toIndexedSeq: _*)) {
+      (d, f) =>
+        if (from.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(to.columns.map(col).toIndexedSeq: _*)
+
+  /** Rows of version `toV` not present in version `fromV` — the
+    * upserted rows of every merge in (fromV, toV]. `fromV = None`
+    * (or a vacuumed version) yields the full `toV` snapshot.
+    */
+  def changes(spark: SparkSession, path: String, fromV: Option[Int],
+              toV: Int): DataFrame = {
+    val to = MergeTable.readVersion(spark, path, toV)
+    fromV.filter(MergeTable.versions(path).contains) match {
+      case Some(f) =>
+        to.exceptAll(aligned(MergeTable.readVersion(spark, path, f), to))
+      case None => to
+    }
+  }
+
+  /** Keys present in `fromV` but absent from `toV` — the delete feed
+    * (SCD1 hard deletes; SCD2 tables never shrink, their deletes are
+    * visible as `delete_time` changes in the upsert feed).
+    */
+  def deletedKeys(spark: SparkSession, path: String, fromV: Int, toV: Int,
+                  keys: Seq[String]): DataFrame = {
+    val from = MergeTable.readVersion(spark, path, fromV)
+      .select(keys.map(col): _*).distinct()
+    val to = MergeTable.readVersion(spark, path, toV)
+      .select(keys.map(col): _*).distinct()
+    from.join(to, keys, "left_anti")
+  }
+
+  /** Process every committed-but-unprocessed version through `fn`
+    * (receiving that version's change rows and its number), oldest
+    * first, committing the consumer offset after each — the
+    * `Trigger.AvailableNow` of the version log. Returns the versions
+    * processed this call (empty = caught up).
+    */
+  def processAvailable(spark: SparkSession, path: String, checkpoint: String)
+                      (fn: (DataFrame, Int) => Unit): Seq[Int] = {
+    val head = MergeTable.currentVersion(path).getOrElse(return Nil)
+    val start = lastProcessed(checkpoint)
+    val todo = MergeTable.versions(path)
+      .filter(v => v <= head && start.forall(v > _))
+    var prev = start
+    todo.foreach { v =>
+      fn(changes(spark, path, prev, v), v)
+      commit(checkpoint, v)
+      prev = Some(v)
+    }
+    todo
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
-import graft.pipeline.MergeTable
+import graft.pipeline.{MergeTable, SnapshotTableFormat, TableFormat}
 
 class MergeSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
@@ -249,6 +249,24 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       MergeTable.scd1MergePruned(spark, p, nullPart, Seq("id"), "ord", "bucket",
         compareExclude = Nil))
+  }
+
+  test("TableFormat seam: pipeline code written to the trait round-trips") {
+    // a consumer programs against TableFormat; the bundled snapshot
+    // implementation must behave exactly like direct MergeTable use
+    val fmt: TableFormat = SnapshotTableFormat
+    val p = tmp()
+    assert(!fmt.exists(p) && fmt.currentVersion(p).isEmpty)
+    fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    fmt.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+    assert(fmt.exists(p) && fmt.currentVersion(p).contains(1))
+    assert(fmt.versions(p) == Seq(0, 1))
+    assert(tableHash(fmt.read(spark, p)) == tableHash(MergeTable.read(spark, p)))
+    assert(fmt.readVersion(spark, p, 0).count() == 3)
+    val s = fmt.scd2Merge(spark, tmp(), updates1, Seq("id"), "ord")
+    assert(s.inserted == 3)
+    fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    assert(fmt.vacuum(p, keepVersions = 2) == Seq(0))
   }
 
   test("cdc applyOps: latest op wins, deletes remove") {

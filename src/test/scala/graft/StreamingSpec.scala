@@ -285,6 +285,82 @@ class StreamingSpec extends SparkSpec {
       s"silver ${got.length} rows vs batch ${want.length}")
   }
 
+  test("medallion gold hop: incremental MergeTable stream equals batch recompute") {
+    import graft.streaming.MergeTableStream
+    val (dir, src) = stageEventFiles()
+    val silver = Files.createTempDirectory("graft_gold_silver").toString
+    val gold = Files.createTempDirectory("graft_gold_gold").toString
+    val ck1 = Files.createTempDirectory("graft_gold_ck1").toString
+    val ck2 = Files.createTempDirectory("graft_gold_ck2").toString
+
+    val toSilver = StreamingIngest.readStream(spark, "parquet",
+      s"$dir/*.parquet", src.schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    StreamingIngest.mergeSink(toSilver, silver, ck1,
+      keys = Seq("user_id"), orderBy = "ts", compareExclude = Nil)
+      .awaitTermination(120000)
+    val silverVersions = MergeTable.versions(silver)
+    assert(silverVersions.size >= 2, "need multiple silver versions to stream")
+
+    def foldGold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck2) { (chg, _) =>
+        MergeTable.scd1Merge(spark, gold, chg, Seq("user_id"), "ts",
+          compareExclude = Nil)
+        ()
+      }
+    val processed = foldGold()
+    assert(processed == silverVersions, s"must process every version: $processed")
+    // caught up: a second pass is a no-op
+    assert(foldGold().isEmpty, "caught-up consumer must process nothing")
+
+    def table(path: String) = MergeTable.read(spark, path)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(table(gold).sameElements(table(silver)),
+      "gold must equal the batch recompute (silver current)")
+
+    // one more producer merge streams through as exactly one version,
+    // and its change feed is exactly the merged delta — one row, not
+    // the whole snapshot (unchanged copy-on-write rows cancel in the
+    // version diff)
+    import SparkSpec.spark.implicits._
+    val extra = Seq((999999L, java.sql.Timestamp.valueOf("2099-01-01 00:00:00"),
+      42424242L, "click", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    MergeTable.scd1Merge(spark, silver, extra, Seq("user_id"), "ts",
+      compareExclude = Nil)
+    val newHead = MergeTable.versions(silver).last
+    assert(MergeTableStream.changes(spark, silver,
+      Some(silverVersions.last), newHead).count() == 1,
+      "a one-row merge must stream as a one-row delta")
+    val tail = foldGold()
+    assert(tail.size == 1, s"one new version expected: $tail")
+    assert(table(gold).sameElements(table(silver)),
+      "gold must follow silver after the extra merge")
+  }
+
+  test("streaming run record surfaces state-store metrics") {
+    val (dir, src) = stageEventFiles()
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val agg = StreamingIngest.windowedAgg(stream, "ts", "1 hour", "6 hours")
+    val name = s"stream_metrics_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rec = graft.pipeline.Audit.streamingRunRecord(spark, "agg_job", q)
+    val rows = rec.collect()
+    assert(rows.nonEmpty, "run record must exist")
+    val stateRows = rec.filter(col("operator_name").isNotNull &&
+      col("state_rows_total") > 0).collect()
+    assert(stateRows.nonEmpty,
+      s"watermarked agg must report state metrics: ${rows.mkString("; ")}")
+    assert(rec.columns.contains("progress_json"))
+    assert(rows.forall(_.getAs[String]("job_name") == "agg_job"))
+  }
+
   test("out-of-order batch cannot regress the merge table") {
     import SparkSpec.spark.implicits._
     val table = Files.createTempDirectory("graft_ooo").toString
