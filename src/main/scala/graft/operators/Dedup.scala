@@ -293,15 +293,30 @@ object Dedup {
     while (i < maxIter && !converged) {
       val viaNeighbor = edges
         .join(labels, edges("idb") === labels("id"))
-        .select(col("ida").as("id"), col("canonical"))
-      val next = labels.select(col("id"), col("canonical"))
+        .select(col("ida").as("id"), col("canonical"), lit(0).as("_own"))
+      // ONE job per iteration: the convergence check rides the
+      // materializing count as an observe() metric (own-label rows are
+      // tagged, so "did any label strictly decrease" is visible inside
+      // the same aggregation) instead of a second join+count job —
+      // iteration cost at corpus scale is dominated by per-job
+      // overhead on the tiny active subgraph
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.select(col("id"), col("canonical"), lit(1).as("_own"))
         .unionByName(viaNeighbor)
-        .groupBy("id").agg(min(col("canonical")).as("canonical"))
+        .groupBy("id").agg(min(col("canonical")).as("canonical"),
+          min(when(col("_own") === 1, col("canonical"))).as("_prev"))
+        .observe(obs,
+          sum(when(col("canonical") < col("_prev"), 1L).otherwise(0L))
+            .as("changed"))
+        .select(col("id"), col("canonical"))
+        // EAGER: the metric must accumulate before the action event
+        // fires (a lazy checkpoint fires it at plan time, observing
+        // nothing, and the loop would stop after one round)
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("canonical", "prev"), "id")
-        .filter(col("canonical") =!= col("prev")).limit(1).count()
       labels = next
-      converged = changed == 0
+      // sum() over an empty subgraph observes null — that's converged
+      val changed = obs.get("changed")
+      converged = changed == null || changed.asInstanceOf[Long] == 0L
       i += 1
     }
     // singletons (no edges) map to themselves via the left join

@@ -186,14 +186,19 @@ object Similarity {
     // with p = 2^31-1 never exceeds ~1.04e14, so it cannot overflow
     // int64 for ANY id (a raw Knuth multiply would — an
     // ArithmeticException under ANSI mode at snowflake-scale ids)
-    val centRows = e
+    // The sample job carries only (id, v): norms for the nlist chosen
+    // centroids are folded on the driver with the SAME accumulation
+    // order as the SelfNorm kernel (bit-identical doubles), so the
+    // TakeOrdered scan does no per-row norm work
+    val centRows = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
         lit(2147483647L)).asc, col("id").asc)
       .limit(nlist)
       .collect()
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(_.getSeq[Float](1).toArray)
-    val centNorms = centRows.map(_.getDouble(2))
+    val centNorms = centVecs.map(normF)
     val assigned = e
       .withColumn("cids", VectorFunctions.nearestCentroids(col("v"),
         centIds, centVecs, centNorms, nprobe))

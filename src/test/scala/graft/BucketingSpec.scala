@@ -47,6 +47,47 @@ class BucketingSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("AQE splits the straggler partition of a skewed fact-fact join") {
+    // the q3 shape at its worst: one orderkey carrying a large share
+    // of the fact table. AQE's runtime skew-join must split the hot
+    // partition instead of leaving one straggler task — the mechanism
+    // graft relies on for moderate skew (Bucketing.saltedJoin is the
+    // explicit fallback for the pathological keys AQE can't split).
+    val setConf = Seq(
+      // force the fact-fact sort-merge path (broadcast hides skew)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // test-scale skew thresholds: the defaults (256 MB) would never
+      // mark a unit-test partition as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32kb",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16kb")
+    val prev = setConf.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      setConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val pad = "x" * 200
+      val hot = spark.range(60000).select(lit(1L).as("o_orderkey"),
+        concat(lit(pad), col("id").cast("string")).as("payload"))
+      val cold = spark.range(2, 2000).select(col("id").as("o_orderkey"),
+        lit(pad).as("payload"))
+      val fact = hot.unionByName(cold)
+      val dim = spark.range(1, 2000).select(col("id").as("l_orderkey"),
+        lit("d").as("detail"))
+      // global agg: a groupBy on the join key would REQUIRE the hash
+      // distribution the skew split breaks, so AQE would (correctly)
+      // refuse to split; the global count has no such requirement.
+      // summing payload length keeps the wide column in the shuffle
+      // (column pruning would otherwise shrink the hot partition
+      // below the skew threshold)
+      val agg = fact.join(dim, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      val rows = agg.collect()
+      // correctness under the split: every joined row survives
+      assert(rows.head.getLong(0) == 60000L + 1998L, rows.head.toString)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("out-of-order deletes for unseen keys are dropped") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val feed = Seq(
