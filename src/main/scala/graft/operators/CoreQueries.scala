@@ -233,6 +233,25 @@ object CoreQueries {
         Seq("median_price" -> 0.5, "p95_price" -> 0.95)), Seq("l_returnflag"))
   }
 
+  /** Sketch companion of #11c (the q6_approx pattern): single-pass
+    * Greenwald-Khanna quantile summaries via `percentile_approx` —
+    * one partial-aggregable sketch per group instead of the
+    * distinct-value window, the right trade when an error bound is
+    * acceptable at 100 TB. Engine-specific sketch (not oracle-able,
+    * rows-only driver check); the error bound vs the exact operator
+    * is asserted in CoreQueriesSpec.
+    */
+  def q11ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+        .as("median_qty_approx"),
+      percentile_approx(col("l_quantity"), lit(0.95), lit(10000))
+        .as("p95_qty_approx"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("median_price_approx"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+        .as("p95_price_approx"))
+
   /** queries-map fragment for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -246,7 +265,8 @@ object CoreQueries {
     "q8_conditional_agg" -> (q8ConditionalAgg _),
     "q9_rollup" -> (q9Rollup _),
     "q10_topk_orders" -> (q10TopKOrders _),
-    "q11_percentiles" -> (q11Percentiles _))
+    "q11_percentiles" -> (q11Percentiles _),
+    "q11_approx_percentiles" -> (q11ApproxPercentiles _))
 
   /** DuckDB-parity oracle SQL (same aliases, same decimal math). */
   val oracleSql: Map[String, String] = Map(

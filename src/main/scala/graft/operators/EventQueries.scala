@@ -49,11 +49,28 @@ object EventQueries {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Batch interval join: every (purchase, prior click within 2h)
+    * pair per user — the attribution-window shape. Same operator
+    * contract as the streaming interval join (StreamingSpec asserts
+    * stream == batch on this very shape).
+    */
+  def eventsIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select("event_id", "ts", "user_id", "event_type")
+    Events.intervalJoin(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "2 hours")
+      .select(col("l_user_id").as("user_id"),
+        col("l_event_id").as("purchase_id"),
+        col("r_event_id").as("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
     "events_sessionize" -> (eventsSessionize _),
     "events_json_extract" -> (eventsJsonExtract _),
+    "events_interval_join" -> (eventsIntervalJoin _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
@@ -107,6 +124,15 @@ object EventQueries {
         |  date_diff('microsecond', CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP)) / 1000000.0 AS duration_sec,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "events_interval_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  c.event_id AS click_id
+        |FROM events p
+        |JOIN events c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND CAST(c.ts AS TIMESTAMP) >=
+        |      CAST(p.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+        |  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)""".stripMargin,
     "asof_join" ->
       """WITH probes AS (
         |  SELECT DISTINCT user_id, probe_ts

@@ -68,6 +68,26 @@ object Events {
         sum(dec(col("value"))).cast("double").as("session_value"))
   }
 
+  /** #26b Interval (range) join, batch twin of
+    * StreamingIngest.intervalJoin (same column-prefix contract so the
+    * two can't drift): each left row pairs with same-key right rows
+    * whose event time falls in [left ts - lookback, left ts]. The
+    * equi-key keeps it ONE hash shuffle per side — the range
+    * predicate rides the sort-merge join as a residual, no cartesian,
+    * no per-row re-scan; at 100 TB the cost is the key shuffle plus
+    * in-partition pair emission bounded by the lookback width.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   lookback: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$rightTsCol") >= col(s"l_$leftTsCol") - expr(s"INTERVAL $lookback") &&
+        col(s"r_$rightTsCol") <= col(s"l_$leftTsCol"))
+  }
+
   /** #26 As-of join via union + window (the shuffle-once shape): tag
     * probe rows, union with events, and for each probe take the last
     * event at-or-before it with `last(..., ignoreNulls)` over

@@ -47,6 +47,24 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q11 approx percentiles stay within 5% of the exact operator") {
+    val exact = SparkEntry.queries("q11_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val approx = SparkEntry.queries("q11_approx_percentiles")(spark, sf)
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      (0 until 4).foreach { i =>
+        val a = r.getDouble(i + 1)
+        assert(math.abs(a - e(i)) / e(i) < 0.05,
+          s"${r.getString(0)} col $i: approx $a vs exact ${e(i)}")
+      }
+    }
+  }
+
   test("q11 rank-selection percentiles match a hand computation") {
     val got = SparkEntry.queries("q11_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) ->

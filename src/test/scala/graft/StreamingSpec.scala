@@ -338,6 +338,39 @@ class StreamingSpec extends SparkSpec {
       "gold must follow silver after the extra merge")
   }
 
+  test("vacuumed-past consumer falls back to a full-snapshot re-delivery") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.MergeTableStream
+    val silver = Files.createTempDirectory("graft_vac_silver").toString
+    val gold = Files.createTempDirectory("graft_vac_gold").toString
+    val ck = Files.createTempDirectory("graft_vac_ck").toString
+    def up(rows: Seq[(Long, String, Int)]) =
+      MergeTable.scd1Merge(spark, silver, rows.toDF("id", "v", "ord"),
+        Seq("id"), "ord", compareExclude = Nil)
+    def foldGold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck) { (chg, _) =>
+        MergeTable.scd1Merge(spark, gold, chg, Seq("id"), "ord",
+          compareExclude = Nil)
+        ()
+      }
+    up(Seq((1L, "a", 1), (2L, "b", 1)))   // v0
+    assert(foldGold() == Seq(0))          // consumer at v0
+    up(Seq((2L, "b2", 2)))                // v1
+    up(Seq((3L, "c", 3)))                 // v2
+    // producer vacuums past the consumer's offset: v0 (the from-side
+    // of the next diff) is gone
+    assert(MergeTable.vacuum(silver, keepVersions = 1) == Seq(0, 1))
+    val processed = foldGold()
+    // v1 is gone from disk: the consumer drains straight to the head
+    assert(processed == Seq(2), s"must still drain the log: $processed")
+    // the diff had no surviving from-snapshot -> full re-delivery,
+    // absorbed by the idempotent downstream merge: gold == silver
+    def table(path: String) = MergeTable.read(spark, path)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(table(gold).sameElements(table(silver)), "gold must equal silver")
+  }
+
   test("streaming run record surfaces state-store metrics") {
     val (dir, src) = stageEventFiles()
     val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
