@@ -87,8 +87,25 @@ object VectorOps {
     * directly. Ordering matches `ORDER BY cos DESC, cid ASC`
     * bit-for-bit: cosine = dotVA/(sqrt(na)*sqrt(nb)) with the same
     * sequential folds, ties broken by ascending centroid id via the
-    * bounded insertion sort (the `annBruteForce` kernel shape).
+    * bounded insertion sort (the `annBruteForce` kernel shape), and
+    * NaN cosines ranked first per `nanCmp` — the same order Spark's
+    * sort gives them.
     */
+  /** Spark's DoubleType sort order (`Utils.nanSafeCompareDoubles`):
+    * NaN compares larger than everything incl. +Inf, NaN == NaN,
+    * and -0.0 == 0.0. The insertion sorts below must use this — a
+    * plain `<` would sink NaN cosines to the tail while a Spark
+    * `ORDER BY cos DESC` ranks them first.
+    */
+  @inline def nanCmp(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+
   def nearestCentroids(v: ArrayData, centIds: Array[Long],
                        centVecs: Array[Array[Float]],
                        centNorms: Array[Double], nprobe: Int): ArrayData = {
@@ -104,8 +121,10 @@ object VectorOps {
         if (na == 0.0 || nb == 0.0) 0.0
         else dotVA(v, centVecs(c)) / (math.sqrt(na) * math.sqrt(nb))
       var pos = filled
-      while (pos > 0 && (topCos(pos - 1) < cos ||
-        (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
+      while (pos > 0 && {
+        val cmp = nanCmp(topCos(pos - 1), cos)
+        cmp < 0 || (cmp == 0 && topIds(pos - 1) > cid)
+      }) pos -= 1
       if (pos < nprobe) {
         val last = math.min(filled, nprobe - 1)
         var m = last

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{VectorFunctions, VectorOps}
 
 /** Output row of the ANN operators. */
 final case class Neighbor(vec_id: Long, rank: Int, neighbor_id: Long,
@@ -58,7 +58,11 @@ object Similarity {
     import spark.implicits._
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-    val collected = e.limit(maxCorpusRows + 1).collect()
+    // Int.MaxValue means "explicitly uncapped" (the idiom the error
+    // message invites); +1 would overflow it into a negative limit
+    val collected =
+      if (maxCorpusRows == Int.MaxValue) e.collect()
+      else e.limit(maxCorpusRows + 1).collect()
     require(collected.length <= maxCorpusRows,
       s"annBruteForce is the exact O(N^2) baseline and collects the corpus " +
         s"to the driver; it exceeds maxCorpusRows=$maxCorpusRows here. Use " +
@@ -83,8 +87,10 @@ object Similarity {
               if (na == 0.0 || nb == 0.0) 0.0
               else dotF(v, cv) / (math.sqrt(na) * math.sqrt(nb))
             var pos = filled
-            while (pos > 0 && (topCos(pos - 1) < cos ||
-              (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
+            while (pos > 0 && {
+              val cmp = VectorOps.nanCmp(topCos(pos - 1), cos)
+              cmp < 0 || (cmp == 0 && topIds(pos - 1) > cid)
+            }) pos -= 1
             if (pos < k) {
               val last = math.min(filled, k - 1)
               var m = last
@@ -192,6 +198,7 @@ object Similarity {
     // TakeOrdered scan does no per-row norm work
     val centRows = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull) // a null vector cannot quantize
       .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
         lit(2147483647L)).asc, col("id").asc)
       .limit(nlist)

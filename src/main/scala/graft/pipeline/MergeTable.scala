@@ -300,10 +300,15 @@ object MergeTable {
           java.nio.file.Paths.get(path, s"v=$next", name))
         // data files only: hidden sidecars (.crc etc.) are an artifact
         // of the local checksum FS and are regenerated by the copy
+        // scheme-qualify: executors resolve bare paths against
+        // fs.defaultFS, which need not be the local FS these
+        // java.nio-listed files live on
         listDir(p).filterNot { f =>
           val n = f.getFileName.toString
           n.startsWith(".") || n.startsWith("_")
-        }.map(f => (f.toString, s"$path/v=$next/$name/${f.getFileName}"))
+        }.map(f => (f.toUri.toString,
+          java.nio.file.Paths.get(path, s"v=$next", name,
+            f.getFileName.toString).toUri.toString))
       } else Nil
     }
     distributedCopy(spark, copies)

@@ -71,12 +71,20 @@ object MergeTableStream {
 
   /** Rows of version `toV` not present in version `fromV` — the
     * upserted rows of every merge in (fromV, toV]. `fromV = None`
-    * (or a vacuumed version) yields the full `toV` snapshot.
+    * (or a vacuumed version) yields the full `toV` snapshot, as does
+    * a schema with map-typed columns: Spark set operations reject
+    * maps (unorderable — the same contract MergeTable's deterministic
+    * ordering documents), and diffing around them on the other
+    * columns would silently MISS rows whose only change is inside the
+    * map, so full re-delivery (absorbed by the idempotent downstream
+    * merge) is the correct degradation.
     */
   def changes(spark: SparkSession, path: String, fromV: Option[Int],
               toV: Int): DataFrame = {
     val to = MergeTable.readVersion(spark, path, toV)
-    fromV.filter(MergeTable.versions(path).contains) match {
+    val diffable = !to.schema.fields.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    fromV.filter(f => diffable && MergeTable.versions(path).contains(f)) match {
       case Some(f) =>
         to.exceptAll(aligned(MergeTable.readVersion(spark, path, f), to))
       case None => to

@@ -186,6 +186,67 @@ class DedupSpec extends SparkSpec {
     assert(capped.sameElements(default))
   }
 
+  test("ann brute force runs uncapped when the cap is Int.MaxValue") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // Int.MaxValue is the repo idiom for "explicitly uncapped"; a
+    // naive cap+1 limit would overflow to a negative limit and throw
+    val uncapped = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3,
+      maxCorpusRows = Int.MaxValue).collect().map(_.toString).sorted
+    val default = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3)
+      .collect().map(_.toString).sorted
+    assert(uncapped.sameElements(default))
+  }
+
+  test("ann kernels rank NaN cosines first, matching Spark's sort order") {
+    // a NaN embedding yields NaN cosines; Spark's DESC sort puts NaN
+    // first (NaN > +Inf in its ordering), so the bounded insertion
+    // kernel must too — compare against the join+window formulation
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "rank", "neighbor_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(t => (t._1, t._2))
+    val fast = key(Similarity.annBruteForce(e, "vec_id", "embedding", k = 2))
+    val ref = key(Similarity.annBruteForceJoin(e, "vec_id", "embedding", k = 2))
+    assert(fast.sameElements(ref),
+      s"kernel ${fast.mkString(",")} vs window ${ref.mkString(",")}")
+    // and the NaN neighbor is indeed rank 1 for both probes
+    assert(fast.filter(_._3 == 3L).forall(_._2 == 1))
+  }
+
+  test("nearest centroids kernel ranks a NaN centroid first") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val v = new GenericArrayData(Array(1.0f, 0.0f))
+    val vecs = Array(Array(1.0f, 0.0f), Array(Float.NaN, 0.0f), Array(0.0f, 1.0f))
+    val norms = vecs.map(c => c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    val got = graft.functions.VectorOps.nearestCentroids(
+      v, Array(1L, 2L, 3L), vecs, norms, 2).toLongArray()
+    // cosines: id1 -> 1.0, id2 -> NaN, id3 -> 0.0; NaN sorts largest
+    assert(got.sameElements(Array(2L, 1L)), got.mkString(","))
+  }
+
+  test("ann ivf tolerates null embedding rows") {
+    // nulls must be excluded from the centroid sample (a null vector
+    // cannot quantize — pre-fix this NPE'd on the driver) and flow
+    // through assignment as dropped rows
+    val rows = (1L to 12L).map { i =>
+      if (i % 3 == 0) (i, null: Array[Float])
+      else (i, Array(i.toFloat, (13 - i).toFloat))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val out = Similarity.annIvf(e, "vec_id", "embedding", k = 2,
+      nlist = 8, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    val nullIds = rows.filter(_._2 == null).map(_._1).toSet
+    assert(out.forall(r => !nullIds.contains(r.getLong(0)) &&
+      !nullIds.contains(r.getLong(2))),
+      "null-vector rows must appear as neither probe nor neighbor")
+  }
+
   test("minBands pre-filter drops pairs below the matching-band count") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val df = Seq((1L, base), (2L, base), // identical: all 16 bands match

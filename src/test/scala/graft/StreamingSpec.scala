@@ -338,6 +338,26 @@ class StreamingSpec extends SparkSpec {
       "gold must follow silver after the extra merge")
   }
 
+  test("change feed degrades to a full snapshot for map-typed tables") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.MergeTableStream
+    val path = Files.createTempDirectory("graft_map_silver").toString
+    // maps are carried but cannot be compared (Spark rejects map
+    // equality), so they ride outside the change-compare set
+    def up(rows: Seq[(Long, Map[String, String], Int)]) =
+      MergeTable.scd1Merge(spark, path, rows.toDF("id", "props", "ord"),
+        Seq("id"), "ord", compareExclude = Seq("props"))
+    up(Seq((1L, Map("a" -> "1"), 1), (2L, Map("b" -> "2"), 1))) // v0
+    up(Seq((2L, Map("b" -> "3"), 2)))                           // v1
+    // Spark set ops reject map columns, and diffing around the map
+    // would silently miss map-only changes: the feed must re-deliver
+    // the full v1 snapshot instead of throwing
+    val chg = MergeTableStream.changes(spark, path, Some(0), 1)
+    assert(chg.count() == 2,
+      "map-typed table must fall back to full-snapshot delivery")
+    assert(chg.filter(col("id") === 2L).select("ord").as[Int].head() == 2)
+  }
+
   test("vacuumed-past consumer falls back to a full-snapshot re-delivery") {
     import SparkSpec.spark.implicits._
     import graft.streaming.MergeTableStream
