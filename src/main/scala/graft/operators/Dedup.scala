@@ -351,9 +351,28 @@ object Dedup {
   /** #31 Embedding-cosine near-dup, brute-force all-pairs baseline
     * (the correctness oracle for the LSH path — see
     * Similarity.annLsh for the shape that survives 100 TB).
+    *
+    * `maxCorpusRows` fail-fasts the O(N²) non-equi self-join before
+    * it launches: the check scans at most cap+1 rows (`limit`, not a
+    * full count), so at-or-under the cap costs one short scan and
+    * over it raises immediately instead of BNLJ-ing a corpus whose
+    * pair count can't finish. Same idiom as
+    * Similarity.annBruteForce: `Int.MaxValue` means "explicitly
+    * uncapped". The default (100k rows → ≤5·10⁹ pairs) is the edge
+    * of what a deliberate baseline run should ever need.
     */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.4): DataFrame = {
+                     threshold: Double = 0.4,
+                     maxCorpusRows: Int = 100000): DataFrame = {
+    require(maxCorpusRows > 0, "maxCorpusRows must be positive")
+    if (maxCorpusRows != Int.MaxValue) {
+      require(df.limit(maxCorpusRows + 1).count() <= maxCorpusRows,
+        s"embeddingStats is the exact O(N^2) all-pairs baseline; the corpus " +
+          s"exceeds maxCorpusRows=$maxCorpusRows here. Use the bucketed " +
+          s"scale path Dedup.embeddingStatsLsh (SRP-bucket equi-join) " +
+          s"instead, or raise the cap explicitly for a deliberate " +
+          s"baseline run.")
+    }
     // norms precomputed per vector: the N² pair loop runs one dot
     // accumulation instead of three (bit-identical doubles — same
     // elements, same order per sum)

@@ -306,9 +306,9 @@ object MergeTable {
         listDir(p).filterNot { f =>
           val n = f.getFileName.toString
           n.startsWith(".") || n.startsWith("_")
-        }.map(f => (f.toUri.toString,
+        }.map(f => (f.toUri,
           java.nio.file.Paths.get(path, s"v=$next", name,
-            f.getFileName.toString).toUri.toString))
+            f.getFileName.toString).toUri))
       } else Nil
     }
     distributedCopy(spark, copies)
@@ -327,9 +327,16 @@ object MergeTable {
     * the same code paths work on HDFS/S3A as on local disk). Copies
     * are independent, so slices = min(#files, defaultParallelism);
     * an empty list short-circuits without scheduling a job.
+    *
+    * Paths travel as `java.net.URI` OBJECTS and become Hadoop Paths
+    * via the URI constructor: a URI rendered `.toString` and reparsed
+    * through `new Path(String)` double-escapes any literal `%` in a
+    * Spark-escaped partition directory (`bucket=with%3Acolon` →
+    * `%253A`), and Hadoop's string constructor never decodes it —
+    * the executor-side copy then FileNotFounds.
     */
   private def distributedCopy(spark: SparkSession,
-                              copies: Seq[(String, String)]): Unit = {
+                              copies: Seq[(java.net.URI, java.net.URI)]): Unit = {
     if (copies.isEmpty) return
     val sc = spark.sparkContext
     val conf = new org.apache.spark.util.SerializableConfiguration(

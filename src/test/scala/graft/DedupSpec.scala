@@ -186,6 +186,25 @@ class DedupSpec extends SparkSpec {
     assert(capped.sameElements(default))
   }
 
+  test("embeddingStats fails fast beyond its all-pairs row cap") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embeddingStats(e, "vec_id", "embedding", maxCorpusRows = 10)
+    }
+    assert(err.getMessage.contains("embeddingStatsLsh"),
+      s"guard must point at the bucketed scale path: ${err.getMessage}")
+    // at or under the cap (and with the Int.MaxValue uncapped idiom)
+    // results are identical to the default
+    val n = e.count().toInt
+    val capped = Dedup.embeddingStats(e, "vec_id", "embedding",
+      maxCorpusRows = n).collect().map(_.toString).sorted
+    val default = Dedup.embeddingStats(e, "vec_id", "embedding")
+      .collect().map(_.toString).sorted
+    val uncapped = Dedup.embeddingStats(e, "vec_id", "embedding",
+      maxCorpusRows = Int.MaxValue).collect().map(_.toString).sorted
+    assert(capped.sameElements(default) && uncapped.sameElements(default))
+  }
+
   test("ann brute force runs uncapped when the cap is Int.MaxValue") {
     val e = Tables.load(spark, sf, "embeddings")
     // Int.MaxValue is the repo idiom for "explicitly uncapped"; a
