@@ -60,6 +60,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles honor the Greenwald-Khanna rank-error bound") {
+    // percentile_approx(col, q, accuracy) contracts that the returned
+    // value's RANK in the sorted group is within n/accuracy of the
+    // target rank ceil(q*n) — the sketch's actual guarantee, stronger
+    // and better-defined than a value-relative tolerance (which a
+    // heavy-tailed column can violate while the sketch is in
+    // contract). Pin it against the exact operator's data so a silent
+    // sketch regression can't hide behind the rows-only driver check.
+    val approx = SparkEntry.queries("q11_approx_percentiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    val accuracy = 10000.0 // must match q11ApproxPercentiles' literal
+    byFlag.foreach { case (flag, rs) =>
+      val qty = rs.map(_.getDouble(1)).sorted
+      val price = rs.map(_.getDouble(2)).sorted
+      val n = rs.length
+      val rankErr = math.max(1.0, n / accuracy) // floor of 1 for ties
+      def check(sorted: Array[Double], q: Double, got: Double,
+                label: String): Unit = {
+        // rank range of `got` among the sorted values (ties span)
+        val lo = sorted.indexWhere(_ >= got) + 1         // first rank ≥ got
+        val hi = sorted.lastIndexWhere(_ <= got) + 1     // last rank ≤ got
+        assert(lo >= 1 && hi >= 1, s"$label: $got outside data range")
+        val target = math.ceil(q * n)
+        val dist =
+          if (target < lo) lo - target
+          else if (target > hi) target - hi
+          else 0.0
+        assert(dist <= rankErr,
+          s"$flag $label: value $got at ranks [$lo,$hi], target $target, " +
+            s"rank error $dist > bound $rankErr (n=$n)")
+      }
+      check(qty, 0.5, approx(flag)(0), "median_qty")
+      check(qty, 0.95, approx(flag)(1), "p95_qty")
+      check(price, 0.5, approx(flag)(2), "median_price")
+      check(price, 0.95, approx(flag)(3), "p95_price")
+    }
+  }
+
   test("redaction is idempotent and leaves no matchable pii behind") {
     val r = new Random(13)
     val piis = Seq("a.b@c.io", "555-123-4567", "10.0.0.1", "x@y.org more", "")
