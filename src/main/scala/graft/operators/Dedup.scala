@@ -269,10 +269,13 @@ object Dedup {
     * near-dup graphs is tiny (dup clusters are near-cliques), so
     * `maxIter` of ~10 covers 100 TB corpora. Returns (id, canonical)
     * for EVERY id in `ids` (singletons map to themselves) — the
-    * keep/drop decision is `id != canonical`.
+    * keep/drop decision is `id != canonical`. `saltBuckets > 1`
+    * switches the per-round neighbor join to a skew-salted join for
+    * corpora with viral clusters (one key = a large share of the
+    * edges) that AQE cannot split through the per-round checkpoint.
     */
   def resolveClusters(ids: DataFrame, pairs: DataFrame,
-                      maxIter: Int = 10): DataFrame = {
+                      maxIter: Int = 10, saltBuckets: Int = 1): DataFrame = {
     // localCheckpoint each iteration: without it every round's plan
     // embeds all previous rounds' plans and the lineage explodes
     // (OOM at plan stringification long before any data is big)
@@ -291,8 +294,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      val viaNeighbor = edges
-        .join(labels, edges("idb") === labels("id"))
+      // Viral-cluster skew: one doc near-identical to 10^6 others puts
+      // 10^6 edge rows on a single join key per round, and the
+      // per-round eager checkpoint materializes BEFORE AQE's final
+      // stage could re-split it. `saltBuckets > 1` spreads each hot
+      // key over that many composite (id, salt) keys via
+      // Bucketing.saltedJoin (edge side salted on the high-cardinality
+      // ida, label side replicated) — identical result set, no
+      // straggler task (proven on a star graph in DedupSpec).
+      val e = edges.select(col("ida"), col("idb").as("id"))
+      val viaNeighbor = (if (saltBuckets > 1)
+        Bucketing.saltedJoin(e, labels, Seq("id"), saltBy = "ida", salts = saltBuckets)
+      else e.join(labels, Seq("id")))
         .select(col("ida").as("id"), col("canonical"), lit(0).as("_own"))
       // ONE job per iteration: the convergence check rides the
       // materializing count as an observe() metric (own-label rows are
