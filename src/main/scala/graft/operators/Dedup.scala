@@ -208,13 +208,15 @@ object Dedup {
   def dedupResolve(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.1,
-                   maxBucket: Int = 10000, minBands: Int = 1): DataFrame = {
+                   maxBucket: Int = 10000, minBands: Int = 1,
+                   saltBuckets: Int = 1): DataFrame = {
     val (docsH, cand) =
       minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket,
         minBands)
     val near = pairJaccard(docsH, cand).filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"))
-    resolveClusters(df.select(col(idCol).as("id")), near)
+    resolveClusters(df.select(col(idCol).as("id")), near,
+      saltBuckets = saltBuckets)
       .select(col("id").as(idCol), col("canonical"),
         (col("id") =!= col("canonical")).as("is_dup"))
   }
@@ -300,8 +302,15 @@ object Dedup {
       // stage could re-split it. `saltBuckets > 1` spreads each hot
       // key over that many composite (id, salt) keys via
       // Bucketing.saltedJoin (edge side salted on the high-cardinality
-      // ida, label side replicated) — identical result set, no
-      // straggler task (proven on a star graph in DedupSpec).
+      // ida, label side replicated) — identical result set, and the
+      // hot key's rows spread over the salts instead of one straggler
+      // task (DedupSpec "salted cluster resolution": 1e5-edge star
+      // graph, salted == unsalted output, max per-task shuffle read
+      // a fraction of the unsalted straggler's). The trade: every
+      // round shuffles `saltBuckets` copies of the label frame, so
+      // salting only pays when shuffle partitions >> saltBuckets
+      // (any real cluster) AND one key truly dominates; leave it at
+      // 1 unless a straggler is observed.
       val e = edges.select(col("ida"), col("idb").as("id"))
       val viaNeighbor = (if (saltBuckets > 1)
         Bucketing.saltedJoin(e, labels, Seq("id"), saltBy = "ida", salts = saltBuckets)

@@ -343,6 +343,83 @@ class DedupSpec extends SparkSpec {
     assert(lsh.count() == exact.count(), "one stats row per vector")
   }
 
+  test("salted cluster resolution: star graph equals unsalted, no straggler task") {
+    // Viral-cluster shape: every edge is incident to id 1, so the
+    // unsalted per-round neighbor join puts ALL hot-key rows in the
+    // task owning key 1's partition. saltBuckets=8 must (a) produce
+    // the identical result set and (b) spread that key's rows so no
+    // task reads a straggler-sized shuffle block.
+    val n = 100000L
+    val ids = spark.range(1, n + 2).toDF("id")
+    val pairs = spark.range(2, n + 2)
+      .select(lit(1L).as("ida"), col("id").as("idb"))
+    // Force the scenario salting exists for: a label side too big to
+    // broadcast and skew AQE doesn't resolve. At test scale the label
+    // frame would be auto-broadcast (no shuffle on the hot key at
+    // all), AQE's skew split would shave the straggler, and its
+    // small-data coalescing would merge the tiny shuffles into one
+    // task — each masks the spread this spec measures.
+    // 64 shuffle partitions pins the regime salting is built for:
+    // P >> salts, so the 8x-replicated label side spreads thin over
+    // tasks while the unsalted hot key still lands in ONE task. (At
+    // P ~ salts the replication cost dominates and salting loses —
+    // see the operator doc.)
+    val overrides = Map(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "64")
+    val prev = overrides.keys.map(k => k -> spark.conf.get(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def run(salt: Int): (Array[(Long, Long)], Long) = {
+        val max = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null)
+              max.getAndAccumulate(m.shuffleReadMetrics.recordsRead,
+                (a: Long, b: Long) => math.max(a, b))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val out = Dedup.resolveClusters(ids, pairs, saltBuckets = salt)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          // listener events are async — poll until the max stabilizes
+          var prev = -1L; var cur = max.get(); var spins = 0
+          while (cur != prev && spins < 50) {
+            Thread.sleep(100); prev = cur; cur = max.get(); spins += 1
+          }
+          (out, cur)
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val (unsalted, maxUnsalted) = run(1)
+      val (salted, maxSalted) = run(8)
+      assert(salted.sameElements(unsalted),
+        s"salted diverges: ${salted.zip(unsalted).find(p => p._1 != p._2)}")
+      assert(unsalted.forall(_._2 == 1L), "star canonicalizes to hub id 1")
+      // the unsalted straggler reads every hot-key edge row in one task
+      assert(maxUnsalted >= n,
+        s"expected an unsalted straggler >= $n, saw $maxUnsalted")
+      assert(maxSalted <= maxUnsalted / 2,
+        s"salting did not spread the hot key: salted max $maxSalted " +
+          s"vs unsalted max $maxUnsalted")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("dedupResolve threads saltBuckets: salted output equals default") {
+    val df = Tables.load(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    def key(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    val plain = key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
+    val salted = key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5,
+      saltBuckets = 4))
+    assert(plain.sameElements(salted), "saltBuckets changed the result set")
+  }
+
   test("ann lsh plan contains no cartesian or nested-loop join") {
     val plan = Similarity.annLsh(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
