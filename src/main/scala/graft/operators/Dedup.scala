@@ -426,18 +426,23 @@ object Dedup {
     * whose near-dups land across a hyperplane are missed — recall,
     * not precision, is traded (every reported cosine is exact);
     * `planes` tunes bucket size vs recall exactly as in
-    * Similarity.annLsh.
+    * Similarity.annLsh, and `maxBucket` drops degenerate flood
+    * buckets from candidate generation (their vectors report
+    * n_near=0 — the same recall-only cap as annLsh and
+    * bucketPairs) instead of letting one bucket go quadratic.
     */
   def embeddingStatsLsh(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.4, planes: Int = 6,
-                        seed: Long = 42L): DataFrame = {
-    // materialize once: `e` feeds both sides of the self-join plus the
-    // final left join (see embeddingStats)
+                        seed: Long = 42L,
+                        maxBucket: Int = 10000): DataFrame = {
+    // materialize once: `e` feeds the flood count, both sides of the
+    // self-join, plus the final left join (see embeddingStats)
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
       VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
       .localCheckpoint(true)
-    val pairs = e.as("a").join(e.as("b"),
+    val kept = Similarity.capFloodBuckets(e, maxBucket)
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         Similarity.cosFromParts(

@@ -338,12 +338,22 @@ object DedupQueries {
        |  FROM embeddings em JOIN buck b ON b.vec_id = em.vec_id)""".stripMargin
   }
 
+  // ek mirrors Similarity.capFloodBuckets: buckets over maxBucket
+  // (default 10000 — never hit at oracle SF, semantics pinned anyway)
+  // are dropped from candidate generation only
+  private val floodCapCte: String =
+    """ek AS (
+      |  SELECT * FROM e WHERE bucket NOT IN (
+      |    SELECT bucket FROM e GROUP BY bucket HAVING count(*) > 10000))"""
+      .stripMargin
+
   private val annLshSql: String =
     s"""WITH $srpBucketCtes,
+       |$floodCapCte,
        |c AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    $cosSql AS cos_sim
-       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |  FROM ek a JOIN ek b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
        |r AS (
        |  SELECT vec_id, neighbor_id, cos_sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -353,9 +363,10 @@ object DedupQueries {
 
   private val embeddingLshStatsSql: String =
     s"""WITH $srpBucketCtes,
+       |$floodCapCte,
        |c AS (
        |  SELECT a.vec_id AS ida, b.vec_id AS idb, $cosSql AS cos
-       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM ek a JOIN ek b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |per AS (
        |  SELECT id,
        |    CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,

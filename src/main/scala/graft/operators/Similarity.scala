@@ -227,17 +227,45 @@ object Similarity {
     * Norms ride the (tiny) bucket rows so in-bucket pairs compute one
     * dot each. The plan must contain NO cartesian/nested-loop join —
     * asserted in PlanSpec.
+    *
+    * `maxBucket` guards the m²/2 explosion of a degenerate bucket
+    * (mass-duplicated or near-collinear vectors): buckets larger
+    * than the cap are dropped from candidate generation entirely —
+    * their vectors report no neighbors (a recall trade, same as
+    * Dedup.bucketPairs' cap) instead of one task computing a
+    * quadratic bucket. The bucket-id space is 2^planes, so the
+    * flood set is a tiny broadcast anti-join, not a shuffle. At
+    * corpus scale raise `planes` so expected bucket size stays
+    * under the cap.
     */
   def annLsh(df: DataFrame, idCol: String, vecCol: String,
-             k: Int = 5, planes: Int = 6, seed: Long = 42L): DataFrame = {
+             k: Int = 5, planes: Int = 6, seed: Long = 42L,
+             maxBucket: Int = 10000): DataFrame = {
+    // materialize once: feeds the flood count plus both join sides
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
       VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
-    val pairs = e.as("a").join(e.as("b"),
+      .localCheckpoint(true)
+    val kept = capFloodBuckets(e, maxBucket)
+    val pairs = kept.as("a").join(kept.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
         cosFromParts(VectorFunctions.dotProduct(col("a.v"), col("b.v")),
           col("a.nn"), col("b.nn")).as("cos_sim"))
     topKWithin(pairs, k)
   }
+
+  /** Drop rows whose SRP `bucket` holds more than `maxBucket`
+    * vectors. The distinct bucket ids number at most 2^planes, so
+    * the flood set is broadcast and the filter is a hash anti-join
+    * with no extra shuffle of the fact side.
+    */
+  private[operators] def capFloodBuckets(e: DataFrame,
+                                         maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) e
+    else {
+      val flood = e.groupBy("bucket").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucket).select("bucket")
+      e.join(broadcast(flood), Seq("bucket"), "left_anti")
+    }
 }

@@ -420,6 +420,40 @@ class DedupSpec extends SparkSpec {
     assert(plain.sameElements(salted), "saltBuckets changed the result set")
   }
 
+  test("srp flood cap drops oversized buckets from candidate generation only") {
+    // 20 identical vectors share one SRP bucket (a mass-dup flood);
+    // two distinct near-orthogonal vectors elsewhere keep their rows
+    val floodVec = Array.fill(4)(1.0f)
+    val rows = (1L to 20L).map(i => (i, floodVec)) ++
+      Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+          (101L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingStatsLsh(df, "vec_id", "embedding",
+      threshold = 0.4, maxBucket = 10)
+    // every vector still gets a stats row; flood vectors report 0
+    assert(capped.count() == 22)
+    val byId = capped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 20L).forall(byId(_) == 0L), "flood bucket not dropped")
+    // the small bucket's pairs survive IF 100/101 share a bucket; at
+    // minimum they are unaffected by the flood drop: uncapped equals
+    // capped on the non-flood ids
+    val uncapped = Dedup.embeddingStatsLsh(df, "vec_id", "embedding",
+      threshold = 0.4, maxBucket = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(100L) == uncapped(100L) && byId(101L) == uncapped(101L))
+    assert(uncapped(1L) == 19L, "uncapped flood vectors see all twins")
+    // annLsh: capped drops the flood vectors' result rows entirely
+    val annCapped = Similarity.annLsh(df, "vec_id", "embedding",
+      maxBucket = 10)
+    assert(annCapped.filter(col("vec_id") <= 20L).count() == 0)
+    val annIds = annCapped.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val annUncappedIds = Similarity.annLsh(df, "vec_id", "embedding")
+      .filter(col("vec_id") >= 100L).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(annIds == annUncappedIds, "non-flood ids unaffected by cap")
+  }
+
   test("ann lsh plan contains no cartesian or nested-loop join") {
     val plan = Similarity.annLsh(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
