@@ -84,22 +84,40 @@ object IngestJob {
     catch { case e: Throwable => finishRecord(s"failed: ${e.getClass.getSimpleName}"); throw e }
   }
 
-  private def runInner(spark: SparkSession, cfg: IngestConfig): DataFrame = {
-    val df = transform(read(spark, cfg), cfg)
-    if (cfg.dqRules.nonEmpty) {
+  /** Evaluate DQ rules, append the result rows to the audit table,
+    * then — only when `failHard` and a rule failed — throw. The
+    * ordering is the contract (reference dq/dq.py:148 appends the
+    * dq_log table unconditionally): soft-fail leaves the audit
+    * trail and continues; hard-fail leaves the SAME trail and then
+    * gates. `layer` stamps which medallion step evaluated the rules.
+    */
+  private[pipeline] def applyDq(df: DataFrame,
+                                rules: Seq[graft.dq.DqRule],
+                                auditTablePath: Option[String],
+                                failHard: Boolean,
+                                layer: String): Unit = {
+    if (rules.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, lit, not}
       // Rules are always materialized (collect is over one row per
       // rule — tiny); violations gate the write when configured,
       // matching the reference DQ layer's fail-the-pipeline surface.
-      val dq = graft.dq.DataQuality.evaluate(df, cfg.dqRules).cache()
-      val failed = dq.filter(!org.apache.spark.sql.functions.col("passed"))
+      val dq = graft.dq.DataQuality.evaluate(df, rules)
+        .withColumn("layer", lit(layer)).cache()
+      val failed = dq.filter(not(col("passed")))
         .select("rule_name").collect().map(_.getString(0)).toSeq
-      cfg.auditTablePath.foreach { p =>
+      auditTablePath.foreach { p =>
         dq.write.mode("append").parquet(s"$p/dq_results")
       }
       dq.unpersist()
-      if (cfg.failOnDqViolation && failed.nonEmpty)
+      if (failHard && failed.nonEmpty)
         throw new DqViolationException(failed)
     }
+  }
+
+  private def runInner(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    val df = transform(read(spark, cfg), cfg)
+    applyDq(df, cfg.dqRules, cfg.auditTablePath, cfg.failOnDqViolation,
+      layer = cfg.writes.headOption.map(_.medallionLayer).getOrElse(""))
     cfg.writes.foreach { wc =>
       val deleteMissing = wc.extractMode == "fe"
       if (wc.mode == "merge" && cfg.validateKeys)
@@ -122,15 +140,27 @@ object IngestJob {
   }
 
   /** Medallion orchestration (reference `run_medallion` =
-    * `_run_bronze` + `_run_silver`, builder/engine.py): run the
-    * bronze ingest, then read the bronze table back, apply the
+    * `_run_bronze` + `_run_silver`, builder/engine.py:162-226): run
+    * the bronze ingest, then read the bronze table back, apply the
     * silver transforms (control columns dropped — silver is the
-    * business-facing layer), and write the silver targets. Returns
-    * (bronze, silver) frames.
+    * business-facing layer), run the silver DQ rules (the reference
+    * checks DQ on the transformed frame before the silver write),
+    * and write the silver targets. Returns (bronze, silver) frames.
+    *
+    * Failure semantics (ConfigSpec "medallion DQ failure matrix"):
+    * bronze DQ rules ride `bronze.dqRules` inside `run` — a bronze
+    * hard-fail gates BEFORE silver ever reads; `silverDqRules` gate
+    * after the bronze write but before any silver write. In both
+    * layers the DQ result rows land in `dq_results` (stamped with a
+    * `layer` column) BEFORE the gate throws, and
+    * `bronze.failOnDqViolation` picks soft (log + continue) vs hard
+    * (log + throw) for both.
     */
   def runMedallion(spark: SparkSession, bronze: IngestConfig,
                    silverTransforms: Seq[Transform],
-                   silverWrites: Seq[WriteConfig]): (DataFrame, DataFrame) = {
+                   silverWrites: Seq[WriteConfig],
+                   silverDqRules: Seq[graft.dq.DqRule] = Nil)
+      : (DataFrame, DataFrame) = {
     require(bronze.writes.nonEmpty, "medallion bronze config needs a write target")
     val bronzeDf = run(spark, bronze)
     val bronzeBack = bronze.writes.head.mode match {
@@ -140,6 +170,8 @@ object IngestJob {
     }
     val silverDf = Pipeline(silverTransforms)(
       graft.sources.Sources.dropControlColumns(bronzeBack))
+    applyDq(silverDf, silverDqRules, bronze.auditTablePath,
+      bronze.failOnDqViolation, layer = "silver")
     silverWrites.foreach { wc =>
       val deleteMissing = wc.extractMode == "fe"
       wc.mode match {

@@ -160,6 +160,64 @@ class ConfigSpec extends SparkSpec {
     assert(!s.columns.contains("file_path"), "silver must drop control columns")
   }
 
+  test("medallion DQ failure matrix: layer x soft/hard, log lands before the gate") {
+    val src = stageSource()
+    // always-fails at any SF (no order is that cheap) vs always-passes
+    val failing = graft.dq.InRange("o_totalprice", 0, 1)
+    val passing = graft.dq.NotNull("o_orderkey")
+    def bronzeCfg(dir: String, rules: Seq[graft.dq.DqRule], hard: Boolean) =
+      IngestConfig(
+        source = SourceConfig("parquet", src),
+        dqRules = rules,
+        writes = Seq(WriteConfig(path = s"$dir/bronze", mode = "merge",
+          keys = Seq("o_orderkey"), medallionLayer = "bronze")),
+        auditTablePath = Some(s"$dir/audit"),
+        failOnDqViolation = hard)
+    def silverWrites(dir: String) = Seq(WriteConfig(path = s"$dir/silver",
+      mode = "merge", keys = Seq("o_orderkey"), orderBy = "o_orderkey",
+      medallionLayer = "silver"))
+    def dqRows(dir: String) = spark.read.parquet(s"$dir/audit/dq_results")
+      .collect().map(r => (r.getAs[String]("layer"),
+        r.getAs[Boolean]("passed"))).sorted.toSeq
+
+    // 1. bronze soft-fail: log + continue all the way to silver
+    val d1 = Files.createTempDirectory("graft_mx_bs").toString
+    IngestJob.runMedallion(spark, bronzeCfg(d1, Seq(failing), hard = false),
+      Nil, silverWrites(d1))
+    assert(MergeTable.exists(s"$d1/bronze") && MergeTable.exists(s"$d1/silver"))
+    assert(dqRows(d1) == Seq(("bronze", false)))
+
+    // 2. bronze hard-fail: log row lands, then the gate throws before
+    //    ANY write — no bronze, no silver
+    val d2 = Files.createTempDirectory("graft_mx_bh").toString
+    intercept[DqViolationException](
+      IngestJob.runMedallion(spark, bronzeCfg(d2, Seq(failing), hard = true),
+        Nil, silverWrites(d2)))
+    assert(dqRows(d2) == Seq(("bronze", false)),
+      "hard-fail must still write the DQ log row before throwing")
+    assert(!MergeTable.exists(s"$d2/bronze") && !MergeTable.exists(s"$d2/silver"))
+    val runLog = spark.read.parquet(s"$d2/audit/run_log").collect()
+    assert(runLog.length == 1 &&
+      runLog(0).getAs[String]("status").startsWith("failed: DqViolation"))
+
+    // 3. silver soft-fail: both layers logged, silver still written
+    val d3 = Files.createTempDirectory("graft_mx_ss").toString
+    IngestJob.runMedallion(spark, bronzeCfg(d3, Seq(passing), hard = false),
+      Nil, silverWrites(d3), silverDqRules = Seq(failing))
+    assert(MergeTable.exists(s"$d3/silver"))
+    assert(dqRows(d3) == Seq(("bronze", true), ("silver", false)))
+
+    // 4. silver hard-fail: bronze landed, silver log row landed, the
+    //    gate stopped the silver write
+    val d4 = Files.createTempDirectory("graft_mx_sh").toString
+    intercept[DqViolationException](
+      IngestJob.runMedallion(spark, bronzeCfg(d4, Seq(passing), hard = true),
+        Nil, silverWrites(d4), silverDqRules = Seq(failing)))
+    assert(MergeTable.exists(s"$d4/bronze"), "bronze write precedes the silver gate")
+    assert(!MergeTable.exists(s"$d4/silver"))
+    assert(dqRows(d4) == Seq(("bronze", true), ("silver", false)))
+  }
+
   test("per-file ordered apply replays extracts in mtime order") {
     import SparkSpec.spark.implicits._
     import java.nio.file.attribute.FileTime
