@@ -250,6 +250,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want), s"${got.length} vs ${want.length} joined pairs")
   }
 
+  test("interval join evicts state: rows plateau under an advancing watermark") {
+    // 6 chronological files -> 6 micro-batches (maxFilesPerTrigger=1).
+    // Each file spans days while the join keeps a ~3h time bound, so
+    // the watermark advancing batch-over-batch must EVICT nearly all
+    // prior state — the two-sided time bound is what makes this the
+    // only stream-stream join shape whose state doesn't grow forever.
+    val src = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_ssj_evict").toString
+    val n = 6
+    val chunks = src.withColumn("_b",
+      ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to n).foreach { i =>
+      val tmp = s"$dir/stage$i"
+      chunks.filter(col("_b") === i).drop("_b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = Paths.get(dir, f"part$i%02d.parquet")
+      Files.move(f, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    def side(tpe: String) = StreamingIngest.readStream(spark, "parquet",
+      s"$dir/*.parquet", src.schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .filter(col("event_type") === tpe)
+    val joined = StreamingIngest.intervalJoin(side("purchase"), side("click"),
+      "user_id", "ts", "ts", delay = "1 hour", lookback = "2 hours")
+      .select(col("l_event_id"), col("r_event_id"))
+    val name = s"stream_ssj_evict_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(progs.length >= n - 1, s"expected ~$n state batches, saw ${progs.length}")
+    val stateTotals = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val removed = progs.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    val fedRows = progs.map(_.numInputRows).sum
+    assert(removed > 0, "watermark advance must remove state rows")
+    // plateau, not growth: the final batch's state retains only the
+    // tail time-window, a fraction of everything fed through
+    assert(stateTotals.last * 2 < fedRows,
+      s"state accumulated the stream: ${stateTotals.mkString(",")} vs $fedRows fed")
+    // and the audit surface exposes the eviction counters
+    val rec = graft.pipeline.Audit.streamingRunRecord(spark, "ssj_evict", q)
+      .filter(col("state_rows_removed") > 0)
+    assert(rec.count() > 0, "run record must surface state eviction")
+  }
+
   test("streaming medallion: bronze append then silver merge, chained") {
     // the reference's main operating mode end-to-end: files stream
     // into a bronze landing (append, availableNow), bronze streams
