@@ -7,11 +7,19 @@ import org.apache.spark.sql.SparkSession
   * FULL physical plan including every projected column (a plain
   * `df.count()` would let Catalyst prune all output columns and
   * measure a different, narrower plan).
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3,
+  * back-to-back) and reports the MEDIAN — single-shot timings drifted
+  * 1.3-2.2x round-over-round on sub-second queries, drowning real
+  * regressions in noise. The first (cold, codegen-compiling) run is
+  * reported separately under "cold" so cold-start regressions stay
+  * visible; "total" is the sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,25 +35,31 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+      val times = (1 to runsPer).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count()
+              Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times)
     }
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     // A crashed query must be distinguishable in the JSON itself
     // (stderr is not part of the bench artifact): it reports -1 and
     // is listed under "failed".
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0)
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val cold = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.headOption.getOrElse(-1.0)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"runs":$runsPer,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
