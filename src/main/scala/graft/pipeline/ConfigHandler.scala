@@ -76,7 +76,13 @@ object ConfigHandler {
       dqRules = arr(root, "dqRules").zipWithIndex
         .map { case (n, i) => parseDqRule(n, s"$$.dqRules[$i]") },
       auditTablePath = opt(root, "auditTablePath").map(_.asText),
-      failOnDqViolation = opt(root, "failOnDqViolation").exists(_.asBoolean))
+      failOnDqViolation = opt(root, "failOnDqViolation").exists(_.asBoolean),
+      tableFormat = opt(root, "tableFormat").map(_.asText) match {
+        case None | Some("snapshot") => SnapshotTableFormat
+        case Some("delta-log")       => DeltaLogTableFormat
+        case Some(other) => throw new ConfigError("$.tableFormat",
+          s"unknown table format '$other' (snapshot | delta-log)")
+      })
   }
 
   private def need(n: JsonNode, field: String, at: String): JsonNode = {

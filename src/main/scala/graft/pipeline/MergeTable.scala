@@ -111,8 +111,8 @@ object MergeTable {
     * winner is immaterial. Re-running the same merge always produces
     * the same table, regardless of partitioning.
     */
-  private def deterministicOrd(updates: DataFrame, keys: Seq[String],
-                               orderBy: String): Seq[Column] = {
+  private[pipeline] def deterministicOrd(updates: DataFrame, keys: Seq[String],
+                                         orderBy: String): Seq[Column] = {
     val tiebreak = updates.schema.fields
       .filterNot(f => f.dataType.isInstanceOf[MapType]) // maps are unorderable
       .map(_.name)
@@ -130,14 +130,24 @@ object MergeTable {
     * at 100 TB means 3-4 redundant full scans).
     */
   private def writeTagged(tagged: DataFrame, path: String,
-                          dropActions: Seq[String]): MergeStats = {
+                          dropActions: Seq[String]): MergeStats =
+    observedWrite(tagged, dropActions)(out => { writeSnapshot(out, path); () })
+
+  /** Format-independent half of `writeTagged`: meter the tagged
+    * frame, strip the tag, and hand the final frame to whatever
+    * commit mechanism the table format uses (snapshot dir swap here,
+    * log-commit in [[DeltaLogTableFormat]]).
+    */
+  private[pipeline] def observedWrite(tagged: DataFrame,
+                                      dropActions: Seq[String])(
+                                      write: DataFrame => Unit): MergeStats = {
     val obs = Observation()
     val observed = tagged.observe(obs,
       actionCount("insert"), actionCount("update"), actionCount("close"),
       actionCount("delete"))
     val out = if (dropActions.isEmpty) observed
       else observed.filter(!col("_action").isin(dropActions: _*))
-    writeSnapshot(out.drop("_action"), path)
+    write(out.drop("_action"))
     val m = obs.get
     def g(k: String): Long = m.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
     MergeStats(inserted = g("insert"), updated = g("update") + g("close"),
@@ -151,8 +161,8 @@ object MergeTable {
     * projection. Removed/renamed source columns still require an
     * explicit migration.
     */
-  private def evolveTarget(target: DataFrame, updates: DataFrame,
-                           allow: Boolean): DataFrame =
+  private[pipeline] def evolveTarget(target: DataFrame, updates: DataFrame,
+                                     allow: Boolean): DataFrame =
     if (!allow) target
     else updates.schema.fields
       .filterNot(f => target.columns.contains(f.name))

@@ -55,7 +55,12 @@ final case class IngestConfig(
       * (reference primary-key validation) — null keys corrupt
       * latest-per-key compaction silently.
       */
-    validateKeys: Boolean = true)
+    validateKeys: Boolean = true,
+    /** Transactional-table layer for merge-mode writes: the bundled
+      * snapshot format, or the delta-log protocol implementation
+      * (`"tableFormat": "delta-log"` in JSON config).
+      */
+    tableFormat: TableFormat = SnapshotTableFormat)
 
 /** Thrown when `failOnDqViolation` is set and any rule fails. */
 final class DqViolationException(val failed: Seq[String])
@@ -125,9 +130,9 @@ object IngestJob {
       val stats = wc.mode match {
         case "merge" =>
           if (wc.scdType == 2)
-            MergeTable.scd2Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
+            cfg.tableFormat.scd2Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
           else
-            MergeTable.scd1Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
+            cfg.tableFormat.scd1Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
         case m =>
           df.write.mode(m).format(wc.format).save(wc.path)
           MergeStats(inserted = -1, updated = -1, deleted = -1)
@@ -164,7 +169,7 @@ object IngestJob {
     require(bronze.writes.nonEmpty, "medallion bronze config needs a write target")
     val bronzeDf = run(spark, bronze)
     val bronzeBack = bronze.writes.head.mode match {
-      case "merge" => MergeTable.read(spark, bronze.writes.head.path)
+      case "merge" => bronze.tableFormat.read(spark, bronze.writes.head.path)
       case _       => spark.read.format(bronze.writes.head.format)
         .load(bronze.writes.head.path)
     }
@@ -177,9 +182,9 @@ object IngestJob {
       wc.mode match {
         case "merge" =>
           if (wc.scdType == 2)
-            MergeTable.scd2Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
+            bronze.tableFormat.scd2Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
           else
-            MergeTable.scd1Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
+            bronze.tableFormat.scd1Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
         case m => silverDf.write.mode(m).format(wc.format).save(wc.path)
       }
     }

@@ -160,6 +160,26 @@ class ConfigSpec extends SparkSpec {
     assert(!s.columns.contains("file_path"), "silver must drop control columns")
   }
 
+  test("tableFormat config key routes merges through the delta-log format") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_cfg_delta").toString
+    val cfg = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/tbl", "mode": "merge", "keys": ["o_orderkey"]}],
+         |"tableFormat": "delta-log"}""".stripMargin)
+    IngestJob.run(spark, cfg)
+    IngestJob.run(spark, cfg) // idempotent re-run commits a second version
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    assert(fmt.exists(s"$dir/tbl") && fmt.versions(s"$dir/tbl") == Seq(0, 1))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/tbl/_delta_log")))
+    assert(!MergeTable.exists(s"$dir/tbl"), "snapshot pointer must not exist")
+    assert(fmt.read(spark, s"$dir/tbl").count() ==
+      spark.read.parquet(src).select("o_orderkey").distinct().count())
+    intercept[graft.pipeline.ConfigHandler.ConfigError](ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"tableFormat": "iceberg"}""".stripMargin))
+  }
+
   test("medallion DQ failure matrix: layer x soft/hard, log lands before the gate") {
     val src = stageSource()
     // always-fails at any SF (no order is that cheap) vs always-passes

@@ -269,6 +269,78 @@ class MergeSpec extends SparkSpec {
     assert(fmt.vacuum(p, keepVersions = 2) == Seq(0))
   }
 
+  test("delta-log format: same seam contract, protocol-shaped log") {
+    val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    assert(!fmt.exists(p) && fmt.currentVersion(p).isEmpty)
+    val s0 = fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    assert(s0.inserted == 3)
+    fmt.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+    assert(fmt.exists(p) && fmt.currentVersion(p).contains(1))
+    assert(fmt.versions(p) == Seq(0, 1))
+    // result set identical to the snapshot format running the same merges
+    val sp = tmp()
+    SnapshotTableFormat.scd1Merge(spark, sp, updates1, Seq("id"), "ord")
+    SnapshotTableFormat.scd1Merge(spark, sp, updates2, Seq("id"), "ord")
+    assert(tableHash(fmt.read(spark, p)) ==
+      tableHash(SnapshotTableFormat.read(spark, sp)))
+    assert(fmt.readVersion(spark, p, 0).count() == 3)
+    // the log is protocol-shaped: v0 carries protocol+metaData, v1
+    // removes v0's live files and adds the rewrite
+    import scala.jdk.CollectionConverters._
+    def actions(v: Int) = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(p, "_delta_log", f"$v%020d.json")).asScala
+      .filter(_.nonEmpty).map(l => new com.fasterxml.jackson.databind
+        .ObjectMapper().readTree(l))
+    val v0 = actions(0)
+    assert(v0.exists(_.has("protocol")) && v0.exists(_.has("metaData")))
+    val v0adds = v0.count(_.has("add"))
+    assert(v0adds > 0 && v0.count(_.has("remove")) == 0)
+    val v1 = actions(1)
+    assert(v1.count(_.has("remove")) == v0adds,
+      "rewrite commit must remove every previous live file")
+    assert(v1.count(_.has("add")) > 0)
+    val schemaStr = v0.find(_.has("metaData")).get
+      .get("metaData").get("schemaString").asText()
+    assert(org.apache.spark.sql.types.DataType.fromJson(schemaStr)
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    // scd2 + vacuum through the same trait
+    fmt.scd2Merge(spark, p + "_h", updates1, Seq("id"), "ord")
+    fmt.scd2Merge(spark, p + "_h", updates2, Seq("id"), "ord")
+    assert(fmt.read(spark, p + "_h").filter(col("is_current") === 1).count() == 4)
+    fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    assert(fmt.vacuum(p, keepVersions = 2) == Seq(0))
+    intercept[IllegalStateException](fmt.readVersion(spark, p, 0))
+    assert(fmt.read(spark, p).count() == 4, "current version survives vacuum")
+    // a racing writer loses the version file atomically, not silently
+    // (POSIX rename would REPLACE; the commit primitive must refuse)
+    val clash = java.nio.file.Paths.get(p, "_delta_log",
+      f"${fmt.currentVersion(p).get}%020d.json")
+    assert(java.nio.file.Files.exists(clash))
+    val before = java.nio.file.Files.readAllBytes(clash)
+    val raceTmp = java.nio.file.Files.write(
+      java.nio.file.Paths.get(p, "_delta_log", ".race.tmp"), "{}".getBytes)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      graft.pipeline.DeltaLogTableFormat.publishCommit(raceTmp, clash)
+    }
+    assert(java.util.Arrays.equals(before,
+      java.nio.file.Files.readAllBytes(clash)),
+      "loser must not clobber the winner's commit")
+    assert(!java.nio.file.Files.exists(raceTmp), "loser's temp cleaned up")
+  }
+
+  test("delta-log format: full-delete leaves a readable empty table") {
+    val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    // full extract with no surviving keys deletes everything
+    val none = updates1.filter(col("id") < 0)
+    fmt.scd1Merge(spark, p, none, Seq("id"), "ord", deleteMissing = true)
+    val out = fmt.read(spark, p)
+    assert(out.count() == 0)
+    assert(out.columns.contains("id"), "schema survives an empty state")
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
