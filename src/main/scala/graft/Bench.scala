@@ -35,7 +35,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runsPer).flatMap { _ =>
+      val attempts: Seq[Option[Double]] = (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
               Some((System.nanoTime() - t0) / 1e9) }
@@ -44,21 +44,28 @@ object Bench {
           None
         }
       }
-      (name, times)
+      (name, attempts)
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-    // A crashed query must be distinguishable in the JSON itself
-    // (stderr is not part of the bench artifact): it reports -1 and
-    // is listed under "failed".
+    // A crashed RUN must be distinguishable in the JSON itself
+    // (stderr is not part of the bench artifact): a query with any
+    // failed attempt is listed under "failed" — even if other
+    // attempts succeeded (a cold-run-only crash must not hide behind
+    // a healthy warm median). -1 marks all-runs-failed medians and a
+    // failed cold attempt.
     val qs = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
+      val ok = ts.flatten
+      "\"" + k + "\":" + (if (ok.nonEmpty) median(ok) else -1.0)
     }.mkString("{", ",", "}")
     val cold = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.headOption.getOrElse(-1.0)
+      "\"" + k + "\":" + ts.head.getOrElse(-1.0)
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+    val failed = results.collect {
+      case (k, ts) if ts.exists(_.isEmpty) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val total = results.collect {
+      case (_, ts) if ts.flatten.nonEmpty => median(ts.flatten)
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"runs":$runsPer,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -241,11 +241,17 @@ object Similarity {
   def annLsh(df: DataFrame, idCol: String, vecCol: String,
              k: Int = 5, planes: Int = 6, seed: Long = 42L,
              maxBucket: Int = 10000): DataFrame = {
-    // materialize once: feeds the flood count plus both join sides
+    // LAZY checkpoint: the SRP projection feeds the flood count plus
+    // both join sides (4 plan references) and must evaluate once —
+    // but building the frame must stay side-effect-free (plan
+    // inspection, conditional pipelines), so materialization waits
+    // for the first action instead of running a job here. No
+    // observe() rides this frame, so lazy is safe (cf. the eager
+    // requirement in resolveClusters).
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
       VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val kept = capFloodBuckets(e, maxBucket)
     val pairs = kept.as("a").join(kept.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))

@@ -275,20 +275,63 @@ object DeltaLogTableFormat extends TableFormat {
     val droppedFiles = dropped.flatMap(v => replay(path, v).live).toSet
       .diff(keepFiles)
     droppedFiles.foreach { f =>
-      val p = Paths.get(path, f)
-      Files.deleteIfExists(p)
-      // drop the per-commit dir once empty
-      val dir = p.getParent
-      if (Files.isDirectory(dir) &&
-          scala.util.Using.resource(Files.list(dir))(
-            _.iterator().asScala.forall(
-              _.getFileName.toString.startsWith("_"))))
-        scala.util.Using.resource(Files.list(dir))(
-          _.iterator().asScala.toSeq).foreach(Files.deleteIfExists(_))
-      if (Files.isDirectory(dir) &&
-          scala.util.Using.resource(Files.list(dir))(!_.iterator().hasNext))
-        Files.deleteIfExists(dir)
+      Files.deleteIfExists(Paths.get(path, f))
+      dropCommitDirIfOnlySidecars(Paths.get(path, f).getParent)
     }
     dropped
+  }
+
+  /** Remove a per-commit data dir once only write sidecars remain —
+    * Hadoop's local committer leaves `_SUCCESS` plus `.`-prefixed
+    * `.crc` shadows behind, neither ever referenced by the log.
+    */
+  private def dropCommitDirIfOnlySidecars(dir: Path): Unit = {
+    def sidecar(n: String) = n.startsWith("_") || n.startsWith(".")
+    if (Files.isDirectory(dir) &&
+        scala.util.Using.resource(Files.list(dir))(
+          _.iterator().asScala.forall(p => sidecar(p.getFileName.toString)))) {
+      scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala.toSeq).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(dir)
+    }
+  }
+
+  /** Reclaim data directories no commit references: a writer that
+    * died between writing its `files-*` attempt dir and publishing
+    * the version file — or that lost the version race — leaves a
+    * complete rewrite's worth of parquet behind that `vacuum` can
+    * never name (it walks the log, and these dirs are in no log
+    * entry). Only dirs last modified more than `olderThanMs` ago are
+    * touched so an IN-FLIGHT writer's not-yet-committed attempt is
+    * never deleted from under it — the same retention-threshold
+    * defense real Delta's VACUUM uses. Returns the removed dirs.
+    */
+  def vacuumOrphans(path: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Nil
+    val referenced = versions(path)
+      .flatMap { v =>
+        Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+          .asScala.filter(_.nonEmpty).flatMap { line =>
+            val node = mapper.readTree(line)
+            Seq("add", "remove").flatMap(k =>
+              if (node.has(k)) Some(node.get(k).get("path").asText()) else None)
+          }
+      }
+      .map(p => p.split('/').head).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("files-") &&
+          !referenced.contains(d.getFileName.toString) &&
+          Files.getLastModifiedTime(d).toMillis < cutoff)
+        .toSeq)
+    orphans.foreach { d =>
+      scala.util.Using.resource(Files.walk(d))(
+        _.iterator().asScala.toSeq.reverse).foreach(Files.deleteIfExists(_))
+    }
+    orphans.map(_.getFileName.toString)
   }
 }

@@ -95,6 +95,11 @@ object IngestJob {
     * dq_log table unconditionally): soft-fail leaves the audit
     * trail and continues; hard-fail leaves the SAME trail and then
     * gates. `layer` stamps which medallion step evaluated the rules.
+    *
+    * Migration note: the `layer` column was added in round 6 — an
+    * audit dir with older dq_results part files needs
+    * `spark.read.option("mergeSchema", true)` to surface it across
+    * the mixed footers.
     */
   private[pipeline] def applyDq(df: DataFrame,
                                 rules: Seq[graft.dq.DqRule],
@@ -121,9 +126,23 @@ object IngestJob {
 
   private def runInner(spark: SparkSession, cfg: IngestConfig): DataFrame = {
     val df = transform(read(spark, cfg), cfg)
+    // the DQ pass is job-level (one evaluation of the transformed
+    // frame), so its label is the set of layers this job writes —
+    // "" for plain jobs, "bronze" for a medallion bronze config
     applyDq(df, cfg.dqRules, cfg.auditTablePath, cfg.failOnDqViolation,
-      layer = cfg.writes.headOption.map(_.medallionLayer).getOrElse(""))
-    cfg.writes.foreach { wc =>
+      layer = cfg.writes.map(_.medallionLayer).filter(_.nonEmpty)
+        .distinct.mkString(","))
+    writeTargets(spark, cfg, df, cfg.writes)
+    df
+  }
+
+  /** One write loop for every layer: key validation, format-routed
+    * merge, and audit_log rows apply identically whether the frame
+    * is a bronze ingest or a medallion silver product.
+    */
+  private def writeTargets(spark: SparkSession, cfg: IngestConfig,
+                           df: DataFrame, writes: Seq[WriteConfig]): Unit =
+    writes.foreach { wc =>
       val deleteMissing = wc.extractMode == "fe"
       if (wc.mode == "merge" && cfg.validateKeys)
         graft.cdc.Cdc.requireNonNullKeys(df, wc.keys)
@@ -141,8 +160,6 @@ object IngestJob {
         Audit.log(spark, wc.path, wc.mode, stats).write.mode("append").parquet(s"$p/audit_log")
       }
     }
-    df
-  }
 
   /** Medallion orchestration (reference `run_medallion` =
     * `_run_bronze` + `_run_silver`, builder/engine.py:162-226): run
@@ -175,18 +192,25 @@ object IngestJob {
     }
     val silverDf = Pipeline(silverTransforms)(
       graft.sources.Sources.dropControlColumns(bronzeBack))
-    applyDq(silverDf, silverDqRules, bronze.auditTablePath,
-      bronze.failOnDqViolation, layer = "silver")
-    silverWrites.foreach { wc =>
-      val deleteMissing = wc.extractMode == "fe"
-      wc.mode match {
-        case "merge" =>
-          if (wc.scdType == 2)
-            bronze.tableFormat.scd2Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
-          else
-            bronze.tableFormat.scd1Merge(spark, wc.path, silverDf, wc.keys, wc.orderBy, deleteMissing)
-        case m => silverDf.write.mode(m).format(wc.format).save(wc.path)
-      }
+    // the silver phase gets its own run_log bracket: a silver DQ
+    // hard-fail or merge failure must be recorded, not vanish behind
+    // the bronze run's success row
+    val startedAt = System.currentTimeMillis()
+    val runId = java.util.UUID.randomUUID().toString
+    def finishRecord(status: String): Unit = bronze.auditTablePath.foreach { p =>
+      Audit.runRecord(spark, s"silver:${bronze.writes.head.path}", runId,
+        startedAt, System.currentTimeMillis(), silverWrites.length, status)
+        .write.mode("append").parquet(s"$p/run_log")
+    }
+    try {
+      applyDq(silverDf, silverDqRules, bronze.auditTablePath,
+        bronze.failOnDqViolation, layer = "silver")
+      // same write loop as the bronze ingest: silver merges get the
+      // identical key validation and audit_log rows
+      writeTargets(spark, bronze, silverDf, silverWrites)
+      finishRecord("success")
+    } catch { case e: Throwable =>
+      finishRecord(s"failed: ${e.getClass.getSimpleName}"); throw e
     }
     (bronzeDf, silverDf)
   }

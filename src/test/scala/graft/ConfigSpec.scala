@@ -236,6 +236,43 @@ class ConfigSpec extends SparkSpec {
     assert(MergeTable.exists(s"$d4/bronze"), "bronze write precedes the silver gate")
     assert(!MergeTable.exists(s"$d4/silver"))
     assert(dqRows(d4) == Seq(("bronze", true), ("silver", false)))
+    // the silver failure is recorded in run_log, not hidden behind
+    // the bronze run's success row
+    val statuses = spark.read.parquet(s"$d4/audit/run_log")
+      .collect().map(_.getAs[String]("status")).sorted
+    assert(statuses.length == 2 && statuses(0).startsWith("failed: DqViolation")
+      && statuses(1) == "success", statuses.mkString("; "))
+  }
+
+  test("silver merge writes get key validation and audit_log rows") {
+    import SparkSpec.spark.implicits._
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_silver_guard").toString
+    val bronze = IngestConfig(
+      source = SourceConfig("parquet", src),
+      writes = Seq(WriteConfig(path = s"$dir/bronze", mode = "merge",
+        keys = Seq("o_orderkey"), medallionLayer = "bronze")),
+      auditTablePath = Some(s"$dir/audit"))
+    // a silver transform that nulls the merge key must be caught by
+    // the same requireNonNullKeys guard the bronze path runs
+    val e = intercept[IllegalArgumentException](
+      IngestJob.runMedallion(spark, bronze,
+        silverTransforms = Seq(WithColumnExpr("o_orderkey",
+          "CAST(NULL AS BIGINT)")),
+        silverWrites = Seq(WriteConfig(path = s"$dir/silver", mode = "merge",
+          keys = Seq("o_orderkey"), orderBy = "o_custkey",
+          medallionLayer = "silver"))))
+    assert(e.getMessage.contains("null merge keys"))
+    assert(!MergeTable.exists(s"$dir/silver"))
+    // healthy medallion: silver merge contributes its own audit_log row
+    IngestJob.runMedallion(spark, bronze, Nil,
+      Seq(WriteConfig(path = s"$dir/silver2", mode = "merge",
+        keys = Seq("o_orderkey"), orderBy = "o_orderkey",
+        medallionLayer = "silver")))
+    val audits = spark.read.parquet(s"$dir/audit/audit_log")
+      .select("table_name").collect().map(_.getString(0))
+    assert(audits.count(_.endsWith("/silver2")) == 1,
+      s"silver merge must land an audit_log row: ${audits.mkString(",")}")
   }
 
   test("per-file ordered apply replays extracts in mtime order") {

@@ -329,6 +329,34 @@ class MergeSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(raceTmp), "loser's temp cleaned up")
   }
 
+  test("delta-log vacuum removes sidecar-only commit dirs and orphaned attempts") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    fmt.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+    fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    def commitDirs = scala.util.Using.resource(JFiles.list(JPaths.get(p)))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("files-")).toSeq.sorted)
+    assert(commitDirs.size == 3)
+    // an orphaned attempt: a writer that died before publishing
+    val orphan = JPaths.get(p, "files-99999-deadbeef")
+    JFiles.createDirectories(orphan)
+    JFiles.write(orphan.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    assert(fmt.vacuum(p, keepVersions = 2) == Seq(0))
+    // v0's dir is gone entirely — including _SUCCESS and .crc sidecars
+    assert(commitDirs.size == 3, s"v0 dir must be fully removed: $commitDirs")
+    assert(commitDirs.exists(_.startsWith("files-99999")))
+    // orphan too old -> reclaimed; fresh orphans (in-flight writers) kept
+    assert(fmt.vacuumOrphans(p, olderThanMs = Long.MaxValue).isEmpty)
+    assert(fmt.vacuumOrphans(p, olderThanMs = -1000) ==
+      Seq("files-99999-deadbeef"))
+    assert(commitDirs.size == 2, s"after orphan vacuum: $commitDirs")
+    assert(fmt.read(spark, p).count() == 4, "live data untouched")
+  }
+
   test("delta-log format: full-delete leaves a readable empty table") {
     val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
     val p = tmp()

@@ -29,8 +29,8 @@ class StreamingSpec extends SparkSpec {
         col("ts") < lit(hi).cast("timestamp"))
       val tmp = s"$dir/stage$i"
       part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val f = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.filter(_.toString.endsWith(".parquet")).findFirst().get())
       val dest = Paths.get(dir, f"part$i%02d.parquet")
       Files.move(f, dest)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 60000L))
@@ -74,8 +74,8 @@ class StreamingSpec extends SparkSpec {
       val tmp = s"$dir/stage$i"
       df.select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
         col("doc_key")).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val f = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.filter(_.toString.endsWith(".parquet")).findFirst().get())
       Files.move(f, Paths.get(dir, f"dd$i%02d.parquet"))
     }
     val schema = spark.read.parquet(s"$dir/dd00.parquet").schema
@@ -266,8 +266,8 @@ class StreamingSpec extends SparkSpec {
       val tmp = s"$dir/stage$i"
       chunks.filter(col("_b") === i).drop("_b")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val f = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.filter(_.toString.endsWith(".parquet")).findFirst().get())
       val dest = Paths.get(dir, f"part$i%02d.parquet")
       Files.move(f, dest)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 60000L))
