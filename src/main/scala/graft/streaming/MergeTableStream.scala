@@ -6,14 +6,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
-import graft.pipeline.MergeTable
+import graft.pipeline.{SnapshotTableFormat, TableFormat}
 
 /** Incremental (streaming-style) reads FROM a MergeTable — the
   * silver→gold hop of a medallion pipeline. The reference accepts
   * `delta` as a streaming SOURCE type (ingest-framework readers/
   * streaming_readers.py:14-19) and relies on Delta's change feed;
-  * graft's snapshot-versioned tables expose the same capability by
-  * treating the committed version sequence as the offset log:
+  * graft's versioned tables expose the same capability by treating
+  * the committed version sequence as the offset log. Every entry
+  * point takes a [[graft.pipeline.TableFormat]] (default snapshot),
+  * so a delta-log table streams identically — its offsets are the
+  * `_delta_log` commit versions:
   *
   *  - offsets    = snapshot versions (`v=N` dirs, `_CURRENT` = head)
   *  - a batch    = the CHANGE ROWS between two committed versions
@@ -80,14 +83,19 @@ object MergeTableStream {
     * merge) is the correct degradation.
     */
   def changes(spark: SparkSession, path: String, fromV: Option[Int],
-              toV: Int): DataFrame = {
-    val to = MergeTable.readVersion(spark, path, toV)
+              toV: Int,
+              fmt: TableFormat = SnapshotTableFormat): DataFrame = {
+    val to = fmt.readVersion(spark, path, toV)
     val diffable = !to.schema.fields.exists(
       _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-    fromV.filter(f => diffable && MergeTable.versions(path).contains(f)) match {
-      case Some(f) =>
-        to.exceptAll(aligned(MergeTable.readVersion(spark, path, f), to))
-      case None => to
+    // readability probe, not just versions().contains: a delta-log
+    // table keeps vacuumed versions in its log, so the fallback must
+    // trigger on missing FILES too
+    val from = fromV.filter(_ => diffable).flatMap(f =>
+      scala.util.Try(fmt.readVersion(spark, path, f)).toOption)
+    from match {
+      case Some(f) => to.exceptAll(aligned(f, to))
+      case None    => to
     }
   }
 
@@ -96,10 +104,11 @@ object MergeTableStream {
     * visible as `delete_time` changes in the upsert feed).
     */
   def deletedKeys(spark: SparkSession, path: String, fromV: Int, toV: Int,
-                  keys: Seq[String]): DataFrame = {
-    val from = MergeTable.readVersion(spark, path, fromV)
+                  keys: Seq[String],
+                  fmt: TableFormat = SnapshotTableFormat): DataFrame = {
+    val from = fmt.readVersion(spark, path, fromV)
       .select(keys.map(col): _*).distinct()
-    val to = MergeTable.readVersion(spark, path, toV)
+    val to = fmt.readVersion(spark, path, toV)
       .select(keys.map(col): _*).distinct()
     from.join(to, keys, "left_anti")
   }
@@ -110,15 +119,22 @@ object MergeTableStream {
     * `Trigger.AvailableNow` of the version log. Returns the versions
     * processed this call (empty = caught up).
     */
-  def processAvailable(spark: SparkSession, path: String, checkpoint: String)
+  def processAvailable(spark: SparkSession, path: String, checkpoint: String,
+                       fmt: TableFormat = SnapshotTableFormat)
                       (fn: (DataFrame, Int) => Unit): Seq[Int] = {
-    val head = MergeTable.currentVersion(path).getOrElse(return Nil)
+    val head = fmt.currentVersion(path).getOrElse(return Nil)
     val start = lastProcessed(checkpoint)
-    val todo = MergeTable.versions(path)
+    val todo = fmt.versions(path)
       .filter(v => v <= head && start.forall(v > _))
+      // a delta-log table keeps vacuumed versions in its log; a
+      // consumer lagging past retention skips them and re-enters at
+      // the first readable version, whose batch is the full snapshot
+      // (prev stays unreadable -> changes() falls back) — the same
+      // re-delivery contract as the snapshot format's vacuum
+      .filter(v => scala.util.Try(fmt.readVersion(spark, path, v)).isSuccess)
     var prev = start
     todo.foreach { v =>
-      fn(changes(spark, path, prev, v), v)
+      fn(changes(spark, path, prev, v, fmt), v)
       commit(checkpoint, v)
       prev = Some(v)
     }

@@ -390,6 +390,48 @@ class StreamingSpec extends SparkSpec {
       "gold must follow silver after the extra merge")
   }
 
+  test("gold hop streams from a delta-log table through the same offset log") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_dlt_silver").toString
+    val gold = Files.createTempDirectory("graft_dlt_gold").toString
+    val ck = Files.createTempDirectory("graft_dlt_ck").toString
+    fmt.scd1Merge(spark, silver,
+      Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord"),
+      Seq("id"), "ord")
+    fmt.scd1Merge(spark, silver,
+      Seq((2L, "b9", 2), (3L, "c", 2)).toDF("id", "v", "ord"),
+      Seq("id"), "ord")
+    val processed = MergeTableStream.processAvailable(spark, silver, ck, fmt) {
+      (df, _) => MergeTable.scd1Merge(spark, gold, df, Seq("id"), "ord"); ()
+    }
+    assert(processed == Seq(0, 1), s"delta-log offsets: $processed")
+    val got = MergeTable.read(spark, gold).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(Array((1L, "a"), (2L, "b9"), (3L, "c"))),
+      got.mkString(","))
+    // caught up: a second call processes nothing
+    assert(MergeTableStream.processAvailable(spark, silver, ck, fmt)(
+      (_, _) => fail("no new versions to process")).isEmpty)
+    // vacuumed-past consumer: drop v0's files, new consumer falls
+    // back to full-snapshot re-delivery (idempotent downstream)
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, "d", 3)).toDF("id", "v", "ord"), Seq("id"), "ord")
+    fmt.vacuum(silver, keepVersions = 1)
+    val ck2 = Files.createTempDirectory("graft_dlt_ck2").toString
+    val gold2 = Files.createTempDirectory("graft_dlt_gold2").toString
+    val counts = scala.collection.mutable.Buffer.empty[(Int, Long)]
+    MergeTableStream.processAvailable(spark, silver, ck2, fmt) { (df, v) =>
+      counts += ((v, df.count())); ()
+    }
+    // v0/v1 are vacuumed (still in the log, files gone): the fresh
+    // consumer must skip them and re-enter at the head version with
+    // the FULL current state
+    assert(counts.toSeq == Seq((2, 4L)),
+      s"head version must re-deliver the full snapshot: $counts")
+  }
+
   test("change feed degrades to a full snapshot for map-typed tables") {
     import SparkSpec.spark.implicits._
     import graft.streaming.MergeTableStream
