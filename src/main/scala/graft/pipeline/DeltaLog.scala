@@ -74,21 +74,34 @@ object DeltaLogTableFormat extends TableFormat {
 
   override def exists(path: String): Boolean = currentVersion(path).isDefined
 
-  /** Replayed table state at a version: live file set (in add order)
-    * plus the last-seen metaData (table id, schema json).
+  /** Replayed table state at a version: live files (in add order,
+    * each with its recorded partitionValues) plus the last-seen
+    * metaData (table id, schema json).
     */
-  private case class State(live: Seq[String], tableId: Option[String],
-                           schemaJson: Option[String])
+  private case class State(liveMap: mutable.LinkedHashMap[String, Map[String, String]],
+                           tableId: Option[String],
+                           schemaJson: Option[String]) {
+    def live: Seq[String] = liveMap.keys.toSeq
+  }
+
+  private def emptyState = State(mutable.LinkedHashMap.empty, None, None)
 
   private def replay(path: String, upTo: Int): State = {
-    val live = mutable.LinkedHashSet.empty[String]
+    val live = mutable.LinkedHashMap.empty[String, Map[String, String]]
     var tableId: Option[String] = None
     var schemaJson: Option[String] = None
     versions(path).filter(_ <= upTo).foreach { v =>
       Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
         .asScala.filter(_.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
-          if (node.has("add")) live += node.get("add").get("path").asText()
+          if (node.has("add")) {
+            val add = node.get("add")
+            val pv = Option(add.get("partitionValues"))
+              .map(n => n.fieldNames().asScala
+                .map(k => k -> n.get(k).asText()).toMap)
+              .getOrElse(Map.empty[String, String])
+            live += add.get("path").asText() -> pv
+          }
           if (node.has("remove")) live -= node.get("remove").get("path").asText()
           if (node.has("metaData")) {
             tableId = Some(node.get("metaData").get("id").asText())
@@ -96,7 +109,7 @@ object DeltaLogTableFormat extends TableFormat {
           }
         }
     }
-    State(live.toSeq, tableId, schemaJson)
+    State(live, tableId, schemaJson)
   }
 
   override def read(spark: SparkSession, path: String): DataFrame =
@@ -125,30 +138,66 @@ object DeltaLogTableFormat extends TableFormat {
     * state and append the add/remove action file. Returns the
     * committed version.
     */
-  private def commitRewrite(path: String, df: DataFrame): Int = {
+  private def commitRewrite(path: String, df: DataFrame): Int =
+    commitFiles(path, df, partitionBy = None, removeOf = (prev, _) => prev.live)
+
+  /** Write `df`'s files as the next commit's adds and emit removes
+    * for `removeOf(previous state)`. `partitionBy` duplicates the
+    * named column into a `__pv` write-partitioning column, so the
+    * real column STAYS in the data files (reads never reconstruct it
+    * from dir names, and parquet footer stats prune whole
+    * partition-homogeneous files on partition filters); the
+    * Spark-written `__pv=` dir fragment is recorded as the file's
+    * partitionValues entry. The fragment is an OPAQUE token — never
+    * rendered by us, always by Spark's own path escaping — so
+    * matching recorded tokens against the tokens of a later write of
+    * the same values is exact (the lesson of the round-4
+    * double-escaping bug: diff what Spark wrote, don't render names).
+    */
+  private def commitFiles(path: String, df: DataFrame,
+                          partitionBy: Option[String],
+                          removeOf: (State, Seq[(String, Map[String, String])])
+                            => Seq[String]): Int = {
     val next = currentVersion(path).getOrElse(-1) + 1
-    val prev = if (next == 0) State(Nil, None, None) else replay(path, next - 1)
+    val prev = if (next == 0) emptyState else replay(path, next - 1)
     // unique per ATTEMPT, not per version: two writers racing the
     // same version must not clobber each other's data files before
     // the log move picks the winner (the loser's dir is orphaned
     // garbage, never referenced by any commit)
     val subdir = f"files-$next%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(s"$path/$subdir")
+    partitionBy match {
+      case Some(pc) =>
+        df.withColumn("__pv", col(pc)).write.mode("overwrite")
+          .partitionBy("__pv").parquet(s"$path/$subdir")
+      case None =>
+        df.write.mode("overwrite").parquet(s"$path/$subdir")
+    }
     val now = System.currentTimeMillis()
-    val adds = scala.util.Using.resource(Files.list(Paths.get(path, subdir)))(
-      _.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map { f =>
-          val a = mapper.createObjectNode()
-          val add = a.putObject("add")
-          add.put("path", s"$subdir/${f.getFileName}")
-          add.putObject("partitionValues")
-          add.put("size", Files.size(f))
-          add.put("modificationTime", Files.getLastModifiedTime(f).toMillis)
-          add.put("dataChange", true)
-          a
-        }.toSeq)
-    val removes = prev.live.map { p =>
+    val written: Seq[(String, Map[String, String])] =
+      scala.util.Using.resource(Files.walk(Paths.get(path, subdir)))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val rel = Paths.get(path, subdir).relativize(f).toString
+            val pv = partitionBy.flatMap { pc =>
+              rel.split('/').find(_.startsWith("__pv="))
+                .map(seg => Map(pc -> seg.stripPrefix("__pv=")))
+            }.getOrElse(Map.empty)
+            (s"$subdir/$rel", pv)
+          }.toSeq)
+    val adds = written.map { case (p, pv) =>
+      val a = mapper.createObjectNode()
+      val add = a.putObject("add")
+      add.put("path", p)
+      val pvNode = add.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvNode.put(k, v) }
+      add.put("size", Files.size(Paths.get(path, p)))
+      add.put("modificationTime",
+        Files.getLastModifiedTime(Paths.get(path, p)).toMillis)
+      add.put("dataChange", true)
+      a
+    }
+    val removes = removeOf(prev, written).map { p =>
       val r = mapper.createObjectNode()
       val rm = r.putObject("remove")
       rm.put("path", p)
@@ -257,6 +306,104 @@ object DeltaLogTableFormat extends TableFormat {
       MergeTable.observedWrite(tagged, dropActions = Nil)(
         out => { commitRewrite(path, out); () })
     }
+  }
+
+  /** Partition-pruned SCD1 merge: rewrite ONLY the partitions the
+    * updates touch; every other partition's files stay live from
+    * their original commits with ZERO copying — the manifest
+    * advantage over the snapshot format, whose pruned merge must
+    * still copy untouched partitions into each new version dir
+    * (`MergeTable.distributedCopy`). At 100 TB with date-partitioned
+    * tables a merge commit costs the hot partitions' rewrite plus
+    * one JSON file.
+    *
+    * Same contract as `MergeTable.scd1MergePruned`: updates must
+    * carry `partitionCol`, null partition values are rejected,
+    * incremental extracts only (no deleteMissing — it needs global
+    * key visibility), and a key must not move partitions.
+    */
+  def scd1MergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String], orderBy: String, partitionCol: String,
+                      compareExclude: Seq[String] = Sources.controlColumns)
+      : MergeStats =
+    mergePruned(spark, path, updates, keys, orderBy, partitionCol,
+      scdType = 1, compareExclude)
+
+  /** Partition-pruned SCD2 merge — see [[scd1MergePruned]]. */
+  def scd2MergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String], orderBy: String, partitionCol: String,
+                      compareExclude: Seq[String] = Sources.controlColumns)
+      : MergeStats =
+    mergePruned(spark, path, updates, keys, orderBy, partitionCol,
+      scdType = 2, compareExclude)
+
+  private def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                          keys: Seq[String], orderBy: String,
+                          partitionCol: String, scdType: Int,
+                          compareExclude: Seq[String]): MergeStats = {
+    require(updates.columns.contains(partitionCol),
+      s"updates must carry partition column $partitionCol")
+    val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
+    if (!exists(path)) {
+      val obs = Observation()
+      val base = Cdc.latestPerKey(updates, keys, ord)
+      val first = (if (scdType == 2)
+        base.withColumn("is_current", lit(1))
+          .withColumn("start_time", current_timestamp())
+          .withColumn("end_time", lit(null).cast("timestamp"))
+          .withColumn("delete_time", lit(null).cast("timestamp"))
+      else base).observe(obs, count(lit(1)).as("n"))
+      commitFiles(path, first, Some(partitionCol), (_, _) => Nil)
+      return MergeStats(obs.get("n").asInstanceOf[Long], 0, 0)
+    }
+    val affected = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    // same rejection as MergeTable.mergePruned: a null partition
+    // value bypasses isin() pruning AND has no stable token
+    require(!affected.contains(null),
+      s"pruned merge: updates carry null $partitionCol values; " +
+        "null partitions cannot be pruned — use the unpruned merge")
+    // every live file must carry a recorded token for partitionCol:
+    // mixing pruned merges into a table built by full-rewrite
+    // commits would leave old-partition files unmatchable by the
+    // remove targeting below (stale rows would survive as dupes)
+    val prevState = replay(path, currentVersion(path).get)
+    require(prevState.liveMap.values.forall(_.contains(partitionCol)),
+      s"pruned merge: table at $path has live files without recorded " +
+        s"'$partitionCol' partitionValues (written by an unpartitioned " +
+        "commit) — run a partitioned full merge first")
+    val target = read(spark, path)
+    val affectedTarget = target.filter(col(partitionCol).isin(affected: _*))
+    val tagged =
+      if (scdType == 2)
+        Cdc.scd2MergeTagged(affectedTarget, updates, keys, ord,
+          deleteMissing = false, compareExclude)
+      else
+        Cdc.scd1MergeTagged(affectedTarget,
+          updates.select(affectedTarget.columns.map(col).toIndexedSeq: _*),
+          keys, ord, deleteMissing = false, compareExclude,
+          orderGuard = Some(orderBy))
+    MergeTable.observedWrite(tagged,
+      dropActions = if (scdType == 2) Nil else Seq("delete")) { out =>
+      commitPruned(path, out, partitionCol); ()
+    }
+  }
+
+  /** Commit `df` (the rewritten affected partitions) and remove the
+    * previous live files of exactly those partitions — identified by
+    * matching their recorded tokens against the tokens Spark just
+    * wrote for this commit (a pruned merge never drops rows, so
+    * every affected partition appears in the output).
+    */
+  private def commitPruned(path: String, df: DataFrame,
+                           partitionCol: String): Unit = {
+    commitFiles(path, df, Some(partitionCol), (prev, written) => {
+      val rewritten = written.flatMap(_._2.get(partitionCol)).toSet
+      prev.liveMap.collect {
+        case (p, pv) if pv.get(partitionCol).exists(rewritten.contains) => p
+      }.toSeq
+    })
+    ()
   }
 
   /** Delete data files referenced ONLY by versions older than the

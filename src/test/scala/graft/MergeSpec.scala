@@ -357,6 +357,88 @@ class MergeSpec extends SparkSpec {
     assert(fmt.read(spark, p).count() == 4, "live data untouched")
   }
 
+  test("delta-log pruned merge rewrites only touched partitions, copies nothing") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    // three partitions, one with a path-hostile value (the r4 lesson)
+    val base = Seq(
+      (1L, "a", 1, "2024-01-01"), (2L, "b", 1, "2024-01-02"),
+      (3L, "c", 1, "with:colon"), (4L, "d", 1, "2024-01-02"))
+      .toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    val v0Live = liveFilesOf(p)
+    assert(v0Live.keySet.flatMap(v0Live(_).get("bucket")).size == 3,
+      s"3 partition tokens expected: $v0Live")
+    // touch ONE partition
+    val upd = Seq((2L, "b9", 2, "2024-01-02"), (5L, "e", 2, "2024-01-02"))
+      .toDF("id", "v", "ord", "bucket")
+    val stats = fmt.scd1MergePruned(spark, p, upd, Seq("id"), "ord", "bucket")
+    assert(stats.inserted == 1 && stats.updated == 1)
+    val v1Live = liveFilesOf(p)
+    // untouched partitions' PHYSICAL files are still live — same
+    // paths, zero copies (vs snapshot-format distributedCopy)
+    val keptPaths = v0Live.collect {
+      case (f, pv) if !pv("bucket").contains("01-02") => f }.toSet
+    assert(keptPaths.subsetOf(v1Live.keySet),
+      s"untouched partition files must stay live: $keptPaths vs ${v1Live.keySet}")
+    // touched partition's old files are gone from the live set
+    val oldTouched = v0Live.collect {
+      case (f, pv) if pv("bucket").contains("01-02") => f }.toSet
+    assert(oldTouched.intersect(v1Live.keySet).isEmpty,
+      "rewritten partition's old files must be removed")
+    // content equals an unpruned merge of the same feed
+    val want = Seq((1L, "a"), (2L, "b9"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val got = fmt.read(spark, p).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(want), got.mkString(","))
+    // the colon partition survived intact (escaped token round-trip)
+    assert(fmt.read(spark, p).filter(col("bucket") === "with:colon")
+      .count() == 1)
+    // time travel to v0 still works (its files are all still on disk)
+    assert(fmt.readVersion(spark, p, 0).count() == 4)
+    // guard: pruned merge over a table with unpartitioned commits
+    val p2 = tmp()
+    fmt.scd1Merge(spark, p2, base, Seq("id"), "ord")
+    val e = intercept[IllegalArgumentException](
+      fmt.scd1MergePruned(spark, p2, upd, Seq("id"), "ord", "bucket"))
+    assert(e.getMessage.contains("partitionValues"))
+    // null partition value rejected
+    val nullUpd = Seq((9L, "x", 3, null.asInstanceOf[String]))
+      .toDF("id", "v", "ord", "bucket")
+    val e2 = intercept[IllegalArgumentException](
+      fmt.scd1MergePruned(spark, p, nullUpd, Seq("id"), "ord", "bucket"))
+    assert(e2.getMessage.contains("null"))
+  }
+
+  /** Live (path -> partitionValues) of the current delta-log version,
+    * read back through the log JSON itself.
+    */
+  private def liveFilesOf(p: String): Map[String, Map[String, String]] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, String]]
+    val logDir = java.nio.file.Paths.get(p, "_delta_log")
+    val logs = scala.util.Using.resource(java.nio.file.Files.list(logDir))(
+      _.iterator().asScala.map(_.toString).filter(_.endsWith(".json"))
+        .toSeq.sorted)
+    logs.foreach { lf =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf))
+        .asScala.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("add")) {
+            val a = n.get("add")
+            val pvn = a.get("partitionValues")
+            live += a.get("path").asText() ->
+              pvn.fieldNames().asScala.map(k => k -> pvn.get(k).asText()).toMap
+          }
+          if (n.has("remove")) live -= n.get("remove").get("path").asText()
+        }
+    }
+    live.toMap
+  }
+
   test("delta-log format: full-delete leaves a readable empty table") {
     val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
     val p = tmp()
