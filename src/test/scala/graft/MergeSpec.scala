@@ -439,6 +439,35 @@ class MergeSpec extends SparkSpec {
     live.toMap
   }
 
+  test("delta-log and snapshot formats agree on random merge sequences") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 2).foreach { trial =>
+      val pS = tmp(); val pD = tmp()
+      (1 to 4).foreach { step =>
+        val rows = (1 to 30).map { _ =>
+          (rnd.nextInt(20).toLong,
+            rnd.alphanumeric.take(4).mkString, step) }
+        val df = rows.toDF("id", "v", "ord")
+        val delMiss = rnd.nextBoolean()
+        val sS = SnapshotTableFormat.scd1Merge(spark, pS, df, Seq("id"), "ord",
+          deleteMissing = delMiss)
+        val sD = graft.pipeline.DeltaLogTableFormat.scd1Merge(spark, pD, df,
+          Seq("id"), "ord", deleteMissing = delMiss)
+        assert(sS == sD, s"trial $trial step $step stats: $sS vs $sD")
+        assert(tableHash(SnapshotTableFormat.read(spark, pS)) ==
+          tableHash(graft.pipeline.DeltaLogTableFormat.read(spark, pD)),
+          s"trial $trial step $step (deleteMissing=$delMiss) diverged")
+      }
+      // and every historical version agrees too
+      (0 to 3).foreach { v =>
+        assert(tableHash(SnapshotTableFormat.readVersion(spark, pS, v)) ==
+          tableHash(graft.pipeline.DeltaLogTableFormat.readVersion(spark, pD, v)),
+          s"trial $trial version $v diverged")
+      }
+    }
+  }
+
   test("delta-log format: full-delete leaves a readable empty table") {
     val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
     val p = tmp()
