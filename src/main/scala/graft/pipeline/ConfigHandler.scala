@@ -119,7 +119,8 @@ object ConfigHandler {
       orderBy = opt(n, "orderBy").map(_.asText).getOrElse("file_modification_time"),
       format = opt(n, "format").map(_.asText).getOrElse("parquet"),
       medallionLayer = opt(n, "medallionLayer").map(_.asText).getOrElse(""),
-      extractMode = extract)
+      extractMode = extract,
+      optimizeAfter = opt(n, "optimizeAfter").exists(_.asBoolean))
     if (w.mode == "merge" && w.keys.isEmpty)
       throw new ConfigError(at, "merge mode requires non-empty 'keys'")
     w

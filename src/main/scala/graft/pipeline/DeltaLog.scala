@@ -42,13 +42,31 @@ import graft.sources.Sources
   * protocol supports it (that is precisely what manifests are for);
   * the bundled pruned path lives in MergeTable.scd1MergePruned.
   *
-  * Divergence from the full protocol, documented: no parquet
-  * checkpoint files, so the JSON log is never truncated — `vacuum`
-  * deletes unreferenced DATA files but keeps every commit's JSON
-  * (tiny, and it doubles as an audit trail). Real Delta truncates
-  * the log after checkpointing; a reader replaying from 0 sees
-  * identical state either way.
+  * Parquet checkpoints (`<v>.checkpoint.parquet` + `_last_checkpoint`)
+  * are written every [[checkpointInterval]] commits so state load is
+  * O(checkpoint + JSON tail), not O(all commits). Divergence from the
+  * full protocol, documented: the JSON log is never truncated —
+  * `vacuum` deletes unreferenced DATA files but keeps every commit's
+  * JSON (tiny, it doubles as an audit trail, and it serves time
+  * travel to versions older than the checkpoint). Real Delta
+  * truncates the log after checkpointing; a reader sees identical
+  * state either way.
   */
+// checkpoint row shape: one action per row, exactly one of the struct
+// columns non-null — the protocol's checkpoint schema, restricted to
+// the actions this implementation emits. Top-level (not nested in the
+// object) because Spark's encoder codegen cannot instantiate
+// object-nested case classes and would fall back to interpreted mode.
+private[pipeline] case class CpAdd(path: String,
+                                   partitionValues: Map[String, String],
+                                   size: Long)
+private[pipeline] case class CpMeta(id: String, schemaString: String)
+private[pipeline] case class CpProtocol(minReaderVersion: Int,
+                                        minWriterVersion: Int)
+private[pipeline] case class CpRow(ord: Long, add: Option[CpAdd],
+                                   metaData: Option[CpMeta],
+                                   protocol: Option[CpProtocol])
+
 object DeltaLogTableFormat extends TableFormat {
 
   private val mapper = new ObjectMapper()
@@ -74,23 +92,32 @@ object DeltaLogTableFormat extends TableFormat {
 
   override def exists(path: String): Boolean = currentVersion(path).isDefined
 
+  /** A live file's log-recorded metadata. */
+  private case class FileEntry(pv: Map[String, String], size: Long)
+
   /** Replayed table state at a version: live files (in add order,
-    * each with its recorded partitionValues) plus the last-seen
-    * metaData (table id, schema json).
+    * each with its recorded partitionValues and size) plus the
+    * last-seen metaData (table id, schema json).
     */
-  private case class State(liveMap: mutable.LinkedHashMap[String, Map[String, String]],
-                           tableId: Option[String],
-                           schemaJson: Option[String]) {
+  private case class State(liveMap: mutable.LinkedHashMap[String, FileEntry],
+                           var tableId: Option[String],
+                           var schemaJson: Option[String]) {
     def live: Seq[String] = liveMap.keys.toSeq
   }
 
   private def emptyState = State(mutable.LinkedHashMap.empty, None, None)
 
-  private def replay(path: String, upTo: Int): State = {
-    val live = mutable.LinkedHashMap.empty[String, Map[String, String]]
-    var tableId: Option[String] = None
-    var schemaJson: Option[String] = None
-    versions(path).filter(_ <= upTo).foreach { v =>
+  /** Pure-JSON replay from version 0 — always correct (the log is
+    * never truncated) but O(commits); Spark-having call sites go
+    * through [[replayState]], which starts from the latest parquet
+    * checkpoint instead.
+    */
+  private def replay(path: String, upTo: Int): State =
+    applyLog(emptyState, path, from = 0, upTo = upTo)
+
+  /** Apply the JSON commits in [from, upTo] to `st`, mutating it. */
+  private def applyLog(st: State, path: String, from: Int, upTo: Int): State = {
+    versions(path).filter(v => v >= from && v <= upTo).foreach { v =>
       Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
         .asScala.filter(_.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
@@ -100,17 +127,129 @@ object DeltaLogTableFormat extends TableFormat {
               .map(n => n.fieldNames().asScala
                 .map(k => k -> n.get(k).asText()).toMap)
               .getOrElse(Map.empty[String, String])
-            live += add.get("path").asText() -> pv
+            val size = Option(add.get("size")).map(_.asLong()).getOrElse(0L)
+            st.liveMap += add.get("path").asText() -> FileEntry(pv, size)
           }
-          if (node.has("remove")) live -= node.get("remove").get("path").asText()
+          if (node.has("remove"))
+            st.liveMap -= node.get("remove").get("path").asText()
           if (node.has("metaData")) {
-            tableId = Some(node.get("metaData").get("id").asText())
-            schemaJson = Some(node.get("metaData").get("schemaString").asText())
+            st.tableId = Some(node.get("metaData").get("id").asText())
+            st.schemaJson = Some(node.get("metaData").get("schemaString").asText())
           }
         }
     }
-    State(live, tableId, schemaJson)
+    st
   }
+
+  // ---- parquet checkpoints -------------------------------------------
+  //
+  // Every `checkpointInterval` commits the writer also materializes the
+  // replayed state as `_delta_log/<v>.checkpoint.parquet` and advances
+  // the `_last_checkpoint` pointer — the protocol's own mechanism for
+  // making state load O(checkpoint + tail) instead of O(all commits).
+  // At 100 TB a hot table accumulates tens of thousands of commits;
+  // without checkpoints every merge and read re-parses the full JSON
+  // history on the driver. The JSON log is still never truncated (it
+  // doubles as the audit trail and serves time travel to versions
+  // older than the checkpoint), so the checkpoint is purely an
+  // accelerator: if it is missing or unreadable, replay falls back to
+  // JSON-from-0 and nothing is lost.
+
+  /** Commits between parquet checkpoints (the protocol's default). */
+  private[graft] val checkpointInterval = 10
+
+  private def checkpointFile(path: String, v: Int): Path =
+    logDir(path).resolve(f"$v%020d.checkpoint.parquet")
+
+  /** Latest usable checkpoint version: the `_last_checkpoint` pointer,
+    * verified against the parquet file actually existing (a manually
+    * deleted checkpoint degrades to JSON replay, never an error).
+    */
+  private[graft] def lastCheckpoint(path: String): Option[Int] = {
+    val p = logDir(path).resolve("_last_checkpoint")
+    if (!Files.exists(p)) None
+    else {
+      val v = mapper.readTree(Files.readAllBytes(p)).get("version").asInt()
+      Some(v).filter(v => Files.exists(checkpointFile(path, v)))
+    }
+  }
+
+  /** Materialize the current version's replayed state as a parquet
+    * checkpoint and advance `_last_checkpoint`. Returns the
+    * checkpointed version. Idempotent; safe to call at any time.
+    */
+  private[graft] def checkpointNow(spark: SparkSession, path: String): Int = {
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"no delta log at $path"))
+    val st = replayState(spark, path, v)
+    import spark.implicits._
+    val rows: Seq[CpRow] =
+      CpRow(0L, None, None, Some(CpProtocol(1, 2))) +:
+      CpRow(1L, None,
+        Some(CpMeta(st.tableId.getOrElse(""), st.schemaJson.getOrElse(""))),
+        None) +:
+      st.liveMap.toSeq.zipWithIndex.map { case ((p, fe), i) =>
+        CpRow(i + 2L, Some(CpAdd(p, fe.pv, fe.size)), None, None)
+      }
+    // write through a dot-prefixed temp dir inside _delta_log (the
+    // versions() regex and vacuum walks never match it), then move the
+    // single part file into place; the pointer advances only after the
+    // parquet is complete, so a crash mid-checkpoint leaves the old
+    // pointer valid
+    val tmpDir = logDir(path).resolve(
+      s".cp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.createDataset(rows).coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = scala.util.Using.resource(Files.list(tmpDir))(
+      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint write produced no parquet under $tmpDir")))
+    Files.move(part, checkpointFile(path, v),
+      StandardCopyOption.REPLACE_EXISTING)
+    scala.util.Using.resource(Files.walk(tmpDir))(
+      _.iterator().asScala.toSeq.reverse).foreach(Files.deleteIfExists(_))
+    val ptr = mapper.createObjectNode()
+    ptr.put("version", v)
+    ptr.put("size", rows.size)
+    val tmp = logDir(path).resolve(
+      s"._last_checkpoint-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, mapper.writeValueAsString(ptr)
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logDir(path).resolve("_last_checkpoint"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Checkpoint-aware state load: start from the newest checkpoint at
+    * or below `upTo` and apply only the JSON tail, falling back to
+    * full JSON replay when no checkpoint qualifies (cold tables, or
+    * time travel to versions older than the checkpoint).
+    */
+  private def replayState(spark: SparkSession, path: String,
+                          upTo: Int): State =
+    lastCheckpoint(path).filter(_ <= upTo) match {
+      case Some(cp) =>
+        val st = emptyState
+        spark.read.parquet(checkpointFile(path, cp).toString)
+          .orderBy("ord").collect().foreach { r =>
+            val addIdx = r.fieldIndex("add")
+            if (!r.isNullAt(addIdx)) {
+              val a = r.getStruct(addIdx)
+              st.liveMap += a.getAs[String]("path") -> FileEntry(
+                a.getAs[Map[String, String]]("partitionValues"),
+                a.getAs[Long]("size"))
+            }
+            val mdIdx = r.fieldIndex("metaData")
+            if (!r.isNullAt(mdIdx)) {
+              val m = r.getStruct(mdIdx)
+              st.tableId = Some(m.getAs[String]("id")).filter(_.nonEmpty)
+              st.schemaJson =
+                Some(m.getAs[String]("schemaString")).filter(_.nonEmpty)
+            }
+          }
+        applyLog(st, path, from = cp + 1, upTo = upTo)
+      case None => replay(path, upTo)
+    }
 
   override def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, currentVersion(path).getOrElse(
@@ -121,17 +260,22 @@ object DeltaLogTableFormat extends TableFormat {
     if (!Files.exists(logFile(path, version)))
       throw new IllegalStateException(
         s"version $version does not exist at $path")
-    val st = replay(path, version)
+    val st = replayState(spark, path, version)
     val missing = st.live.filterNot(f => Files.exists(Paths.get(path, f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"version $version at $path references vacuumed files: " +
         missing.take(3).mkString(", "))
-    if (st.live.isEmpty) {
-      val schema = st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-        .getOrElse(new StructType())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else
-      spark.read.parquet(st.live.map(f => s"$path/$f"): _*)
+    val schema = st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (st.live.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.getOrElse(new StructType()))
+    else
+      // read with the log-recorded schema, not footer inference: after
+      // additive evolution a pruned merge leaves pre-evolution files
+      // live, and inferring from one of THOSE would drop the new
+      // columns from every row of the scan
+      schema.fold(spark.read)(spark.read.schema(_))
+        .parquet(st.live.map(f => s"$path/$f"): _*)
   }
 
   /** Full-rewrite commit: write `df` as the complete next-version
@@ -157,9 +301,12 @@ object DeltaLogTableFormat extends TableFormat {
   private def commitFiles(path: String, df: DataFrame,
                           partitionBy: Option[String],
                           removeOf: (State, Seq[(String, Map[String, String])])
-                            => Seq[String]): Int = {
+                            => Seq[String],
+                          dataChange: Boolean = true,
+                          operation: Option[String] = None): Int = {
     val next = currentVersion(path).getOrElse(-1) + 1
-    val prev = if (next == 0) emptyState else replay(path, next - 1)
+    val prev =
+      if (next == 0) emptyState else replayState(df.sparkSession, path, next - 1)
     // unique per ATTEMPT, not per version: two writers racing the
     // same version must not clobber each other's data files before
     // the log move picks the winner (the loser's dir is orphaned
@@ -194,7 +341,7 @@ object DeltaLogTableFormat extends TableFormat {
       add.put("size", Files.size(Paths.get(path, p)))
       add.put("modificationTime",
         Files.getLastModifiedTime(Paths.get(path, p)).toMillis)
-      add.put("dataChange", true)
+      add.put("dataChange", dataChange)
       a
     }
     val removes = removeOf(prev, written).map { p =>
@@ -202,7 +349,7 @@ object DeltaLogTableFormat extends TableFormat {
       val rm = r.putObject("remove")
       rm.put("path", p)
       rm.put("deletionTimestamp", now)
-      rm.put("dataChange", true)
+      rm.put("dataChange", dataChange)
       r
     }
     val header = mutable.Buffer.empty[ObjectNode]
@@ -231,7 +378,8 @@ object DeltaLogTableFormat extends TableFormat {
     val ci = mapper.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now)
-    info.put("operation", if (next == 0) "WRITE" else "MERGE")
+    info.put("operation",
+      operation.getOrElse(if (next == 0) "WRITE" else "MERGE"))
     val lines = (header.toSeq ++ removes ++ adds :+ ci)
       .map(mapper.writeValueAsString).mkString("", "\n", "\n")
     Files.createDirectories(logDir(path))
@@ -239,6 +387,18 @@ object DeltaLogTableFormat extends TableFormat {
       f".$next%020d-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
     publishCommit(tmp, logFile(path, next))
+    // checkpoint cadence: an accelerator, never a durability step —
+    // the commit above is already published, so a checkpoint failure
+    // must not fail the write (the stale pointer just means the next
+    // reader replays a longer JSON tail)
+    if (next > 0 && next % checkpointInterval == 0)
+      try checkpointNow(df.sparkSession, path)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"delta-log checkpoint at $path v$next failed (commit is " +
+              s"durable; replay falls back to JSON): $e")
+      }
     next
   }
 
@@ -367,8 +527,8 @@ object DeltaLogTableFormat extends TableFormat {
     // mixing pruned merges into a table built by full-rewrite
     // commits would leave old-partition files unmatchable by the
     // remove targeting below (stale rows would survive as dupes)
-    val prevState = replay(path, currentVersion(path).get)
-    require(prevState.liveMap.values.forall(_.contains(partitionCol)),
+    val prevState = replayState(spark, path, currentVersion(path).get)
+    require(prevState.liveMap.values.forall(_.pv.contains(partitionCol)),
       s"pruned merge: table at $path has live files without recorded " +
         s"'$partitionCol' partitionValues (written by an unpartitioned " +
         "commit) — run a partitioned full merge first")
@@ -400,10 +560,66 @@ object DeltaLogTableFormat extends TableFormat {
     commitFiles(path, df, Some(partitionCol), (prev, written) => {
       val rewritten = written.flatMap(_._2.get(partitionCol)).toSet
       prev.liveMap.collect {
-        case (p, pv) if pv.get(partitionCol).exists(rewritten.contains) => p
+        case (p, fe) if fe.pv.get(partitionCol).exists(rewritten.contains) => p
       }.toSeq
     })
     ()
+  }
+
+  /** Bin-pack small live files into fewer, larger ones — Delta's
+    * OPTIMIZE. Pruned merges rewrite each hot partition with as many
+    * files as shuffle tasks held its rows, so a frequently-merged
+    * partition accumulates small files that tax every subsequent
+    * scan's task scheduling; compaction is the standard
+    * countermeasure. Commits with `dataChange=false` on every add and
+    * remove (rows are identical before and after): readers see the
+    * same table, time travel to pre-optimize versions still works
+    * until `vacuum`, and the streaming gold hop's full-row diff over
+    * an OPTIMIZE commit is empty — nothing is re-delivered.
+    *
+    * Only partitions (or the unpartitioned whole) holding ≥2 files
+    * under `smallFileBytes` are rewritten; everything else stays live
+    * untouched. Returns None when there is nothing to compact.
+    */
+  override def optimize(spark: SparkSession, path: String,
+                        smallFileBytes: Long = 128L << 20)
+      : Option[OptimizeStats] = {
+    val head = currentVersion(path).getOrElse(return None)
+    val st = replayState(spark, path, head)
+    val keySets = st.liveMap.values.map(_.pv.keySet).toSet
+    require(keySets.size <= 1,
+      s"optimize: table at $path mixes partitioned and unpartitioned " +
+        "live files — run a partitioned full merge first")
+    val partitionCol = keySets.headOption.flatMap(_.headOption)
+    val targets = st.liveMap.toSeq.groupBy(_._2.pv).valuesIterator
+      .flatMap { fs =>
+        val small = fs.filter(_._2.size < smallFileBytes)
+        if (small.size >= 2) small else Nil
+      }.toSeq
+    if (targets.isEmpty) return None
+    // table schema, not footer inference — see readVersion
+    val df0 = st.schemaJson
+      .map(s => spark.read.schema(
+        DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(spark.read)
+      .parquet(targets.map(f => s"$path/${f._1}"): _*)
+    val df = partitionCol match {
+      // one output file per partition value: tasks write one file per
+      // __pv they hold, and the hash repartition gives each value to
+      // exactly one task
+      case Some(pc) => df0.repartition(col(pc))
+      case None =>
+        val total = targets.map(_._2.size).sum
+        df0.coalesce(math.max(1,
+          math.ceil(total.toDouble / smallFileBytes).toInt))
+    }
+    val targetPaths = targets.map(_._1)
+    val v = commitFiles(path, df, partitionBy = partitionCol,
+      removeOf = (_, _) => targetPaths,
+      dataChange = false, operation = Some("OPTIMIZE"))
+    val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+      .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
+    Some(OptimizeStats(v, compacted = targetPaths.size, written = written))
   }
 
   /** Delete data files referenced ONLY by versions older than the

@@ -42,7 +42,13 @@ final case class WriteConfig(
       * "fe" = full extract (absent keys deleted/closed) — the
       * reference's IE/FE write dispatch (writers/writer.py:787,933).
       */
-    extractMode: String = "ie")
+    extractMode: String = "ie",
+    /** Compact the target's small files after a merge write — the
+      * reference runs `optimize {target_table}` after its Delta
+      * merges (writers/writer.py:280,690). A no-op on formats with
+      * nothing to compact (snapshot).
+      */
+    optimizeAfter: Boolean = false)
 
 final case class IngestConfig(
     source: SourceConfig,
@@ -159,6 +165,18 @@ object IngestJob {
       cfg.auditTablePath.foreach { p =>
         Audit.log(spark, wc.path, wc.mode, stats).write.mode("append").parquet(s"$p/audit_log")
       }
+      if (wc.mode == "merge" && wc.optimizeAfter)
+        cfg.tableFormat.optimize(spark, wc.path).foreach { os =>
+          // audit the maintenance commit like the reference does
+          // (writer.py:690 audit_log(operation="optimize")):
+          // inserted = files written, deleted = files compacted away
+          cfg.auditTablePath.foreach { p =>
+            Audit.log(spark, wc.path, "optimize",
+              MergeStats(inserted = os.written, updated = 0,
+                deleted = os.compacted))
+              .write.mode("append").parquet(s"$p/audit_log")
+          }
+        }
     }
 
   /** Medallion orchestration (reference `run_medallion` =

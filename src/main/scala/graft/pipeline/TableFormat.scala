@@ -66,7 +66,20 @@ trait TableFormat {
     * version ids.
     */
   def vacuum(path: String, keepVersions: Int = 2): Seq[Int]
+
+  /** Compact small live data files into fewer, larger ones without
+    * changing rows — Delta's OPTIMIZE, which the reference runs after
+    * every merge (writers/writer.py:280,690 `optimize {target_table}`
+    * + audit log). Default: nothing to compact — the snapshot format's
+    * commits are whole-table rewrites, so its file layout is already
+    * one write's worth. Manifest formats (delta-log) override.
+    */
+  def optimize(spark: SparkSession, path: String,
+               smallFileBytes: Long = 128L << 20): Option[OptimizeStats] = None
 }
+
+/** Result of a [[TableFormat.optimize]] compaction commit. */
+final case class OptimizeStats(version: Int, compacted: Int, written: Int)
 
 /** The bundled implementation: [[MergeTable]]'s snapshot-versioned
   * parquet with an atomic `_CURRENT` pointer swap.

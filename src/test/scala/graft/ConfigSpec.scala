@@ -180,6 +180,42 @@ class ConfigSpec extends SparkSpec {
          |"tableFormat": "iceberg"}""".stripMargin))
   }
 
+  test("optimizeAfter config compacts the delta-log target and audits it") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_cfg_opt").toString
+    val cfg = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/tbl", "mode": "merge",
+         |  "keys": ["o_orderkey"], "optimizeAfter": true}],
+         |"auditTablePath": "$dir/audit",
+         |"tableFormat": "delta-log"}""".stripMargin)
+    // seed with AQE coalescing off so the merge lands as multiple
+    // small files — the layout real cluster parallelism produces
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevConf = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      IngestJob.run(spark, cfg)
+    } finally spark.conf.set(coalesceKey, prevConf)
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = s"$dir/tbl"
+    // merge at v0, then the post-merge OPTIMIZE commit at v1
+    assert(fmt.versions(p) == Seq(0, 1))
+    assert(fmt.read(spark, p).count() ==
+      spark.read.parquet(src).select("o_orderkey").distinct().count())
+    val audits = spark.read.parquet(s"$dir/audit/audit_log")
+      .select("audit_operation").collect().map(_.getString(0)).sorted
+    assert(audits.sameElements(Array("merge", "optimize")), audits.mkString(","))
+    // and the same config against the snapshot format is a harmless
+    // no-op (nothing to compact in whole-rewrite commits)
+    val cfgSnap = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/tbl2", "mode": "merge",
+         |  "keys": ["o_orderkey"], "optimizeAfter": true}]}""".stripMargin)
+    IngestJob.run(spark, cfgSnap)
+    assert(MergeTable.read(spark, s"$dir/tbl2").count() > 0)
+  }
+
   test("medallion DQ failure matrix: layer x soft/hard, log lands before the gate") {
     val src = stageSource()
     // always-fails at any SF (no order is that cheap) vs always-passes

@@ -480,6 +480,96 @@ class MergeSpec extends SparkSpec {
     assert(out.columns.contains("id"), "schema survives an empty state")
   }
 
+  test("delta-log checkpoint: head reads come from the parquet checkpoint") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    // 11 commits -> versions 0..10; the cadence fires at v10
+    (1 to 11).foreach { i =>
+      fmt.scd1Merge(spark, p,
+        Seq((i.toLong, s"v$i", i)).toDF("id", "v", "ord"), Seq("id"), "ord")
+    }
+    assert(fmt.currentVersion(p).contains(10))
+    assert(fmt.lastCheckpoint(p).contains(10))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      p, "_delta_log", f"${10}%020d.checkpoint.parquet")))
+    assert(fmt.read(spark, p).count() == 11)
+    // time travel below the checkpoint replays JSON as before
+    assert(fmt.readVersion(spark, p, 3).count() == 4)
+    // corrupt the earliest commit's JSON: state loads at or after the
+    // checkpoint must not even parse it — proof the checkpoint is
+    // load-bearing, not decorative
+    val v0 = java.nio.file.Paths.get(p, "_delta_log", f"${0}%020d.json")
+    java.nio.file.Files.write(v0, "not json".getBytes)
+    assert(fmt.read(spark, p).count() == 11,
+      "head read must come from the checkpoint")
+    fmt.scd1Merge(spark, p,
+      Seq((99L, "z", 99)).toDF("id", "v", "ord"), Seq("id"), "ord")
+    assert(fmt.read(spark, p).count() == 12,
+      "merges must replay previous state from the checkpoint")
+    // pre-checkpoint time travel is the one path that still needs the
+    // full JSON history
+    intercept[Exception](fmt.readVersion(spark, p, 3))
+  }
+
+  test("delta-log optimize compacts small files without changing rows") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevConf = spark.conf.get(coalesceKey)
+    // seed with AQE coalescing off so each shuffle task writes its own
+    // file — the many-small-files layout real cluster parallelism
+    // produces, which local AQE would fold into one file
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val base = (1 to 40).map(i => (i.toLong, s"v$i", 1,
+        if (i % 2 == 0) "even" else "odd")).toDF("id", "v", "ord", "bucket")
+      fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+      val upd = (2 to 40 by 2).map(i => (i.toLong, s"w$i", 2, "even"))
+        .toDF("id", "v", "ord", "bucket")
+      fmt.scd1MergePruned(spark, p, upd, Seq("id"), "ord", "bucket")
+    } finally spark.conf.set(coalesceKey, prevConf)
+    val before = liveFilesOf(p)
+    assert(before.size > 2, s"seed layout must be multi-file: ${before.size}")
+    val hashBefore = tableHash(fmt.read(spark, p))
+    val preVersion = fmt.currentVersion(p).get
+    val stats = fmt.optimize(spark, p).get
+    assert(stats.version == preVersion + 1)
+    assert(stats.compacted == before.size, "every small file compacts")
+    val after = liveFilesOf(p)
+    assert(after.size == 2, s"one file per partition after optimize: $after")
+    assert(stats.written == after.size)
+    assert(tableHash(fmt.read(spark, p)) == hashBefore, "rows unchanged")
+    // time travel to the pre-optimize version still works: its files
+    // stay on disk until vacuum
+    assert(tableHash(fmt.readVersion(spark, p, preVersion)) == hashBefore)
+    // protocol shape: OPTIMIZE operation, dataChange=false everywhere
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val acts = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      p, "_delta_log", f"${stats.version}%020d.json")).asScala
+      .filter(_.nonEmpty).map(m.readTree)
+    assert(acts.filter(_.has("add")).forall(
+      !_.get("add").get("dataChange").asBoolean()))
+    assert(acts.filter(_.has("remove")).forall(
+      !_.get("remove").get("dataChange").asBoolean()))
+    assert(acts.find(_.has("commitInfo")).get.get("commitInfo")
+      .get("operation").asText() == "OPTIMIZE")
+    // idempotent: nothing left to compact
+    assert(fmt.optimize(spark, p).isEmpty)
+    // pruned merges keep working on the compacted layout (optimize
+    // records partitionValues for everything it writes)
+    val s2 = fmt.scd1MergePruned(spark, p,
+      Seq((1L, "z1", 3, "odd")).toDF("id", "v", "ord", "bucket"),
+      Seq("id"), "ord", "bucket")
+    assert(s2.updated == 1)
+    assert(fmt.read(spark, p).filter(col("v") === "z1").count() == 1)
+    // vacuum reclaims the compacted originals
+    fmt.vacuum(p, keepVersions = 1)
+    assert(fmt.read(spark, p).count() == 40)
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(

@@ -397,12 +397,20 @@ class StreamingSpec extends SparkSpec {
     val silver = Files.createTempDirectory("graft_dlt_silver").toString
     val gold = Files.createTempDirectory("graft_dlt_gold").toString
     val ck = Files.createTempDirectory("graft_dlt_ck").toString
-    fmt.scd1Merge(spark, silver,
-      Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord"),
-      Seq("id"), "ord")
-    fmt.scd1Merge(spark, silver,
-      Seq((2L, "b9", 2), (3L, "c", 2)).toDF("id", "v", "ord"),
-      Seq("id"), "ord")
+    // seed with AQE coalescing off so the silver table lands as
+    // multiple small files (the layout real cluster parallelism
+    // produces) — gives the OPTIMIZE step below something to compact
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevConf = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      fmt.scd1Merge(spark, silver,
+        Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord"),
+        Seq("id"), "ord")
+      fmt.scd1Merge(spark, silver,
+        Seq((2L, "b9", 2), (3L, "c", 2)).toDF("id", "v", "ord"),
+        Seq("id"), "ord")
+    } finally spark.conf.set(coalesceKey, prevConf)
     val processed = MergeTableStream.processAvailable(spark, silver, ck, fmt) {
       (df, _) => MergeTable.scd1Merge(spark, gold, df, Seq("id"), "ord"); ()
     }
@@ -414,21 +422,31 @@ class StreamingSpec extends SparkSpec {
     // caught up: a second call processes nothing
     assert(MergeTableStream.processAvailable(spark, silver, ck, fmt)(
       (_, _) => fail("no new versions to process")).isEmpty)
-    // vacuumed-past consumer: drop v0's files, new consumer falls
-    // back to full-snapshot re-delivery (idempotent downstream)
+    // an OPTIMIZE commit compacts files without changing rows: the
+    // consumer sees a new offset whose full-row diff is EMPTY — no
+    // re-delivery, gold untouched
+    val opt = fmt.optimize(spark, silver).get
+    val optBatches = scala.collection.mutable.Buffer.empty[(Int, Long)]
+    MergeTableStream.processAvailable(spark, silver, ck, fmt) { (df, v) =>
+      optBatches += ((v, df.count())); ()
+    }
+    assert(optBatches.toSeq == Seq((opt.version, 0L)),
+      s"optimize commit must deliver zero change rows: $optBatches")
+    assert(MergeTable.read(spark, gold).count() == 3, "gold untouched")
+    // vacuumed-past consumer: drop old versions' files, new consumer
+    // falls back to full-snapshot re-delivery (idempotent downstream)
     fmt.scd1Merge(spark, silver,
       Seq((4L, "d", 3)).toDF("id", "v", "ord"), Seq("id"), "ord")
     fmt.vacuum(silver, keepVersions = 1)
     val ck2 = Files.createTempDirectory("graft_dlt_ck2").toString
-    val gold2 = Files.createTempDirectory("graft_dlt_gold2").toString
     val counts = scala.collection.mutable.Buffer.empty[(Int, Long)]
     MergeTableStream.processAvailable(spark, silver, ck2, fmt) { (df, v) =>
       counts += ((v, df.count())); ()
     }
-    // v0/v1 are vacuumed (still in the log, files gone): the fresh
+    // v0..v2 are vacuumed (still in the log, files gone): the fresh
     // consumer must skip them and re-enter at the head version with
     // the FULL current state
-    assert(counts.toSeq == Seq((2, 4L)),
+    assert(counts.toSeq == Seq((3, 4L)),
       s"head version must re-deliver the full snapshot: $counts")
   }
 
