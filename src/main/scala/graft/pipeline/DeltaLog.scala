@@ -59,13 +59,22 @@ import graft.sources.Sources
 // object-nested case classes and would fall back to interpreted mode.
 private[pipeline] case class CpAdd(path: String,
                                    partitionValues: Map[String, String],
-                                   size: Long)
+                                   size: Long, stats: Option[String])
 private[pipeline] case class CpMeta(id: String, schemaString: String)
 private[pipeline] case class CpProtocol(minReaderVersion: Int,
                                         minWriterVersion: Int)
 private[pipeline] case class CpRow(ord: Long, add: Option[CpAdd],
                                    metaData: Option[CpMeta],
                                    protocol: Option[CpProtocol])
+
+/** A delta-log write gave up after losing the version race
+  * `maxAttempts` times in a row — genuine sustained contention, not a
+  * transient collision (those are retried internally).
+  */
+final class ConcurrentWriteException(what: String, cause: Throwable)
+  extends RuntimeException(
+    s"$what lost the commit race repeatedly — sustained concurrent " +
+      "writers on this table; serialize them or shard the table", cause)
 
 object DeltaLogTableFormat extends TableFormat {
 
@@ -92,8 +101,12 @@ object DeltaLogTableFormat extends TableFormat {
 
   override def exists(path: String): Boolean = currentVersion(path).isDefined
 
-  /** A live file's log-recorded metadata. */
-  private case class FileEntry(pv: Map[String, String], size: Long)
+  /** A live file's log-recorded metadata. `stats` is the protocol's
+    * per-file JSON stats string (numRecords/minValues/maxValues/
+    * nullCount) when the writer recorded one.
+    */
+  private case class FileEntry(pv: Map[String, String], size: Long,
+                               stats: Option[String] = None)
 
   /** Replayed table state at a version: live files (in add order,
     * each with its recorded partitionValues and size) plus the
@@ -128,7 +141,8 @@ object DeltaLogTableFormat extends TableFormat {
                 .map(k => k -> n.get(k).asText()).toMap)
               .getOrElse(Map.empty[String, String])
             val size = Option(add.get("size")).map(_.asLong()).getOrElse(0L)
-            st.liveMap += add.get("path").asText() -> FileEntry(pv, size)
+            val stats = Option(add.get("stats")).map(_.asText()).filter(_.nonEmpty)
+            st.liveMap += add.get("path").asText() -> FileEntry(pv, size, stats)
           }
           if (node.has("remove"))
             st.liveMap -= node.get("remove").get("path").asText()
@@ -189,7 +203,7 @@ object DeltaLogTableFormat extends TableFormat {
         Some(CpMeta(st.tableId.getOrElse(""), st.schemaJson.getOrElse(""))),
         None) +:
       st.liveMap.toSeq.zipWithIndex.map { case ((p, fe), i) =>
-        CpRow(i + 2L, Some(CpAdd(p, fe.pv, fe.size)), None, None)
+        CpRow(i + 2L, Some(CpAdd(p, fe.pv, fe.size, fe.stats)), None, None)
       }
     // write through a dot-prefixed temp dir inside _delta_log (the
     // versions() regex and vacuum walks never match it), then move the
@@ -237,7 +251,8 @@ object DeltaLogTableFormat extends TableFormat {
               val a = r.getStruct(addIdx)
               st.liveMap += a.getAs[String]("path") -> FileEntry(
                 a.getAs[Map[String, String]]("partitionValues"),
-                a.getAs[Long]("size"))
+                a.getAs[Long]("size"),
+                Option(a.getAs[String]("stats")))
             }
             val mdIdx = r.fieldIndex("metaData")
             if (!r.isNullAt(mdIdx)) {
@@ -276,6 +291,106 @@ object DeltaLogTableFormat extends TableFormat {
       // columns from every row of the scan
       schema.fold(spark.read)(spark.read.schema(_))
         .parquet(st.live.map(f => s"$path/$f"): _*)
+  }
+
+  /** A version is a data change iff any of its add/remove actions
+    * says so — OPTIMIZE commits write `dataChange: false` on every
+    * action, exactly so consumers can tell rows-changed from
+    * layout-changed without diffing.
+    */
+  override def isDataChange(path: String, version: Int): Boolean = {
+    val f = logFile(path, version)
+    if (!Files.exists(f)) return true // unknown -> safe: let the consumer look
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map(mapper.readTree).exists { n =>
+        Seq("add", "remove").exists(k => n.has(k) &&
+          Option(n.get(k).get("dataChange")).forall(_.asBoolean()))
+      }
+  }
+
+  /** Data-skipping scan: read only the live files whose log-recorded
+    * stats admit rows with `column` in `[lo, hi]` (inclusive), then
+    * apply the exact filter on top — semantically identical to
+    * `read(...).filter(col between lo and hi)` but the pruning
+    * happens on the DRIVER from the transaction log, before a single
+    * data file is listed or opened. At 100 TB this is the difference
+    * between planning a scan over every file and planning one over
+    * the handful a selective predicate touches; partition-homogeneous
+    * files (the `__pv` write layout keeps the partition column in the
+    * data) carry min == max for the partition column, so partition
+    * pruning falls out of the same stats path. Files with no recorded
+    * stats for `column` are always read — omission can only cost
+    * speed, never rows.
+    */
+  def readRange(spark: SparkSession, path: String, column: String,
+                lo: Any, hi: Any): DataFrame = {
+    val head = currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"no delta log at $path"))
+    val st = replayState(spark, path, head)
+    val selected = st.liveMap.toSeq.collect {
+      case (f, fe) if statsAdmit(fe.stats, column, lo, hi) => f
+    }
+    val schema = st.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val base =
+      if (selected.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          schema.getOrElse(new StructType()))
+      else
+        schema.fold(spark.read)(spark.read.schema(_))
+          .parquet(selected.map(f => s"$path/$f"): _*)
+    base.filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Stats-pruned point lookup — see [[readRange]]. */
+  def readEqual(spark: SparkSession, path: String, column: String,
+                value: Any): DataFrame =
+    readRange(spark, path, column, value, value)
+
+  /** Can a file whose stats are `statsJson` contain a row with
+    * `column` in [lo, hi]? Errs on true: missing stats, missing
+    * column, unparseable JSON, or incomparable types all admit.
+    * The one definite exclusion besides a disjoint range is an
+    * all-null column (nullCount == numRecords): a between-filter can
+    * never match a null.
+    */
+  private def statsAdmit(statsJson: Option[String], column: String,
+                         lo: Any, hi: Any): Boolean =
+    statsJson.forall { s =>
+      try {
+        val n = mapper.readTree(s)
+        def field(obj: String) =
+          Option(n.get(obj)).flatMap(o => Option(o.get(column)))
+        (field("minValues"), field("maxValues")) match {
+          case (Some(mn), Some(mx)) =>
+            !cmp(mx, lo).exists(_ < 0) && !cmp(mn, hi).exists(_ > 0)
+          case _ =>
+            val allNull = (field("nullCount"), Option(n.get("numRecords"))) match {
+              case (Some(nc), Some(nr)) =>
+                nc.isNumber && nr.isNumber && nc.asLong() == nr.asLong()
+              case _ => false
+            }
+            !allNull
+        }
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
+
+  /** Compare a stats JSON node with a predicate bound; None when the
+    * pair is not confidently comparable (then the file is admitted).
+    */
+  private def cmp(node: com.fasterxml.jackson.databind.JsonNode,
+                  bound: Any): Option[Int] = (node, bound) match {
+    // integral-vs-integral compares as long: a double round-trip
+    // loses precision above 2^53 and could wrongly exclude a file
+    case (n, b: java.lang.Long) if n.isIntegralNumber =>
+      Some(java.lang.Long.compare(n.asLong(), b.longValue()))
+    case (n, b: java.lang.Integer) if n.isIntegralNumber =>
+      Some(java.lang.Long.compare(n.asLong(), b.longValue()))
+    case (n, b: Number) if n.isNumber =>
+      Some(java.lang.Double.compare(n.asDouble(), b.doubleValue()))
+    case (n, b: String) if n.isTextual => Some(n.asText().compareTo(b))
+    case (n, b: java.lang.Boolean) if n.isBoolean =>
+      Some(java.lang.Boolean.compare(n.asBoolean(), b))
+    case _ => None
   }
 
   /** Full-rewrite commit: write `df` as the complete next-version
@@ -338,6 +453,7 @@ object DeltaLogTableFormat extends TableFormat {
       add.put("path", p)
       val pvNode = add.putObject("partitionValues")
       pv.foreach { case (k, v) => pvNode.put(k, v) }
+      fileStatsJson(Paths.get(path, p)).foreach(add.put("stats", _))
       add.put("size", Files.size(Paths.get(path, p)))
       add.put("modificationTime",
         Files.getLastModifiedTime(Paths.get(path, p)).toMillis)
@@ -402,6 +518,108 @@ object DeltaLogTableFormat extends TableFormat {
     next
   }
 
+  /** Per-file column stats as the protocol's `add.stats` JSON string
+    * (`{"numRecords":N,"minValues":{...},"maxValues":{...},
+    * "nullCount":{...}}`), assembled from the parquet footer the
+    * write just produced — one footer read per committed file, the
+    * same metadata IO Delta's writer spends collecting stats
+    * task-side. Only plainly-comparable types are recorded (ints,
+    * longs, floats, doubles, booleans, UTF8 strings ≤64 chars);
+    * annotated physical types whose comparison order differs from
+    * their logical order (decimals as unscaled longs, timestamps,
+    * dates) are skipped so [[readRange]] can never prune on a
+    * misleading order. A column missing from the stats is simply
+    * never pruned — omission is always safe.
+    */
+  private def fileStatsJson(file: Path): Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{IntLogicalTypeAnnotation, StringLogicalTypeAnnotation}
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    scala.util.Using.resource(ParquetFileReader.open(in)) { r =>
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      // per top-level column: (min, max, nullCount), or None once any
+      // row group lacks usable stats for it
+      val agg = mutable.LinkedHashMap
+        .empty[String, Option[(Comparable[Any], Comparable[Any], Long)]]
+      blocks.foreach(_.getColumns.asScala.foreach { c =>
+        val name = c.getPath.toDotString
+        if (!name.contains('.')) {
+          val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+          val comparable = logical == null ||
+            logical.isInstanceOf[IntLogicalTypeAnnotation] ||
+            logical.isInstanceOf[StringLogicalTypeAnnotation]
+          val s = c.getStatistics
+          val usable = comparable && s != null && s.isNumNullsSet &&
+            (s.hasNonNullValue || s.getNumNulls == c.getValueCount)
+          val cur = agg.getOrElse(name,
+            Some((null: Comparable[Any], null: Comparable[Any], 0L)))
+          agg(name) = cur.filter(_ => usable).map { case (mn, mx, nu) =>
+            val bmn = if (s.hasNonNullValue)
+              s.genericGetMin.asInstanceOf[Comparable[Any]] else null
+            val bmx = if (s.hasNonNullValue)
+              s.genericGetMax.asInstanceOf[Comparable[Any]] else null
+            (if (mn == null || (bmn != null && bmn.compareTo(mn) < 0)) bmn else mn,
+             if (mx == null || (bmx != null && bmx.compareTo(mx) > 0)) bmx else mx,
+             nu + s.getNumNulls)
+          }
+        }
+      })
+      val root = mapper.createObjectNode()
+      root.put("numRecords", numRecords)
+      val minN = root.putObject("minValues")
+      val maxN = root.putObject("maxValues")
+      val nullN = root.putObject("nullCount")
+      def putVal(o: ObjectNode, k: String, v: Any): Boolean = v match {
+        case null                => true // all-null column: nullCount alone
+        case i: java.lang.Integer => o.put(k, i.intValue()); true
+        case l: java.lang.Long    => o.put(k, l.longValue()); true
+        case f: java.lang.Float   => o.put(k, f.floatValue()); true
+        case d: java.lang.Double  => o.put(k, d.doubleValue()); true
+        case b: java.lang.Boolean => o.put(k, b.booleanValue()); true
+        case b: Binary =>
+          val str = b.toStringUsingUTF8
+          if (str.length <= 64) { o.put(k, str); true } else false
+        case _ => false
+      }
+      agg.foreach {
+        case (name, Some((mn, mx, nulls))) =>
+          if (putVal(minN, name, mn) && putVal(maxN, name, mx))
+            nullN.put(name, nulls)
+          else { minN.remove(name); maxN.remove(name) }
+        case _ => ()
+      }
+      Some(mapper.writeValueAsString(root))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Optimistic concurrency: run `attempt` (read state → compute
+    * merge → commit); when the commit loses the version race
+    * ([[publishCommit]]'s FileAlreadyExistsException), re-run the
+    * WHOLE attempt so the merge recomputes against the winner's new
+    * head — re-committing the stale output would silently drop the
+    * winner's rows. This is the same loop real Delta runs on
+    * ConcurrentAppendException. The loser's orphaned attempt dir is
+    * reclaimed by [[vacuumOrphans]].
+    */
+  private def withCommitRetry[T](what: String, maxAttempts: Int = 5)
+                                (attempt: => T): T = {
+    var n = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          n += 1
+          if (n >= maxAttempts) throw new ConcurrentWriteException(what, e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Atomic put-if-absent of a commit file. POSIX rename REPLACES an
     * existing target even under ATOMIC_MOVE, so a plain move would
     * let a version-race loser silently clobber the winner; hard-link
@@ -421,52 +639,54 @@ object DeltaLogTableFormat extends TableFormat {
                          keys: Seq[String], orderBy: String,
                          deleteMissing: Boolean = false,
                          compareExclude: Seq[String] = Sources.controlColumns,
-                         schemaEvolution: Boolean = true): MergeStats = {
-    val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
-    if (!exists(path)) {
-      val obs = Observation()
-      val first = Cdc.latestPerKey(updates, keys, ord)
-        .observe(obs, count(lit(1)).as("n"))
-      commitRewrite(path, first)
-      MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
-        deleted = 0)
-    } else {
-      val target = MergeTable.evolveTarget(read(spark, path), updates,
-        schemaEvolution)
-      val tagged = Cdc.scd1MergeTagged(target,
-        updates.select(target.columns.map(col).toIndexedSeq: _*),
-        keys, ord, deleteMissing, compareExclude, orderGuard = Some(orderBy))
-      MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(
-        out => { commitRewrite(path, out); () })
+                         schemaEvolution: Boolean = true): MergeStats =
+    withCommitRetry(s"scd1Merge($path)") {
+      val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
+      if (!exists(path)) {
+        val obs = Observation()
+        val first = Cdc.latestPerKey(updates, keys, ord)
+          .observe(obs, count(lit(1)).as("n"))
+        commitRewrite(path, first)
+        MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
+          deleted = 0)
+      } else {
+        val target = MergeTable.evolveTarget(read(spark, path), updates,
+          schemaEvolution)
+        val tagged = Cdc.scd1MergeTagged(target,
+          updates.select(target.columns.map(col).toIndexedSeq: _*),
+          keys, ord, deleteMissing, compareExclude, orderGuard = Some(orderBy))
+        MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(
+          out => { commitRewrite(path, out); () })
+      }
     }
-  }
 
   override def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
                          keys: Seq[String], orderBy: String,
                          deleteMissing: Boolean = false,
                          compareExclude: Seq[String] = Sources.controlColumns,
-                         schemaEvolution: Boolean = true): MergeStats = {
-    val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
-    if (!exists(path)) {
-      val obs = Observation()
-      val first = Cdc.latestPerKey(updates, keys, ord)
-        .withColumn("is_current", lit(1))
-        .withColumn("start_time", current_timestamp())
-        .withColumn("end_time", lit(null).cast("timestamp"))
-        .withColumn("delete_time", lit(null).cast("timestamp"))
-        .observe(obs, count(lit(1)).as("n"))
-      commitRewrite(path, first)
-      MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
-        deleted = 0)
-    } else {
-      val target = MergeTable.evolveTarget(read(spark, path), updates,
-        schemaEvolution)
-      val tagged = Cdc.scd2MergeTagged(target, updates, keys, ord,
-        deleteMissing, compareExclude)
-      MergeTable.observedWrite(tagged, dropActions = Nil)(
-        out => { commitRewrite(path, out); () })
+                         schemaEvolution: Boolean = true): MergeStats =
+    withCommitRetry(s"scd2Merge($path)") {
+      val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
+      if (!exists(path)) {
+        val obs = Observation()
+        val first = Cdc.latestPerKey(updates, keys, ord)
+          .withColumn("is_current", lit(1))
+          .withColumn("start_time", current_timestamp())
+          .withColumn("end_time", lit(null).cast("timestamp"))
+          .withColumn("delete_time", lit(null).cast("timestamp"))
+          .observe(obs, count(lit(1)).as("n"))
+        commitRewrite(path, first)
+        MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
+          deleted = 0)
+      } else {
+        val target = MergeTable.evolveTarget(read(spark, path), updates,
+          schemaEvolution)
+        val tagged = Cdc.scd2MergeTagged(target, updates, keys, ord,
+          deleteMissing, compareExclude)
+        MergeTable.observedWrite(tagged, dropActions = Nil)(
+          out => { commitRewrite(path, out); () })
+      }
     }
-  }
 
   /** Partition-pruned SCD1 merge: rewrite ONLY the partitions the
     * updates touch; every other partition's files stay live from
@@ -500,7 +720,17 @@ object DeltaLogTableFormat extends TableFormat {
   private def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
                           keys: Seq[String], orderBy: String,
                           partitionCol: String, scdType: Int,
-                          compareExclude: Seq[String]): MergeStats = {
+                          compareExclude: Seq[String]): MergeStats =
+    withCommitRetry(s"mergePruned($path)") {
+      mergePrunedOnce(spark, path, updates, keys, orderBy, partitionCol,
+        scdType, compareExclude)
+    }
+
+  private def mergePrunedOnce(spark: SparkSession, path: String,
+                              updates: DataFrame,
+                              keys: Seq[String], orderBy: String,
+                              partitionCol: String, scdType: Int,
+                              compareExclude: Seq[String]): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry partition column $partitionCol")
     val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
@@ -583,44 +813,49 @@ object DeltaLogTableFormat extends TableFormat {
     */
   override def optimize(spark: SparkSession, path: String,
                         smallFileBytes: Long = 128L << 20)
-      : Option[OptimizeStats] = {
-    val head = currentVersion(path).getOrElse(return None)
-    val st = replayState(spark, path, head)
-    val keySets = st.liveMap.values.map(_.pv.keySet).toSet
-    require(keySets.size <= 1,
-      s"optimize: table at $path mixes partitioned and unpartitioned " +
-        "live files — run a partitioned full merge first")
-    val partitionCol = keySets.headOption.flatMap(_.headOption)
-    val targets = st.liveMap.toSeq.groupBy(_._2.pv).valuesIterator
-      .flatMap { fs =>
-        val small = fs.filter(_._2.size < smallFileBytes)
-        if (small.size >= 2) small else Nil
-      }.toSeq
-    if (targets.isEmpty) return None
-    // table schema, not footer inference — see readVersion
-    val df0 = st.schemaJson
-      .map(s => spark.read.schema(
-        DataType.fromJson(s).asInstanceOf[StructType]))
-      .getOrElse(spark.read)
-      .parquet(targets.map(f => s"$path/${f._1}"): _*)
-    val df = partitionCol match {
-      // one output file per partition value: tasks write one file per
-      // __pv they hold, and the hash repartition gives each value to
-      // exactly one task
-      case Some(pc) => df0.repartition(col(pc))
-      case None =>
-        val total = targets.map(_._2.size).sum
-        df0.coalesce(math.max(1,
-          math.ceil(total.toDouble / smallFileBytes).toInt))
+      : Option[OptimizeStats] =
+    // a lost race means the head moved mid-compaction; the retry
+    // re-enters the whole body so the target set recomputes against
+    // the winner's head (re-publishing the stale rewrite could remove
+    // files the winner already removed, or miss its new ones)
+    withCommitRetry(s"optimize($path)") {
+      val head = currentVersion(path).getOrElse(return None)
+      val st = replayState(spark, path, head)
+      val keySets = st.liveMap.values.map(_.pv.keySet).toSet
+      require(keySets.size <= 1,
+        s"optimize: table at $path mixes partitioned and unpartitioned " +
+          "live files — run a partitioned full merge first")
+      val partitionCol = keySets.headOption.flatMap(_.headOption)
+      val targets = st.liveMap.toSeq.groupBy(_._2.pv).valuesIterator
+        .flatMap { fs =>
+          val small = fs.filter(_._2.size < smallFileBytes)
+          if (small.size >= 2) small else Nil
+        }.toSeq
+      if (targets.isEmpty) return None
+      // table schema, not footer inference — see readVersion
+      val df0 = st.schemaJson
+        .map(s => spark.read.schema(
+          DataType.fromJson(s).asInstanceOf[StructType]))
+        .getOrElse(spark.read)
+        .parquet(targets.map(f => s"$path/${f._1}"): _*)
+      val df = partitionCol match {
+        // one output file per partition value: tasks write one file
+        // per __pv they hold, and the hash repartition gives each
+        // value to exactly one task
+        case Some(pc) => df0.repartition(col(pc))
+        case None =>
+          val total = targets.map(_._2.size).sum
+          df0.coalesce(math.max(1,
+            math.ceil(total.toDouble / smallFileBytes).toInt))
+      }
+      val targetPaths = targets.map(_._1)
+      val v = commitFiles(path, df, partitionBy = partitionCol,
+        removeOf = (_, _) => targetPaths,
+        dataChange = false, operation = Some("OPTIMIZE"))
+      val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+        .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
+      Some(OptimizeStats(v, compacted = targetPaths.size, written = written))
     }
-    val targetPaths = targets.map(_._1)
-    val v = commitFiles(path, df, partitionBy = partitionCol,
-      removeOf = (_, _) => targetPaths,
-      dataChange = false, operation = Some("OPTIMIZE"))
-    val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
-      .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
-    Some(OptimizeStats(v, compacted = targetPaths.size, written = written))
-  }
 
   /** Delete data files referenced ONLY by versions older than the
     * newest `keepVersions` commits. The JSON log is never truncated

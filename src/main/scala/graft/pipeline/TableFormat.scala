@@ -67,6 +67,15 @@ trait TableFormat {
     */
   def vacuum(path: String, keepVersions: Int = 2): Seq[Int]
 
+  /** Does committed `version` change table DATA, as opposed to a
+    * pure file-layout commit (OPTIMIZE)? Streaming consumers use this
+    * to skip layout-only versions WITHOUT running a change-diff scan
+    * — the rows are identical by construction, and at scale the
+    * avoided no-op diff is two full-table scans. Default true: the
+    * snapshot format's commits are always rewrites of data state.
+    */
+  def isDataChange(path: String, version: Int): Boolean = true
+
   /** Compact small live data files into fewer, larger ones without
     * changing rows — Delta's OPTIMIZE, which the reference runs after
     * every merge (writers/writer.py:280,690 `optimize {target_table}`

@@ -116,8 +116,12 @@ object MergeTableStream {
   /** Process every committed-but-unprocessed version through `fn`
     * (receiving that version's change rows and its number), oldest
     * first, committing the consumer offset after each — the
-    * `Trigger.AvailableNow` of the version log. Returns the versions
-    * processed this call (empty = caught up).
+    * `Trigger.AvailableNow` of the version log. Layout-only commits
+    * (`fmt.isDataChange` false — OPTIMIZE compaction) advance the
+    * offset WITHOUT invoking `fn` or scanning: their rows are
+    * identical by construction, and the diff they'd cancel out of is
+    * two full-table scans at scale. Returns the versions processed
+    * this call, skipped ones included (empty = caught up).
     */
   def processAvailable(spark: SparkSession, path: String, checkpoint: String,
                        fmt: TableFormat = SnapshotTableFormat)
@@ -134,7 +138,8 @@ object MergeTableStream {
       .filter(v => scala.util.Try(fmt.readVersion(spark, path, v)).isSuccess)
     var prev = start
     todo.foreach { v =>
-      fn(changes(spark, path, prev, v, fmt), v)
+      if (fmt.isDataChange(path, v))
+        fn(changes(spark, path, prev, v, fmt), v)
       commit(checkpoint, v)
       prev = Some(v)
     }

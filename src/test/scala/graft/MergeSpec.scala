@@ -570,6 +570,96 @@ class MergeSpec extends SparkSpec {
     assert(fmt.read(spark, p).count() == 40)
   }
 
+  test("delta-log file stats drive data-skipping reads") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val base = (1 to 40).map(i => (i.toLong, s"v$i", 1,
+      if (i % 2 == 0) "even" else "odd")).toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    // every add action carries protocol-shaped stats
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      p, "_delta_log", f"${0}%020d.json")).asScala
+      .filter(_.nonEmpty).map(m.readTree).filter(_.has("add")).toSeq
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val st = m.readTree(a.get("add").get("stats").asText())
+      assert(st.get("numRecords").asLong() > 0)
+      assert(st.get("minValues").has("id") && st.get("maxValues").has("id"))
+      assert(st.get("minValues").has("bucket"), "string stats recorded")
+      assert(st.get("nullCount").get("id").asLong() == 0)
+    }
+    val full = fmt.read(spark, p)
+    // range predicate: identical rows to filter-on-full-read
+    val want = full.filter(col("id").between(5, 9)).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val got = fmt.readRange(spark, p, "id", 5L, 9L).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(want), got.mkString(","))
+    // equality on the partition column prunes to that partition's
+    // files (partition-homogeneous files have min == max)
+    val even = fmt.readEqual(spark, p, "bucket", "even")
+    assert(even.count() == 20)
+    assert(even.inputFiles.length < full.inputFiles.length,
+      s"bucket=even must scan fewer files: ${even.inputFiles.length} " +
+        s"vs ${full.inputFiles.length}")
+    // a range no file admits plans an empty scan — zero files opened
+    val none = fmt.readRange(spark, p, "id", 1000L, 2000L)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    // stats-stripped files (older writers, unsupported types) are
+    // always read — skipping can only cost speed, never rows
+    val logF = java.nio.file.Paths.get(p, "_delta_log", f"${0}%020d.json")
+    val stripped = java.nio.file.Files.readAllLines(logF).asScala
+      .filter(_.nonEmpty).map { l =>
+        val n = m.readTree(l)
+        if (n.has("add"))
+          n.get("add").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .remove("stats")
+        m.writeValueAsString(n)
+      }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(logF, stripped.getBytes)
+    val unpruned = fmt.readRange(spark, p, "id", 1000L, 2000L)
+    assert(unpruned.inputFiles.length == full.inputFiles.length,
+      "no stats -> every file admitted")
+    assert(unpruned.count() == 0, "exact filter still applies on top")
+  }
+
+  test("delta-log concurrent writers: loser recomputes against the new head") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    // two writers with disjoint keys race the same (new) table; the
+    // hard-link commit primitive picks a v0 winner, the loser's retry
+    // MERGES into the winner's state instead of clobbering it — the
+    // final table must hold both key sets whatever the interleaving
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val dfA = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
+    val dfB = Seq((3L, "c", 1), (4L, "d", 1)).toDF("id", "v", "ord")
+    val fa = scala.concurrent.Future(
+      fmt.scd1Merge(spark, p, dfA, Seq("id"), "ord"))
+    val fb = scala.concurrent.Future(
+      fmt.scd1Merge(spark, p, dfB, Seq("id"), "ord"))
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(fa, 3.minutes)
+    scala.concurrent.Await.result(fb, 3.minutes)
+    pool.shutdown()
+    assert(fmt.versions(p) == Seq(0, 1),
+      s"exactly one winner and one retried commit: ${fmt.versions(p)}")
+    val got = fmt.read(spark, p).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(
+      Array((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))), got.mkString(","))
+    // the loser's abandoned attempt dir (if the race actually
+    // collided) is orphaned garbage that vacuumOrphans can reclaim
+    val orphans = fmt.vacuumOrphans(p, olderThanMs = -1000)
+    assert(fmt.read(spark, p).count() == 4,
+      s"reclaiming orphans (${orphans.size}) must not touch live data")
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(

@@ -423,15 +423,19 @@ class StreamingSpec extends SparkSpec {
     assert(MergeTableStream.processAvailable(spark, silver, ck, fmt)(
       (_, _) => fail("no new versions to process")).isEmpty)
     // an OPTIMIZE commit compacts files without changing rows: the
-    // consumer sees a new offset whose full-row diff is EMPTY — no
-    // re-delivery, gold untouched
+    // consumer advances its offset past it WITHOUT a diff scan —
+    // dataChange=false tells it rows are identical by construction
     val opt = fmt.optimize(spark, silver).get
     val optBatches = scala.collection.mutable.Buffer.empty[(Int, Long)]
-    MergeTableStream.processAvailable(spark, silver, ck, fmt) { (df, v) =>
-      optBatches += ((v, df.count())); ()
-    }
-    assert(optBatches.toSeq == Seq((opt.version, 0L)),
-      s"optimize commit must deliver zero change rows: $optBatches")
+    val processedOpt =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (df, v) =>
+        optBatches += ((v, df.count())); ()
+      }
+    assert(processedOpt == Seq(opt.version),
+      s"optimize commit must advance the offset: $processedOpt")
+    assert(optBatches.isEmpty,
+      s"layout-only commit must not be scanned or delivered: $optBatches")
+    assert(MergeTableStream.lastProcessed(ck).contains(opt.version))
     assert(MergeTable.read(spark, gold).count() == 3, "gold untouched")
     // vacuumed-past consumer: drop old versions' files, new consumer
     // falls back to full-snapshot re-delivery (idempotent downstream)
