@@ -130,30 +130,33 @@ object DeltaLogTableFormat extends TableFormat {
 
   /** Apply the JSON commits in [from, upTo] to `st`, mutating it. */
   private def applyLog(st: State, path: String, from: Int, upTo: Int): State = {
-    versions(path).filter(v => v >= from && v <= upTo).foreach { v =>
-      Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          if (node.has("add")) {
-            val add = node.get("add")
-            val pv = Option(add.get("partitionValues"))
-              .map(n => n.fieldNames().asScala
-                .map(k => k -> n.get(k).asText()).toMap)
-              .getOrElse(Map.empty[String, String])
-            val size = Option(add.get("size")).map(_.asLong()).getOrElse(0L)
-            val stats = Option(add.get("stats")).map(_.asText()).filter(_.nonEmpty)
-            st.liveMap += add.get("path").asText() -> FileEntry(pv, size, stats)
-          }
-          if (node.has("remove"))
-            st.liveMap -= node.get("remove").get("path").asText()
-          if (node.has("metaData")) {
-            st.tableId = Some(node.get("metaData").get("id").asText())
-            st.schemaJson = Some(node.get("metaData").get("schemaString").asText())
-          }
-        }
-    }
+    versions(path).filter(v => v >= from && v <= upTo)
+      .foreach(applyOneVersion(st, path, _))
     st
   }
+
+  /** Apply one commit's JSON action file to `st`, mutating it. */
+  private def applyOneVersion(st: State, path: String, v: Int): Unit =
+    Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) {
+          val add = node.get("add")
+          val pv = Option(add.get("partitionValues"))
+            .map(n => n.fieldNames().asScala
+              .map(k => k -> n.get(k).asText()).toMap)
+            .getOrElse(Map.empty[String, String])
+          val size = Option(add.get("size")).map(_.asLong()).getOrElse(0L)
+          val stats = Option(add.get("stats")).map(_.asText()).filter(_.nonEmpty)
+          st.liveMap += add.get("path").asText() -> FileEntry(pv, size, stats)
+        }
+        if (node.has("remove"))
+          st.liveMap -= node.get("remove").get("path").asText()
+        if (node.has("metaData")) {
+          st.tableId = Some(node.get("metaData").get("id").asText())
+          st.schemaJson = Some(node.get("metaData").get("schemaString").asText())
+        }
+      }
 
   // ---- parquet checkpoints -------------------------------------------
   //
@@ -857,6 +860,58 @@ object DeltaLogTableFormat extends TableFormat {
       Some(OptimizeStats(v, compacted = targetPaths.size, written = written))
     }
 
+  /** OPTIMIZE with 1-D clustering — the single-column form of Delta's
+    * `OPTIMIZE ... ZORDER BY`: rewrite ALL live files with rows
+    * range-partitioned (and sorted within files) by `clusterCol`, so
+    * each output file covers a disjoint value range. File-level stats
+    * then make [[readRange]] prune a point lookup to ~one file
+    * instead of every file — the log-level complement of parquet's
+    * row-group skipping. Like [[optimize]] the commit is
+    * `dataChange=false`: rows are identical, only layout changed.
+    *
+    * `targetFileBytes` sizes the output: ceil(live bytes / target)
+    * range buckets. Partitioned tables range-partition on
+    * (partitionCol, clusterCol) so each partition's files still get
+    * disjoint cluster ranges. Returns None on an empty table.
+    */
+  def optimizeClustered(spark: SparkSession, path: String,
+                        clusterCol: String,
+                        targetFileBytes: Long = 128L << 20)
+      : Option[OptimizeStats] =
+    withCommitRetry(s"optimizeClustered($path)") {
+      val head = currentVersion(path).getOrElse(return None)
+      val st = replayState(spark, path, head)
+      if (st.liveMap.isEmpty) return None
+      val keySets = st.liveMap.values.map(_.pv.keySet).toSet
+      require(keySets.size <= 1,
+        s"optimizeClustered: table at $path mixes partitioned and " +
+          "unpartitioned live files — run a partitioned full merge first")
+      val partitionCol = keySets.headOption.flatMap(_.headOption)
+      val totalBytes = st.liveMap.values.map(_.size).sum
+      val buckets = math.max(1,
+        math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val df0 = st.schemaJson
+        .map(s => spark.read.schema(
+          DataType.fromJson(s).asInstanceOf[StructType]))
+        .getOrElse(spark.read)
+        .parquet(st.live.map(f => s"$path/$f"): _*)
+      val df = partitionCol match {
+        case Some(pc) => df0
+          .repartitionByRange(buckets, col(pc), col(clusterCol))
+          .sortWithinPartitions(pc, clusterCol)
+        case None => df0
+          .repartitionByRange(buckets, col(clusterCol))
+          .sortWithinPartitions(clusterCol)
+      }
+      val previous = st.live
+      val v = commitFiles(path, df, partitionBy = partitionCol,
+        removeOf = (_, _) => previous,
+        dataChange = false, operation = Some("OPTIMIZE"))
+      val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+        .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
+      Some(OptimizeStats(v, compacted = previous.size, written = written))
+    }
+
   /** Delete data files referenced ONLY by versions older than the
     * newest `keepVersions` commits. The JSON log is never truncated
     * (see class doc); a dropped version's log entry remains but
@@ -868,10 +923,19 @@ object DeltaLogTableFormat extends TableFormat {
     if (all.isEmpty) return Nil
     val dropped = all.dropRight(keepVersions)
     if (dropped.isEmpty) return Nil
-    val kept = all.takeRight(keepVersions)
-    val keepFiles = kept.flatMap(v => replay(path, v).live).toSet
-    val droppedFiles = dropped.flatMap(v => replay(path, v).live).toSet
-      .diff(keepFiles)
+    val droppedSet = dropped.toSet
+    // one pass over the log: accumulate each version's live set into
+    // the dropped or kept pool as the replay walks forward (replaying
+    // from 0 once per version would be O(commits²) JSON parses on a
+    // long-lived table)
+    val st = emptyState
+    val keepFiles = mutable.Set.empty[String]
+    val dropFiles = mutable.Set.empty[String]
+    all.foreach { v =>
+      applyOneVersion(st, path, v)
+      (if (droppedSet.contains(v)) dropFiles else keepFiles) ++= st.live
+    }
+    val droppedFiles = dropFiles.toSet.diff(keepFiles)
     droppedFiles.foreach { f =>
       Files.deleteIfExists(Paths.get(path, f))
       dropCommitDirIfOnlySidecars(Paths.get(path, f).getParent)

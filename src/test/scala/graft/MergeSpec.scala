@@ -626,6 +626,47 @@ class MergeSpec extends SparkSpec {
     assert(unpruned.count() == 0, "exact filter still applies on top")
   }
 
+  test("delta-log clustered optimize: disjoint ranges turn lookups into one-file scans") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    // shuffled ids: every seed file spans nearly the whole id range,
+    // so stats admit (almost) every file for any predicate
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((1 to 400).toList)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevConf = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      fmt.scd1Merge(spark, p,
+        ids.map(i => (i.toLong, s"v$i", 1)).toDF("id", "v", "ord"),
+        Seq("id"), "ord")
+    } finally spark.conf.set(coalesceKey, prevConf)
+    val full = fmt.read(spark, p)
+    val hash = tableHash(full)
+    assert(full.inputFiles.length > 2, "seed must be multi-file")
+    val prePoint = fmt.readEqual(spark, p, "id", 250L)
+    assert(prePoint.inputFiles.length > 1,
+      "unclustered layout: a point lookup touches many files")
+    val stats = fmt.optimizeClustered(spark, p, "id",
+      targetFileBytes = 4096).get
+    assert(stats.compacted == full.inputFiles.length)
+    assert(tableHash(fmt.read(spark, p)) == hash, "rows unchanged")
+    val clusteredFiles = fmt.read(spark, p).inputFiles.length
+    assert(clusteredFiles > 1, "multiple range buckets expected")
+    // ranges are disjoint and ids unique: exactly one file can admit
+    // a point value
+    val point = fmt.readEqual(spark, p, "id", 250L)
+    assert(point.count() == 1)
+    assert(point.inputFiles.length == 1,
+      s"clustered point lookup must scan one file, got ${point.inputFiles.length}")
+    // a narrow range overlaps at most two adjacent buckets
+    val narrow = fmt.readRange(spark, p, "id", 100L, 110L)
+    assert(narrow.count() == 11)
+    assert(narrow.inputFiles.length <= 2,
+      s"narrow range must stay within adjacent buckets: ${narrow.inputFiles.length}")
+  }
+
   test("delta-log concurrent writers: loser recomputes against the new head") {
     import SparkSpec.spark.implicits._
     val fmt = graft.pipeline.DeltaLogTableFormat
