@@ -397,11 +397,13 @@ object DeltaLogTableFormat extends TableFormat {
   }
 
   /** Full-rewrite commit: write `df` as the complete next-version
-    * state and append the add/remove action file. Returns the
-    * committed version.
+    * state (computed against version `basedOn`) and append the
+    * add/remove action file. Returns the committed version.
     */
-  private def commitRewrite(path: String, df: DataFrame): Int =
-    commitFiles(path, df, partitionBy = None, removeOf = (prev, _) => prev.live)
+  private def commitRewrite(path: String, df: DataFrame,
+                            basedOn: Option[Int]): Int =
+    commitFiles(path, df, partitionBy = None,
+      removeOf = (prev, _) => prev.live, basedOn = basedOn)
 
   /** Write `df`'s files as the next commit's adds and emit removes
     * for `removeOf(previous state)`. `partitionBy` duplicates the
@@ -420,11 +422,21 @@ object DeltaLogTableFormat extends TableFormat {
                           partitionBy: Option[String],
                           removeOf: (State, Seq[(String, Map[String, String])])
                             => Seq[String],
+                          basedOn: Option[Int],
                           dataChange: Boolean = true,
                           operation: Option[String] = None): Int = {
-    val next = currentVersion(path).getOrElse(-1) + 1
-    val prev =
-      if (next == 0) emptyState else replayState(df.sparkSession, path, next - 1)
+    // optimistic concurrency, pinned correctly: the commit version is
+    // basedOn + 1 — the version the CALLER'S PLAN actually read — not
+    // currentVersion()+1 at commit time. If another writer lands
+    // basedOn+1 between the caller's state read and this publish, the
+    // hard-link primitive throws and withCommitRetry recomputes the
+    // whole plan; deriving `next` from currentVersion here would let
+    // that interloper's commit be silently overwritten (its files
+    // removed, its rows absent from the rewrite) with no collision
+    // ever raised.
+    val next = basedOn.map(_ + 1).getOrElse(0)
+    val prev = basedOn.map(replayState(df.sparkSession, path, _))
+      .getOrElse(emptyState)
     // unique per ATTEMPT, not per version: two writers racing the
     // same version must not clobber each other's data files before
     // the log move picks the winner (the loser's dir is orphaned
@@ -645,21 +657,23 @@ object DeltaLogTableFormat extends TableFormat {
                          schemaEvolution: Boolean = true): MergeStats =
     withCommitRetry(s"scd1Merge($path)") {
       val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
-      if (!exists(path)) {
-        val obs = Observation()
-        val first = Cdc.latestPerKey(updates, keys, ord)
-          .observe(obs, count(lit(1)).as("n"))
-        commitRewrite(path, first)
-        MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
-          deleted = 0)
-      } else {
-        val target = MergeTable.evolveTarget(read(spark, path), updates,
-          schemaEvolution)
-        val tagged = Cdc.scd1MergeTagged(target,
-          updates.select(target.columns.map(col).toIndexedSeq: _*),
-          keys, ord, deleteMissing, compareExclude, orderGuard = Some(orderBy))
-        MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(
-          out => { commitRewrite(path, out); () })
+      val head = currentVersion(path) // pinned: plan and commit agree
+      head match {
+        case None =>
+          val obs = Observation()
+          val first = Cdc.latestPerKey(updates, keys, ord)
+            .observe(obs, count(lit(1)).as("n"))
+          commitRewrite(path, first, basedOn = None)
+          MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
+            deleted = 0)
+        case Some(h) =>
+          val target = MergeTable.evolveTarget(
+            readVersion(spark, path, h), updates, schemaEvolution)
+          val tagged = Cdc.scd1MergeTagged(target,
+            updates.select(target.columns.map(col).toIndexedSeq: _*),
+            keys, ord, deleteMissing, compareExclude, orderGuard = Some(orderBy))
+          MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(
+            out => { commitRewrite(path, out, basedOn = head); () })
       }
     }
 
@@ -670,24 +684,26 @@ object DeltaLogTableFormat extends TableFormat {
                          schemaEvolution: Boolean = true): MergeStats =
     withCommitRetry(s"scd2Merge($path)") {
       val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
-      if (!exists(path)) {
-        val obs = Observation()
-        val first = Cdc.latestPerKey(updates, keys, ord)
-          .withColumn("is_current", lit(1))
-          .withColumn("start_time", current_timestamp())
-          .withColumn("end_time", lit(null).cast("timestamp"))
-          .withColumn("delete_time", lit(null).cast("timestamp"))
-          .observe(obs, count(lit(1)).as("n"))
-        commitRewrite(path, first)
-        MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
-          deleted = 0)
-      } else {
-        val target = MergeTable.evolveTarget(read(spark, path), updates,
-          schemaEvolution)
-        val tagged = Cdc.scd2MergeTagged(target, updates, keys, ord,
-          deleteMissing, compareExclude)
-        MergeTable.observedWrite(tagged, dropActions = Nil)(
-          out => { commitRewrite(path, out); () })
+      val head = currentVersion(path) // pinned: plan and commit agree
+      head match {
+        case None =>
+          val obs = Observation()
+          val first = Cdc.latestPerKey(updates, keys, ord)
+            .withColumn("is_current", lit(1))
+            .withColumn("start_time", current_timestamp())
+            .withColumn("end_time", lit(null).cast("timestamp"))
+            .withColumn("delete_time", lit(null).cast("timestamp"))
+            .observe(obs, count(lit(1)).as("n"))
+          commitRewrite(path, first, basedOn = None)
+          MergeStats(inserted = obs.get("n").asInstanceOf[Long], updated = 0,
+            deleted = 0)
+        case Some(h) =>
+          val target = MergeTable.evolveTarget(
+            readVersion(spark, path, h), updates, schemaEvolution)
+          val tagged = Cdc.scd2MergeTagged(target, updates, keys, ord,
+            deleteMissing, compareExclude)
+          MergeTable.observedWrite(tagged, dropActions = Nil)(
+            out => { commitRewrite(path, out, basedOn = head); () })
       }
     }
 
@@ -737,7 +753,8 @@ object DeltaLogTableFormat extends TableFormat {
     require(updates.columns.contains(partitionCol),
       s"updates must carry partition column $partitionCol")
     val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
-    if (!exists(path)) {
+    val head = currentVersion(path) // pinned: plan and commit agree
+    if (head.isEmpty) {
       val obs = Observation()
       val base = Cdc.latestPerKey(updates, keys, ord)
       val first = (if (scdType == 2)
@@ -746,7 +763,8 @@ object DeltaLogTableFormat extends TableFormat {
           .withColumn("end_time", lit(null).cast("timestamp"))
           .withColumn("delete_time", lit(null).cast("timestamp"))
       else base).observe(obs, count(lit(1)).as("n"))
-      commitFiles(path, first, Some(partitionCol), (_, _) => Nil)
+      commitFiles(path, first, Some(partitionCol), (_, _) => Nil,
+        basedOn = None)
       return MergeStats(obs.get("n").asInstanceOf[Long], 0, 0)
     }
     val affected = updates.select(col(partitionCol)).distinct()
@@ -760,12 +778,12 @@ object DeltaLogTableFormat extends TableFormat {
     // mixing pruned merges into a table built by full-rewrite
     // commits would leave old-partition files unmatchable by the
     // remove targeting below (stale rows would survive as dupes)
-    val prevState = replayState(spark, path, currentVersion(path).get)
+    val prevState = replayState(spark, path, head.get)
     require(prevState.liveMap.values.forall(_.pv.contains(partitionCol)),
       s"pruned merge: table at $path has live files without recorded " +
         s"'$partitionCol' partitionValues (written by an unpartitioned " +
         "commit) — run a partitioned full merge first")
-    val target = read(spark, path)
+    val target = readVersion(spark, path, head.get)
     val affectedTarget = target.filter(col(partitionCol).isin(affected: _*))
     val tagged =
       if (scdType == 2)
@@ -778,7 +796,7 @@ object DeltaLogTableFormat extends TableFormat {
           orderGuard = Some(orderBy))
     MergeTable.observedWrite(tagged,
       dropActions = if (scdType == 2) Nil else Seq("delete")) { out =>
-      commitPruned(path, out, partitionCol); ()
+      commitPruned(path, out, partitionCol, basedOn = head); ()
     }
   }
 
@@ -789,13 +807,14 @@ object DeltaLogTableFormat extends TableFormat {
     * every affected partition appears in the output).
     */
   private def commitPruned(path: String, df: DataFrame,
-                           partitionCol: String): Unit = {
+                           partitionCol: String,
+                           basedOn: Option[Int]): Unit = {
     commitFiles(path, df, Some(partitionCol), (prev, written) => {
       val rewritten = written.flatMap(_._2.get(partitionCol)).toSet
       prev.liveMap.collect {
         case (p, fe) if fe.pv.get(partitionCol).exists(rewritten.contains) => p
       }.toSeq
-    })
+    }, basedOn = basedOn)
     ()
   }
 
@@ -853,7 +872,7 @@ object DeltaLogTableFormat extends TableFormat {
       }
       val targetPaths = targets.map(_._1)
       val v = commitFiles(path, df, partitionBy = partitionCol,
-        removeOf = (_, _) => targetPaths,
+        removeOf = (_, _) => targetPaths, basedOn = Some(head),
         dataChange = false, operation = Some("OPTIMIZE"))
       val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
         .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
@@ -905,7 +924,7 @@ object DeltaLogTableFormat extends TableFormat {
       }
       val previous = st.live
       val v = commitFiles(path, df, partitionBy = partitionCol,
-        removeOf = (_, _) => previous,
+        removeOf = (_, _) => previous, basedOn = Some(head),
         dataChange = false, operation = Some("OPTIMIZE"))
       val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
         .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
