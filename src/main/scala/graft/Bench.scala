@@ -11,9 +11,24 @@ import org.apache.spark.sql.SparkSession
   * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3,
   * back-to-back) and reports the MEDIAN — single-shot timings drifted
   * 1.3-2.2x round-over-round on sub-second queries, drowning real
-  * regressions in noise. The first (cold, codegen-compiling) run is
-  * reported separately under "cold" so cold-start regressions stay
-  * visible; "total" is the sum of medians.
+  * regressions in noise.
+  *
+  * Artifact contract (learned in round 6, where a ~3.7 KB line was
+  * truncated by the harness's bounded 2 KB output tail and the round's
+  * bench became unparseable):
+  *   - the driver-facing JSON is ONE line, medians only, every value
+  *     rounded to 3 decimals (~1.4 KB for 54 queries), printed as the
+  *     very last output after `spark.stop()` so nothing follows it;
+  *   - full detail (cold run, every attempt) goes to
+  *     `BENCH_DETAIL.json` in the repo instead of stdout.
+  *
+  * Between queries every persisted RDD block is dropped:
+  * `dedupNgramJaccard` and friends pin shingle-hash arrays with
+  * `localCheckpoint(true)`, and across 54 queries x 3 runs the
+  * accumulated blocks squeeze storage memory and distort later cold
+  * runs (round 6's 10.85 s dedup_ngram_jaccard outlier). Unpersisting
+  * per query makes each cold number start from the same empty
+  * storage pool.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +49,14 @@ object Bench {
     // one-time JVM init and timings aren't comparable across queries.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
+
+    def dropPersistedBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      dropPersistedBlocks()
       val attempts: Seq[Option[Double]] = (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
@@ -47,6 +69,7 @@ object Bench {
       (name, attempts)
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    def r3(d: Double): String = "%.3f".format(d)
     // A crashed RUN must be distinguishable in the JSON itself
     // (stderr is not part of the bench artifact): a query with any
     // failed attempt is listed under "failed" — even if other
@@ -55,10 +78,7 @@ object Bench {
     // failed cold attempt.
     val qs = results.map { case (k, ts) =>
       val ok = ts.flatten
-      "\"" + k + "\":" + (if (ok.nonEmpty) median(ok) else -1.0)
-    }.mkString("{", ",", "}")
-    val cold = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.head.getOrElse(-1.0)
+      "\"" + k + "\":" + (if (ok.nonEmpty) r3(median(ok)) else "-1")
     }.mkString("{", ",", "}")
     val failed = results.collect {
       case (k, ts) if ts.exists(_.isEmpty) => "\"" + k + "\""
@@ -66,7 +86,23 @@ object Bench {
     val total = results.collect {
       case (_, ts) if ts.flatten.nonEmpty => median(ts.flatten)
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"runs":$runsPer,"failed":$failed,"sf":"$sfDir"}""")
+    val driverLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runsPer,"failed":$failed,"sf":"$sfDir"}"""
+    // Full-precision detail (cold + every attempt) is too large for the
+    // harness's bounded output tail — persist it as a repo artifact.
+    val detail = results.map { case (k, ts) =>
+      val attempts = ts.map(_.map(v => "%.6f".format(v)).getOrElse("-1")).mkString("[", ",", "]")
+      "\"" + k + "\":{\"cold\":" + ts.head.map(v => "%.6f".format(v)).getOrElse("-1") +
+        ",\"attempts\":" + attempts + "}"
+    }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"queries":$detail}"""
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_DETAIL.json")
+      try w.println(detailJson) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()
+    // Last line of output, nothing after it — the driver tails stdout.
+    println(driverLine)
   }
 }
