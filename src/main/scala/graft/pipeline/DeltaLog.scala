@@ -179,16 +179,19 @@ object DeltaLogTableFormat extends TableFormat {
     logDir(path).resolve(f"$v%020d.checkpoint.parquet")
 
   /** Latest usable checkpoint version: the `_last_checkpoint` pointer,
-    * verified against the parquet file actually existing (a manually
-    * deleted checkpoint degrades to JSON replay, never an error).
+    * verified against the parquet file actually existing. A missing,
+    * empty, truncated, or otherwise unparseable pointer — like a
+    * manually deleted checkpoint parquet — degrades to JSON replay,
+    * never an error: the checkpoint is an accelerator, and the intact
+    * JSON log can always serve the read.
     */
   private[graft] def lastCheckpoint(path: String): Option[Int] = {
     val p = logDir(path).resolve("_last_checkpoint")
     if (!Files.exists(p)) None
-    else {
-      val v = mapper.readTree(Files.readAllBytes(p)).get("version").asInt()
-      Some(v).filter(v => Files.exists(checkpointFile(path, v)))
-    }
+    else scala.util.Try(
+        mapper.readTree(Files.readAllBytes(p)).get("version").asInt())
+      .toOption
+      .filter(v => Files.exists(checkpointFile(path, v)))
   }
 
   /** Materialize the current version's replayed state as a parquet
@@ -234,7 +237,53 @@ object DeltaLogTableFormat extends TableFormat {
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, logDir(path).resolve("_last_checkpoint"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    cleanupCheckpointArtifacts(path)
     v
+  }
+
+  /** Reclaim checkpoint debris that neither `vacuum` (log-walking,
+    * checkpoints are in no log entry) nor `vacuumOrphans` (table-root
+    * `files-*` dirs only) ever touches: superseded
+    * `<v>.checkpoint.parquet` files beyond the newest two, and
+    * crash-leaked `.cp-*` temp dirs / `._last_checkpoint-*.tmp` files.
+    * Without this a crash between writing a `.cp-*` temp dir and its
+    * cleanup leaks a full table-state copy under `_delta_log` forever,
+    * and superseded checkpoints accumulate unboundedly on hot tables.
+    *
+    * The newest TWO checkpoints are kept (not one): a reader that
+    * loaded the `_last_checkpoint` pointer just before it advanced may
+    * still be opening the previous checkpoint. Temp artifacts are only
+    * removed past `olderThanMs` so an in-flight checkpointer's
+    * not-yet-moved temp dir is never deleted from under it — the same
+    * retention-threshold defense [[vacuumOrphans]] uses.
+    */
+  private[graft] def cleanupCheckpointArtifacts(
+      path: String, olderThanMs: Long = 3600L * 1000): Unit = {
+    val d = logDir(path)
+    if (!Files.isDirectory(d)) return
+    val entries = scala.util.Using.resource(Files.list(d))(
+      _.iterator().asScala.toSeq)
+    val cpVersions = entries.map(_.getFileName.toString)
+      .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+        n.stripSuffix(".checkpoint.parquet").toInt }.sorted
+    val keep = cpVersions.takeRight(2).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    entries.foreach { f =>
+      val n = f.getFileName.toString
+      val superseded =
+        n.matches("\\d{20}\\.checkpoint\\.parquet") &&
+          !keep.contains(n.stripSuffix(".checkpoint.parquet").toInt)
+      val staleTmp =
+        (n.startsWith(".cp-") || n.matches("\\._last_checkpoint-.*\\.tmp")) &&
+          (try Files.getLastModifiedTime(f).toMillis < cutoff
+           catch { case _: java.io.IOException => false })
+      if (superseded || staleTmp) {
+        if (Files.isDirectory(f))
+          scala.util.Using.resource(Files.walk(f))(
+            _.iterator().asScala.toSeq.reverse).foreach(Files.deleteIfExists(_))
+        else Files.deleteIfExists(f)
+      }
+    }
   }
 
   /** Checkpoint-aware state load: start from the newest checkpoint at
@@ -246,26 +295,40 @@ object DeltaLogTableFormat extends TableFormat {
                           upTo: Int): State =
     lastCheckpoint(path).filter(_ <= upTo) match {
       case Some(cp) =>
-        val st = emptyState
-        spark.read.parquet(checkpointFile(path, cp).toString)
-          .orderBy("ord").collect().foreach { r =>
-            val addIdx = r.fieldIndex("add")
-            if (!r.isNullAt(addIdx)) {
-              val a = r.getStruct(addIdx)
-              st.liveMap += a.getAs[String]("path") -> FileEntry(
-                a.getAs[Map[String, String]]("partitionValues"),
-                a.getAs[Long]("size"),
-                Option(a.getAs[String]("stats")))
+        // a corrupt/unreadable checkpoint parquet falls back to full
+        // JSON replay — same degrade-not-fail contract as a corrupt
+        // pointer (the JSON log is never truncated, so nothing is lost)
+        val fromCheckpoint = scala.util.Try {
+          val st = emptyState
+          spark.read.parquet(checkpointFile(path, cp).toString)
+            .orderBy("ord").collect().foreach { r =>
+              val addIdx = r.fieldIndex("add")
+              if (!r.isNullAt(addIdx)) {
+                val a = r.getStruct(addIdx)
+                st.liveMap += a.getAs[String]("path") -> FileEntry(
+                  a.getAs[Map[String, String]]("partitionValues"),
+                  a.getAs[Long]("size"),
+                  Option(a.getAs[String]("stats")))
+              }
+              val mdIdx = r.fieldIndex("metaData")
+              if (!r.isNullAt(mdIdx)) {
+                val m = r.getStruct(mdIdx)
+                st.tableId = Some(m.getAs[String]("id")).filter(_.nonEmpty)
+                st.schemaJson =
+                  Some(m.getAs[String]("schemaString")).filter(_.nonEmpty)
+              }
             }
-            val mdIdx = r.fieldIndex("metaData")
-            if (!r.isNullAt(mdIdx)) {
-              val m = r.getStruct(mdIdx)
-              st.tableId = Some(m.getAs[String]("id")).filter(_.nonEmpty)
-              st.schemaJson =
-                Some(m.getAs[String]("schemaString")).filter(_.nonEmpty)
-            }
-          }
-        applyLog(st, path, from = cp + 1, upTo = upTo)
+          st
+        }
+        fromCheckpoint match {
+          case scala.util.Success(st) =>
+            applyLog(st, path, from = cp + 1, upTo = upTo)
+          case scala.util.Failure(e) =>
+            System.err.println(
+              s"delta-log checkpoint at $path v$cp unreadable, falling " +
+                s"back to JSON replay: $e")
+            replay(path, upTo)
+        }
       case None => replay(path, upTo)
     }
 
@@ -390,7 +453,16 @@ object DeltaLogTableFormat extends TableFormat {
       Some(java.lang.Long.compare(n.asLong(), b.longValue()))
     case (n, b: Number) if n.isNumber =>
       Some(java.lang.Double.compare(n.asDouble(), b.doubleValue()))
-    case (n, b: String) if n.isTextual => Some(n.asText().compareTo(b))
+    // parquet selects string min/max in unsigned UTF-8 byte order
+    // (= code-point order); String.compareTo is UTF-16 code-unit
+    // order, and the two disagree around supplementary characters vs
+    // U+E000..U+FFFF — a mismatched comparator here would wrongly
+    // exclude files whose rows DO match. Compare the bound the same
+    // way the stats were selected.
+    case (n, b: String) if n.isTextual =>
+      Some(java.util.Arrays.compareUnsigned(
+        n.asText().getBytes(StandardCharsets.UTF_8),
+        b.getBytes(StandardCharsets.UTF_8)))
     case (n, b: java.lang.Boolean) if n.isBoolean =>
       Some(java.lang.Boolean.compare(n.asBoolean(), b))
     case _ => None
@@ -462,13 +534,34 @@ object DeltaLogTableFormat extends TableFormat {
             }.getOrElse(Map.empty)
             (s"$subdir/$rel", pv)
           }.toSeq)
+    // Footer stats task-side once the commit has enough files to
+    // matter: a 100 TB pruned merge can touch thousands of files, and
+    // opening every footer serially on the driver would put O(files)
+    // sequential metadata IO on the commit path. Small commits stay on
+    // the driver (job launch costs more than the footer reads), with
+    // one shared Hadoop Configuration either way.
+    val statsByPath: Map[String, String] =
+      if (written.size >= statsJobThreshold)
+        df.sparkSession.sparkContext
+          .parallelize(written.map { case (rel, _) => s"$path/$rel" },
+            math.min(written.size, 32))
+          .mapPartitions { it =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            it.flatMap(f => FooterStats.statsJson(f, conf).map(f -> _))
+          }.collect().toMap
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        written.flatMap { case (rel, _) =>
+          FooterStats.statsJson(s"$path/$rel", conf).map(s"$path/$rel" -> _)
+        }.toMap
+      }
     val adds = written.map { case (p, pv) =>
       val a = mapper.createObjectNode()
       val add = a.putObject("add")
       add.put("path", p)
       val pvNode = add.putObject("partitionValues")
       pv.foreach { case (k, v) => pvNode.put(k, v) }
-      fileStatsJson(Paths.get(path, p)).foreach(add.put("stats", _))
+      statsByPath.get(s"$path/$p").foreach(add.put("stats", _))
       add.put("size", Files.size(Paths.get(path, p)))
       add.put("modificationTime",
         Files.getLastModifiedTime(Paths.get(path, p)).toMillis)
@@ -533,84 +626,11 @@ object DeltaLogTableFormat extends TableFormat {
     next
   }
 
-  /** Per-file column stats as the protocol's `add.stats` JSON string
-    * (`{"numRecords":N,"minValues":{...},"maxValues":{...},
-    * "nullCount":{...}}`), assembled from the parquet footer the
-    * write just produced — one footer read per committed file, the
-    * same metadata IO Delta's writer spends collecting stats
-    * task-side. Only plainly-comparable types are recorded (ints,
-    * longs, floats, doubles, booleans, UTF8 strings ≤64 chars);
-    * annotated physical types whose comparison order differs from
-    * their logical order (decimals as unscaled longs, timestamps,
-    * dates) are skipped so [[readRange]] can never prune on a
-    * misleading order. A column missing from the stats is simply
-    * never pruned — omission is always safe.
+  /** Commits with at least this many written files collect footer
+    * stats in a Spark job instead of serially on the driver — below
+    * it the job-launch overhead exceeds the footer reads themselves.
     */
-  private def fileStatsJson(file: Path): Option[String] = try {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.io.api.Binary
-    import org.apache.parquet.schema.LogicalTypeAnnotation.{IntLogicalTypeAnnotation, StringLogicalTypeAnnotation}
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri),
-      new org.apache.hadoop.conf.Configuration())
-    scala.util.Using.resource(ParquetFileReader.open(in)) { r =>
-      val blocks = r.getFooter.getBlocks.asScala.toSeq
-      val numRecords = blocks.map(_.getRowCount).sum
-      // per top-level column: (min, max, nullCount), or None once any
-      // row group lacks usable stats for it
-      val agg = mutable.LinkedHashMap
-        .empty[String, Option[(Comparable[Any], Comparable[Any], Long)]]
-      blocks.foreach(_.getColumns.asScala.foreach { c =>
-        val name = c.getPath.toDotString
-        if (!name.contains('.')) {
-          val logical = c.getPrimitiveType.getLogicalTypeAnnotation
-          val comparable = logical == null ||
-            logical.isInstanceOf[IntLogicalTypeAnnotation] ||
-            logical.isInstanceOf[StringLogicalTypeAnnotation]
-          val s = c.getStatistics
-          val usable = comparable && s != null && s.isNumNullsSet &&
-            (s.hasNonNullValue || s.getNumNulls == c.getValueCount)
-          val cur = agg.getOrElse(name,
-            Some((null: Comparable[Any], null: Comparable[Any], 0L)))
-          agg(name) = cur.filter(_ => usable).map { case (mn, mx, nu) =>
-            val bmn = if (s.hasNonNullValue)
-              s.genericGetMin.asInstanceOf[Comparable[Any]] else null
-            val bmx = if (s.hasNonNullValue)
-              s.genericGetMax.asInstanceOf[Comparable[Any]] else null
-            (if (mn == null || (bmn != null && bmn.compareTo(mn) < 0)) bmn else mn,
-             if (mx == null || (bmx != null && bmx.compareTo(mx) > 0)) bmx else mx,
-             nu + s.getNumNulls)
-          }
-        }
-      })
-      val root = mapper.createObjectNode()
-      root.put("numRecords", numRecords)
-      val minN = root.putObject("minValues")
-      val maxN = root.putObject("maxValues")
-      val nullN = root.putObject("nullCount")
-      def putVal(o: ObjectNode, k: String, v: Any): Boolean = v match {
-        case null                => true // all-null column: nullCount alone
-        case i: java.lang.Integer => o.put(k, i.intValue()); true
-        case l: java.lang.Long    => o.put(k, l.longValue()); true
-        case f: java.lang.Float   => o.put(k, f.floatValue()); true
-        case d: java.lang.Double  => o.put(k, d.doubleValue()); true
-        case b: java.lang.Boolean => o.put(k, b.booleanValue()); true
-        case b: Binary =>
-          val str = b.toStringUsingUTF8
-          if (str.length <= 64) { o.put(k, str); true } else false
-        case _ => false
-      }
-      agg.foreach {
-        case (name, Some((mn, mx, nulls))) =>
-          if (putVal(minN, name, mn) && putVal(maxN, name, mx))
-            nullN.put(name, nulls)
-          else { minN.remove(name); maxN.remove(name) }
-        case _ => ()
-      }
-      Some(mapper.writeValueAsString(root))
-    }
-  } catch { case scala.util.control.NonFatal(_) => None }
+  private[graft] val statsJobThreshold = 8
 
   /** Optimistic concurrency: run `attempt` (read state → compute
     * merge → commit); when the commit loses the version race
@@ -839,44 +859,52 @@ object DeltaLogTableFormat extends TableFormat {
     // a lost race means the head moved mid-compaction; the retry
     // re-enters the whole body so the target set recomputes against
     // the winner's head (re-publishing the stale rewrite could remove
-    // files the winner already removed, or miss its new ones)
+    // files the winner already removed, or miss its new ones).
+    // Plain Option flow, no non-local returns: a `return` inside the
+    // by-name retry block rides on NonLocalReturnControl, which only
+    // works while the retry's catch stays narrow — and is deprecated.
     withCommitRetry(s"optimize($path)") {
-      val head = currentVersion(path).getOrElse(return None)
-      val st = replayState(spark, path, head)
-      val keySets = st.liveMap.values.map(_.pv.keySet).toSet
-      require(keySets.size <= 1,
-        s"optimize: table at $path mixes partitioned and unpartitioned " +
-          "live files — run a partitioned full merge first")
-      val partitionCol = keySets.headOption.flatMap(_.headOption)
-      val targets = st.liveMap.toSeq.groupBy(_._2.pv).valuesIterator
-        .flatMap { fs =>
-          val small = fs.filter(_._2.size < smallFileBytes)
-          if (small.size >= 2) small else Nil
-        }.toSeq
-      if (targets.isEmpty) return None
-      // table schema, not footer inference — see readVersion
-      val df0 = st.schemaJson
-        .map(s => spark.read.schema(
-          DataType.fromJson(s).asInstanceOf[StructType]))
-        .getOrElse(spark.read)
-        .parquet(targets.map(f => s"$path/${f._1}"): _*)
-      val df = partitionCol match {
-        // one output file per partition value: tasks write one file
-        // per __pv they hold, and the hash repartition gives each
-        // value to exactly one task
-        case Some(pc) => df0.repartition(col(pc))
-        case None =>
-          val total = targets.map(_._2.size).sum
-          df0.coalesce(math.max(1,
-            math.ceil(total.toDouble / smallFileBytes).toInt))
+      currentVersion(path).flatMap { head =>
+        val st = replayState(spark, path, head)
+        val keySets = st.liveMap.values.map(_.pv.keySet).toSet
+        require(keySets.size <= 1,
+          s"optimize: table at $path mixes partitioned and unpartitioned " +
+            "live files — run a partitioned full merge first")
+        val partitionCol = keySets.headOption.flatMap(_.headOption)
+        val targets = st.liveMap.toSeq.groupBy(_._2.pv).valuesIterator
+          .flatMap { fs =>
+            val small = fs.filter(_._2.size < smallFileBytes)
+            if (small.size >= 2) small else Nil
+          }.toSeq
+        if (targets.isEmpty) None
+        else {
+          // table schema, not footer inference — see readVersion
+          val df0 = st.schemaJson
+            .map(s => spark.read.schema(
+              DataType.fromJson(s).asInstanceOf[StructType]))
+            .getOrElse(spark.read)
+            .parquet(targets.map(f => s"$path/${f._1}"): _*)
+          val df = partitionCol match {
+            // one output file per partition value: tasks write one file
+            // per __pv they hold, and the hash repartition gives each
+            // value to exactly one task
+            case Some(pc) => df0.repartition(col(pc))
+            case None =>
+              val total = targets.map(_._2.size).sum
+              df0.coalesce(math.max(1,
+                math.ceil(total.toDouble / smallFileBytes).toInt))
+          }
+          val targetPaths = targets.map(_._1)
+          val v = commitFiles(path, df, partitionBy = partitionCol,
+            removeOf = (_, _) => targetPaths, basedOn = Some(head),
+            dataChange = false, operation = Some("OPTIMIZE"))
+          val written = Files.readAllLines(logFile(path, v),
+            StandardCharsets.UTF_8)
+            .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
+          Some(OptimizeStats(v, compacted = targetPaths.size,
+            written = written))
+        }
       }
-      val targetPaths = targets.map(_._1)
-      val v = commitFiles(path, df, partitionBy = partitionCol,
-        removeOf = (_, _) => targetPaths, basedOn = Some(head),
-        dataChange = false, operation = Some("OPTIMIZE"))
-      val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
-        .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
-      Some(OptimizeStats(v, compacted = targetPaths.size, written = written))
     }
 
   /** OPTIMIZE with 1-D clustering — the single-column form of Delta's
@@ -897,38 +925,43 @@ object DeltaLogTableFormat extends TableFormat {
                         clusterCol: String,
                         targetFileBytes: Long = 128L << 20)
       : Option[OptimizeStats] =
+    // Option flow instead of non-local returns — see optimize()
     withCommitRetry(s"optimizeClustered($path)") {
-      val head = currentVersion(path).getOrElse(return None)
-      val st = replayState(spark, path, head)
-      if (st.liveMap.isEmpty) return None
-      val keySets = st.liveMap.values.map(_.pv.keySet).toSet
-      require(keySets.size <= 1,
-        s"optimizeClustered: table at $path mixes partitioned and " +
-          "unpartitioned live files — run a partitioned full merge first")
-      val partitionCol = keySets.headOption.flatMap(_.headOption)
-      val totalBytes = st.liveMap.values.map(_.size).sum
-      val buckets = math.max(1,
-        math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      val df0 = st.schemaJson
-        .map(s => spark.read.schema(
-          DataType.fromJson(s).asInstanceOf[StructType]))
-        .getOrElse(spark.read)
-        .parquet(st.live.map(f => s"$path/$f"): _*)
-      val df = partitionCol match {
-        case Some(pc) => df0
-          .repartitionByRange(buckets, col(pc), col(clusterCol))
-          .sortWithinPartitions(pc, clusterCol)
-        case None => df0
-          .repartitionByRange(buckets, col(clusterCol))
-          .sortWithinPartitions(clusterCol)
+      currentVersion(path).flatMap { head =>
+        val st = replayState(spark, path, head)
+        if (st.liveMap.isEmpty) None
+        else {
+          val keySets = st.liveMap.values.map(_.pv.keySet).toSet
+          require(keySets.size <= 1,
+            s"optimizeClustered: table at $path mixes partitioned and " +
+              "unpartitioned live files — run a partitioned full merge first")
+          val partitionCol = keySets.headOption.flatMap(_.headOption)
+          val totalBytes = st.liveMap.values.map(_.size).sum
+          val buckets = math.max(1,
+            math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+          val df0 = st.schemaJson
+            .map(s => spark.read.schema(
+              DataType.fromJson(s).asInstanceOf[StructType]))
+            .getOrElse(spark.read)
+            .parquet(st.live.map(f => s"$path/$f"): _*)
+          val df = partitionCol match {
+            case Some(pc) => df0
+              .repartitionByRange(buckets, col(pc), col(clusterCol))
+              .sortWithinPartitions(pc, clusterCol)
+            case None => df0
+              .repartitionByRange(buckets, col(clusterCol))
+              .sortWithinPartitions(clusterCol)
+          }
+          val previous = st.live
+          val v = commitFiles(path, df, partitionBy = partitionCol,
+            removeOf = (_, _) => previous, basedOn = Some(head),
+            dataChange = false, operation = Some("OPTIMIZE"))
+          val written = Files.readAllLines(logFile(path, v),
+            StandardCharsets.UTF_8)
+            .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
+          Some(OptimizeStats(v, compacted = previous.size, written = written))
+        }
       }
-      val previous = st.live
-      val v = commitFiles(path, df, partitionBy = partitionCol,
-        removeOf = (_, _) => previous, basedOn = Some(head),
-        dataChange = false, operation = Some("OPTIMIZE"))
-      val written = Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
-        .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
-      Some(OptimizeStats(v, compacted = previous.size, written = written))
     }
 
   /** Delete data files referenced ONLY by versions older than the
@@ -959,6 +992,7 @@ object DeltaLogTableFormat extends TableFormat {
       Files.deleteIfExists(Paths.get(path, f))
       dropCommitDirIfOnlySidecars(Paths.get(path, f).getParent)
     }
+    cleanupCheckpointArtifacts(path)
     dropped
   }
 
@@ -1015,4 +1049,107 @@ object DeltaLogTableFormat extends TableFormat {
     }
     orphans.map(_.getFileName.toString)
   }
+}
+
+/** Per-file column stats as the protocol's `add.stats` JSON string
+  * (`{"numRecords":N,"minValues":{...},"maxValues":{...},
+  * "nullCount":{...}}`), assembled from the parquet footer the write
+  * just produced. Isolated in a small Serializable object so a commit
+  * can collect stats for many files task-side in a Spark job (the
+  * same placement Delta's writer uses) instead of opening every
+  * footer serially on the driver.
+  *
+  * Only plainly-comparable types are recorded (ints, longs, floats,
+  * doubles, booleans, UTF8 strings ≤64 chars); annotated physical
+  * types whose comparison order differs from their logical order
+  * (decimals as unscaled longs, timestamps, dates) are skipped so
+  * stats-pruned reads can never prune on a misleading order. A column
+  * missing from the stats is simply never pruned — omission is
+  * always safe.
+  */
+private[pipeline] object FooterStats extends Serializable {
+
+  private val mapper = new ObjectMapper()
+
+  /** Unsigned lexicographic order for binary/UTF8 stats — the order
+    * parquet itself selects min/max in. `Binary.compareTo` is the
+    * legacy SIGNED order; merging row groups with it could record a
+    * file max BELOW the true max (or a min above the true min) for
+    * values with high-bit bytes (any non-ASCII string), and a
+    * stats-pruned read would then skip files whose rows DO match.
+    */
+  private def statCmp(a: Comparable[Any], b: Comparable[Any]): Int =
+    ((a: Any), (b: Any)) match {
+      case (x: org.apache.parquet.io.api.Binary,
+            y: org.apache.parquet.io.api.Binary) =>
+        java.util.Arrays.compareUnsigned(x.getBytes, y.getBytes)
+      case _ => a.compareTo(b)
+    }
+
+  def statsJson(absFile: String,
+                conf: org.apache.hadoop.conf.Configuration)
+      : Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{IntLogicalTypeAnnotation, StringLogicalTypeAnnotation}
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(absFile).toUri), conf)
+    scala.util.Using.resource(ParquetFileReader.open(in)) { r =>
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      // per top-level column: (min, max, nullCount), or None once any
+      // row group lacks usable stats for it
+      val agg = mutable.LinkedHashMap
+        .empty[String, Option[(Comparable[Any], Comparable[Any], Long)]]
+      blocks.foreach(_.getColumns.asScala.foreach { c =>
+        val name = c.getPath.toDotString
+        if (!name.contains('.')) {
+          val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+          val comparable = logical == null ||
+            logical.isInstanceOf[IntLogicalTypeAnnotation] ||
+            logical.isInstanceOf[StringLogicalTypeAnnotation]
+          val s = c.getStatistics
+          val usable = comparable && s != null && s.isNumNullsSet &&
+            (s.hasNonNullValue || s.getNumNulls == c.getValueCount)
+          val cur = agg.getOrElse(name,
+            Some((null: Comparable[Any], null: Comparable[Any], 0L)))
+          agg(name) = cur.filter(_ => usable).map { case (mn, mx, nu) =>
+            val bmn = if (s.hasNonNullValue)
+              s.genericGetMin.asInstanceOf[Comparable[Any]] else null
+            val bmx = if (s.hasNonNullValue)
+              s.genericGetMax.asInstanceOf[Comparable[Any]] else null
+            (if (mn == null || (bmn != null && statCmp(bmn, mn) < 0)) bmn else mn,
+             if (mx == null || (bmx != null && statCmp(bmx, mx) > 0)) bmx else mx,
+             nu + s.getNumNulls)
+          }
+        }
+      })
+      val root = mapper.createObjectNode()
+      root.put("numRecords", numRecords)
+      val minN = root.putObject("minValues")
+      val maxN = root.putObject("maxValues")
+      val nullN = root.putObject("nullCount")
+      def putVal(o: ObjectNode, k: String, v: Any): Boolean = v match {
+        case null                => true // all-null column: nullCount alone
+        case i: java.lang.Integer => o.put(k, i.intValue()); true
+        case l: java.lang.Long    => o.put(k, l.longValue()); true
+        case f: java.lang.Float   => o.put(k, f.floatValue()); true
+        case d: java.lang.Double  => o.put(k, d.doubleValue()); true
+        case b: java.lang.Boolean => o.put(k, b.booleanValue()); true
+        case b: Binary =>
+          val str = b.toStringUsingUTF8
+          if (str.length <= 64) { o.put(k, str); true } else false
+        case _ => false
+      }
+      agg.foreach {
+        case (name, Some((mn, mx, nulls))) =>
+          if (putVal(minN, name, mn) && putVal(maxN, name, mx))
+            nullN.put(name, nulls)
+          else { minN.remove(name); maxN.remove(name) }
+        case _ => ()
+      }
+      Some(mapper.writeValueAsString(root))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 }

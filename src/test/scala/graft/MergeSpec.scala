@@ -701,6 +701,135 @@ class MergeSpec extends SparkSpec {
       s"reclaiming orphans (${orphans.size}) must not touch live data")
   }
 
+  test("delta-log degrades to JSON replay on corrupt checkpoint artifacts") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    (1 to 11).foreach { i =>
+      fmt.scd1Merge(spark, p,
+        Seq((i.toLong, s"v$i", i)).toDF("id", "v", "ord"), Seq("id"), "ord")
+    }
+    assert(fmt.lastCheckpoint(p).contains(10))
+    val ptr = java.nio.file.Paths.get(p, "_delta_log", "_last_checkpoint")
+    val ptrBytes = java.nio.file.Files.readAllBytes(ptr)
+    // corrupt pointer (garbage JSON) -> checkpoint ignored, JSON replay
+    java.nio.file.Files.write(ptr, "not json".getBytes)
+    assert(fmt.lastCheckpoint(p).isEmpty)
+    assert(fmt.read(spark, p).count() == 11)
+    // empty pointer (crashed writer) -> same degrade
+    java.nio.file.Files.write(ptr, Array.empty[Byte])
+    assert(fmt.lastCheckpoint(p).isEmpty)
+    assert(fmt.read(spark, p).count() == 11)
+    // intact pointer but corrupt checkpoint PARQUET -> fall back to
+    // JSON replay mid-load, not an error
+    java.nio.file.Files.write(ptr, ptrBytes)
+    val cp = java.nio.file.Paths.get(
+      p, "_delta_log", f"${10}%020d.checkpoint.parquet")
+    java.nio.file.Files.write(cp, "garbage".getBytes)
+    assert(fmt.lastCheckpoint(p).contains(10), "pointer itself is valid")
+    assert(fmt.read(spark, p).count() == 11,
+      "unreadable checkpoint parquet must degrade to JSON replay")
+    // and merges on top of the degraded state still work
+    fmt.scd1Merge(spark, p,
+      Seq((99L, "z", 99)).toDF("id", "v", "ord"), Seq("id"), "ord")
+    assert(fmt.read(spark, p).count() == 12)
+  }
+
+  test("delta-log string stats prune in UTF-8 code-point order") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    // one file holding a supplementary character (UTF-8 max of the
+    // file) together with a BMP value in U+E000..U+FFFF: UTF-16
+    // code-unit comparison says max("😀") < "�" and
+    // would stats-prune the file, silently dropping a matching row
+    val df = Seq((1L, "😀", 1), (2L, "�", 1),
+      (3L, "apple", 1)).toDF("id", "s", "ord")
+    fmt.scd1Merge(spark, p, df, Seq("id"), "ord")
+    assert(fmt.readEqual(spark, p, "s", "�").count() == 1,
+      "file containing the value must never be stats-pruned")
+    assert(fmt.readEqual(spark, p, "s", "😀").count() == 1)
+    assert(fmt.readEqual(spark, p, "s", "apple").count() == 1)
+    assert(fmt.readRange(spark, p, "s", "", "￿").count() == 1)
+  }
+
+  test("delta-log checkpoint cleanup bounds superseded artifacts") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    (1 to 31).foreach { i =>
+      fmt.scd1Merge(spark, p,
+        Seq((i.toLong, s"v$i", i)).toDF("id", "v", "ord"), Seq("id"), "ord")
+    }
+    // checkpoints fired at v10, v20, v30; cleanup keeps the newest two
+    assert(fmt.lastCheckpoint(p).contains(30))
+    import scala.jdk.CollectionConverters._
+    val logDir = java.nio.file.Paths.get(p, "_delta_log")
+    def cps = scala.util.Using.resource(java.nio.file.Files.list(logDir))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint.parquet")).toSeq.sorted)
+    assert(cps == Seq(f"${20}%020d.checkpoint.parquet",
+      f"${30}%020d.checkpoint.parquet"),
+      s"keep newest two checkpoints, got $cps")
+    // crash-leaked temp artifacts are reclaimed once past the age guard
+    val deadDir = logDir.resolve(".cp-5-deadbeef")
+    java.nio.file.Files.createDirectories(deadDir)
+    java.nio.file.Files.write(deadDir.resolve("part-0.parquet"),
+      "leak".getBytes)
+    val deadTmp = logDir.resolve("._last_checkpoint-deadbeef.tmp")
+    java.nio.file.Files.write(deadTmp, "leak".getBytes)
+    fmt.cleanupCheckpointArtifacts(p, olderThanMs = 3600L * 1000)
+    assert(java.nio.file.Files.exists(deadDir),
+      "age guard protects an in-flight checkpointer's temp dir")
+    fmt.cleanupCheckpointArtifacts(p, olderThanMs = 0)
+    assert(!java.nio.file.Files.exists(deadDir) &&
+      !java.nio.file.Files.exists(deadTmp),
+      "stale temp artifacts are reclaimed")
+    assert(fmt.read(spark, p).count() == 31, "cleanup never touches state")
+  }
+
+  test("delta-log multi-file commit records stats for every file") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevConf = spark.conf.get(coalesceKey)
+    val prevShuffle = spark.conf.get(shuffleKey)
+    // enough files to cross statsJobThreshold: stats collect in a
+    // Spark job (task-side, like Delta's writer), not serially on the
+    // driver — shape and pruning behavior must be identical. The merge
+    // write's file count tracks shuffle partitions, so raise them past
+    // the threshold for this one commit.
+    try {
+      spark.conf.set(coalesceKey, "false")
+      spark.conf.set(shuffleKey, "12")
+      fmt.scd1Merge(spark, p,
+        (1 to 400).map(i => (i.toLong, s"v$i", 1)).toDF("id", "v", "ord"),
+        Seq("id"), "ord")
+    } finally {
+      spark.conf.set(coalesceKey, prevConf)
+      spark.conf.set(shuffleKey, prevShuffle)
+    }
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      p, "_delta_log", f"${0}%020d.json")).asScala
+      .filter(_.nonEmpty).map(m.readTree).filter(_.has("add")).toSeq
+    assert(adds.size >= fmt.statsJobThreshold,
+      s"commit must exercise the task-side stats path: ${adds.size} files")
+    adds.foreach { a =>
+      val st = m.readTree(a.get("add").get("stats").asText())
+      assert(st.get("numRecords").asLong() > 0)
+      assert(st.get("minValues").has("id") && st.get("maxValues").has("id"))
+    }
+    // and the stats actually prune: a point lookup opens fewer files
+    val full = fmt.read(spark, p)
+    val point = fmt.readEqual(spark, p, "id", 7L)
+    assert(point.count() == 1)
+    assert(point.inputFiles.length < full.inputFiles.length)
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
