@@ -101,8 +101,12 @@ object Cdc {
     // regress the table — the foundation of the foreachBatch streaming
     // path's batch-equivalence.
     val srcNewEnough = orderGuard match {
-      case Some(ord) => col(ord).isNull || col(s"_new_$ord") >= col(ord)
-      case None      => lit(true)
+      // a guard on a key column is vacuous (matched rows are equal on
+      // every key by construction) — and keys are never renamed to
+      // _new_, so referencing one would crash the plan
+      case Some(ord) if !keys.contains(ord) =>
+        col(ord).isNull || col(s"_new_$ord") >= col(ord)
+      case _ => lit(true)
     }
     val action = when(col("_tgt_present").isNull, "insert")
       .when(col("_src_present").isNull, if (deleteMissing) "delete" else "keep")

@@ -83,6 +83,19 @@ object ConfigHandler {
         case Some(other) => throw new ConfigError("$.tableFormat",
           s"unknown table format '$other' (snapshot | delta-log)")
       })
+  } match { case cfg =>
+    // cross-field checks that need both the writes and the format
+    cfg.writes.zipWithIndex.foreach { case (w, i) =>
+      val at = s"$$.writes[$i]"
+      if (w.clusterBy.nonEmpty && cfg.tableFormat != DeltaLogTableFormat)
+        throw new ConfigError(at,
+          "clusterBy needs file-stats clustering — tableFormat 'delta-log'")
+      if (w.mode == "merge" && w.partitionBy.size > 1 &&
+          cfg.tableFormat != DeltaLogTableFormat)
+        throw new ConfigError(at, "multi-column partitionBy merges need " +
+          "tableFormat 'delta-log' (snapshot prunes a single column)")
+    }
+    cfg
   }
 
   private def need(n: JsonNode, field: String, at: String): JsonNode = {
@@ -120,9 +133,15 @@ object ConfigHandler {
       format = opt(n, "format").map(_.asText).getOrElse("parquet"),
       medallionLayer = opt(n, "medallionLayer").map(_.asText).getOrElse(""),
       extractMode = extract,
-      optimizeAfter = opt(n, "optimizeAfter").exists(_.asBoolean))
+      optimizeAfter = opt(n, "optimizeAfter").exists(_.asBoolean),
+      partitionBy = opt(n, "partitionBy").map(strSeq).getOrElse(Nil),
+      clusterBy = opt(n, "clusterBy").map(_.asText))
     if (w.mode == "merge" && w.keys.isEmpty)
       throw new ConfigError(at, "merge mode requires non-empty 'keys'")
+    if (w.mode == "merge" && w.partitionBy.nonEmpty && w.extractMode == "fe")
+      throw new ConfigError(at, "partitionBy merges are pruned to touched " +
+        "partitions, which cannot see a full extract's deletes — use " +
+        "extractMode 'ie' or drop partitionBy")
     w
   }
 

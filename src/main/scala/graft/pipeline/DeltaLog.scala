@@ -474,24 +474,27 @@ object DeltaLogTableFormat extends TableFormat {
     */
   private def commitRewrite(path: String, df: DataFrame,
                             basedOn: Option[Int]): Int =
-    commitFiles(path, df, partitionBy = None,
+    commitFiles(path, df, partitionBy = Nil,
       removeOf = (prev, _) => prev.live, basedOn = basedOn)
 
   /** Write `df`'s files as the next commit's adds and emit removes
-    * for `removeOf(previous state)`. `partitionBy` duplicates the
-    * named column into a `__pv` write-partitioning column, so the
-    * real column STAYS in the data files (reads never reconstruct it
-    * from dir names, and parquet footer stats prune whole
-    * partition-homogeneous files on partition filters); the
-    * Spark-written `__pv=` dir fragment is recorded as the file's
-    * partitionValues entry. The fragment is an OPAQUE token — never
-    * rendered by us, always by Spark's own path escaping — so
-    * matching recorded tokens against the tokens of a later write of
-    * the same values is exact (the lesson of the round-4
-    * double-escaping bug: diff what Spark wrote, don't render names).
+    * for `removeOf(previous state)`. `partitionBy` duplicates each
+    * named column into a positional `__pv<i>` write-partitioning
+    * column, so the real columns STAY in the data files (reads never
+    * reconstruct them from dir names, and parquet footer stats prune
+    * whole partition-homogeneous files on partition filters); each
+    * Spark-written `__pv<i>=` dir fragment is recorded under its
+    * column's name in the file's partitionValues entry. The fragment
+    * is an OPAQUE token — never rendered by us, always by Spark's own
+    * path escaping — so matching recorded tokens against the tokens
+    * of a later write of the same values is exact (the lesson of the
+    * round-4 double-escaping bug: diff what Spark wrote, don't render
+    * names). Single-column tables written before multi-column support
+    * used a bare `__pv=` fragment; recorded tokens are name-agnostic,
+    * so both generations intermix freely in one table.
     */
   private def commitFiles(path: String, df: DataFrame,
-                          partitionBy: Option[String],
+                          partitionBy: Seq[String],
                           removeOf: (State, Seq[(String, Map[String, String])])
                             => Seq[String],
                           basedOn: Option[Int],
@@ -514,13 +517,15 @@ object DeltaLogTableFormat extends TableFormat {
     // the log move picks the winner (the loser's dir is orphaned
     // garbage, never referenced by any commit)
     val subdir = f"files-$next%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-    partitionBy match {
-      case Some(pc) =>
-        df.withColumn("__pv", col(pc)).write.mode("overwrite")
-          .partitionBy("__pv").parquet(s"$path/$subdir")
-      case None =>
-        df.write.mode("overwrite").parquet(s"$path/$subdir")
-    }
+    if (partitionBy.nonEmpty) {
+      val withPv = partitionBy.zipWithIndex.foldLeft(df) {
+        case (d, (pc, i)) => d.withColumn(s"__pv$i", col(pc))
+      }
+      withPv.write.mode("overwrite")
+        .partitionBy(partitionBy.indices.map(i => s"__pv$i"): _*)
+        .parquet(s"$path/$subdir")
+    } else
+      df.write.mode("overwrite").parquet(s"$path/$subdir")
     val now = System.currentTimeMillis()
     val written: Seq[(String, Map[String, String])] =
       scala.util.Using.resource(Files.walk(Paths.get(path, subdir)))(
@@ -528,10 +533,11 @@ object DeltaLogTableFormat extends TableFormat {
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map { f =>
             val rel = Paths.get(path, subdir).relativize(f).toString
-            val pv = partitionBy.flatMap { pc =>
-              rel.split('/').find(_.startsWith("__pv="))
-                .map(seg => Map(pc -> seg.stripPrefix("__pv=")))
-            }.getOrElse(Map.empty)
+            val segs = rel.split('/')
+            val pv = partitionBy.zipWithIndex.flatMap { case (pc, i) =>
+              segs.find(_.startsWith(s"__pv$i="))
+                .map(seg => pc -> seg.stripPrefix(s"__pv$i="))
+            }.toMap
             (s"$subdir/$rel", pv)
           }.toSeq)
     // Footer stats task-side once the commit has enough files to
@@ -745,7 +751,7 @@ object DeltaLogTableFormat extends TableFormat {
                       keys: Seq[String], orderBy: String, partitionCol: String,
                       compareExclude: Seq[String] = Sources.controlColumns)
       : MergeStats =
-    mergePruned(spark, path, updates, keys, orderBy, partitionCol,
+    mergePruned(spark, path, updates, keys, orderBy, Seq(partitionCol),
       scdType = 1, compareExclude)
 
   /** Partition-pruned SCD2 merge — see [[scd1MergePruned]]. */
@@ -753,25 +759,49 @@ object DeltaLogTableFormat extends TableFormat {
                       keys: Seq[String], orderBy: String, partitionCol: String,
                       compareExclude: Seq[String] = Sources.controlColumns)
       : MergeStats =
-    mergePruned(spark, path, updates, keys, orderBy, partitionCol,
+    mergePruned(spark, path, updates, keys, orderBy, Seq(partitionCol),
+      scdType = 2, compareExclude)
+
+  /** Multi-column pruned SCD1 merge: partitions are the distinct
+    * TUPLES of `partitionCols` (e.g. region × date), matching the
+    * reference's list-valued write-partitioning configs. Touched
+    * tuples rewrite; every other tuple's files stay live with zero
+    * copying.
+    */
+  def scd1MergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String], orderBy: String,
+                      partitionCols: Seq[String],
+                      compareExclude: Seq[String]): MergeStats =
+    mergePruned(spark, path, updates, keys, orderBy, partitionCols,
+      scdType = 1, compareExclude)
+
+  /** Multi-column pruned SCD2 merge — see the multi-column
+    * [[scd1MergePruned]] overload.
+    */
+  def scd2MergePruned(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String], orderBy: String,
+                      partitionCols: Seq[String],
+                      compareExclude: Seq[String]): MergeStats =
+    mergePruned(spark, path, updates, keys, orderBy, partitionCols,
       scdType = 2, compareExclude)
 
   private def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
                           keys: Seq[String], orderBy: String,
-                          partitionCol: String, scdType: Int,
+                          partitionCols: Seq[String], scdType: Int,
                           compareExclude: Seq[String]): MergeStats =
     withCommitRetry(s"mergePruned($path)") {
-      mergePrunedOnce(spark, path, updates, keys, orderBy, partitionCol,
+      mergePrunedOnce(spark, path, updates, keys, orderBy, partitionCols,
         scdType, compareExclude)
     }
 
   private def mergePrunedOnce(spark: SparkSession, path: String,
                               updates: DataFrame,
                               keys: Seq[String], orderBy: String,
-                              partitionCol: String, scdType: Int,
+                              partitionCols: Seq[String], scdType: Int,
                               compareExclude: Seq[String]): MergeStats = {
-    require(updates.columns.contains(partitionCol),
-      s"updates must carry partition column $partitionCol")
+    require(partitionCols.nonEmpty, "pruned merge needs a partition column")
+    partitionCols.foreach(pc => require(updates.columns.contains(pc),
+      s"updates must carry partition column $pc"))
     val ord = MergeTable.deterministicOrd(updates, keys, orderBy)
     val head = currentVersion(path) // pinned: plan and commit agree
     if (head.isEmpty) {
@@ -783,28 +813,36 @@ object DeltaLogTableFormat extends TableFormat {
           .withColumn("end_time", lit(null).cast("timestamp"))
           .withColumn("delete_time", lit(null).cast("timestamp"))
       else base).observe(obs, count(lit(1)).as("n"))
-      commitFiles(path, first, Some(partitionCol), (_, _) => Nil,
+      commitFiles(path, first, partitionCols, (_, _) => Nil,
         basedOn = None)
       return MergeStats(obs.get("n").asInstanceOf[Long], 0, 0)
     }
-    val affected = updates.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    val affected: Seq[Seq[Any]] = updates
+      .select(partitionCols.map(col): _*).distinct()
+      .collect().map(r => partitionCols.indices.map(r.get)).toSeq
     // same rejection as MergeTable.mergePruned: a null partition
-    // value bypasses isin() pruning AND has no stable token
-    require(!affected.contains(null),
-      s"pruned merge: updates carry null $partitionCol values; " +
-        "null partitions cannot be pruned — use the unpruned merge")
-    // every live file must carry a recorded token for partitionCol:
-    // mixing pruned merges into a table built by full-rewrite
-    // commits would leave old-partition files unmatchable by the
-    // remove targeting below (stale rows would survive as dupes)
+    // value bypasses predicate pruning AND has no stable token
+    require(!affected.exists(_.contains(null)),
+      s"pruned merge: updates carry null ${partitionCols.mkString(",")} " +
+        "values; null partitions cannot be pruned — use the unpruned merge")
+    // every live file must carry a recorded token for every partition
+    // column: mixing pruned merges into a table built by full-rewrite
+    // (or fewer-column) commits would leave old files unmatchable by
+    // the remove targeting below (stale rows would survive as dupes)
     val prevState = replayState(spark, path, head.get)
-    require(prevState.liveMap.values.forall(_.pv.contains(partitionCol)),
+    require(prevState.liveMap.values.forall(
+      fe => partitionCols.forall(fe.pv.contains)),
       s"pruned merge: table at $path has live files without recorded " +
-        s"'$partitionCol' partitionValues (written by an unpartitioned " +
-        "commit) — run a partitioned full merge first")
+        s"'${partitionCols.mkString(",")}' partitionValues (written by a " +
+        "differently-partitioned commit) — run a partitioned full merge first")
     val target = readVersion(spark, path, head.get)
-    val affectedTarget = target.filter(col(partitionCol).isin(affected: _*))
+    // OR-of-tuple-equalities pushes down to the parquet scan; with the
+    // __pv layout every file is partition-homogeneous, so footer stats
+    // reduce untouched partitions' files to a footer read
+    val affectedCond = affected.map(t =>
+      partitionCols.zip(t).map { case (pc, v) => col(pc) === lit(v) }
+        .reduce(_ && _)).reduce(_ || _)
+    val affectedTarget = target.filter(affectedCond)
     val tagged =
       if (scdType == 2)
         Cdc.scd2MergeTagged(affectedTarget, updates, keys, ord,
@@ -816,23 +854,27 @@ object DeltaLogTableFormat extends TableFormat {
           orderGuard = Some(orderBy))
     MergeTable.observedWrite(tagged,
       dropActions = if (scdType == 2) Nil else Seq("delete")) { out =>
-      commitPruned(path, out, partitionCol, basedOn = head); ()
+      commitPruned(path, out, partitionCols, basedOn = head); ()
     }
   }
 
   /** Commit `df` (the rewritten affected partitions) and remove the
-    * previous live files of exactly those partitions — identified by
-    * matching their recorded tokens against the tokens Spark just
-    * wrote for this commit (a pruned merge never drops rows, so
-    * every affected partition appears in the output).
+    * previous live files of exactly those partition TUPLES —
+    * identified by matching their recorded token tuples against the
+    * tokens Spark just wrote for this commit (a pruned merge never
+    * drops rows, so every affected partition appears in the output).
     */
   private def commitPruned(path: String, df: DataFrame,
-                           partitionCol: String,
+                           partitionCols: Seq[String],
                            basedOn: Option[Int]): Unit = {
-    commitFiles(path, df, Some(partitionCol), (prev, written) => {
-      val rewritten = written.flatMap(_._2.get(partitionCol)).toSet
+    commitFiles(path, df, partitionCols, (prev, written) => {
+      def tupleOf(pv: Map[String, String]): Option[Seq[String]] = {
+        val t = partitionCols.flatMap(pv.get)
+        if (t.size == partitionCols.size) Some(t) else None
+      }
+      val rewritten = written.flatMap(w => tupleOf(w._2)).toSet
       prev.liveMap.collect {
-        case (p, fe) if fe.pv.get(partitionCol).exists(rewritten.contains) => p
+        case (p, fe) if tupleOf(fe.pv).exists(rewritten.contains) => p
       }.toSeq
     }, basedOn = basedOn)
     ()
@@ -870,7 +912,7 @@ object DeltaLogTableFormat extends TableFormat {
         require(keySets.size <= 1,
           s"optimize: table at $path mixes partitioned and unpartitioned " +
             "live files — run a partitioned full merge first")
-        val partitionCol = keySets.headOption.flatMap(_.headOption)
+        val partitionCols = keySets.headOption.map(_.toSeq.sorted).getOrElse(Nil)
         val targets = st.liveMap.toSeq.groupBy(_._2.pv).valuesIterator
           .flatMap { fs =>
             val small = fs.filter(_._2.size < smallFileBytes)
@@ -884,18 +926,19 @@ object DeltaLogTableFormat extends TableFormat {
               DataType.fromJson(s).asInstanceOf[StructType]))
             .getOrElse(spark.read)
             .parquet(targets.map(f => s"$path/${f._1}"): _*)
-          val df = partitionCol match {
-            // one output file per partition value: tasks write one file
-            // per __pv they hold, and the hash repartition gives each
-            // value to exactly one task
-            case Some(pc) => df0.repartition(col(pc))
-            case None =>
+          val df =
+            // one output file per partition tuple: tasks write one
+            // file per tuple they hold, and the hash repartition gives
+            // each tuple to exactly one task
+            if (partitionCols.nonEmpty)
+              df0.repartition(partitionCols.map(col): _*)
+            else {
               val total = targets.map(_._2.size).sum
               df0.coalesce(math.max(1,
                 math.ceil(total.toDouble / smallFileBytes).toInt))
-          }
+            }
           val targetPaths = targets.map(_._1)
-          val v = commitFiles(path, df, partitionBy = partitionCol,
+          val v = commitFiles(path, df, partitionBy = partitionCols,
             removeOf = (_, _) => targetPaths, basedOn = Some(head),
             dataChange = false, operation = Some("OPTIMIZE"))
           val written = Files.readAllLines(logFile(path, v),
@@ -935,7 +978,8 @@ object DeltaLogTableFormat extends TableFormat {
           require(keySets.size <= 1,
             s"optimizeClustered: table at $path mixes partitioned and " +
               "unpartitioned live files — run a partitioned full merge first")
-          val partitionCol = keySets.headOption.flatMap(_.headOption)
+          val partitionCols =
+            keySets.headOption.map(_.toSeq.sorted).getOrElse(Nil)
           val totalBytes = st.liveMap.values.map(_.size).sum
           val buckets = math.max(1,
             math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -944,16 +988,12 @@ object DeltaLogTableFormat extends TableFormat {
               DataType.fromJson(s).asInstanceOf[StructType]))
             .getOrElse(spark.read)
             .parquet(st.live.map(f => s"$path/$f"): _*)
-          val df = partitionCol match {
-            case Some(pc) => df0
-              .repartitionByRange(buckets, col(pc), col(clusterCol))
-              .sortWithinPartitions(pc, clusterCol)
-            case None => df0
-              .repartitionByRange(buckets, col(clusterCol))
-              .sortWithinPartitions(clusterCol)
-          }
+          val rangeCols = partitionCols.map(col) :+ col(clusterCol)
+          val df = df0
+            .repartitionByRange(buckets, rangeCols: _*)
+            .sortWithinPartitions(partitionCols :+ clusterCol map col: _*)
           val previous = st.live
-          val v = commitFiles(path, df, partitionBy = partitionCol,
+          val v = commitFiles(path, df, partitionBy = partitionCols,
             removeOf = (_, _) => previous, basedOn = Some(head),
             dataChange = false, operation = Some("OPTIMIZE"))
           val written = Files.readAllLines(logFile(path, v),

@@ -48,7 +48,22 @@ final case class WriteConfig(
       * merges (writers/writer.py:280,690). A no-op on formats with
       * nothing to compact (snapshot).
       */
-    optimizeAfter: Boolean = false)
+    optimizeAfter: Boolean = false,
+    /** Partition the target by these columns (the reference's
+      * list-valued `partitionBy` write option). Merge writes route to
+      * the partition-PRUNED merge (only touched partitions rewrite);
+      * append/overwrite writes partition the plain Spark write.
+      * Incremental extracts only — `fe` needs global key visibility,
+      * which pruning by definition hides (rejected at parse).
+      */
+    partitionBy: Seq[String] = Nil,
+    /** After a merge write, rewrite the target clustered on this
+      * column (`OPTIMIZE ... ZORDER BY`'s 1-D form): files get
+      * disjoint value ranges so stats-pruned point/range reads open
+      * ~one file. Implies the post-merge optimize; delta-log format
+      * only (rejected at parse otherwise).
+      */
+    clusterBy: Option[String] = None)
 
 final case class IngestConfig(
     source: SourceConfig,
@@ -71,6 +86,13 @@ final case class IngestConfig(
 /** Thrown when `failOnDqViolation` is set and any rule fails. */
 final class DqViolationException(val failed: Seq[String])
   extends RuntimeException(s"DQ rules violated: ${failed.mkString(", ")}")
+
+/** Inclusive range predicate on one column — the medallion silver
+  * read's data-skipping hook: on a delta-log bronze table the silver
+  * phase plans its scan from the transaction log's file stats
+  * (readRange) instead of listing every file.
+  */
+final case class RangeFilter(column: String, lo: Any, hi: Any)
 
 /** Runs an IngestConfig end-to-end (batch). Streaming ingestion with
   * identical merge semantics lives in graft.streaming.StreamingIngest.
@@ -153,20 +175,51 @@ object IngestJob {
       if (wc.mode == "merge" && cfg.validateKeys)
         graft.cdc.Cdc.requireNonNullKeys(df, wc.keys)
       val stats = wc.mode match {
+        case "merge" if wc.partitionBy.nonEmpty =>
+          // ConfigHandler already rejected fe + partitionBy and
+          // multi-column partitionBy on the snapshot format
+          require(!deleteMissing,
+            "pruned merge cannot honor a full extract")
+          cfg.tableFormat match {
+            case DeltaLogTableFormat =>
+              if (wc.scdType == 2)
+                DeltaLogTableFormat.scd2MergePruned(spark, wc.path, df,
+                  wc.keys, wc.orderBy, wc.partitionBy,
+                  Sources.controlColumns)
+              else
+                DeltaLogTableFormat.scd1MergePruned(spark, wc.path, df,
+                  wc.keys, wc.orderBy, wc.partitionBy,
+                  Sources.controlColumns)
+            case _ =>
+              if (wc.scdType == 2)
+                MergeTable.scd2MergePruned(spark, wc.path, df,
+                  wc.keys, wc.orderBy, wc.partitionBy.head)
+              else
+                MergeTable.scd1MergePruned(spark, wc.path, df,
+                  wc.keys, wc.orderBy, wc.partitionBy.head)
+          }
         case "merge" =>
           if (wc.scdType == 2)
             cfg.tableFormat.scd2Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
           else
             cfg.tableFormat.scd1Merge(spark, wc.path, df, wc.keys, wc.orderBy, deleteMissing)
         case m =>
-          df.write.mode(m).format(wc.format).save(wc.path)
+          val w = df.write.mode(m).format(wc.format)
+          (if (wc.partitionBy.nonEmpty) w.partitionBy(wc.partitionBy: _*)
+           else w).save(wc.path)
           MergeStats(inserted = -1, updated = -1, deleted = -1)
       }
       cfg.auditTablePath.foreach { p =>
         Audit.log(spark, wc.path, wc.mode, stats).write.mode("append").parquet(s"$p/audit_log")
       }
-      if (wc.mode == "merge" && wc.optimizeAfter)
-        cfg.tableFormat.optimize(spark, wc.path).foreach { os =>
+      if (wc.mode == "merge" && (wc.optimizeAfter || wc.clusterBy.nonEmpty)) {
+        // clusterBy implies the post-merge optimize, upgraded to the
+        // clustered rewrite (delta-log only; parse-validated)
+        val result = wc.clusterBy match {
+          case Some(cc) => DeltaLogTableFormat.optimizeClustered(spark, wc.path, cc)
+          case None     => cfg.tableFormat.optimize(spark, wc.path)
+        }
+        result.foreach { os =>
           // audit the maintenance commit like the reference does
           // (writer.py:690 audit_log(operation="optimize")):
           // inserted = files written, deleted = files compacted away
@@ -177,6 +230,7 @@ object IngestJob {
               .write.mode("append").parquet(s"$p/audit_log")
           }
         }
+      }
     }
 
   /** Medallion orchestration (reference `run_medallion` =
@@ -199,14 +253,31 @@ object IngestJob {
   def runMedallion(spark: SparkSession, bronze: IngestConfig,
                    silverTransforms: Seq[Transform],
                    silverWrites: Seq[WriteConfig],
-                   silverDqRules: Seq[graft.dq.DqRule] = Nil)
+                   silverDqRules: Seq[graft.dq.DqRule] = Nil,
+                   silverRange: Option[RangeFilter] = None)
       : (DataFrame, DataFrame) = {
     require(bronze.writes.nonEmpty, "medallion bronze config needs a write target")
     val bronzeDf = run(spark, bronze)
-    val bronzeBack = bronze.writes.head.mode match {
-      case "merge" => bronze.tableFormat.read(spark, bronze.writes.head.path)
-      case _       => spark.read.format(bronze.writes.head.format)
-        .load(bronze.writes.head.path)
+    // silver reads bronze back through the range predicate when one is
+    // configured: on a delta-log bronze the scan is planned from the
+    // log's file stats (readRange — untouched files are pruned on the
+    // driver before listing); other formats apply the same filter on
+    // the full read, so semantics never depend on the format
+    val bronzeHead = bronze.writes.head
+    val bronzeBack = (bronzeHead.mode, silverRange, bronze.tableFormat) match {
+      case ("merge", Some(rf), DeltaLogTableFormat) =>
+        DeltaLogTableFormat.readRange(spark, bronzeHead.path,
+          rf.column, rf.lo, rf.hi)
+      case ("merge", Some(rf), fmt) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        fmt.read(spark, bronzeHead.path)
+          .filter(col(rf.column).between(lit(rf.lo), lit(rf.hi)))
+      case ("merge", None, fmt) => fmt.read(spark, bronzeHead.path)
+      case (_, rfOpt, _) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val base = spark.read.format(bronzeHead.format).load(bronzeHead.path)
+        rfOpt.fold(base)(rf =>
+          base.filter(col(rf.column).between(lit(rf.lo), lit(rf.hi))))
     }
     val silverDf = Pipeline(silverTransforms)(
       graft.sources.Sources.dropControlColumns(bronzeBack))

@@ -336,4 +336,90 @@ class ConfigSpec extends SparkSpec {
     assert(v.sameElements(Array("new")),
       s"later-mtime file must win equal-ord rows: ${v.mkString}")
   }
+
+  test("partitionBy + clusterBy config routes pruned merge and clustered optimize") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_cfg_part").toString
+    val cfg = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/tbl", "mode": "merge",
+         |  "keys": ["o_orderkey"], "orderBy": "o_orderkey",
+         |  "partitionBy": ["o_orderstatus", "o_orderpriority"],
+         |  "clusterBy": "o_orderkey"}],
+         |"auditTablePath": "$dir/audit",
+         |"tableFormat": "delta-log"}""".stripMargin)
+    IngestJob.run(spark, cfg)
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = s"$dir/tbl"
+    // pruned first merge at v0, clustered OPTIMIZE commit at v1
+    assert(fmt.versions(p) == Seq(0, 1))
+    val expected = spark.read.parquet(src)
+      .select("o_orderkey").distinct().count()
+    assert(fmt.read(spark, p).count() == expected)
+    val audits = spark.read.parquet(s"$dir/audit/audit_log")
+      .select("audit_operation").collect().map(_.getString(0)).sorted
+    assert(audits.sameElements(Array("merge", "optimize")),
+      audits.mkString(","))
+    // a second run exercises the incremental pruned-merge path and
+    // keeps both partition columns recorded on every live file
+    IngestJob.run(spark, cfg)
+    assert(fmt.versions(p) == Seq(0, 1, 2, 3))
+    assert(fmt.read(spark, p).count() == expected)
+    // stats-pruned reads work against the config-built layout
+    val one = fmt.read(spark, p).select("o_orderkey").limit(1)
+      .collect()(0).getLong(0)
+    assert(fmt.readEqual(spark, p, "o_orderkey", one).count() == 1)
+  }
+
+  test("medallion silverRange drives a stats-pruned silver read") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_cfg_range").toString
+    val bronze = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/bronze", "mode": "merge",
+         |  "keys": ["o_orderkey"], "orderBy": "o_orderkey",
+         |  "medallionLayer": "bronze", "clusterBy": "o_orderkey"}],
+         |"tableFormat": "delta-log"}""".stripMargin)
+    val (_, silverDf) = IngestJob.runMedallion(spark, bronze,
+      silverTransforms = Nil,
+      silverWrites = Seq(WriteConfig(path = s"$dir/silver", mode = "merge",
+        keys = Seq("o_orderkey"), orderBy = "o_orderkey",
+        medallionLayer = "silver")),
+      silverRange = Some(graft.pipeline.RangeFilter("o_orderkey", 1L, 512L)))
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val want = fmt.read(spark, s"$dir/bronze")
+      .filter(col("o_orderkey").between(1L, 512L)).count()
+    assert(want > 0 && silverDf.count() == want)
+    // silver inherits the bronze config's table format (delta-log)
+    assert(fmt.read(spark, s"$dir/silver").count() == want)
+    // the clustered bronze layout makes the range read open fewer
+    // files than the full table holds
+    val pruned = fmt.readRange(spark, s"$dir/bronze", "o_orderkey", 1L, 512L)
+    val all = fmt.read(spark, s"$dir/bronze")
+    assert(pruned.inputFiles.length <= all.inputFiles.length)
+  }
+
+  test("config rejects unsupported partitionBy/clusterBy combinations") {
+    def base(writes: String, fmtLine: String = "") =
+      s"""{"source": {"format": "parquet", "path": "/tmp/x"},
+         |"writes": [$writes]$fmtLine}""".stripMargin
+    // clusterBy without the delta-log format has no stats to cluster
+    intercept[ConfigHandler.ConfigError](ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "clusterBy": "k"}""".stripMargin)))
+    // multi-column pruned merges need the delta-log manifest
+    intercept[ConfigHandler.ConfigError](ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "partitionBy": ["a", "b"]}""".stripMargin)))
+    // a full extract cannot be pruned to touched partitions
+    intercept[ConfigHandler.ConfigError](ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "partitionBy": ["a"], "extractMode": "fe"}""".stripMargin,
+      fmtLine = """, "tableFormat": "delta-log"""")))
+    // and the happy single-column snapshot case still parses
+    val ok = ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "partitionBy": ["a"]}""".stripMargin))
+    assert(ok.writes.head.partitionBy == Seq("a"))
+  }
 }

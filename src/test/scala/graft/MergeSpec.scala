@@ -830,6 +830,51 @@ class MergeSpec extends SparkSpec {
     assert(point.inputFiles.length < full.inputFiles.length)
   }
 
+  test("delta-log pruned merge on two partition columns rewrites one tuple") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val base = (for {
+      region <- Seq("east", "west"); day <- 1 to 3; i <- 1 to 5
+    } yield (s"$region-$day-$i", s"v$i", 1, region, day))
+      .toDF("id", "v", "ord", "region", "day")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord",
+      Seq("region", "day"), graft.sources.Sources.controlColumns)
+    val before = liveFilesOf(p)
+    assert(before.values.forall(pv =>
+      pv.contains("region") && pv.contains("day")),
+      "every file records both partition columns")
+    // touch exactly the (east, 2) tuple
+    val upd = Seq(("east-2-1", "z", 2, "east", 2))
+      .toDF("id", "v", "ord", "region", "day")
+    val s = fmt.scd1MergePruned(spark, p, upd, Seq("id"), "ord",
+      Seq("region", "day"), graft.sources.Sources.controlColumns)
+    assert(s.updated == 1 && s.inserted == 0)
+    val after = liveFilesOf(p)
+    val untouchedBefore = before.filterNot(
+      _._2 == Map("region" -> "east", "day" -> "2"))
+    // full-TUPLE matching: (east,3) and (west,2) files survive byte-
+    // identically; only the (east,2) files were replaced
+    untouchedBefore.foreach { case (f, pv) =>
+      assert(after.contains(f), s"untouched tuple $pv lost file $f")
+    }
+    assert(before.keySet.diff(after.keySet).forall(f =>
+      before(f) == Map("region" -> "east", "day" -> "2")))
+    val out = fmt.read(spark, p)
+    assert(out.count() == 30)
+    assert(out.filter(col("id") === "east-2-1").select("v")
+      .collect()(0).getString(0) == "z")
+    // stats still prune on either partition column
+    val east = fmt.readEqual(spark, p, "region", "east")
+    assert(east.count() == 15)
+    assert(east.inputFiles.length < out.inputFiles.length)
+    // optimize keeps the 2-column layout intact
+    fmt.optimize(spark, p, smallFileBytes = 128L << 20)
+    assert(fmt.read(spark, p).count() == 30)
+    assert(liveFilesOf(p).values.forall(pv =>
+      pv.contains("region") && pv.contains("day")))
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
