@@ -359,6 +359,90 @@ object DeltaLogTableFormat extends TableFormat {
         .parquet(st.live.map(f => s"$path/$f"): _*)
   }
 
+  /** One pass over the whole log instead of one state replay per
+    * version: walk the commits in order, check each ADDED file's
+    * existence exactly once, and keep a running set of missing-but-
+    * live files — a version is readable iff that set is empty when
+    * its commit has been applied. A lagging consumer probing N
+    * pending versions pays O(log actions) filesystem stats total,
+    * not O(N) full state loads.
+    */
+  override def readableVersions(spark: SparkSession,
+                                path: String): Seq[Int] = {
+    val missingLive = mutable.Set.empty[String]
+    versions(path).filter { v =>
+      Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("add")) {
+            val p = n.get("add").get("path").asText()
+            if (!Files.exists(Paths.get(path, p))) missingLive += p
+            else missingLive -= p
+          }
+          if (n.has("remove"))
+            missingLive -= n.get("remove").get("path").asText()
+        }
+      missingLive.isEmpty
+    }
+  }
+
+  /** Change rows of the window (fromV, toV], computed from the log's
+    * file accounting instead of diffing two full snapshots: with
+    * A = files live at toV but not at fromV and R = files live at
+    * fromV but not at toV, the to-state is (from − R) + A file-wise,
+    * so `to.exceptAll(from)` ≡ `rows(A).exceptAll(rows(R))` EXACTLY
+    * (untouched files contribute equally to both sides of the full
+    * diff and cancel; the per-row multiset algebra is
+    * max(0, a−r) either way). After a one-partition pruned merge A
+    * and R are just that partition's files — the gold hop reads only
+    * touched bytes, the same reliance the reference places on Delta's
+    * change feed (readers/streaming_readers.py:14-19). OPTIMIZE
+    * commits inside the window add their rewrites to both A and R,
+    * which cancel — correct, merely not free.
+    *
+    * Both sides read with toV's log-recorded schema (columns added by
+    * in-window evolution surface as null on pre-evolution R files —
+    * the same null-fill the full-snapshot diff aligns to). Returns
+    * None when any needed file has been vacuumed (the caller falls
+    * back to full-snapshot delivery) — and the caller must also fall
+    * back for map-typed schemas, which exceptAll rejects.
+    */
+  private[graft] def fileChanges(spark: SparkSession, path: String,
+                                 fromV: Int, toV: Int): Option[DataFrame] = {
+    val added = mutable.LinkedHashSet.empty[String]
+    val removed = mutable.LinkedHashSet.empty[String]
+    versions(path).filter(v => v > fromV && v <= toV).foreach { v =>
+      Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("add")) {
+            val p = n.get("add").get("path").asText()
+            // re-adding a path removed earlier in the window restores
+            // a file live at fromV — net zero, drop from both sets
+            if (removed.contains(p)) removed -= p else added += p
+          }
+          if (n.has("remove")) {
+            val p = n.get("remove").get("path").asText()
+            if (added.contains(p)) added -= p else removed += p
+          }
+        }
+    }
+    if ((added.iterator ++ removed.iterator)
+          .exists(f => !Files.exists(Paths.get(path, f)))) None
+    else {
+      val schema = replayState(spark, path, toV).schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      def readFiles(fs: Seq[String]): DataFrame =
+        if (fs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            schema.getOrElse(new StructType()))
+        else
+          schema.fold(spark.read)(spark.read.schema(_))
+            .parquet(fs.map(f => s"$path/$f"): _*)
+      Some(readFiles(added.toSeq).exceptAll(readFiles(removed.toSeq)))
+    }
+  }
+
   /** A version is a data change iff any of its add/remove actions
     * says so — OPTIMIZE commits write `dataChange: false` on every
     * action, exactly so consumers can tell rows-changed from

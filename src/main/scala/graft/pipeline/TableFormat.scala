@@ -76,6 +76,16 @@ trait TableFormat {
     */
   def isDataChange(path: String, version: Int): Boolean = true
 
+  /** The subset of `versions(path)` whose data files are all still
+    * present — i.e. the versions a consumer can actually read after
+    * vacuum. The default probes each version with a read plan
+    * (O(versions) state loads); formats with a cheaper answer
+    * override — the streaming consumer calls this once per poll.
+    */
+  def readableVersions(spark: SparkSession, path: String): Seq[Int] =
+    versions(path).filter(v =>
+      scala.util.Try(readVersion(spark, path, v)).isSuccess)
+
   /** Compact small live data files into fewer, larger ones without
     * changing rows — Delta's OPTIMIZE, which the reference runs after
     * every merge (writers/writer.py:280,690 `optimize {target_table}`
@@ -126,4 +136,10 @@ object SnapshotTableFormat extends TableFormat {
 
   override def vacuum(path: String, keepVersions: Int): Seq[Int] =
     MergeTable.vacuum(path, keepVersions)
+
+  /** Snapshot vacuum deletes whole `v=N` dirs, so every listed
+    * version is readable by construction — no probing needed.
+    */
+  override def readableVersions(spark: SparkSession,
+                                path: String): Seq[Int] = versions(path)
 }

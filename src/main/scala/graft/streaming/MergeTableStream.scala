@@ -88,14 +88,23 @@ object MergeTableStream {
     val to = fmt.readVersion(spark, path, toV)
     val diffable = !to.schema.fields.exists(
       _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-    // readability probe, not just versions().contains: a delta-log
-    // table keeps vacuumed versions in its log, so the fallback must
-    // trigger on missing FILES too
-    val from = fromV.filter(_ => diffable).flatMap(f =>
-      scala.util.Try(fmt.readVersion(spark, path, f)).toOption)
-    from match {
-      case Some(f) => to.exceptAll(aligned(f, to))
-      case None    => to
+    fromV.filter(_ => diffable) match {
+      // delta-log tables carry per-commit file accounting: the change
+      // rows are added-files except removed-files — after a pruned
+      // merge the hop reads only the touched partitions' bytes, not
+      // two full snapshots (None = something vacuumed → fall through
+      // to the full-snapshot delivery below)
+      case Some(f) if fmt == graft.pipeline.DeltaLogTableFormat =>
+        graft.pipeline.DeltaLogTableFormat.fileChanges(spark, path, f, toV)
+          .getOrElse(to)
+      // readability probe, not just versions().contains: the fallback
+      // must trigger on missing FILES too
+      case Some(f) =>
+        scala.util.Try(fmt.readVersion(spark, path, f)).toOption match {
+          case Some(from) => to.exceptAll(aligned(from, to))
+          case None       => to
+        }
+      case None => to
     }
   }
 
@@ -128,14 +137,16 @@ object MergeTableStream {
                       (fn: (DataFrame, Int) => Unit): Seq[Int] = {
     val head = fmt.currentVersion(path).getOrElse(return Nil)
     val start = lastProcessed(checkpoint)
+    // a delta-log table keeps vacuumed versions in its log; a
+    // consumer lagging past retention skips them and re-enters at
+    // the first readable version, whose batch is the full snapshot
+    // (prev stays unreadable -> changes() falls back) — the same
+    // re-delivery contract as the snapshot format's vacuum. ONE
+    // readability pass for all pending versions (formats answer this
+    // from their own metadata), not a state replay per version.
+    val readable = fmt.readableVersions(spark, path).toSet
     val todo = fmt.versions(path)
-      .filter(v => v <= head && start.forall(v > _))
-      // a delta-log table keeps vacuumed versions in its log; a
-      // consumer lagging past retention skips them and re-enters at
-      // the first readable version, whose batch is the full snapshot
-      // (prev stays unreadable -> changes() falls back) — the same
-      // re-delivery contract as the snapshot format's vacuum
-      .filter(v => scala.util.Try(fmt.readVersion(spark, path, v)).isSuccess)
+      .filter(v => v <= head && start.forall(v > _) && readable.contains(v))
     var prev = start
     todo.foreach { v =>
       if (fmt.isDataChange(path, v))

@@ -781,7 +781,9 @@ class MergeSpec extends SparkSpec {
     fmt.cleanupCheckpointArtifacts(p, olderThanMs = 3600L * 1000)
     assert(java.nio.file.Files.exists(deadDir),
       "age guard protects an in-flight checkpointer's temp dir")
-    fmt.cleanupCheckpointArtifacts(p, olderThanMs = 0)
+    // negative age => cutoff in the future: "everything is stale"
+    // without racing the just-created artifact's own mtime
+    fmt.cleanupCheckpointArtifacts(p, olderThanMs = -60000)
     assert(!java.nio.file.Files.exists(deadDir) &&
       !java.nio.file.Files.exists(deadTmp),
       "stale temp artifacts are reclaimed")
