@@ -877,6 +877,49 @@ class MergeSpec extends SparkSpec {
       pv.contains("region") && pv.contains("day")))
   }
 
+  test("fuzz: 2-col pruned merges + optimize agree with full merges and the change feed") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val rnd = new scala.util.Random(1234)
+    val regions = Seq("r0", "r1", "r2")
+    val days = Seq(1, 2)
+    (1 to 2).foreach { trial =>
+      val pD = tmp(); val pS = tmp(); val gold = tmp()
+      val ck = Files.createTempDirectory("graft_fuzz_ck").toString
+      (1 to 5).foreach { step =>
+        // random updates over a random subset of (region, day) tuples
+        val tuples = rnd.shuffle(
+          for (r <- regions; d <- days) yield (r, d)).take(1 + rnd.nextInt(5))
+        val rows = tuples.flatMap { case (r, d) =>
+          (1 to 1 + rnd.nextInt(8)).map { _ =>
+            val k = rnd.nextInt(15)
+            (s"$r-$d-$k", rnd.alphanumeric.take(4).mkString, step, r, d)
+          }
+        }
+        val df = rows.toDF("id", "v", "ord", "region", "day")
+        fmt.scd1MergePruned(spark, pD, df, Seq("id"), "ord",
+          Seq("region", "day"), graft.sources.Sources.controlColumns)
+        // model: the same updates through plain full-rewrite merges
+        SnapshotTableFormat.scd1Merge(spark, pS, df, Seq("id"), "ord")
+        // random maintenance between data commits
+        if (rnd.nextBoolean())
+          fmt.optimize(spark, pD, smallFileBytes = 1L << 20)
+        // silver state must match the model at every step
+        assert(tableHash(fmt.read(spark, pD)) ==
+          tableHash(SnapshotTableFormat.read(spark, pS)),
+          s"trial $trial step $step: pruned-merge state diverged from model")
+        // and the gold hop (file-level change feed) must reconstruct it
+        MergeTableStream.processAvailable(spark, pD, ck, fmt) { (chg, _) =>
+          MergeTable.scd1Merge(spark, gold, chg, Seq("id"), "ord"); ()
+        }
+        assert(tableHash(MergeTable.read(spark, gold)) ==
+          tableHash(fmt.read(spark, pD)),
+          s"trial $trial step $step: change-feed gold diverged from silver")
+      }
+    }
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
