@@ -407,8 +407,12 @@ object DeltaLogTableFormat extends TableFormat {
     * back to full-snapshot delivery) — and the caller must also fall
     * back for map-typed schemas, which exceptAll rejects.
     */
-  private[graft] def fileChanges(spark: SparkSession, path: String,
-                                 fromV: Int, toV: Int): Option[DataFrame] = {
+  /** Net (added, removed) live-file sets over the window (fromV, toV]
+    * from the log's add/remove actions — the accounting both feed
+    * variants share.
+    */
+  private def windowFileDiff(path: String, fromV: Int,
+                             toV: Int): (Seq[String], Seq[String]) = {
     val added = mutable.LinkedHashSet.empty[String]
     val removed = mutable.LinkedHashSet.empty[String]
     versions(path).filter(v => v > fromV && v <= toV).foreach { v =>
@@ -427,19 +431,55 @@ object DeltaLogTableFormat extends TableFormat {
           }
         }
     }
+    (added.toSeq, removed.toSeq)
+  }
+
+  /** Read `fs` with `upTo`'s log-recorded schema (empty frame with
+    * that schema for an empty list).
+    */
+  private def readFileSet(spark: SparkSession, path: String, upTo: Int,
+                          fs: Seq[String]): DataFrame = {
+    val schema = replayState(spark, path, upTo).schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (fs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.getOrElse(new StructType()))
+    else
+      schema.fold(spark.read)(spark.read.schema(_))
+        .parquet(fs.map(f => s"$path/$f"): _*)
+  }
+
+  private[graft] def fileChanges(spark: SparkSession, path: String,
+                                 fromV: Int, toV: Int): Option[DataFrame] = {
+    val (added, removed) = windowFileDiff(path, fromV, toV)
+    if ((added.iterator ++ removed.iterator)
+          .exists(f => !Files.exists(Paths.get(path, f)))) None
+    else
+      Some(readFileSet(spark, path, toV, added)
+        .exceptAll(readFileSet(spark, path, toV, removed)))
+  }
+
+  /** Delete feed from the same file accounting: keys with rows in
+    * removed files and none in added files were dropped in the window
+    * (`keys(R) anti-join keys(A)`). Exact under the pruned-merge
+    * contracts the tables are built with — one live row per key
+    * (SCD1) and a key never moves partitions — because any surviving
+    * row of a rewritten key must land in an added file. Returns None
+    * when a needed file was vacuumed (caller falls back to the
+    * full-version diff).
+    */
+  private[graft] def fileDeletedKeys(spark: SparkSession, path: String,
+                                     fromV: Int, toV: Int,
+                                     keys: Seq[String]): Option[DataFrame] = {
+    val (added, removed) = windowFileDiff(path, fromV, toV)
     if ((added.iterator ++ removed.iterator)
           .exists(f => !Files.exists(Paths.get(path, f)))) None
     else {
-      val schema = replayState(spark, path, toV).schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
-      def readFiles(fs: Seq[String]): DataFrame =
-        if (fs.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            schema.getOrElse(new StructType()))
-        else
-          schema.fold(spark.read)(spark.read.schema(_))
-            .parquet(fs.map(f => s"$path/$f"): _*)
-      Some(readFiles(added.toSeq).exceptAll(readFiles(removed.toSeq)))
+      val a = readFileSet(spark, path, toV, added)
+        .select(keys.map(col): _*).distinct()
+      val r = readFileSet(spark, path, toV, removed)
+        .select(keys.map(col): _*).distinct()
+      Some(r.join(a, keys, "left_anti"))
     }
   }
 

@@ -115,11 +115,21 @@ object MergeTableStream {
   def deletedKeys(spark: SparkSession, path: String, fromV: Int, toV: Int,
                   keys: Seq[String],
                   fmt: TableFormat = SnapshotTableFormat): DataFrame = {
-    val from = fmt.readVersion(spark, path, fromV)
-      .select(keys.map(col): _*).distinct()
-    val to = fmt.readVersion(spark, path, toV)
-      .select(keys.map(col): _*).distinct()
-    from.join(to, keys, "left_anti")
+    // delta-log: answer from the window's file accounting (removed-
+    // file keys minus added-file keys) — touched files only, same
+    // scale win as the change feed
+    val fromLog =
+      if (fmt == graft.pipeline.DeltaLogTableFormat)
+        graft.pipeline.DeltaLogTableFormat
+          .fileDeletedKeys(spark, path, fromV, toV, keys)
+      else None
+    fromLog.getOrElse {
+      val from = fmt.readVersion(spark, path, fromV)
+        .select(keys.map(col): _*).distinct()
+      val to = fmt.readVersion(spark, path, toV)
+        .select(keys.map(col): _*).distinct()
+      from.join(to, keys, "left_anti")
+    }
   }
 
   /** Process every committed-but-unprocessed version through `fn`

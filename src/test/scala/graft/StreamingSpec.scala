@@ -514,6 +514,51 @@ class StreamingSpec extends SparkSpec {
         s"feed=$feedBytes full=$fullBytes")
   }
 
+  test("deletedKeys reports hard deletes, file-accounted on delta-log") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.MergeTableStream
+    def run(fmt: graft.pipeline.TableFormat): Unit = {
+      val p = Files.createTempDirectory("graft_delkeys").toString
+      fmt.scd1Merge(spark, p,
+        Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("id", "v", "ord"),
+        Seq("id"), "ord")
+      // full extract drops key 2, updates key 3
+      fmt.scd1Merge(spark, p,
+        Seq((1L, "a", 2), (3L, "c9", 2)).toDF("id", "v", "ord"),
+        Seq("id"), "ord", deleteMissing = true)
+      val del = MergeTableStream.deletedKeys(spark, p, 0, 1, Seq("id"), fmt)
+        .collect().map(_.getLong(0)).sorted
+      assert(del.sameElements(Array(2L)), s"$fmt: ${del.mkString(",")}")
+      // no deletes between identical states
+      fmt.scd1Merge(spark, p,
+        Seq((4L, "d", 3)).toDF("id", "v", "ord"), Seq("id"), "ord")
+      val none = MergeTableStream.deletedKeys(spark, p, 1, 2, Seq("id"), fmt)
+      assert(none.count() == 0, s"$fmt: insert-only window has no deletes")
+    }
+    run(graft.pipeline.SnapshotTableFormat)
+    run(graft.pipeline.DeltaLogTableFormat)
+    // pruned-merge table: the file-accounted path must agree with the
+    // generic full-version diff on a window with no deletes at all
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = Files.createTempDirectory("graft_delkeys_pr").toString
+    val base = (for (b <- 0 until 4; i <- 0 until 20)
+      yield (s"$b-$i", s"v$i", 1, s"b$b")).toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    fmt.scd1MergePruned(spark, p,
+      Seq(("2-1", "w", 2, "b2")).toDF("id", "v", "ord", "bucket"),
+      Seq("id"), "ord", "bucket")
+    val fileSide = MergeTableStream
+      .deletedKeys(spark, p, 0, 1, Seq("id"), fmt)
+      .collect().map(_.getString(0)).sorted
+    val fullSide = fmt.readVersion(spark, p, 0).select("id").distinct()
+      .join(fmt.readVersion(spark, p, 1).select("id").distinct(),
+        Seq("id"), "left_anti")
+      .collect().map(_.getString(0)).sorted
+    assert(fileSide.sameElements(fullSide),
+      s"file-accounted ${fileSide.length} vs full ${fullSide.length}")
+    assert(fileSide.isEmpty, "pruned upsert window deletes nothing")
+  }
+
   test("change feed degrades to a full snapshot for map-typed tables") {
     import SparkSpec.spark.implicits._
     import graft.streaming.MergeTableStream
