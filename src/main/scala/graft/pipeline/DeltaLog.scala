@@ -434,29 +434,35 @@ object DeltaLogTableFormat extends TableFormat {
     (added.toSeq, removed.toSeq)
   }
 
-  /** Read `fs` with `upTo`'s log-recorded schema (empty frame with
+  /** Read `fs` with the given log-recorded schema (empty frame with
     * that schema for an empty list).
     */
-  private def readFileSet(spark: SparkSession, path: String, upTo: Int,
-                          fs: Seq[String]): DataFrame = {
-    val schema = replayState(spark, path, upTo).schemaJson
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
+  private def readFileSet(spark: SparkSession, path: String,
+                          schema: Option[StructType],
+                          fs: Seq[String]): DataFrame =
     if (fs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         schema.getOrElse(new StructType()))
     else
       schema.fold(spark.read)(spark.read.schema(_))
         .parquet(fs.map(f => s"$path/$f"): _*)
-  }
+
+  /** Schema at `upTo` — one state replay, shared by both feed sides. */
+  private def schemaAt(spark: SparkSession, path: String,
+                       upTo: Int): Option[StructType] =
+    replayState(spark, path, upTo).schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
 
   private[graft] def fileChanges(spark: SparkSession, path: String,
                                  fromV: Int, toV: Int): Option[DataFrame] = {
     val (added, removed) = windowFileDiff(path, fromV, toV)
     if ((added.iterator ++ removed.iterator)
           .exists(f => !Files.exists(Paths.get(path, f)))) None
-    else
-      Some(readFileSet(spark, path, toV, added)
-        .exceptAll(readFileSet(spark, path, toV, removed)))
+    else {
+      val schema = schemaAt(spark, path, toV)
+      Some(readFileSet(spark, path, schema, added)
+        .exceptAll(readFileSet(spark, path, schema, removed)))
+    }
   }
 
   /** Delete feed from the same file accounting: keys with rows in
@@ -475,9 +481,10 @@ object DeltaLogTableFormat extends TableFormat {
     if ((added.iterator ++ removed.iterator)
           .exists(f => !Files.exists(Paths.get(path, f)))) None
     else {
-      val a = readFileSet(spark, path, toV, added)
+      val schema = schemaAt(spark, path, toV)
+      val a = readFileSet(spark, path, schema, added)
         .select(keys.map(col): _*).distinct()
-      val r = readFileSet(spark, path, toV, removed)
+      val r = readFileSet(spark, path, schema, removed)
         .select(keys.map(col): _*).distinct()
       Some(r.join(a, keys, "left_anti"))
     }
