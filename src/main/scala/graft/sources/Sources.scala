@@ -50,16 +50,29 @@ object Sources {
   def readTable(spark: SparkSession, name: String): DataFrame =
     spark.read.table(name)
 
-  /** Format-dispatched read, the config-driven entry point. */
+  /** Format-dispatched read, the config-driven entry point.
+    *
+    * `table` reads a session-registered view/table by name;
+    * `snapshot` / `delta-log` read one of graft's own transactional
+    * tables by path — the path-based counterpart of the reference's
+    * `read_hms_table`/`read_uc_table` (readers/batch_readers.py:57-80),
+    * which likewise return the table RAW: control columns were
+    * stamped when the table was first ingested and re-stamping would
+    * collide with the stored ones. This is what lets one config's
+    * merge target chain as the next config's source (table-to-table
+    * pipelines without a metastore).
+    */
   def read(spark: SparkSession, format: String, path: String,
            options: Map[String, String] = Map.empty): DataFrame =
     format.toLowerCase match {
-      case "parquet" => readParquet(spark, path, options)
-      case "csv"     => readCsv(spark, path, options)
-      case "json"    => readJson(spark, path, options)
-      case "orc"     => readOrc(spark, path, options)
-      case "table"   => readTable(spark, path)
-      case other     => throw new IllegalArgumentException(s"unsupported source format: $other")
+      case "parquet"   => readParquet(spark, path, options)
+      case "csv"       => readCsv(spark, path, options)
+      case "json"      => readJson(spark, path, options)
+      case "orc"       => readOrc(spark, path, options)
+      case "table"     => readTable(spark, path)
+      case "snapshot"  => graft.pipeline.SnapshotTableFormat.read(spark, path)
+      case "delta-log" => graft.pipeline.DeltaLogTableFormat.read(spark, path)
+      case other       => throw new IllegalArgumentException(s"unsupported source format: $other")
     }
 
   /** Drop ingest control columns (silver-layer projection). */

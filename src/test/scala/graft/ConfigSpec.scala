@@ -399,6 +399,34 @@ class ConfigSpec extends SparkSpec {
     assert(pruned.inputFiles.length <= all.inputFiles.length)
   }
 
+  test("table-format sources chain one pipeline's target into the next") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_cfg_chain").toString
+    // pipeline 1: files -> delta-log table
+    IngestJob.run(spark, ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/first", "mode": "merge",
+         |  "keys": ["o_orderkey"]}],
+         |"tableFormat": "delta-log"}""".stripMargin))
+    // pipeline 2: that delta-log table AS SOURCE -> snapshot table
+    // (control columns come through stored, not re-stamped)
+    IngestJob.run(spark, ConfigHandler.parse(
+      s"""{"source": {"format": "delta-log", "path": "$dir/first"},
+         |"writes": [{"path": "$dir/second", "mode": "merge",
+         |  "keys": ["o_orderkey"]}]}""".stripMargin))
+    val first = graft.pipeline.DeltaLogTableFormat.read(spark, s"$dir/first")
+    val second = MergeTable.read(spark, s"$dir/second")
+    assert(second.count() == first.count() && second.count() > 0)
+    assert(second.columns.sorted.sameElements(first.columns.sorted),
+      "chained read must carry the stored control columns once")
+    // snapshot tables chain the same way
+    IngestJob.run(spark, ConfigHandler.parse(
+      s"""{"source": {"format": "snapshot", "path": "$dir/second"},
+         |"writes": [{"path": "$dir/third", "mode": "merge",
+         |  "keys": ["o_orderkey"]}]}""".stripMargin))
+    assert(MergeTable.read(spark, s"$dir/third").count() == first.count())
+  }
+
   test("config rejects unsupported partitionBy/clusterBy combinations") {
     def base(writes: String, fmtLine: String = "") =
       s"""{"source": {"format": "parquet", "path": "/tmp/x"},
