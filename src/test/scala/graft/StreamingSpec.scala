@@ -514,6 +514,39 @@ class StreamingSpec extends SparkSpec {
         s"feed=$feedBytes full=$fullBytes")
   }
 
+  test("file-level feed handles in-window schema evolution") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = Files.createTempDirectory("graft_feed_evo").toString
+    val ck = Files.createTempDirectory("graft_feed_evo_ck").toString
+    fmt.scd1Merge(spark, p,
+      Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord"),
+      Seq("id"), "ord")
+    MergeTableStream.processAvailable(spark, p, ck, fmt)((_, _) => ())
+    // additive evolution inside the next window: updates carry a new
+    // column; the removed (pre-evolution) files lack it and must
+    // null-fill under the to-schema, exactly like the full diff
+    fmt.scd1Merge(spark, p,
+      Seq((2L, "b9", 2, "x2"), (3L, "c", 2, "x3"))
+        .toDF("id", "v", "ord", "extra"),
+      Seq("id"), "ord")
+    val batches = scala.collection.mutable.Buffer.empty[Set[(Long, String, Any)]]
+    MergeTableStream.processAvailable(spark, p, ck, fmt) { (df, _) =>
+      assert(df.columns.contains("extra"), df.columns.mkString(","))
+      batches += df.select("id", "v", "extra").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet; ()
+    }
+    // row 1 is unchanged: evolved storage null-fills its new column
+    // and the pre-evolution removed file null-fills under the
+    // to-schema read, so the pair cancels — same contract as the
+    // full-snapshot diff's aligned() null-fill. No spurious
+    // re-delivery from evolution alone.
+    assert(batches.size == 1)
+    assert(batches.head == Set((2L, "b9", "x2"), (3L, "c", "x3")),
+      batches.head.toString)
+  }
+
   test("deletedKeys reports hard deletes, file-accounted on delta-log") {
     import SparkSpec.spark.implicits._
     import graft.streaming.MergeTableStream
