@@ -94,15 +94,26 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Micro-batch SCD1 merge sink: every micro-batch runs the same
-    * MergeTable.scd1Merge plan the batch path uses (one code path for
-    * both modes), with `Trigger.AvailableNow` replaying all pending
-    * files then stopping — the reference's availableNow semantics.
+    * tagged merge plan the batch path uses (one code path for both
+    * modes), with `Trigger.AvailableNow` replaying all pending files
+    * then stopping — the reference's availableNow semantics.
+    *
+    * `fmt` picks the table format (the same seam as the batch
+    * writers). With `partitionBy` set the sink runs partition-PRUNED
+    * merges: a micro-batch typically lands in one or two hot
+    * partitions, so each commit rewrites only those — at 100 TB the
+    * difference between a per-batch full-table rewrite and a
+    * per-batch hot-partition touch. Incremental semantics only (a
+    * micro-batch is by nature not a full extract).
     */
   def mergeSink(source: DataFrame, tablePath: String, checkpoint: String,
                 keys: Seq[String], orderBy: String,
                 compareExclude: Seq[String] = graft.sources.Sources.controlColumns,
                 dqRules: Seq[graft.dq.DqRule] = Nil,
-                dqResultsPath: Option[String] = None)
+                dqResultsPath: Option[String] = None,
+                fmt: graft.pipeline.TableFormat =
+                  graft.pipeline.SnapshotTableFormat,
+                partitionBy: Seq[String] = Nil)
       : StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -124,8 +135,20 @@ object StreamingIngest {
               bad
             }
           if (violations.isEmpty) {
-            MergeTable.scd1Merge(batch.sparkSession, tablePath, batch,
-              keys, orderBy, compareExclude = compareExclude)
+            val spark = batch.sparkSession
+            if (partitionBy.nonEmpty) fmt match {
+              case graft.pipeline.DeltaLogTableFormat =>
+                graft.pipeline.DeltaLogTableFormat.scd1MergePruned(spark,
+                  tablePath, batch, keys, orderBy, partitionBy,
+                  compareExclude)
+              case _ =>
+                require(partitionBy.size == 1,
+                  "snapshot format prunes a single partition column")
+                MergeTable.scd1MergePruned(spark, tablePath, batch,
+                  keys, orderBy, partitionBy.head, compareExclude)
+            } else
+              fmt.scd1Merge(spark, tablePath, batch, keys, orderBy,
+                compareExclude = compareExclude)
           }
           ()
         }

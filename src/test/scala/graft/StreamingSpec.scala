@@ -61,6 +61,56 @@ class StreamingSpec extends SparkSpec {
       s"stream table ${got.length} rows vs batch ${want.length}")
   }
 
+  test("streaming merge sink routes pruned merges into a partitioned delta-log table") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val dir = Files.createTempDirectory("graft_spr_src").toString
+    val table = Files.createTempDirectory("graft_spr_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_spr_ck").toString
+    // two extract files: the first seeds three buckets, the second
+    // touches ONLY bucket b1 — with maxFilesPerTrigger=1 each becomes
+    // its own micro-batch / pruned commit
+    Seq((1L, "a", 1, "b0"), (2L, "b", 1, "b1"), (3L, "c", 1, "b2"))
+      .toDF("id", "v", "ord", "bucket").coalesce(1)
+      .write.parquet(s"$dir/f1.parquet")
+    Seq((2L, "b9", 2, "b1"), (4L, "d", 2, "b1"))
+      .toDF("id", "v", "ord", "bucket").coalesce(1)
+      .write.parquet(s"$dir/f2.parquet")
+    val schema = spark.read.parquet(s"$dir/*.parquet").schema
+    val stream = StreamingIngest.readStream(spark, "parquet",
+      s"$dir/*.parquet", schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("id", "v", "ord", "bucket")
+    val q = StreamingIngest.mergeSink(stream, table, ckpt,
+      keys = Seq("id"), orderBy = "ord", compareExclude = Nil,
+      fmt = fmt, partitionBy = Seq("bucket"))
+    q.awaitTermination(120000)
+    val got = fmt.read(spark, table).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(
+      Array((1L, "a"), (2L, "b9"), (3L, "c"), (4L, "d"))), got.mkString(","))
+    // both micro-batches committed; the second was PRUNED: b0/b2
+    // files from the first commit are still the live ones
+    assert(fmt.versions(table).size == 2, fmt.versions(table).toString)
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def actions(v: Int) = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(table, "_delta_log", f"$v%020d.json"))
+      .asScala.filter(_.nonEmpty).map(m.readTree).toSeq
+    val added1 = actions(1).filter(_.has("add")).map(n =>
+      n.get("add").get("partitionValues").get("bucket").asText()).toSet
+    assert(added1 == Set("b1"),
+      s"second micro-batch must rewrite only b1: $added1")
+    // b0/b2 files from the first commit survive untouched
+    val v0Untouched = actions(0).filter(_.has("add")).map(
+      _.get("add"))
+      .filter(a => a.get("partitionValues").get("bucket").asText() != "b1")
+      .map(_.get("path").asText()).toSet
+    val removed1 = actions(1).filter(_.has("remove")).map(
+      _.get("remove").get("path").asText()).toSet
+    assert(v0Untouched.nonEmpty && v0Untouched.intersect(removed1).isEmpty,
+      s"untouched partitions' files must stay live: removed $removed1")
+  }
+
   test("watermarked streaming dedup drops in-window duplicate keys") {
     val dir = Files.createTempDirectory("graft_dedup_src").toString
     import SparkSpec.spark.implicits._
