@@ -966,10 +966,30 @@ object DeltaLogTableFormat extends TableFormat {
       s"pruned merge: table at $path has live files without recorded " +
         s"'${partitionCols.mkString(",")}' partitionValues (written by a " +
         "differently-partitioned commit) — run a partitioned full merge first")
-    val target = readVersion(spark, path, head.get)
-    // OR-of-tuple-equalities pushes down to the parquet scan; with the
-    // __pv layout every file is partition-homogeneous, so footer stats
-    // reduce untouched partitions' files to a footer read
+    // Plan the target scan over the AFFECTED partitions' files only,
+    // selected driver-side from the log's per-file stats (the __pv
+    // layout keeps partition columns in the data, so affected files
+    // carry min == max == value). Exclusion is provably safe: stats
+    // are true bounds, so an excluded file has no affected-value rows
+    // — and therefore a different partition token, which the remove
+    // targeting below never names. Files without usable stats admit
+    // by default. At 100 TB this turns the merge's scan plan from
+    // every-live-file (footer IO + plan size) into the hot partitions'
+    // file list. The exact tuple filter still applies on top.
+    val affectedFiles = prevState.liveMap.toSeq.collect {
+      case (f, fe) if affected.exists(t =>
+        partitionCols.zip(t).forall { case (pc, v) =>
+          statsAdmit(fe.stats, pc, v, v) }) => f
+    }
+    val schema = prevState.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val target =
+      if (affectedFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          schema.getOrElse(new StructType()))
+      else
+        schema.fold(spark.read)(spark.read.schema(_))
+          .parquet(affectedFiles.map(f => s"$path/$f"): _*)
     val affectedCond = affected.map(t =>
       partitionCols.zip(t).map { case (pc, v) => col(pc) === lit(v) }
         .reduce(_ && _)).reduce(_ || _)

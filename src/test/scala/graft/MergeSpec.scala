@@ -877,6 +877,51 @@ class MergeSpec extends SparkSpec {
       pv.contains("region") && pv.contains("day")))
   }
 
+  test("pruned merge plans its target scan over affected files only") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val pad = "y" * 200
+    val base = (for (b <- 0 until 8; i <- 0 until 400)
+      yield (s"$b-$i", s"v$i-$pad", 1, s"b$b")).toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    def bytesReadDuring[T](body: => T): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) bytes.addAndGet(m.inputMetrics.bytesRead); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        var prev = -1L; var cur = bytes.get(); var spins = 0
+        while (cur != prev && spins < 50) {
+          Thread.sleep(100); prev = cur; cur = bytes.get(); spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val fullBytes = bytesReadDuring {
+      fmt.read(spark, p).queryExecution.toRdd.count()
+    }
+    val mergeBytes = bytesReadDuring {
+      fmt.scd1MergePruned(spark, p,
+        Seq(("5-1", s"w-$pad", 2, "b5")).toDF("id", "v", "ord", "bucket"),
+        Seq("id"), "ord", "bucket")
+    }
+    // the merge reads + rewrites one bucket (and writes it back);
+    // the log-stats file selection must keep it well under a full
+    // scan even including the write-side read
+    assert(fullBytes > 0 && mergeBytes < fullBytes,
+      s"pruned merge scan must be file-pruned: merge=$mergeBytes full=$fullBytes")
+    assert(fmt.read(spark, p).count() == 3200)
+    assert(fmt.read(spark, p).filter(col("id") === "5-1")
+      .select("v").collect()(0).getString(0) == s"w-$pad")
+  }
+
   test("fuzz: 2-col pruned merges + optimize agree with full merges and the change feed") {
     import SparkSpec.spark.implicits._
     import graft.streaming.MergeTableStream
