@@ -104,6 +104,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stats-pruned point reads find every value across adversarial unicode") {
+    // regression hardening for the round-7 UTF-8 stat-order fix:
+    // whatever ends up in a file's string min/max, a point read for a
+    // value the file CONTAINS must never be stats-pruned. The pool
+    // mixes the order-sensitive ranges: ASCII, Latin-1, U+E000..U+FFFF
+    // (sorts above surrogates in UTF-16, below supplementary in
+    // UTF-8), and supplementary characters.
+    val r = new Random(7)
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "", "a", "zz", "~tilde", "é", "ÿ", "éÿ", "",
+      "�", "￿", "😀", "😀zz",
+      "ab😀", "𐀀", "mixed😁")
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    (1 to 3).foreach { trial =>
+      val p = java.nio.file.Files.createTempDirectory("graft_uni").toString
+      val rows = (1 to 40).map(i =>
+        (i.toLong, pool(r.nextInt(pool.size)), 1))
+      fmt.scd1Merge(spark, p, rows.toDF("id", "s", "ord"), Seq("id"), "ord")
+      val byValue = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      byValue.foreach { case (v, n) =>
+        val got = fmt.readEqual(spark, p, "s", v).count()
+        assert(got == n,
+          s"trial $trial: value ${v.codePoints().toArray.mkString("+")} " +
+            s"expected $n rows, got $got")
+      }
+    }
+  }
+
   test("redaction is idempotent and leaves no matchable pii behind") {
     val r = new Random(13)
     val piis = Seq("a.b@c.io", "555-123-4567", "10.0.0.1", "x@y.org more", "")
