@@ -63,9 +63,16 @@ object Dedup {
     * allocation.
     */
   private def pairJaccard(docsH: DataFrame, cand: DataFrame): DataFrame =
+    pairJaccardTwo(docsH, docsH, cand)
+
+  /** pairJaccard generalized to candidates whose two sides come from
+    * DIFFERENT hash frames (cross-corpus verification).
+    */
+  private def pairJaccardTwo(docsHa: DataFrame, docsHb: DataFrame,
+                             cand: DataFrame): DataFrame =
     cand
-      .join(docsH.as("da"), col("da.id") === col("ida"))
-      .join(docsH.as("db"), col("db.id") === col("idb"))
+      .join(docsHa.as("da"), col("da.id") === col("ida"))
+      .join(docsHb.as("db"), col("db.id") === col("idb"))
       .withColumn("_shared",
         HashFunctions.sortedIntersectCount(col("da.shash"), col("db.shash")))
       .select(col("ida"), col("idb"),
@@ -177,10 +184,21 @@ object Dedup {
                         n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                         maxBucket: Int = 10000, minBands: Int = 1)
       : (DataFrame, DataFrame) = {
+    val (docsH, bandRows) = minhashBandRows(df, idCol, textCol, n,
+      numPerm, bands)
+    (docsH, bucketPairs(bandRows, Seq("band", "bhash"), maxBucket, minBands))
+  }
+
+  /** (per-doc hash arrays, (id, band, bhash) LSH bucket rows) — the
+    * shared front of the within-corpus and cross-corpus MinHash
+    * paths. The hash arrays are materialized once: they feed the
+    * signature projection and the verify join's side(s).
+    */
+  private def minhashBandRows(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, numPerm: Int, bands: Int)
+      : (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
-    // materialized once: feeds the signature projection and both
-    // sides of the candidate-verify join
     val docsH = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
     val sig = HashFunctions.minhashSignature(col("shash"), numPerm)
     val bandStructs = (0 until bands).map { b =>
@@ -191,7 +209,57 @@ object Dedup {
       .select(col("id"), sig.as("_sig"))
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    (docsH, bucketPairs(bandRows, Seq("band", "bhash"), maxBucket, minBands))
+    (docsH, bandRows)
+  }
+
+  /** Cross-corpus near-dup: flag corpus documents near-duplicating
+    * ANY document of a reference corpus — "dedup the new crawl
+    * against the existing training set". Unlike [[decontaminate]]
+    * (which broadcasts a small benchmark's shingle set), BOTH sides
+    * here scale: each computes in-row MinHash band keys and the only
+    * shuffle is the (band, bhash) equi-join between them — no
+    * broadcast, no cross product. Band-collision candidates (≥
+    * `minBands` matching bands) are verified with exact Jaccard over
+    * the full shingle-hash arrays. `maxBucket` caps template-flood
+    * buckets on EACH side independently (a boilerplate page shared by
+    * both corpora would otherwise emit |corpus bucket| × |ref bucket|
+    * pairs from one key).
+    *
+    * Output: one row per corpus document — (id, n_ref_candidates,
+    * max_ref_jaccard, is_dup_of_ref = max ≥ threshold).
+    */
+  def dedupAgainstStats(corpus: DataFrame, reference: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 5, numPerm: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.1,
+                        maxBucket: Int = 10000, minBands: Int = 1)
+      : DataFrame = {
+    val (corpusH, corpusBands) =
+      minhashBandRows(corpus, idCol, textCol, n, numPerm, bands)
+    val (refH, refBands) =
+      minhashBandRows(reference, idCol, textCol, n, numPerm, bands)
+    val ca = corpusBands.groupBy("band", "bhash")
+      .agg(collect_set(col("id")).as("ca"))
+      .filter(size(col("ca")) <= maxBucket)
+    val rb = refBands.groupBy("band", "bhash")
+      .agg(collect_set(col("id")).as("rb"))
+      .filter(size(col("rb")) <= maxBucket)
+    val cand = ca.join(rb, Seq("band", "bhash"))
+      .select(explode(col("ca")).as("ida"), col("rb"))
+      .select(col("ida"), explode(col("rb")).as("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minBands)
+      .select(col("ida"), col("idb"))
+    val per = pairJaccardTwo(corpusH, refH, cand)
+      .groupBy(col("ida").as("id")).agg(
+        count(lit(1)).as("n_ref_candidates"),
+        max(col("jaccard")).as("max_ref_jaccard"))
+    corpus.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_ref_candidates"), lit(0L)).as("n_ref_candidates"),
+        col("max_ref_jaccard"),
+        (coalesce(col("max_ref_jaccard"), lit(0.0)) >= threshold)
+          .as("is_dup_of_ref"))
   }
 
   /** End-to-end near-dup resolution: MinHash-LSH candidates, verified

@@ -66,7 +66,11 @@ object DedupQueries {
     * MinHash mins compare as SIGNED longs (Java `<`), hence the
     * unsigned->signed reinterpretation before `min`.
     */
-  private def minhashCtes(minBands: Int = 1): String = {
+  /** CTEs through `bandkeys` (shingles → FNV mix → minhash signature
+    * → per-band key lists) — shared by the within-corpus pair CTEs
+    * and the cross-corpus candidate CTE.
+    */
+  private def minhashSigCtes(): String = {
     val fnv = fnvSql("shingle")
     val mix1a = mulmod64("xor(f, f >> 30)", 3210233709L, 484763065L)
     val mix1b = mulmod64("xor(z, z >> 27)", 2496678331L, 321982955L)
@@ -104,7 +108,11 @@ object DedupQueries {
        |  GROUP BY doc_id, p),
        |bandkeys AS (
        |  SELECT doc_id, CAST(p // 4 AS INT) AS band, list(sigp ORDER BY p) AS bkey
-       |  FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+       |  FROM sig GROUP BY doc_id, CAST(p // 4 AS INT))""".stripMargin
+  }
+
+  private def minhashCtes(minBands: Int = 1): String =
+    s"""${minhashSigCtes()},
        |cand AS (
        |  SELECT a.doc_id AS ida, b.doc_id AS idb
        |  FROM bandkeys a JOIN bandkeys b
@@ -118,7 +126,6 @@ object DedupQueries {
        |  JOIN shash sa ON sa.doc_id = c.ida
        |  JOIN shash sb ON sb.doc_id = c.idb AND sb.h = sa.h
        |  GROUP BY c.ida, c.idb)""".stripMargin
-  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -170,6 +177,16 @@ object DedupQueries {
         all.filter(col("source") =!= "src0"),
         all.filter(col("source") === "src0"),
         "doc_id", "text", n = 13)
+    }),
+    // cross-corpus near-dedup: same corpus/reference split, but BOTH
+    // sides scale (LSH band equi-join, no broadcast) — "dedup the new
+    // crawl against the existing training set"
+    "dedup_cross_corpus" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.dedupAgainstStats(
+        all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"),
+        "doc_id", "text", maxBucket = Int.MaxValue)
     }))
 
   private val minhashStatsSql: String =
@@ -478,9 +495,49 @@ object DedupQueries {
        |FROM clean GROUP BY source, lang""".stripMargin
   }
 
+  private val crossCorpusSql: String =
+    s"""WITH ${minhashSigCtes()},
+       |corpusd AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+       |refd AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+       |cand AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bandkeys a
+       |  JOIN corpusd ca ON ca.doc_id = a.doc_id
+       |  JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey
+       |  JOIN refd rf ON rf.doc_id = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= 1),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shash GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.ida, c.idb, COUNT(*) AS sh
+       |  FROM cand c
+       |  JOIN shash sa ON sa.doc_id = c.ida
+       |  JOIN shash sb ON sb.doc_id = c.idb AND sb.h = sa.h
+       |  GROUP BY c.ida, c.idb),
+       |jac AS (
+       |  SELECT c.ida,
+       |    CAST(COALESCE(s.sh, 0) AS DOUBLE) /
+       |      (za.n + zb.n - COALESCE(s.sh, 0)) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN shared s ON s.ida = c.ida AND s.idb = c.idb
+       |  JOIN sizes za ON za.doc_id = c.ida
+       |  JOIN sizes zb ON zb.doc_id = c.idb),
+       |per AS (
+       |  SELECT ida AS doc_id, COUNT(*) AS n_ref_candidates,
+       |    max(jaccard) AS max_ref_jaccard
+       |  FROM jac GROUP BY ida)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_ref_candidates, 0) AS n_ref_candidates,
+       |  p.max_ref_jaccard,
+       |  COALESCE(p.max_ref_jaccard, 0) >= 0.1 AS is_dup_of_ref
+       |FROM documents d
+       |LEFT JOIN per p ON p.doc_id = d.doc_id
+       |WHERE d.source <> 'src0'""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "corpus_curate" -> corpusCurateSql,
     "dedup_decontaminate" -> decontaminateSql,
+    "dedup_cross_corpus" -> crossCorpusSql,
     "dedup_minhash_lsh" -> minhashStatsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_simhash" -> simhashSql,

@@ -343,6 +343,39 @@ class DedupSpec extends SparkSpec {
     assert(lsh.count() == exact.count(), "one stats row per vector")
   }
 
+  test("cross-corpus dedup flags corpus docs near-duplicating the reference") {
+    import SparkSpec.spark.implicits._
+    val ref = Seq(
+      ("r1", "the quick brown fox jumps over the lazy dog again and again"),
+      ("r2", "completely unrelated reference material about databases")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // near-copy of r1 (one word changed)
+      ("c1", "the quick brown fox jumps over the lazy cat again and again"),
+      // exact copy of r2
+      ("c2", "completely unrelated reference material about databases"),
+      // nothing like the reference
+      ("c3", "vermilion zeppelins quantify xylophones beneath jagged quartz")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstStats(corpus, ref, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out.keySet == Set("c1", "c2", "c3"), "every corpus doc reports")
+    assert(out("c1")._2, s"near-copy must flag: ${out("c1")}")
+    assert(out("c2")._2, s"exact copy must flag: ${out("c2")}")
+    assert(!out("c3")._2 && out("c3")._1 == 0L,
+      s"unrelated doc must not flag: ${out("c3")}")
+    // reference docs never appear in the output (one row per CORPUS doc)
+    assert(!out.contains("r1") && !out.contains("r2"))
+    // flood cap: with every bucket over the cap, candidate generation
+    // drops to nothing — is_dup all false, rows still all present
+    val capped = Dedup.dedupAgainstStats(corpus, ref, "doc_id", "text",
+      threshold = 0.5, maxBucket = 0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(capped.values.forall(v => !v) && capped.size == 3)
+  }
+
   test("salted cluster resolution: star graph equals unsalted, no straggler task") {
     // Viral-cluster shape: every edge is incident to id 1, so the
     // unsalted per-round neighbor join puts ALL hot-key rows in the
