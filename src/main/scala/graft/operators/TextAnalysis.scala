@@ -59,6 +59,37 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /** Rarity-weighted keyword extraction: top-k terms per document by
+    * tf × (N / df), descending, ties broken by term. The weight uses
+    * the RATIONAL inverse document frequency (N/df) instead of the
+    * textbook ln(N/df): multiplication and division are correctly
+    * rounded under IEEE-754 and therefore bit-identical across
+    * engines, while ln is not — and for keyword RANKING the
+    * monotone-in-df substitution changes which score you print, not
+    * which terms any fixed tf prefers. Plan shape at scale: one
+    * (doc, word) count shuffle, one word-keyed df join (dictionary-
+    * sized right side — AQE broadcasts when it fits), a per-doc
+    * window top-k. No UDFs, no text re-scan.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val n = df.count().toDouble
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "word")
+      .withColumn("score",
+        col("tf").cast("double") * (lit(n) / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Quality metrics per document: lengths, word shape, stopword and
     * punctuation ratios, plus a pass/fail gate. Each ratio is ONE
     * IEEE division of exact integer counts — bit-identical across

@@ -64,6 +64,9 @@ object TextQueries {
   def textVocabTopK(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(spark, dir), "text", k = 100)
 
+  def textTfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(spark, dir), "doc_id", "text", k = 3)
+
   /** RAG-shape chunking: 200-char windows, 50-char overlap. */
   def textChunk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -93,6 +96,7 @@ object TextQueries {
     "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
     "text_vocab_topk" -> (textVocabTopK _),
+    "text_tfidf_topk" -> (textTfidfTopK _),
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _))
 
@@ -167,6 +171,30 @@ object TextQueries {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+    // score = tf * (N/df) with the same IEEE operation shape as the
+    // Spark plan: double division then multiplication (ln would not
+    // be bit-reproducible across engines)
+    "text_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM w WHERE length(word) > 0 GROUP BY doc_id, word),
+        |dfreq AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE) * ((SELECT nd FROM n) / CAST(d.df AS DOUBLE))
+        |      AS score
+        |  FROM tf t JOIN dfreq d USING (word)),
+        |rk AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, word, tf, df, score, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 3""".stripMargin,
     "text_chunk" ->
       """SELECT doc_id,
         |  CAST(i AS BIGINT) AS chunk_id,

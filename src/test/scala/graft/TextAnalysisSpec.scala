@@ -92,6 +92,27 @@ class TextAnalysisSpec extends SparkSpec {
       out(1).getLong(4) == 0L)
   }
 
+  test("tfidf top terms rank rare terms above common ones") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      ("d1", "common zebra zebra"),
+      ("d2", "common common quartz quartz"),
+      ("d3", "common plain words here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    val byDoc = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // zebra (tf=2, df=1 -> score 6) beats common (tf=1, df=3 ->
+    // score 1); quartz (tf=2, df=1) dominates d2 the same way
+    assert(byDoc("d1").head == "zebra", byDoc("d1").toString)
+    assert(byDoc("d2").head == "quartz", byDoc("d2").toString)
+    // every doc reports exactly k (or fewer if vocabulary is smaller)
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+    assert(byDoc.keySet == Set("d1", "d2", "d3"))
+  }
+
   test("vocab top-K is ordered, deterministic, and plans as TakeOrdered") {
     import SparkSpec.spark.implicits._
     val df = Seq("b a a", "a c b", "c a b").toDF("text")
