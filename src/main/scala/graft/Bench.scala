@@ -69,7 +69,12 @@ object Bench {
       (name, attempts)
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-    def r3(d: Double): String = "%.3f".format(d)
+    // Locale.ROOT: a comma-decimal default locale would render
+    // "1234,568" and break the JSON contract this main exists for
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def r6(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     // A crashed RUN must be distinguishable in the JSON itself
     // (stderr is not part of the bench artifact): a query with any
     // failed attempt is listed under "failed" — even if other
@@ -91,14 +96,16 @@ object Bench {
     // Full-precision detail (cold + every attempt) is too large for the
     // harness's bounded output tail — persist it as a repo artifact.
     val detail = results.map { case (k, ts) =>
-      val attempts = ts.map(_.map(v => "%.6f".format(v)).getOrElse("-1")).mkString("[", ",", "]")
-      "\"" + k + "\":{\"cold\":" + ts.head.map(v => "%.6f".format(v)).getOrElse("-1") +
+      val attempts = ts.map(_.map(r6).getOrElse("-1")).mkString("[", ",", "]")
+      "\"" + k + "\":{\"cold\":" + ts.head.map(r6).getOrElse("-1") +
         ",\"attempts\":" + attempts + "}"
     }.mkString("{", ",", "}")
     val detailJson =
       s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"queries":$detail}"""
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_DETAIL.json")
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(detailJson) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

@@ -90,6 +90,11 @@ object ConfigHandler {
       if (w.clusterBy.nonEmpty && cfg.tableFormat != DeltaLogTableFormat)
         throw new ConfigError(at,
           "clusterBy needs file-stats clustering — tableFormat 'delta-log'")
+      // the clustered optimize only runs after merge writes; accepting
+      // it on append/overwrite would silently never cluster
+      if (w.clusterBy.nonEmpty && w.mode != "merge")
+        throw new ConfigError(at,
+          s"clusterBy runs after merge writes only, not mode '${w.mode}'")
       if (w.mode == "merge" && w.partitionBy.size > 1 &&
           cfg.tableFormat != DeltaLogTableFormat)
         throw new ConfigError(at, "multi-column partitionBy merges need " +

@@ -370,43 +370,29 @@ object DeltaLogTableFormat extends TableFormat {
   override def readableVersions(spark: SparkSession,
                                 path: String): Seq[Int] = {
     val missingLive = mutable.Set.empty[String]
+    var poisoned = false
     versions(path).filter { v =>
-      Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).foreach { line =>
-          val n = mapper.readTree(line)
-          if (n.has("add")) {
-            val p = n.get("add").get("path").asText()
-            if (!Files.exists(Paths.get(path, p))) missingLive += p
-            else missingLive -= p
+      // a corrupt/unparseable commit makes the live set unknowable
+      // from there on: mark it and every later version unreadable
+      // (the old per-version read probe skipped them the same way)
+      // instead of crashing the consumer's poll
+      try {
+        Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+          .asScala.filter(_.nonEmpty).foreach { line =>
+            val n = mapper.readTree(line)
+            if (n.has("add")) {
+              val p = n.get("add").get("path").asText()
+              if (!Files.exists(Paths.get(path, p))) missingLive += p
+              else missingLive -= p
+            }
+            if (n.has("remove"))
+              missingLive -= n.get("remove").get("path").asText()
           }
-          if (n.has("remove"))
-            missingLive -= n.get("remove").get("path").asText()
-        }
-      missingLive.isEmpty
+      } catch { case scala.util.control.NonFatal(_) => poisoned = true }
+      !poisoned && missingLive.isEmpty
     }
   }
 
-  /** Change rows of the window (fromV, toV], computed from the log's
-    * file accounting instead of diffing two full snapshots: with
-    * A = files live at toV but not at fromV and R = files live at
-    * fromV but not at toV, the to-state is (from − R) + A file-wise,
-    * so `to.exceptAll(from)` ≡ `rows(A).exceptAll(rows(R))` EXACTLY
-    * (untouched files contribute equally to both sides of the full
-    * diff and cancel; the per-row multiset algebra is
-    * max(0, a−r) either way). After a one-partition pruned merge A
-    * and R are just that partition's files — the gold hop reads only
-    * touched bytes, the same reliance the reference places on Delta's
-    * change feed (readers/streaming_readers.py:14-19). OPTIMIZE
-    * commits inside the window add their rewrites to both A and R,
-    * which cancel — correct, merely not free.
-    *
-    * Both sides read with toV's log-recorded schema (columns added by
-    * in-window evolution surface as null on pre-evolution R files —
-    * the same null-fill the full-snapshot diff aligns to). Returns
-    * None when any needed file has been vacuumed (the caller falls
-    * back to full-snapshot delivery) — and the caller must also fall
-    * back for map-typed schemas, which exceptAll rejects.
-    */
   /** Net (added, removed) live-file sets over the window (fromV, toV]
     * from the log's add/remove actions — the accounting both feed
     * variants share.
@@ -447,12 +433,36 @@ object DeltaLogTableFormat extends TableFormat {
       schema.fold(spark.read)(spark.read.schema(_))
         .parquet(fs.map(f => s"$path/$f"): _*)
 
-  /** Schema at `upTo` — one state replay, shared by both feed sides. */
-  private def schemaAt(spark: SparkSession, path: String,
-                       upTo: Int): Option[StructType] =
+  /** Schema at `upTo` — one state replay, shared by both feed sides
+    * and by consumers that need the schema WITHOUT planning a scan
+    * over the version's full file list.
+    */
+  private[graft] def schemaAt(spark: SparkSession, path: String,
+                              upTo: Int): Option[StructType] =
     replayState(spark, path, upTo).schemaJson
       .map(DataType.fromJson(_).asInstanceOf[StructType])
 
+  /** Change rows of the window (fromV, toV], computed from the log's
+    * file accounting instead of diffing two full snapshots: with
+    * A = files live at toV but not at fromV and R = files live at
+    * fromV but not at toV, the to-state is (from − R) + A file-wise,
+    * so `to.exceptAll(from)` ≡ `rows(A).exceptAll(rows(R))` EXACTLY
+    * (untouched files contribute equally to both sides of the full
+    * diff and cancel; the per-row multiset algebra is
+    * max(0, a−r) either way). After a one-partition pruned merge A
+    * and R are just that partition's files — the gold hop reads only
+    * touched bytes, the same reliance the reference places on Delta's
+    * change feed (readers/streaming_readers.py:14-19). OPTIMIZE
+    * commits inside the window add their rewrites to both A and R,
+    * which cancel — correct, merely not free.
+    *
+    * Both sides read with toV's log-recorded schema (columns added by
+    * in-window evolution surface as null on pre-evolution R files —
+    * the same null-fill the full-snapshot diff aligns to). Returns
+    * None when any needed file has been vacuumed (the caller falls
+    * back to full-snapshot delivery) — and the caller must also fall
+    * back for map-typed schemas, which exceptAll rejects.
+    */
   private[graft] def fileChanges(spark: SparkSession, path: String,
                                  fromV: Int, toV: Int): Option[DataFrame] = {
     val (added, removed) = windowFileDiff(path, fromV, toV)
@@ -951,6 +961,9 @@ object DeltaLogTableFormat extends TableFormat {
     val affected: Seq[Seq[Any]] = updates
       .select(partitionCols.map(col): _*).distinct()
       .collect().map(r => partitionCols.indices.map(r.get)).toSeq
+    // empty updates touch no partitions: commit nothing (the tuple
+    // filter below would otherwise .reduce over an empty Seq)
+    if (affected.isEmpty) return MergeStats(0, 0, 0)
     // same rejection as MergeTable.mergePruned: a null partition
     // value bypasses predicate pruning AND has no stable token
     require(!affected.exists(_.contains(null)),

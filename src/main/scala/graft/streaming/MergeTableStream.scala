@@ -85,26 +85,34 @@ object MergeTableStream {
   def changes(spark: SparkSession, path: String, fromV: Option[Int],
               toV: Int,
               fmt: TableFormat = SnapshotTableFormat): DataFrame = {
-    val to = fmt.readVersion(spark, path, toV)
-    val diffable = !to.schema.fields.exists(
-      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-    fromV.filter(_ => diffable) match {
-      // delta-log tables carry per-commit file accounting: the change
-      // rows are added-files except removed-files — after a pruned
-      // merge the hop reads only the touched partitions' bytes, not
-      // two full snapshots (None = something vacuumed → fall through
-      // to the full-snapshot delivery below)
-      case Some(f) if fmt == graft.pipeline.DeltaLogTableFormat =>
-        graft.pipeline.DeltaLogTableFormat.fileChanges(spark, path, f, toV)
-          .getOrElse(to)
-      // readability probe, not just versions().contains: the fallback
-      // must trigger on missing FILES too
-      case Some(f) =>
-        scala.util.Try(fmt.readVersion(spark, path, f)).toOption match {
-          case Some(from) => to.exceptAll(aligned(from, to))
-          case None       => to
-        }
-      case None => to
+    def mapped(schema: org.apache.spark.sql.types.StructType) =
+      schema.fields.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    // delta-log fast path FIRST, before any full-version read: on a
+    // 100k-file table `readVersion` alone lists every live file to
+    // plan its scan, which would defeat the touched-bytes-only win.
+    // The map-type check comes from the log-recorded schema, and the
+    // full `to` frame is built only on the fallback paths.
+    if (fmt == graft.pipeline.DeltaLogTableFormat && fromV.isDefined) {
+      val dl = graft.pipeline.DeltaLogTableFormat
+      val diffable = dl.schemaAt(spark, path, toV).forall(s => !mapped(s))
+      // change rows = added-files except removed-files; None =
+      // something vacuumed → full-snapshot delivery below
+      val fast =
+        if (diffable) dl.fileChanges(spark, path, fromV.get, toV) else None
+      fast.getOrElse(fmt.readVersion(spark, path, toV))
+    } else {
+      val to = fmt.readVersion(spark, path, toV)
+      fromV.filter(_ => !mapped(to.schema)) match {
+        // readability probe, not just versions().contains: the
+        // fallback must trigger on missing FILES too
+        case Some(f) =>
+          scala.util.Try(fmt.readVersion(spark, path, f)).toOption match {
+            case Some(from) => to.exceptAll(aligned(from, to))
+            case None       => to
+          }
+        case None => to
+      }
     }
   }
 

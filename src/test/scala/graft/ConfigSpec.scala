@@ -444,6 +444,11 @@ class ConfigSpec extends SparkSpec {
       """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
         | "partitionBy": ["a"], "extractMode": "fe"}""".stripMargin,
       fmtLine = """, "tableFormat": "delta-log"""")))
+    // clusterBy only ever runs after a merge — reject it elsewhere
+    // instead of silently never clustering
+    intercept[ConfigHandler.ConfigError](ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "append", "clusterBy": "k"}""",
+      fmtLine = """, "tableFormat": "delta-log"""")))
     // and the happy single-column snapshot case still parses
     val ok = ConfigHandler.parse(base(
       """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],

@@ -877,6 +877,23 @@ class MergeSpec extends SparkSpec {
       pv.contains("region") && pv.contains("day")))
   }
 
+  test("pruned merge with empty updates commits nothing") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val base = Seq((1L, "a", 1, "b0"), (2L, "b", 1, "b1"))
+      .toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    val before = fmt.currentVersion(p)
+    // an incremental run with zero new rows (or a DQ-emptied
+    // micro-batch) must be a clean no-op, not an empty-reduce crash
+    val s = fmt.scd1MergePruned(spark, p,
+      base.filter(col("id") < 0), Seq("id"), "ord", "bucket")
+    assert(s == graft.pipeline.MergeStats(0, 0, 0))
+    assert(fmt.currentVersion(p) == before, "no version committed")
+    assert(fmt.read(spark, p).count() == 2)
+  }
+
   test("pruned merge plans its target scan over affected files only") {
     import SparkSpec.spark.implicits._
     val fmt = graft.pipeline.DeltaLogTableFormat
