@@ -964,9 +964,18 @@ class MergeSpec extends SparkSpec {
           Seq("region", "day"), graft.sources.Sources.controlColumns)
         // model: the same updates through plain full-rewrite merges
         SnapshotTableFormat.scd1Merge(spark, pS, df, Seq("id"), "ord")
-        // random maintenance between data commits
-        if (rnd.nextBoolean())
-          fmt.optimize(spark, pD, smallFileBytes = 1L << 20)
+        // random maintenance between data commits: plain bin-pack,
+        // range-clustered rewrite (over both partition columns plus
+        // the cluster key), or vacuum of pre-consumed versions — the
+        // consumer below has already committed offsets up to the
+        // previous step, so retention down to 2 never outruns it
+        rnd.nextInt(4) match {
+          case 0 => fmt.optimize(spark, pD, smallFileBytes = 1L << 20)
+          case 1 => fmt.optimizeClustered(spark, pD, "id",
+            targetFileBytes = 1L << 20)
+          case 2 => fmt.vacuum(pD, keepVersions = 2)
+          case _ => ()
+        }
         // silver state must match the model at every step
         assert(tableHash(fmt.read(spark, pD)) ==
           tableHash(SnapshotTableFormat.read(spark, pS)),
