@@ -157,6 +157,10 @@ object DedupQueries {
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupResolve(docs(s, d), "doc_id", "text", threshold = 0.8,
         maxBucket = Int.MaxValue, minBands = 2)),
+    // embedding-space anisotropy diagnostic (decimal-exact sums ->
+    // engine-exact covariance)
+    "embedding_covariance" -> ((s, d) =>
+      Similarity.embeddingCovariance(embs(s, d), "vec_id", "embedding")),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
@@ -534,10 +538,39 @@ object DedupQueries {
        |LEFT JOIN per p ON p.doc_id = d.doc_id
        |WHERE d.source <> 'src0'""".stripMargin
 
+  // covariance oracle: identical operation shapes to the Spark plan —
+  // tie-free floor(x*1e6) quantization (a rounding cast tie-breaks
+  // differently across engines), exact integer-decimal sums, then one
+  // fixed IEEE expression for the final covariance
+  private val embeddingCovarianceSql: String =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+      |      AS BIGINT) AS q,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT i, SUM(CAST(q AS DECIMAL(38,0))) AS sx
+      |  FROM x GROUP BY i),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    SUM(CAST(a.q * b.q AS DECIMAL(38,0))) AS sxx
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM embeddings)
+      |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+      |  ((CAST(p.sxx AS DOUBLE) -
+      |     CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE) / (SELECT nd FROM n))
+      |    / ((SELECT nd FROM n) - 1)) / 1000000000000.0 AS cov
+      |FROM p
+      |JOIN s sa ON sa.i = p.i
+      |JOIN s sb ON sb.i = p.j""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "corpus_curate" -> corpusCurateSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_cross_corpus" -> crossCorpusSql,
+    "embedding_covariance" -> embeddingCovarianceSql,
     "dedup_minhash_lsh" -> minhashStatsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_simhash" -> simhashSql,

@@ -274,4 +274,57 @@ object Similarity {
         .filter(col("_n") > maxBucket).select("bucket")
       e.join(broadcast(flood), Seq("bucket"), "left_anti")
     }
+
+  /** Sample covariance matrix of the embedding space (upper triangle,
+    * 0-based dims) — the anisotropy diagnostic run before trusting
+    * cosine similarity on a new embedding column: a dominant
+    * principal direction makes every pair look alike and near-dup
+    * thresholds meaningless.
+    *
+    * Numerics are built for ENGINE-EXACT reproducibility. Components
+    * are quantized onto a fixed grid with `floor(x · 10⁶)` — floor is
+    * TIE-FREE, unlike any rounding cast (a double→decimal cast
+    * tie-breaks HALF_UP in Spark but not in every engine, and one
+    * tied term already desyncs a cross-row sum). All sums then run in
+    * exact integer decimals (associative — independent of partition
+    * order, unlike double sums), and one fixed IEEE expression
+    * (Sxx − Sx·Sy/N)/(N−1)/10¹² produces the covariance of the
+    * quantized values; with unit-scale embeddings the 1e-6 grid
+    * perturbs covariances at the 1e-6 level, far below any
+    * anisotropy signal.
+    *
+    * Scale shape: the (i, j, product) explode is D²/2 rows per
+    * vector, hash-aggregated map-side before ONE shuffle of
+    * D²/2 × partitions partial sums — no driver matrix, no collect;
+    * the dim-sum side is a D-row broadcast-sized join.
+    */
+  def embeddingCovariance(df: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    val n = df.count().toDouble
+    require(n >= 2, "covariance needs at least two vectors")
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * lit(1e6)).cast("long")
+    val dimSums = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(q(col("x")).cast("decimal(38,0)")).as("sx"))
+      .select(col("i").as("si"), col("sx"))
+    val pairSums = df
+      .select(col(vecCol).as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "xa")), col("v"))
+      .select(col("i"), col("xa"), posexplode(col("v")).as(Seq("j", "xb")))
+      .filter(col("i") <= col("j"))
+      // quantized longs multiply exactly (|q| ~ 1e7 → product ~ 1e14,
+      // far under Long range); the decimal cast is for the exact SUM
+      .select(col("i"), col("j"),
+        (q(col("xa")) * q(col("xb"))).cast("decimal(38,0)").as("xx"))
+      .groupBy("i", "j").agg(sum(col("xx")).as("sxx"))
+    pairSums
+      .join(dimSums.as("sa"), col("i") === col("sa.si"))
+      .join(dimSums.as("sb"), col("j") === col("sb.si"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (((col("sxx").cast("double") -
+          col("sa.sx").cast("double") * col("sb.sx").cast("double") / lit(n))
+          / lit(n - 1)) / lit(1e12)).as("cov"))
+  }
 }

@@ -343,6 +343,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.count() == exact.count(), "one stats row per vector")
   }
 
+  test("embedding covariance matches the closed-form answer") {
+    import SparkSpec.spark.implicits._
+    // exact grid values (multiples of 1e-6 quantize without loss):
+    // x = [1, 2, 3, 4], y = [1, 3, 2, 4] -> var(x) = var(y) = 5/3,
+    // cov(x, y) = 4/3 (sample, n-1)
+    val df = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(2f, 3f)),
+      (3L, Array(3f, 2f)), (4L, Array(4f, 4f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .embeddingCovariance(df, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)),
+      "upper triangle only")
+    assert(math.abs(out((0L, 0L)) - 5.0 / 3) < 1e-9, out.toString)
+    assert(math.abs(out((1L, 1L)) - 5.0 / 3) < 1e-9, out.toString)
+    assert(math.abs(out((0L, 1L)) - 4.0 / 3) < 1e-9, out.toString)
+  }
+
   test("cross-corpus dedup flags corpus docs near-duplicating the reference") {
     import SparkSpec.spark.implicits._
     val ref = Seq(
