@@ -104,7 +104,8 @@ object StreamingIngest {
     * partitions, so each commit rewrites only those — at 100 TB the
     * difference between a per-batch full-table rewrite and a
     * per-batch hot-partition touch. Incremental semantics only (a
-    * micro-batch is by nature not a full extract).
+    * micro-batch is by nature not a full extract). `optimizeEvery`
+    * compacts the target every that-many micro-batches (0 = off).
     */
   def mergeSink(source: DataFrame, tablePath: String, checkpoint: String,
                 keys: Seq[String], orderBy: String,
@@ -113,7 +114,8 @@ object StreamingIngest {
                 dqResultsPath: Option[String] = None,
                 fmt: graft.pipeline.TableFormat =
                   graft.pipeline.SnapshotTableFormat,
-                partitionBy: Seq[String] = Nil)
+                partitionBy: Seq[String] = Nil,
+                optimizeEvery: Int = 0)
       : StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -149,6 +151,14 @@ object StreamingIngest {
             } else
               fmt.scd1Merge(spark, tablePath, batch, keys, orderBy,
                 compareExclude = compareExclude)
+            // periodic compaction: every micro-batch merge lands its
+            // own small files, and a long-running stream accumulates
+            // them without bound — the reference optimizes after its
+            // Delta merges for the same reason. dataChange=false
+            // commits, so downstream gold-hop consumers skip them
+            // without a diff scan.
+            if (optimizeEvery > 0 && (batchId + 1) % optimizeEvery == 0)
+              fmt.optimize(spark, tablePath)
           }
           ()
         }

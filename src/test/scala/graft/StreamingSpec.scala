@@ -111,6 +111,54 @@ class StreamingSpec extends SparkSpec {
       s"untouched partitions' files must stay live: removed $removed1")
   }
 
+  test("streaming merge sink compacts the target every optimizeEvery batches") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val dir = Files.createTempDirectory("graft_sopt_src").toString
+    val table = Files.createTempDirectory("graft_sopt_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_sopt_ck").toString
+    (1 to 4).foreach { i =>
+      (1 to 8).map(j => ((i * 10 + j).toLong, s"v$i-$j", i))
+        .toDF("id", "v", "ord").coalesce(1)
+        .write.parquet(s"$dir/f$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$dir/*.parquet").schema
+    val stream = StreamingIngest.readStream(spark, "parquet",
+      s"$dir/*.parquet", schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("id", "v", "ord")
+    // AQE coalescing off: each micro-batch merge rewrite lands one
+    // file per shuffle task — the multi-file-per-commit layout real
+    // cluster parallelism produces, which compaction exists to squash
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevConf = spark.conf.get(coalesceKey)
+    val q = try {
+      spark.conf.set(coalesceKey, "false")
+      val q0 = StreamingIngest.mergeSink(stream, table, ckpt,
+        keys = Seq("id"), orderBy = "ord", compareExclude = Nil,
+        fmt = fmt, optimizeEvery = 2)
+      q0.awaitTermination(120000)
+      q0
+    } finally spark.conf.set(coalesceKey, prevConf)
+    assert(fmt.read(spark, table).count() == 32)
+    // OPTIMIZE commits interleave with the merges in the log
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ops = fmt.versions(table).map { v =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        table, "_delta_log", f"$v%020d.json")).asScala
+        .filter(_.nonEmpty).map(m.readTree)
+        .find(_.has("commitInfo")).map(_.get("commitInfo")
+          .get("operation").asText()).getOrElse("?")
+    }
+    assert(ops.count(_ == "OPTIMIZE") >= 1,
+      s"periodic compaction must commit: $ops")
+    // compaction squashes the multi-task rewrite layout: strictly
+    // fewer live files than one-per-shuffle-task
+    assert(fmt.read(spark, table).inputFiles.length < 4,
+      s"live files: ${fmt.read(spark, table).inputFiles.length}")
+    assert(q.lastProgress != null)
+  }
+
   test("watermarked streaming dedup drops in-window duplicate keys") {
     val dir = Files.createTempDirectory("graft_dedup_src").toString
     import SparkSpec.spark.implicits._
