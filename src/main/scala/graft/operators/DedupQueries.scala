@@ -161,6 +161,12 @@ object DedupQueries {
     // engine-exact covariance)
     "embedding_covariance" -> ((s, d) =>
       Similarity.embeddingCovariance(embs(s, d), "vec_id", "embedding")),
+    // PCA whitening (driver Jacobi on the D x D covariance, literal
+    // projection matrix in a codegen'd transform/aggregate) — no SQL
+    // oracle (eigendecomposition), spec-verified closed-form instead
+    "embedding_pca_whiten" -> ((s, d) =>
+      Similarity.pcaProject(embs(s, d), "vec_id", "embedding",
+        k = 16, whiten = true)),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>

@@ -298,6 +298,111 @@ object Similarity {
     * D²/2 × partitions partial sums — no driver matrix, no collect;
     * the dim-sum side is a D-row broadcast-sized join.
     */
+  /** Project embeddings onto their top-`k` principal components,
+    * optionally whitened (unit variance per component) — the
+    * preprocessing that restores meaning to cosine thresholds on an
+    * anisotropic embedding space, and the classic dimensionality cut
+    * before ANN indexing.
+    *
+    * Division of labor follows the data sizes: the covariance matrix
+    * is computed DISTRIBUTED (see [[embeddingCovariance]] — the only
+    * part that touches all N rows), its D×D result (a few thousand
+    * doubles) is collected and eigendecomposed on the driver with
+    * cyclic Jacobi rotations — the textbook symmetric-eigen algorithm
+    * (Golub & Van Loan §8.5), exact enough in ~5 sweeps for
+    * covariance matrices — and the D×k projection ships back as a
+    * LITERAL in a `transform`/`aggregate` column expression: the
+    * per-row projection stays inside whole-stage codegen, no UDF, no
+    * broadcast join, no second pass over the corpus for the fit.
+    *
+    * Output: (idCol, projection array[k]). Deterministic: Jacobi on
+    * a fixed matrix is deterministic, and each component's sign is
+    * canonicalized (largest-|loading| coordinate positive).
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, whiten: Boolean = false,
+                 eps: Double = 1e-9): DataFrame = {
+    val cov = embeddingCovariance(df, idCol, vecCol).collect()
+    val d = cov.map(_.getLong(1)).max.toInt + 1
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val a = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (eigVals, eigVecs) = jacobiEigen(a)
+    // top-k by eigenvalue, sign-canonicalized columns
+    val order = eigVals.indices.sortBy(i => -eigVals(i)).take(k)
+    val proj: Seq[Seq[Double]] = order.map { c =>
+      val v = Array.tabulate(d)(r => eigVecs(r)(c))
+      val dom = v.indices.maxBy(i => math.abs(v(i)))
+      val sign = if (v(dom) < 0) -1.0 else 1.0
+      val scale =
+        if (whiten) sign / math.sqrt(math.max(eigVals(c), eps)) else sign
+      v.map(_ * scale).toSeq
+    }
+    val projLit = typedLit(proj)
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(k - 1)), kk =>
+        aggregate(
+          zip_with(col(vecCol).cast("array<double>"),
+            element_at(projLit, kk + 1), (x, w) => x * w),
+          lit(0.0), (acc, v) => acc + v)).as("projection"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * repeatedly zero the largest-magnitude off-diagonal entry with a
+    * Givens rotation until all off-diagonals are negligible. Returns
+    * (eigenvalues, eigenvectors-as-columns). O(D³) per sweep on the
+    * DRIVER — fine for embedding dims (D ≤ a few thousand), which is
+    * exactly why the covariance collect is justified.
+    */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // each rotation zeroes one off-diagonal entry; convergence takes
+    // a few sweeps of the ~d²/2 entries, so budget generously
+    val maxRotations = math.max(100, 30 * d * d)
+    var rot = 0
+    var done = d < 2
+    while (!done && rot < maxRotations) {
+      var off = 0.0
+      var (p, q) = (0, 1)
+      for (i <- 0 until d; j <- i + 1 until d)
+        if (math.abs(a(i)(j)) > off) { off = math.abs(a(i)(j)); p = i; q = j }
+      if (off < 1e-12) done = true
+      else {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+            case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+            case x   => x
+          }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val (aip, aiq) = (a(i)(p), a(i)(q))
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (j <- 0 until d) {
+          val (apj, aqj) = (a(p)(j), a(q)(j))
+          a(p)(j) = c * apj - s * aqj
+          a(q)(j) = s * apj + c * aqj
+        }
+        for (i <- 0 until d) {
+          val (vip, viq) = (v(i)(p), v(i)(q))
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+        rot += 1
+      }
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   def embeddingCovariance(df: DataFrame, idCol: String,
                           vecCol: String): DataFrame = {
     val n = df.count().toDouble

@@ -363,6 +363,48 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out((0L, 1L)) - 4.0 / 3) < 1e-9, out.toString)
   }
 
+  test("pca projection recovers the principal axis and whitening unit-variances it") {
+    import SparkSpec.spark.implicits._
+    val Similarity = graft.operators.Similarity
+    // points spread along the diagonal y = x with small orthogonal
+    // noise: the top principal component must be ~(1,1)/sqrt(2)
+    val r = new scala.util.Random(11)
+    val pts = (1 to 400).map { i =>
+      val t = r.nextGaussian() * 4.0
+      val noise = r.nextGaussian() * 0.1
+      (i.toLong, Array((t + noise).toFloat, (t - noise).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val proj1 = Similarity.pcaProject(df, "vec_id", "embedding", k = 1)
+      .select(col("vec_id"), col("projection")(0).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the projection of (x, y) onto (1,1)/sqrt2 is (x+y)/sqrt2 = t*sqrt2
+    // (up to the small noise): correlation with t must be ~1
+    val ts = pts.map { case (id, a) => (a(0) + a(1)) / math.sqrt(2.0) }
+    val ps = pts.map { case (id, _) => proj1(id) }
+    val corr = {
+      val n = ts.size
+      val (mt, mp) = (ts.sum / n, ps.sum / n)
+      val covtp = ts.zip(ps).map { case (a, b) => (a - mt) * (b - mp) }.sum
+      val st = math.sqrt(ts.map(a => (a - mt) * (a - mt)).sum)
+      val sp = math.sqrt(ps.map(b => (b - mp) * (b - mp)).sum)
+      covtp / (st * sp)
+    }
+    assert(math.abs(corr) > 0.999,
+      s"top component must align with the diagonal: corr=$corr")
+    // whitened 2-D projection: covariance of the output is ~identity
+    val white = Similarity.pcaProject(df, "vec_id", "embedding", k = 2,
+      whiten = true)
+      .select(col("vec_id"),
+        col("projection").cast("array<float>").as("embedding"))
+    val wcov = Similarity.embeddingCovariance(white, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(math.abs(wcov((0L, 0L)) - 1.0) < 0.05, wcov.toString)
+    assert(math.abs(wcov((1L, 1L)) - 1.0) < 0.05, wcov.toString)
+    assert(math.abs(wcov((0L, 1L))) < 0.05, wcov.toString)
+  }
+
   test("cross-corpus dedup flags corpus docs near-duplicating the reference") {
     import SparkSpec.spark.implicits._
     val ref = Seq(
