@@ -322,6 +322,15 @@ object Similarity {
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
                  k: Int, whiten: Boolean = false,
                  eps: Double = 1e-9): DataFrame = {
+    // covariance quantization precondition (see embeddingCovariance):
+    // quantized products must stay inside Long — enforce here, where
+    // a driver action already happens anyway
+    val mx = df.agg(max(array_max(transform(
+      col(vecCol).cast("array<double>"), abs(_))))).collect()(0).getDouble(0)
+    require(mx < 3000.0,
+      s"pcaProject expects unit-scale embeddings (max |component| " +
+        s"$mx >= 3000 would overflow the covariance quantization) — " +
+        "rescale the column first")
     val cov = embeddingCovariance(df, idCol, vecCol).collect()
     val d = cov.map(_.getLong(1)).max.toInt + 1
     require(k >= 1 && k <= d, s"k must be in [1, $d]")
@@ -330,6 +339,18 @@ object Similarity {
       val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
       a(i)(j) = c; a(j)(i) = c
     }
+    // dimension means: PCA is defined on CENTERED data — projecting
+    // raw vectors would add the large shared constant Vᵀμ to every
+    // output (for anisotropic spaces with a big common mean, exactly
+    // the every-pair-looks-alike pathology this op exists to fix).
+    // By linearity Vᵀ(x−μ) = Vᵀx − Vᵀμ, so centering is a per-
+    // component constant subtracted after the dot product.
+    val n = df.count().toDouble
+    val meanRows = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x").cast("double")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1) / n).toMap
+    val mean = Array.tabulate(d)(meanRows.getOrElse(_, 0.0))
     val (eigVals, eigVecs) = jacobiEigen(a)
     // top-k by eigenvalue, sign-canonicalized columns
     val order = eigVals.indices.sortBy(i => -eigVals(i)).take(k)
@@ -341,39 +362,49 @@ object Similarity {
         if (whiten) sign / math.sqrt(math.max(eigVals(c), eps)) else sign
       v.map(_ * scale).toSeq
     }
+    val offsets: Seq[Double] =
+      proj.map(v => v.zip(mean).map { case (w, m) => w * m }.sum)
     val projLit = typedLit(proj)
+    val offLit = typedLit(offsets)
     df.select(col(idCol),
       transform(sequence(lit(0), lit(k - 1)), kk =>
         aggregate(
           zip_with(col(vecCol).cast("array<double>"),
             element_at(projLit, kk + 1), (x, w) => x * w),
-          lit(0.0), (acc, v) => acc + v)).as("projection"))
+          lit(0.0), (acc, v) => acc + v) - element_at(offLit, kk + 1))
+        .as("projection"))
   }
 
-  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
-    * repeatedly zero the largest-magnitude off-diagonal entry with a
-    * Givens rotation until all off-diagonals are negligible. Returns
-    * (eigenvalues, eigenvectors-as-columns). O(D³) per sweep on the
-    * DRIVER — fine for embedding dims (D ≤ a few thousand), which is
-    * exactly why the covariance collect is justified.
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: each
+    * SWEEP visits every (p, q) pair in order and applies a Givens
+    * rotation wherever the off-diagonal entry is non-negligible —
+    * O(D³) per sweep with no per-rotation pivot search (the classical
+    * max-pivot variant pays an O(D²) scan per rotation, O(D⁴)
+    * overall), converging in a handful of sweeps (Golub & Van Loan
+    * §8.5). The stop criterion is RELATIVE — off-diagonal Frobenius
+    * norm below 1e-12 of the matrix norm — so large-magnitude
+    * covariance matrices terminate instead of chasing an absolute
+    * threshold under their floating-point noise floor. Returns
+    * (eigenvalues, eigenvectors-as-columns). Runs on the DRIVER —
+    * fine for embedding dims, which is exactly why the covariance
+    * collect is justified.
     */
   private[operators] def jacobiEigen(a0: Array[Array[Double]])
       : (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
-    // each rotation zeroes one off-diagonal entry; convergence takes
-    // a few sweeps of the ~d²/2 entries, so budget generously
-    val maxRotations = math.max(100, 30 * d * d)
-    var rot = 0
-    var done = d < 2
-    while (!done && rot < maxRotations) {
-      var off = 0.0
-      var (p, q) = (0, 1)
-      for (i <- 0 until d; j <- i + 1 until d)
-        if (math.abs(a(i)(j)) > off) { off = math.abs(a(i)(j)); p = i; q = j }
-      if (off < 1e-12) done = true
-      else {
+    def offNorm: Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      math.sqrt(2.0 * s)
+    }
+    val frob = math.sqrt(
+      (for (i <- 0 until d; j <- 0 until d) yield a(i)(j) * a(i)(j)).sum)
+    val tol = 1e-12 * math.max(frob, Double.MinPositiveValue)
+    var sweeps = 0
+    while (d >= 2 && offNorm > tol && sweeps < 50) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > tol / d) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
         val t = math.signum(theta) /
           (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
@@ -397,14 +428,22 @@ object Similarity {
           v(i)(p) = c * vip - s * viq
           v(i)(q) = s * vip + c * viq
         }
-        rot += 1
       }
+      sweeps += 1
     }
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
   def embeddingCovariance(df: DataFrame, idCol: String,
                           vecCol: String): DataFrame = {
+    require(df.columns.contains(idCol) && df.columns.contains(vecCol),
+      s"missing column: needs $idCol and $vecCol")
+    // one count job — metadata-only on parquet sources (rowcount
+    // pushdown); the frame must be static between this and the sum
+    // jobs, the usual batch-operator contract.
+    // PRECONDITION: unit-scale embeddings (|component| < ~3000), or
+    // the quantized products overflow Long — pcaProject enforces it
+    // with a driver check; callers on exotic scales rescale first.
     val n = df.count().toDouble
     require(n >= 2, "covariance needs at least two vectors")
     def q(c: org.apache.spark.sql.Column) =

@@ -151,15 +151,20 @@ object StreamingIngest {
             } else
               fmt.scd1Merge(spark, tablePath, batch, keys, orderBy,
                 compareExclude = compareExclude)
-            // periodic compaction: every micro-batch merge lands its
-            // own small files, and a long-running stream accumulates
-            // them without bound — the reference optimizes after its
-            // Delta merges for the same reason. dataChange=false
-            // commits, so downstream gold-hop consumers skip them
-            // without a diff scan.
-            if (optimizeEvery > 0 && (batchId + 1) % optimizeEvery == 0)
-              fmt.optimize(spark, tablePath)
           }
+          ()
+        }
+        // periodic compaction: every micro-batch merge lands its own
+        // small files, and a long-running stream accumulates them
+        // without bound — the reference optimizes after its Delta
+        // merges for the same reason. dataChange=false commits, so
+        // downstream gold-hop consumers skip them without a diff
+        // scan. The cadence check runs OUTSIDE the empty/DQ gates: an
+        // empty or skipped batch landing on a cadence point must not
+        // defer compaction a whole cycle.
+        if (optimizeEvery > 0 && (batchId + 1) % optimizeEvery == 0 &&
+            fmt.exists(tablePath)) {
+          fmt.optimize(batch.sparkSession, tablePath)
           ()
         }
       }
