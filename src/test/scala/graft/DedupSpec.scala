@@ -392,6 +392,17 @@ class DedupSpec extends SparkSpec {
     }
     assert(math.abs(corr) > 0.999,
       s"top component must align with the diagonal: corr=$corr")
+    // centering regression: shift every vector by a large common mean
+    // — correlation/covariance are shift-invariant, so assert the
+    // PROJECTIONS themselves: they must average ~0 (uncentered
+    // projection would carry the huge shared Vᵀμ constant instead)
+    val shifted = pts.map { case (id, a) =>
+      (id, Array(a(0) + 500f, a(1) + 500f)) }.toDF("vec_id", "embedding")
+    val shiftedMean = Similarity
+      .pcaProject(shifted, "vec_id", "embedding", k = 1)
+      .agg(avg(col("projection")(0))).collect()(0).getDouble(0)
+    assert(math.abs(shiftedMean) < 1.0,
+      s"projection must be centered, got mean $shiftedMean")
     // whitened 2-D projection: covariance of the output is ~identity
     val white = Similarity.pcaProject(df, "vec_id", "embedding", k = 2,
       whiten = true)
