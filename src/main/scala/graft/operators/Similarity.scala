@@ -322,11 +322,19 @@ object Similarity {
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
                  k: Int, whiten: Boolean = false,
                  eps: Double = 1e-9): DataFrame = {
+    // one pass collects the centering means AND the quantization
+    // guard: per-dim sum + count + max|x|, D rows to the driver
+    val dimStats = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double").as("x"))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("c"),
+        max(abs(col("x"))).as("mx"))
+      .collect().map(r =>
+        r.getInt(0) -> (r.getDouble(1) / r.getLong(2), r.getDouble(3)))
+      .toMap
     // covariance quantization precondition (see embeddingCovariance):
-    // quantized products must stay inside Long — enforce here, where
-    // a driver action already happens anyway
-    val mx = df.agg(max(array_max(transform(
-      col(vecCol).cast("array<double>"), abs(_))))).collect()(0).getDouble(0)
+    // quantized products must stay inside Long
+    val mx = dimStats.values.map(_._2).foldLeft(0.0)(math.max)
     require(mx < 3000.0,
       s"pcaProject expects unit-scale embeddings (max |component| " +
         s"$mx >= 3000 would overflow the covariance quantization) — " +
@@ -345,12 +353,7 @@ object Similarity {
     // the every-pair-looks-alike pathology this op exists to fix).
     // By linearity Vᵀ(x−μ) = Vᵀx − Vᵀμ, so centering is a per-
     // component constant subtracted after the dot product.
-    val n = df.count().toDouble
-    val meanRows = df
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x").cast("double")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1) / n).toMap
-    val mean = Array.tabulate(d)(meanRows.getOrElse(_, 0.0))
+    val mean = Array.tabulate(d)(i => dimStats.get(i).map(_._1).getOrElse(0.0))
     val (eigVals, eigVecs) = jacobiEigen(a)
     // top-k by eigenvalue, sign-canonicalized columns
     val order = eigVals.indices.sortBy(i => -eigVals(i)).take(k)
