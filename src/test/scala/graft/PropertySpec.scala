@@ -132,6 +132,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus dedup agrees with exact jaccard on clear-margin corpora") {
+    // random corpora of shared-phrase documents; every corpus doc is
+    // either a near-copy of some reference doc (one word changed in a
+    // long text -> jaccard well above threshold) or fresh random text
+    // (shared 5-gram collisions are possible, but thresholded jaccard
+    // stays low) — the LSH path must flag exactly the near-copies
+    val r = new Random(31)
+    (1 to 3).foreach { trial =>
+      val refDocs = (1 to 10).map(i => (s"r$i", randDoc(r) + " " + randDoc(r)))
+      val corpus = (1 to 15).map { i =>
+        if (i % 3 == 0) {
+          // near-copy: replace one word of a random reference doc
+          val src = refDocs(r.nextInt(refDocs.size))._2.split(" ")
+          val idx = r.nextInt(src.length)
+          (s"c$i", src.updated(idx, "zzzz").mkString(" "), true)
+        } else (s"c$i", randDoc(r) + " " + randDoc(r), false)
+      }
+      import SparkSpec.spark.implicits._
+      val out = graft.operators.Dedup.dedupAgainstStats(
+        corpus.map(c => (c._1, c._2)).toDF("doc_id", "text"),
+        refDocs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, maxBucket = Int.MaxValue)
+        .collect().map(r2 => r2.getString(0) -> r2.getBoolean(3)).toMap
+      // exact reference: character-5-gram jaccard against every ref doc
+      def shingles(t: String): Set[String] =
+        (0 to math.max(t.length - 5, 0)).map(p =>
+          t.substring(p, math.min(p + 5, t.length))).toSet
+      corpus.foreach { case (id, text, isCopy) =>
+        val sh = shingles(text)
+        val maxJ = refDocs.map { case (_, rt) =>
+          val rs = shingles(rt)
+          val inter = sh.intersect(rs).size.toDouble
+          inter / (sh.size + rs.size - inter)
+        }.max
+        if (maxJ >= 0.6)
+          assert(out(id), s"trial $trial: $id jaccard $maxJ must flag")
+        if (maxJ < 0.4)
+          assert(!out(id), s"trial $trial: $id jaccard $maxJ must not flag")
+        if (isCopy) assert(out(id), s"trial $trial: near-copy $id must flag")
+      }
+    }
+  }
+
   test("redaction is idempotent and leaves no matchable pii behind") {
     val r = new Random(13)
     val piis = Seq("a.b@c.io", "555-123-4567", "10.0.0.1", "x@y.org more", "")
