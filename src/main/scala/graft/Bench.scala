@@ -53,6 +53,15 @@ object Bench {
     def dropPersistedBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
+      // Settle the heap between queries: round 7's artifact showed
+      // alphabetical NEIGHBORS of allocation-heavy queries paying
+      // their GC debt (events_json_extract 5.04 s in-sequence vs
+      // 0.62 s isolated). Two explicit collections + a short pause
+      // make each query's median start from a quiet heap, so the
+      // artifact measures plans instead of predecessors' garbage.
+      System.gc()
+      System.gc()
+      Thread.sleep(250)
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -308,4 +308,13 @@ object VectorFunctions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       NearestCentroids(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
         centIds, centVecs, centNorms, nprobe))
+
+  /** One-pass exact moment/Gramian aggregate over an `array<float>`
+    * column (see [[EmbeddingGramian]]) — the distributed input of
+    * covariance and PCA.
+    */
+  def gramian(v: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      EmbeddingGramian(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v))
+        .toAggregateExpression())
 }

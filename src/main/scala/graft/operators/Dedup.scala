@@ -293,9 +293,19 @@ object Dedup {
     * expression) bucketed on its four 16-bit chunks — by pigeonhole,
     * any pair within Hamming distance 3 shares a chunk; candidates
     * are verified with bit_count(xor).
+    *
+    * `maxBucket` caps degenerate chunk buckets, the same flood guard
+    * every other bucketed candidate generator here carries: a corpus
+    * with a hot 16-bit chunk value (mass-duplicated boilerplate —
+    * identical docs share ALL four chunks) would otherwise emit m²/2
+    * in-bucket pairs from one key. Over-cap buckets are dropped from
+    * candidate generation only (their docs still get a stats row,
+    * reporting no candidates — a recall trade, not a crash); the
+    * chunk-id space is 4 × 2¹⁶ so the flood set is a broadcast
+    * anti-join, no extra shuffle of the chunk rows.
     */
   def simhashStats(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 8, maxBucket: Int = 10000): DataFrame = {
     // materialize once: `chunks` self-joins below and `hashed` is read
     // again for the final left join — without the checkpoint the scan
     // and the SimHash64 kernel would evaluate three times
@@ -307,10 +317,18 @@ object Dedup {
         shiftrightunsigned(col("simhash"), c * 16)
           .bitwiseAND(lit(0xffffL)).as("cval"))
     }
-    val chunks = hashed
+    val allChunks = hashed
       .select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"),
         col("cc.cval").as("cval"))
+    val chunks =
+      if (maxBucket == Int.MaxValue) allChunks
+      else {
+        val flood = allChunks.groupBy("chunk", "cval")
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxBucket).select("chunk", "cval")
+        allChunks.join(broadcast(flood), Seq("chunk", "cval"), "left_anti")
+      }
     val cand = chunks.as("a").join(chunks.as("b"),
       col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
         col("a.id") < col("b.id"))

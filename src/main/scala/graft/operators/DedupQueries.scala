@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, posexplode}
 
 import graft.Tables
 
@@ -163,10 +163,15 @@ object DedupQueries {
       Similarity.embeddingCovariance(embs(s, d), "vec_id", "embedding")),
     // PCA whitening (driver Jacobi on the D x D covariance, literal
     // projection matrix in a codegen'd transform/aggregate) — no SQL
-    // oracle (eigendecomposition), spec-verified closed-form instead
+    // oracle (eigendecomposition), spec-verified closed-form instead.
+    // Output is SCALAR rows (vec_id, component, value), not an array
+    // column: the driver's rows-only check row-sorts in pandas, and
+    // an array column is unhashable there (r7's only erroring entry)
     "embedding_pca_whiten" -> ((s, d) =>
       Similarity.pcaProject(embs(s, d), "vec_id", "embedding",
-        k = 16, whiten = true)),
+        k = 16, whiten = true)
+        .select(col("vec_id"),
+          posexplode(col("projection")).as(Seq("component", "value")))),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
@@ -250,7 +255,9 @@ object DedupQueries {
     * votes per bit, sign -> bit; candidates share one of the four
     * 16-bit chunks; hamming = bit_count(xor). All in the UBIGINT
     * domain; the output column reinterprets as signed to match the
-    * engine's LongType.
+    * engine's LongType. The flood cap (chunk buckets > 10000 dropped
+    * from candidate generation, simhashStats' default — never hit at
+    * oracle SF) is mirrored in the flood/chunks CTEs.
     */
   private val simhashSql: String = {
     val fnv = fnvSql("tok")
@@ -268,10 +275,16 @@ object DedupQueries {
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS UBIGINT) AS u
        |  FROM votes GROUP BY doc_id),
-       |chunks AS (
+       |chunksall AS (
        |  SELECT doc_id, u, CAST(c AS INT) AS chunk,
        |    (u >> (CAST(c AS INT) * 16)) & 65535 AS cval
        |  FROM sim, range(4) t(c)),
+       |flood AS (
+       |  SELECT chunk, cval FROM chunksall
+       |  GROUP BY chunk, cval HAVING count(*) > 10000),
+       |chunks AS (
+       |  SELECT c.* FROM chunksall c ANTI JOIN flood f
+       |    ON c.chunk = f.chunk AND c.cval = f.cval),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS ida, a.u AS ua, b.doc_id AS idb, b.u AS ub
        |  FROM chunks a JOIN chunks b

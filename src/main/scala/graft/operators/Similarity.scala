@@ -275,29 +275,6 @@ object Similarity {
       e.join(broadcast(flood), Seq("bucket"), "left_anti")
     }
 
-  /** Sample covariance matrix of the embedding space (upper triangle,
-    * 0-based dims) — the anisotropy diagnostic run before trusting
-    * cosine similarity on a new embedding column: a dominant
-    * principal direction makes every pair look alike and near-dup
-    * thresholds meaningless.
-    *
-    * Numerics are built for ENGINE-EXACT reproducibility. Components
-    * are quantized onto a fixed grid with `floor(x · 10⁶)` — floor is
-    * TIE-FREE, unlike any rounding cast (a double→decimal cast
-    * tie-breaks HALF_UP in Spark but not in every engine, and one
-    * tied term already desyncs a cross-row sum). All sums then run in
-    * exact integer decimals (associative — independent of partition
-    * order, unlike double sums), and one fixed IEEE expression
-    * (Sxx − Sx·Sy/N)/(N−1)/10¹² produces the covariance of the
-    * quantized values; with unit-scale embeddings the 1e-6 grid
-    * perturbs covariances at the 1e-6 level, far below any
-    * anisotropy signal.
-    *
-    * Scale shape: the (i, j, product) explode is D²/2 rows per
-    * vector, hash-aggregated map-side before ONE shuffle of
-    * D²/2 × partitions partial sums — no driver matrix, no collect;
-    * the dim-sum side is a D-row broadcast-sized join.
-    */
   /** Project embeddings onto their top-`k` principal components,
     * optionally whitened (unit variance per component) — the
     * preprocessing that restores meaning to cosine thresholds on an
@@ -322,38 +299,39 @@ object Similarity {
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
                  k: Int, whiten: Boolean = false,
                  eps: Double = 1e-9): DataFrame = {
-    // one pass collects the centering means AND the quantization
-    // guard: per-dim sum + count + max|x|, D rows to the driver
-    val dimStats = df
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .select(col("i"), col("x").cast("double").as("x"))
-      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("c"),
-        max(abs(col("x"))).as("mx"))
-      .collect().map(r =>
-        r.getInt(0) -> (r.getDouble(1) / r.getLong(2), r.getDouble(3)))
-      .toMap
-    // covariance quantization precondition (see embeddingCovariance):
-    // quantized products must stay inside Long
-    val mx = dimStats.values.map(_._2).foldLeft(0.0)(math.max)
-    require(mx < 3000.0,
-      s"pcaProject expects unit-scale embeddings (max |component| " +
-        s"$mx >= 3000 would overflow the covariance quantization) — " +
-        "rescale the column first")
-    val cov = embeddingCovariance(df, idCol, vecCol).collect()
-    val d = cov.map(_.getLong(1)).max.toInt + 1
+    // ONE corpus pass for the whole fit: the Gramian aggregate
+    // (graft.functions.EmbeddingGramian) carries count, per-dim
+    // means, the quantization scale guard AND the exact covariance
+    // sums in a single fixed-size buffer — round 7 ran three separate
+    // jobs (dim-stats scan, covariance count, covariance sums) over
+    // the same rows, two full corpus scans too many at 100 TB.
+    val g = df.agg(graft.functions.VectorFunctions.gramian(col(vecCol))
+        .as("g"))
+      .select(col("g.n"), col("g.means"), col("g.pairs")).head()
+    val n = g.getLong(0)
+    require(n >= 2, "pca needs at least two vectors")
+    val mean: Array[Double] = g.getSeq[Double](1).toArray
+    val d = mean.length
     require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    // covariance of the quantized values from the exact decimal sums,
+    // same IEEE expression as embeddingCovariance's column form
+    val nD = n.toDouble
     val a = Array.ofDim[Double](d, d)
-    cov.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+    g.getSeq[org.apache.spark.sql.Row](2).foreach { p =>
+      val (i, j) = (p.getLong(0).toInt, p.getLong(1).toInt)
+      val c = ((p.getDecimal(2).doubleValue -
+        p.getDecimal(3).doubleValue * p.getDecimal(4).doubleValue / nD)
+        / (nD - 1.0)) / 1e12
       a(i)(j) = c; a(j)(i) = c
     }
-    // dimension means: PCA is defined on CENTERED data — projecting
-    // raw vectors would add the large shared constant Vᵀμ to every
-    // output (for anisotropic spaces with a big common mean, exactly
-    // the every-pair-looks-alike pathology this op exists to fix).
-    // By linearity Vᵀ(x−μ) = Vᵀx − Vᵀμ, so centering is a per-
-    // component constant subtracted after the dot product.
-    val mean = Array.tabulate(d)(i => dimStats.get(i).map(_._1).getOrElse(0.0))
+    // dimension means (of the 1e-6-quantized components — identical
+    // to the raw means within the grid): PCA is defined on CENTERED
+    // data — projecting raw vectors would add the large shared
+    // constant Vᵀμ to every output (for anisotropic spaces with a big
+    // common mean, exactly the every-pair-looks-alike pathology this
+    // op exists to fix). By linearity Vᵀ(x−μ) = Vᵀx − Vᵀμ, so
+    // centering is a per-component constant subtracted after the dot
+    // product.
     val (eigVals, eigVecs) = jacobiEigen(a)
     // top-k by eigenvalue, sign-canonicalized columns
     val order = eigVals.indices.sortBy(i => -eigVals(i)).take(k)
@@ -437,41 +415,46 @@ object Similarity {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** Sample covariance matrix of the embedding space (upper triangle,
+    * 0-based dims) — the anisotropy diagnostic run before trusting
+    * cosine similarity on a new embedding column: a dominant
+    * principal direction makes every pair look alike and near-dup
+    * thresholds meaningless.
+    *
+    * Numerics are built for ENGINE-EXACT reproducibility. Components
+    * are quantized onto a fixed grid with `floor(x · 10⁶)` — floor is
+    * TIE-FREE, unlike any rounding cast (a double→decimal cast
+    * tie-breaks HALF_UP in Spark but not in every engine, and one
+    * tied term already desyncs a cross-row sum). All sums accumulate
+    * in exact 128-bit integers (associative — independent of
+    * partition order, unlike double sums), and one fixed IEEE
+    * expression (Sxx − Sx·Sy/N)/(N−1)/10¹² produces the covariance of
+    * the quantized values; with unit-scale embeddings the 1e-6 grid
+    * perturbs covariances at the 1e-6 level, far below any anisotropy
+    * signal. |component| < 3000 is enforced per row inside the
+    * aggregate (quantized products must fit a signed 64-bit long).
+    *
+    * Scale shape: ONE pass, one custom TypedImperativeAggregate
+    * ([[graft.functions.EmbeddingGramian]]) folding each partition
+    * into a fixed D²/2-cell buffer — only the ~34 KB buffers move at
+    * the final merge; no row explosion, no join, no count job, no
+    * driver matrix. (The round-7 formulation exploded D²/2 rows per
+    * vector — 2,080 at D=64 — through a hash aggregate: correct, but
+    * a 2,000× row amplification whose allocation churn measurably
+    * taxed every query scheduled after it in a shared JVM.)
+    */
   def embeddingCovariance(df: DataFrame, idCol: String,
                           vecCol: String): DataFrame = {
     require(df.columns.contains(idCol) && df.columns.contains(vecCol),
       s"missing column: needs $idCol and $vecCol")
-    // one count job — metadata-only on parquet sources (rowcount
-    // pushdown); the frame must be static between this and the sum
-    // jobs, the usual batch-operator contract.
-    // PRECONDITION: unit-scale embeddings (|component| < ~3000), or
-    // the quantized products overflow Long — pcaProject enforces it
-    // with a driver check; callers on exotic scales rescale first.
-    val n = df.count().toDouble
-    require(n >= 2, "covariance needs at least two vectors")
-    def q(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") * lit(1e6)).cast("long")
-    val dimSums = df
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(sum(q(col("x")).cast("decimal(38,0)")).as("sx"))
-      .select(col("i").as("si"), col("sx"))
-    val pairSums = df
-      .select(col(vecCol).as("v"))
-      .select(posexplode(col("v")).as(Seq("i", "xa")), col("v"))
-      .select(col("i"), col("xa"), posexplode(col("v")).as(Seq("j", "xb")))
-      .filter(col("i") <= col("j"))
-      // quantized longs multiply exactly (|q| ~ 1e7 → product ~ 1e14,
-      // far under Long range); the decimal cast is for the exact SUM
-      .select(col("i"), col("j"),
-        (q(col("xa")) * q(col("xb"))).cast("decimal(38,0)").as("xx"))
-      .groupBy("i", "j").agg(sum(col("xx")).as("sxx"))
-    pairSums
-      .join(dimSums.as("sa"), col("i") === col("sa.si"))
-      .join(dimSums.as("sb"), col("j") === col("sb.si"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        (((col("sxx").cast("double") -
-          col("sa.sx").cast("double") * col("sb.sx").cast("double") / lit(n))
-          / lit(n - 1)) / lit(1e12)).as("cov"))
+    val nD = col("n").cast("double")
+    df.agg(graft.functions.VectorFunctions.gramian(col(vecCol)).as("g"))
+      .select(col("g.n").as("n"), explode(col("g.pairs")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        when(col("n") < 2,
+          raise_error(lit("covariance needs at least two vectors")))
+          .otherwise(((col("p.sxx").cast("double") -
+            col("p.sa").cast("double") * col("p.sb").cast("double") / nD)
+            / (nD - lit(1.0))) / lit(1e12)).as("cov"))
   }
 }

@@ -416,6 +416,100 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(wcov((0L, 1L))) < 0.05, wcov.toString)
   }
 
+  test("gramian covariance is partition-order invariant (exact 128-bit merge)") {
+    import SparkSpec.spark.implicits._
+    // mixed-sign, non-grid values: exercises the signed quantization
+    // and the carry paths of the 128-bit accumulators; repartitioning
+    // reorders every partial sum, so bit-equality of the doubles
+    // proves the integer accumulation is associative end to end
+    // (update → serialize → merge), unlike a double sum
+    val r = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i =>
+      (i, Array.fill(8)((r.nextGaussian() * 2.0 - 1.0).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    def covMap(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.embeddingCovariance(d, "vec_id", "embedding")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    val one = covMap(df.coalesce(1))
+    val many = covMap(df.repartition(13))
+    assert(one.keySet == many.keySet)
+    one.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(many(k)),
+        s"covariance at $k differs across partitionings: $v vs ${many(k)}")
+    }
+    // out-of-range components must fail loudly, not overflow silently
+    val big = Seq((1L, Array(3500.0f, 0f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      graft.operators.Similarity.embeddingCovariance(big, "vec_id", "embedding")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("simhash flood cap drops degenerate chunk buckets only") {
+    import SparkSpec.spark.implicits._
+    // 20 identical docs share ALL four 16-bit chunks: every chunk
+    // bucket holds 20 > cap and must drop from candidate generation.
+    // The distinct near-pair (100, 101) lives in its own buckets and
+    // must be untouched by the cap.
+    val floodText = "mass duplicated boilerplate page body text here"
+    val rows = (1L to 20L).map(i => (i, floodText)) ++ Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (101L, "alpha bravo charlie delta echo foxtrot golf india"))
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.simhashStats(df, "doc_id", "text", maxBucket = 10)
+    assert(capped.count() == 22, "every doc keeps a stats row")
+    val byId = capped.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 20L).forall(byId(_) == 0L),
+      s"flood bucket must be dropped: $byId")
+    val uncapped = Dedup.simhashStats(df, "doc_id", "text",
+      maxBucket = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uncapped(1L) == 19L, "uncapped flood docs see all twins")
+    assert(byId(100L) == uncapped(100L) && byId(101L) == uncapped(101L),
+      "non-flood docs must be unaffected by the cap")
+  }
+
+  test("capped cross-corpus dedup is a recall-only subset of uncapped") {
+    import SparkSpec.spark.implicits._
+    // Planted flood: 5 identical corpus docs + their ref twin share
+    // every band bucket, so the corpus-side bucket holds 5 > cap=4
+    // and the cap must clear their flags; the distinct pair (c9, r9)
+    // sits in size-1 buckets and must keep its flag. (The r6
+    // embeddingStatsLsh pattern, extended to the two-corpus join —
+    // the dedup_cross_corpus ORACLE runs uncapped, so the capped
+    // path's contract is pinned here instead.)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 5L).map(i => (s"c$i", boiler)) :+
+      ("c9", "unique sentence about vermilion zeppelins and quartz here"))
+      .toDF("doc_id", "text")
+    val ref = Seq(
+      ("r1", boiler),
+      ("r9", "unique sentence about vermilion zeppelins and quartz there"))
+      .toDF("doc_id", "text")
+    def byId(maxBucket: Int) =
+      Dedup.dedupAgainstStats(corpus, ref, "doc_id", "text",
+        threshold = 0.5, maxBucket = maxBucket)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getBoolean(3))).toMap
+    val un = byId(Int.MaxValue)
+    val cap = byId(4)
+    assert(un.keySet == cap.keySet && cap.size == 6,
+      "one row per corpus doc either way")
+    assert((1L to 5L).forall(i => un(s"c$i")._2),
+      s"uncapped flags the boilerplate copies: $un")
+    assert((1L to 5L).forall(i => !cap(s"c$i")._2 && cap(s"c$i")._1 == 0L),
+      s"cap must clear the flooded bucket's candidates: $cap")
+    assert(un("c9")._2 && cap("c9")._2,
+      "the small bucket's true pair survives the cap")
+    // recall-only: the cap never ADDS candidates or flags
+    assert(cap.forall { case (k, (n, f)) =>
+      n <= un(k)._1 && (!f || un(k)._2) })
+  }
+
   test("cross-corpus dedup flags corpus docs near-duplicating the reference") {
     import SparkSpec.spark.implicits._
     val ref = Seq(
