@@ -395,29 +395,38 @@ object DeltaLogTableFormat extends TableFormat {
 
   /** Net (added, removed) live-file sets over the window (fromV, toV]
     * from the log's add/remove actions — the accounting both feed
-    * variants share.
+    * variants share. None when any commit in the window is unreadable
+    * or unparseable: the window's accounting is then unknown, and the
+    * feed callers degrade (full-snapshot delivery) exactly as they do
+    * for a vacuumed file — direct `changes`/`deletedKeys` callers must
+    * not crash where `processNew`'s readableVersions pre-filter would
+    * have degraded.
     */
   private def windowFileDiff(path: String, fromV: Int,
-                             toV: Int): (Seq[String], Seq[String]) = {
+                             toV: Int): Option[(Seq[String], Seq[String])] = {
     val added = mutable.LinkedHashSet.empty[String]
     val removed = mutable.LinkedHashSet.empty[String]
-    versions(path).filter(v => v > fromV && v <= toV).foreach { v =>
-      Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).foreach { line =>
-          val n = mapper.readTree(line)
-          if (n.has("add")) {
-            val p = n.get("add").get("path").asText()
-            // re-adding a path removed earlier in the window restores
-            // a file live at fromV — net zero, drop from both sets
-            if (removed.contains(p)) removed -= p else added += p
-          }
-          if (n.has("remove")) {
-            val p = n.get("remove").get("path").asText()
-            if (added.contains(p)) added -= p else removed += p
-          }
-        }
+    val parsed = versions(path).filter(v => v > fromV && v <= toV).forall {
+      v =>
+        scala.util.Try {
+          Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
+            .asScala.filter(_.nonEmpty).foreach { line =>
+              val n = mapper.readTree(line)
+              if (n.has("add")) {
+                val p = n.get("add").get("path").asText()
+                // re-adding a path removed earlier in the window
+                // restores a file live at fromV — net zero, drop from
+                // both sets
+                if (removed.contains(p)) removed -= p else added += p
+              }
+              if (n.has("remove")) {
+                val p = n.get("remove").get("path").asText()
+                if (added.contains(p)) added -= p else removed += p
+              }
+            }
+        }.isSuccess
     }
-    (added.toSeq, removed.toSeq)
+    if (parsed) Some((added.toSeq, removed.toSeq)) else None
   }
 
   /** Read `fs` with the given log-recorded schema (empty frame with
@@ -464,16 +473,16 @@ object DeltaLogTableFormat extends TableFormat {
     * back for map-typed schemas, which exceptAll rejects.
     */
   private[graft] def fileChanges(spark: SparkSession, path: String,
-                                 fromV: Int, toV: Int): Option[DataFrame] = {
-    val (added, removed) = windowFileDiff(path, fromV, toV)
-    if ((added.iterator ++ removed.iterator)
-          .exists(f => !Files.exists(Paths.get(path, f)))) None
-    else {
-      val schema = schemaAt(spark, path, toV)
-      Some(readFileSet(spark, path, schema, added)
-        .exceptAll(readFileSet(spark, path, schema, removed)))
+                                 fromV: Int, toV: Int): Option[DataFrame] =
+    windowFileDiff(path, fromV, toV).flatMap { case (added, removed) =>
+      if ((added.iterator ++ removed.iterator)
+            .exists(f => !Files.exists(Paths.get(path, f)))) None
+      else {
+        val schema = schemaAt(spark, path, toV)
+        Some(readFileSet(spark, path, schema, added)
+          .exceptAll(readFileSet(spark, path, schema, removed)))
+      }
     }
-  }
 
   /** Delete feed from the same file accounting: keys with rows in
     * removed files and none in added files were dropped in the window
@@ -486,19 +495,19 @@ object DeltaLogTableFormat extends TableFormat {
     */
   private[graft] def fileDeletedKeys(spark: SparkSession, path: String,
                                      fromV: Int, toV: Int,
-                                     keys: Seq[String]): Option[DataFrame] = {
-    val (added, removed) = windowFileDiff(path, fromV, toV)
-    if ((added.iterator ++ removed.iterator)
-          .exists(f => !Files.exists(Paths.get(path, f)))) None
-    else {
-      val schema = schemaAt(spark, path, toV)
-      val a = readFileSet(spark, path, schema, added)
-        .select(keys.map(col): _*).distinct()
-      val r = readFileSet(spark, path, schema, removed)
-        .select(keys.map(col): _*).distinct()
-      Some(r.join(a, keys, "left_anti"))
+                                     keys: Seq[String]): Option[DataFrame] =
+    windowFileDiff(path, fromV, toV).flatMap { case (added, removed) =>
+      if ((added.iterator ++ removed.iterator)
+            .exists(f => !Files.exists(Paths.get(path, f)))) None
+      else {
+        val schema = schemaAt(spark, path, toV)
+        val a = readFileSet(spark, path, schema, added)
+          .select(keys.map(col): _*).distinct()
+        val r = readFileSet(spark, path, schema, removed)
+          .select(keys.map(col): _*).distinct()
+        Some(r.join(a, keys, "left_anti"))
+      }
     }
-  }
 
   /** A version is a data change iff any of its add/remove actions
     * says so — OPTIMIZE commits write `dataChange: false` on every
@@ -569,7 +578,15 @@ object DeltaLogTableFormat extends TableFormat {
           Option(n.get(obj)).flatMap(o => Option(o.get(column)))
         (field("minValues"), field("maxValues")) match {
           case (Some(mn), Some(mx)) =>
-            !cmp(mx, lo).exists(_ < 0) && !cmp(mn, hi).exists(_ > 0)
+            // String bounds are only trusted from statsVersion >= 2:
+            // earlier stats could carry wrong-ORDER string min/max
+            // (signed cross-row-group merge, see FooterStats), and a
+            // wrong bound prunes silently — admit instead. Numeric
+            // orders were never affected, so those still prune.
+            val stringBound = lo.isInstanceOf[String] || hi.isInstanceOf[String]
+            val ver = Option(n.get("statsVersion")).map(_.asInt()).getOrElse(1)
+            if (stringBound && ver < 2) true
+            else !cmp(mx, lo).exists(_ < 0) && !cmp(mn, hi).exists(_ > 0)
           case _ =>
             val allNull = (field("nullCount"), Option(n.get("numRecords"))) match {
               case (Some(nc), Some(nr)) =>
@@ -1330,6 +1347,16 @@ private[pipeline] object FooterStats extends Serializable {
         }
       })
       val root = mapper.createObjectNode()
+      // Stats format version. v2 = string min/max merged across row
+      // groups in UNSIGNED byte order (statCmp). Stats lacking the
+      // marker may predate that fix — written with the signed
+      // Binary.compareTo merge, which could record a max BELOW the
+      // true max for non-ASCII strings in multi-row-group files — so
+      // the reader only trusts STRING bounds from v2+ stats
+      // (statsAdmit); numeric orders were never affected. OPTIMIZE
+      // rewrites files and regenerates their stats, which upgrades a
+      // pre-v2 table in place.
+      root.put("statsVersion", 2)
       root.put("numRecords", numRecords)
       val minN = root.putObject("minValues")
       val maxN = root.putObject("maxValues")

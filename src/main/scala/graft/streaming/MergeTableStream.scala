@@ -88,20 +88,9 @@ object MergeTableStream {
     def mapped(schema: org.apache.spark.sql.types.StructType) =
       schema.fields.exists(
         _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-    // delta-log fast path FIRST, before any full-version read: on a
-    // 100k-file table `readVersion` alone lists every live file to
-    // plan its scan, which would defeat the touched-bytes-only win.
-    // The map-type check comes from the log-recorded schema, and the
-    // full `to` frame is built only on the fallback paths.
-    if (fmt == graft.pipeline.DeltaLogTableFormat && fromV.isDefined) {
-      val dl = graft.pipeline.DeltaLogTableFormat
-      val diffable = dl.schemaAt(spark, path, toV).forall(s => !mapped(s))
-      // change rows = added-files except removed-files; None =
-      // something vacuumed → full-snapshot delivery below
-      val fast =
-        if (diffable) dl.fileChanges(spark, path, fromV.get, toV) else None
-      fast.getOrElse(fmt.readVersion(spark, path, toV))
-    } else {
+    // generic path: exact two-snapshot exceptAll diff when the from
+    // version is still readable, full re-delivery otherwise
+    def snapshotDiff(): DataFrame = {
       val to = fmt.readVersion(spark, path, toV)
       fromV.filter(_ => !mapped(to.schema)) match {
         // readability probe, not just versions().contains: the
@@ -114,6 +103,25 @@ object MergeTableStream {
         case None => to
       }
     }
+    // delta-log fast path FIRST, before any full-version read: on a
+    // 100k-file table `readVersion` alone lists every live file to
+    // plan its scan, which would defeat the touched-bytes-only win.
+    // The map-type check comes from the log-recorded schema, and the
+    // full `to` frame is built only on the fallback paths.
+    if (fmt == graft.pipeline.DeltaLogTableFormat && fromV.isDefined) {
+      val dl = graft.pipeline.DeltaLogTableFormat
+      val diffable = dl.schemaAt(spark, path, toV).forall(s => !mapped(s))
+      // change rows = added-files except removed-files; None = a
+      // net-changed window file was vacuumed. That only rules out the
+      // FILE-level diff — when both endpoint versions are themselves
+      // still readable, the generic two-snapshot exceptAll still
+      // yields the PRECISE change rows, so degrade to full-snapshot
+      // re-delivery only when the from version is gone too (inside
+      // snapshotDiff's readability probe), not on the first miss.
+      val fast =
+        if (diffable) dl.fileChanges(spark, path, fromV.get, toV) else None
+      fast.getOrElse(snapshotDiff())
+    } else snapshotDiff()
   }
 
   /** Keys present in `fromV` but absent from `toV` — the delete feed

@@ -116,7 +116,16 @@ object StreamingIngest {
                   graft.pipeline.SnapshotTableFormat,
                 partitionBy: Seq[String] = Nil,
                 optimizeEvery: Int = 0)
-      : StreamingQuery =
+      : StreamingQuery = {
+    // validate the partitionBy/fmt pairing NOW, not inside
+    // foreachBatch: the same require there would only fire on the
+    // first non-empty micro-batch — failing a RUNNING stream at an
+    // arbitrary later point for a misconfiguration that was knowable
+    // before start() (mirrors ConfigHandler's parse-time check)
+    require(partitionBy.size <= 1 ||
+        fmt == graft.pipeline.DeltaLogTableFormat,
+      "snapshot format prunes a single partition column — use the " +
+        "delta-log format for multi-column partitionBy")
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -171,6 +180,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Custom-state streaming sessionization via flatMapGroupsWithState
     * (#25's streaming form): per-user session state lives in the

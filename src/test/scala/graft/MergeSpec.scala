@@ -626,6 +626,50 @@ class MergeSpec extends SparkSpec {
     assert(unpruned.count() == 0, "exact filter still applies on top")
   }
 
+  test("unversioned string stats are admitted, numeric ones still prune") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val base = (1 to 40).map(i => (i.toLong, s"v$i", 1,
+      if (i % 2 == 0) "even" else "odd")).toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    val full = fmt.read(spark, p)
+    assert(fmt.readEqual(spark, p, "bucket", "even").inputFiles.length <
+      full.inputFiles.length, "versioned string stats prune")
+    // simulate stats from a pre-statsVersion writer (whose signed
+    // cross-row-group merge could record wrong-ORDER string bounds):
+    // strip the marker from every add action's stats JSON
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val logF = java.nio.file.Paths.get(p, "_delta_log", f"${0}%020d.json")
+    val doctored = java.nio.file.Files.readAllLines(logF).asScala
+      .filter(_.nonEmpty).map { l =>
+        val n = m.readTree(l)
+        if (n.has("add") && n.get("add").has("stats")) {
+          val add = n.get("add")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val st = m.readTree(add.get("stats").asText())
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          st.remove("statsVersion")
+          add.put("stats", m.writeValueAsString(st))
+        }
+        m.writeValueAsString(n)
+      }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(logF, doctored.getBytes)
+    // string bounds can no longer be trusted (a wrong-order max could
+    // prune a matching file silently) -> every file admitted, rows
+    // still correct via the exact filter on top
+    val admitted = fmt.readEqual(spark, p, "bucket", "even")
+    assert(admitted.inputFiles.length == full.inputFiles.length,
+      s"pre-v2 string stats must admit every file: " +
+        s"${admitted.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(admitted.count() == 20, "exact filter still applies")
+    // numeric orders were never affected by the signed merge: pre-v2
+    // numeric bounds still prune to an empty scan
+    assert(fmt.readRange(spark, p, "id", 1000L, 2000L).inputFiles.isEmpty,
+      "numeric stats still prune without the version marker")
+  }
+
   test("delta-log clustered optimize: disjoint ranges turn lookups into one-file scans") {
     import SparkSpec.spark.implicits._
     val fmt = graft.pipeline.DeltaLogTableFormat

@@ -710,6 +710,61 @@ class StreamingSpec extends SparkSpec {
     assert(chg.filter(col("id") === 2L).select("ord").as[Int].head() == 2)
   }
 
+  test("corrupt commit JSON degrades the file-level feeds instead of crashing") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = Files.createTempDirectory("graft_corrupt_log").toString
+    def up(rows: Seq[(Long, String, Int)]) =
+      fmt.scd1Merge(spark, p, rows.toDF("id", "v", "ord"), Seq("id"), "ord")
+    up(Seq((1L, "a", 1), (2L, "b", 1))) // v0
+    up(Seq((2L, "b2", 2)))              // v1
+    up(Seq((3L, "c", 3)))               // v2
+    // sanity: intact log answers the window from file accounting
+    assert(fmt.fileChanges(spark, p, 0, 2).isDefined)
+    // torn write: v1's commit JSON is garbage. The window accounting
+    // through it is unknown — the feed helpers must surface None (the
+    // callers' degrade path), not propagate a parse exception: the
+    // processNew route never sees this (readableVersions filters
+    // first) but direct changes()/deletedKeys() callers do.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(p, "_delta_log", f"${1}%020d.json"),
+      "{this is not json".getBytes)
+    assert(fmt.fileChanges(spark, p, 0, 2).isEmpty,
+      "unknown accounting must be None, not a crash")
+    assert(fmt.fileDeletedKeys(spark, p, 0, 2, Seq("id")).isEmpty)
+  }
+
+  test("mergeSink rejects snapshot-format multi-column partitionBy eagerly") {
+    import SparkSpec.spark.implicits._
+    val dir = Files.createTempDirectory("graft_eager_src").toString
+    Seq((1L, "a", 1, "b0", "c0")).toDF("id", "v", "ord", "p1", "p2")
+      .write.parquet(s"$dir/f1.parquet")
+    val schema = spark.read.parquet(s"$dir/*.parquet").schema
+    val stream = StreamingIngest.readStream(spark, "parquet",
+      s"$dir/*.parquet", schema)
+    val table = Files.createTempDirectory("graft_eager_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_eager_ck").toString
+    // misconfiguration must fail at CONSTRUCTION, before start():
+    // the same require inside foreachBatch would only fire on the
+    // first non-empty micro-batch of an already-running stream
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.mergeSink(stream, table, ckpt,
+        keys = Seq("id"), orderBy = "ord", compareExclude = Nil,
+        fmt = graft.pipeline.SnapshotTableFormat,
+        partitionBy = Seq("p1", "p2"))
+    }
+    assert(err.getMessage.contains("delta-log"),
+      s"error must name the fix: ${err.getMessage}")
+    // the delta-log format accepts the same spec (no throw at build;
+    // stop immediately — behavior is covered by the pruned-sink spec)
+    val q = StreamingIngest.mergeSink(stream, table, ckpt,
+      keys = Seq("id"), orderBy = "ord", compareExclude = Nil,
+      fmt = graft.pipeline.DeltaLogTableFormat,
+      partitionBy = Seq("p1", "p2"))
+    q.awaitTermination(120000)
+    assert(graft.pipeline.DeltaLogTableFormat.read(spark, table).count() == 1)
+  }
+
   test("vacuumed-past consumer falls back to a full-snapshot re-delivery") {
     import SparkSpec.spark.implicits._
     import graft.streaming.MergeTableStream
