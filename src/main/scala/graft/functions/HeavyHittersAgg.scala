@@ -1,0 +1,183 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mutable state of [[HeavyHitters]]: at most `k` counters plus the
+  * total item count.
+  */
+final class HeavyHittersBuffer(val k: Int, var n: Long,
+                               val counts: mutable.HashMap[String, Long])
+
+/** Misra-Gries heavy-hitters sketch over an `array<string>` column —
+  * the bounded-memory companion to the exact vocabulary top-K, for
+  * item spaces too large to shuffle (word n-grams over a 100 TB
+  * corpus have cardinality on the order of the corpus itself;
+  * boilerplate detection needs only the few thousand frequent ones).
+  *
+  * Classic Misra-Gries per partition (k counters: hit → increment,
+  * miss with spare capacity → insert, miss at capacity → decrement
+  * all, drop zeros) plus the mergeable-summaries combine (Agarwal et
+  * al., PODS 2012): sum two summaries, and if more than k items
+  * remain, subtract the (k+1)-th largest count from all and keep the
+  * positive ones. The combined guarantee is the sketch's defining
+  * contract, independent of partitioning and merge order:
+  *
+  *   est(x) ≤ true(x)  and  true(x) − est(x) ≤ n/(k+1)
+  *
+  * so every item with true frequency above n/(k+1) is present. The
+  * EXACT estimates do depend on merge order (decrements interleave
+  * differently), which is why the query entry is rows-only: the
+  * guarantee is spec-proven against exact counts instead of
+  * oracle-hashed.
+  *
+  * Scale shape: each partition folds into one ≤k-entry map; only
+  * those maps cross the wire. No shuffle of the item space, ever —
+  * the property the exact top-K (one (item) shuffle of per-partition
+  * partial counts) cannot offer once items stop fitting a shuffle.
+  */
+case class HeavyHitters(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HeavyHittersBuffer]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k >= 1, "k must be positive")
+
+  // AbstractDataType is private[sql] in Spark 4 — covariant override
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = HeavyHitters.schema
+  override def prettyName: String = "heavy_hitters"
+
+  override def createAggregationBuffer(): HeavyHittersBuffer =
+    new HeavyHittersBuffer(k, 0L, mutable.HashMap.empty)
+
+  override def update(b: HeavyHittersBuffer,
+                      input: InternalRow): HeavyHittersBuffer = {
+    val v = child.eval(input)
+    if (v == null) return b
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val item = arr.getUTF8String(i).toString
+        b.n += 1
+        b.counts.get(item) match {
+          case Some(c) => b.counts(item) = c + 1
+          case None if b.counts.size < b.k => b.counts(item) = 1L
+          case None =>
+            // miss at capacity: decrement every counter, drop zeros —
+            // one shared decrement "pays" for the unseen item
+            val dead = mutable.ArrayBuffer.empty[String]
+            b.counts.foreach { case (key, c) =>
+              if (c == 1L) dead += key else b.counts(key) = c - 1
+            }
+            dead.foreach(b.counts.remove)
+        }
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(b: HeavyHittersBuffer,
+                     o: HeavyHittersBuffer): HeavyHittersBuffer = {
+    o.counts.foreach { case (item, c) =>
+      b.counts(item) = b.counts.getOrElse(item, 0L) + c
+    }
+    b.n += o.n
+    if (b.counts.size > b.k) {
+      // mergeable-summaries prune: subtract the (k+1)-th largest
+      // count from everything, keep the strictly positive
+      val sorted = b.counts.values.toArray
+      java.util.Arrays.sort(sorted)
+      val sub = sorted(sorted.length - (b.k + 1))
+      val dead = mutable.ArrayBuffer.empty[String]
+      b.counts.foreach { case (key, c) =>
+        if (c - sub <= 0L) dead += key else b.counts(key) = c - sub
+      }
+      dead.foreach(b.counts.remove)
+    }
+    b
+  }
+
+  override def eval(b: HeavyHittersBuffer): Any = {
+    // deterministic presentation: count desc, item asc
+    val items = b.counts.toArray.sortBy { case (item, c) => (-c, item) }
+    val rows: Array[Any] = items.map { case (item, c) =>
+      new GenericInternalRow(
+        Array[Any](UTF8String.fromString(item), c))
+    }
+    new GenericInternalRow(Array[Any](b.n, new GenericArrayData(rows)))
+  }
+
+  override def serialize(b: HeavyHittersBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(b.n)
+    out.writeInt(b.counts.size)
+    b.counts.foreach { case (item, c) =>
+      val bytes = item.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): HeavyHittersBuffer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val size = in.readInt()
+    val counts = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < size) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      counts(new String(buf, StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
+    new HeavyHittersBuffer(k, n, counts)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HeavyHitters =
+    copy(child = newChild)
+}
+
+object HeavyHitters {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_items", LongType, nullable = false),
+    StructField("hitters", ArrayType(StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  /** Column API: Misra-Gries summary of an `array<string>` column. */
+  def heavyHitters(items: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      HeavyHitters(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(items), k)
+        .toAggregateExpression())
+}

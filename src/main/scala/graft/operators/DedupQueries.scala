@@ -172,6 +172,14 @@ object DedupQueries {
         k = 16, whiten = true)
         .select(col("vec_id"),
           posexplode(col("projection")).as(Seq("component", "value")))),
+    // int8 storage quantization — scalar rows (the pca lesson: the
+    // driver's row-sort cannot hash an array column), full value-exact
+    // oracle (amax fold, scale divide, and the tie-free round-half-up
+    // grid are all deterministic IEEE)
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("component", "qval")))),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
@@ -585,7 +593,33 @@ object DedupQueries {
       |JOIN s sa ON sa.i = p.i
       |JOIN s sb ON sb.i = p.j""".stripMargin
 
+  /** Quantization oracle (Similarity.quantizeEmbeddings): the
+    * sequential amax fold mirrors Spark's `aggregate` fold order
+    * (greatest/abs are order-free anyway on NaN-free input), and
+    * floor(x/scale + 0.5) is the same tie-free grid. DuckDB's
+    * double→TINYINT cast rounds rather than truncates, but floor's
+    * result is integral so the cast is exact.
+    */
+  private val embeddingQuantizeSql: String =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+      |      (a, x) -> greatest(a, x)) / 127.0 AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, scale,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM s)
+      |SELECT vec_id, scale, CAST(i - 1 AS INT) AS component,
+      |  CAST(CASE WHEN scale = 0.0 THEN 0
+      |       ELSE floor(x / scale + 0.5) END AS TINYINT) AS qval
+      |FROM x""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "embedding_quantize" -> embeddingQuantizeSql,
     "corpus_curate" -> corpusCurateSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_cross_corpus" -> crossCorpusSql,

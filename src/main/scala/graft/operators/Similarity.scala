@@ -457,4 +457,44 @@ object Similarity {
             col("p.sa").cast("double") * col("p.sb").cast("double") / nD)
             / (nD - lit(1.0))) / lit(1e12)).as("cov"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the
+    * 4×-storage cut (float32 → int8 + one double scale per vector)
+    * applied before archiving or ANN-indexing a 100 TB embedding
+    * corpus. Per-vector scaling (scale = max|xᵢ| / 127) keeps the
+    * error relative to each vector's own magnitude; reconstruction
+    * `q · scale` is within scale/2 of the input per component.
+    *
+    * Everything is a deterministic codegen'd projection — the amax
+    * fold, the divide, and the tie-free `floor(x/scale + 0.5)` grid
+    * (round-half-up: unlike `round`, floor has no half-to-even
+    * tie-break to desync engines) reproduce bit-identically anywhere
+    * IEEE doubles do, so the operator carries a full value-exact
+    * oracle. A zero vector quantizes to scale 0 and zeros
+    * (dequantize maps it back to exact zeros).
+    *
+    * Output: (idCol, scale double, qvec array<tinyint>). No shuffle,
+    * no aggregate — scan-shaped at any scale.
+    */
+  def quantizeEmbeddings(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    df.select(col(idCol), (amax / lit(127.0)).as("scale"), v.as("_v"))
+      .select(col(idCol), col("scale"),
+        transform(col("_v"), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor(x / col("scale") + lit(0.5)))
+            .cast("tinyint")).as("qvec"))
+  }
+
+  /** Inverse of [[quantizeEmbeddings]]: `q · scale` back to float32
+    * (the storage round-trip; error ≤ scale/2 per component plus
+    * float rounding).
+    */
+  def dequantizeEmbeddings(df: DataFrame, scaleCol: String,
+                           qvecCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      transform(col(qvecCol), q =>
+        (q.cast("double") * col(scaleCol)).cast("float")))
 }

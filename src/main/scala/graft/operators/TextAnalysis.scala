@@ -59,6 +59,41 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /** Boilerplate word-n-gram detection: the most frequent n-word
+    * shingles of the corpus via a Misra-Gries sketch
+    * ([[graft.functions.HeavyHitters]]). [[vocabTopK]] is exact
+    * because words fit a shuffle; n-gram cardinality is corpus-order
+    * (every shingle is nearly unique except the boilerplate — which
+    * is exactly the signal), so the exact plan's (item) shuffle is
+    * the corpus itself. The sketch folds each partition into ≤k
+    * counters and only those cross the wire: NO shuffle of the
+    * shingle space at any corpus size.
+    *
+    * Guarantee (spec-proven against exact counts, HeavyHitters doc):
+    * est ≤ true, true − est ≤ n/(k+1), every shingle with frequency
+    * above n/(k+1) present. The estimates themselves vary with merge
+    * order (inherent to the sketch), so the query entry is rows-only.
+    *
+    * Output: (ngram, est_count, n_ngrams), count desc / ngram asc.
+    */
+  def boilerplateNgrams(df: DataFrame, textCol: String,
+                        n: Int = 5, k: Int = 32): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val words = split(col(textCol), " ")
+    // guard: sequence(0, negative) would count DOWN; short docs
+    // contribute no shingles
+    val shingles = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.agg(graft.functions.HeavyHitters
+        .heavyHitters(shingles, k).as("hh"))
+      .select(col("hh.n_items").as("n_ngrams"),
+        explode(col("hh.hitters")).as("h"))
+      .select(col("h.item").as("ngram"), col("h.est").as("est_count"),
+        col("n_ngrams"))
+  }
+
   /** Rarity-weighted keyword extraction: top-k terms per document by
     * tf × (N / df), descending, ties broken by term. The weight uses
     * the RATIONAL inverse document frequency (N/df) instead of the

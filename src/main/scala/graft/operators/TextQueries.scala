@@ -67,6 +67,14 @@ object TextQueries {
   def textTfidfTopK(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(spark, dir), "doc_id", "text", k = 3)
 
+  /** Misra-Gries boilerplate 5-gram sweep. Rows-only: the sketch's
+    * estimates are merge-order dependent by construction (its
+    * guarantee — est ≤ true ≤ est + n/(k+1) — is spec-proven against
+    * exact counts in TextAnalysisSpec instead of oracle-hashed).
+    */
+  def textBoilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateNgrams(docs(spark, dir), "text", n = 5, k = 32)
+
   /** RAG-shape chunking: 200-char windows, 50-char overlap. */
   def textChunk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -97,6 +105,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_vocab_topk" -> (textVocabTopK _),
     "text_tfidf_topk" -> (textTfidfTopK _),
+    "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _))
 

@@ -449,6 +449,43 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("int8 quantization round-trips within half a grid step") {
+    import SparkSpec.spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = graft.operators.Similarity
+      .quantizeEmbeddings(e, "vec_id", "embedding")
+    val back = graft.operators.Similarity
+      .dequantizeEmbeddings(q, "scale", "qvec", "rec")
+    val joined = e.select(col("vec_id"), col("embedding"))
+      .join(back, Seq("vec_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val orig = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val qv = r.getSeq[Byte](3)
+      val rec = r.getSeq[Float](4)
+      assert(orig.length == qv.length && qv.length == rec.length)
+      assert(qv.forall(b => b >= -127 && b <= 127),
+        s"int8 range: ${qv.min}..${qv.max}")
+      // per-component reconstruction error <= scale/2 (+ float eps)
+      orig.zip(rec).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-6,
+          s"vec ${r.getLong(0)}: |$x - $y| > ${scale / 2}")
+      }
+    }
+    // a zero vector quantizes to scale 0 / zeros and round-trips exact
+    val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val zq = graft.operators.Similarity
+      .quantizeEmbeddings(z, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    assert(zq(1L)._1 == 0.0 && zq(1L)._2.forall(_ == 0))
+    // amax component hits the grid edge exactly
+    assert(zq(2L)._2 == Seq[Byte](64, -127, 32), zq(2L).toString)
+  }
+
   test("simhash flood cap drops degenerate chunk buckets only") {
     import SparkSpec.spark.implicits._
     // 20 identical docs share ALL four 16-bit chunks: every chunk

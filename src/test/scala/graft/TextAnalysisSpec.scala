@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{TextAnalysis, TextQueries}
@@ -124,5 +125,50 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-K must not global-sort: ${plan.take(1500)}")
+  }
+
+  test("misra-gries boilerplate sweep honors the n/(k+1) guarantee") {
+    import SparkSpec.spark.implicits._
+    // exact n-gram counts built with the SAME shingle expression the
+    // operator uses, so the guarantee is checked against its own
+    // item definition
+    def exactCounts(df: DataFrame, n: Int): Map[String, Long] = {
+      val words = split(col("text"), " ")
+      val sh = when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      df.select(explode(sh).as("s")).groupBy("s").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // planted boilerplate: 200 copies of one 9-word sentence (its
+    // five 5-grams have true count 200) over a unique-word filler
+    // tail; k = 32 puts the guarantee threshold n/(k+1) = 1600/33
+    // ≈ 48 well below 200, so all five MUST surface
+    val boiler = "subscribe to our newsletter for daily updates delivered now"
+    val docs = ((1 to 200).map(_ => boiler) ++
+      (1 to 100).map(i => (0 until 10).map(j => s"u${i}w$j").mkString(" ")))
+      .toDF("text").repartition(7) // force cross-partition merges
+    val exact = exactCounts(docs, 5)
+    val nTotal = exact.values.sum
+    val out = TextAnalysis.boilerplateNgrams(docs, "text", n = 5, k = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(_._3 == nTotal),
+      s"n_ngrams must be the true item total: ${out.take(3).mkString}")
+    val err = nTotal / 33 // n/(k+1)
+    out.foreach { case (ngram, est, _) =>
+      val truth = exact(ngram)
+      assert(est <= truth, s"$ngram: est $est above truth $truth")
+      assert(truth - est <= err, s"$ngram: error ${truth - est} > $err")
+    }
+    val present = out.map(_._1).toSet
+    exact.filter(_._2 > err).keys.foreach { hh =>
+      assert(present.contains(hh), s"heavy hitter '$hh' missing")
+    }
+    // the five boilerplate shingles are exactly the count-200 items
+    assert(exact.count(_._2 == 200L) == 5)
+    // order contract: count desc, ngram asc
+    val ests = out.map(x => (-x._2, x._1)).toSeq
+    assert(ests == ests.sorted, "output must be (est desc, ngram asc)")
   }
 }
