@@ -219,9 +219,10 @@ object EmbeddingGramian {
   /** Accumulate a signed 64-bit value into 128-bit cell `k`:
     * sign-extend to 128 and add with carry. The carry-out of the
     * unsigned low-word add is the standard bit identity
-    * `((a & b) | ((a | b) & ~sum)) >>> 63`.
+    * `((a & b) | ((a | b) & ~sum)) >>> 63`. Shared with
+    * [[QuantizedVectorSum]] (the k-means update aggregate).
     */
-  @inline private def addSigned(hi: Array[Long], lo: Array[Long], k: Int,
+  @inline private[functions] def addSigned(hi: Array[Long], lo: Array[Long], k: Int,
                                 p: Long): Unit = {
     val l0 = lo(k)
     val l1 = l0 + p
@@ -231,7 +232,7 @@ object EmbeddingGramian {
   }
 
   /** Add the 128-bit value (bhi, blo) into cell `k`. */
-  @inline private def add128(ahi: Array[Long], alo: Array[Long], k: Int,
+  @inline private[functions] def add128(ahi: Array[Long], alo: Array[Long], k: Int,
                              bhi: Long, blo: Long): Unit = {
     val l0 = alo(k)
     val l1 = l0 + blo
@@ -243,7 +244,7 @@ object EmbeddingGramian {
   /** The 128-bit (hi, lo) accumulator as an exact BigInteger:
     * 16 bytes big-endian IS its two's-complement encoding.
     */
-  private def toBigInt(hi: Long, lo: Long): java.math.BigInteger = {
+  private[functions] def toBigInt(hi: Long, lo: Long): java.math.BigInteger = {
     val bb = ByteBuffer.allocate(16)
     bb.putLong(hi); bb.putLong(lo)
     new java.math.BigInteger(bb.array())

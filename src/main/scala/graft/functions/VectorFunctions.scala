@@ -141,6 +141,38 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Index of the nearest centroid by squared Euclidean distance —
+    * the Lloyd assignment step as one codegen'd pass over the
+    * (k-bounded, plan-embedded) centroid matrix. Centroids are
+    * DOUBLE: the k-means update produces them from exact decimal
+    * sums, and keeping full precision here is what lets the DuckDB
+    * oracle replay the assignment bit-for-bit ((x − c)² accumulated
+    * left-to-right, floats widened exactly). Ties keep the LOWEST
+    * cluster index (strict `<` while scanning ascending), matching
+    * `ORDER BY dist ASC, cluster ASC`; a NaN distance never beats
+    * the +Inf seed, so an all-NaN row lands in cluster 0 — though
+    * the update aggregate rejects non-finite components anyway.
+    */
+  def nearestCentroidIdx(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(v.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getFloat(i).toDouble - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Signed-random-projection bucket id: `planes` Rademacher (+/-1)
     * hyperplanes with weights derived from a splitmix64-style mix of
     * (seed, plane, dim) — deterministic on every executor, no
@@ -247,6 +279,31 @@ case class NearestCentroids(child: Expression, centIds: Array[Long],
     copy(child = newChild)
 }
 
+/** `nearest_centroid_idx(v)`: Lloyd assignment — index of the
+  * nearest centroid by squared Euclidean distance over a
+  * plan-embedded double[][] centroid matrix (k rows, driver-bounded
+  * by construction: it IS the model). Ties keep the lowest index.
+  */
+case class NearestCentroidIndex(child: Expression,
+                                cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "at least one centroid required")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_idx"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCentroidIdx(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorOps.nearestCentroidIdx($v, $cs)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidIndex =
+    copy(child = newChild)
+}
+
 /** `dot_product(a, b)`: codegen'd double dot product over
   * `array<float>` columns — pair with precomputed `self_norm` columns
   * so N² similarity loops do one accumulation stream, not three.
@@ -308,6 +365,20 @@ object VectorFunctions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       NearestCentroids(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
         centIds, centVecs, centNorms, nprobe))
+
+  def nearestCentroidIdx(v: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      NearestCentroidIndex(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v), cents))
+
+  /** Exact per-dimension quantized sum of an `array<float>` column
+    * (see [[QuantizedVectorSum]]) — the k-means centroid update.
+    */
+  def quantizedVectorSum(v: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      QuantizedVectorSum(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v))
+        .toAggregateExpression())
 
   /** One-pass exact moment/Gramian aggregate over an `array<float>`
     * column (see [[EmbeddingGramian]]) — the distributed input of

@@ -180,6 +180,23 @@ object DedupQueries {
       Similarity.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
           posexplode(col("qvec")).as(Seq("component", "qval")))),
+    // reproducible Lloyd: exact-integer centroid updates make every
+    // iteration engine-exact, so the full unrolled fit replays in
+    // DuckDB hash-green (the float-mean objection the IVF quantizer
+    // ducked by hash-sampling is solved, not avoided)
+    "embedding_kmeans" -> ((s, d) =>
+      Similarity.kmeans(embs(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
+    "embedding_kmeans_centroids" -> ((s, d) => {
+      import s.implicits._
+      Similarity.kmeansFit(embs(s, d), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .zipWithIndex.toSeq
+        .flatMap { case (cv, c) =>
+          cv.zipWithIndex.map { case (x, i) => (c, i, x) }
+        }
+        .toDF("cluster", "component", "value")
+    }),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
@@ -618,7 +635,90 @@ object DedupQueries {
       |       ELSE floor(x / scale + 0.5) END AS TINYINT) AS qval
       |FROM x""".stripMargin
 
+  /** Unrolled Lloyd oracle (Similarity.kmeansFit/kmeans). Every step
+    * is engine-exact by construction: the Lehmer init sort is integer
+    * arithmetic, the assignment distance is the kernel's sequential
+    * `(x − c)²` fold (list_reduce == the left-to-right accumulation
+    * loop of VectorOps.nearestCentroidIdx, bit-identical doubles),
+    * ties resolve `ORDER BY dist ASC, cluster ASC` == the kernel's
+    * strict-< ascending scan, and the centroid update sums the SAME
+    * `floor(x·10⁶)` integers (order-free, HUGEINT == the aggregate's
+    * 128-bit cells) before the one correctly-rounded
+    * `s / 1e6 / n` double divide chain. Empty clusters COALESCE to
+    * their previous centroid, mirroring the fit loop.
+    */
+  private def kmeansDistCte(dName: String, cPrev: String): String =
+    s"""$dName AS (
+       |  SELECT e.vec_id, c.cluster,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(e.embedding) + 1),
+       |        j -> (CAST(e.embedding[j] AS DOUBLE) - c.cv[j])
+       |           * (CAST(e.embedding[j] AS DOUBLE) - c.cv[j]))),
+       |      (acc, v) -> acc + v) AS dist
+       |  FROM eb e, $cPrev c)""".stripMargin
+
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val lehmer = "(vec_id % 2147483647) * 48271 % 2147483647"
+    val init =
+      s"""eb AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |init AS (
+         |  SELECT vec_id, embedding FROM eb
+         |  ORDER BY $lehmer ASC, vec_id ASC LIMIT $k),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY $lehmer ASC, vec_id ASC) AS INT) - 1 AS cluster,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM init)""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      val p = t - 1
+      s"""${kmeansDistCte(s"d$t", s"c$p")},
+         |a$t AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM d$t) WHERE rn = 1),
+         |x$t AS (
+         |  SELECT a.cluster,
+         |    CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS component,
+         |    CAST(unnest(e.embedding) AS DOUBLE) AS x
+         |  FROM a$t a JOIN eb e USING (vec_id)),
+         |s$t AS (
+         |  SELECT cluster, component,
+         |    SUM(CAST(floor(x * 1000000.0) AS HUGEINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM x$t GROUP BY cluster, component),
+         |n$t AS (
+         |  SELECT cluster,
+         |    list(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+         |         ORDER BY component) AS cv
+         |  FROM s$t GROUP BY cluster),
+         |c$t AS (
+         |  SELECT p.cluster, COALESCE(u.cv, p.cv) AS cv
+         |  FROM c$p p LEFT JOIN n$t u USING (cluster))""".stripMargin
+    }
+    (Seq(init) ++ iterCtes).mkString(",\n")
+  }
+
+  private def kmeansAssignSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |${kmeansDistCte("df", s"c$iters")}
+       |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+       |  FROM df) WHERE rn = 1""".stripMargin
+
+  private def kmeansCentroidsSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)}
+       |SELECT cluster,
+       |  CAST(generate_subscripts(cv, 1) - 1 AS INT) AS component,
+       |  unnest(cv) AS value
+       |FROM c$iters""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "embedding_kmeans" -> kmeansAssignSql(8, 2),
+    "embedding_kmeans_centroids" -> kmeansCentroidsSql(8, 2),
     "embedding_quantize" -> embeddingQuantizeSql,
     "corpus_curate" -> corpusCurateSql,
     "dedup_decontaminate" -> decontaminateSql,

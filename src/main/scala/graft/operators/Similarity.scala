@@ -497,4 +497,92 @@ object Similarity {
     df.withColumn(outCol,
       transform(col(qvecCol), q =>
         (q.cast("double") * col(scaleCol)).cast("float")))
+
+  /** Reproducible distributed k-means (Lloyd) over an embedding
+    * column — corpus bucketing for curriculum mixes, per-cluster
+    * sampling quotas, and the trained coarse quantizer [[annIvf]]'s
+    * hash-sampled one approximates.
+    *
+    * The classic objection to oracle-checking Lloyd is that the
+    * centroid update is a float MEAN — partition-order arithmetic
+    * that no second engine replays exactly. Here the update is the
+    * [[graft.functions.QuantizedVectorSum]] aggregate: components
+    * quantize onto the tie-free `floor(x · 10⁶)` grid, sums
+    * accumulate exactly in 128-bit integers, and each centroid
+    * component is then the single correctly-rounded double
+    * `sx / 10⁶ / n` — so every iteration, and therefore the whole
+    * fit, is bit-reproducible across runs, partitionings, AND
+    * engines (the DuckDB oracle replays the full unrolled
+    * iteration chain, hash-exact).
+    *
+    * Per-iteration shape at 100 TB: assignment is one codegen'd
+    * projection against the plan-embedded k×D centroid matrix (no
+    * join, no shuffle), the update is a k-group partial aggregate
+    * shipping one D-length buffer per partition, and the driver
+    * holds k×D doubles — Lloyd's textbook cost of one corpus pass
+    * per iteration, nothing more.
+    *
+    * Init: the same Lehmer-hash sample as [[annIvf]]'s quantizer
+    * (deterministic, SQL-expressible, no RNG). Empty clusters keep
+    * their previous centroid. Ties in assignment keep the lowest
+    * cluster index. Iteration count is FIXED (`iters`), not
+    * convergence-gated: a data-dependent stop would make the
+    * round-trip depend on float comparisons no oracle should chase,
+    * and pretraining-scale corpora run a budgeted pass count anyway.
+    *
+    * Returns the k×D centroid matrix, cluster index = sample rank.
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int = 8, iters: Int = 2): Array[Array[Double]] = {
+    require(k >= 1, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
+    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    // Lehmer-style modular hash, same overflow-safe form as annIvf
+    val lehmer = pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L))
+    var cents: Array[Array[Double]] = e
+      .orderBy(lehmer.asc, col("id").asc)
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(cents.nonEmpty, "k-means needs at least one vector")
+    var it = 0
+    while (it < iters) {
+      val sums = e
+        .groupBy(graft.functions.VectorFunctions
+          .nearestCentroidIdx(col("v"), cents).as("cluster"))
+        .agg(graft.functions.VectorFunctions
+          .quantizedVectorSum(col("v")).as("s"))
+        .select(col("cluster"), col("s.n"), col("s.sx"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep position
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        val sx = r.getSeq[java.math.BigDecimal](2)
+        // the exact same expression shape as the Gramian means:
+        // correctly-rounded decimal→double, then /1e6, then /n
+        next(c) = sx.map(_.doubleValue / 1e6 / n).toArray
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Assign every vector to its nearest [[kmeansFit]] centroid:
+    * (idCol, cluster int). One codegen'd projection — scan-shaped.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[Array[Double]]): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.VectorFunctions
+          .nearestCentroidIdx(col(vecCol), cents).as("cluster"))
+
+  /** Fit + assign in one call (the query-entry composition). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(df, idCol, vecCol, kmeansFit(df, idCol, vecCol, k, iters))
 }

@@ -486,6 +486,80 @@ class DedupSpec extends SparkSpec {
     assert(zq(2L)._2 == Seq[Byte](64, -127, 32), zq(2L).toString)
   }
 
+  test("kmeans recovers planted clusters, invariant to partitioning") {
+    // three well-separated blobs with internal variation (so a blob
+    // mean differs from any single member — centroid movement is
+    // observable)
+    val base = Map(0 -> Array(10f, 0f, 0f, 0f), 1 -> Array(0f, 10f, 0f, 0f),
+      2 -> Array(-10f, -10f, 0f, 0f))
+    val rows = for (b <- 0 to 2; i <- 0 until 20) yield
+      (b * 100L + i,
+        base(b).zipWithIndex.map { case (x, j) =>
+          x + ((i * 7 + j) % 5) * 0.01f
+        })
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val assign = Similarity.kmeansAssign(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // each blob lands whole in one cluster; the three blobs separate
+    val byBlob = assign.groupBy(_._1 / 100)
+      .map { case (b, m) => b -> m.values.toSet }
+    assert(byBlob.values.forall(_.size == 1), s"split blob: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3, s"merged blobs: $byBlob")
+    // each centroid sits inside its blob's bounding box, not on a
+    // member (variation makes the quantized mean an interior point)
+    cents.foreach { cv =>
+      assert(cv.length == 4)
+      assert(cv.forall(x => math.abs(x) <= 10.05))
+    }
+    // bit-exact partition-order invariance: the 128-bit integer
+    // update makes the fit independent of how the corpus is split
+    val cents2 = Similarity.kmeansFit(df.repartition(7), "vec_id",
+      "embedding", k = 3, iters = 3)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq,
+      "fit must be bit-identical under repartitioning")
+  }
+
+  test("kmeans keeps empty-cluster centroids; assignment ties go low") {
+    // For ids below p/48271 the Lehmer hash (id*48271 mod p) is
+    // strictly increasing, so the k=3 init is exactly ids 0, 1, 2 —
+    // plant A, B, A there and the initial centroids are [A, B, A]
+    // with a known duplicate at cluster 2. A uses components off the
+    // 1e-6 grid (0.1f etc.), so an UPDATED centroid provably moves.
+    val A = Array(5.1f, 0.1f, 0f, 0f)
+    val B = Array(-5.1f, 0.3f, 0f, 0f)
+    val rows = (0L to 11L).map(i =>
+      (i, if (i == 1L || i >= 8L) B else A))
+    val df = rows.toDF("vec_id", "embedding")
+    // iters = 0: raw sampled centroids — every A row ties between
+    // clusters 0 and 2 and must take the LOWEST index
+    val raw = Similarity.kmeansFit(df, "vec_id", "embedding",
+      k = 3, iters = 0)
+    assert(raw.map(_.toSeq).toSeq == Seq(A, B, A).map(_.map(_.toDouble).toSeq))
+    val tied = Similarity.kmeansAssign(df, "vec_id", "embedding", raw)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tied.values.forall(_ != 2), "ties must keep the lowest index")
+    assert(rows.filter(r => r._2.sameElements(A))
+      .forall(r => tied(r._1) == 0))
+    // iters = 1: cluster 2 received no rows (the tie), so its
+    // centroid stays FROZEN at the raw double-cast of A, while
+    // clusters 0/1 move onto the quantized grid
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding",
+      k = 3, iters = 1)
+    val rawA = A.map(_.toDouble).toSeq
+    assert(cents(2).toSeq == rawA,
+      "empty cluster must keep its previous centroid")
+    assert(cents(0).toSeq != rawA,
+      "non-empty cluster must move to the quantized mean")
+    // expected value through the SAME op chain the fit uses:
+    // exact integer sum, then /1e6, then /n (7 A rows, 5 B rows)
+    def gridMean(x: Float, n: Int): Double =
+      math.floor(x.toDouble * 1e6) * n / 1e6 / n
+    assert(cents(0)(0) == gridMean(A(0), 7) &&
+      cents(1)(0) == gridMean(B(0), 5))
+  }
+
   test("simhash flood cap drops degenerate chunk buckets only") {
     import SparkSpec.spark.implicits._
     // 20 identical docs share ALL four 16-bit chunks: every chunk
