@@ -35,6 +35,51 @@ object Sampling {
       .filter(col("sample_bucket") < rate * 4294967296.0)
   }
 
+  /** Token-budgeted mixture planning: given target mixture weights
+    * (share of the training budget per stratum — source, language,
+    * quality band) and a total token budget, derive the
+    * deterministic per-stratum sampling rate
+    * `min(1, weight · budget / tokens_have)`. A stratum with fewer
+    * tokens than its target caps at rate 1 (one full epoch — the
+    * operator surfaces the shortfall in `tokens_target` vs
+    * `tokens_have` instead of silently re-weighting; up-sampling is
+    * a repetition policy, not a filter's job). Strata without a
+    * weight get rate 0 and drop out.
+    *
+    * One k-group aggregate over the corpus — the plan itself is
+    * stratum-cardinality-sized.
+    */
+  def mixPlan(df: DataFrame, stratumCol: String, tokensCol: String,
+              weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, v).otherwise(acc)
+    }
+    df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).as("tokens_have"))
+      .withColumn("weight", w)
+      .withColumn("tokens_target", col("weight") * lit(budgetTokens.toDouble))
+      .withColumn("rate",
+        least(lit(1.0), col("tokens_target") / col("tokens_have")))
+  }
+
+  /** Apply a [[mixPlan]]: keep a row iff its hash bucket falls below
+    * its stratum's derived rate. Two corpus passes total (count +
+    * filter — inherent to budget-relative rates), the plan joins
+    * back as a BROADCAST (stratum cardinality), and the kept set is
+    * hash-deterministic and monotone in the budget: raising the
+    * budget only ADDS documents, so growing a mixture never churns
+    * the previously selected corpus.
+    */
+  def mixSample(df: DataFrame, idCol: String, stratumCol: String,
+                tokensCol: String, weights: Map[String, Double],
+                budgetTokens: Long): DataFrame = {
+    val plan = mixPlan(df, stratumCol, tokensCol, weights, budgetTokens)
+      .select(col(stratumCol), col("rate"))
+    df.join(broadcast(plan), Seq(stratumCol))
+      .withColumn("sample_bucket", hashBucket(col(idCol)))
+      .filter(col("sample_bucket") < col("rate") * 4294967296.0)
+  }
+
   /** Contiguous-fill sequence packing: shard the corpus (so the
     * running sum is a PARTITIONED window — a global cumsum would
     * serialize 100 TB through one task), order within shard, and

@@ -27,11 +27,65 @@ object SamplingQueries {
         ceil(length(col("text")) / 4.0).cast("long").as("est_tokens")),
       "doc_id", "est_tokens", capacity = 2048L, shards = 8)
 
+  // mixture targets: src0 is oversubscribed at sf0.01 (0.30 × 8000
+  // > its ~2k tokens), exercising the rate-1 epoch cap in the driver
+  // check; unweighted sources drop out
+  private val mixWeights = Map("src0" -> 0.30, "src1" -> 0.05,
+    "src2" -> 0.05)
+  private val mixBudget = 8000L
+
+  private def docsWithTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("source"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
+
+  def dataMixPlan(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixPlan(docsWithTokens(spark, dir), "source", "est_tokens",
+      mixWeights, mixBudget)
+
+  def dataMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixSample(docsWithTokens(spark, dir), "doc_id", "source",
+      "est_tokens", mixWeights, mixBudget)
+      .select("doc_id", "source", "est_tokens", "sample_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_sample" -> (dataSample _),
-    "data_pack" -> (dataPack _))
+    "data_pack" -> (dataPack _),
+    "data_mix_plan" -> (dataMixPlan _),
+    "data_mix" -> (dataMix _))
+
+  /** Shared mix CTEs: per-source token totals -> weights -> the
+    * capped rate. `CAST(SUM AS BIGINT)` pins DuckDB's HUGEINT sum
+    * back to Spark's long; the weight CASE casts to DOUBLE so the
+    * rate arithmetic is the same double chain
+    * (weight · budget, then / tokens_have) on both engines.
+    */
+  private val mixCtes: String =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sample_bucket
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, CAST(SUM(est_tokens) AS BIGINT) AS tokens_have,
+      |    CAST(CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.05
+      |         WHEN 'src2' THEN 0.05 ELSE 0.0 END AS DOUBLE) AS weight
+      |  FROM t GROUP BY source),
+      |r AS (
+      |  SELECT source, tokens_have, weight,
+      |    weight * 8000.0 AS tokens_target,
+      |    least(1.0, weight * 8000.0 / tokens_have) AS rate
+      |  FROM p)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "data_mix_plan" ->
+      s"""WITH $mixCtes
+         |SELECT source, tokens_have, weight, tokens_target, rate
+         |FROM r""".stripMargin,
+    "data_mix" ->
+      s"""WITH $mixCtes
+         |SELECT t.doc_id, t.source, t.est_tokens, t.sample_bucket
+         |FROM t JOIN r USING (source)
+         |WHERE t.sample_bucket < r.rate * 4294967296.0""".stripMargin,
     "data_sample" ->
       """SELECT doc_id, lang, source,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sample_bucket

@@ -30,6 +30,45 @@ class SamplingSpec extends SparkSpec {
     assert(s.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("mix plan derives capped rates; sampling honors them") {
+    import SparkSpec.spark.implicits._
+    // planted strata with known token totals: "big" has 4000 tokens,
+    // "small" 400, "other" gets no weight
+    val rows = (1L to 40L).map(i => (i, "big", 100L)) ++
+      (41L to 50L).map(i => (i, "small", 40L)) ++
+      (51L to 60L).map(i => (i, "other", 50L))
+    val df = rows.toDF("doc_id", "source", "est_tokens")
+    // budget 2000, weights: big 0.5 (target 1000 < 4000 -> rate .25),
+    // small 0.5 (target 1000 > 400 -> capped at 1)
+    val plan = Sampling.mixPlan(df, "source", "est_tokens",
+      Map("big" -> 0.5, "small" -> 0.5), 2000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(plan("big") == ((4000L, 1000.0, 0.25)))
+    assert(plan("small") == ((400L, 1000.0, 1.0)),
+      "an oversubscribed stratum must cap at one full epoch")
+    assert(plan("other")._3 == 0.0)
+    val kept = Sampling.mixSample(df, "doc_id", "source", "est_tokens",
+      Map("big" -> 0.5, "small" -> 0.5), 2000L)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // rate-1 stratum keeps everything; weight-0 stratum drops out
+    assert(kept.count(_._2 == "small") == 10)
+    assert(!kept.exists(_._2 == "other"))
+    // the kept "big" subset is exactly the hash-bucket filter at .25
+    val expectBig = Sampling.stratifiedSample(
+      df.filter(col("source") === "big"), "doc_id", "source",
+      Map.empty, defaultRate = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == expectBig)
+    // budget monotonicity: a bigger budget only ADDS documents
+    val keptMore = Sampling.mixSample(df, "doc_id", "source",
+      "est_tokens", Map("big" -> 0.5, "small" -> 0.5), 4000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet.subsetOf(keptMore),
+      "raising the budget must never churn the selected corpus")
+  }
+
   test("packing fills bins contiguously within each shard") {
     val packed = Sampling.packSequences(
       docs.select(col("doc_id"),
