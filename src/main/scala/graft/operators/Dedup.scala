@@ -505,6 +505,62 @@ object Dedup {
         coalesce(col("n_near"), lit(0L)).as("n_near"), col("max_cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — k-means clusters as the candidate buckets,
+    * exact cosine within each cluster, greedy min-id keep decision.
+    * The published recipe for embedding-level corpus dedup at LLM
+    * pretraining scale, and the third candidate-generation strategy
+    * next to SRP buckets ([[embeddingStatsLsh]]) and the brute-force
+    * baseline ([[embeddingStats]]): clusters adapt to the corpus
+    * geometry where hyperplanes are data-oblivious, so recall
+    * concentrates where the density is.
+    *
+    * Built on [[Similarity.kmeansFit]]'s reproducible Lloyd, the
+    * whole operator is engine-exact: the DuckDB oracle replays the
+    * unrolled fit, the assignment, and the in-cluster cosines
+    * bit-for-bit. Scale shape: fit is iters+1 corpus passes, the
+    * pair join is an EQUI-join on cluster id, and `maxCluster`
+    * drops degenerate flood clusters from pair generation (their
+    * vectors report n_near = 0 — the same recall-only cap as every
+    * other candidate generator here). Raise k so expected cluster
+    * size stays under the cap at corpus scale.
+    *
+    * Output per vector: cluster, within-cluster near-dup stats, and
+    * `keep` (no near-duplicate with a smaller id — apply
+    * `filter(col("keep"))` for the deduplicated corpus).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double = 0.4, k: Int = 8, iters: Int = 2,
+               maxCluster: Int = 10000): DataFrame = {
+    val cents = Similarity.kmeansFit(df, idCol, vecCol, k, iters)
+    // materialize once: `e` feeds the flood count, both sides of the
+    // self-join, plus the final left join
+    val e = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        VectorFunctions.selfNorm(col(vecCol)).as("nn"),
+        VectorFunctions.nearestCentroidIdx(col(vecCol), cents).as("cluster"))
+      .localCheckpoint(true)
+    val kept = Similarity.capFloodBuckets(e, maxCluster, "cluster")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        Similarity.cosFromParts(
+          VectorFunctions.dotProduct(col("a.v"), col("b.v")),
+          col("a.nn"), col("b.nn")).as("cos"))
+      .localCheckpoint(true) // mirrored below: avoid double evaluation
+    val both = pairs.select(col("ida").as("id"), col("idb").as("nid"), col("cos"))
+      .unionByName(pairs.select(col("idb").as("id"), col("ida").as("nid"), col("cos")))
+    val per = both.groupBy("id").agg(
+      sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"),
+      max(col("cos")).as("max_cos"),
+      sum(when(col("cos") >= threshold && col("nid") < col("id"), 1L)
+        .otherwise(0L)).as("n_smaller"))
+    e.select(col("id"), col("cluster")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("max_cos"),
+        (coalesce(col("n_smaller"), lit(0L)) === 0L).as("keep"))
+  }
+
   /** #31 at scale: the same per-vector near-dup stats computed over
     * SRP-bucketed candidate pairs only — the join becomes an
     * equi-join on the hyperplane bucket id (one hash shuffle AQE can

@@ -180,6 +180,11 @@ object DedupQueries {
       Similarity.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
           posexplode(col("qvec")).as(Seq("component", "qval")))),
+    // SemDeDup: k-means clusters as candidate buckets, exact cosine
+    // within — the published embedding-dedup recipe, end-to-end
+    // engine-exact (the oracle replays fit + assignment + cosines)
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semDedup(embs(s, d), "vec_id", "embedding")),
     // reproducible Lloyd: exact-integer centroid updates make every
     // iteration engine-exact, so the full unrolled fit replays in
     // DuckDB hash-green (the float-mean objection the IVF quantizer
@@ -716,7 +721,45 @@ object DedupQueries {
        |  unnest(cv) AS value
        |FROM c$iters""".stripMargin
 
+  /** SemDeDup oracle: the unrolled-Lloyd chain, the final
+    * assignment, then exact in-cluster cosines (same fold order as
+    * the kernels) and the greedy min-id keep decision. The cap CTE
+    * mirrors maxCluster=10000 (never hit at oracle SF, semantics
+    * pinned anyway).
+    */
+  private val semDedupSql: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |${kmeansDistCte("dfin", "c2")},
+       |af AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+       |    FROM dfin) WHERE rn = 1),
+       |en AS (
+       |  SELECT e.vec_id, e.embedding, a.cluster, $selfNormSql AS nn
+       |  FROM eb e JOIN af a USING (vec_id)),
+       |ek AS (
+       |  SELECT * FROM en WHERE cluster NOT IN (
+       |    SELECT cluster FROM en GROUP BY cluster HAVING count(*) > 10000)),
+       |cp AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb, $cosSql AS cos
+       |  FROM ek a JOIN ek b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |u AS (
+       |  SELECT ida AS id, idb AS nid, cos FROM cp
+       |  UNION ALL SELECT idb AS id, ida AS nid, cos FROM cp),
+       |per AS (
+       |  SELECT id,
+       |    CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |    MAX(cos) AS max_cos,
+       |    CAST(SUM(CASE WHEN cos >= 0.4 AND nid < id THEN 1 ELSE 0 END) AS BIGINT) AS n_smaller
+       |  FROM u GROUP BY id)
+       |SELECT e.vec_id, e.cluster,
+       |  COALESCE(p.n_near, 0) AS n_near, p.max_cos,
+       |  COALESCE(p.n_smaller, 0) = 0 AS keep
+       |FROM en e LEFT JOIN per p ON p.id = e.vec_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_semantic" -> semDedupSql,
     "embedding_kmeans" -> kmeansAssignSql(8, 2),
     "embedding_kmeans_centroids" -> kmeansCentroidsSql(8, 2),
     "embedding_quantize" -> embeddingQuantizeSql,

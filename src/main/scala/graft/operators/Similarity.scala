@@ -261,18 +261,19 @@ object Similarity {
     topKWithin(pairs, k)
   }
 
-  /** Drop rows whose SRP `bucket` holds more than `maxBucket`
-    * vectors. The distinct bucket ids number at most 2^planes, so
-    * the flood set is broadcast and the filter is a hash anti-join
-    * with no extra shuffle of the fact side.
+  /** Drop rows whose bucket (SRP bucket, k-means cluster, simhash
+    * chunk — any bounded-cardinality candidate key) holds more than
+    * `maxBucket` vectors. The distinct bucket ids are bounded small,
+    * so the flood set is broadcast and the filter is a hash
+    * anti-join with no extra shuffle of the fact side.
     */
-  private[operators] def capFloodBuckets(e: DataFrame,
-                                         maxBucket: Int): DataFrame =
+  private[operators] def capFloodBuckets(e: DataFrame, maxBucket: Int,
+                                         bucketCol: String = "bucket"): DataFrame =
     if (maxBucket == Int.MaxValue) e
     else {
-      val flood = e.groupBy("bucket").agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > maxBucket).select("bucket")
-      e.join(broadcast(flood), Seq("bucket"), "left_anti")
+      val flood = e.groupBy(bucketCol).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucket).select(bucketCol)
+      e.join(broadcast(flood), Seq(bucketCol), "left_anti")
     }
 
   /** Project embeddings onto their top-`k` principal components,

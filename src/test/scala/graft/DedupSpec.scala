@@ -560,6 +560,34 @@ class DedupSpec extends SparkSpec {
       cents(1)(0) == gridMean(B(0), 5))
   }
 
+  test("semdedup keeps the lowest id among in-cluster near-dups") {
+    // k = 1: one cluster, all pairs compared. id1 = 2×id0 (cosine
+    // exactly 1), id2 orthogonal (cosine 0)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, k = 1, iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4)))
+      .toMap
+    assert(out(0L)._2 == 1L && out(0L)._4,
+      "the lowest id of a dup pair must be kept")
+    assert(out(1L)._2 == 1L && !out(1L)._4,
+      "the higher id of a dup pair must be dropped")
+    assert(out(2L)._2 == 0L && out(2L)._4)
+    assert(out(2L)._3 == Some(0.0), "orthogonal max_cos is exactly 0")
+    assert(out.values.forall(_._1 == 0), "k=1 puts everything in cluster 0")
+    // flood cap: a cluster above maxCluster contributes no pairs —
+    // its vectors keep everything and report no near-dups
+    val capped = Dedup.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, k = 1, iters = 1, maxCluster = 2)
+      .collect().map(r => (r.getLong(2), r.get(3), r.getBoolean(4)))
+    assert(capped.forall { case (n, mc, kp) => n == 0L && mc == null && kp })
+  }
+
   test("simhash flood cap drops degenerate chunk buckets only") {
     import SparkSpec.spark.implicits._
     // 20 identical docs share ALL four 16-bit chunks: every chunk
