@@ -206,6 +206,71 @@ case class ShingleHashes64(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+object WordNgramOps {
+
+  /** All n-WORD shingles of a single-space-tokenized text in ONE
+    * byte scan. Byte-for-byte equal to
+    * `concat_ws(" ", slice(split(text, " "), i, n))` for every i —
+    * a word shingle of single-space-separated words IS the byte
+    * range from its first word's start to its last word's end
+    * (empty words from doubled/leading spaces included, exactly as
+    * `split` keeps them) — but without the per-position
+    * slice-array/concat allocations of the HOF formulation, and the
+    * emitted strings WRAP the row's byte buffer (zero copies).
+    * A 0x20 byte never occurs inside a UTF-8 multibyte sequence, so
+    * the space scan is encoding-safe.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val m = spaces + 1 // word count, as split(" ") defines it
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    // starts(w) = byte offset of word w; starts(m) = len + 1 so the
+    // shared `starts(s + n) - 1` end formula covers the last word
+    val starts = new Array[Int](m + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(m) = len + 1
+    val out = new Array[Any](m - n + 1)
+    var s = 0
+    while (s <= m - n) {
+      val from = starts(s)
+      out(s) = UTF8String.fromBytes(bytes, from, starts(s + n) - 1 - from)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_ngrams(text)`: codegen'd n-word shingle array (the
+  * boilerplate-sketch item stream — see WordNgramOps for the exact
+  * `split`/`slice`/`concat_ws` equivalence).
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle word count must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(text: Any): Any =
+    WordNgramOps.wordNgrams(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.WordNgramOps.wordNgrams($t, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shash)`: codegen'd MinHash signature. */
 case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
     extends UnaryExpression {
@@ -261,4 +326,7 @@ object HashFunctions {
 
   def polyHash(text: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     ColumnBridge.column(PolyHash64(ColumnBridge.expression(text), mult, mod))
+
+  def wordNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
 }

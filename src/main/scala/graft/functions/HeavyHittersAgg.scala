@@ -14,10 +14,14 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Mutable state of [[HeavyHitters]]: at most `k` counters plus the
-  * total item count.
+/** Mutable state of [[HeavyHitters]]: at most `k` counters (stored
+  * in OFFSET form — the logical Misra-Gries counter of `item` is
+  * `counts(item) - delta`, see the update loop), the shared
+  * decrement offset, an exact-or-lower bound on the smallest stored
+  * value (purge trigger), and the total item count.
   */
-final class HeavyHittersBuffer(val k: Int, var n: Long,
+final class HeavyHittersBuffer(val k: Int, var n: Long, var delta: Long,
+                               var minStored: Long,
                                val counts: mutable.HashMap[String, Long])
 
 /** Misra-Gries heavy-hitters sketch over an `array<string>` column —
@@ -28,7 +32,10 @@ final class HeavyHittersBuffer(val k: Int, var n: Long,
   *
   * Classic Misra-Gries per partition (k counters: hit → increment,
   * miss with spare capacity → insert, miss at capacity → decrement
-  * all, drop zeros) plus the mergeable-summaries combine (Agarwal et
+  * all, drop zeros — the decrement-all implemented as a shared
+  * OFFSET bump, so the dominant miss path is O(1) amortized instead
+  * of O(k); counters are algebraically identical) plus the
+  * mergeable-summaries combine (Agarwal et
   * al., PODS 2012): sum two summaries, and if more than k items
   * remain, subtract the (k+1)-th largest count from all and keep the
   * positive ones. The combined guarantee is the sketch's defining
@@ -64,7 +71,24 @@ case class HeavyHitters(
   override def prettyName: String = "heavy_hitters"
 
   override def createAggregationBuffer(): HeavyHittersBuffer =
-    new HeavyHittersBuffer(k, 0L, mutable.HashMap.empty)
+    new HeavyHittersBuffer(k, 0L, 0L, Long.MaxValue, mutable.HashMap.empty)
+
+  /** Remove entries whose logical count is zero (stored ≤ delta) and
+    * recompute the exact minimum stored value. O(k), but triggered
+    * only when `delta` crosses `minStored` — each scan removes at
+    * least one entry (or tightens a stale bound after a
+    * hit-on-the-minimum), so the cost amortizes against the inserts
+    * that refill the map.
+    */
+  private def purge(b: HeavyHittersBuffer): Unit = {
+    val dead = mutable.ArrayBuffer.empty[String]
+    var mn = Long.MaxValue
+    b.counts.foreach { case (key, c) =>
+      if (c <= b.delta) dead += key else if (c < mn) mn = c
+    }
+    dead.foreach(b.counts.remove)
+    b.minStored = mn
+  }
 
   override def update(b: HeavyHittersBuffer,
                       input: InternalRow): HeavyHittersBuffer = {
@@ -79,15 +103,17 @@ case class HeavyHitters(
         b.n += 1
         b.counts.get(item) match {
           case Some(c) => b.counts(item) = c + 1
-          case None if b.counts.size < b.k => b.counts(item) = 1L
+          case None if b.counts.size < b.k =>
+            b.counts(item) = b.delta + 1
+            if (b.delta + 1 < b.minStored) b.minStored = b.delta + 1
           case None =>
-            // miss at capacity: decrement every counter, drop zeros —
-            // one shared decrement "pays" for the unseen item
-            val dead = mutable.ArrayBuffer.empty[String]
-            b.counts.foreach { case (key, c) =>
-              if (c == 1L) dead += key else b.counts(key) = c - 1
-            }
-            dead.foreach(b.counts.remove)
+            // miss at capacity: the classic decrement-all becomes a
+            // shared-offset bump — O(1) instead of O(k), which IS
+            // the hot path on a near-unique item stream (a corpus'
+            // shingle space). Entries the bump kills (stored ≤
+            // delta) are purged the moment they appear.
+            b.delta += 1
+            if (b.minStored <= b.delta) purge(b)
         }
       }
       i += 1
@@ -95,9 +121,23 @@ case class HeavyHitters(
     b
   }
 
+  /** Logical (offset-resolved) counts of the live entries. */
+  private def logical(b: HeavyHittersBuffer): Iterator[(String, Long)] =
+    b.counts.iterator.collect {
+      case (key, c) if c > b.delta => (key, c - b.delta)
+    }
+
   override def merge(b: HeavyHittersBuffer,
                      o: HeavyHittersBuffer): HeavyHittersBuffer = {
-    o.counts.foreach { case (item, c) =>
+    // normalize b to logical form first: merge math runs on true
+    // Misra-Gries counters, not offset-form stored values
+    if (b.delta != 0L) {
+      val flat = logical(b).toArray
+      b.counts.clear()
+      flat.foreach { case (key, c) => b.counts(key) = c }
+      b.delta = 0L
+    }
+    logical(o).foreach { case (item, c) =>
       b.counts(item) = b.counts.getOrElse(item, 0L) + c
     }
     b.n += o.n
@@ -113,12 +153,13 @@ case class HeavyHitters(
       }
       dead.foreach(b.counts.remove)
     }
+    b.minStored = if (b.counts.isEmpty) Long.MaxValue else b.counts.values.min
     b
   }
 
   override def eval(b: HeavyHittersBuffer): Any = {
     // deterministic presentation: count desc, item asc
-    val items = b.counts.toArray.sortBy { case (item, c) => (-c, item) }
+    val items = logical(b).toArray.sortBy { case (item, c) => (-c, item) }
     val rows: Array[Any] = items.map { case (item, c) =>
       new GenericInternalRow(
         Array[Any](UTF8String.fromString(item), c))
@@ -129,9 +170,10 @@ case class HeavyHitters(
   override def serialize(b: HeavyHittersBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    val flat = logical(b).toArray
     out.writeLong(b.n)
-    out.writeInt(b.counts.size)
-    b.counts.foreach { case (item, c) =>
+    out.writeInt(flat.length)
+    flat.foreach { case (item, c) =>
       val bytes = item.getBytes(StandardCharsets.UTF_8)
       out.writeInt(bytes.length)
       out.write(bytes)
@@ -146,15 +188,18 @@ case class HeavyHitters(
     val n = in.readLong()
     val size = in.readInt()
     val counts = mutable.HashMap.empty[String, Long]
+    var mn = Long.MaxValue
     var i = 0
     while (i < size) {
       val len = in.readInt()
       val buf = new Array[Byte](len)
       in.readFully(buf)
-      counts(new String(buf, StandardCharsets.UTF_8)) = in.readLong()
+      val c = in.readLong()
+      counts(new String(buf, StandardCharsets.UTF_8)) = c
+      if (c < mn) mn = c
       i += 1
     }
-    new HeavyHittersBuffer(k, n, counts)
+    new HeavyHittersBuffer(k, n, 0L, mn, counts)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =

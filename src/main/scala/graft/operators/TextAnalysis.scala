@@ -79,13 +79,12 @@ object TextAnalysis {
   def boilerplateNgrams(df: DataFrame, textCol: String,
                         n: Int = 5, k: Int = 32): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    val words = split(col(textCol), " ")
-    // guard: sequence(0, negative) would count DOWN; short docs
-    // contribute no shingles
-    val shingles = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // one-byte-scan codegen kernel: the HOF formulation
+    // (transform(sequence)+slice+concat_ws) costs ~1.4 s alone at
+    // sf0.1 — more than the sketch it feeds (ProbeNgrams triage);
+    // word_ngrams emits byte-identical shingles as buffer-sharing
+    // slices instead
+    val shingles = graft.functions.HashFunctions.wordNgrams(col(textCol), n)
     df.agg(graft.functions.HeavyHitters
         .heavyHitters(shingles, k).as("hh"))
       .select(col("hh.n_items").as("n_ngrams"),

@@ -127,17 +127,36 @@ class TextAnalysisSpec extends SparkSpec {
       s"global top-K must not global-sort: ${plan.take(1500)}")
   }
 
+  test("word_ngrams kernel equals the split/slice/concat_ws formulation") {
+    import SparkSpec.spark.implicits._
+    // edge corpus: doubled/leading/trailing spaces (empty words),
+    // exact-length, short, empty, and multibyte text
+    val docs = Seq(
+      "a b c d e f g", "a  b c d e", " a b c d e", "a b c d e ",
+      "a b c d e", "a b c d", "", "  ", "äöü ß € x y z", "one")
+      .toDF("text")
+    val n = 5
+    val words = split(col("text"), " ")
+    val hof = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = docs.select(col("text"),
+      graft.functions.HashFunctions.wordNgrams(col("text"), n).as("k"),
+      hof.as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"kernel != HOF for '${r.getString(0)}'")
+    }
+  }
+
   test("misra-gries boilerplate sweep honors the n/(k+1) guarantee") {
     import SparkSpec.spark.implicits._
-    // exact n-gram counts built with the SAME shingle expression the
+    // exact n-gram counts built with the SAME shingle kernel the
     // operator uses, so the guarantee is checked against its own
     // item definition
     def exactCounts(df: DataFrame, n: Int): Map[String, Long] = {
-      val words = split(col("text"), " ")
-      val sh = when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-        .otherwise(array().cast("array<string>"))
+      val sh = graft.functions.HashFunctions.wordNgrams(col("text"), n)
       df.select(explode(sh).as("s")).groupBy("s").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
