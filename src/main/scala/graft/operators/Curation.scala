@@ -19,6 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Keep the top `frac` of every group by score — "top 30 % by
+    * quality per language", the relative curation gate used when an
+    * absolute threshold would gut low-resource groups. Ranking is
+    * `row_number` over (score desc, id asc) — fully deterministic
+    * under ties — against a per-group `ceil(count · frac)` cutoff,
+    * so every non-empty group keeps at least one document.
+    *
+    * One shuffle on the group key; both windows share that
+    * partitioning (Catalyst plans a single exchange + sort). A
+    * dominant group serializes through one task's sort — at corpus
+    * scale prefer finer groups (e.g. language × source) over one
+    * global stratum, same guidance as every windowed operator here.
+    */
+  def topQuantileByGroup(df: DataFrame, groupCol: String,
+                         scoreCol: String, idCol: String,
+                         frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val cw = Window.partitionBy(col(groupCol))
+    df.withColumn("q_rank", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("q_rank") <= ceil(col("_n") * lit(frac)))
+      .drop("_n")
+  }
+
   /** Filter, dedup, and decontaminate a corpus, then account the
     * surviving documents and estimated tokens per group.
     *

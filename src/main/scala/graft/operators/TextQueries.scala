@@ -75,6 +75,17 @@ object TextQueries {
   def textBoilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.boilerplateNgrams(docs(spark, dir), "text", n = 5, k = 32)
 
+  /** Relative quality gate: top 30 % per language by alpha ratio
+    * (rank deterministic under ties via doc_id).
+    */
+  def curateTopQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.qualityMetrics(col("text"), Seq("the", "a")).toMap
+    Curation.topQuantileByGroup(
+      docs(spark, dir).select(col("doc_id"), col("lang"),
+        m("alpha_ratio").as("score")),
+      "lang", "score", "doc_id", frac = 0.3)
+  }
+
   /** RAG-shape chunking: 200-char windows, 50-char overlap. */
   def textChunk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -106,6 +117,7 @@ object TextQueries {
     "text_vocab_topk" -> (textVocabTopK _),
     "text_tfidf_topk" -> (textTfidfTopK _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
+    "curate_top_quantile" -> (curateTopQuantile _),
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _))
 
@@ -130,6 +142,20 @@ object TextQueries {
          |       ELSE 'zh' END AS lang_guess
          |FROM scored""".stripMargin
     },
+    "curate_top_quantile" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS INT) AS q_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM s)
+        |SELECT doc_id, lang, score, q_rank
+        |FROM r WHERE q_rank <= ceil(n * 0.3)""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,

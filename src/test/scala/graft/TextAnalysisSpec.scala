@@ -127,6 +127,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"global top-K must not global-sort: ${plan.take(1500)}")
   }
 
+  test("top-quantile gate keeps ceil(frac*n) per group, ties by id") {
+    import SparkSpec.spark.implicits._
+    // group a: 10 docs scored by id parity then value; group b: 3
+    // docs all TIED on score -> rank must fall back to doc_id
+    val rows = (1L to 10L).map(i => (i, "a", i.toDouble)) ++
+      Seq((21L, "b", 5.0), (22L, "b", 5.0), (23L, "b", 5.0))
+    val df = rows.toDF("doc_id", "grp", "score")
+    val out = graft.operators.Curation
+      .topQuantileByGroup(df, "grp", "score", "doc_id", 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    val a = out.filter(_._2 == "a").map(_._1).sorted.toSeq
+    val b = out.filter(_._2 == "b").map(_._1).sorted.toSeq
+    assert(a == Seq(8L, 9L, 10L), s"top 3 of 10 by score: $a") // ceil(3.0)=3
+    assert(b == Seq(21L), s"ceil(0.9)=1, tie broken by lowest id: $b")
+    assert(out.forall(_._3 >= 1))
+    // frac = 1 keeps everything
+    assert(graft.operators.Curation
+      .topQuantileByGroup(df, "grp", "score", "doc_id", 1.0).count() == 13)
+  }
+
   test("word_ngrams kernel equals the split/slice/concat_ws formulation") {
     import SparkSpec.spark.implicits._
     // edge corpus: doubled/leading/trailing spaces (empty words),
