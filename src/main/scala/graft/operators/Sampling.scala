@@ -62,23 +62,71 @@ object Sampling {
         least(lit(1.0), col("tokens_target") / col("tokens_have")))
   }
 
-  /** Apply a [[mixPlan]]: keep a row iff its hash bucket falls below
-    * its stratum's derived rate. Two corpus passes total (count +
-    * filter — inherent to budget-relative rates), the plan joins
-    * back as a BROADCAST (stratum cardinality), and the kept set is
-    * hash-deterministic and monotone in the budget: raising the
-    * budget only ADDS documents, so growing a mixture never churns
-    * the previously selected corpus.
+  /** Temperature-derived mixture weights: `w_s ∝ tokens_s^alpha`,
+    * normalized — the multilingual/multi-source sampling standard
+    * (alpha < 1 flattens the natural distribution so low-resource
+    * strata aren't drowned; alpha = 1 is proportional, alpha = 0
+    * uniform). Same output shape as [[mixPlan]] with the weights
+    * computed instead of given.
+    *
+    * Determinism: the per-stratum token counts are exact longs; the
+    * normalizer folds on the DRIVER in sorted-stratum order (the
+    * plan is stratum-cardinality-sized — collecting it is the
+    * operator's design, as with every model-sized fit here), so the
+    * weight doubles are bit-reproducible across partitionings and —
+    * for alpha = 0.5, which routes through correctly-rounded
+    * `sqrt` — across engines too (`pow` carries no such guarantee:
+    * other alphas remain deterministic per-platform but are not
+    * oracle-grade).
+    */
+  def temperatureMixPlan(df: DataFrame, stratumCol: String,
+                         tokensCol: String, alpha: Double,
+                         budgetTokens: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).as("tokens_have"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val pows = counts.map { case (s, n) =>
+      val p =
+        if (alpha == 0.5) math.sqrt(n.toDouble)
+        else math.pow(n.toDouble, alpha)
+      (s, n, p)
+    }
+    val z = pows.foldLeft(0.0)((acc, t) => acc + t._3)
+    val rows = pows.map { case (s, n, p) =>
+      val weight = p / z
+      val target = weight * budgetTokens.toDouble
+      (s, n, weight, target, math.min(1.0, target / n))
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    rows.toSeq.toDF(stratumCol, "tokens_have", "weight",
+      "tokens_target", "rate")
+  }
+
+  /** Keep a row iff its hash bucket falls below its stratum's rate
+    * from a mix plan ([[mixPlan]] or [[temperatureMixPlan]]). The
+    * plan joins back as a BROADCAST (stratum cardinality) and the
+    * kept set is hash-deterministic and monotone in the budget:
+    * raising the budget only ADDS documents, so growing a mixture
+    * never churns the previously selected corpus.
+    */
+  def applyMixPlan(df: DataFrame, idCol: String, stratumCol: String,
+                   plan: DataFrame): DataFrame =
+    df.join(broadcast(plan.select(col(stratumCol), col("rate"))),
+        Seq(stratumCol))
+      .withColumn("sample_bucket", hashBucket(col(idCol)))
+      .filter(col("sample_bucket") < col("rate") * 4294967296.0)
+
+  /** [[mixPlan]] + [[applyMixPlan]] in one call. Two corpus passes
+    * total (count + filter — inherent to budget-relative rates).
     */
   def mixSample(df: DataFrame, idCol: String, stratumCol: String,
                 tokensCol: String, weights: Map[String, Double],
-                budgetTokens: Long): DataFrame = {
-    val plan = mixPlan(df, stratumCol, tokensCol, weights, budgetTokens)
-      .select(col(stratumCol), col("rate"))
-    df.join(broadcast(plan), Seq(stratumCol))
-      .withColumn("sample_bucket", hashBucket(col(idCol)))
-      .filter(col("sample_bucket") < col("rate") * 4294967296.0)
-  }
+                budgetTokens: Long): DataFrame =
+    applyMixPlan(df, idCol, stratumCol,
+      mixPlan(df, stratumCol, tokensCol, weights, budgetTokens))
 
   /** Contiguous-fill sequence packing: shard the corpus (so the
     * running sum is a PARTITIONED window — a global cumsum would

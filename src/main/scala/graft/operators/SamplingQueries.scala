@@ -47,11 +47,25 @@ object SamplingQueries {
       "est_tokens", mixWeights, mixBudget)
       .select("doc_id", "source", "est_tokens", "sample_bucket")
 
+  def dataMixTemperaturePlan(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixPlan(docsWithTokens(spark, dir), "source",
+      "est_tokens", alpha = 0.5, budgetTokens = mixBudget)
+
+  def dataMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithTokens(spark, dir)
+    Sampling.applyMixPlan(d, "doc_id", "source",
+      Sampling.temperatureMixPlan(d, "source", "est_tokens",
+        alpha = 0.5, budgetTokens = mixBudget))
+      .select("doc_id", "source", "est_tokens", "sample_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_sample" -> (dataSample _),
     "data_pack" -> (dataPack _),
     "data_mix_plan" -> (dataMixPlan _),
-    "data_mix" -> (dataMix _))
+    "data_mix" -> (dataMix _),
+    "data_mix_temperature_plan" -> (dataMixTemperaturePlan _),
+    "data_mix_temperature" -> (dataMixTemperature _))
 
   /** Shared mix CTEs: per-source token totals -> weights -> the
     * capped rate. `CAST(SUM AS BIGINT)` pins DuckDB's HUGEINT sum
@@ -76,7 +90,44 @@ object SamplingQueries {
       |    least(1.0, weight * 8000.0 / tokens_have) AS rate
       |  FROM p)""".stripMargin
 
+  /** Temperature (alpha = 0.5) mix CTEs: the normalizer is an
+    * ORDERED list fold (ORDER BY source == the driver's
+    * sorted-stratum fold), sqrt is correctly rounded on both
+    * engines, and every later expression repeats the same
+    * left-associated double chain as temperatureMixPlan.
+    */
+  private val temperatureCtes: String =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sample_bucket
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, CAST(SUM(est_tokens) AS BIGINT) AS tokens_have
+      |  FROM t GROUP BY source),
+      |z AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(sqrt(CAST(tokens_have AS DOUBLE)) ORDER BY source)),
+      |    (a, x) -> a + x) AS z
+      |  FROM p),
+      |r AS (
+      |  SELECT source, tokens_have,
+      |    sqrt(CAST(tokens_have AS DOUBLE)) / z.z AS weight,
+      |    sqrt(CAST(tokens_have AS DOUBLE)) / z.z * 8000.0 AS tokens_target,
+      |    least(1.0, sqrt(CAST(tokens_have AS DOUBLE)) / z.z * 8000.0
+      |      / tokens_have) AS rate
+      |  FROM p, z)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "data_mix_temperature_plan" ->
+      s"""WITH $temperatureCtes
+         |SELECT source, tokens_have, weight, tokens_target, rate
+         |FROM r""".stripMargin,
+    "data_mix_temperature" ->
+      s"""WITH $temperatureCtes
+         |SELECT t.doc_id, t.source, t.est_tokens, t.sample_bucket
+         |FROM t JOIN r USING (source)
+         |WHERE t.sample_bucket < r.rate * 4294967296.0""".stripMargin,
     "data_mix_plan" ->
       s"""WITH $mixCtes
          |SELECT source, tokens_have, weight, tokens_target, rate

@@ -69,6 +69,29 @@ class SamplingSpec extends SparkSpec {
       "raising the budget must never churn the selected corpus")
   }
 
+  test("temperature weights flatten toward uniform as alpha drops") {
+    import SparkSpec.spark.implicits._
+    val df = ((1L to 90L).map(i => (i, "big", 100L)) ++
+      (91L to 100L).map(i => (i, "small", 100L)))
+      .toDF("doc_id", "source", "est_tokens") // big 9000, small 1000
+    def weights(alpha: Double): Map[String, Double] =
+      Sampling.temperatureMixPlan(df, "source", "est_tokens", alpha, 1000L)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val w1 = weights(1.0)
+    assert(w1("big") == 0.9 && w1("small") == 0.1, s"alpha=1 is proportional: $w1")
+    val w0 = weights(0.0)
+    assert(w0("big") == 0.5 && w0("small") == 0.5, s"alpha=0 is uniform: $w0")
+    val wh = weights(0.5)
+    assert(wh("big") < 0.9 && wh("big") > 0.5 && wh("small") > 0.1,
+      s"alpha=0.5 sits between: $wh")
+    assert(math.abs(wh("big") + wh("small") - 1.0) < 1e-12)
+    // plan is partition-order invariant (driver fold in sorted order)
+    val again = Sampling.temperatureMixPlan(df.repartition(7), "source",
+      "est_tokens", 0.5, 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again == wh, "weights must be bit-identical under repartitioning")
+  }
+
   test("packing fills bins contiguously within each shard") {
     val packed = Sampling.packSequences(
       docs.select(col("doc_id"),
