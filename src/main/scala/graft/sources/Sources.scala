@@ -47,6 +47,27 @@ object Sources {
               options: Map[String, String] = Map.empty): DataFrame =
     stamp(spark.read.options(options).orc(path))
 
+  /** Raw-corpus ingest: one row per LINE (`value` string), or one
+    * row per FILE with `wholetext=true` — the entry format of a
+    * crawl/dump before any parsing.
+    */
+  def readText(spark: SparkSession, path: String,
+               options: Map[String, String] = Map.empty): DataFrame =
+    stamp(spark.read.options(options).text(path))
+
+  /** Opaque media ingest via Spark's `binaryFile` source: one row
+    * per file with (path, modificationTime, length, content binary)
+    * — the on-ramp to the multimodal operators
+    * ([[graft.multimodal.Multimodal]]), which treat media as binary
+    * columns + typed metadata. Use `pathGlobFilter` (in `options`)
+    * to select extensions; pair with
+    * `Multimodal.repartitionBySizeClass` before decode so one huge
+    * file doesn't skew a task.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      options: Map[String, String] = Map.empty): DataFrame =
+    stamp(spark.read.options(options).format("binaryFile").load(path))
+
   def readTable(spark: SparkSession, name: String): DataFrame =
     spark.read.table(name)
 
@@ -69,6 +90,8 @@ object Sources {
       case "csv"       => readCsv(spark, path, options)
       case "json"      => readJson(spark, path, options)
       case "orc"       => readOrc(spark, path, options)
+      case "text"      => readText(spark, path, options)
+      case "binaryfile" => readBinaryFiles(spark, path, options)
       case "table"     => readTable(spark, path)
       case "snapshot"  => graft.pipeline.SnapshotTableFormat.read(spark, path)
       case "delta-log" => graft.pipeline.DeltaLogTableFormat.read(spark, path)

@@ -37,6 +37,40 @@ class SourcesSpec extends SparkSpec {
     roundTrip("csv", Map("header" -> "true"),
       Map("header" -> "true", "inferSchema" -> "true")))
 
+  test("text source reads lines and whole files, stamped") {
+    val dir = Files.createTempDirectory("graft_src_text")
+    Files.write(dir.resolve("a.txt"), "line one\nline two\n".getBytes)
+    Files.write(dir.resolve("b.txt"), "solo\n".getBytes)
+    val lines = Sources.read(spark, "text", dir.toString)
+    assert(lines.count() == 3)
+    assert(lines.columns.contains("value"))
+    Sources.controlColumns.foreach(c => assert(lines.columns.contains(c)))
+    assert(lines.filter(col("file_path").isNull).count() == 0)
+    val whole = Sources.read(spark, "text", dir.toString,
+      Map("wholetext" -> "true"))
+    assert(whole.count() == 2, "wholetext = one row per file")
+    assert(whole.filter(col("value").contains("line one\nline two"))
+      .count() == 1)
+  }
+
+  test("binaryFile source reads media bytes with metadata, stamped") {
+    val dir = Files.createTempDirectory("graft_src_bin")
+    val payload = Array.tabulate[Byte](256)(_.toByte)
+    Files.write(dir.resolve("img0.bin"), payload)
+    Files.write(dir.resolve("skip.other"), Array[Byte](1, 2, 3))
+    val media = Sources.read(spark, "binaryfile", dir.toString,
+      Map("pathGlobFilter" -> "*.bin"))
+    val rows = media.collect()
+    assert(rows.length == 1, "glob filter selects extensions")
+    val r = media.select(col("length"), col("content")).head()
+    assert(r.getLong(0) == 256L)
+    assert(r.getAs[Array[Byte]](1).sameElements(payload),
+      "content bytes must round-trip exactly")
+    Sources.controlColumns.foreach(c => assert(media.columns.contains(c)))
+    assert(media.filter(col("file_path").isNull ||
+      col("file_modification_time").isNull).count() == 0)
+  }
+
   test("unknown format fails clearly") {
     val e = intercept[IllegalArgumentException](
       Sources.read(spark, "avro-nope", "/tmp/x"))
