@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -250,6 +251,89 @@ object WordNgramOps {
   }
 }
 
+object DupNgramOps {
+
+  /** Per-document duplicate word-n-gram accounting in ONE byte scan
+    * + one small sort: (n_ngrams, dup_ngrams, dup_occurrences) where
+    * `dup_ngrams` counts distinct shingles occurring more than once
+    * and `dup_occurrences` their total occurrences — the numerators
+    * of the RefinedWeb/Gopher duplicated-n-gram gates. Shingles are
+    * identified by their FNV-1a 64 over the shingle's exact bytes
+    * (identical to hashing the [[WordNgramOps.wordNgrams]] string),
+    * so an oracle replaying the FNV fold counts the same values.
+    * No shuffle: the whole metric is a per-row projection — the
+    * (doc, gram) groupBy formulation would shuffle the corpus.
+    */
+  def dupNgramCounts(text: UTF8String, n: Int): InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val m = spaces + 1
+    if (m < n)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val starts = new Array[Int](m + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(m) = len + 1
+    val total = m - n + 1
+    val hs = new Array[Long](total)
+    var s = 0
+    while (s < total) {
+      var h = 0xcbf29ce484222325L
+      var k = starts(s)
+      val until = starts(s + n) - 1
+      while (k < until) { h ^= (bytes(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
+      hs(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    var dupNgrams = 0L
+    var dupOcc = 0L
+    var run = 1L
+    i = 1
+    while (i <= total) {
+      if (i < total && hs(i) == hs(i - 1)) run += 1
+      else {
+        if (run > 1L) { dupNgrams += 1L; dupOcc += run }
+        run = 1L
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](total.toLong, dupNgrams, dupOcc))
+  }
+}
+
+/** `dup_ngram_counts(text)`: codegen'd per-document duplicate
+  * n-gram accounting (struct: n_ngrams, dup_ngrams,
+  * dup_occurrences).
+  */
+case class DupNgramCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle word count must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("dup_ngrams", LongType, nullable = false),
+    StructField("dup_occurrences", LongType, nullable = false)))
+  override def prettyName: String = "dup_ngram_counts"
+
+  override protected def nullSafeEval(text: Any): Any =
+    DupNgramOps.dupNgramCounts(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.DupNgramOps.dupNgramCounts($t, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramCounts =
+    copy(child = newChild)
+}
+
 /** `word_ngrams(text)`: codegen'd n-word shingle array (the
   * boilerplate-sketch item stream — see WordNgramOps for the exact
   * `split`/`slice`/`concat_ws` equivalence).
@@ -329,4 +413,7 @@ object HashFunctions {
 
   def wordNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
+
+  def dupNgramCounts(text: Column, n: Int): Column =
+    ColumnBridge.column(DupNgramCounts(ColumnBridge.expression(text), n))
 }

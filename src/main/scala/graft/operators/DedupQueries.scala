@@ -35,7 +35,7 @@ object DedupQueries {
     * xor-then-multiply over the ascii codes; 0x100000001b3 is 40 bits
     * so the product fits HUGEINT without a split.
     */
-  private def fnvSql(strCol: String): String =
+  private[operators] def fnvSql(strCol: String): String =
     s"""list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
        |      list_transform(range(1, length($strCol) + 1),
        |        i -> CAST(ascii(substr($strCol, CAST(i AS INT), 1)) AS UBIGINT))),

@@ -93,6 +93,26 @@ object TextAnalysis {
         col("n_ngrams"))
   }
 
+  /** Per-document duplicate n-gram gate (RefinedWeb/Gopher): the
+    * fraction of a document's word-n-gram occurrences that are
+    * repeats — high values flag templated/spun text that word-level
+    * repetition metrics miss. ONE codegen'd projection
+    * ([[graft.functions.DupNgramCounts]]): the per-doc accounting
+    * needs only the doc's own bytes, so the (doc, gram) groupBy
+    * formulation's corpus-sized shuffle never exists. `dup_fraction`
+    * is NULL for docs shorter than n words (pinned on both engines —
+    * double 0/0 is null in Spark but NaN in DuckDB).
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame =
+    df.select(col(idCol),
+        graft.functions.HashFunctions.dupNgramCounts(col(textCol), n).as("d"))
+      .select(col(idCol), col("d.n_ngrams"), col("d.dup_ngrams"),
+        col("d.dup_occurrences"),
+        when(col("d.n_ngrams") === 0L, lit(null).cast("double"))
+          .otherwise(col("d.dup_occurrences").cast("double") /
+            col("d.n_ngrams")).as("dup_fraction"))
+
   /** Rarity-weighted keyword extraction: top-k terms per document by
     * tf × (N / df), descending, ties broken by term. The weight uses
     * the RATIONAL inverse document frequency (N/df) instead of the

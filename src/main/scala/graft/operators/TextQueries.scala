@@ -75,6 +75,10 @@ object TextQueries {
   def textBoilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.boilerplateNgrams(docs(spark, dir), "text", n = 5, k = 32)
 
+  /** RefinedWeb-style duplicate-3-gram accounting per document. */
+  def textDupNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramStats(docs(spark, dir), "doc_id", "text", n = 3)
+
   /** Relative quality gate: top 30 % per language by alpha ratio
     * (rank deterministic under ties via doc_id).
     */
@@ -118,6 +122,7 @@ object TextQueries {
     "text_tfidf_topk" -> (textTfidfTopK _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "curate_top_quantile" -> (curateTopQuantile _),
+    "text_dup_ngrams" -> (textDupNgrams _),
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _))
 
@@ -141,6 +146,32 @@ object TextQueries {
          |       WHEN score_fr >= score_zh THEN 'fr'
          |       ELSE 'zh' END AS lang_guess
          |FROM scored""".stripMargin
+    },
+    "text_dup_ngrams" -> {
+      // shingle hashes replay DupNgramOps' FNV fold over the same
+      // shingle strings (ASCII corpus — the fingerprint assumption)
+      val fnv = DedupQueries.fnvSql("shingle")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(words) - 2, 0) + 1),
+         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+         |  FROM w),
+         |hh AS (SELECT doc_id, $fnv AS h FROM g),
+         |c AS (SELECT doc_id, h, COUNT(*) AS c FROM hh GROUP BY doc_id, h),
+         |p AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+         |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+         |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences
+         |  FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_ngrams, 0) AS n_ngrams,
+         |  COALESCE(p.dup_ngrams, 0) AS dup_ngrams,
+         |  COALESCE(p.dup_occurrences, 0) AS dup_occurrences,
+         |  CASE WHEN COALESCE(p.n_ngrams, 0) = 0 THEN NULL
+         |       ELSE CAST(p.dup_occurrences AS DOUBLE) / p.n_ngrams END AS dup_fraction
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
     },
     "curate_top_quantile" ->
       """WITH s AS (

@@ -147,6 +147,42 @@ class TextAnalysisSpec extends SparkSpec {
       .topQuantileByGroup(df, "grp", "score", "doc_id", 1.0).count() == 13)
   }
 
+  test("dup-ngram kernel matches the explode/groupBy formulation") {
+    import SparkSpec.spark.implicits._
+    // planted: "a b a b a b" has 3-grams [a b a, b a b, a b a, b a b]
+    // -> total 4, 2 distinct dups, 4 dup occurrences, fraction 1.0
+    val planted = Seq(
+      (1L, "a b a b a b"),
+      (2L, "all words here are quite distinct tokens"),
+      (3L, "x y"), // shorter than n -> zeros, NULL fraction
+      (4L, "one two three one two three one two four"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramStats(planted, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 4L, Some(1.0))))
+    assert(out(2L) == ((5L, 0L, 0L, Some(0.0))))
+    assert(out(3L) == ((0L, 0L, 0L, None)),
+      "short docs must pin to zeros with a NULL fraction")
+    // the repeated cycle duplicates three distinct shingles
+    // (one-two-three, two-three-one, three-one-two), twice each
+    assert(out(4L)._1 == 7L && out(4L)._2 == 3L && out(4L)._3 == 6L)
+    // cross-check the kernel against the explode/groupBy formulation
+    // on real corpus text (same item definition: wordNgrams)
+    val d = Tables.load(spark, sf, "documents").limit(50)
+    val kernel = TextAnalysis.dupNgramStats(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val exploded = d.select(col("doc_id"),
+        explode(graft.functions.HashFunctions.wordNgrams(col("text"), 3)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(
+        sum("count").as("total"),
+        sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kernel == exploded, "kernel and shuffle formulation must agree")
+  }
+
   test("word_ngrams kernel equals the split/slice/concat_ws formulation") {
     import SparkSpec.spark.implicits._
     // edge corpus: doubled/leading/trailing spaces (empty words),
