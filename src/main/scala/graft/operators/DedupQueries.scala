@@ -202,6 +202,12 @@ object DedupQueries {
         }
         .toDF("cluster", "component", "value")
     }),
+    // L2 normalization — scalar rows, value-exact oracle (SelfNorm
+    // fold + one sqrt divide per component)
+    "embedding_normalize" -> ((s, d) =>
+      Similarity.normalizeEmbeddings(embs(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          posexplode(col("nvec")).as(Seq("component", "value")))),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
@@ -758,7 +764,24 @@ object DedupQueries {
        |  COALESCE(p.n_smaller, 0) = 0 AS keep
        |FROM en e LEFT JOIN per p ON p.id = e.vec_id""".stripMargin
 
+  /** Normalization oracle: the selfNorm fold then one
+    * `x / sqrt(nn)` per component — every op correctly rounded on
+    * both engines. Zero vectors pin to exact zeros.
+    */
+  private val embeddingNormalizeSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, $selfNormSql AS nn FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, nn,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS component
+       |  FROM s)
+       |SELECT vec_id, component,
+       |  CASE WHEN nn = 0.0 THEN 0.0 ELSE x / sqrt(nn) END AS value
+       |FROM x""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "embedding_normalize" -> embeddingNormalizeSql,
     "dedup_semantic" -> semDedupSql,
     "embedding_kmeans" -> kmeansAssignSql(8, 2),
     "embedding_kmeans_centroids" -> kmeansCentroidsSql(8, 2),

@@ -499,6 +499,26 @@ object Similarity {
       transform(col(qvecCol), q =>
         (q.cast("double") * col(scaleCol)).cast("float")))
 
+  /** L2 unit-normalization of an embedding column — the standard
+    * preprocessing before cosine-threshold dedup or dot-product ANN
+    * (post-normalization, dot IS cosine, so index structures can
+    * skip per-pair norm work). Pure codegen projection: the norm is
+    * the same `SelfNorm` fold every cosine here uses, each component
+    * divides by one correctly-rounded sqrt — engine-exact, scan-
+    * shaped. Zero vectors map to zeros (no NaN propagation).
+    */
+  def normalizeEmbeddings(df: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    val nn = VectorFunctions.selfNorm(col(vecCol))
+    df.select(col(idCol), nn.as("_nn"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .select(col(idCol),
+        when(col("_nn") === 0.0,
+          transform(col("_v"), _ => lit(0.0)))
+          .otherwise(transform(col("_v"), x => x / sqrt(col("_nn"))))
+          .as("nvec"))
+  }
+
   /** Reproducible distributed k-means (Lloyd) over an embedding
     * column — corpus bucketing for curriculum mixes, per-cluster
     * sampling quotas, and the trained coarse quantizer [[annIvf]]'s

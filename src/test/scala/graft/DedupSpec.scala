@@ -486,6 +486,42 @@ class DedupSpec extends SparkSpec {
     assert(zq(2L)._2 == Seq[Byte](64, -127, 32), zq(2L).toString)
   }
 
+  test("normalized embeddings are unit length; dot equals cosine") {
+    import SparkSpec.spark.implicits._
+    val df = Seq((1L, Array(3f, 4f, 0f)), (2L, Array(0f, 0f, 0f)),
+      (3L, Array(-1f, 2f, -2f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .normalizeEmbeddings(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(0.6, 0.8, 0.0))
+    assert(out(2L).forall(_ == 0.0), "zero vector maps to zeros, not NaN")
+    out.filter(_._1 != 2L).values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+    }
+    // after normalization, the plain dot product IS the cosine
+    val e = Tables.load(spark, sf, "embeddings").limit(20)
+    val n = graft.operators.Similarity
+      .normalizeEmbeddings(e, "vec_id", "embedding")
+      .select(col("vec_id"),
+        col("nvec").cast("array<float>").as("embedding"))
+    val dots = n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions
+          .dotProduct(col("a.embedding"), col("b.embedding")).as("dot"))
+      .collect()
+    val cosines = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions
+          .cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect()
+    val cm = cosines.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    dots.foreach { r =>
+      val c = cm((r.getLong(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - c) < 1e-6,
+        s"dot after normalize must approximate cosine: ${r.getDouble(2)} vs $c")
+    }
+  }
+
   test("kmeans recovers planted clusters, invariant to partitioning") {
     // three well-separated blobs with internal variation (so a blob
     // mean differs from any single member — centroid movement is
