@@ -561,6 +561,53 @@ object Dedup {
         (coalesce(col("n_smaller"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** Cross-corpus SemDeDup: flag corpus vectors whose embedding
+    * near-duplicates a REFERENCE vector — "dedup the new crawl
+    * against the training set" in embedding space, the semantic
+    * analog of [[dedupAgainstStats]]. The k-means quantizer fits on
+    * the REFERENCE side (the stable corpus defines the geometry;
+    * re-fitting per crawl would move cluster boundaries under the
+    * comparison), both sides assign against the same plan-embedded
+    * centroids, and candidates are ONE cluster equi-join — both
+    * sides scale, no broadcast of either corpus, per-side flood
+    * caps like every bucketed generator here.
+    *
+    * Output per corpus vector: (id, cluster, n_ref_near,
+    * max_ref_cos, is_dup_of_ref = max ≥ threshold).
+    */
+  def semDedupAgainst(corpus: DataFrame, reference: DataFrame,
+                      idCol: String, vecCol: String,
+                      threshold: Double = 0.4, k: Int = 8, iters: Int = 2,
+                      maxCluster: Int = 10000): DataFrame = {
+    val cents = Similarity.kmeansFit(reference, idCol, vecCol, k, iters)
+    def prep(df: DataFrame): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        VectorFunctions.selfNorm(col(vecCol)).as("nn"),
+        VectorFunctions.nearestCentroidIdx(col(vecCol), cents).as("cluster"))
+    // materialize each side once: both feed a flood count + the join
+    // (and the corpus side the final left join too)
+    val ce = prep(corpus).localCheckpoint(true)
+    val re = prep(reference).localCheckpoint(true)
+    val ck = Similarity.capFloodBuckets(ce, maxCluster, "cluster")
+    val rk = Similarity.capFloodBuckets(re, maxCluster, "cluster")
+    val pairs = ck.as("a").join(rk.as("b"),
+        col("a.cluster") === col("b.cluster"))
+      .select(col("a.id").as("id"),
+        Similarity.cosFromParts(
+          VectorFunctions.dotProduct(col("a.v"), col("b.v")),
+          col("a.nn"), col("b.nn")).as("cos"))
+    val per = pairs.groupBy("id").agg(
+      sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_ref_near"),
+      max(col("cos")).as("max_ref_cos"))
+    ce.select(col("id"), col("cluster")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("n_ref_near"), lit(0L)).as("n_ref_near"),
+        col("max_ref_cos"),
+        (coalesce(col("max_ref_cos"), lit(0.0)) >= threshold)
+          .as("is_dup_of_ref"))
+  }
+
   /** #31 at scale: the same per-vector near-dup stats computed over
     * SRP-bucketed candidate pairs only — the join becomes an
     * equi-join on the hyperplane bucket id (one hash shuffle AQE can

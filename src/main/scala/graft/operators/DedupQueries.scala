@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, posexplode}
+import org.apache.spark.sql.functions.{col, lit, pmod, posexplode}
 
 import graft.Tables
 
@@ -185,6 +185,15 @@ object DedupQueries {
     // engine-exact (the oracle replays fit + assignment + cosines)
     "dedup_semantic" -> ((s, d) =>
       Dedup.semDedup(embs(s, d), "vec_id", "embedding")),
+    // cross-corpus SemDeDup: every fifth vector plays the reference
+    // (training-set) side; the quantizer fits on the reference only
+    "dedup_semantic_cross" -> ((s, d) => {
+      val all = embs(s, d)
+      Dedup.semDedupAgainst(
+        all.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        all.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "vec_id", "embedding")
+    }),
     // reproducible Lloyd: exact-integer centroid updates make every
     // iteration engine-exact, so the full unrolled fit replays in
     // DuckDB hash-green (the float-mean objection the IVF quantizer
@@ -658,7 +667,8 @@ object DedupQueries {
     * `s / 1e6 / n` double divide chain. Empty clusters COALESCE to
     * their previous centroid, mirroring the fit loop.
     */
-  private def kmeansDistCte(dName: String, cPrev: String): String =
+  private def kmeansDistCte(dName: String, cPrev: String,
+                            src: String = "eb"): String =
     s"""$dName AS (
        |  SELECT e.vec_id, c.cluster,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -666,16 +676,23 @@ object DedupQueries {
        |        j -> (CAST(e.embedding[j] AS DOUBLE) - c.cv[j])
        |           * (CAST(e.embedding[j] AS DOUBLE) - c.cv[j]))),
        |      (acc, v) -> acc + v) AS dist
-       |  FROM eb e, $cPrev c)""".stripMargin
+       |  FROM $src e, $cPrev c)""".stripMargin
 
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** `fitPred` restricts the FIT side (init sample + Lloyd updates)
+    * — TRUE for within-corpus k-means, a subset predicate for the
+    * cross-corpus fit-on-reference variant. Assignment CTEs built
+    * on top of these may still assign any row of `eb`.
+    */
+  private def kmeansCtes(k: Int, iters: Int,
+                         fitPred: String = "TRUE"): String = {
     val lehmer = "(vec_id % 2147483647) * 48271 % 2147483647"
     val init =
       s"""eb AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
          |  FROM embeddings WHERE embedding IS NOT NULL),
+         |fb AS (SELECT * FROM eb WHERE $fitPred),
          |init AS (
-         |  SELECT vec_id, embedding FROM eb
+         |  SELECT vec_id, embedding FROM fb
          |  ORDER BY $lehmer ASC, vec_id ASC LIMIT $k),
          |c0 AS (
          |  SELECT CAST(row_number() OVER (
@@ -684,7 +701,7 @@ object DedupQueries {
          |  FROM init)""".stripMargin
     val iterCtes = (1 to iters).map { t =>
       val p = t - 1
-      s"""${kmeansDistCte(s"d$t", s"c$p")},
+      s"""${kmeansDistCte(s"d$t", s"c$p", "fb")},
          |a$t AS (
          |  SELECT vec_id, cluster FROM (
          |    SELECT vec_id, cluster, row_number() OVER (
@@ -780,9 +797,47 @@ object DedupQueries {
        |  CASE WHEN nn = 0.0 THEN 0.0 ELSE x / sqrt(nn) END AS value
        |FROM x""".stripMargin
 
+  /** Cross-corpus SemDeDup oracle: the fit CTEs run on the
+    * reference subset (fitPred), the final assignment covers all
+    * vectors, and the candidate join crosses the per-side
+    * flood-capped corpus/reference splits.
+    */
+  private val semDedupCrossSql: String =
+    s"""WITH ${kmeansCtes(8, 2, "vec_id % 5 = 0")},
+       |${kmeansDistCte("dfin", "c2")},
+       |af AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+       |    FROM dfin) WHERE rn = 1),
+       |en AS (
+       |  SELECT e.vec_id, e.embedding, a.cluster, $selfNormSql AS nn
+       |  FROM eb e JOIN af a USING (vec_id)),
+       |corx AS (SELECT * FROM en WHERE NOT (vec_id % 5 = 0)),
+       |refx AS (SELECT * FROM en WHERE vec_id % 5 = 0),
+       |cork AS (
+       |  SELECT * FROM corx WHERE cluster NOT IN (
+       |    SELECT cluster FROM corx GROUP BY cluster HAVING count(*) > 10000)),
+       |refk AS (
+       |  SELECT * FROM refx WHERE cluster NOT IN (
+       |    SELECT cluster FROM refx GROUP BY cluster HAVING count(*) > 10000)),
+       |cp AS (
+       |  SELECT a.vec_id AS id, $cosSql AS cos
+       |  FROM cork a JOIN refk b ON a.cluster = b.cluster),
+       |per AS (
+       |  SELECT id,
+       |    CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_near,
+       |    MAX(cos) AS max_ref_cos
+       |  FROM cp GROUP BY id)
+       |SELECT c.vec_id, c.cluster,
+       |  COALESCE(p.n_ref_near, 0) AS n_ref_near, p.max_ref_cos,
+       |  COALESCE(p.max_ref_cos, 0.0) >= 0.4 AS is_dup_of_ref
+       |FROM corx c LEFT JOIN per p ON p.id = c.vec_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "embedding_normalize" -> embeddingNormalizeSql,
     "dedup_semantic" -> semDedupSql,
+    "dedup_semantic_cross" -> semDedupCrossSql,
     "embedding_kmeans" -> kmeansAssignSql(8, 2),
     "embedding_kmeans_centroids" -> kmeansCentroidsSql(8, 2),
     "embedding_quantize" -> embeddingQuantizeSql,

@@ -624,6 +624,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.forall { case (n, mc, kp) => n == 0L && mc == null && kp })
   }
 
+  test("cross-corpus semdedup flags corpus vectors near the reference") {
+    import SparkSpec.spark.implicits._
+    val reference = Seq((0L, Array(1f, 0f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2f, 0f, 0f, 0f)),  // scaled copy of ref 0 -> cos 1
+      (2L, Array(0f, 0f, 1f, 0f)))  // orthogonal to both refs
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedupAgainst(corpus, reference, "vec_id", "embedding",
+      threshold = 0.9, k = 1, iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(out(1L) == ((1L, Some(1.0), true)),
+      "a scaled reference copy must be flagged with cosine exactly 1")
+    assert(out(2L)._1 == 0L && !out(2L)._3)
+    assert(out.size == 2, "one row per CORPUS vector only")
+  }
+
   test("simhash flood cap drops degenerate chunk buckets only") {
     import SparkSpec.spark.implicits._
     // 20 identical docs share ALL four 16-bit chunks: every chunk
