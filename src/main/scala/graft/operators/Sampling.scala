@@ -128,6 +128,44 @@ object Sampling {
     applyMixPlan(df, idCol, stratumCol,
       mixPlan(df, stratumCol, tokensCol, weights, budgetTokens))
 
+  /** Epoch-aware upsampling — the repetition policy [[mixPlan]]'s
+    * rate-1 cap defers to. Where a stratum's target exceeds its
+    * tokens, `epochs = min(maxEpochs, weight·budget/tokens)` may
+    * pass 1: every document repeats `floor(epochs)` times and the
+    * fractional epoch is a hash-bucket sample, so `n_copies` is
+    * per-document deterministic, partition-invariant, and MONOTONE
+    * in the budget (raising the budget never reduces any document's
+    * repeat count — stable curriculum growth). `maxEpochs` bounds
+    * repetition of tiny high-weight strata (the memorization
+    * guard). Rows with zero copies drop out.
+    *
+    * Output: input columns + sample_bucket + n_copies (a repeat
+    * COUNT — materializing the copies is the trainer's
+    * concatenation step, not a filter's).
+    */
+  def mixEpochs(df: DataFrame, idCol: String, stratumCol: String,
+                tokensCol: String, weights: Map[String, Double],
+                budgetTokens: Long, maxEpochs: Double = 4.0): DataFrame = {
+    require(maxEpochs >= 1.0, "maxEpochs must be at least 1")
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, v).otherwise(acc)
+    }
+    val plan = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).as("tokens_have"))
+      .withColumn("epochs", least(lit(maxEpochs),
+        w * lit(budgetTokens.toDouble) / col("tokens_have")))
+    df.join(broadcast(plan.select(col(stratumCol), col("epochs"))),
+        Seq(stratumCol))
+      .withColumn("sample_bucket", hashBucket(col(idCol)))
+      .withColumn("n_copies",
+        floor(col("epochs")) +
+          when(col("sample_bucket") <
+            (col("epochs") - floor(col("epochs"))) * 4294967296.0, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0L)
+      .drop("epochs")
+  }
+
   /** Contiguous-fill sequence packing: shard the corpus (so the
     * running sum is a PARTITIONED window — a global cumsum would
     * serialize 100 TB through one task), order within shard, and

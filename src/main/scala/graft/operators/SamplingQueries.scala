@@ -47,6 +47,15 @@ object SamplingQueries {
       "est_tokens", mixWeights, mixBudget)
       .select("doc_id", "source", "est_tokens", "sample_bucket")
 
+  /** Epoch-aware upsampling: src0 at weight 0.60 against its ~2k
+    * tokens (sf0.01) derives ~2.4 epochs — whole repeats plus a
+    * fractional hash sample; src1 stays sub-epoch.
+    */
+  def dataMixEpochs(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixEpochs(docsWithTokens(spark, dir), "doc_id", "source",
+      "est_tokens", Map("src0" -> 0.60, "src1" -> 0.05), mixBudget)
+      .select("doc_id", "source", "est_tokens", "sample_bucket", "n_copies")
+
   def dataMixTemperaturePlan(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureMixPlan(docsWithTokens(spark, dir), "source",
       "est_tokens", alpha = 0.5, budgetTokens = mixBudget)
@@ -65,7 +74,8 @@ object SamplingQueries {
     "data_mix_plan" -> (dataMixPlan _),
     "data_mix" -> (dataMix _),
     "data_mix_temperature_plan" -> (dataMixTemperaturePlan _),
-    "data_mix_temperature" -> (dataMixTemperature _))
+    "data_mix_temperature" -> (dataMixTemperature _),
+    "data_mix_epochs" -> (dataMixEpochs _))
 
   /** Shared mix CTEs: per-source token totals -> weights -> the
     * capped rate. `CAST(SUM AS BIGINT)` pins DuckDB's HUGEINT sum
@@ -119,6 +129,30 @@ object SamplingQueries {
       |  FROM p, z)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "data_mix_epochs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sample_bucket
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, CAST(SUM(est_tokens) AS BIGINT) AS tokens_have,
+        |    CAST(CASE source WHEN 'src0' THEN 0.60 WHEN 'src1' THEN 0.05
+        |         ELSE 0.0 END AS DOUBLE) AS weight
+        |  FROM t GROUP BY source),
+        |r AS (
+        |  SELECT source,
+        |    least(CAST(4.0 AS DOUBLE), weight * 8000.0 / tokens_have) AS epochs
+        |  FROM p),
+        |x AS (
+        |  SELECT t.doc_id, t.source, t.est_tokens, t.sample_bucket,
+        |    CAST(floor(r.epochs) AS BIGINT) +
+        |      CASE WHEN t.sample_bucket <
+        |        (r.epochs - floor(r.epochs)) * 4294967296.0
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM t JOIN r USING (source))
+        |SELECT doc_id, source, est_tokens, sample_bucket, n_copies
+        |FROM x WHERE n_copies > 0""".stripMargin,
     "data_mix_temperature_plan" ->
       s"""WITH $temperatureCtes
          |SELECT source, tokens_have, weight, tokens_target, rate

@@ -343,6 +343,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh.count() == exact.count(), "one stats row per vector")
   }
 
+  test("semdedup stats are a recall-only subset of brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val exact = Dedup.embeddingStats(e, "vec_id", "embedding")
+    val sem = Dedup.semDedup(e, "vec_id", "embedding")
+    val j = exact.as("x").join(sem.as("s"), Seq("vec_id")).select(
+      col("x.n_near").as("xn"), col("s.n_near").as("sn"),
+      col("x.max_cos").as("xm"), col("s.max_cos").as("sm"))
+    // cluster bucketing can only MISS pairs: counts never exceed the
+    // brute-force truth, reported cosines never exceed the true max
+    // (every reported cosine is exact — same kernel, same pairs)
+    assert(j.filter(col("sn") > col("xn")).count() == 0)
+    assert(j.filter(col("sm").isNotNull && col("sm") > col("xm")).count() == 0)
+    assert(sem.count() == exact.count(), "one stats row per vector")
+    // keep is consistent with the reported stats: a vector with no
+    // near-dup (n_near = 0) is always kept
+    assert(sem.filter(col("n_near") === 0 && !col("keep")).count() == 0)
+  }
+
   test("embedding covariance matches the closed-form answer") {
     import SparkSpec.spark.implicits._
     // exact grid values (multiples of 1e-6 quantize without loss):

@@ -69,6 +69,39 @@ class SamplingSpec extends SparkSpec {
       "raising the budget must never churn the selected corpus")
   }
 
+  test("epoch upsampling repeats whole epochs plus a hash fraction") {
+    import SparkSpec.spark.implicits._
+    // "hot": 10 docs x 100 tokens; weight 1.0 x budget 2500 -> 2.5
+    // epochs. "cold": no weight -> dropped.
+    val df = ((1L to 10L).map(i => (i, "hot", 100L)) ++
+      (11L to 20L).map(i => (i, "cold", 100L)))
+      .toDF("doc_id", "source", "est_tokens")
+    // join key (source) leads the joined output's column order
+    val out = Sampling.mixEpochs(df, "doc_id", "source", "est_tokens",
+      Map("hot" -> 1.0), 2500L)
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(4)))
+    assert(out.forall(_._2 == "hot"), "unweighted strata drop out")
+    assert(out.forall(c => c._3 == 2L || c._3 == 3L),
+      "2.5 epochs = 2 or 3 copies per doc")
+    assert(out.map(_._3).sum >= 20L && out.map(_._3).sum <= 30L)
+    // maxEpochs caps repetition
+    val capped = Sampling.mixEpochs(df, "doc_id", "source", "est_tokens",
+      Map("hot" -> 1.0), 100000L, maxEpochs = 3.0)
+      .collect().map(_.getLong(4))
+    assert(capped.forall(_ == 3L), "rate beyond maxEpochs pins to the cap")
+    // budget monotonicity per document
+    val lo = Sampling.mixEpochs(df, "doc_id", "source", "est_tokens",
+      Map("hot" -> 1.0), 1500L)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    val hi = Sampling.mixEpochs(df, "doc_id", "source", "est_tokens",
+      Map("hot" -> 1.0), 2600L)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    lo.foreach { case (id, n) =>
+      assert(hi.getOrElse(id, 0L) >= n,
+        s"doc $id: raising the budget reduced copies $n -> ${hi.get(id)}")
+    }
+  }
+
   test("temperature weights flatten toward uniform as alpha drops") {
     import SparkSpec.spark.implicits._
     val df = ((1L to 90L).map(i => (i, "big", 100L)) ++
