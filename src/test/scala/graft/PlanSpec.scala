@@ -119,6 +119,43 @@ class PlanSpec extends SparkSpec {
       "final top-K window lost its group limit")
   }
 
+  test("mix plans join back as broadcasts, never shuffling the corpus") {
+    Seq("data_mix", "data_mix_temperature", "data_mix_epochs").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q must broadcast its stratum-rate plan:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q shuffle-joins the corpus against a k-row plan")
+    }
+  }
+
+  test("kmeans assignment is a pure projection: no join in the plan") {
+    val plan = SparkEntry.queries("embedding_kmeans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin").foreach(j =>
+      assert(!plan.contains(j),
+        s"kmeans assignment must embed centroids in the projection, found $j"))
+  }
+
+  test("per-document kernels are scan-shaped: no exchange anywhere") {
+    Seq("text_dup_ngrams", "embedding_normalize", "embedding_quantize")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"$q is per-row math and must not shuffle:\n${plan.take(2000)}")
+      }
+  }
+
+  test("top-quantile gate shares one exchange across both windows") {
+    val plan = SparkEntry.queries("curate_top_quantile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"rank and count windows must share the group-key exchange, got $exchanges:\n${plan.take(2500)}")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val proj = Tables.load(spark, sf, "documents")
@@ -130,5 +167,10 @@ class PlanSpec extends SparkSpec {
       .select(graft.functions.VectorFunctions.cosineSim(col("embedding"), col("embedding")))
     assert(cos.queryExecution.executedPlan.toString.contains("*(1)"),
       "cosine projection fell out of codegen")
+    val ngrams = Tables.load(spark, sf, "documents")
+      .select(graft.functions.HashFunctions.wordNgrams(col("text"), 5),
+        graft.functions.HashFunctions.dupNgramCounts(col("text"), 3))
+    assert(ngrams.queryExecution.executedPlan.toString.contains("*(1)"),
+      "word-ngram kernels fell out of codegen")
   }
 }
