@@ -38,6 +38,64 @@ class StreamingSpec extends SparkSpec {
     (dir, src)
   }
 
+  test("streaming curation: quality gates + cross-batch dedup in one stream") {
+    import graft.operators.TextAnalysis
+    // two chronological document files; the second REPEATS a text from
+    // the first under a new id — the stream must dedup it across
+    // microbatches (maxFilesPerTrigger=1 forces separate batches)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(40).collect()
+    val firstText = docs.head.getString(1)
+    val dir = Files.createTempDirectory("graft_stream_cur").toString
+    val sp = spark
+    import sp.implicits._
+    val half = docs.length / 2
+    val fileA = docs.take(half).map(r => (r.getLong(0), r.getString(1)))
+    val fileB = docs.drop(half).map(r => (r.getLong(0), r.getString(1))) :+
+      (999999L, firstText)
+    Seq(fileA, fileB).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dir/stage$i"
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val f = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+      val dest = Paths.get(dir, f"docs$i%02d.parquet")
+      Files.move(f, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // the SAME gate columns corpus_curate uses — plain projections,
+    // so they compose into a stream unchanged; dropDuplicates keeps
+    // cross-batch state so the replayed text lands exactly once
+    val qm = TextAnalysis.qualityMetrics(col("text"), Seq("the", "a")).toMap
+    val gated = StreamingIngest.readStream(spark, "parquet",
+        s"$dir/*.parquet", schema, Map("maxFilesPerTrigger" -> "1"))
+      .filter(qm("n_words") >= 20L && qm("avg_word_len") < 8.0)
+      .withColumn("_h", md5(col("text")))
+      .dropDuplicates("_h")
+      .select("doc_id", "text")
+    val out = Files.createTempDirectory("graft_stream_cur_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_cur_ck").toString
+    StreamingIngest.appendSink(gated, out, ckpt).awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    // batch truth: gate, then count distinct surviving texts
+    val batch = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(40)
+      .filter(qm("n_words") >= 20L && qm("avg_word_len") < 8.0)
+    val wantTexts = batch.select("text").distinct().count()
+    assert(got.count() == wantTexts,
+      s"stream kept ${got.count()} docs, batch truth $wantTexts")
+    assert(got.filter(col("text") === firstText).count() <= 1,
+      "the cross-batch duplicate must survive at most once")
+    assert(got.select("text").distinct().count() == got.count(),
+      "no duplicate texts in the curated stream output")
+  }
+
   test("streaming foreachBatch SCD1 merge equals batch latest-per-key") {
     val (dir, src) = stageEventFiles()
     val table = Files.createTempDirectory("graft_stream_tbl").toString
