@@ -36,8 +36,12 @@ object Curation {
                          scoreCol: String, idCol: String,
                          frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    // desc_nulls_last EXPLICITLY: Spark's plain desc already sinks
+    // nulls but DuckDB's DESC floats them first — an unscoreable row
+    // must never outrank a scored one on either engine (the oracle
+    // mirrors with NULLS LAST)
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
     val cw = Window.partitionBy(col(groupCol))
     df.withColumn("q_rank", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(cw))

@@ -83,7 +83,11 @@ object Sampling {
                          tokensCol: String, alpha: Double,
                          budgetTokens: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    val counts = df.groupBy(col(stratumCol))
+    // a NULL stratum can't be named in a mixture: exclude it (the
+    // explicit-weights mixPlan gives unnamed strata weight 0 — same
+    // outcome) instead of NPE-ing the driver fold's sort
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).as("tokens_have"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)

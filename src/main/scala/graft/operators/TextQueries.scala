@@ -182,7 +182,7 @@ object TextQueries {
         |r AS (
         |  SELECT doc_id, lang, score,
         |    CAST(row_number() OVER (
-        |      PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS INT) AS q_rank,
+        |      PARTITION BY lang ORDER BY score DESC NULLS LAST, doc_id ASC) AS INT) AS q_rank,
         |    COUNT(*) OVER (PARTITION BY lang) AS n
         |  FROM s)
         |SELECT doc_id, lang, score, q_rank

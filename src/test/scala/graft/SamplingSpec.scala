@@ -123,6 +123,13 @@ class SamplingSpec extends SparkSpec {
       "est_tokens", 0.5, 1000L)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(again == wh, "weights must be bit-identical under repartitioning")
+    // a NULL stratum is excluded, not an NPE
+    val withNull = df.union(Seq((999L, null.asInstanceOf[String], 50L))
+      .toDF("doc_id", "source", "est_tokens"))
+    val wn = Sampling.temperatureMixPlan(withNull, "source",
+      "est_tokens", 0.5, 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(wn == wh, "null stratum must not change the mixture")
   }
 
   test("packing fills bins contiguously within each shard") {

@@ -145,6 +145,16 @@ class TextAnalysisSpec extends SparkSpec {
     // frac = 1 keeps everything
     assert(graft.operators.Curation
       .topQuantileByGroup(df, "grp", "score", "doc_id", 1.0).count() == 13)
+    // null scores rank LAST: they never displace a scored doc
+    val withNull = rows.toDF("doc_id", "grp", "score")
+      .union(Seq((30L, "a", null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "grp", "score"))
+    val kept = graft.operators.Curation
+      .topQuantileByGroup(withNull, "grp", "score", "doc_id", 0.3)
+      .filter(col("grp") === "a")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(7L, 8L, 9L, 10L), // ceil(11*0.3)=4 scored docs
+      s"null score outranked a scored doc: $kept")
   }
 
   test("dup-ngram kernel matches the explode/groupBy formulation") {
