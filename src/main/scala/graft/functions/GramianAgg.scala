@@ -12,10 +12,10 @@ import org.apache.spark.sql.types._
 /** Mutable per-partition state of [[EmbeddingGramian]]: exact 128-bit
   * two's-complement accumulators (hi/lo word pairs) for the per-dim
   * quantized sums and the upper-triangle quantized product sums, plus
-  * row count and max |component|. `d = -1` marks the empty buffer
-  * (dimension unknown until the first row).
+  * row count. `d = -1` marks the empty buffer (dimension unknown
+  * until the first row).
   */
-final class GramianBuffer(var d: Int, var n: Long, var maxAbs: Double,
+final class GramianBuffer(var d: Int, var n: Long,
                           var sxHi: Array[Long], var sxLo: Array[Long],
                           var sxxHi: Array[Long], var sxxLo: Array[Long])
 
@@ -44,10 +44,12 @@ final class GramianBuffer(var d: Int, var n: Long, var maxAbs: Double,
   * cast, which is what keeps the covariance oracle hash-green.
   *
   * Output (one struct): n, per-dim means of the QUANTIZED values
-  * (deterministic, unlike a raw double sum), max |component|, and the
-  * upper-triangle pairs (i, j, sxx, sa, sb) ready for the covariance
-  * expression — so covariance AND the PCA fit (count + means + scale
-  * guard + covariance) need exactly one pass over the corpus.
+  * (deterministic, unlike a raw double sum), and the upper-triangle
+  * pairs (i, j, sxx, sa, sb) ready for the covariance expression —
+  * so covariance AND the PCA fit (count + means + covariance) need
+  * exactly one pass over the corpus. The quantization-range guard
+  * is enforced per row by the `require` in `update`, not via an
+  * output field.
   */
 case class EmbeddingGramian(
     child: Expression,
@@ -66,7 +68,7 @@ case class EmbeddingGramian(
   override def prettyName: String = "embedding_gramian"
 
   override def createAggregationBuffer(): GramianBuffer =
-    new GramianBuffer(-1, 0L, 0.0, null, null, null, null)
+    new GramianBuffer(-1, 0L, null, null, null, null)
 
   override def update(b: GramianBuffer, input: InternalRow): GramianBuffer = {
     val v = child.eval(input)
@@ -94,7 +96,6 @@ case class EmbeddingGramian(
       require(ax < 3000.0,
         s"embedding component $x out of the quantization range " +
           "(|x| < 3000) — rescale the column before covariance/PCA")
-      if (ax > b.maxAbs) b.maxAbs = ax
       q(i) = math.floor(x * 1e6).toLong
       addSigned(b.sxHi, b.sxLo, i, q(i))
       i += 1
@@ -127,14 +128,13 @@ case class EmbeddingGramian(
       add128(b.sxxHi, b.sxxLo, k, o.sxxHi(k), o.sxxLo(k)); k += 1
     }
     b.n += o.n
-    if (o.maxAbs > b.maxAbs) b.maxAbs = o.maxAbs
     b
   }
 
   override def eval(b: GramianBuffer): Any = {
     if (b.d < 0)
       return new GenericInternalRow(Array[Any](0L,
-        new GenericArrayData(Array.empty[Any]), 0.0,
+        new GenericArrayData(Array.empty[Any]),
         new GenericArrayData(Array.empty[Any])))
     val d = b.d
     val sx = Array.tabulate(d)(i => toBigInt(b.sxHi(i), b.sxLo(i)))
@@ -155,7 +155,7 @@ case class EmbeddingGramian(
       }
       i += 1
     }
-    new GenericInternalRow(Array[Any](b.n, means, b.maxAbs,
+    new GenericInternalRow(Array[Any](b.n, means,
       new GenericArrayData(pairs)))
   }
 
@@ -166,8 +166,8 @@ case class EmbeddingGramian(
       return bb.array()
     }
     val npairs = b.sxxHi.length
-    val bb = ByteBuffer.allocate(4 + 8 + 8 + (b.d * 2 + npairs * 2) * 8)
-    bb.putInt(b.d); bb.putLong(b.n); bb.putDouble(b.maxAbs)
+    val bb = ByteBuffer.allocate(4 + 8 + (b.d * 2 + npairs * 2) * 8)
+    bb.putInt(b.d); bb.putLong(b.n)
     var i = 0
     while (i < b.d) { bb.putLong(b.sxHi(i)); bb.putLong(b.sxLo(i)); i += 1 }
     var k = 0
@@ -180,7 +180,6 @@ case class EmbeddingGramian(
     val d = bb.getInt
     if (d < 0) return createAggregationBuffer()
     val n = bb.getLong
-    val maxAbs = bb.getDouble
     val npairs = d * (d + 1) / 2
     val sxHi = new Array[Long](d); val sxLo = new Array[Long](d)
     val sxxHi = new Array[Long](npairs); val sxxLo = new Array[Long](npairs)
@@ -188,7 +187,7 @@ case class EmbeddingGramian(
     while (i < d) { sxHi(i) = bb.getLong; sxLo(i) = bb.getLong; i += 1 }
     var k = 0
     while (k < npairs) { sxxHi(k) = bb.getLong; sxxLo(k) = bb.getLong; k += 1 }
-    new GramianBuffer(d, n, maxAbs, sxHi, sxLo, sxxHi, sxxLo)
+    new GramianBuffer(d, n, sxHi, sxLo, sxxHi, sxxLo)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): EmbeddingGramian =
@@ -212,7 +211,6 @@ object EmbeddingGramian {
     StructField("n", LongType, nullable = false),
     StructField("means", ArrayType(DoubleType, containsNull = false),
       nullable = false),
-    StructField("max_abs", DoubleType, nullable = false),
     StructField("pairs", ArrayType(pairType, containsNull = false),
       nullable = false)))
 

@@ -221,17 +221,20 @@ object WordNgramOps {
     * A 0x20 byte never occurs inside a UTF-8 multibyte sequence, so
     * the space scan is encoding-safe.
     */
-  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
-    val bytes = text.getBytes
+  /** Byte offsets of every word start (split-on-single-space
+    * semantics: word count = spaces + 1, empty words included) plus
+    * a `len + 1` sentinel, so a shingle over words [s, s+n) spans
+    * bytes [starts(s), starts(s+n) − 1). The ONE definition both
+    * [[wordNgrams]] and [[DupNgramOps.dupNgramCounts]] share — their
+    * outputs must stay byte-for-byte aligned for the FNV-over-bytes
+    * hashes to keep matching the emitted shingle strings.
+    */
+  private[functions] def wordStarts(bytes: Array[Byte]): Array[Int] = {
     val len = bytes.length
     var spaces = 0
     var i = 0
     while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
-    val m = spaces + 1 // word count, as split(" ") defines it
-    if (m < n) return new GenericArrayData(Array.empty[Any])
-    // starts(w) = byte offset of word w; starts(m) = len + 1 so the
-    // shared `starts(s + n) - 1` end formula covers the last word
-    val starts = new Array[Int](m + 1)
+    val starts = new Array[Int](spaces + 2)
     starts(0) = 0
     var w = 1
     i = 0
@@ -239,7 +242,15 @@ object WordNgramOps {
       if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
       i += 1
     }
-    starts(m) = len + 1
+    starts(spaces + 1) = len + 1
+    starts
+  }
+
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = wordStarts(bytes)
+    val m = starts.length - 1 // word count, as split(" ") defines it
+    if (m < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](m - n + 1)
     var s = 0
     while (s <= m - n) {
@@ -266,23 +277,12 @@ object DupNgramOps {
     */
   def dupNgramCounts(text: UTF8String, n: Int): InternalRow = {
     val bytes = text.getBytes
-    val len = bytes.length
-    var spaces = 0
-    var i = 0
-    while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
-    val m = spaces + 1
+    val starts = WordNgramOps.wordStarts(bytes)
+    val m = starts.length - 1
     if (m < n)
       return new GenericInternalRow(Array[Any](0L, 0L, 0L))
-    val starts = new Array[Int](m + 1)
-    starts(0) = 0
-    var w = 1
-    i = 0
-    while (i < len) {
-      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
-      i += 1
-    }
-    starts(m) = len + 1
     val total = m - n + 1
+    var i = 0
     val hs = new Array[Long](total)
     var s = 0
     while (s < total) {

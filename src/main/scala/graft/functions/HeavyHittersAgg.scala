@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
@@ -18,11 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * in OFFSET form — the logical Misra-Gries counter of `item` is
   * `counts(item) - delta`, see the update loop), the shared
   * decrement offset, an exact-or-lower bound on the smallest stored
-  * value (purge trigger), and the total item count.
+  * value (purge trigger), and the total item count. Keys are
+  * UTF8String (content-hashed, cloned at insert) so the dominant
+  * miss path probes without a per-occurrence UTF-16 decode.
   */
 final class HeavyHittersBuffer(val k: Int, var n: Long, var delta: Long,
                                var minStored: Long,
-                               val counts: mutable.HashMap[String, Long])
+                               val counts: mutable.HashMap[UTF8String, Long])
 
 /** Misra-Gries heavy-hitters sketch over an `array<string>` column —
   * the bounded-memory companion to the exact vocabulary top-K, for
@@ -81,7 +82,7 @@ case class HeavyHitters(
     * that refill the map.
     */
   private def purge(b: HeavyHittersBuffer): Unit = {
-    val dead = mutable.ArrayBuffer.empty[String]
+    val dead = mutable.ArrayBuffer.empty[UTF8String]
     var mn = Long.MaxValue
     b.counts.foreach { case (key, c) =>
       if (c <= b.delta) dead += key else if (c < mn) mn = c
@@ -99,12 +100,15 @@ case class HeavyHitters(
     var i = 0
     while (i < m) {
       if (!arr.isNullAt(i)) {
-        val item = arr.getUTF8String(i).toString
+        // probe with the buffer-backed UTF8String (content equals/
+        // hashCode) — no decode, no copy on the dominant miss path;
+        // clone() only when the item actually enters the map
+        val item = arr.getUTF8String(i)
         b.n += 1
         b.counts.get(item) match {
           case Some(c) => b.counts(item) = c + 1
           case None if b.counts.size < b.k =>
-            b.counts(item) = b.delta + 1
+            b.counts(item.clone()) = b.delta + 1
             if (b.delta + 1 < b.minStored) b.minStored = b.delta + 1
           case None =>
             // miss at capacity: the classic decrement-all becomes a
@@ -122,7 +126,7 @@ case class HeavyHitters(
   }
 
   /** Logical (offset-resolved) counts of the live entries. */
-  private def logical(b: HeavyHittersBuffer): Iterator[(String, Long)] =
+  private def logical(b: HeavyHittersBuffer): Iterator[(UTF8String, Long)] =
     b.counts.iterator.collect {
       case (key, c) if c > b.delta => (key, c - b.delta)
     }
@@ -147,7 +151,7 @@ case class HeavyHitters(
       val sorted = b.counts.values.toArray
       java.util.Arrays.sort(sorted)
       val sub = sorted(sorted.length - (b.k + 1))
-      val dead = mutable.ArrayBuffer.empty[String]
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
       b.counts.foreach { case (key, c) =>
         if (c - sub <= 0L) dead += key else b.counts(key) = c - sub
       }
@@ -158,11 +162,13 @@ case class HeavyHitters(
   }
 
   override def eval(b: HeavyHittersBuffer): Any = {
-    // deterministic presentation: count desc, item asc
-    val items = logical(b).toArray.sortBy { case (item, c) => (-c, item) }
+    // deterministic presentation: count desc, item asc (UTF8String
+    // binary order — Spark SQL's own string ordering)
+    val items = logical(b).toArray.sortWith { (a, x) =>
+      a._2 > x._2 || (a._2 == x._2 && a._1.compareTo(x._1) < 0)
+    }
     val rows: Array[Any] = items.map { case (item, c) =>
-      new GenericInternalRow(
-        Array[Any](UTF8String.fromString(item), c))
+      new GenericInternalRow(Array[Any](item, c))
     }
     new GenericInternalRow(Array[Any](b.n, new GenericArrayData(rows)))
   }
@@ -174,7 +180,7 @@ case class HeavyHitters(
     out.writeLong(b.n)
     out.writeInt(flat.length)
     flat.foreach { case (item, c) =>
-      val bytes = item.getBytes(StandardCharsets.UTF_8)
+      val bytes = item.getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
       out.writeLong(c)
@@ -187,7 +193,7 @@ case class HeavyHitters(
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readLong()
     val size = in.readInt()
-    val counts = mutable.HashMap.empty[String, Long]
+    val counts = mutable.HashMap.empty[UTF8String, Long]
     var mn = Long.MaxValue
     var i = 0
     while (i < size) {
@@ -195,7 +201,7 @@ case class HeavyHitters(
       val buf = new Array[Byte](len)
       in.readFully(buf)
       val c = in.readLong()
-      counts(new String(buf, StandardCharsets.UTF_8)) = c
+      counts(UTF8String.fromBytes(buf)) = c
       if (c < mn) mn = c
       i += 1
     }

@@ -36,14 +36,15 @@ object Curation {
                          scoreCol: String, idCol: String,
                          frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
-    // desc_nulls_last EXPLICITLY: Spark's plain desc already sinks
-    // nulls but DuckDB's DESC floats them first — an unscoreable row
-    // must never outrank a scored one on either engine (the oracle
-    // mirrors with NULLS LAST)
+    // unscoreable rows are OUT of the gate entirely — both out of
+    // the ranking AND out of the per-group quota: counting them in
+    // `_n` would inflate every cutoff, and at a quantile deep
+    // enough they'd pass a 'top quality' gate themselves
+    val scored = df.filter(col(scoreCol).isNotNull)
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
     val cw = Window.partitionBy(col(groupCol))
-    df.withColumn("q_rank", row_number().over(w))
+    scored.withColumn("q_rank", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(cw))
       .filter(col("q_rank") <= ceil(col("_n") * lit(frac)))
       .drop("_n")

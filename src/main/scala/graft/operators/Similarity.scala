@@ -302,10 +302,11 @@ object Similarity {
                  eps: Double = 1e-9): DataFrame = {
     // ONE corpus pass for the whole fit: the Gramian aggregate
     // (graft.functions.EmbeddingGramian) carries count, per-dim
-    // means, the quantization scale guard AND the exact covariance
-    // sums in a single fixed-size buffer — round 7 ran three separate
-    // jobs (dim-stats scan, covariance count, covariance sums) over
-    // the same rows, two full corpus scans too many at 100 TB.
+    // means AND the exact covariance sums in a single fixed-size
+    // buffer (the quantization-range guard fires per row inside its
+    // update) — round 7 ran three separate jobs (dim-stats scan,
+    // covariance count, covariance sums) over the same rows, two
+    // full corpus scans too many at 100 TB.
     val g = df.agg(graft.functions.VectorFunctions.gramian(col(vecCol))
         .as("g"))
       .select(col("g.n"), col("g.means"), col("g.pairs")).head()
@@ -449,8 +450,14 @@ object Similarity {
     require(df.columns.contains(idCol) && df.columns.contains(vecCol),
       s"missing column: needs $idCol and $vecCol")
     val nD = col("n").cast("double")
+    // explode_OUTER: an empty corpus evals the Gramian to n=0 with
+    // zero pairs, and a plain explode would emit zero rows — the
+    // n<2 guard could never fire and the misconfigured pipeline
+    // would pass the diagnostic silently. The outer variant emits
+    // one null-pair row for exactly that case, which the guard
+    // converts into the loud error.
     df.agg(graft.functions.VectorFunctions.gramian(col(vecCol)).as("g"))
-      .select(col("g.n").as("n"), explode(col("g.pairs")).as("p"))
+      .select(col("g.n").as("n"), explode_outer(col("g.pairs")).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"),
         when(col("n") < 2,
           raise_error(lit("covariance needs at least two vectors")))

@@ -182,9 +182,9 @@ object TextQueries {
         |r AS (
         |  SELECT doc_id, lang, score,
         |    CAST(row_number() OVER (
-        |      PARTITION BY lang ORDER BY score DESC NULLS LAST, doc_id ASC) AS INT) AS q_rank,
+        |      PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS INT) AS q_rank,
         |    COUNT(*) OVER (PARTITION BY lang) AS n
-        |  FROM s)
+        |  FROM s WHERE score IS NOT NULL)
         |SELECT doc_id, lang, score, q_rank
         |FROM r WHERE q_rank <= ceil(n * 0.3)""".stripMargin,
     "text_quality" ->

@@ -135,11 +135,25 @@ object DeltaLogTableFormat extends TableFormat {
     st
   }
 
-  /** Apply one commit's JSON action file to `st`, mutating it. */
+  /** Apply one commit's JSON action file to `st`, mutating it.
+    * A corrupt commit makes every LATER state unknowable — skipping
+    * it would silently reconstruct wrong data — so the parse error
+    * surfaces as the canonical unreadable-version failure (a
+    * checkpoint at or past the corrupt version skips the replay and
+    * keeps the table readable; see replayState).
+    */
   private def applyOneVersion(st: State, path: String, v: Int): Unit =
     Files.readAllLines(logFile(path, v), StandardCharsets.UTF_8)
       .asScala.filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
+        val node =
+          try mapper.readTree(line)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalStateException(
+                s"corrupt commit JSON at $path version $v — state at " +
+                  s"this and later versions is unreconstructible " +
+                  s"without a covering checkpoint", e)
+          }
         if (node.has("add")) {
           val add = node.get("add")
           val pv = Option(add.get("partitionValues"))
@@ -398,9 +412,11 @@ object DeltaLogTableFormat extends TableFormat {
     * variants share. None when any commit in the window is unreadable
     * or unparseable: the window's accounting is then unknown, and the
     * feed callers degrade (full-snapshot delivery) exactly as they do
-    * for a vacuumed file — direct `changes`/`deletedKeys` callers must
-    * not crash where `processNew`'s readableVersions pre-filter would
-    * have degraded.
+    * for a vacuumed file. Scope of that no-crash contract: the
+    * FILE-ACCOUNTING layer only. When a corrupt commit poisons state
+    * reconstruction itself (corrupt at or before `toV`, no covering
+    * checkpoint), no route can deliver correct rows and the callers
+    * fail with applyOneVersion's canonical error — loud, by design.
     */
   private def windowFileDiff(path: String, fromV: Int,
                              toV: Int): Option[(Seq[String], Seq[String])] = {
@@ -477,11 +493,15 @@ object DeltaLogTableFormat extends TableFormat {
     windowFileDiff(path, fromV, toV).flatMap { case (added, removed) =>
       if ((added.iterator ++ removed.iterator)
             .exists(f => !Files.exists(Paths.get(path, f)))) None
-      else {
-        val schema = schemaAt(spark, path, toV)
-        Some(readFileSet(spark, path, schema, added)
-          .exceptAll(readFileSet(spark, path, schema, removed)))
-      }
+      else
+        // a schema replay poisoned by a corrupt pre-window commit
+        // degrades this helper to None — the caller's generic path
+        // then raises the canonical error (or succeeds off a
+        // checkpoint), instead of a parse stack from the fast path
+        scala.util.Try(schemaAt(spark, path, toV)).toOption.map { schema =>
+          readFileSet(spark, path, schema, added)
+            .exceptAll(readFileSet(spark, path, schema, removed))
+        }
     }
 
   /** Delete feed from the same file accounting: keys with rows in
@@ -499,14 +519,15 @@ object DeltaLogTableFormat extends TableFormat {
     windowFileDiff(path, fromV, toV).flatMap { case (added, removed) =>
       if ((added.iterator ++ removed.iterator)
             .exists(f => !Files.exists(Paths.get(path, f)))) None
-      else {
-        val schema = schemaAt(spark, path, toV)
-        val a = readFileSet(spark, path, schema, added)
-          .select(keys.map(col): _*).distinct()
-        val r = readFileSet(spark, path, schema, removed)
-          .select(keys.map(col): _*).distinct()
-        Some(r.join(a, keys, "left_anti"))
-      }
+      else
+        // same degrade as fileChanges: schema-replay failure -> None
+        scala.util.Try(schemaAt(spark, path, toV)).toOption.map { schema =>
+          val a = readFileSet(spark, path, schema, added)
+            .select(keys.map(col): _*).distinct()
+          val r = readFileSet(spark, path, schema, removed)
+            .select(keys.map(col): _*).distinct()
+          r.join(a, keys, "left_anti")
+        }
     }
 
   /** A version is a data change iff any of its add/remove actions

@@ -110,7 +110,12 @@ object MergeTableStream {
     // full `to` frame is built only on the fallback paths.
     if (fmt == graft.pipeline.DeltaLogTableFormat && fromV.isDefined) {
       val dl = graft.pipeline.DeltaLogTableFormat
-      val diffable = dl.schemaAt(spark, path, toV).forall(s => !mapped(s))
+      // a poisoned schema replay (corrupt pre-window commit, no
+      // covering checkpoint) must not crash the PROBE: skip the fast
+      // path and let the generic read raise the canonical error —
+      // or succeed, when a checkpoint covers the corrupt commit
+      val diffable = scala.util.Try(dl.schemaAt(spark, path, toV))
+        .toOption.exists(_.forall(s => !mapped(s)))
       // change rows = added-files except removed-files; None = a
       // net-changed window file was vacuumed. That only rules out the
       // FILE-level diff — when both endpoint versions are themselves

@@ -379,6 +379,17 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out((0L, 0L)) - 5.0 / 3) < 1e-9, out.toString)
     assert(math.abs(out((1L, 1L)) - 5.0 / 3) < 1e-9, out.toString)
     assert(math.abs(out((0L, 1L)) - 4.0 / 3) < 1e-9, out.toString)
+    // an EMPTY corpus must fail loudly, not return an empty frame
+    // (explode_outer keeps one row for the n<2 guard to fire on)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      graft.operators.Similarity
+        .embeddingCovariance(empty, "vec_id", "embedding").collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("at least two") ||
+        Option(err.getCause).exists(_.getMessage.contains("at least two"))),
+      s"expected the loud precondition, got: ${err.getMessage}")
   }
 
   test("pca projection recovers the principal axis and whitening unit-variances it") {

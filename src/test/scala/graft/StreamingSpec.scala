@@ -790,6 +790,36 @@ class StreamingSpec extends SparkSpec {
     assert(fmt.fileChanges(spark, p, 0, 2).isEmpty,
       "unknown accounting must be None, not a crash")
     assert(fmt.fileDeletedKeys(spark, p, 0, 2, Seq("id")).isEmpty)
+    // caller-level semantics: with the corrupt commit poisoning state
+    // reconstruction (no covering checkpoint), changes() has no
+    // correct answer — it must fail with the CANONICAL error naming
+    // the version, not a Jackson parse stack from the fast-path probe
+    val err = intercept[Exception] {
+      graft.streaming.MergeTableStream
+        .changes(spark, p, Some(0), 2, fmt).collect()
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).toSeq
+    assert(chain(err).exists(t => Option(t.getMessage)
+        .exists(_.contains("corrupt commit JSON"))),
+      s"expected the canonical corrupt-commit error, got: $err")
+    // ...but a checkpoint COVERING the corrupt commit keeps the table
+    // fully readable: state replay skips the torn JSON entirely
+    val p2 = Files.createTempDirectory("graft_corrupt_ckpt").toString
+    def up2(id: Long, ord: Int) =
+      fmt.scd1Merge(spark, p2, Seq((id, s"v$id", ord))
+        .toDF("id", "v", "ord"), Seq("id"), "ord")
+    (0 to 10).foreach(i => up2(i + 1L, i + 1)) // v0..v10, ckpt at v10
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(p2, "_delta_log", f"${0}%020d.json"),
+      "{torn".getBytes)
+    assert(fmt.lastCheckpoint(p2).exists(_ >= 10),
+      "test setup: a checkpoint must cover the corrupt commit")
+    val got = graft.streaming.MergeTableStream
+      .changes(spark, p2, Some(9), 10, fmt)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(11L),
+      s"checkpoint-covered corrupt commit must stay readable: $got")
   }
 
   test("mergeSink rejects snapshot-format multi-column partitionBy eagerly") {

@@ -145,7 +145,9 @@ class TextAnalysisSpec extends SparkSpec {
     // frac = 1 keeps everything
     assert(graft.operators.Curation
       .topQuantileByGroup(df, "grp", "score", "doc_id", 1.0).count() == 13)
-    // null scores rank LAST: they never displace a scored doc
+    // unscoreable rows are excluded from BOTH the rank and the
+    // quota: the group-a cutoff stays ceil(10*0.3)=3 and the null
+    // row can never pass the gate
     val withNull = rows.toDF("doc_id", "grp", "score")
       .union(Seq((30L, "a", null.asInstanceOf[java.lang.Double]))
         .toDF("doc_id", "grp", "score"))
@@ -153,8 +155,12 @@ class TextAnalysisSpec extends SparkSpec {
       .topQuantileByGroup(withNull, "grp", "score", "doc_id", 0.3)
       .filter(col("grp") === "a")
       .collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept == Seq(7L, 8L, 9L, 10L), // ceil(11*0.3)=4 scored docs
-      s"null score outranked a scored doc: $kept")
+    assert(kept == Seq(8L, 9L, 10L),
+      s"null row must not inflate the quota or pass the gate: $kept")
+    // ...even at frac = 1, where a counted null WOULD have passed
+    val all = graft.operators.Curation
+      .topQuantileByGroup(withNull, "grp", "score", "doc_id", 1.0)
+    assert(all.count() == 13 && all.filter(col("doc_id") === 30L).count() == 0)
   }
 
   test("dup-ngram kernel matches the explode/groupBy formulation") {
