@@ -78,6 +78,37 @@ object DataQuality {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Equi-width histogram of a numeric column — the distribution
+    * profile next to [[profile]]'s completeness/cardinality. Two
+    * aggregate passes by construction (bounds, then bins — the
+    * classic profiling shape); binning itself is one codegen'd
+    * `floor((x − lo)/w)` projection with the top edge clamped into
+    * the last bin, and a constant column (w = 0) degenerates to one
+    * bin instead of NaN bins. Engine-exact: bounds are exact
+    * min/max, bin edges are the same double chain on both engines.
+    * Output: (bin, bin_lo, bin_hi, n) for non-empty bins.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val mm = df.filter(v.isNotNull)
+      .agg(min(v).as("lo"), max(v).as("hi")).head()
+    require(!mm.isNullAt(0), s"histogram needs at least one non-null $valueCol")
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    val w = (hi - lo) / bins
+    val bin =
+      if (w == 0.0) lit(0)
+      else least(lit(bins - 1), floor((v - lit(lo)) / lit(w)).cast("int"))
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
+        col("n"))
+  }
+
   /** Per-column profile: completeness + cardinality in one pass. */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("_n") +: columns.flatMap { c =>

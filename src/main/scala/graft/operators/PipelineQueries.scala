@@ -137,6 +137,13 @@ object PipelineQueries {
       MatchesRegex("l_linestatus", "^[OF]$"),
       CustomPredicate("negative_price", "l_extendedprice < 0")))
 
+  /** DQ distribution profile: equi-width histogram (exact bounds,
+    * clamped top edge, engine-exact bin arithmetic).
+    */
+  def dqHistogram(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.histogram(t(spark, dir, "lineitem"), "l_extendedprice",
+      bins = 10)
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -168,6 +175,7 @@ object PipelineQueries {
     "scd2_history" -> (scd2History _),
     "dq_metrics" -> (dqMetrics _),
     "dq_rules" -> (dqRules _),
+    "dq_histogram" -> (dqHistogram _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -256,6 +264,20 @@ object PipelineQueries {
         |SELECT 'o_orderstatus', COUNT(*),
         |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders""".stripMargin,
+    "dq_histogram" ->
+      """WITH b AS (
+        |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+        |         max(CAST(l_extendedprice AS DOUBLE)) AS hi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |w AS (SELECT lo, hi, (hi - lo) / 10 AS w FROM b),
+        |x AS (
+        |  SELECT least(9, CAST(floor(
+        |      (CAST(l.l_extendedprice AS DOUBLE) - w.lo) / w.w) AS INT)) AS bin,
+        |    w.lo, w.w
+        |  FROM lineitem l, w WHERE l.l_extendedprice IS NOT NULL)
+        |SELECT bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
+        |  COUNT(*) AS n
+        |FROM x GROUP BY bin, lo, w""".stripMargin,
     "dq_rules" ->
       """SELECT 'not_null(l_orderkey)' AS rule_name, 'l_orderkey' AS column_name,
         |  COUNT(*) AS n_rows,

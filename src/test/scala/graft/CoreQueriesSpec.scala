@@ -88,4 +88,26 @@ class CoreQueriesSpec extends SparkSpec {
     val tot = df.agg(sum(col("with_orders") + col("without_orders"))).collect()(0).getLong(0)
     assert(tot == c)
   }
+
+  test("histogram bins cover the range, clamp the max, total the rows") {
+    import SparkSpec.spark.implicits._
+    // values 0..9 into 10 unit bins: one row each; the max value is
+    // exactly the top edge and must CLAMP into bin 9, not bin 10
+    val df = (0 to 9).map(_.toDouble).toDF("x")
+    val h = graft.dq.DataQuality.histogram(df, "x", bins = 10)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(3)))
+      .toMap
+    assert(h.keySet == (0 to 9).toSet)
+    assert(h.values.forall(_._2 == 1L))
+    assert(h(0)._1 == 0.0 && math.abs(h(9)._1 - 8.1) < 1e-12)
+    // bin counts total the non-null rows on real data
+    val li = Tables.load(spark, sf, "lineitem")
+    val hist = graft.dq.DataQuality.histogram(li, "l_extendedprice", 10)
+    assert(hist.agg(sum("n")).head().getLong(0) ==
+      li.filter(col("l_extendedprice").isNotNull).count())
+    // a constant column degenerates to ONE bin, not NaN bins
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val ch = graft.dq.DataQuality.histogram(const, "x", 10).collect()
+    assert(ch.length == 1 && ch(0).getInt(0) == 0 && ch(0).getLong(3) == 3L)
+  }
 }
