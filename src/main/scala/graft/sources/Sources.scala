@@ -68,6 +68,17 @@ object Sources {
                       options: Map[String, String] = Map.empty): DataFrame =
     stamp(spark.read.options(options).format("binaryFile").load(path))
 
+  /** Catalog table read. `name` may be bare (a session view), or
+    * qualified `schema.table` / `catalog.schema.table` — Spark
+    * resolves multi-part names against the session's configured
+    * catalogs, so this one call IS the metastore-qualified read
+    * (`read_hms_table`/`read_uc_table` in the reference,
+    * readers/batch_readers.py:57-80): a Hive metastore or Unity-style
+    * catalog attaches via session config
+    * (`spark.sql.catalogImplementation=hive`,
+    * `spark.sql.catalog.<name>=...`), not via code changes here.
+    * Proven against the built-in `spark_catalog` in SourcesSpec.
+    */
   def readTable(spark: SparkSession, name: String): DataFrame =
     spark.read.table(name)
 

@@ -71,6 +71,21 @@ class SourcesSpec extends SparkSpec {
       col("file_modification_time").isNull).count() == 0)
   }
 
+  test("table reads resolve catalog-qualified three-part names") {
+    val dir = Files.createTempDirectory("graft_src_cat").toString + "/t"
+    orders.limit(100).write.parquet(dir)
+    // external table in the session catalog: metadata only, data
+    // stays at `dir` — the same registration shape a metastore holds
+    spark.catalog.createTable("graft_cat_probe", dir, "parquet")
+    try {
+      Seq("graft_cat_probe", "default.graft_cat_probe",
+        "spark_catalog.default.graft_cat_probe").foreach { name =>
+        val got = Sources.read(spark, "table", name)
+        assert(got.count() == 100, s"qualified read failed for $name")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS default.graft_cat_probe")
+  }
+
   test("unknown format fails clearly") {
     val e = intercept[IllegalArgumentException](
       Sources.read(spark, "avro-nope", "/tmp/x"))
