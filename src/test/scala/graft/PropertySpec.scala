@@ -175,6 +175,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lloyd iterations never worsen the clustering objective") {
+    // Lloyd's invariant: each assignment+update round minimizes the
+    // within-cluster sum of squares given the other half, so the
+    // objective is non-increasing — up to the 1e-6 centroid
+    // quantization, whose worst-case perturbation is D·1e-12 per
+    // vector (dwarfed by the relative slack here). Random corpus,
+    // fixed seed; objective computed exactly on the driver.
+    val r = new Random(101)
+    val vecs = (1 to 120).map { i =>
+      val blob = r.nextInt(4)
+      (i.toLong, Array.tabulate(8)(j =>
+        (blob * 3.0 + r.nextGaussian() * 0.7 + j * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val raw = vecs.map(_._2.map(_.toDouble)).toArray
+    def obj(cents: Array[Array[Double]]): Double =
+      raw.map { v =>
+        cents.map { c =>
+          v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.min
+      }.sum
+    val objs = (0 to 3).map(it => obj(graft.operators.Similarity
+      .kmeansFit(df, "vec_id", "embedding", k = 4, iters = it)))
+    objs.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev * (1 + 1e-9) + 1e-9,
+        s"objective rose across an iteration: $objs")
+    }
+    assert(objs.last < objs.head,
+      s"three iterations should improve a random 4-blob corpus: $objs")
+  }
+
   test("redaction is idempotent and leaves no matchable pii behind") {
     val r = new Random(13)
     val piis = Seq("a.b@c.io", "555-123-4567", "10.0.0.1", "x@y.org more", "")
