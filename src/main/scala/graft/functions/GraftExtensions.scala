@@ -89,5 +89,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "self_norm(v)")
         SelfNorm(args(0))
       }))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text[, n]) - n-word shingles in one byte scan"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2, "word_ngrams(text[, n])")
+        val n = if (args.length > 1) intArg(args(1), "word_ngrams", 2) else 5
+        WordNgrams(args(0), n)
+      }))
+    e.injectFunction((FunctionIdentifier("dup_ngram_counts"),
+      info("dup_ngram_counts",
+        "dup_ngram_counts(text[, n]) - per-doc duplicate n-gram accounting struct"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2, "dup_ngram_counts(text[, n])")
+        val n = if (args.length > 1) intArg(args(1), "dup_ngram_counts", 2) else 3
+        DupNgramCounts(args(0), n)
+      }))
+    e.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(items[, k]) - Misra-Gries sketch aggregate over string arrays"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2, "heavy_hitters(items[, k])")
+        val k = if (args.length > 1) intArg(args(1), "heavy_hitters", 2) else 32
+        HeavyHitters(args(0), k).toAggregateExpression()
+      }))
+    e.injectFunction((FunctionIdentifier("quantized_vector_sum"),
+      info("quantized_vector_sum",
+        "quantized_vector_sum(v) - exact 128-bit per-dimension sum aggregate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quantized_vector_sum(v)")
+        QuantizedVectorSum(args(0)).toAggregateExpression()
+      }))
+    e.injectFunction((FunctionIdentifier("embedding_gramian"),
+      info("embedding_gramian",
+        "embedding_gramian(v) - one-pass exact moment/Gramian aggregate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "embedding_gramian(v)")
+        EmbeddingGramian(args(0)).toAggregateExpression()
+      }))
   }
 }

@@ -44,6 +44,31 @@ class ExtensionsSpec extends SparkSpec {
         |  self_norm(embedding) AS n FROM ext_embs LIMIT 5""".stripMargin)
       .collect()
     assert(dn.forall(r => r.getDouble(0) == r.getDouble(1)))
+
+    // word_ngrams: a 7-word doc has 3 5-grams
+    val wn = spark.sql(
+      "SELECT size(word_ngrams('a b c d e f g', 5)) AS n").head().getInt(0)
+    assert(wn == 3)
+
+    // dup_ngram_counts over a repeated cycle
+    val dc = spark.sql(
+      "SELECT dup_ngram_counts('a b a b a b', 3).dup_occurrences AS d")
+      .head().getLong(0)
+    assert(dc == 4L)
+
+    // aggregates: the sketch and the exact vector sum from plain SQL
+    val hh = spark.sql(
+      """SELECT heavy_hitters(split(text, ' '), 8) AS s
+        |FROM ext_docs""".stripMargin).head()
+    assert(hh.getStruct(0).getLong(0) > 0, "n_items must count tokens")
+    val qs = spark.sql(
+      """SELECT quantized_vector_sum(embedding).n AS n FROM ext_embs""")
+      .head().getLong(0)
+    assert(qs == Tables.load(spark, sf, "embeddings").count())
+    val gr = spark.sql(
+      "SELECT embedding_gramian(embedding).n AS n FROM ext_embs")
+      .head().getLong(0)
+    assert(gr == qs)
   }
 
   test("non-literal parameters are rejected with a clear error") {
