@@ -1,6 +1,7 @@
 package graft.dq
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality rules.
@@ -107,6 +108,41 @@ object DataQuality {
         (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
         (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
         col("n"))
+  }
+
+  /** Per-group IQR outlier accounting: discrete (data-valued)
+    * quartiles via the exact distinct-value cumulative-count method
+    * (CoreQueries#q11 — interpolating quantiles are not
+    * engine-exact; rank-selected data values are), then Tukey
+    * fences `[q1 − k·iqr, q3 + k·iqr]` in plain double arithmetic
+    * and one counting pass. Two passes over the column total; the
+    * fence frame is group-cardinality-sized and broadcasts back.
+    * Output: (group, q1, q3, lo, hi, n, n_outliers).
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(col(groupCol), v).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(v.asc)
+    val cw = Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(cw))
+    val fences = cum.groupBy(col(groupCol)).agg(
+        min(when(col("cum") >= ceil(col("n") * 0.25), v)).as("_q1"),
+        min(when(col("cum") >= ceil(col("n") * 0.75), v)).as("_q3"))
+      .select(col(groupCol),
+        col("_q1").cast("double").as("q1"),
+        col("_q3").cast("double").as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.filter(v.isNotNull)
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(v.cast("double") < col("lo") ||
+          v.cast("double") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
   /** Per-column profile: completeness + cardinality in one pass. */

@@ -144,6 +144,11 @@ object PipelineQueries {
     DataQuality.histogram(t(spark, dir, "lineitem"), "l_extendedprice",
       bins = 10)
 
+  /** DQ robust outlier accounting: Tukey fences per return flag. */
+  def dqOutliers(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.iqrOutliers(t(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice")
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -176,6 +181,7 @@ object PipelineQueries {
     "dq_metrics" -> (dqMetrics _),
     "dq_rules" -> (dqRules _),
     "dq_histogram" -> (dqHistogram _),
+    "dq_outliers" -> (dqOutliers _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -278,6 +284,32 @@ object PipelineQueries {
         |SELECT bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
         |  COUNT(*) AS n
         |FROM x GROUP BY bin, lo, w""".stripMargin,
+    "dq_outliers" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS n
+        |  FROM c),
+        |q AS (
+        |  SELECT g,
+        |    CAST(MIN(CASE WHEN cum >= ceil(n * 0.25) THEN v END) AS DOUBLE) AS q1,
+        |    CAST(MIN(CASE WHEN cum >= ceil(n * 0.75) THEN v END) AS DOUBLE) AS q3
+        |  FROM cum GROUP BY g),
+        |b AS (
+        |  SELECT g, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT l.l_returnflag, b.q1, b.q3, b.lo, b.hi,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < b.lo
+        |       OR CAST(l.l_extendedprice AS DOUBLE) > b.hi
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN b ON b.g = l.l_returnflag
+        |WHERE l.l_extendedprice IS NOT NULL
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "dq_rules" ->
       """SELECT 'not_null(l_orderkey)' AS rule_name, 'l_orderkey' AS column_name,
         |  COUNT(*) AS n_rows,
