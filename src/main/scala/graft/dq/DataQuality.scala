@@ -92,16 +92,17 @@ object DataQuality {
   def histogram(df: DataFrame, valueCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be positive")
     val v = col(valueCol).cast("double")
-    val mm = df.filter(v.isNotNull)
+    val mm = scorable(df, v)
       .agg(min(v).as("lo"), max(v).as("hi")).head()
-    require(!mm.isNullAt(0), s"histogram needs at least one non-null $valueCol")
+    require(!mm.isNullAt(0),
+      s"histogram needs at least one non-null, non-NaN $valueCol")
     val lo = mm.getDouble(0)
     val hi = mm.getDouble(1)
     val w = (hi - lo) / bins
     val bin =
       if (w == 0.0) lit(0)
       else least(lit(bins - 1), floor((v - lit(lo)) / lit(w)).cast("int"))
-    df.filter(v.isNotNull)
+    scorable(df, v)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("bin"),
@@ -110,39 +111,72 @@ object DataQuality {
         col("n"))
   }
 
-  /** Per-group IQR outlier accounting: discrete (data-valued)
-    * quartiles via the exact distinct-value cumulative-count method
-    * (CoreQueries#q11 — interpolating quantiles are not
-    * engine-exact; rank-selected data values are), then Tukey
-    * fences `[q1 − k·iqr, q3 + k·iqr]` in plain double arithmetic
-    * and one counting pass. Two passes over the column total; the
-    * fence frame is group-cardinality-sized and broadcasts back.
+  /** Rows of `df` with a usable `valueCol`: non-null AND non-NaN —
+    * a NaN would poison min/max/quantile selection into silently
+    * wrong profiles (NaN passes isNotNull, wins every max, and
+    * turns bin widths into NaN), so both profiling operators
+    * exclude it the way they exclude null.
+    */
+  private def scorable(df: DataFrame, v: Column): DataFrame =
+    df.filter(v.isNotNull && !isnan(v.cast("double")))
+
+  /** Discrete (data-valued) per-group percentiles: the value at
+    * 1-based rank ceil(q·n) of the sorted group, computed over
+    * per-VALUE counts (one shuffle of the distinct values, then a
+    * cumulative window) — the engine-exact rank-selection block
+    * shared by [[iqrOutliers]] and CoreQueries#q11
+    * (interpolating quantiles are not bit-comparable across
+    * engines; rank-selected data values are). Output: one row per
+    * group with one column per requested (alias, q).
+    */
+  private[graft] def discretePercentiles(df: DataFrame, groupCol: String,
+                                         valueCol: String,
+                                         qs: Seq[(String, Double)]): DataFrame = {
+    val v = col(valueCol)
+    val counts = scorable(df, v)
+      .groupBy(col(groupCol), v).agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(v.asc)
+    val cw = Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(cw))
+    val aggs = qs.map { case (alias, q) =>
+      min(when(col("_cum") >= ceil(col("_n") * q), v)).as(alias)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-group IQR outlier accounting: discrete quartiles via
+    * [[discretePercentiles]], then Tukey fences
+    * `[q1 − k·iqr, q3 + k·iqr]` in plain double arithmetic and one
+    * counting pass. Two passes over the column total; the fence
+    * frame is group-cardinality-sized and broadcasts back with a
+    * NULL-SAFE group join, so a null group — exactly the data a DQ
+    * layer exists to surface — gets its own fences and its own row
+    * instead of silently vanishing. NaN values are excluded like
+    * nulls (see [[scorable]]).
     * Output: (group, q1, q3, lo, hi, n, n_outliers).
     */
   def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 1.5): DataFrame = {
     val v = col(valueCol)
-    val counts = df.filter(v.isNotNull)
-      .groupBy(col(groupCol), v).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(v.asc)
-    val cw = Window.partitionBy(col(groupCol))
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt")).over(cw))
-    val fences = cum.groupBy(col(groupCol)).agg(
-        min(when(col("cum") >= ceil(col("n") * 0.25), v)).as("_q1"),
-        min(when(col("cum") >= ceil(col("n") * 0.75), v)).as("_q3"))
-      .select(col(groupCol),
-        col("_q1").cast("double").as("q1"),
-        col("_q3").cast("double").as("q3"))
-      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
-      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
-    df.filter(v.isNotNull)
-      .join(broadcast(fences), Seq(groupCol))
-      .groupBy(col(groupCol), col("q1"), col("q3"), col("lo"), col("hi"))
+    val fences = discretePercentiles(df, groupCol, valueCol,
+        Seq("_q1" -> 0.25, "_q3" -> 0.75))
+      .select(col(groupCol).as("_g"),
+        col("_q1").cast("double").as("_fq1"),
+        col("_q3").cast("double").as("_fq3"))
+      .withColumn("_flo", col("_fq1") - lit(k) * (col("_fq3") - col("_fq1")))
+      .withColumn("_fhi", col("_fq3") + lit(k) * (col("_fq3") - col("_fq1")))
+    scorable(df, v)
+      .join(broadcast(fences), col(groupCol) <=> col("_g"))
+      .groupBy(col(groupCol), col("_fq1"), col("_fq3"),
+        col("_flo"), col("_fhi"))
       .agg(count(lit(1)).as("n"),
-        sum(when(v.cast("double") < col("lo") ||
-          v.cast("double") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+        sum(when(v.cast("double") < col("_flo") ||
+          v.cast("double") > col("_fhi"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("_fq1").as("q1"), col("_fq3").as("q3"),
+        col("_flo").as("lo"), col("_fhi").as("hi"),
+        col("n"), col("n_outliers"))
   }
 
   /** Per-column profile: completeness + cardinality in one pass. */

@@ -215,19 +215,12 @@ object CoreQueries {
     */
   def q11Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    def pcts(sortCol: String, out: Seq[(String, Double)]): DataFrame = {
-      val counts = li.groupBy(col("l_returnflag"), col(sortCol))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = counts
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy(col("l_returnflag"))
-            .orderBy(col(sortCol).asc)))
-        .withColumn("n", sum(col("cnt")).over(
-          Window.partitionBy(col("l_returnflag"))))
-      val aggs = out.map { case (as, q) =>
-        min(when(col("cum") >= ceil(col("n") * q), col(sortCol))).as(as) }
-      cum.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
-    }
+    // rank selection is the shared engine-exact block — ONE
+    // implementation (DataQuality.discretePercentiles) serves this
+    // query and the DQ outlier fences
+    def pcts(sortCol: String, out: Seq[(String, Double)]): DataFrame =
+      graft.dq.DataQuality.discretePercentiles(li, "l_returnflag",
+        sortCol, out)
     pcts("l_quantity", Seq("median_qty" -> 0.5, "p95_qty" -> 0.95))
       .join(pcts("l_extendedprice",
         Seq("median_price" -> 0.5, "p95_price" -> 0.95)), Seq("l_returnflag"))

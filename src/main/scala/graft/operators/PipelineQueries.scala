@@ -274,20 +274,23 @@ object PipelineQueries {
       """WITH b AS (
         |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
         |         max(CAST(l_extendedprice AS DOUBLE)) AS hi
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
         |w AS (SELECT lo, hi, (hi - lo) / 10 AS w FROM b),
         |x AS (
         |  SELECT least(9, CAST(floor(
         |      (CAST(l.l_extendedprice AS DOUBLE) - w.lo) / w.w) AS INT)) AS bin,
         |    w.lo, w.w
-        |  FROM lineitem l, w WHERE l.l_extendedprice IS NOT NULL)
+        |  FROM lineitem l, w WHERE l.l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l.l_extendedprice AS DOUBLE)))
         |SELECT bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
         |  COUNT(*) AS n
         |FROM x GROUP BY bin, lo, w""".stripMargin,
     "dq_outliers" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS cnt
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE)) GROUP BY 1, 2),
         |cum AS (
         |  SELECT g, v,
         |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
@@ -307,8 +310,9 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < b.lo
         |       OR CAST(l.l_extendedprice AS DOUBLE) > b.hi
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM lineitem l JOIN b ON b.g = l.l_returnflag
+        |FROM lineitem l JOIN b ON b.g IS NOT DISTINCT FROM l.l_returnflag
         |WHERE l.l_extendedprice IS NOT NULL
+        |  AND NOT isnan(CAST(l.l_extendedprice AS DOUBLE))
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "dq_rules" ->
       """SELECT 'not_null(l_orderkey)' AS rule_name, 'l_orderkey' AS column_name,

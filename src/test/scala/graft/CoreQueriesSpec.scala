@@ -91,28 +91,34 @@ class CoreQueriesSpec extends SparkSpec {
 
   test("iqr outliers flag exactly the fence-crossers") {
     import SparkSpec.spark.implicits._
-    // group g: values 1..11 plus a wild 100. With 13 values the
-    // discrete quartiles are q1 = value at rank ceil(13*.25)=4 -> 4,
-    // q3 = rank ceil(13*.75)=10 -> 10; wait — plant explicitly below
     val rows = ((1 to 11).map(i => ("g", i.toDouble)) :+ ("g", 100.0)) ++
-      Seq(("h", 5.0), ("h", 5.0), ("h", 6.0))
+      Seq(("h", 5.0), ("h", 5.0), ("h", 6.0)) ++
+      // a NaN must be excluded like a null, and a NULL group must
+      // get its own fences row, not silently vanish from the join
+      Seq(("g", Double.NaN)) ++
+      Seq((null.asInstanceOf[String], 1.0),
+        (null.asInstanceOf[String], 2.0),
+        (null.asInstanceOf[String], 3.0))
     val df = rows.toDF("grp", "v")
     val out = graft.dq.DataQuality.iqrOutliers(df, "grp", "v")
-      .collect().map(r => r.getString(0) ->
+      .collect().map(r => Option(r.getString(0)) ->
         (r.getDouble(1), r.getDouble(2), r.getLong(5), r.getLong(6))).toMap
-    // g: 12 values sorted 1..11,100; q1 = rank ceil(12*.25)=3 -> 3.0,
-    // q3 = rank ceil(12*.75)=9 -> 9.0; fences [3-9, 9+9] = [-6, 18]
-    // -> exactly the 100.0 is out
-    assert(out("g") == ((3.0, 9.0, 12L, 1L)), out.toString)
+    // g: 12 scorable values sorted 1..11,100 (the NaN is out);
+    // q1 = rank ceil(12*.25)=3 -> 3.0, q3 = rank ceil(12*.75)=9 ->
+    // 9.0; fences [3-9, 9+9] = [-6, 18] -> exactly the 100.0 is out
+    assert(out(Some("g")) == ((3.0, 9.0, 12L, 1L)), out.toString)
     // h: tight group, no outliers
-    assert(out("h")._4 == 0L)
+    assert(out(Some("h"))._4 == 0L)
+    // null group: own row, 3 rows accounted, none outlying
+    assert(out(None)._3 == 3L && out(None)._4 == 0L, out.toString)
   }
 
   test("histogram bins cover the range, clamp the max, total the rows") {
     import SparkSpec.spark.implicits._
-    // values 0..9 into 10 unit bins: one row each; the max value is
-    // exactly the top edge and must CLAMP into bin 9, not bin 10
-    val df = (0 to 9).map(_.toDouble).toDF("x")
+    // values 0..9 into 10 width-0.9 bins: floor(k/0.9) is distinct
+    // for k = 0..8 and the max value is exactly the top edge, which
+    // must CLAMP into bin 9, not bin 10. A NaN is excluded like null.
+    val df = ((0 to 9).map(_.toDouble) :+ Double.NaN).toDF("x")
     val h = graft.dq.DataQuality.histogram(df, "x", bins = 10)
       .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(3)))
       .toMap

@@ -179,9 +179,12 @@ class PropertySpec extends SparkSpec {
     // Lloyd's invariant: each assignment+update round minimizes the
     // within-cluster sum of squares given the other half, so the
     // objective is non-increasing — up to the 1e-6 centroid
-    // quantization, whose worst-case perturbation is D·1e-12 per
-    // vector (dwarfed by the relative slack here). Random corpus,
-    // fixed seed; objective computed exactly on the driver.
+    // quantization. Its FIRST-ORDER effect on the objective is
+    // Σ_v Σ_i 2·|v_i − c_i|·ε with ε ≤ 1e-6: for this corpus
+    // (120 vectors, D = 8, |v − c| a few units per dim) that bounds
+    // around 1e-2 absolute, hence the slack below — NOT the
+    // negligible-looking ε² term alone. Random corpus, fixed seed;
+    // objective computed exactly on the driver.
     val r = new Random(101)
     val vecs = (1 to 120).map { i =>
       val blob = r.nextInt(4)
@@ -199,7 +202,7 @@ class PropertySpec extends SparkSpec {
     val objs = (0 to 3).map(it => obj(graft.operators.Similarity
       .kmeansFit(df, "vec_id", "embedding", k = 4, iters = it)))
     objs.sliding(2).foreach { case Seq(prev, next) =>
-      assert(next <= prev * (1 + 1e-9) + 1e-9,
+      assert(next <= prev * (1 + 1e-9) + 1e-2,
         s"objective rose across an iteration: $objs")
     }
     assert(objs.last < objs.head,
