@@ -155,13 +155,46 @@ object DataQuality {
     * layer exists to surface — gets its own fences and its own row
     * instead of silently vanishing. NaN values are excluded like
     * nulls (see [[scorable]]).
+    *
+    * SCALE NOTE: the exact quartile block sorts each group's
+    * distinct-value set in one task — right for bounded-cardinality
+    * columns (flags, prices on a grid), a straggler/OOM on a
+    * continuous near-unique column at corpus scale. For that case use
+    * [[iqrOutliersSketch]]: mergeable KLL summaries, partial-agg
+    * shape, no per-group sort — the 100-TB path.
     * Output: (group, q1, q3, lo, hi, n, n_outliers).
     */
   def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                  k: Double = 1.5): DataFrame = {
+                  k: Double = 1.5): DataFrame =
+    tukeyCount(df, groupCol, valueCol, k,
+      discretePercentiles(df, groupCol, valueCol,
+        Seq("_q1" -> 0.25, "_q3" -> 0.75)))
+
+  /** Sketch companion of [[iqrOutliers]] — quartile fences from
+    * mergeable per-group KLL summaries
+    * ([[graft.functions.KllSketch]]) instead of the exact
+    * distinct-value sort. Same two-pass shape and identical output
+    * schema; fences are rank estimates with the sketch's
+    * deterministic error bound (pinned vs the exact block in
+    * QuantileSketchSpec). This is the variant that survives a
+    * continuous column at 100 TB: each partition folds into one
+    * O(k·log n) buffer and only buffers shuffle — no per-group
+    * single-task sort anywhere in the plan.
+    */
+  def iqrOutliersSketch(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Double = 1.5, sketchK: Int = 200): DataFrame =
+    tukeyCount(df, groupCol, valueCol, k,
+      sketchPercentiles(df, groupCol, valueCol,
+        Seq("_q1" -> 0.25, "_q3" -> 0.75), sketchK))
+
+  /** Shared fence-join-count block: quartile frame in, Tukey
+    * accounting out (see [[iqrOutliers]] for the join rationale).
+    * `quartiles` must carry (groupCol, _q1, _q3).
+    */
+  private def tukeyCount(df: DataFrame, groupCol: String, valueCol: String,
+                         k: Double, quartiles: DataFrame): DataFrame = {
     val v = col(valueCol)
-    val fences = discretePercentiles(df, groupCol, valueCol,
-        Seq("_q1" -> 0.25, "_q3" -> 0.75))
+    val fences = quartiles
       .select(col(groupCol).as("_g"),
         col("_q1").cast("double").as("_fq1"),
         col("_q3").cast("double").as("_fq3"))
@@ -177,6 +210,56 @@ object DataQuality {
       .select(col(groupCol), col("_fq1").as("q1"), col("_fq3").as("q3"),
         col("_flo").as("lo"), col("_fhi").as("hi"),
         col("n"), col("n_outliers"))
+  }
+
+  /** Per-group percentile ESTIMATES from one KLL sketch pass — the
+    * partial-aggregable scale path next to the exact
+    * [[discretePercentiles]] (same `ceil(q·n)` rank rule, same
+    * output shape, values are rank estimates within the sketch
+    * bound). One shuffle of O(k·log n) sketch buffers, never of
+    * values.
+    */
+  def sketchPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                        qs: Seq[(String, Double)],
+                        sketchK: Int = 200): DataFrame = {
+    import graft.functions.Kll
+    val v = col(valueCol).cast("double")
+    val sk = scorable(df, v).groupBy(col(groupCol))
+      .agg(Kll.kllSketch(v, sketchK).as("_sk"))
+      .withColumn("_qs", Kll.kllQuantiles(col("_sk"), qs.map(_._2)))
+    sk.select(col(groupCol) +: qs.zipWithIndex.map { case ((alias, _), i) =>
+      col("_qs").getItem(i).as(alias)
+    }: _*)
+  }
+
+  /** Incremental-profiling WRITE side: one KLL sketch row per
+    * (group, batch) — emit this at ingest time and append it to a
+    * profile table. The sketch binary is the column; history never
+    * re-scans.
+    */
+  def profileSketch(df: DataFrame, groupCol: String, valueCol: String,
+                    sketchK: Int = 200): DataFrame = {
+    import graft.functions.Kll
+    val v = col(valueCol).cast("double")
+    scorable(df, v).groupBy(col(groupCol))
+      .agg(Kll.kllSketch(v, sketchK).as("sketch"))
+  }
+
+  /** Incremental-profiling READ side: fold stored per-batch sketch
+    * rows ([[profileSketch]] output) into per-group percentile
+    * estimates — [[graft.functions.KllMerge]] over the binary
+    * column, no re-scan of the profiled data.
+    */
+  def mergeProfileSketches(sketches: DataFrame, groupCol: String,
+                           qs: Seq[(String, Double)],
+                           sketchK: Int = 200): DataFrame = {
+    import graft.functions.Kll
+    val merged = sketches.groupBy(col(groupCol))
+      .agg(Kll.kllMerge(col("sketch"), sketchK).as("_sk"))
+      .withColumn("_qs", Kll.kllQuantiles(col("_sk"), qs.map(_._2)))
+    merged.select(col(groupCol) +: qs.zipWithIndex.map { case ((alias, _), i) =>
+      col("_qs").getItem(i).as(alias)
+    }: _*)
   }
 
   /** Per-column profile: completeness + cardinality in one pass. */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** SparkSessionExtensions registration for graft's custom Catalyst
   * expressions, so plain SQL users get them too:
@@ -125,6 +125,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "embedding_gramian(v)")
         EmbeddingGramian(args(0)).toAggregateExpression()
+      }))
+    e.injectFunction((FunctionIdentifier("kll_sketch"),
+      info("kll_sketch",
+        "kll_sketch(x[, k]) - mergeable KLL quantile sketch aggregate (binary)"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2, "kll_sketch(x[, k])")
+        val k = if (args.length > 1) intArg(args(1), "kll_sketch", 2) else 200
+        KllSketch(args(0), k).toAggregateExpression()
+      }))
+    e.injectFunction((FunctionIdentifier("kll_merge"),
+      info("kll_merge",
+        "kll_merge(sketch[, k]) - merge stored kll_sketch binaries"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2, "kll_merge(sketch[, k])")
+        val k = if (args.length > 1) intArg(args(1), "kll_merge", 2) else 200
+        KllMerge(args(0), k).toAggregateExpression()
+      }))
+    e.injectFunction((FunctionIdentifier("kll_quantiles"),
+      info("kll_quantiles",
+        "kll_quantiles(sketch, q1[, q2...]) - rank-select estimates from a sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "kll_quantiles(sketch, q1[, q2...])")
+        val qs = args.tail.map {
+          case Literal(v: Double, DoubleType) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"kll_quantiles: q must be a double literal, got $other")
+        }
+        KllQuantiles(args(0), qs)
       }))
   }
 }

@@ -144,9 +144,23 @@ object PipelineQueries {
     DataQuality.histogram(t(spark, dir, "lineitem"), "l_extendedprice",
       bins = 10)
 
-  /** DQ robust outlier accounting: Tukey fences per return flag. */
+  /** DQ robust outlier accounting: Tukey fences per return flag.
+    * Exact quartiles (oracle-able); [[dqOutliersSketch]] is the
+    * 100-TB path for continuous columns.
+    */
   def dqOutliers(spark: SparkSession, dir: String): DataFrame =
     DataQuality.iqrOutliers(t(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice")
+
+  /** Sketch companion of [[dqOutliers]]: fences from mergeable KLL
+    * quartile estimates — partial-agg shape, no per-group
+    * distinct-value sort, the plan that survives a continuous
+    * column at 100×. Rows-only driver check (merge-order-dependent
+    * estimates, like the other sketches); the rank-error bound vs
+    * the exact block is pinned in QuantileSketchSpec.
+    */
+  def dqOutliersSketch(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.iqrOutliersSketch(t(spark, dir, "lineitem"),
       "l_returnflag", "l_extendedprice")
 
   /** #20 Audit merge-shape record: single-join plan, no actions. */
@@ -182,6 +196,7 @@ object PipelineQueries {
     "dq_rules" -> (dqRules _),
     "dq_histogram" -> (dqHistogram _),
     "dq_outliers" -> (dqOutliers _),
+    "dq_outliers_sketch" -> (dqOutliersSketch _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 

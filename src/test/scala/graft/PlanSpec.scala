@@ -156,6 +156,25 @@ class PlanSpec extends SparkSpec {
       s"rank and count windows must share the group-key exchange, got $exchanges:\n${plan.take(2500)}")
   }
 
+  test("discrete percentiles: the window pair shares ONE group-key exchange") {
+    // the exact-percentile block is two logical windows (cumulative
+    // count ordered by value, group total) over the distinct-value
+    // frame — both partitioned by the group key, so the physical
+    // plan must carry exactly TWO exchanges total: the (group,
+    // value) partial-agg shuffle and ONE shared group-key shuffle
+    // for the pair. A third exchange means the windows stopped
+    // sharing their partitioning.
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sf, "lineitem")
+    val plan = graft.dq.DataQuality.discretePercentiles(li,
+      "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p95" -> 0.95))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected (group,value) shuffle + one shared group shuffle, got $exchanges:\n${plan.take(2500)}")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val proj = Tables.load(spark, sf, "documents")

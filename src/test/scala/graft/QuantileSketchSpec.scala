@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DoubleType}
+
+import graft.dq.DataQuality
+import graft.functions.Kll
+
+/** KLL quantile sketch: exactness in the small, the pinned
+  * rank-error bound vs the exact discrete-percentile block in the
+  * large, incremental merge semantics, and the dq_outliers sketch
+  * companion's plan/schema contract.
+  */
+class QuantileSketchSpec extends SparkSpec {
+
+  import SparkSpec.spark.implicits._
+
+  /** 1-based rank of `est` in `sorted` under the discrete rule:
+    * the number of values ≤ est (the rank the estimate actually
+    * lands at — comparing against the ceil(q·n) target gives the
+    * sketch's rank error).
+    */
+  private def rankOf(sorted: Array[Double], est: Double): Long = {
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= est) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  test("sketch is EXACT below capacity: quantiles == discretePercentiles") {
+    // n = 150 < k = 200: everything sits in level 0, rank selection
+    // is exact, so the sketch must agree with the exact block bit
+    // for bit — regardless of partitioning (merge concatenates
+    // level 0 without compacting below capacity)
+    val df = (1 to 150).map(i => ("g", (i * 7 % 151).toDouble))
+      .toDF("grp", "v").repartition(5)
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val exact = DataQuality.discretePercentiles(df, "grp", "v", qs)
+      .collect()(0)
+    val sketch = DataQuality.sketchPercentiles(df, "grp", "v", qs, 200)
+      .collect()(0)
+    qs.indices.foreach { i =>
+      assert(sketch.getDouble(i + 1) == exact.getDouble(i + 1),
+        s"q=${qs(i)._2}: sketch ${sketch.getDouble(i + 1)} != exact ${exact.getDouble(i + 1)}")
+    }
+  }
+
+  test("rank-error bound pinned vs the exact block on lineitem") {
+    // the continuous column the exact block is WEAK on at scale:
+    // l_extendedprice is near-unique per group. k = 200 on ~60k
+    // rows (sf0.001) compacts many levels deep; pin the observed
+    // rank error of every estimated quartile at <= 2% of n (the
+    // deterministic-alternation bound lands far below this in
+    // practice; the pin catches a broken compactor, not noise)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").cast("double").as("v"))
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+    val est = DataQuality.sketchPercentiles(li, "grp", "v", qs, 200)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val groups = li.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    groups.foreach { case (g, n) =>
+      val sorted = li.filter(col("grp") === g).select("v")
+        .collect().map(_.getDouble(0)).sorted
+      qs.zipWithIndex.foreach { case ((_, q), i) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val landed = rankOf(sorted, est(g).getDouble(i + 1))
+        val err = math.abs(landed - target)
+        assert(err <= 0.02 * n,
+          s"group $g q=$q: rank error $err on n=$n exceeds 2%")
+      }
+    }
+  }
+
+  test("weight conservation: estimates account for every row") {
+    // total stored weight must equal n after arbitrary insert/merge
+    // interleavings — the invariant the odd-leftover rule protects.
+    // Probe it through the public surface: rank of the max value
+    // (q=1.0) must be n itself on any data size that forces
+    // multi-level compaction.
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+      .repartition(7)
+    val out = DataQuality.sketchPercentiles(df, "grp", "v",
+      Seq("pmax" -> 1.0), 64).collect()(0)
+    // q=1.0 selects rank n: the stored maximum. The global max
+    // always survives compaction at SOME level (it can only be
+    // promoted, never dropped... it can be dropped if unlucky in
+    // offset; but rank-1.0 must land within the bound of the max)
+    assert(out.getDouble(1) >= 9800.0,
+      s"rank-n estimate ${out.getDouble(1)} implausibly low")
+  }
+
+  test("incremental profile: per-batch sketches merge to the whole") {
+    // write side: one sketch per (group, batch); read side: merged
+    // estimates. Below capacity the composition is EXACT — equal to
+    // the exact percentiles of the union — which pins the merge
+    // path end to end with no tolerance band.
+    val batches = (0 until 3).map { b =>
+      (1 to 60).map(i => ("g", (b * 60 + i).toDouble)).toDF("grp", "v")
+    }
+    val perBatch = batches.map(DataQuality.profileSketch(_, "grp", "v", 512))
+    val stored = perBatch.reduce(_ unionAll _)
+    assert(stored.schema("sketch").dataType == BinaryType)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val merged = DataQuality.mergeProfileSketches(stored, "grp", qs, 512)
+      .collect()(0)
+    val exact = DataQuality.discretePercentiles(
+      batches.reduce(_ unionAll _), "grp", "v", qs).collect()(0)
+    assert(merged.getDouble(1) == exact.getDouble(1))
+    assert(merged.getDouble(2) == exact.getDouble(2))
+  }
+
+  test("kll_merge rejects a sketch built with a different k") {
+    val sk = DataQuality.profileSketch(
+      Seq(("g", 1.0)).toDF("grp", "v"), "grp", "v", 64)
+    val err = intercept[Exception] {
+      DataQuality.mergeProfileSketches(sk, "grp", Seq("p50" -> 0.5), 128)
+        .collect()
+    }
+    assert(err.getMessage.contains("k=64") ||
+      Option(err.getCause).exists(_.getMessage.contains("k=64")))
+  }
+
+  test("NaN fails loudly at the aggregate, null is skipped") {
+    // DataQuality.scorable filters NaN upstream of the operators —
+    // drive the AGGREGATE directly to prove its own loud guard
+    // (the repo convention: Gramian/VectorSum reject NaN per row)
+    val nan = Seq(("g", 1.0), ("g", Double.NaN)).toDF("grp", "v")
+    val err = intercept[Exception] {
+      nan.groupBy("grp").agg(Kll.kllSketch(col("v"), 64)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("NaN")), msgs(err).mkString("; "))
+    // null rows skip (standard aggregate semantics): n excludes them
+    val withNull = Seq(("g", java.lang.Double.valueOf(1.0)),
+      ("g", null.asInstanceOf[java.lang.Double]),
+      ("g", java.lang.Double.valueOf(3.0))).toDF("grp", "v")
+    val qs = withNull.groupBy("grp")
+      .agg(Kll.kllQuantiles(Kll.kllSketch(col("v"), 64), Seq(0.5, 1.0)).as("qs"))
+      .collect()(0).getSeq[Double](1)
+    assert(qs == Seq(1.0, 3.0), qs.toString)
+  }
+
+  test("dq_outliers_sketch: same schema as the exact entry, fences agree on bounded data") {
+    val exact = SparkEntry.queries("dq_outliers")(spark, sf)
+    val sketch = SparkEntry.queries("dq_outliers_sketch")(spark, sf)
+    assert(sketch.schema.map(f => (f.name, f.dataType)) ==
+      exact.schema.map(f => (f.name, f.dataType)))
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    val s = sketch.collect().map(r => r.getString(0) -> r).toMap
+    assert(e.keySet == s.keySet)
+    e.keySet.foreach { g =>
+      // row accounting is sketch-independent: n must be identical
+      assert(e(g).getLong(5) == s(g).getLong(5), s"n differs for $g")
+      // fences are rank estimates: quartiles within 5% relative
+      Seq(1, 2).foreach { i =>
+        val ev = e(g).getDouble(i)
+        val sv = s(g).getDouble(i)
+        assert(math.abs(sv - ev) <= 0.05 * math.abs(ev),
+          s"group $g col $i: sketch $sv vs exact $ev")
+      }
+    }
+  }
+
+  test("sketch plan shape: no per-group value sort, partial agg on the wire") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val plan = DataQuality.sketchPercentiles(li, "l_returnflag",
+      "l_extendedprice", Seq("p50" -> 0.5)).queryExecution
+      .executedPlan.toString
+    // the exact block's signature is a Window over a Sort — the
+    // sketch path must have NEITHER; its only wire format is the
+    // ObjectHashAggregate partial/final pair
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("SQL registration: kll_sketch -> kll_merge -> kll_quantiles") {
+    Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
+      .toDF("grp", "v").createOrReplaceTempView("kll_in")
+    val out = spark.sql(
+      """SELECT grp, kll_quantiles(kll_merge(sk, 64), 0.5D, 1.0D) AS qs
+        |FROM (SELECT grp, kll_sketch(v, 64) AS sk FROM kll_in GROUP BY grp)
+        |GROUP BY grp""".stripMargin).collect()(0)
+    val qs = out.getSeq[Double](1)
+    assert(qs == Seq(2.0, 4.0), qs.toString)
+  }
+}
