@@ -909,6 +909,170 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("job_name") == "agg_job"))
   }
 
+  test("streaming gold hop runs the CURATION composition: change feed -> gates -> dedup -> gold merge") {
+    // the end-to-end pipeline shape the silver→gold delta source
+    // implies: a delta-log silver documents table accretes over three
+    // producer merges (including a dedup-relevant later-id duplicate
+    // and an in-place text update), a change-feed consumer pushes
+    // each batch through THE SAME curation gates Curation.curate
+    // compiles, dedups incrementally against the accumulating gold,
+    // and merges survivors — and the resulting gold must equal
+    // Curation.curate's batch recompute of silver-current, rollup for
+    // rollup.
+    import SparkSpec.spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.streaming.MergeTableStream
+    import org.apache.spark.sql.expressions.Window
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_cur_silver").toString
+    val gold = Files.createTempDirectory("graft_cur_gold").toString
+    val ck = Files.createTempDirectory("graft_cur_ck").toString
+
+    def goodText(i: Int): String =
+      (0 until 24).map(j => s"w${i}x$j").mkString(" ")
+    def doc(id: Long, lang: String, text: String, ord: Int) =
+      (id, lang, text, ord)
+    // batch 1: ten good docs + one that fails the word-count gate
+    val b1 = (1 to 10).map(i => doc(i, if (i % 2 == 0) "en" else "de",
+      goodText(i), 0)) :+ doc(11, "en", "tiny doc here", 0)
+    // batch 2: new docs, a LATER-ID duplicate of doc 1's text (the
+    // realistic re-crawl case — first arrival wins, which is also
+    // min-id), and an in-place UPDATE of doc 2's text
+    val b2 = (21 to 25).map(i => doc(i, "en", goodText(i), 1)) ++ Seq(
+      doc(999, "de", goodText(1), 1),
+      doc(2, "en", goodText(202), 1))
+    // batch 3: more docs + a duplicate of a batch-2 text
+    val b3 = (31 to 33).map(i => doc(i, "de", goodText(i), 2)) :+
+      doc(998, "en", goodText(21), 2)
+    Seq(b1, b2, b3).foreach { rows =>
+      fmt.scd1Merge(spark, silver,
+        rows.toDF("doc_id", "lang", "text", "ord"),
+        Seq("doc_id"), "ord", compareExclude = Nil)
+    }
+
+    // the consumer's gate predicate is built from the SAME column
+    // builders (and defaults) Curation.curate compiles, so gate
+    // decisions are bit-identical to the batch recompute
+    val qm = TextAnalysis.qualityMetrics(col("text"), Seq("the", "a")).toMap
+    val rm = TextAnalysis.repetitionMetrics(col("text")).toMap
+    val gatePass = qm("n_words") >= 20L && qm("avg_word_len") < 8.0 &&
+      rm("distinct_word_ratio") > 0.2 && rm("top_word_fraction") < 0.2
+
+    def foldGold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, _) =>
+        // in-batch exact dedup keep-min-id (curate's window), then
+        // the cross-batch gate: a text hash already in gold under a
+        // DIFFERENT doc survives only there (first arrival wins); the
+        // same doc's own update passes through as an upsert
+        val inBatch = chg.filter(gatePass)
+          .withColumn("_h", md5(col("text")))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("_h")).orderBy(col("doc_id").asc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        val survivors =
+          if (MergeTable.exists(gold)) {
+            val goldHashes = MergeTable.read(spark, gold)
+              .select(md5(col("text")).as("_h"), col("doc_id").as("_gid"))
+            inBatch.join(goldHashes, Seq("_h"), "left_outer")
+              .filter(col("_gid").isNull || col("_gid") === col("doc_id"))
+              .drop("_gid")
+          } else inBatch
+        MergeTable.scd1Merge(spark, gold, survivors.drop("_h"),
+          Seq("doc_id"), "ord", compareExclude = Nil)
+        ()
+      }
+    val processed = foldGold()
+    assert(processed.size >= 3, s"need >=3 micro-batches, got $processed")
+    assert(foldGold().isEmpty, "caught-up consumer must re-process nothing")
+
+    // document-level truth: gates + keep-min-id dedup over
+    // silver-current (ids are assigned in arrival order, so min-id
+    // and first-arrival coincide — the test's contract)
+    val truth = fmt.read(spark, silver).filter(gatePass)
+      .withColumn("_h", md5(col("text")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_h")).orderBy(col("doc_id").asc)))
+      .filter(col("_rn") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val goldIds = MergeTable.read(spark, gold)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(goldIds.sameElements(truth),
+      s"gold ${goldIds.mkString(",")} vs batch truth ${truth.mkString(",")}")
+    assert(!goldIds.contains(999L) && !goldIds.contains(998L),
+      "later-id duplicates must be curated out")
+    assert(goldIds.contains(2L), "the updated doc must survive as itself")
+
+    // rollup-level truth: Curation.curate itself (no benchmark rows)
+    // over silver-current must equal the same accounting computed
+    // from the streamed gold — the composition IS the batch operator
+    val want = Curation.curate(fmt.read(spark, silver), "doc_id", "text",
+        benchFilter = lit(false), groupCols = Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val est = TextAnalysis.tokenMetrics(col("text")).toMap.apply("est_bpe_tokens")
+    val got = MergeTable.read(spark, gold)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(est).as("n_tokens"), min(col("doc_id")).as("first_doc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.sameElements(want),
+      s"gold rollup ${got.mkString(";")} vs curate ${want.mkString(";")}")
+  }
+
+  test("streaming merge additive schema evolution: a later micro-batch widens the table") {
+    // the restart-with-evolved-source shape: a stream lands schema A
+    // into the table, stops; later files carry a NEW column; the
+    // resumed stream (same checkpoint, evolved schema) must flow the
+    // new micro-batch through mergeSink and WIDEN the table —
+    // historical rows read null, new rows carry the value, nothing
+    // fails. (Batch-merge evolution is proven in MergeSpec; this
+    // pins the streaming writer path the reference's mergeSchema
+    // option covers.)
+    import SparkSpec.spark.implicits._
+    val dir = Files.createTempDirectory("graft_sevo_src").toString
+    val table = Files.createTempDirectory("graft_sevo_tbl").toString
+    val ck = Files.createTempDirectory("graft_sevo_ck").toString
+
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+      val dest = Paths.get(dir, s"$name.parquet")
+      Files.move(f, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+    }
+    stage("a", Seq((1L, "v1", 10), (2L, "w1", 10)).toDF("id", "v", "ord"),
+      1700000000000L)
+    val schemaA = spark.read.parquet(s"$dir/a.parquet").schema
+    val runA = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      schemaA).select("id", "v", "ord")
+    StreamingIngest.mergeSink(runA, table, ck, Seq("id"), "ord",
+      compareExclude = Nil).awaitTermination(120000)
+    assert(!MergeTable.read(spark, table).columns.contains("extra_col"))
+
+    // later files carry extra_col; resume from the SAME checkpoint
+    // with the evolved schema — only the new file is a micro-batch
+    stage("b", Seq((2L, "w2", 20, 7.5), (3L, "x1", 20, 2.5))
+      .toDF("id", "v", "ord", "extra_col"), 1700000060000L)
+    val schemaB = spark.read.parquet(s"$dir/b.parquet").schema
+    val runB = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      schemaB).select("id", "v", "ord", "extra_col")
+    StreamingIngest.mergeSink(runB, table, ck, Seq("id"), "ord",
+      compareExclude = Nil).awaitTermination(120000)
+
+    val out = MergeTable.read(spark, table)
+    assert(out.columns.contains("extra_col"), "table must widen")
+    val rows = out.select("id", "v", "extra_col").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(rows.sameElements(Array(
+      (1L, "v1", None),          // historical row: evolved column null
+      (2L, "w2", Some(7.5)),     // updated through the evolved batch
+      (3L, "x1", Some(2.5)))),   // inserted with the new column
+      rows.mkString("; "))
+  }
+
   test("out-of-order batch cannot regress the merge table") {
     import SparkSpec.spark.implicits._
     val table = Files.createTempDirectory("graft_ooo").toString
