@@ -100,8 +100,15 @@ object Bench {
     val total = results.collect {
       case (_, ts) if ts.flatten.nonEmpty => median(ts.flatten)
     }.sum
+    // methodology stamp: the round-8 inter-query quiesce (unpersist +
+    // 2×System.gc + 250 ms settle) changed what the medians measure —
+    // a quiet-heap plan cost instead of plans-plus-predecessor-GC.
+    // Cross-round comparisons against pre-stamp artifacts must expect
+    // that shift; the stamp makes the switch visible in the artifact
+    // itself rather than only in prose.
+    val methodology = "quiesce=unpersist+gc2+250ms (since r8)"
     val driverLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runsPer,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runsPer,"failed":$failed,"sf":"$sfDir","methodology":"$methodology"}"""
     // Full-precision detail (cold + every attempt) is too large for the
     // harness's bounded output tail — persist it as a repo artifact.
     val detail = results.map { case (k, ts) =>
@@ -110,7 +117,7 @@ object Bench {
         ",\"attempts\":" + attempts + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"queries":$detail}"""
+      s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"methodology":"$methodology","queries":$detail}"""
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {

@@ -87,6 +87,11 @@ object DataQuality {
     * the last bin, and a constant column (w = 0) degenerates to one
     * bin instead of NaN bins. Engine-exact: bounds are exact
     * min/max, bin edges are the same double chain on both engines.
+    * Bounds and bins are two separate jobs over a frame assumed
+    * STATIC between them (the batch contract); both edges clamp
+    * into the boundary bins, so a row mutated out of [lo, hi]
+    * between the passes lands in bin 0 / bins-1 rather than
+    * fabricating a bin outside the profile.
     * Output: (bin, bin_lo, bin_hi, n) for non-empty bins.
     */
   def histogram(df: DataFrame, valueCol: String, bins: Int = 10): DataFrame = {
@@ -101,7 +106,8 @@ object DataQuality {
     val w = (hi - lo) / bins
     val bin =
       if (w == 0.0) lit(0)
-      else least(lit(bins - 1), floor((v - lit(lo)) / lit(w)).cast("int"))
+      else least(lit(bins - 1),
+        greatest(lit(0), floor((v - lit(lo)) / lit(w)).cast("int")))
     scorable(df, v)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))

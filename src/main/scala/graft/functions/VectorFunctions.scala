@@ -159,7 +159,13 @@ object VectorOps {
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
-      val n = math.min(v.numElements(), cv.length)
+      // a truncated distance loop would silently assign from a
+      // PARTIAL distance when a vector's dimension differs from the
+      // centroids' (kmeansAssign / iters=0 paths have no aggregate
+      // upstream to catch ragged dims) — fail loudly instead
+      val n = cv.length
+      require(v.numElements() == n,
+        s"kmeans assign: vector dim ${v.numElements()} != centroid dim $n")
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -83,14 +83,28 @@ object Sampling {
                          tokensCol: String, alpha: Double,
                          budgetTokens: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    // the driver fold reads the stratum as a string — enforce the
+    // contract loudly instead of a ClassCastException mid-fold
+    require(df.schema(stratumCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMixPlan: $stratumCol must be a string column")
     // a NULL stratum can't be named in a mixture: exclude it (the
     // explicit-weights mixPlan gives unnamed strata weight 0 — same
-    // outcome) instead of NPE-ing the driver fold's sort
-    val counts = df.filter(col(stratumCol).isNotNull)
+    // outcome) instead of NPE-ing the driver fold's sort. Null token
+    // rows are excluded the same way (an all-null stratum would sum
+    // to NULL and NPE getLong), and a ZERO-token stratum is dropped
+    // before the fold: it contributes nothing to a token mixture,
+    // and its rate would otherwise be target/0 = NaN silently
+    // propagated into the plan.
+    val counts = df.filter(col(stratumCol).isNotNull &&
+        col(tokensCol).isNotNull)
       .groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).as("tokens_have"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L)
       .sortBy(_._1)
+    require(counts.nonEmpty,
+      "temperatureMixPlan: no stratum has positive tokens")
     val pows = counts.map { case (s, n) =>
       val p =
         if (alpha == 0.5) math.sqrt(n.toDouble)

@@ -488,7 +488,15 @@ object Similarity {
                          vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val amax = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
-    df.select(col(idCol), (amax / lit(127.0)).as("scale"), v.as("_v"))
+    // loud non-finite guard (the repo's aggregate convention): one
+    // NaN component would make amax NaN (NaN wins greatest) and
+    // every qval a silent NaN→tinyint 0 — corrupt output, no error
+    val nonFinite = exists(v, x => isnan(x) || abs(x) > lit(Double.MaxValue))
+    df.select(col(idCol),
+        when(nonFinite, raise_error(concat(
+          lit("quantize: non-finite component in vector "),
+          col(idCol).cast("string"))))
+          .otherwise(amax / lit(127.0)).as("scale"), v.as("_v"))
       .select(col(idCol), col("scale"),
         transform(col("_v"), x =>
           when(col("scale") === 0.0, lit(0L))

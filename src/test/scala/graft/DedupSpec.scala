@@ -513,6 +513,20 @@ class DedupSpec extends SparkSpec {
     assert(zq(1L)._1 == 0.0 && zq(1L)._2.forall(_ == 0))
     // amax component hits the grid edge exactly
     assert(zq(2L)._2 == Seq[Byte](64, -127, 32), zq(2L).toString)
+    // a non-finite component fails loudly (a NaN would otherwise win
+    // the amax fold and cast every qval to a silent 0)
+    Seq(Float.NaN, Float.PositiveInfinity).foreach { bad =>
+      val err = intercept[Exception] {
+        graft.operators.Similarity.quantizeEmbeddings(
+          Seq((1L, Array(1f, bad))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding").collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+      assert(chain(err).exists(e =>
+        Option(e.getMessage).exists(_.contains("non-finite"))),
+        s"$bad must raise the quantize guard: $err")
+    }
   }
 
   test("normalized embeddings are unit length; dot equals cosine") {
@@ -584,6 +598,18 @@ class DedupSpec extends SparkSpec {
       "embedding", k = 3, iters = 3)
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq,
       "fit must be bit-identical under repartitioning")
+    // a vector whose dimension differs from the centroids fails
+    // loudly — no silent partial-distance assignment (standalone
+    // assign has no update aggregate upstream to catch ragged dims)
+    val ragged = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.kmeansAssign(ragged, "vec_id", "embedding", cents).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    assert(chain(err).exists(e =>
+      Option(e.getMessage).exists(_.contains("centroid dim"))),
+      s"ragged assignment must raise the dim guard: $err")
   }
 
   test("kmeans keeps empty-cluster centroids; assignment ties go low") {

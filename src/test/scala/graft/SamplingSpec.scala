@@ -130,6 +130,28 @@ class SamplingSpec extends SparkSpec {
       "est_tokens", 0.5, 1000L)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(wn == wh, "null stratum must not change the mixture")
+    // a zero-token stratum (incl. an all-null token column) is
+    // dropped before the fold — not a NaN rate, not an NPE
+    val degenerate = df.union(Seq(
+      (997L, "empty", Some(0L)),
+      (998L, "nulls", None: Option[Long]))
+      .toDF("doc_id", "source", "est_tokens"))
+    val wd = Sampling.temperatureMixPlan(degenerate, "source",
+      "est_tokens", 0.5, 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(wd == wh, s"degenerate strata must vanish from the mixture: $wd")
+    // every stratum degenerate -> loud failure, not an empty plan
+    val none = Seq((1L, "empty", 0L)).toDF("doc_id", "source", "est_tokens")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixPlan(none, "source", "est_tokens", 0.5, 1000L)
+    }
+    assert(err.getMessage.contains("positive tokens"))
+    // non-string stratum column -> loud contract failure
+    val intStratum = Seq((1L, 7, 10L)).toDF("doc_id", "source", "est_tokens")
+    val err2 = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixPlan(intStratum, "source", "est_tokens", 0.5, 1000L)
+    }
+    assert(err2.getMessage.contains("string column"))
   }
 
   test("packing fills bins contiguously within each shard") {
