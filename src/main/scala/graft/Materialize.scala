@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization seam for intermediate frames that later plan
+  * stages reuse (dedup signature frames, candidate pairs, iterative
+  * cluster rounds, curation survivors).
+  *
+  * The engine's default is `localCheckpoint`: it truncates lineage
+  * (the iterative operators NEED that — without it every round's
+  * plan embeds every prior round's) and is the fastest option in a
+  * single-JVM run. But lineage-truncated blocks live ONLY on
+  * executors: on a 1000-executor cluster one lost executor fails the
+  * whole job instead of recomputing, because there is no lineage
+  * left to recompute FROM. So the strategy is injectable per session
+  * through runtime conf — the same seam a cluster submit script
+  * already uses:
+  *
+  *   - `spark.graft.materialize=local` (default): eager
+  *     `localCheckpoint` — fastest, not executor-loss-tolerant.
+  *   - `spark.graft.materialize=reliable`: `Dataset.checkpoint` into
+  *     the context's checkpoint dir (call
+  *     `sc.setCheckpointDir` to an HDFS/object-store path first) —
+  *     survives any executor loss; one write+read of the frame.
+  *   - `spark.graft.materialize=persist`: replicated
+  *     `MEMORY_AND_DISK_2` persist — keeps lineage (lost blocks
+  *     recompute or read the replica) without the checkpoint-dir
+  *     round trip; the frames materialized here are small relative
+  *     to their inputs (signatures, candidate ids), so 2× replicas
+  *     are cheap. Blocks stay pinned until the session drops them.
+  *
+  * All strategies yield the same rows; DedupSpec proves operator
+  * equality across them.
+  */
+object Materialize {
+
+  val ConfKey = "spark.graft.materialize"
+
+  /** Materialize now (runs a job) — the shape the operators use so a
+    * frame feeding two downstream branches evaluates once.
+    */
+  def eager(df: DataFrame): DataFrame = strategy(df, eagerEval = true)
+
+  /** Cut lineage without forcing evaluation yet (the benchmark-
+    * isolation shape where the first action pays the cost).
+    */
+  def lazily(df: DataFrame): DataFrame = strategy(df, eagerEval = false)
+
+  private def strategy(df: DataFrame, eagerEval: Boolean): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "local") match {
+      case "local"    => df.localCheckpoint(eagerEval)
+      case "reliable" => df.checkpoint(eagerEval)
+      case "persist" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+        if (eagerEval) p.count()
+        p
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be local|reliable|persist, got '$other'")
+    }
+}

@@ -89,7 +89,7 @@ object Curation {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("_h")).orderBy(col(idCol).asc)))
       .filter(col("_rn") === 1).drop("_rn")
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     // decontaminate only the kept survivors — dropping a doc the gates
     // or dedup already removed is a no-op, so shingling the full
     // corpus would be wasted text passes

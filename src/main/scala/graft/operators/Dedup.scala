@@ -84,7 +84,7 @@ object Dedup {
                                cand: DataFrame, threshold: Double): DataFrame = {
     // checkpoint before mirroring: the union references jac twice and
     // would otherwise run the whole candidate+verify pipeline twice
-    val jac = pairJaccard(docsH, cand).localCheckpoint(true)
+    val jac = pairJaccard(docsH, cand).transform(graft.Materialize.eager)
     val both = jac.select(col("ida").as("id"), col("jaccard"))
       .unionByName(jac.select(col("idb").as("id"), col("jaccard")))
     val per = both.groupBy("id").agg(
@@ -147,7 +147,7 @@ object Dedup {
                         threshold: Double = 0.1): DataFrame = {
     // materialize once: the hash arrays feed candidate generation AND
     // both sides of the verify join (3 evaluations otherwise)
-    val docsH = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
+    val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
     val sh = docsH.select(col("id"), explode(col("shash")).as("h"))
     val rareBuckets = sh.groupBy("h").agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxDf && size(col("ids")) > 1)
@@ -199,7 +199,7 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
-    val docsH = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
+    val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
     val sig = HashFunctions.minhashSignature(col("shash"), numPerm)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -311,7 +311,7 @@ object Dedup {
     // and the SimHash64 kernel would evaluate three times
     val hashed = df.select(col(idCol).as("id"),
       HashFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * 16)
@@ -335,7 +335,7 @@ object Dedup {
       .select(col("a.id").as("ida"), col("a.simhash").as("ha"),
         col("b.id").as("idb"), col("b.simhash").as("hb")).distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .localCheckpoint(true) // mirrored below: avoid double evaluation
+      .transform(graft.Materialize.eager) // mirrored below: avoid double evaluation
     val both = cand.select(col("ida").as("id"), col("hamming"))
       .unionByName(cand.select(col("idb").as("id"), col("hamming")))
     val per = both.groupBy("id").agg(
@@ -364,13 +364,14 @@ object Dedup {
     */
   def resolveClusters(ids: DataFrame, pairs: DataFrame,
                       maxIter: Int = 10, saltBuckets: Int = 1): DataFrame = {
-    // localCheckpoint each iteration: without it every round's plan
-    // embeds all previous rounds' plans and the lineage explodes
-    // (OOM at plan stringification long before any data is big)
-    val p = pairs.localCheckpoint(true) // evaluate the pair pipeline ONCE
+    // materialize (Materialize seam, default localCheckpoint) each
+    // iteration: without the lineage cut every round's plan embeds
+    // all previous rounds' plans and the lineage explodes (OOM at
+    // plan stringification long before any data is big)
+    val p = pairs.transform(graft.Materialize.eager) // evaluate the pair pipeline ONCE
     val edges = p.select(col("ida"), col("idb"))
       .unionByName(p.select(col("idb").as("ida"), col("ida").as("idb")))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     // Propagate over the ACTIVE subgraph only — nodes that appear in
     // at least one pair. Singletons can never change label, and at
     // corpus scale they dominate (the near-dup graph is a sliver of
@@ -378,7 +379,7 @@ object Dedup {
     // once per round for no information.
     var labels = edges.select(col("ida").as("id")).distinct()
       .withColumn("canonical", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -420,7 +421,7 @@ object Dedup {
         // EAGER: the metric must accumulate before the action event
         // fires (a lazy checkpoint fires it at plan time, observing
         // nothing, and the loop would stop after one round)
-        .localCheckpoint(true)
+        .transform(graft.Materialize.eager)
       labels = next
       // sum() over an empty subgraph observes null — that's converged
       val changed = obs.get("changed")
@@ -488,13 +489,13 @@ object Dedup {
     // final left join — three scans of the fact table otherwise
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         Similarity.cosFromParts(
           VectorFunctions.dotProduct(col("a.v"), col("b.v")),
           col("a.nn"), col("b.nn")).as("cos"))
-      .localCheckpoint(true) // mirrored below: avoid double evaluation
+      .transform(graft.Materialize.eager) // mirrored below: avoid double evaluation
     val both = pairs.select(col("ida").as("id"), col("cos"))
       .unionByName(pairs.select(col("idb").as("id"), col("cos")))
     val per = both.groupBy("id").agg(
@@ -539,7 +540,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         VectorFunctions.selfNorm(col(vecCol)).as("nn"),
         VectorFunctions.nearestCentroidIdx(col(vecCol), cents).as("cluster"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     val kept = Similarity.capFloodBuckets(e, maxCluster, "cluster")
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
@@ -547,7 +548,7 @@ object Dedup {
         Similarity.cosFromParts(
           VectorFunctions.dotProduct(col("a.v"), col("b.v")),
           col("a.nn"), col("b.nn")).as("cos"))
-      .localCheckpoint(true) // mirrored below: avoid double evaluation
+      .transform(graft.Materialize.eager) // mirrored below: avoid double evaluation
     val both = pairs.select(col("ida").as("id"), col("idb").as("nid"), col("cos"))
       .unionByName(pairs.select(col("idb").as("id"), col("ida").as("nid"), col("cos")))
     val per = both.groupBy("id").agg(
@@ -587,8 +588,8 @@ object Dedup {
         VectorFunctions.nearestCentroidIdx(col(vecCol), cents).as("cluster"))
     // materialize each side once: both feed a flood count + the join
     // (and the corpus side the final left join too)
-    val ce = prep(corpus).localCheckpoint(true)
-    val re = prep(reference).localCheckpoint(true)
+    val ce = prep(corpus).transform(graft.Materialize.eager)
+    val re = prep(reference).transform(graft.Materialize.eager)
     val ck = Similarity.capFloodBuckets(ce, maxCluster, "cluster")
     val rk = Similarity.capFloodBuckets(re, maxCluster, "cluster")
     val pairs = ck.as("a").join(rk.as("b"),
@@ -629,7 +630,7 @@ object Dedup {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
       VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     val kept = Similarity.capFloodBuckets(e, maxBucket)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -637,7 +638,7 @@ object Dedup {
         Similarity.cosFromParts(
           VectorFunctions.dotProduct(col("a.v"), col("b.v")),
           col("a.nn"), col("b.nn")).as("cos"))
-      .localCheckpoint(true) // mirrored below: avoid double evaluation
+      .transform(graft.Materialize.eager) // mirrored below: avoid double evaluation
     val both = pairs.select(col("ida").as("id"), col("cos"))
       .unionByName(pairs.select(col("idb").as("id"), col("cos")))
     val per = both.groupBy("id").agg(

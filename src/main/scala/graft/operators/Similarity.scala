@@ -179,7 +179,7 @@ object Similarity {
     * driver-sized by construction, exactly like a trained k-means
     * model) that emits each row's top-nprobe list ids nearest-first:
     * no crossJoin, no window, no N×nlist intermediate. The assigned
-    * frame is materialized once via localCheckpoint — both the
+    * frame is materialized once (graft.Materialize seam) — both the
     * inverted lists (element 0 = nearest centroid) and the exploded
     * N×nprobe probe set read from it, so the scan and the
     * assignment kernel run exactly once.
@@ -209,7 +209,7 @@ object Similarity {
     val assigned = e
       .withColumn("cids", VectorFunctions.nearestCentroids(col("v"),
         centIds, centVecs, centNorms, nprobe))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.eager)
     val lists = assigned
       .select(col("cids").getItem(0).as("mcid"), col("id").as("neighbor_id"),
         col("v").as("mv"), col("nn").as("mn"))
@@ -251,7 +251,7 @@ object Similarity {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
       VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
-      .localCheckpoint(false)
+      .transform(graft.Materialize.lazily)
     val kept = capFloodBuckets(e, maxBucket)
     val pairs = kept.as("a").join(kept.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))

@@ -902,6 +902,51 @@ class DedupSpec extends SparkSpec {
     assert(annIds == annUncappedIds, "non-flood ids unaffected by cap")
   }
 
+  test("materialization strategy is injectable: local/reliable/persist agree") {
+    // the Materialize seam backs every dedup/ANN intermediate: the
+    // default localCheckpoint is not executor-loss-tolerant at
+    // cluster scale, so the strategy must be swappable per session —
+    // and all strategies must produce the same rows. dedupResolve
+    // exercises eager sites in the signature frame, the candidate
+    // pairs, AND the iterative cluster propagation.
+    val df = Tables.load(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    def key(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    def under(mode: String)(body: => Array[(Long, Long, Boolean)]) = {
+      spark.conf.set(graft.Materialize.ConfKey, mode)
+      try body
+      finally {
+        spark.conf.unset(graft.Materialize.ConfKey)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+    val local = under("local") {
+      key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
+    }
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckdir").toString)
+    val reliable = under("reliable") {
+      key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
+    }
+    val persist = under("persist") {
+      key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
+    }
+    assert(local.sameElements(reliable),
+      "reliable checkpoint changed the result set")
+    assert(local.sameElements(persist),
+      "replicated persist changed the result set")
+    // an unknown mode fails loudly, not silently-local
+    val err = intercept[IllegalArgumentException] {
+      under("turbo") {
+        key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
+      }
+    }
+    assert(err.getMessage.contains("local|reliable|persist"))
+  }
+
   test("ann lsh plan contains no cartesian or nested-loop join") {
     val plan = Similarity.annLsh(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
