@@ -268,7 +268,15 @@ object DataQuality {
     }: _*)
   }
 
-  /** Per-column profile: completeness + cardinality in one pass. */
+  /** Per-column profile: completeness + cardinality in one pass.
+    *
+    * SCALE NOTE: each exact `count_distinct` column EXPANDs the
+    * input (one duplicated row stream per distinct-counted column),
+    * so profiling a wide schema multiplies the shuffle by the
+    * column count. [[profileApprox]] is the wide-schema/100-TB
+    * companion: HLL sketches are one partial-aggregable pass with
+    * no expand, at a bounded relative error.
+    */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("_n") +: columns.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
@@ -278,6 +286,28 @@ object DataQuality {
     val rows = columns.map { c =>
       struct(lit(c).as("column_name"), col("_n").as("n_rows"),
         col(s"_null_$c").as("n_null"), col(s"_nd_$c").as("n_distinct"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Sketch companion of [[profile]] (the q6_approx pattern):
+    * HyperLogLog++ cardinalities via `approx_count_distinct` — no
+    * expand, one register set per column per partition, the profile
+    * that stays a single cheap pass however wide the schema. Same
+    * output shape with `n_distinct_approx`; estimates are
+    * engine-specific (rows-only driver check), the observed error
+    * is pinned vs the exact profile in spec.
+    */
+  def profileApprox(df: DataFrame, columns: Seq[String],
+                    rsd: Double = 0.02): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +: columns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"_nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      struct(lit(c).as("column_name"), col("_n").as("n_rows"),
+        col(s"_null_$c").as("n_null"), col(s"_nd_$c").as("n_distinct_approx"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }

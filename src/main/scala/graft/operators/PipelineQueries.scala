@@ -127,6 +127,14 @@ object PipelineQueries {
     DataQuality.profile(t(spark, dir, "orders"),
       Seq("o_custkey", "o_totalprice", "o_orderstatus"))
 
+  /** Sketch companion of [[dqMetrics]]: HLL cardinalities, no
+    * expand — the wide-schema profile (rows-only driver check;
+    * error pinned vs exact in QuantileSketchSpec).
+    */
+  def dqMetricsApprox(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.profileApprox(t(spark, dir, "orders"),
+      Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+
   /** #19 DQ rule evaluation: N rules, ONE aggregate pass. */
   def dqRules(spark: SparkSession, dir: String): DataFrame =
     DataQuality.evaluate(t(spark, dir, "lineitem"), Seq(
@@ -193,6 +201,7 @@ object PipelineQueries {
     "scd1_merge" -> (scd1Merge _),
     "scd2_history" -> (scd2History _),
     "dq_metrics" -> (dqMetrics _),
+    "dq_metrics_approx" -> (dqMetricsApprox _),
     "dq_rules" -> (dqRules _),
     "dq_histogram" -> (dqHistogram _),
     "dq_outliers" -> (dqOutliers _),

@@ -882,6 +882,22 @@ object DeltaLogTableFormat extends TableFormat {
       }
     }
 
+  /** Keyed hard delete as a full-rewrite commit (the same shape as
+    * this format's merges; a file-level remove-only commit via the
+    * log's stats is a possible refinement when the delete keys prune
+    * to few files).
+    */
+  override def deleteKeys(spark: SparkSession, path: String,
+                          delKeys: DataFrame, keys: Seq[String]): MergeStats =
+    withCommitRetry(s"deleteKeys($path)") {
+      val head = currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"no delta-log table at $path"))
+      val tagged = MergeTable.deleteTagged(
+        readVersion(spark, path, head), delKeys, keys)
+      MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(
+        out => { commitRewrite(path, out, basedOn = Some(head)); () })
+    }
+
   override def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
                          keys: Seq[String], orderBy: String,
                          deleteMissing: Boolean = false,

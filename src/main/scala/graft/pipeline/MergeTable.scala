@@ -154,6 +154,39 @@ object MergeTable {
       deleted = g("delete"))
   }
 
+  /** Tag rows of `target` whose keys appear in `delKeys` as
+    * `delete`, everything else `unchanged` — the shared plan of both
+    * formats' keyed hard delete. `delKeys` is key-projected and
+    * deduplicated so a noisy feed can never fan a target row out;
+    * rows with a NULL key never match (standard equi-join null
+    * semantics) — a null-keyed tombstone is a feed bug to surface
+    * upstream, not a silent mass delete.
+    */
+  private[pipeline] def deleteTagged(target: DataFrame, delKeys: DataFrame,
+                                     keys: Seq[String]): DataFrame = {
+    val dk = delKeys.select(keys.map(col): _*).distinct()
+      .withColumn("_del", lit(1))
+    target.join(dk, keys, "left_outer")
+      .withColumn("_action",
+        when(col("_del").isNotNull, lit("delete")).otherwise(lit("unchanged")))
+      .drop("_del")
+  }
+
+  /** Keyed hard delete: commit a new version without the rows whose
+    * keys appear in `delKeys` — the DELETE FROM ... WHERE key IN
+    * (...) a gold-hop consumer needs when an upstream row stops
+    * qualifying (gate flip) or the delete feed reports hard deletes.
+    * Deleting an absent key is a no-op (idempotent under replay,
+    * like the merges). One anti-join-shaped pass; stats ride the
+    * write job's observe() like every merge here.
+    */
+  def deleteKeys(spark: SparkSession, path: String, delKeys: DataFrame,
+                 keys: Seq[String]): MergeStats = {
+    require(exists(path), s"no merge table at $path")
+    writeTagged(deleteTagged(read(spark, path), delKeys, keys), path,
+      dropActions = Seq("delete"))
+  }
+
   /** Widen the target with any columns the updates carry that the
     * table lacks (as nulls on historical rows) — additive schema
     * evolution, the only safe automatic kind. Without this a new

@@ -62,6 +62,14 @@ trait TableFormat {
                 compareExclude: Seq[String] = Sources.controlColumns,
                 schemaEvolution: Boolean = true): MergeStats
 
+  /** Keyed hard delete: commit a new version without the rows whose
+    * keys appear in `delKeys` (DELETE FROM ... WHERE key IN feed).
+    * Deleting an absent key is a no-op, so replays are idempotent —
+    * the same contract as the merges. The table must exist.
+    */
+  def deleteKeys(spark: SparkSession, path: String, delKeys: DataFrame,
+                 keys: Seq[String]): MergeStats
+
   /** Drop versions beyond the retention window. Returns dropped
     * version ids.
     */
@@ -133,6 +141,10 @@ object SnapshotTableFormat extends TableFormat {
                          schemaEvolution: Boolean): MergeStats =
     MergeTable.scd2Merge(spark, path, updates, keys, orderBy, deleteMissing,
       compareExclude, schemaEvolution)
+
+  override def deleteKeys(spark: SparkSession, path: String,
+                          delKeys: DataFrame, keys: Seq[String]): MergeStats =
+    MergeTable.deleteKeys(spark, path, delKeys, keys)
 
   override def vacuum(path: String, keepVersions: Int): Seq[Int] =
     MergeTable.vacuum(path, keepVersions)

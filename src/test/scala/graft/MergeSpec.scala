@@ -1035,6 +1035,38 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("deleteKeys removes exactly the keyed rows on both formats, idempotently") {
+    Seq(SnapshotTableFormat: TableFormat,
+        graft.pipeline.DeltaLogTableFormat: TableFormat).foreach { fmt =>
+      val p = Files.createTempDirectory("graft_delkeys").toString
+      fmt.scd1Merge(spark, p,
+        Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1), (4L, "d", 1))
+          .toDF("id", "v", "ord"),
+        Seq("id"), "ord", compareExclude = Nil)
+      val v0 = fmt.currentVersion(p).get
+      // a noisy feed: duplicate tombstones, an absent key, a null key
+      val feed = Seq(Some(2L), Some(2L), Some(4L), Some(99L), None)
+        .toDF("id")
+      val s = fmt.deleteKeys(spark, p, feed, Seq("id"))
+      assert(s.deleted == 2 && s.inserted == 0 && s.updated == 0,
+        s"$fmt: $s")
+      assert(fmt.currentVersion(p).get == v0 + 1, s"$fmt must commit a version")
+      val rows = fmt.read(spark, p).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.sameElements(Array((1L, "a"), (3L, "c"))), s"$fmt: ${rows.mkString}")
+      // replay is a no-op delete (idempotent), and history time-travels
+      val s2 = fmt.deleteKeys(spark, p, feed, Seq("id"))
+      assert(s2.deleted == 0, s"$fmt replay: $s2")
+      assert(fmt.readVersion(spark, p, v0).count() == 4,
+        s"$fmt: pre-delete version must still read")
+      // the delete flows through the change feeds: deletedKeys
+      // reports exactly {2, 4} for the delete commit's window
+      val dk = graft.streaming.MergeTableStream.deletedKeys(spark, p,
+        v0, v0 + 1, Seq("id"), fmt).collect().map(_.getLong(0)).sorted
+      assert(dk.sameElements(Array(2L, 4L)), s"$fmt: ${dk.mkString}")
+    }
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(

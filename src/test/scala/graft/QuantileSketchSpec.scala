@@ -180,6 +180,34 @@ class QuantileSketchSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("approx profile: no expand in the plan, HLL error within 2*rsd of exact") {
+    val orders = Tables.load(spark, sf, "orders")
+    val cols = Seq("o_custkey", "o_totalprice", "o_orderstatus")
+    val exact = DataQuality.profile(orders, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = DataQuality.profileApprox(orders, cols, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      // n_rows and null accounting are exact in both
+      assert(approx(c).getLong(1) == exact(c).getLong(1))
+      assert(approx(c).getLong(2) == exact(c).getLong(2))
+      val nd = exact(c).getLong(3).toDouble
+      val est = approx(c).getLong(3).toDouble
+      assert(math.abs(est - nd) <= math.max(2.0, 2 * 0.02 * nd),
+        s"$c: HLL estimate $est vs exact $nd exceeds 2*rsd")
+    }
+    // the exact profile pays an Expand per distinct-counted column;
+    // the sketch profile must have NO expand anywhere
+    val exactPlan = DataQuality.profile(orders, cols)
+      .queryExecution.executedPlan.toString
+    val approxPlan = DataQuality.profileApprox(orders, cols)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "sanity: exact multi-count-distinct should plan an Expand")
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must not expand:\n${approxPlan.take(2000)}")
+  }
+
   test("SQL registration: kll_sketch -> kll_merge -> kll_quantiles") {
     Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
       .toDF("grp", "v").createOrReplaceTempView("kll_in")

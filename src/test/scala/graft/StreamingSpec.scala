@@ -944,7 +944,10 @@ class StreamingSpec extends SparkSpec {
     // batch 3: more docs + a duplicate of a batch-2 text
     val b3 = (31 to 33).map(i => doc(i, "de", goodText(i), 2)) :+
       doc(998, "en", goodText(21), 2)
-    Seq(b1, b2, b3).foreach { rows =>
+    // batch 4: a GATE FLIP — doc 31's update no longer passes the
+    // quality gates, so the consumer must DELETE it from gold
+    val b4 = Seq(doc(31, "de", "now too short", 3))
+    Seq(b1, b2, b3, b4).foreach { rows =>
       fmt.scd1Merge(spark, silver,
         rows.toDF("doc_id", "lang", "text", "ord"),
         Seq("doc_id"), "ord", compareExclude = Nil)
@@ -979,6 +982,11 @@ class StreamingSpec extends SparkSpec {
           } else inBatch
         MergeTable.scd1Merge(spark, gold, survivors.drop("_h"),
           Seq("doc_id"), "ord", compareExclude = Nil)
+        // gate flips: a changed row that now FAILS the gates must
+        // leave gold (deleting a key gold never held is a no-op)
+        val flipped = chg.filter(!gatePass).select("doc_id")
+        if (MergeTable.exists(gold))
+          MergeTable.deleteKeys(spark, gold, flipped, Seq("doc_id"))
         ()
       }
     val processed = foldGold()
@@ -1001,6 +1009,8 @@ class StreamingSpec extends SparkSpec {
     assert(!goldIds.contains(999L) && !goldIds.contains(998L),
       "later-id duplicates must be curated out")
     assert(goldIds.contains(2L), "the updated doc must survive as itself")
+    assert(!goldIds.contains(31L),
+      "a gate-flipped doc must be DELETED from gold")
 
     // rollup-level truth: Curation.curate itself (no benchmark rows)
     // over silver-current must equal the same accounting computed
