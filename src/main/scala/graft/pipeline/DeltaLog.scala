@@ -883,9 +883,8 @@ object DeltaLogTableFormat extends TableFormat {
     }
 
   /** Keyed hard delete as a full-rewrite commit (the same shape as
-    * this format's merges; a file-level remove-only commit via the
-    * log's stats is a possible refinement when the delete keys prune
-    * to few files).
+    * this format's merges). [[deleteKeysPruned]] is the scale path:
+    * rewrite only the files whose stats admit a delete key.
     */
   override def deleteKeys(spark: SparkSession, path: String,
                           delKeys: DataFrame, keys: Seq[String]): MergeStats =
@@ -897,6 +896,66 @@ object DeltaLogTableFormat extends TableFormat {
       MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(
         out => { commitRewrite(path, out, basedOn = Some(head)); () })
     }
+
+  /** File-pruned keyed delete — Delta's data-skipping DELETE. The
+    * delete keys (driver-collected up to `maxKeys`, the model-sized
+    * collect pattern) are tested against every live file's
+    * log-recorded stats; only files that can possibly HOLD a delete
+    * key are read and rewritten, every other file stays live in the
+    * new commit untouched. At 100 TB a narrow tombstone feed turns
+    * a whole-table rewrite into a few hot files plus one JSON
+    * commit. Falls back to the full-rewrite [[deleteKeys]] when the
+    * feed exceeds `maxKeys` (pruning a million keys driver-side
+    * costs more than it saves) or when the table mixes
+    * partition-token generations (a pruned commit must reproduce
+    * its files' token layout exactly). Partitioned tables keep
+    * their tokens: kept rows rewrite under the same partitionBy, so
+    * later pruned merges still match every live file.
+    */
+  def deleteKeysPruned(spark: SparkSession, path: String,
+                       delKeys: DataFrame, keys: Seq[String],
+                       maxKeys: Int = 100000): MergeStats = {
+    // null-keyed tombstones never match (deleteTagged's contract) —
+    // drop them before the driver collect so they can't eat the cap
+    val dk = delKeys.select(keys.map(col): _*).distinct()
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val tuples = dk.limit(maxKeys + 1).collect()
+    if (tuples.length > maxKeys)
+      return deleteKeys(spark, path, delKeys, keys)
+    if (tuples.isEmpty) return MergeStats(0, 0, 0)
+    withCommitRetry(s"deleteKeysPruned($path)") {
+      val head = currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"no delta-log table at $path"))
+      val st = replayState(spark, path, head)
+      // one consistent partition layout or none: mixed generations
+      // can't be reproduced by a single partitioned write
+      val layouts = st.liveMap.values.map(_.pv.keys.toSet).toSet
+      // a file is touched iff its stats admit SOME delete tuple on
+      // EVERY key column (missing stats admit — rewrite is safe,
+      // skipping is not)
+      val touched = st.liveMap.toSeq.collect {
+        case (f, fe) if tuples.exists(t =>
+          keys.zipWithIndex.forall { case (k, i) =>
+            statsAdmit(fe.stats, k, t.get(i), t.get(i)) }) => f
+      }
+      if (layouts.size > 1) deleteKeys(spark, path, delKeys, keys)
+      else if (touched.isEmpty) MergeStats(0, 0, 0)
+      else {
+        val partitionCols = layouts.headOption.getOrElse(Set.empty).toSeq.sorted
+        val schema = st.schemaJson
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val target = schema.fold(spark.read)(spark.read.schema(_))
+          .parquet(touched.map(f => s"$path/$f"): _*)
+        val tagged = MergeTable.deleteTagged(target, dk, keys)
+        MergeTable.observedWrite(tagged, dropActions = Seq("delete")) { out =>
+          commitFiles(path, out, partitionCols,
+            removeOf = (_, _) => touched, basedOn = Some(head),
+            operation = Some("DELETE"))
+          ()
+        }
+      }
+    }
+  }
 
   override def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
                          keys: Seq[String], orderBy: String,

@@ -1067,6 +1067,73 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("deleteKeysPruned rewrites only the files whose stats admit a delete key") {
+    import scala.jdk.CollectionConverters._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = Files.createTempDirectory("graft_delprune").toString
+    // partitioned table with DISJOINT id ranges per bucket file:
+    // stats are min/max ranges, so pruning excludes a file only when
+    // its whole key range misses the delete keys
+    val base = (1 to 40).map(i => (i.toLong, s"v$i", 1,
+      if (i <= 20) "lo" else "hi")).toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    val v0 = fmt.currentVersion(p).get
+    // hi-bucket files from the LOG (the bucket filter can't prune
+    // the scan's file list — partition values live in the data)
+    val m0 = new com.fasterxml.jackson.databind.ObjectMapper()
+    def addsOf(v: Int) = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(p, "_delta_log", f"$v%020d.json")).asScala
+      .filter(_.nonEmpty).map(m0.readTree).filter(_.has("add"))
+      .map(_.get("add")).toSeq
+    val hiFilesBefore = addsOf(v0).filter(
+      _.get("partitionValues").get("bucket").asText().contains("hi"))
+      .map(_.get("path").asText()).toSet
+    assert(hiFilesBefore.nonEmpty)
+
+    // delete two low ids — the hi bucket's files (ids 21-40) cannot
+    // hold them and must not rewrite
+    val s = fmt.deleteKeysPruned(spark, p,
+      Seq(2L, 4L).toDF("id"), Seq("id"))
+    assert(s.deleted == 2, s.toString)
+    val rows = fmt.read(spark, p).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(rows.sameElements((1L to 40L).filterNot(Set(2L, 4L))),
+      rows.mkString(","))
+    // file-level proof: the delete commit's removes name NO odd file
+    val commit = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      p, "_delta_log", f"${v0 + 1}%020d.json")).asScala
+      .filter(_.nonEmpty).map(m0.readTree).toSeq
+    val removed = commit.filter(_.has("remove"))
+      .map(_.get("remove").get("path").asText())
+    assert(removed.nonEmpty)
+    assert(!removed.exists(hiFilesBefore.contains),
+      s"hi-bucket files must stay live: removed=${removed.mkString(",")}")
+    // and the hi rows still read (served by the carried files)
+    assert(fmt.read(spark, p).filter(col("bucket") === "hi").count() == 20)
+    // rewritten adds keep their partition tokens (later pruned
+    // merges must still match every live file)
+    val adds = commit.filter(_.has("add")).map(_.get("add"))
+    assert(adds.nonEmpty)
+    adds.foreach(a => assert(a.get("partitionValues").has("bucket"),
+      "rewritten files must keep partition tokens"))
+    fmt.scd1MergePruned(spark, p,
+      Seq((2L, "back", 2, "lo")).toDF("id", "v", "ord", "bucket"),
+      Seq("id"), "ord", "bucket")
+    assert(fmt.read(spark, p).filter(col("id") === 2L).count() == 1)
+
+    // a no-match delete commits NOTHING (no empty version churn)
+    val headBefore = fmt.currentVersion(p).get
+    val s0 = fmt.deleteKeysPruned(spark, p,
+      Seq(5000L).toDF("id"), Seq("id"))
+    assert(s0.deleted == 0 && fmt.currentVersion(p).get == headBefore,
+      "stats-excluded delete must not commit a version")
+    // cap fallback: tiny maxKeys degrades to the full rewrite, same rows
+    val s2 = fmt.deleteKeysPruned(spark, p,
+      Seq(6L, 8L).toDF("id"), Seq("id"), maxKeys = 1)
+    assert(s2.deleted == 2, s2.toString)
+    assert(fmt.read(spark, p).filter(col("id").isin(6L, 8L)).count() == 0)
+  }
+
   test("cdc applyOps: latest op wins, deletes remove") {
     val target = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ord")
     val feed = Seq(
