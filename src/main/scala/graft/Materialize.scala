@@ -24,11 +24,17 @@ import org.apache.spark.storage.StorageLevel
   *     `sc.setCheckpointDir` to an HDFS/object-store path first) —
   *     survives any executor loss; one write+read of the frame.
   *   - `spark.graft.materialize=persist`: replicated
-  *     `MEMORY_AND_DISK_2` persist — keeps lineage (lost blocks
-  *     recompute or read the replica) without the checkpoint-dir
-  *     round trip; the frames materialized here are small relative
-  *     to their inputs (signatures, candidate ids), so 2× replicas
-  *     are cheap. Blocks stay pinned until the session drops them.
+  *     `MEMORY_AND_DISK_2` persist of the computed RDD, re-wrapped
+  *     as a fresh DataFrame — the LOGICAL plan truncates (the
+  *     iterative operators require that: without the cut every
+  *     propagation round's plan embeds all previous rounds' and the
+  *     driver OOMs in analysis long before data size matters) while
+  *     the RDD lineage stays recomputable (lost blocks rebuild or
+  *     read the replica) without the checkpoint-dir round trip. The
+  *     frames materialized here are small relative to their inputs
+  *     (signatures, candidate ids), so 2× replicas are cheap;
+  *     RDD-level persist means the ContextCleaner reclaims blocks
+  *     once a round's frame becomes unreachable.
   *
   * All strategies yield the same rows; DedupSpec proves operator
   * equality across them.
@@ -52,9 +58,15 @@ object Materialize {
       case "local"    => df.localCheckpoint(eagerEval)
       case "reliable" => df.checkpoint(eagerEval)
       case "persist" =>
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)
-        if (eagerEval) p.count()
-        p
+        // RDD-level persist + re-wrap, NOT Dataset.persist: the
+        // Dataset cache is plan-keyed (never auto-cleaned, and the
+        // uncut plan is exactly what the iterative callers cannot
+        // carry); wrapping the persisted RDD in a fresh DataFrame
+        // truncates the logical plan like a checkpoint does while
+        // keeping RDD lineage for executor-loss recompute
+        val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK_2)
+        if (eagerEval) r.count()
+        df.sparkSession.createDataFrame(r, df.schema)
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be local|reliable|persist, got '$other'")
     }

@@ -150,8 +150,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val qs = args.tail.map {
           case Literal(v: Double, DoubleType) => v
           case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          // the boundary query q=1 written naturally as an int
+          case Literal(v: Int, IntegerType) => v.toDouble
           case other => throw new IllegalArgumentException(
-            s"kll_quantiles: q must be a double literal, got $other")
+            s"kll_quantiles: q must be a numeric literal, got $other")
         }
         KllQuantiles(args(0), qs)
       }))

@@ -84,8 +84,11 @@ object Sampling {
                          budgetTokens: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     // the driver fold reads the stratum as a string — enforce the
-    // contract loudly instead of a ClassCastException mid-fold
-    require(df.schema(stratumCol).dataType ==
+    // contract loudly instead of a ClassCastException mid-fold.
+    // Resolve through the analyzer (df.select), not df.schema(name):
+    // the latter is case-SENSITIVE and would reject a column the
+    // query itself resolves fine under Spark's default rules.
+    require(df.select(col(stratumCol)).schema.head.dataType ==
         org.apache.spark.sql.types.StringType,
       s"temperatureMixPlan: $stratumCol must be a string column")
     // a NULL stratum can't be named in a mixture: exclude it (the

@@ -593,8 +593,18 @@ object DeltaLogTableFormat extends TableFormat {
   private def statsAdmit(statsJson: Option[String], column: String,
                          lo: Any, hi: Any): Boolean =
     statsJson.forall { s =>
-      try {
-        val n = mapper.readTree(s)
+      try statsAdmitParsed(mapper.readTree(s), column, lo, hi)
+      catch { case scala.util.control.NonFatal(_) => true }
+    }
+
+  /** [[statsAdmit]] over a PRE-PARSED stats node — the shape for
+    * callers that test one file against many bounds (the pruned
+    * delete's key feed): parse once per file, compare cheaply per
+    * bound, instead of a JSON parse per (file, bound) pair.
+    */
+  private def statsAdmitParsed(n: com.fasterxml.jackson.databind.JsonNode,
+                               column: String, lo: Any, hi: Any): Boolean =
+    try {
         def field(obj: String) =
           Option(n.get(obj)).flatMap(o => Option(o.get(column)))
         (field("minValues"), field("maxValues")) match {
@@ -617,7 +627,6 @@ object DeltaLogTableFormat extends TableFormat {
             !allNull
         }
       } catch { case scala.util.control.NonFatal(_) => true }
-    }
 
   /** Compare a stats JSON node with a predicate bound; None when the
     * pair is not confidently comparable (then the file is admitted).
@@ -885,6 +894,11 @@ object DeltaLogTableFormat extends TableFormat {
   /** Keyed hard delete as a full-rewrite commit (the same shape as
     * this format's merges). [[deleteKeysPruned]] is the scale path:
     * rewrite only the files whose stats admit a delete key.
+    *
+    * A table whose live files all share one partition-token layout
+    * rewrites UNDER THAT LAYOUT — a delete must not strip the
+    * tokens later pruned merges match files by (they require every
+    * live file to carry them).
     */
   override def deleteKeys(spark: SparkSession, path: String,
                           delKeys: DataFrame, keys: Seq[String]): MergeStats =
@@ -893,9 +907,26 @@ object DeltaLogTableFormat extends TableFormat {
         throw new IllegalArgumentException(s"no delta-log table at $path"))
       val tagged = MergeTable.deleteTagged(
         readVersion(spark, path, head), delKeys, keys)
-      MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(
-        out => { commitRewrite(path, out, basedOn = Some(head)); () })
+      val partitionCols = consistentLayout(spark, path, head).getOrElse(Nil)
+      MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(out => {
+        commitFiles(path, out, partitionCols,
+          removeOf = (prev, _) => prev.live, basedOn = Some(head),
+          operation = Some("DELETE"))
+        ()
+      })
     }
+
+  /** The one partition-column layout shared by every live file, if
+    * any: `Some(Nil)` = consistently unpartitioned, `None` = MIXED
+    * generations (not reproducible by a single partitioned write).
+    */
+  private def consistentLayout(spark: SparkSession, path: String,
+                               head: Int): Option[Seq[String]] = {
+    val layouts = replayState(spark, path, head)
+      .liveMap.values.map(_.pv.keys.toSet).toSet
+    if (layouts.size > 1) None
+    else Some(layouts.headOption.getOrElse(Set.empty).toSeq.sorted)
+  }
 
   /** File-pruned keyed delete — Delta's data-skipping DELETE. The
     * delete keys (driver-collected up to `maxKeys`, the model-sized
@@ -915,6 +946,9 @@ object DeltaLogTableFormat extends TableFormat {
   def deleteKeysPruned(spark: SparkSession, path: String,
                        delKeys: DataFrame, keys: Seq[String],
                        maxKeys: Int = 100000): MergeStats = {
+    // existence first: an empty tombstone batch against a mistyped
+    // path must fail like every other call, not silently no-op
+    require(exists(path), s"no delta-log table at $path")
     // null-keyed tombstones never match (deleteTagged's contract) —
     // drop them before the driver collect so they can't eat the cap
     val dk = delKeys.select(keys.map(col): _*).distinct()
@@ -923,32 +957,62 @@ object DeltaLogTableFormat extends TableFormat {
     if (tuples.length > maxKeys)
       return deleteKeys(spark, path, delKeys, keys)
     if (tuples.isEmpty) return MergeStats(0, 0, 0)
+    // per-key bounds over the WHOLE feed: one range check per
+    // (file, key) rejects most files before the per-tuple loop —
+    // O(files·keys) instead of O(files·keys·tuples) on the miss
+    // path. Unrankable key types get no pre-check (admit through).
+    def boundsOf(i: Int): Option[(Any, Any)] = {
+      val vs = tuples.map(_.get(i))
+      vs.head match {
+        case _: java.lang.Long | _: java.lang.Integer =>
+          val ls = vs.map(_.asInstanceOf[Number].longValue())
+          Some((Long.box(ls.min), Long.box(ls.max)))
+        case _: Number =>
+          val ds = vs.map(_.asInstanceOf[Number].doubleValue())
+          Some((Double.box(ds.min), Double.box(ds.max)))
+        case _: String =>
+          implicit val utf8: Ordering[String] = (a, b) =>
+            java.util.Arrays.compareUnsigned(
+              a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val ss = vs.map(_.asInstanceOf[String])
+          Some((ss.min, ss.max))
+        case _ => None
+      }
+    }
+    val keyBounds = keys.indices.map(boundsOf)
     withCommitRetry(s"deleteKeysPruned($path)") {
       val head = currentVersion(path).getOrElse(
         throw new IllegalArgumentException(s"no delta-log table at $path"))
       val st = replayState(spark, path, head)
-      // one consistent partition layout or none: mixed generations
-      // can't be reproduced by a single partitioned write
-      val layouts = st.liveMap.values.map(_.pv.keys.toSet).toSet
       // a file is touched iff its stats admit SOME delete tuple on
       // EVERY key column (missing stats admit — rewrite is safe,
-      // skipping is not)
+      // skipping is not). Stats parse ONCE per file; the feed-wide
+      // range pre-check rejects cheap before the tuple loop.
       val touched = st.liveMap.toSeq.collect {
-        case (f, fe) if tuples.exists(t =>
-          keys.zipWithIndex.forall { case (k, i) =>
-            statsAdmit(fe.stats, k, t.get(i), t.get(i)) }) => f
+        case (f, fe) if fe.stats.forall { s =>
+          try {
+            val n = mapper.readTree(s)
+            keys.zipWithIndex.forall { case (k, i) =>
+              keyBounds(i).forall { case (lo, hi) =>
+                statsAdmitParsed(n, k, lo, hi) }
+            } &&
+            tuples.exists(t => keys.zipWithIndex.forall { case (k, i) =>
+              statsAdmitParsed(n, k, t.get(i), t.get(i)) })
+          } catch { case scala.util.control.NonFatal(_) => true }
+        } => f
       }
-      if (layouts.size > 1) deleteKeys(spark, path, delKeys, keys)
+      val layout = consistentLayout(spark, path, head)
+      if (layout.isEmpty) deleteKeys(spark, path, delKeys, keys)
       else if (touched.isEmpty) MergeStats(0, 0, 0)
       else {
-        val partitionCols = layouts.headOption.getOrElse(Set.empty).toSeq.sorted
         val schema = st.schemaJson
           .map(DataType.fromJson(_).asInstanceOf[StructType])
         val target = schema.fold(spark.read)(spark.read.schema(_))
           .parquet(touched.map(f => s"$path/$f"): _*)
         val tagged = MergeTable.deleteTagged(target, dk, keys)
         MergeTable.observedWrite(tagged, dropActions = Seq("delete")) { out =>
-          commitFiles(path, out, partitionCols,
+          commitFiles(path, out, layout.get,
             removeOf = (_, _) => touched, basedOn = Some(head),
             operation = Some("DELETE"))
           ()

@@ -932,6 +932,16 @@ class DedupSpec extends SparkSpec {
       key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
     }
     val persist = under("persist") {
+      // the persist strategy must TRUNCATE the logical plan like the
+      // checkpoint strategies do — the iterative operators' rounds
+      // nest otherwise and the plan grows exponentially. Chained
+      // materializations must keep the plan a constant-depth leaf.
+      val once = graft.Materialize.eager(df)
+      val twice = graft.Materialize.eager(once.filter(col("doc_id") >= 0))
+      def depth(d: org.apache.spark.sql.DataFrame): Int =
+        d.queryExecution.logical.collect { case n => n }.size
+      assert(depth(twice) <= depth(once) + 2,
+        s"persist must cut lineage: ${depth(once)} -> ${depth(twice)}")
       key(Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
     }
     assert(local.sameElements(reliable),

@@ -1132,6 +1132,19 @@ class MergeSpec extends SparkSpec {
       Seq(6L, 8L).toDF("id"), Seq("id"), maxKeys = 1)
     assert(s2.deleted == 2, s2.toString)
     assert(fmt.read(spark, p).filter(col("id").isin(6L, 8L)).count() == 0)
+    // the fallback's full rewrite must PRESERVE partition tokens —
+    // a later pruned merge still matches every live file (an
+    // oversized tombstone feed must never brick pruned merging)
+    fmt.scd1MergePruned(spark, p,
+      Seq((6L, "again", 3, "lo")).toDF("id", "v", "ord", "bucket"),
+      Seq("id"), "ord", "bucket")
+    assert(fmt.read(spark, p).filter(col("id") === 6L).count() == 1,
+      "pruned merge must still work after a cap-fallback delete")
+    // an empty tombstone batch against a missing path fails loudly
+    intercept[IllegalArgumentException] {
+      fmt.deleteKeysPruned(spark, p + "_nope",
+        spark.emptyDataFrame.withColumn("id", lit(0L)).limit(0), Seq("id"))
+    }
   }
 
   test("cdc applyOps: latest op wins, deletes remove") {

@@ -212,9 +212,10 @@ class QuantileSketchSpec extends SparkSpec {
     Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
       .toDF("grp", "v").createOrReplaceTempView("kll_in")
     val out = spark.sql(
-      """SELECT grp, kll_quantiles(kll_merge(sk, 64), 0.5D, 1.0D) AS qs
+      """SELECT grp, kll_quantiles(kll_merge(sk, 64), 0.5D, 1) AS qs
         |FROM (SELECT grp, kll_sketch(v, 64) AS sk FROM kll_in GROUP BY grp)
         |GROUP BY grp""".stripMargin).collect()(0)
+    // q=1 as a plain INT literal must work (the natural max query)
     val qs = out.getSeq[Double](1)
     assert(qs == Seq(2.0, 4.0), qs.toString)
   }

@@ -152,6 +152,11 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixPlan(intStratum, "source", "est_tokens", 0.5, 1000L)
     }
     assert(err2.getMessage.contains("string column"))
+    // the guard resolves like the query does (case-insensitive by
+    // default) — a column named differently only by case still works
+    val wc = Sampling.temperatureMixPlan(df, "SOURCE", "est_tokens", 0.5, 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(wc == wh, "case-insensitive stratum resolution regressed")
   }
 
   test("packing fills bins contiguously within each shard") {
