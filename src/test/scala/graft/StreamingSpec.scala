@@ -1083,6 +1083,62 @@ class StreamingSpec extends SparkSpec {
       rows.mkString("; "))
   }
 
+  test("scd2 soft-delete feed drives the gold hop: delete_time rows leave gold") {
+    // the reference's SCD2 silver never shrinks — deletes surface as
+    // delete_time stamps in the upsert feed. A gold consumer of that
+    // feed must translate them: current rows upsert, soft-deleted
+    // rows leave gold via the keyed delete, and a later re-insert of
+    // the same key comes back.
+    import SparkSpec.spark.implicits._
+    import graft.streaming.MergeTableStream
+    val silver = Files.createTempDirectory("graft_scd2_silver").toString
+    val gold = Files.createTempDirectory("graft_scd2_gold").toString
+    val ck = Files.createTempDirectory("graft_scd2_ck").toString
+    def extract(rows: Seq[(Long, String, Int)]) =
+      MergeTable.scd2Merge(spark, silver, rows.toDF("id", "v", "ord"),
+        Seq("id"), "ord", deleteMissing = true, compareExclude = Nil)
+
+    def foldGold(): Unit =
+      MergeTableStream.processAvailable(spark, silver, ck) { (chg, _) =>
+        val live = chg.filter(col("is_current") === 1)
+          .select("id", "v", "ord")
+        // soft deletes WITHOUT a same-batch re-insert: a collapsed
+        // redelivery (vacuumed versions) can carry both the delete
+        // row and a newer current row for one key — the current row
+        // wins, so only keys with no live row in the batch delete
+        val dels = chg.filter(col("delete_time").isNotNull &&
+            col("is_current") === 0)
+          .select("id").join(live.select("id"), Seq("id"), "left_anti")
+        if (!live.isEmpty)
+          MergeTable.scd1Merge(spark, gold, live, Seq("id"), "ord",
+            compareExclude = Nil)
+        if (MergeTable.exists(gold))
+          MergeTable.deleteKeys(spark, gold, dels, Seq("id"))
+        ()
+      }
+
+    extract(Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)))
+    // full extract without id 2 -> soft delete; id 3 changed
+    extract(Seq((1L, "a", 2), (3L, "c2", 2)))
+    foldGold()
+    def goldRows() = MergeTable.read(spark, gold).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(goldRows().sameElements(Array((1L, "a"), (3L, "c2"))),
+      s"soft-deleted key must leave gold: ${goldRows().mkString}")
+
+    // the key returns in a later extract -> back in gold
+    extract(Seq((1L, "a", 3), (2L, "b2", 3), (3L, "c2", 3)))
+    foldGold()
+    assert(goldRows().sameElements(
+      Array((1L, "a"), (2L, "b2"), (3L, "c2"))),
+      s"re-inserted key must come back: ${goldRows().mkString}")
+    // and gold always equals the silver CURRENT live projection
+    val want = MergeTable.read(spark, silver)
+      .filter(col("is_current") === 1).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(goldRows().sameElements(want), "gold must equal silver-current")
+  }
+
   test("out-of-order batch cannot regress the merge table") {
     import SparkSpec.spark.implicits._
     val table = Files.createTempDirectory("graft_ooo").toString
