@@ -117,6 +117,51 @@ object DataQuality {
         col("n"))
   }
 
+  /** Equi-DEPTH histogram: `buckets` quantile buckets of (roughly)
+    * equal row count — the distribution profile that stays readable
+    * under skew, where the equi-width [[histogram]] collapses into
+    * one hot bin. Boundaries are the discrete rank-selected values
+    * at rank `(n·i + B−1) div B` (pure INTEGER math — bit-exact on
+    * any engine, no float ceil), and the per-bucket counts come from
+    * the SAME cumulative frame, so the whole profile costs ONE
+    * shuffle of the distinct values. A value spanning multiple
+    * quantiles yields empty follow-up buckets (lo == hi, n = 0) —
+    * the honest rendering of a massive duplicate.
+    *
+    * Scale note: like [[discretePercentiles]], the cumulative window
+    * sorts the distinct-value set in one task — bounded-cardinality
+    * columns only; for continuous columns at corpus scale take the
+    * boundaries from [[sketchPercentiles]] with qs = i/B (the KLL
+    * path — estimates, partial-agg shape).
+    * Output: (bucket, lo, hi, n); lo is null for bucket 1.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val v = col(valueCol).cast("double")
+    val counts = scorable(df, v).groupBy(v.as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col("_v").asc)
+    val cum = counts
+      .withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(
+        Window.partitionBy()))
+    val aggs = (1 to buckets).flatMap { i =>
+      val rank = expr(s"(_n * $i + ${buckets - 1}) DIV $buckets")
+      Seq(min(when(col("_cum") >= rank, col("_v"))).as(s"_b$i"),
+        min(when(col("_cum") >= rank, col("_cum"))).as(s"_c$i"))
+    }
+    val one = cum.agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to buckets).map { i =>
+      struct(lit(i).as("bucket"),
+        (if (i == 1) lit(null).cast("double") else col(s"_b${i - 1}")).as("lo"),
+        col(s"_b$i").as("hi"),
+        (col(s"_c$i") -
+          (if (i == 1) lit(0L) else col(s"_c${i - 1}"))).as("n"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Rows of `df` with a usable `valueCol`: non-null AND non-NaN —
     * a NaN would poison min/max/quantile selection into silently
     * wrong profiles (NaN passes isNotNull, wins every max, and

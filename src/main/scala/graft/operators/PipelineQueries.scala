@@ -152,6 +152,14 @@ object PipelineQueries {
     DataQuality.histogram(t(spark, dir, "lineitem"), "l_extendedprice",
       bins = 10)
 
+  /** DQ equi-depth (quantile-bucket) histogram: the skew-readable
+    * distribution profile (integer-exact rank boundaries, one
+    * distinct-value shuffle; value-exact oracle).
+    */
+  def dqHistogramDepth(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.equiDepthHistogram(t(spark, dir, "lineitem"),
+      "l_extendedprice", buckets = 8)
+
   /** DQ robust outlier accounting: Tukey fences per return flag.
     * Exact quartiles (oracle-able); [[dqOutliersSketch]] is the
     * 100-TB path for continuous columns.
@@ -204,6 +212,7 @@ object PipelineQueries {
     "dq_metrics_approx" -> (dqMetricsApprox _),
     "dq_rules" -> (dqRules _),
     "dq_histogram" -> (dqHistogram _),
+    "dq_histogram_depth" -> (dqHistogramDepth _),
     "dq_outliers" -> (dqOutliers _),
     "dq_outliers_sketch" -> (dqOutliersSketch _),
     "audit_log" -> (auditLog _),
@@ -310,6 +319,23 @@ object PipelineQueries {
         |SELECT bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
         |  COUNT(*) AS n
         |FROM x GROUP BY bin, lo, w""".stripMargin,
+    "dq_histogram_depth" ->
+      """WITH vals AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cnt AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM cnt),
+        |tot AS (SELECT COUNT(*) AS n FROM vals),
+        |b AS (
+        |  SELECT CAST(i AS INT) AS bucket,
+        |    (SELECT MIN(v) FROM cum, tot WHERE cum >= (n * i + 7) // 8) AS hi,
+        |    (SELECT MIN(cum) FROM cum, tot
+        |     WHERE cum >= (n * i + 7) // 8) AS chi
+        |  FROM generate_series(1, 8) AS t(i))
+        |SELECT bucket, LAG(hi) OVER (ORDER BY bucket) AS lo, hi,
+        |  chi - COALESCE(LAG(chi) OVER (ORDER BY bucket), 0) AS n
+        |FROM b""".stripMargin,
     "dq_outliers" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS cnt

@@ -208,6 +208,32 @@ class QuantileSketchSpec extends SparkSpec {
       s"approx profile must not expand:\n${approxPlan.take(2000)}")
   }
 
+  test("equi-depth histogram: equal counts under skew, honest empty buckets on duplicates") {
+    // heavy skew: 900 rows at 1.0, 100 spread over 100..199. The
+    // equi-width histogram puts ~all mass in one bin; equi-depth
+    // must (a) account every row, (b) render the duplicate run as
+    // repeated boundaries with EMPTY follow-up buckets, not invent
+    // spread that isn't there
+    val rows = (1 to 900).map(_ => 1.0) ++ (0 until 100).map(i => 100.0 + i)
+    val df = rows.map(Tuple1(_)).toDF("v").repartition(5)
+    val out = DataQuality.equiDepthHistogram(df, "v", buckets = 4)
+      .orderBy("bucket").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(3)).sum == 1000L, "every row accounted")
+    // ranks 250/500/750/1000 of the sorted data: the first three all
+    // land on the 1.0 run -> buckets 2 and 3 are empty (lo == hi ==
+    // 1.0), bucket 4 holds everything above
+    assert(out(0).getDouble(2) == 1.0 && out(0).getLong(3) == 900L)
+    assert(out(1).getLong(3) == 0L && out(2).getLong(3) == 0L,
+      "duplicate-spanning buckets must be empty, not fabricated")
+    assert(out(3).getDouble(2) == 199.0 && out(3).getLong(3) == 100L)
+    // uniform data: buckets within one distinct value of n/B each
+    val uni = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val u = DataQuality.equiDepthHistogram(uni, "v", buckets = 4)
+      .collect().map(r => r.getLong(3))
+    assert(u.forall(n => math.abs(n - 250L) <= 1), u.mkString(","))
+  }
+
   test("SQL registration: kll_sketch -> kll_merge -> kll_quantiles") {
     Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
       .toDF("grp", "v").createOrReplaceTempView("kll_in")
