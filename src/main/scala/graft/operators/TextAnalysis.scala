@@ -266,4 +266,55 @@ object TextAnalysis {
         i => ascii(text.substr(i, lit(1))).cast("long")),
       lit(0L),
       (acc, c) => (acc * mult + c) % mod)
+
+  /** C4-style segment-level corpus dedup: drop every disjoint
+    * `segWords`-word segment that appears in at least `minDocs`
+    * distinct documents, and reassemble what survives. This is the
+    * "discard any line occurring ≥3 times in the corpus" rule of
+    * C4 (Raffel et al. 2020) with fixed word windows standing in for
+    * newline-delimited lines (the synthetic corpus has none) — the
+    * cross-DOCUMENT complement of the within-document
+    * [[dupNgramStats]] gate and the exact complement of the sketched
+    * [[boilerplateNgrams]] profile.
+    *
+    * Plan shape at scale: one segment-keyed count-distinct shuffle
+    * (partial aggregation applies — each mapper emits its local
+    * distinct (seg, doc) pairs once), after which the ≥`minDocs`
+    * survivor set is boilerplate by construction — tiny relative to
+    * the corpus — so it broadcasts back as a left join and the only
+    * other exchange is the per-document reassembly. The segment
+    * strings themselves key the shuffle (exact, engine-portable); a
+    * 100-TB deployment would key on xxhash64(seg) to cut shuffle
+    * bytes, at the cost of the oracle-exact property, not
+    * correctness.
+    *
+    * Output: (id, clean_text, kept_segments, removed_segments);
+    * a fully-boilerplate document survives with clean_text = "".
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int = 5, minDocs: Int = 3): DataFrame = {
+    require(segWords >= 1, "segWords must be positive")
+    require(minDocs >= 2, "minDocs below 2 would delete every segment")
+    val words = split(col(textCol), " ")
+    val nseg = greatest(
+      ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
+    val segs = df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(words, i * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val hot = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("seg"), lit(true).as("_hot"))
+    segs.join(broadcast(hot), Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_hot").isNull,
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")), " ").as("clean_text"),
+        count(when(col("_hot").isNull, lit(1))).as("kept_segments"),
+        count(col("_hot")).as("removed_segments"))
+  }
 }

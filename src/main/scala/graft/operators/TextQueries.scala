@@ -90,6 +90,13 @@ object TextQueries {
       "lang", "score", "doc_id", frac = 0.3)
   }
 
+  /** C4-style cross-document boilerplate removal: drop 5-word
+    * segments seen in ≥3 documents, keep the rest in order.
+    */
+  def textSegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.segmentDedup(docs(spark, dir), "doc_id", "text",
+      segWords = 5, minDocs = 3)
+
   /** RAG-shape chunking: 200-char windows, 50-char overlap. */
   def textChunk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -123,6 +130,7 @@ object TextQueries {
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "curate_top_quantile" -> (curateTopQuantile _),
     "text_dup_ngrams" -> (textDupNgrams _),
+    "text_segment_dedup" -> (textSegmentDedup _),
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _))
 
@@ -261,6 +269,27 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, word, tf, df, score, CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 3""".stripMargin,
+    "text_segment_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |    array_to_string(
+        |      list_slice(ws, CAST(i * 5 + 1 AS BIGINT),
+        |        CAST(i * 5 + 5 AS BIGINT)), ' ') AS seg
+        |  FROM words,
+        |    UNNEST(range(0, greatest(
+        |      CAST(ceil(len(ws) / 5.0) AS BIGINT), 1))) AS t(i)),
+        |hot AS (
+        |  SELECT seg FROM segs GROUP BY seg
+        |  HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT s.doc_id,
+        |  COALESCE(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END,
+        |    ' ' ORDER BY s.seg_idx), '') AS clean_text,
+        |  COUNT(CASE WHEN h.seg IS NULL THEN 1 END) AS kept_segments,
+        |  COUNT(h.seg) AS removed_segments
+        |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+        |GROUP BY s.doc_id""".stripMargin,
     "text_chunk" ->
       """SELECT doc_id,
         |  CAST(i AS BIGINT) AS chunk_id,

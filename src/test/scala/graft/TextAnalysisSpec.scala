@@ -262,4 +262,32 @@ class TextAnalysisSpec extends SparkSpec {
     val ests = out.map(x => (-x._2, x._1)).toSeq
     assert(ests == ests.sorted, "output must be (est desc, ngram asc)")
   }
+
+  test("segment dedup removes planted cross-doc boilerplate, keeps unique text in order") {
+    // 10 docs: a shared 5-word banner + a unique 5-word body + a
+    // unique 3-word tail (ragged last segment). One doc is banner-only.
+    val banner = "subscribe to our mailing list"
+    val docs = (0 until 10).map { i =>
+      if (i == 9) (i.toLong, banner)
+      else (i.toLong, s"$banner unique body for doc $i tail w$i end")
+    }.toDF("doc_id", "text").repartition(4)
+    val out = TextAnalysis.segmentDedup(docs, "doc_id", "text",
+        segWords = 5, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 10, "every doc must survive the gate")
+    (0 until 9).foreach { i =>
+      val r = out(i)
+      // banner gone, body + ragged tail intact and in order
+      assert(r.getString(1) == s"unique body for doc $i tail w$i end", r.toString)
+      assert(r.getLong(2) == 2L && r.getLong(3) == 1L, r.toString)
+    }
+    // the banner-only doc survives as an empty string, fully removed
+    assert(out(9).getString(1) == "" && out(9).getLong(2) == 0L &&
+      out(9).getLong(3) == 1L, out(9).toString)
+    // minDocs above the plant's spread: nothing is removed
+    val loose = TextAnalysis.segmentDedup(docs, "doc_id", "text",
+        segWords = 5, minDocs = 11)
+      .agg(sum("removed_segments")).collect()(0).getLong(0)
+    assert(loose == 0L, "minDocs > corpus spread must remove nothing")
+  }
 }
