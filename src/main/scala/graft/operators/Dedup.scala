@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions, VectorFunctions}
+import graft.functions.{BloomFunctions, HashFunctions, VectorFunctions}
 
 /** Deduplication operators for LLM training-data pipelines
   * (SURVEY.md §2 #27-31): exact, n-gram Jaccard, MinHash+LSH,
@@ -450,6 +450,36 @@ object Dedup {
     val b = shingleHashes(benchmark, idCol, textCol, n)
       .select(explode(col("shash")).as("h")).distinct()
     val hits = c.join(broadcast(b), "h")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** [[decontaminate]] for benchmark sets too large to broadcast as
+    * an exact hash set: a driver-built Bloom filter (~10 bits per
+    * n-gram at fpp=0.01 — 10-100x smaller than the set itself)
+    * screens the corpus-side shingle stream IN the scan stage, and
+    * only the surviving ~fpp fraction plus the true hits enter the
+    * exact shuffle join that removes the false positives. Same
+    * output, bit for bit — Bloom filters have no false negatives, so
+    * the prefilter drops only rows the exact join would drop anyway;
+    * the final join is deliberately NOT broadcast (the premise is
+    * that the benchmark side doesn't fit), but its shuffle carries
+    * the screened sliver of the corpus, not the corpus.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13,
+                         fpp: Double = 0.01): DataFrame = {
+    val b = shingleHashes(benchmark, idCol, textCol, n)
+      .select(explode(col("shash")).as("h")).distinct()
+      .transform(graft.Materialize.eager)
+    val bloom = b.stat.bloomFilter("h", math.max(b.count(), 1L), fpp)
+    val cand = shingleHashes(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("shash")).as("h"))
+      .filter(BloomFunctions.mightContainLong(col("h"), bloom))
+    val hits = cand.join(b, "h")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),

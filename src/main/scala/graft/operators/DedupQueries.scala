@@ -238,6 +238,16 @@ object DedupQueries {
         all.filter(col("source") === "src0"),
         "doc_id", "text", n = 13)
     }),
+    // the same decontamination through the Bloom-prefilter scale
+    // path (benchmark too big to broadcast): identical output by
+    // construction, so it shares the exact oracle
+    "dedup_decontaminate_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminateBloom(
+        all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"),
+        "doc_id", "text", n = 13)
+    }),
     // cross-corpus near-dedup: same corpus/reference split, but BOTH
     // sides scale (LSH band equi-join, no broadcast) — "dedup the new
     // crawl against the existing training set"
@@ -843,6 +853,8 @@ object DedupQueries {
     "embedding_quantize" -> embeddingQuantizeSql,
     "corpus_curate" -> corpusCurateSql,
     "dedup_decontaminate" -> decontaminateSql,
+    // the Bloom path promises bit-identical output; same oracle
+    "dedup_decontaminate_bloom" -> decontaminateSql,
     "dedup_cross_corpus" -> crossCorpusSql,
     "embedding_covariance" -> embeddingCovarianceSql,
     "dedup_minhash_lsh" -> minhashStatsSql,

@@ -150,6 +150,25 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("bloom decontamination path equals the exact path on the corpus split") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables.load(spark, sf, "documents")
+    val corpus = all.filter(col("source") =!= "src0")
+    val bench = all.filter(col("source") === "src0")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    // a deliberately LEAKY fpp: plenty of bloom false positives must
+    // still come out bit-identical after the exact verify join
+    val bloomy = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+        13, fpp = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(bloomy.sameElements(exact), "bloom prefilter must not change the result")
+    // the screen sits in the corpus scan stage, below the verify join
+    val plan = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 13)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(3000))
+  }
+
   test("maxBucket cap drops flood buckets from candidate generation only") {
     val flood = (1 to 20).map(i => (i.toLong, "identical template page body " * 3))
     val base = "one two three four five six seven eight nine ten " * 2
