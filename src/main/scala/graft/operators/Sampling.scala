@@ -35,6 +35,34 @@ object Sampling {
       .filter(col("sample_bucket") < rate * 4294967296.0)
   }
 
+  /** Deterministic train/val/test assignment: each row lands in the
+    * named fraction whose cumulative [0, 1) interval contains its
+    * salted hash bucket. Pure per-row projection — no shuffle, no
+    * RNG, stable under re-runs, repartitioning, and corpus growth
+    * (a document's split never changes when other documents arrive,
+    * the property that keeps eval sets honest across crawls). The
+    * salt decorrelates the split from every other hash-bucket use of
+    * the same id (e.g. [[stratifiedSample]]), so sampling inside a
+    * split stays unbiased.
+    */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+                        fractions: Seq[(String, Double)] =
+                          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                        salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val bucket = hashBucket(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = fractions.init.zip(cuts).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), cut), acc) =>
+        when(col("split_bucket") < cut * 4294967296.0, name).otherwise(acc)
+    }
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split", assign)
+  }
+
   /** Token-budgeted mixture planning: given target mixture weights
     * (share of the training budget per stratum — source, language,
     * quality band) and a total token budget, derive the

@@ -68,8 +68,14 @@ object SamplingQueries {
       .select("doc_id", "source", "est_tokens", "sample_bucket")
   }
 
+  /** Deterministic 80/10/10 split assignment over the corpus. */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.trainValTestSplit(docs(spark, dir), "doc_id")
+      .select("doc_id", "lang", "source", "split_bucket", "split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_sample" -> (dataSample _),
+    "data_split" -> (dataSplit _),
     "data_pack" -> (dataPack _),
     "data_mix_plan" -> (dataMixPlan _),
     "data_mix" -> (dataMix _),
@@ -171,6 +177,16 @@ object SamplingQueries {
          |SELECT t.doc_id, t.source, t.est_tokens, t.sample_bucket
          |FROM t JOIN r USING (source)
          |WHERE t.sample_bucket < r.rate * 4294967296.0""".stripMargin,
+    "data_split" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) AS split_bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) < 0.8 * 4294967296.0 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "data_sample" ->
       """SELECT doc_id, lang, source,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sample_bucket

@@ -180,4 +180,38 @@ class SamplingSpec extends SparkSpec {
         s"bin ids must be contiguous per shard: $r")
     }
   }
+
+  test("train/val/test split is exhaustive, stable under growth, and salt-decorrelated") {
+    import SparkSpec.spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val s1 = Sampling.trainValTestSplit(ids, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // exhaustive: every row assigned to a declared split
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(s1.size == 2000)
+    // fractions land near 80/10/10 (md5 buckets are uniform)
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100, counts.toString)
+    assert(math.abs(counts("val") - 200) < 60, counts.toString)
+    assert(math.abs(counts("test") - 200) < 60, counts.toString)
+    // growth stability: assignments of the first 500 ids are
+    // unchanged when the corpus quadruples
+    val s2 = Sampling.trainValTestSplit((0L until 500L).toDF("id"), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s2.forall { case (k, v) => s1(k) == v },
+      "a document's split must not depend on the rest of the corpus")
+    // decorrelation: the split hash must not reuse the raw id bucket,
+    // else sampling within a split would be biased
+    val raw = ids.withColumn("b", Sampling.hashBucket(col("id")))
+      .withColumn("split",
+        when(col("b") < 0.8 * 4294967296.0, "train")
+          .when(col("b") < 0.9 * 4294967296.0, "val").otherwise("test"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1.count { case (k, v) => raw(k) == v } < 2000,
+      "salted split must differ from the unsalted bucket somewhere")
+    // bad fractions fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.trainValTestSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
