@@ -61,6 +61,35 @@ object Curation {
     *                    chars ~ 5 words, the verbatim-leak scale (13
     *                    chars ~ 2 words flags mere shared vocabulary)
     */
+  /** Budget-capped curation: per group, keep the best documents
+    * (score desc, id asc — deterministic under ties) until the
+    * NEXT document would overflow the group's token budget, i.e.
+    * keep while the running token total INCLUDING the candidate
+    * stays ≤ budget. The greedy prefix rule every "fill each
+    * domain's share of the training mix with its best data" pass
+    * uses — the token-denominated complement of the fraction-
+    * denominated [[topQuantileByGroup]].
+    *
+    * One group-keyed exchange shared by the rank and running-sum
+    * windows (same partitioning, same ordering — one sort). A
+    * document larger than the remaining budget blocks everything
+    * behind it (prefix rule, not knapsack): the deliberate,
+    * deterministic reading, and the one an auditor can replay.
+    * Output adds (budget_rank, tokens_cum) to the kept rows.
+    */
+  def tokenBudgetByGroup(df: DataFrame, groupCol: String,
+                         scoreCol: String, tokensCol: String,
+                         idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val scored = df.filter(col(scoreCol).isNotNull &&
+      col(tokensCol).isNotNull)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.withColumn("budget_rank", row_number().over(w))
+      .withColumn("tokens_cum", sum(col(tokensCol)).over(w))
+      .filter(col("tokens_cum") <= budget)
+  }
+
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchFilter: Column, groupCols: Seq[String],
              stopwords: Seq[String] = Seq("the", "a"),

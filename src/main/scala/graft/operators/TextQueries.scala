@@ -90,6 +90,18 @@ object TextQueries {
       "lang", "score", "doc_id", frac = 0.3)
   }
 
+  /** Token-budgeted curation: per source, the best docs by alpha
+    * ratio until the next doc would overflow 1000 estimated tokens.
+    */
+  def curateTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.qualityMetrics(col("text"), Seq("the", "a")).toMap
+    Curation.tokenBudgetByGroup(
+      docs(spark, dir).select(col("doc_id"), col("source"),
+        m("alpha_ratio").as("score"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_tokens")),
+      "source", "score", "est_tokens", "doc_id", budget = 1000L)
+  }
+
   /** C4-style cross-document boilerplate removal: drop 5-word
     * segments seen in ≥3 documents, keep the rest in order.
     */
@@ -129,6 +141,7 @@ object TextQueries {
     "text_tfidf_topk" -> (textTfidfTopK _),
     "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
     "curate_top_quantile" -> (curateTopQuantile _),
+    "curate_token_budget" -> (curateTokenBudget _),
     "text_dup_ngrams" -> (textDupNgrams _),
     "text_segment_dedup" -> (textSegmentDedup _),
     "text_chunk" -> (textChunk _),
@@ -155,6 +168,25 @@ object TextQueries {
          |       ELSE 'zh' END AS lang_guess
          |FROM scored""".stripMargin
     },
+    "curate_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS score,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score, est_tokens,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY score DESC, doc_id ASC) AS INT)
+        |      AS budget_rank,
+        |    SUM(est_tokens) OVER (
+        |      PARTITION BY source ORDER BY score DESC, doc_id ASC)
+        |      AS tokens_cum
+        |  FROM s WHERE score IS NOT NULL AND est_tokens IS NOT NULL)
+        |SELECT doc_id, source, score, est_tokens, budget_rank,
+        |  CAST(tokens_cum AS BIGINT) AS tokens_cum
+        |FROM r WHERE tokens_cum <= 1000""".stripMargin,
     "text_dup_ngrams" -> {
       // shingle hashes replay DupNgramOps' FNV fold over the same
       // shingle strings (ASCII corpus — the fingerprint assumption)

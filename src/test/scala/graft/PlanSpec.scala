@@ -156,6 +156,14 @@ class PlanSpec extends SparkSpec {
       s"rank and count windows must share the group-key exchange, got $exchanges:\n${plan.take(2500)}")
   }
 
+  test("token-budget gate shares one exchange across rank and running-sum windows") {
+    val plan = SparkEntry.queries("curate_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"row_number and sum windows must share the group-key exchange, got $exchanges:\n${plan.take(2500)}")
+  }
+
   test("discrete percentiles: the window pair shares ONE group-key exchange") {
     // the exact-percentile block is two logical windows (cumulative
     // count ordered by value, group total) over the distinct-value

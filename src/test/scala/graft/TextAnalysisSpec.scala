@@ -163,6 +163,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.count() == 13 && all.filter(col("doc_id") === 30L).count() == 0)
   }
 
+  test("token-budget gate keeps the greedy best prefix per group") {
+    import SparkSpec.spark.implicits._
+    // group a: scores 5..1 with 400 tokens each under budget 1000:
+    // keep the best two (cum 400, 800); the third would hit 1200.
+    // group b: first doc alone overflows -> the whole group is out
+    // (prefix rule: an oversized best doc blocks everything behind).
+    // group c: exact fit at the boundary stays IN (<=, not <)
+    val rows = Seq(
+      (1L, "a", 5.0, 400L), (2L, "a", 4.0, 400L), (3L, "a", 3.0, 400L),
+      (4L, "a", 2.0, 400L),
+      (10L, "b", 9.0, 1500L), (11L, "b", 8.0, 100L),
+      (20L, "c", 1.0, 1000L))
+    val df = rows.toDF("doc_id", "grp", "score", "toks")
+    val out = graft.operators.Curation
+      .tokenBudgetByGroup(df, "grp", "score", "toks", "doc_id", 1000L)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(5))).sorted
+    assert(out.toSeq == Seq((1L, 1, 400L), (2L, 2, 800L), (20L, 1, 1000L)),
+      out.mkString(","))
+    // ties on score fall back to doc_id: the LOWER id fills the budget
+    val tied = Seq((31L, "t", 1.0, 600L), (30L, "t", 1.0, 600L))
+      .toDF("doc_id", "grp", "score", "toks")
+    val t = graft.operators.Curation
+      .tokenBudgetByGroup(tied, "grp", "score", "toks", "doc_id", 600L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(t == Seq(30L), s"tie must break to the lower id: $t")
+    // null score or null tokens: out of the gate, not counted
+    val withNull = rows.toDF("doc_id", "grp", "score", "toks").union(
+      Seq((40L, "a", null.asInstanceOf[java.lang.Double], 100L))
+        .toDF("doc_id", "grp", "score", "toks"))
+    val kept = graft.operators.Curation
+      .tokenBudgetByGroup(withNull, "grp", "score", "toks", "doc_id", 1000L)
+      .filter(col("grp") === "a").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L), s"null-scored rows must not enter: $kept")
+  }
+
   test("dup-ngram kernel matches the explode/groupBy formulation") {
     import SparkSpec.spark.implicits._
     // planted: "a b a b a b" has 3-grams [a b a, b a b, a b a, b a b]
