@@ -63,6 +63,29 @@ object Sampling {
       .withColumn("split", assign)
   }
 
+  /** Deterministic training-order sharding: the "globally shuffle
+    * the corpus for training" pass, reduced to ONE hash exchange.
+    * Each row's salted hash bucket picks a shard (`bucket mod
+    * shards`) and orders it within the shard (`shard_pos` = rank by
+    * (bucket, id)) — a reproducible pseudorandom permutation with no
+    * global sort, no RNG state, and no driver involvement. At write
+    * time this is exactly `repartition(shard)` +
+    * `sortWithinPartitions(bucket, id)`: the window below reuses
+    * that same partitioning, so position assignment costs nothing
+    * beyond the exchange the layout already needs. Sequential reads
+    * of shard files then replay a shuffled order epoch after epoch.
+    */
+  def shardForTraining(df: DataFrame, idCol: String, shards: Int,
+                       salt: String = "shard"): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val bucket = hashBucket(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shard_bucket").asc, col(idCol).asc)
+    df.withColumn("shard_bucket", bucket)
+      .withColumn("shard", pmod(col("shard_bucket"), lit(shards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w))
+  }
+
   /** Token-budgeted mixture planning: given target mixture weights
     * (share of the training budget per stratum — source, language,
     * quality band) and a total token budget, derive the

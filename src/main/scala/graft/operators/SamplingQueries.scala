@@ -73,9 +73,15 @@ object SamplingQueries {
     Sampling.trainValTestSplit(docs(spark, dir), "doc_id")
       .select("doc_id", "lang", "source", "split_bucket", "split")
 
+  /** Deterministic 8-shard training-order permutation. */
+  def dataShard(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardForTraining(docs(spark, dir).select("doc_id", "source"),
+      "doc_id", shards = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_sample" -> (dataSample _),
     "data_split" -> (dataSplit _),
+    "data_shard" -> (dataShard _),
     "data_pack" -> (dataPack _),
     "data_mix_plan" -> (dataMixPlan _),
     "data_mix" -> (dataMix _),
@@ -187,6 +193,18 @@ object SamplingQueries {
         |         AS BIGINT) < (0.8 + 0.1) * 4294967296.0 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "data_shard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS shard_bucket
+        |  FROM documents)
+        |SELECT doc_id, source, shard_bucket,
+        |  CAST(shard_bucket % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard_bucket % 8
+        |    ORDER BY shard_bucket ASC, doc_id ASC) AS INT) AS shard_pos
+        |FROM t""".stripMargin,
     "data_sample" ->
       """SELECT doc_id, lang, source,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sample_bucket

@@ -181,6 +181,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("training shards partition the corpus into contiguous pseudorandom orders") {
+    import SparkSpec.spark.implicits._
+    val ids = (0L until 1000L).toDF("id").repartition(7)
+    val out = Sampling.shardForTraining(ids, "id", shards = 4)
+      .select("id", "shard", "shard_pos").as[(Long, Int, Int)].collect()
+    // exhaustive partition: every row exactly once, shards in range
+    assert(out.length == 1000 && out.map(_._1).distinct.length == 1000)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are contiguous 1..n within each shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(1 to rows.length), s"shard $s positions: ${ps.take(5).mkString(",")}")
+    }
+    // roughly balanced (md5 buckets are uniform)
+    assert(out.groupBy(_._2).values.forall(g => math.abs(g.size - 250) < 80))
+    // the order is a real permutation, not id order
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted, "training order must not be id order")
+    // deterministic under repartitioning
+    val again = Sampling.shardForTraining(ids.repartition(3), "id", 4)
+      .select("id", "shard", "shard_pos").as[(Long, Int, Int)].collect()
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
+
   test("train/val/test split is exhaustive, stable under growth, and salt-decorrelated") {
     import SparkSpec.spark.implicits._
     val ids = (0L until 2000L).toDF("id")
