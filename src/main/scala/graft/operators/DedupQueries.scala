@@ -221,6 +221,14 @@ object DedupQueries {
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.annLsh(embs(s, d), "vec_id", "embedding")),
+    // recall@k audit of the LSH index against the exact truth —
+    // the accept/reject evidence for every ANN parameter trade
+    "ann_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annRecall(
+        Similarity.annBruteForce(e, "vec_id", "embedding"),
+        Similarity.annLsh(e, "vec_id", "embedding"))
+    }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.annIvf(embs(s, d), "vec_id", "embedding")),
     // full curation pipeline: quality + repetition gates -> exact
@@ -864,6 +872,18 @@ object DedupQueries {
     "dedup_embedding_lsh" -> embeddingLshStatsSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
+    "ann_recall" ->
+      s"""WITH bf AS (
+         |$annBruteForceSql
+         |), ap AS (
+         |$annLshSql
+         |)
+         |SELECT bf.vec_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+         |FROM bf LEFT JOIN ap
+         |  ON ap.vec_id = bf.vec_id AND ap.neighbor_id = bf.neighbor_id
+         |GROUP BY bf.vec_id""".stripMargin,
     "ann_ivf_topk" -> annIvfSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -205,6 +205,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.sameElements(default))
   }
 
+  test("ann recall scores hits against the truth set, ignoring extras") {
+    import SparkSpec.spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("vec_id", "neighbor_id")
+    // vec 1: two of three truth neighbors found plus a spurious one
+    // (extras must not inflate recall); vec 2: nothing retrieved
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L))
+      .toDF("vec_id", "neighbor_id")
+    val out = Similarity.annRecall(truth, approx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 2L, 2.0 / 3.0)), out(0).toString)
+    assert(out(1) == ((2L, 2L, 0L, 0.0)), out(1).toString)
+    // perfect index: recall 1.0 everywhere
+    val perfect = Similarity.annRecall(truth, truth).collect()
+    assert(perfect.forall(_.getDouble(3) == 1.0))
+  }
+
   test("embeddingStats fails fast beyond its all-pairs row cap") {
     val e = Tables.load(spark, sf, "embeddings")
     val err = intercept[IllegalArgumentException] {
