@@ -126,7 +126,9 @@ object DataQuality {
     * the SAME cumulative frame, so the whole profile costs ONE
     * shuffle of the distinct values. A value spanning multiple
     * quantiles yields empty follow-up buckets (lo == hi, n = 0) —
-    * the honest rendering of a massive duplicate.
+    * the honest rendering of a massive duplicate. An empty (or
+    * all-null/all-NaN) column yields an EMPTY profile, matching
+    * [[histogram]] — not `buckets` phantom all-null rows.
     *
     * Scale note: like [[discretePercentiles]], the cumulative window
     * sorts the distinct-value set in one task — bounded-cardinality
@@ -138,14 +140,7 @@ object DataQuality {
   def equiDepthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
-    val v = col(valueCol).cast("double")
-    val counts = scorable(df, v).groupBy(v.as("_v"))
-      .agg(count(lit(1)).as("_cnt"))
-    val w = Window.orderBy(col("_v").asc)
-    val cum = counts
-      .withColumn("_cum", sum(col("_cnt")).over(w))
-      .withColumn("_n", sum(col("_cnt")).over(
-        Window.partitionBy()))
+    val cum = cumulativeValueCounts(df, col(valueCol).cast("double"), Nil)
     val aggs = (1 to buckets).flatMap { i =>
       val rank = expr(s"(_n * $i + ${buckets - 1}) DIV $buckets")
       Seq(min(when(col("_cum") >= rank, col("_v"))).as(s"_b$i"),
@@ -160,6 +155,27 @@ object DataQuality {
           (if (i == 1) lit(0L) else col(s"_c${i - 1}"))).as("n"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      // the empty-input agg row is all-null; hi is never null on data
+      // (rank ≤ n always selects), so this drops exactly the phantoms
+      .filter(col("hi").isNotNull)
+  }
+
+  /** Distinct-value cumulative frame shared by the exact
+    * rank-selection profilers ([[discretePercentiles]],
+    * [[equiDepthHistogram]]): per optional group, one row per
+    * distinct `_v` with its count `_cnt`, running total `_cum` in
+    * value order, and group total `_n` — ONE shuffle of the distinct
+    * values. This is the engine-exactness-critical kernel (every
+    * oracle replays it verbatim); keep it in exactly one place.
+    */
+  private def cumulativeValueCounts(df: DataFrame, v: Column,
+                                    groupCols: Seq[Column]): DataFrame = {
+    val counts = scorable(df, v)
+      .groupBy(groupCols :+ v.as("_v"): _*).agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(groupCols: _*).orderBy(col("_v").asc)
+    val cw = Window.partitionBy(groupCols: _*)
+    counts.withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(cw))
   }
 
   /** Rows of `df` with a usable `valueCol`: non-null AND non-NaN —
@@ -183,16 +199,9 @@ object DataQuality {
   private[graft] def discretePercentiles(df: DataFrame, groupCol: String,
                                          valueCol: String,
                                          qs: Seq[(String, Double)]): DataFrame = {
-    val v = col(valueCol)
-    val counts = scorable(df, v)
-      .groupBy(col(groupCol), v).agg(count(lit(1)).as("_cnt"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(v.asc)
-    val cw = Window.partitionBy(col(groupCol))
-    val cum = counts
-      .withColumn("_cum", sum(col("_cnt")).over(w))
-      .withColumn("_n", sum(col("_cnt")).over(cw))
+    val cum = cumulativeValueCounts(df, col(valueCol), Seq(col(groupCol)))
     val aggs = qs.map { case (alias, q) =>
-      min(when(col("_cum") >= ceil(col("_n") * q), v)).as(alias)
+      min(when(col("_cum") >= ceil(col("_n") * q), col("_v"))).as(alias)
     }
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -50,17 +50,6 @@ object Curation {
       .drop("_n")
   }
 
-  /** Filter, dedup, and decontaminate a corpus, then account the
-    * surviving documents and estimated tokens per group.
-    *
-    * @param benchFilter rows matching this are the held-out benchmark
-    *                    (decontamination reference), excluded from
-    *                    the curated output
-    * @param groupCols   accounting grain of the output roll-up
-    * @param contamN     decontamination gram length in CHARS; 30
-    *                    chars ~ 5 words, the verbatim-leak scale (13
-    *                    chars ~ 2 words flags mere shared vocabulary)
-    */
   /** Budget-capped curation: per group, keep the best documents
     * (score desc, id asc — deterministic under ties) until the
     * NEXT document would overflow the group's token budget, i.e.
@@ -90,6 +79,17 @@ object Curation {
       .filter(col("tokens_cum") <= budget)
   }
 
+  /** Filter, dedup, and decontaminate a corpus, then account the
+    * surviving documents and estimated tokens per group.
+    *
+    * @param benchFilter rows matching this are the held-out benchmark
+    *                    (decontamination reference), excluded from
+    *                    the curated output
+    * @param groupCols   accounting grain of the output roll-up
+    * @param contamN     decontamination gram length in CHARS; 30
+    *                    chars ~ 5 words, the verbatim-leak scale (13
+    *                    chars ~ 2 words flags mere shared vocabulary)
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchFilter: Column, groupCols: Seq[String],
              stopwords: Seq[String] = Seq("the", "a"),

@@ -335,7 +335,7 @@ object PipelineQueries {
         |  FROM generate_series(1, 8) AS t(i))
         |SELECT bucket, LAG(hi) OVER (ORDER BY bucket) AS lo, hi,
         |  chi - COALESCE(LAG(chi) OVER (ORDER BY bucket), 0) AS n
-        |FROM b""".stripMargin,
+        |FROM b WHERE hi IS NOT NULL""".stripMargin,
     "dq_outliers" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS cnt

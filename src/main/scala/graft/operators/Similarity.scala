@@ -108,29 +108,34 @@ object Similarity {
     }.toDF()
   }
 
-  /** Reference join+window formulation of #32 (kept for the
-    * result-equality spec and as the shape that works when neither
-    * side broadcasts).
-    */
   /** Recall@k harness for the ANN family: per query vector, the
     * fraction of the exact ground-truth neighbor set an approximate
     * result retrieved. Takes any two (vec_id, neighbor_id) frames,
     * so it scores LSH vs brute force, IVF vs brute force, or one
     * approximate index against another after a parameter change —
     * the accept/reject evidence for every recall/latency trade the
-    * ANN operators expose. The join carries k·N rows per side (the
-    * RESULTS, never the corpus); at 100 TB the ground truth comes
-    * from the brute-force baseline on a sampled query subset, which
-    * is exactly how recall is audited in production ANN systems.
+    * ANN operators expose. Both sides are reduced to DISTINCT pairs
+    * first: recall is a set measure, and a multi-probe index that
+    * reports a neighbor twice must not count it twice (nor may a
+    * duplicated truth row inflate the denominator). The join carries
+    * k·N rows per side (the RESULTS, never the corpus); at 100 TB
+    * the ground truth comes from the brute-force baseline on a
+    * sampled query subset, which is exactly how recall is audited in
+    * production ANN systems.
     */
   def annRecall(truth: DataFrame, approx: DataFrame): DataFrame =
-    truth.select(col("vec_id"), col("neighbor_id"))
+    truth.select(col("vec_id"), col("neighbor_id")).distinct()
       .join(approx.select(col("vec_id"), col("neighbor_id"),
-        lit(1).as("_hit")), Seq("vec_id", "neighbor_id"), "left")
+        lit(1).as("_hit")).distinct(),
+        Seq("vec_id", "neighbor_id"), "left")
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
 
+  /** Reference join+window formulation of #32 (kept for the
+    * result-equality spec and as the shape that works when neither
+    * side broadcasts).
+    */
   def annBruteForceJoin(df: DataFrame, idCol: String, vecCol: String,
                         k: Int = 5): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -221,6 +221,16 @@ class DedupSpec extends SparkSpec {
     // perfect index: recall 1.0 everywhere
     val perfect = Similarity.annRecall(truth, truth).collect()
     assert(perfect.forall(_.getDouble(3) == 1.0))
+    // recall is a SET measure: duplicate pairs on either side (e.g.
+    // a multi-probe index reporting a neighbor twice) must not
+    // change counts or denominators
+    val dupApprox = approx.union(approx)
+    val dupTruth = truth.union(truth)
+    val dedup = Similarity.annRecall(dupTruth, dupApprox)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(dedup(0) == ((1L, 3L, 2L, 2.0 / 3.0)) &&
+      dedup(1) == ((2L, 2L, 0L, 0.0)), dedup.mkString(","))
   }
 
   test("embeddingStats fails fast beyond its all-pairs row cap") {

@@ -232,6 +232,11 @@ class QuantileSketchSpec extends SparkSpec {
     val u = DataQuality.equiDepthHistogram(uni, "v", buckets = 4)
       .collect().map(r => r.getLong(3))
     assert(u.forall(n => math.abs(n - 250L) <= 1), u.mkString(","))
+    // empty / all-unscoreable input: an EMPTY profile (matching the
+    // equi-width histogram), never phantom all-null bucket rows
+    val none = Seq(Option.empty[Double], Some(Double.NaN)).map(Tuple1(_))
+      .toDF("v")
+    assert(DataQuality.equiDepthHistogram(none, "v", buckets = 4).count() == 0L)
   }
 
   test("SQL registration: kll_sketch -> kll_merge -> kll_quantiles") {
