@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFunctions, HashFunctions, VectorFunctions}
@@ -287,6 +288,28 @@ object Dedup {
       saltBuckets = saltBuckets)
       .select(col("id").as(idCol), col("canonical"),
         (col("id") =!= col("canonical")).as("is_dup"))
+  }
+
+  /** [[dedupResolve]] with a per-cluster CAP instead of keep-one:
+    * every document gets its cluster's canonical id, a deterministic
+    * rank within the cluster (id asc — the canonical is always rank
+    * 1, since it is the cluster minimum), and a `kept` verdict
+    * `cluster_rank ≤ maxPerCluster`. The policy real pipelines
+    * apply when limited duplication is wanted (near-dups carry
+    * signal; unbounded floods don't): cap, don't erase. Cost over
+    * resolve is one window on the cluster key — cluster-sized
+    * partitions, no new corpus shuffle.
+    */
+  def dedupClusterCap(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, maxPerCluster: Int,
+                      maxBucket: Int = 10000,
+                      minBands: Int = 1): DataFrame = {
+    require(maxPerCluster >= 1, "maxPerCluster must be positive")
+    val resolved = dedupResolve(df, idCol, textCol, threshold = threshold,
+      maxBucket = maxBucket, minBands = minBands)
+    val w = Window.partitionBy(col("canonical")).orderBy(col(idCol).asc)
+    resolved.withColumn("cluster_rank", row_number().over(w))
+      .withColumn("kept", col("cluster_rank") <= maxPerCluster)
   }
 
   /** #30 SimHash near-dup: 64-bit SimHash (custom codegen'd Catalyst

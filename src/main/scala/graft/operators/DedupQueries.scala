@@ -157,6 +157,10 @@ object DedupQueries {
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupResolve(docs(s, d), "doc_id", "text", threshold = 0.8,
         maxBucket = Int.MaxValue, minBands = 2)),
+    // cap-don't-erase policy: at most 2 representatives per cluster
+    "dedup_cluster_cap" -> ((s, d) =>
+      Dedup.dedupClusterCap(docs(s, d), "doc_id", "text", threshold = 0.8,
+        maxPerCluster = 2, maxBucket = Int.MaxValue, minBands = 2)),
     // embedding-space anisotropy diagnostic (decimal-exact sums ->
     // engine-exact covariance)
     "embedding_covariance" -> ((s, d) =>
@@ -867,6 +871,17 @@ object DedupQueries {
     "embedding_covariance" -> embeddingCovarianceSql,
     "dedup_minhash_lsh" -> minhashStatsSql,
     "dedup_clusters" -> clustersSql,
+    "dedup_cluster_cap" ->
+      s"""WITH r AS (
+         |$clustersSql
+         |)
+         |SELECT doc_id, canonical, is_dup,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY canonical ORDER BY doc_id ASC) AS INT)
+         |    AS cluster_rank,
+         |  row_number() OVER (
+         |    PARTITION BY canonical ORDER BY doc_id ASC) <= 2 AS kept
+         |FROM r""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" -> embeddingStatsSql,
     "dedup_embedding_lsh" -> embeddingLshStatsSql,

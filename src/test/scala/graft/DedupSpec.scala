@@ -100,6 +100,29 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, false), (30L, 30L, false))), out.mkString(","))
   }
 
+  test("cluster cap keeps a bounded number of representatives per cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val df = Seq(
+      (10L, base), (11L, base + "x"), (12L, base + "yy"), (13L, base + "zzz"),
+      (20L, "totally different other words entirely unrelated content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupClusterCap(df, "doc_id", "text",
+        threshold = 0.5, maxPerCluster = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getBoolean(4)))
+      .sorted
+    // the 4-member cluster keeps its two lowest ids (canonical first),
+    // caps the rest; the singleton keeps itself at rank 1
+    assert(out.sameElements(Array(
+      (10L, 10L, 1, true), (11L, 10L, 2, true),
+      (12L, 10L, 3, false), (13L, 10L, 4, false),
+      (20L, 20L, 1, true))), out.mkString(","))
+    // cap 1 degenerates to keep-one: kept == !is_dup everywhere
+    val keepOne = Dedup.dedupClusterCap(df, "doc_id", "text",
+        threshold = 0.5, maxPerCluster = 1).collect()
+    assert(keepOne.forall(r => r.getBoolean(4) == !r.getBoolean(2)))
+  }
+
   test("cluster resolution follows transitive chains") {
     import org.apache.spark.sql.functions.col
     val ids = (1L to 6L).toDF("id")
