@@ -270,6 +270,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want), s"${got.length} vs ${want.length} windows")
   }
 
+  test("split assignment is stateless: streaming equals batch per row") {
+    // trainValTestSplit is a pure projection (no window, no state),
+    // so it must run UNCHANGED on a stream and agree with the batch
+    // assignment row for row — the property that lets the split ride
+    // the ingest stream instead of a separate batch pass
+    val (dir, src) = stageEventFiles()
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+    val assigned = graft.operators.Sampling
+      .trainValTestSplit(stream, "event_id")
+      .select("event_id", "split_bucket", "split")
+    val name = s"stream_split_${System.nanoTime()}"
+    val q = assigned.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = graft.operators.Sampling.trainValTestSplit(src, "event_id")
+      .select("event_id", "split_bucket", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.sameElements(want), s"${got.length} vs ${want.length} rows")
+  }
+
   test("stateful sessionization closes sessions matching the batch operator") {
     import SparkSpec.spark.implicits._
     import graft.streaming.SessionEvent
