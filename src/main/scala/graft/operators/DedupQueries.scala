@@ -165,6 +165,11 @@ object DedupQueries {
     // engine-exact covariance)
     "embedding_covariance" -> ((s, d) =>
       Similarity.embeddingCovariance(embs(s, d), "vec_id", "embedding")),
+    // centroid-distance cleaning gate; 1.01 sits at ~p97 of the
+    // shell radius on this corpus, flagging the far tail
+    "embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(embs(s, d), "vec_id", "embedding",
+        threshold = 1.01)),
     // PCA whitening (driver Jacobi on the D x D covariance, literal
     // projection matrix in a codegen'd transform/aggregate) — no SQL
     // oracle (eigendecomposition), spec-verified closed-form instead.
@@ -869,6 +874,27 @@ object DedupQueries {
     "dedup_decontaminate_bloom" -> decontaminateSql,
     "dedup_cross_corpus" -> crossCorpusSql,
     "embedding_covariance" -> embeddingCovarianceSql,
+    "embedding_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |s AS (SELECT i, SUM(CAST(q AS DECIMAL(38,0))) AS sx FROM x GROUP BY i),
+        |n AS (SELECT COUNT(*) AS n FROM embeddings),
+        |d AS (
+        |  SELECT x.vec_id,
+        |    SUM(CAST(CAST((SELECT n FROM n) * x.q - s.sx AS HUGEINT)
+        |      * CAST((SELECT n FROM n) * x.q - s.sx AS HUGEINT) AS HUGEINT))
+        |      AS d2
+        |  FROM x JOIN s ON s.i = x.i GROUP BY x.vec_id)
+        |SELECT vec_id,
+        |  sqrt(CAST(CAST(d2 AS DECIMAL(38,0)) AS DOUBLE))
+        |    / ((SELECT n FROM n) * 1000000.0) AS dist,
+        |  sqrt(CAST(CAST(d2 AS DECIMAL(38,0)) AS DOUBLE))
+        |    / ((SELECT n FROM n) * 1000000.0) > 1.01 AS is_outlier
+        |FROM d""".stripMargin,
     "dedup_minhash_lsh" -> minhashStatsSql,
     "dedup_clusters" -> clustersSql,
     "dedup_cluster_cap" ->

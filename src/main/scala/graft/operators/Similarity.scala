@@ -108,6 +108,41 @@ object Similarity {
     }.toDF()
   }
 
+  /** Centroid-distance outlier gate: flag vectors whose L2 distance
+    * from the corpus mean exceeds `threshold` — the embedding-space
+    * cleaning pass that catches mis-embedded/corrupt rows (a zeroed
+    * or wild vector sits far from the data shell). Engine-exact by
+    * the same quantized-integer route as k-means/covariance: one
+    * [[graft.functions.QuantizedVectorSum]] pass gives exact
+    * per-dimension sums, and each vector's squared distance is the
+    * INTEGER Σ(n·qᵢ − sxᵢ)² folded in decimal — no float mean ever
+    * materializes, so partition order cannot move a bit. The
+    * distance is sqrt(Σ)/(n·10⁶), back in embedding units. Two
+    * passes total: the sum aggregate and one projection.
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).as("_v"))
+      .filter(col("_v").isNotNull)
+    val s = e.agg(VectorFunctions.quantizedVectorSum(col("_v")).as("s"))
+      .select(col("s.n"), col("s.sx")).head()
+    val n = s.getLong(0)
+    require(n > 0, "embeddingOutliers needs at least one vector")
+    // exact sums fit a long far beyond any real corpus (n·10⁶·|x|
+    // per dimension); longValueExact fails loudly rather than wrap
+    val sums = array(s.getSeq[java.math.BigDecimal](1)
+      .map(d => lit(d.longValueExact())): _*)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qs = transform(col("_v"),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val diffs = zip_with(qs, sums, (q, sxi) => lit(n) * q - sxi)
+    val d2 = aggregate(diffs, lit(java.math.BigDecimal.ZERO).cast(dec),
+      (acc, d) => acc + d.cast(dec) * d.cast(dec))
+    val dist = sqrt(d2.cast("double")) / lit(n.toDouble * 1000000.0)
+    e.select(col(idCol), dist.as("dist"),
+      (dist > threshold).as("is_outlier"))
+  }
+
   /** Recall@k harness for the ANN family: per query vector, the
     * fraction of the exact ground-truth neighbor set an approximate
     * result retrieved. Takes any two (vec_id, neighbor_id) frames,

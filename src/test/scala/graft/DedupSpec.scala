@@ -228,6 +228,34 @@ class DedupSpec extends SparkSpec {
     assert(capped.sameElements(default))
   }
 
+  test("embedding outlier gate flags the far tail, bit-stable under repartition") {
+    import SparkSpec.spark.implicits._
+    // 40 vectors on a tight shell plus one planted far point
+    val shell = (0 until 40).map { i =>
+      val a = i * 0.157
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val wild = Seq((99L, Array(8.0f, -6.0f)))
+    val df = (shell ++ wild).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(df, "vec_id", "embedding", 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(99L),
+      s"only the planted point is past 2.0: ${out.filter(_._3).mkString(",")}")
+    assert(out.filter(_._1 != 99L).forall(_._2 < 1.5))
+    // quantized-integer route: repartitioning cannot move a bit
+    val a = out.sortBy(_._1)
+    val b = Similarity.embeddingOutliers(df.repartition(7), "vec_id",
+        "embedding", 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(a.sameElements(b), "distance must be partition-order exact")
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingOutliers(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 1.0)
+    }
+  }
+
   test("ann recall scores hits against the truth set, ignoring extras") {
     import SparkSpec.spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
