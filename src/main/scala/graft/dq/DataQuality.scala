@@ -160,6 +160,40 @@ object DataQuality {
       .filter(col("hi").isNotNull)
   }
 
+  /** Cross-table referential-integrity check — the rule the
+    * single-pass [[DqRule]] ADT cannot express (it needs a join):
+    * every child key must resolve to a parent key. One row out:
+    * child row count, null-key child rows (visible separately — a
+    * null FK is not an SQL orphan but a DQ layer must surface it),
+    * orphan child ROWS (weighted by multiplicity, not distinct
+    * keys), parent key count, and unreferenced parent keys
+    * (informational; does not fail the check).
+    *
+    * Plan shape: child keys collapse to (key, count) with partial
+    * aggregation before the join — the join carries distinct keys,
+    * never child rows — and the parent side is its distinct key
+    * set; one full-outer key join answers both directions at once.
+    */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+                           parent: DataFrame, parentKey: String): DataFrame = {
+    val c = child.select(col(childKey).as("_k"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("_cn"))
+    val p = parent.select(col(parentKey).as("_k")).distinct()
+      .withColumn("_p", lit(true))
+    c.join(p, Seq("_k"), "full_outer")
+      .agg(
+        coalesce(sum(col("_cn")), lit(0L)).as("n_child_rows"),
+        coalesce(sum(when(col("_k").isNull, col("_cn"))), lit(0L))
+          .as("n_null_keys"),
+        coalesce(sum(when(col("_k").isNotNull && col("_p").isNull,
+          col("_cn"))), lit(0L)).as("n_orphans"),
+        count(when(col("_p").isNotNull, lit(1))).as("n_parent_keys"),
+        count(when(col("_p").isNotNull && col("_cn").isNull, lit(1)))
+          .as("n_unreferenced_parents"))
+      .withColumn("passed",
+        col("n_orphans") === 0L && col("n_null_keys") === 0L)
+  }
+
   /** Distinct-value cumulative frame shared by the exact
     * rank-selection profilers ([[discretePercentiles]],
     * [[equiDepthHistogram]]): per optional group, one row per

@@ -160,6 +160,14 @@ object PipelineQueries {
     DataQuality.equiDepthHistogram(t(spark, dir, "lineitem"),
       "l_extendedprice", buckets = 8)
 
+  /** DQ referential integrity: every lineitem must resolve to an
+    * order (orphan/null accounting; unreferenced parents reported).
+    */
+  def dqReferential(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.referentialIntegrity(
+      t(spark, dir, "lineitem"), "l_orderkey",
+      t(spark, dir, "orders"), "o_orderkey")
+
   /** DQ robust outlier accounting: Tukey fences per return flag.
     * Exact quartiles (oracle-able); [[dqOutliersSketch]] is the
     * 100-TB path for continuous columns.
@@ -213,6 +221,7 @@ object PipelineQueries {
     "dq_rules" -> (dqRules _),
     "dq_histogram" -> (dqHistogram _),
     "dq_histogram_depth" -> (dqHistogramDepth _),
+    "dq_referential" -> (dqReferential _),
     "dq_outliers" -> (dqOutliers _),
     "dq_outliers_sketch" -> (dqOutliersSketch _),
     "audit_log" -> (auditLog _),
@@ -336,6 +345,28 @@ object PipelineQueries {
         |SELECT bucket, LAG(hi) OVER (ORDER BY bucket) AS lo, hi,
         |  chi - COALESCE(LAG(chi) OVER (ORDER BY bucket), 0) AS n
         |FROM b WHERE hi IS NOT NULL""".stripMargin,
+    "dq_referential" ->
+      """WITH c AS (
+        |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT DISTINCT o_orderkey AS k, TRUE AS p FROM orders),
+        |j AS (
+        |  SELECT COALESCE(c.k, p.k) AS k, c.cn AS cn, p.p AS p
+        |  FROM c FULL OUTER JOIN p ON c.k = p.k)
+        |SELECT
+        |  CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS n_child_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN cn END), 0) AS BIGINT)
+        |    AS n_null_keys,
+        |  CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND p IS NULL THEN cn END),
+        |    0) AS BIGINT) AS n_orphans,
+        |  CAST(COUNT(CASE WHEN p THEN 1 END) AS BIGINT) AS n_parent_keys,
+        |  CAST(COUNT(CASE WHEN p AND cn IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_unreferenced_parents,
+        |  COALESCE(SUM(CASE WHEN k IS NOT NULL AND p IS NULL THEN cn END), 0)
+        |      = 0
+        |    AND COALESCE(SUM(CASE WHEN k IS NULL THEN cn END), 0) = 0
+        |    AS passed
+        |FROM j""".stripMargin,
     "dq_outliers" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS cnt

@@ -113,6 +113,25 @@ class CoreQueriesSpec extends SparkSpec {
     assert(out(None)._3 == 3L && out(None)._4 == 0L, out.toString)
   }
 
+  test("referential integrity accounts orphans, null keys, and unreferenced parents") {
+    import SparkSpec.spark.implicits._
+    // children: 2 rows -> parent 1, 1 row -> parent 2, 2 ORPHAN rows
+    // -> key 9 (orphans weighted by multiplicity), 1 null-key row;
+    // parents: 1, 2, and an unreferenced 3
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.dq.DataQuality
+      .referentialIntegrity(child, "fk", parent, "pk").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)) == ((6L, 1L, 2L, 3L, 1L, false)),
+      r.toString)
+    // clean FK: passes, unreferenced parents alone do not fail it
+    val clean = graft.dq.DataQuality.referentialIntegrity(
+      Seq(1L, 1L, 2L).toDF("fk"), "fk", parent, "pk").collect()(0)
+    assert(clean.getBoolean(5) && clean.getLong(4) == 1L, clean.toString)
+  }
+
   test("histogram bins cover the range, clamp the max, total the rows") {
     import SparkSpec.spark.implicits._
     // values 0..9 into 10 width-0.9 bins: floor(k/0.9) is distinct
