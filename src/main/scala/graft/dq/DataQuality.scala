@@ -160,6 +160,36 @@ object DataQuality {
       .filter(col("hi").isNotNull)
   }
 
+  /** Per-group [[equiDepthHistogram]]: one quantile-bucket profile
+    * per group over the SAME shared cumulative frame — the window
+    * partitions by group, so each group's distinct-value sort is its
+    * own task (the bounded-cardinality caveat applies per group, not
+    * to the union). Output: (group, bucket, lo, hi, n).
+    */
+  def equiDepthHistogramByGroup(df: DataFrame, groupCol: String,
+                                valueCol: String,
+                                buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val cum = cumulativeValueCounts(df, col(valueCol).cast("double"),
+      Seq(col(groupCol)))
+    val aggs = (1 to buckets).flatMap { i =>
+      val rank = expr(s"(_n * $i + ${buckets - 1}) DIV $buckets")
+      Seq(min(when(col("_cum") >= rank, col("_v"))).as(s"_b$i"),
+        min(when(col("_cum") >= rank, col("_cum"))).as(s"_c$i"))
+    }
+    val one = cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to buckets).map { i =>
+      struct(lit(i).as("bucket"),
+        (if (i == 1) lit(null).cast("double") else col(s"_b${i - 1}")).as("lo"),
+        col(s"_b$i").as("hi"),
+        (col(s"_c$i") -
+          (if (i == 1) lit(0L) else col(s"_c${i - 1}"))).as("n"))
+    }
+    one.select(col(groupCol), explode(array(rows: _*)).as("r"))
+      .select(col(groupCol), col("r.bucket"), col("r.lo"), col("r.hi"),
+        col("r.n"))
+  }
+
   /** Cross-table referential-integrity check — the rule the
     * single-pass [[DqRule]] ADT cannot express (it needs a join):
     * every child key must resolve to a parent key. One row out:

@@ -160,6 +160,13 @@ object PipelineQueries {
     DataQuality.equiDepthHistogram(t(spark, dir, "lineitem"),
       "l_extendedprice", buckets = 8)
 
+  /** DQ per-group equi-depth profile: quantile buckets per return
+    * flag (each group's own distribution, skew-readable).
+    */
+  def dqHistogramDepthGroup(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.equiDepthHistogramByGroup(t(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice", buckets = 4)
+
   /** DQ referential integrity: every lineitem must resolve to an
     * order (orphan/null accounting; unreferenced parents reported).
     */
@@ -221,6 +228,7 @@ object PipelineQueries {
     "dq_rules" -> (dqRules _),
     "dq_histogram" -> (dqHistogram _),
     "dq_histogram_depth" -> (dqHistogramDepth _),
+    "dq_histogram_depth_group" -> (dqHistogramDepthGroup _),
     "dq_referential" -> (dqReferential _),
     "dq_outliers" -> (dqOutliers _),
     "dq_outliers_sketch" -> (dqOutliersSketch _),
@@ -345,6 +353,29 @@ object PipelineQueries {
         |SELECT bucket, LAG(hi) OVER (ORDER BY bucket) AS lo, hi,
         |  chi - COALESCE(LAG(chi) OVER (ORDER BY bucket), 0) AS n
         |FROM b WHERE hi IS NOT NULL""".stripMargin,
+    "dq_histogram_depth_group" ->
+      """WITH vals AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cnt AS (SELECT g, v, COUNT(*) AS c FROM vals GROUP BY g, v),
+        |cum AS (
+        |  SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM cnt),
+        |b AS (
+        |  SELECT grps.g AS l_returnflag, CAST(i AS INT) AS bucket,
+        |    (SELECT MIN(v) FROM cum
+        |     WHERE cum.g = grps.g AND cum >= (n * i + 3) // 4) AS hi,
+        |    (SELECT MIN(cum) FROM cum
+        |     WHERE cum.g = grps.g AND cum >= (n * i + 3) // 4) AS chi
+        |  FROM (SELECT DISTINCT g FROM vals) grps, generate_series(1, 4) t(i))
+        |SELECT l_returnflag, bucket,
+        |  LAG(hi) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS lo, hi,
+        |  chi - COALESCE(
+        |    LAG(chi) OVER (PARTITION BY l_returnflag ORDER BY bucket), 0) AS n
+        |FROM b""".stripMargin,
     "dq_referential" ->
       """WITH c AS (
         |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cn

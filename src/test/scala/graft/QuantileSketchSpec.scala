@@ -237,6 +237,17 @@ class QuantileSketchSpec extends SparkSpec {
     val none = Seq(Option.empty[Double], Some(Double.NaN)).map(Tuple1(_))
       .toDF("v")
     assert(DataQuality.equiDepthHistogram(none, "v", buckets = 4).count() == 0L)
+    // per-group variant: each group's buckets account its own rows
+    // (the skewed group's duplicates stay inside its profile)
+    val grouped = ((1 to 900).map(_ => ("a", 1.0)) ++
+      (0 until 100).map(i => ("a", 100.0 + i)) ++
+      (1 to 40).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val byG = DataQuality.equiDepthHistogramByGroup(grouped, "g", "v", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(4)))
+    assert(byG.filter(_._1 == "a").map(_._3).sum == 1000L)
+    assert(byG.filter(_._1 == "b").map(_._3).sum == 40L)
+    assert(byG.filter(_._1 == "b").forall(_._3 == 10L),
+      "uniform group: four equal buckets")
   }
 
   test("SQL registration: kll_sketch -> kll_merge -> kll_quantiles") {
