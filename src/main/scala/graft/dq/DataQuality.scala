@@ -138,27 +138,8 @@ object DataQuality {
     * Output: (bucket, lo, hi, n); lo is null for bucket 1.
     */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
-                         buckets: Int = 10): DataFrame = {
-    require(buckets >= 1, "buckets must be positive")
-    val cum = cumulativeValueCounts(df, col(valueCol).cast("double"), Nil)
-    val aggs = (1 to buckets).flatMap { i =>
-      val rank = expr(s"(_n * $i + ${buckets - 1}) DIV $buckets")
-      Seq(min(when(col("_cum") >= rank, col("_v"))).as(s"_b$i"),
-        min(when(col("_cum") >= rank, col("_cum"))).as(s"_c$i"))
-    }
-    val one = cum.agg(aggs.head, aggs.tail: _*)
-    val rows = (1 to buckets).map { i =>
-      struct(lit(i).as("bucket"),
-        (if (i == 1) lit(null).cast("double") else col(s"_b${i - 1}")).as("lo"),
-        col(s"_b$i").as("hi"),
-        (col(s"_c$i") -
-          (if (i == 1) lit(0L) else col(s"_c${i - 1}"))).as("n"))
-    }
-    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
-      // the empty-input agg row is all-null; hi is never null on data
-      // (rank ≤ n always selects), so this drops exactly the phantoms
-      .filter(col("hi").isNotNull)
-  }
+                         buckets: Int = 10): DataFrame =
+    equiDepthProfile(df, Nil, valueCol, buckets)
 
   /** Per-group [[equiDepthHistogram]]: one quantile-bucket profile
     * per group over the SAME shared cumulative frame — the window
@@ -168,16 +149,28 @@ object DataQuality {
     */
   def equiDepthHistogramByGroup(df: DataFrame, groupCol: String,
                                 valueCol: String,
-                                buckets: Int = 10): DataFrame = {
+                                buckets: Int = 10): DataFrame =
+    equiDepthProfile(df, Seq(groupCol), valueCol, buckets)
+
+  /** Shared bucket-selection body of the equi-depth profiles —
+    * the same keep-it-in-one-place rule as [[cumulativeValueCounts]]:
+    * the rank formula and the lo/hi/n derivation must stay
+    * bit-identical between the global and grouped variants or their
+    * oracles fork.
+    */
+  private def equiDepthProfile(df: DataFrame, groupCols: Seq[String],
+                               valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
-    val cum = cumulativeValueCounts(df, col(valueCol).cast("double"),
-      Seq(col(groupCol)))
+    val gs = groupCols.map(col)
+    val cum = cumulativeValueCounts(df, col(valueCol).cast("double"), gs)
     val aggs = (1 to buckets).flatMap { i =>
       val rank = expr(s"(_n * $i + ${buckets - 1}) DIV $buckets")
       Seq(min(when(col("_cum") >= rank, col("_v"))).as(s"_b$i"),
         min(when(col("_cum") >= rank, col("_cum"))).as(s"_c$i"))
     }
-    val one = cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (gs.isEmpty) cum.agg(aggs.head, aggs.tail: _*)
+      else cum.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
     val rows = (1 to buckets).map { i =>
       struct(lit(i).as("bucket"),
         (if (i == 1) lit(null).cast("double") else col(s"_b${i - 1}")).as("lo"),
@@ -185,9 +178,13 @@ object DataQuality {
         (col(s"_c$i") -
           (if (i == 1) lit(0L) else col(s"_c${i - 1}"))).as("n"))
     }
-    one.select(col(groupCol), explode(array(rows: _*)).as("r"))
-      .select(col(groupCol), col("r.bucket"), col("r.lo"), col("r.hi"),
-        col("r.n"))
+    one.select(gs :+ explode(array(rows: _*)).as("r"): _*)
+      .select(gs ++ Seq(col("r.bucket"), col("r.lo"), col("r.hi"),
+        col("r.n")): _*)
+      // the global variant's empty-input agg row is all-null; hi is
+      // never null on data (rank ≤ n always selects), so this drops
+      // exactly the phantoms (grouped: vacuous — no empty-group rows)
+      .filter(col("hi").isNotNull)
   }
 
   /** Cross-table referential-integrity check — the rule the
@@ -196,8 +193,11 @@ object DataQuality {
     * child row count, null-key child rows (visible separately — a
     * null FK is not an SQL orphan but a DQ layer must surface it),
     * orphan child ROWS (weighted by multiplicity, not distinct
-    * keys), parent key count, and unreferenced parent keys
-    * (informational; does not fail the check).
+    * keys), non-null parent key count, null parent keys (the same
+    * surface-don't-hide stance as null FKs — a null PK is a
+    * parent-side defect, not an "unreferenced key"), and
+    * unreferenced parent keys (informational; does not fail the
+    * check).
     *
     * Plan shape: child keys collapse to (key, count) with partial
     * aggregation before the join — the join carries distinct keys,
@@ -217,9 +217,12 @@ object DataQuality {
           .as("n_null_keys"),
         coalesce(sum(when(col("_k").isNotNull && col("_p").isNull,
           col("_cn"))), lit(0L)).as("n_orphans"),
-        count(when(col("_p").isNotNull, lit(1))).as("n_parent_keys"),
-        count(when(col("_p").isNotNull && col("_cn").isNull, lit(1)))
-          .as("n_unreferenced_parents"))
+        count(when(col("_p").isNotNull && col("_k").isNotNull, lit(1)))
+          .as("n_parent_keys"),
+        count(when(col("_p").isNotNull && col("_k").isNull, lit(1)))
+          .as("n_null_parent_keys"),
+        count(when(col("_p").isNotNull && col("_k").isNotNull &&
+          col("_cn").isNull, lit(1))).as("n_unreferenced_parents"))
       .withColumn("passed",
         col("n_orphans") === 0L && col("n_null_keys") === 0L)
   }

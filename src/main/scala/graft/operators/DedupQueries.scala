@@ -633,26 +633,37 @@ object DedupQueries {
   // tie-free floor(x*1e6) quantization (a rounding cast tie-breaks
   // differently across engines), exact integer-decimal sums, then one
   // fixed IEEE expression for the final covariance
-  private val embeddingCovarianceSql: String =
-    """WITH x AS (
+  /** Shared quantized-per-dimension CTEs (floor(x·10⁶) grid + exact
+    * decimal sums) — the engine-exactness-critical text BOTH the
+    * covariance and centroid-distance oracles replay; the null
+    * filter mirrors the aggregates' update() skipping null vectors.
+    */
+  private val quantizedEmbeddingCtes: String =
+    """x AS (
       |  SELECT vec_id,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
       |      AS BIGINT) AS q,
       |    generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL),
       |s AS (
       |  SELECT i, SUM(CAST(q AS DECIMAL(38,0))) AS sx
       |  FROM x GROUP BY i),
+      |n AS (
+      |  SELECT COUNT(*) AS n FROM embeddings
+      |  WHERE embedding IS NOT NULL)""".stripMargin
+
+  private val embeddingCovarianceSql: String =
+    s"""WITH $quantizedEmbeddingCtes,
       |p AS (
       |  SELECT a.i AS i, b.i AS j,
       |    SUM(CAST(a.q * b.q AS DECIMAL(38,0))) AS sxx
       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-      |  GROUP BY a.i, b.i),
-      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM embeddings)
+      |  GROUP BY a.i, b.i)
       |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
       |  ((CAST(p.sxx AS DOUBLE) -
-      |     CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE) / (SELECT nd FROM n))
-      |    / ((SELECT nd FROM n) - 1)) / 1000000000000.0 AS cov
+      |     CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE)
+      |       / (SELECT CAST(n AS DOUBLE) FROM n))
+      |    / ((SELECT CAST(n AS DOUBLE) FROM n) - 1)) / 1000000000000.0 AS cov
       |FROM p
       |JOIN s sa ON sa.i = p.i
       |JOIN s sb ON sb.i = p.j""".stripMargin
@@ -875,14 +886,7 @@ object DedupQueries {
     "dedup_cross_corpus" -> crossCorpusSql,
     "embedding_covariance" -> embeddingCovarianceSql,
     "embedding_outliers" ->
-      """WITH x AS (
-        |  SELECT vec_id,
-        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
-        |      AS BIGINT) AS q,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |s AS (SELECT i, SUM(CAST(q AS DECIMAL(38,0))) AS sx FROM x GROUP BY i),
-        |n AS (SELECT COUNT(*) AS n FROM embeddings),
+      s"""WITH $quantizedEmbeddingCtes,
         |d AS (
         |  SELECT x.vec_id,
         |    SUM(CAST(CAST((SELECT n FROM n) * x.q - s.sx AS HUGEINT)

@@ -367,9 +367,11 @@ object PipelineQueries {
         |b AS (
         |  SELECT grps.g AS l_returnflag, CAST(i AS INT) AS bucket,
         |    (SELECT MIN(v) FROM cum
-        |     WHERE cum.g = grps.g AND cum >= (n * i + 3) // 4) AS hi,
+        |     WHERE cum.g IS NOT DISTINCT FROM grps.g
+        |       AND cum >= (n * i + 3) // 4) AS hi,
         |    (SELECT MIN(cum) FROM cum
-        |     WHERE cum.g = grps.g AND cum >= (n * i + 3) // 4) AS chi
+        |     WHERE cum.g IS NOT DISTINCT FROM grps.g
+        |       AND cum >= (n * i + 3) // 4) AS chi
         |  FROM (SELECT DISTINCT g FROM vals) grps, generate_series(1, 4) t(i))
         |SELECT l_returnflag, bucket,
         |  LAG(hi) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS lo, hi,
@@ -390,9 +392,12 @@ object PipelineQueries {
         |    AS n_null_keys,
         |  CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND p IS NULL THEN cn END),
         |    0) AS BIGINT) AS n_orphans,
-        |  CAST(COUNT(CASE WHEN p THEN 1 END) AS BIGINT) AS n_parent_keys,
-        |  CAST(COUNT(CASE WHEN p AND cn IS NULL THEN 1 END) AS BIGINT)
-        |    AS n_unreferenced_parents,
+        |  CAST(COUNT(CASE WHEN p AND k IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_parent_keys,
+        |  CAST(COUNT(CASE WHEN p AND k IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_null_parent_keys,
+        |  CAST(COUNT(CASE WHEN p AND k IS NOT NULL AND cn IS NULL THEN 1 END)
+        |    AS BIGINT) AS n_unreferenced_parents,
         |  COALESCE(SUM(CASE WHEN k IS NOT NULL AND p IS NULL THEN cn END), 0)
         |      = 0
         |    AND COALESCE(SUM(CASE WHEN k IS NULL THEN cn END), 0) = 0

@@ -124,12 +124,19 @@ class CoreQueriesSpec extends SparkSpec {
     val r = graft.dq.DataQuality
       .referentialIntegrity(child, "fk", parent, "pk").collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4), r.getBoolean(5)) == ((6L, 1L, 2L, 3L, 1L, false)),
-      r.toString)
+      r.getLong(4), r.getLong(5), r.getBoolean(6)) ==
+      ((6L, 1L, 2L, 3L, 0L, 1L, false)), r.toString)
     // clean FK: passes, unreferenced parents alone do not fail it
     val clean = graft.dq.DataQuality.referentialIntegrity(
       Seq(1L, 1L, 2L).toDF("fk"), "fk", parent, "pk").collect()(0)
-    assert(clean.getBoolean(5) && clean.getLong(4) == 1L, clean.toString)
+    assert(clean.getBoolean(6) && clean.getLong(5) == 1L, clean.toString)
+    // a NULL parent PK is a parent-side defect: surfaced in its own
+    // column, not folded into parent keys or unreferenced counts
+    val nullPk = graft.dq.DataQuality.referentialIntegrity(
+      Seq(1L, 2L).toDF("fk"), "fk",
+      Seq(Some(1L), Some(2L), None).toDF("pk"), "pk").collect()(0)
+    assert((nullPk.getLong(3), nullPk.getLong(4), nullPk.getLong(5),
+      nullPk.getBoolean(6)) == ((2L, 1L, 0L, true)), nullPk.toString)
   }
 
   test("histogram bins cover the range, clamp the max, total the rows") {

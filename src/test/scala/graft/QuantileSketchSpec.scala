@@ -248,6 +248,14 @@ class QuantileSketchSpec extends SparkSpec {
     assert(byG.filter(_._1 == "b").map(_._3).sum == 40L)
     assert(byG.filter(_._1 == "b").forall(_._3 == 10L),
       "uniform group: four equal buckets")
+    // a NULL group gets its own real profile (surface, don't drop)
+    val withNull = grouped.union(
+      Seq((null.asInstanceOf[String], 7.0), (null.asInstanceOf[String], 9.0))
+        .toDF("g", "v"))
+    val nullRows = DataQuality.equiDepthHistogramByGroup(withNull, "g", "v", 4)
+      .filter(col("g").isNull).collect()
+    assert(nullRows.length == 4 && nullRows.map(_.getLong(4)).sum == 2L,
+      nullRows.mkString(","))
   }
 
   test("SQL registration: kll_sketch -> kll_merge -> kll_quantiles") {
