@@ -110,6 +110,75 @@ object Multimodal {
       .repartitionByRange(numPartitions, col("_size_class"), col("_salt"))
       .drop("_size_class", "_salt")
 
+  /** Resize planning for image assets: aspect-preserving fit into
+    * `maxW`×`maxH` as ONE codegen'd projection — the part of an
+    * image-resize pass that is pure arithmetic on the typed
+    * metadata. `scale = min(maxW/w, maxH/h, 1)` (never upscales),
+    * target dims floor to at least 1 px, and `resized` marks assets
+    * whose payload actually needs decoding: at 100 TB the decode
+    * stage filters on it, so already-fitting images never leave the
+    * scan. `est_bytes_out` (RGB8) is what the shuffle/write planner
+    * sizes output partitions with. Non-image assets pass through
+    * unresized (width/height are image metadata).
+    */
+  def resizePlan(assets: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, "target box must be positive")
+    val isImage = col("media_type") === "image"
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    val tw = when(isImage,
+      greatest(floor(col("width") * scale), lit(1.0))).otherwise(col("width"))
+      .cast("int")
+    val th = when(isImage,
+      greatest(floor(col("height") * scale), lit(1.0))).otherwise(col("height"))
+      .cast("int")
+    assets.select(col("asset_id"), col("media_type"),
+        col("width"), col("height"))
+      .withColumn("target_w", tw)
+      .withColumn("target_h", th)
+      .withColumn("resized",
+        col("target_w") =!= col("width") || col("target_h") =!= col("height"))
+      .withColumn("est_bytes_out",
+        (col("target_w").cast("long") * col("target_h")) * 3L)
+  }
+
+  final case class ResizedAsset(
+      asset_id: Long, target_w: Int, target_h: Int,
+      n_bytes_out: Long, content_hash: Long)
+
+  /** Partition-wise resize execution over the [[resizePlan]]
+    * dimensions — same iterator-in/iterator-out contract as
+    * [[decodeFeatures]]: one asset at a time, payloads never
+    * accumulate. STUB pixels (no codecs here): output byte count is
+    * the plan's RGB8 estimate and the content hash is a
+    * deterministic FNV fold of the payload seeded by the target
+    * dims — a real scaler replaces `resizeOne` without touching the
+    * plan shape.
+    */
+  def resizeStub(assets: Dataset[MediaAsset], maxW: Int,
+                 maxH: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    require(maxW >= 1 && maxH >= 1, "target box must be positive")
+    assets.mapPartitions(_.map(a => resizeOne(a, maxW, maxH)))
+  }
+
+  private def resizeOne(a: MediaAsset, maxW: Int, maxH: Int): ResizedAsset = {
+    val (tw, th) =
+      if (a.media_type != "image") (a.width, a.height)
+      else {
+        val scale = math.min(math.min(maxW.toDouble / a.width,
+          maxH.toDouble / a.height), 1.0)
+        (math.max(math.floor(a.width * scale), 1.0).toInt,
+          math.max(math.floor(a.height * scale), 1.0).toInt)
+      }
+    var h = 0xcbf29ce484222325L ^ (tw.toLong << 32 | th.toLong)
+    val bytes = a.payload
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    ResizedAsset(a.asset_id, tw, th, tw.toLong * th * 3L, h)
+  }
+
   /** Frame sampling for video assets: every `everyN`-th frame index
     * becomes its own row (sequence+explode — stays inside codegen,
     * no UDF), ready for a per-frame decode. The frame "content" is a

@@ -25,9 +25,18 @@ object MultimodalQueries {
       everyN = 30)
       .select("asset_id", "media_type", "n_frames", "frame_idx")
 
+  /** Aspect-fit resize planning into a 256×256 box (pure metadata
+    * arithmetic — oracle-exact; pixel execution is spec-verified).
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents")),
+      maxW = 256, maxH = 256)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -40,6 +49,35 @@ object MultimodalQueries {
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 100 + 1) * 30 ELSE 0 END AS INT) AS n_frames
         |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST((doc_id % 16 + 1) * 64 AS INT) AS width,
+        |    CAST((doc_id % 9 + 1) * 64 AS INT) AS height
+        |  FROM documents),
+        |t AS (
+        |  SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale
+        |  FROM a)
+        |SELECT asset_id, media_type, width, height,
+        |  CAST(CASE WHEN media_type = 'image'
+        |       THEN greatest(floor(width * scale), 1.0) ELSE width END AS INT)
+        |    AS target_w,
+        |  CAST(CASE WHEN media_type = 'image'
+        |       THEN greatest(floor(height * scale), 1.0) ELSE height END AS INT)
+        |    AS target_h,
+        |  CAST(CASE WHEN media_type = 'image'
+        |       THEN greatest(floor(width * scale), 1.0) ELSE width END AS INT)
+        |      != width
+        |    OR CAST(CASE WHEN media_type = 'image'
+        |       THEN greatest(floor(height * scale), 1.0) ELSE height END AS INT)
+        |      != height AS resized,
+        |  CAST(CAST(CASE WHEN media_type = 'image'
+        |       THEN greatest(floor(width * scale), 1.0) ELSE width END AS BIGINT)
+        |    * CAST(CASE WHEN media_type = 'image'
+        |       THEN greatest(floor(height * scale), 1.0) ELSE height END
+        |       AS BIGINT) * 3 AS BIGINT) AS est_bytes_out
+        |FROM t""".stripMargin,
     "multimodal_frames" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,

@@ -74,4 +74,38 @@ class MultimodalSpec extends SparkSpec {
       .select("asset_id", "frame_idx", "frame_hash").collect().toSet
     assert(h1 == h2)
   }
+
+  test("resize plan aspect-fits without upscaling; stub executes the same dims") {
+    val plan = Multimodal.resizePlan(assets, 256, 256).collect()
+    plan.foreach { r =>
+      val (mt, w, h, tw, th) = (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))
+      if (mt == "image") {
+        assert(tw <= 256 && th <= 256, r.toString)       // fits the box
+        assert(tw <= w && th <= h, s"never upscale: $r")
+        assert(tw >= 1 && th >= 1)
+        // aspect preserved within the 1px floor-rounding envelope
+        if (tw < w) assert(math.abs(tw.toDouble / w - th.toDouble / h) <
+          1.0 / math.min(w, h) + 1e-9, r.toString)
+      } else assert(tw == w && th == h, s"non-image passthrough: $r")
+      assert(r.getBoolean(6) == (tw != w || th != h))
+      assert(r.getLong(7) == tw.toLong * th * 3L)
+    }
+    // an already-fitting image is NOT marked resized (decode skips it)
+    assert(plan.exists(r => r.getString(1) == "image" && !r.getBoolean(6)))
+    // the partition-wise stub lands on the plan's dimensions exactly
+    val typed = assets.as[MediaAsset]
+    val executed = Multimodal.resizeStub(typed, 256, 256)
+      .collect().map(r => r.asset_id -> ((r.target_w, r.target_h))).toMap
+    plan.foreach { r =>
+      assert(executed(r.getLong(0)) == ((r.getInt(4), r.getInt(5))),
+        s"plan and execution dims must agree: $r")
+    }
+    // deterministic under repartitioning
+    val a = Multimodal.resizeStub(typed, 256, 256)
+      .collect().map(r => (r.asset_id, r.content_hash)).toSet
+    val b = Multimodal.resizeStub(typed.repartition(7), 256, 256)
+      .collect().map(r => (r.asset_id, r.content_hash)).toSet
+    assert(a == b)
+  }
 }
