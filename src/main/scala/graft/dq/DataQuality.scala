@@ -152,6 +152,59 @@ object DataQuality {
                                 buckets: Int = 10): DataFrame =
     equiDepthProfile(df, Seq(groupCol), valueCol, buckets)
 
+  /** KLL-boundary [[equiDepthHistogram]] — the continuous-column
+    * scale path, mirroring [[iqrOutliersSketch]] vs [[iqrOutliers]]:
+    * bucket BOUNDARIES are rank estimates from one mergeable
+    * [[graft.functions.KllSketch]] pass (partial-agg shape — no
+    * distinct-value shuffle, no single-task sort), and the
+    * per-bucket COUNTS are exact, from one codegen'd binning pass
+    * against those boundaries. Same output schema as the exact
+    * variant; `hi` values are estimates within the sketch's pinned
+    * rank-error bound, counts are true counts of the estimated
+    * buckets. Empty/all-unscoreable input yields an empty profile.
+    */
+  def equiDepthHistogramSketch(df: DataFrame, valueCol: String,
+                               buckets: Int = 10,
+                               sketchK: Int = 200): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    import graft.functions.Kll
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val qs = (1 to buckets).map(i => i.toDouble / buckets)
+    val skRow = scorable(df, v).agg(Kll.kllSketch(v, sketchK).as("_sk"))
+      .select(Kll.kllQuantiles(col("_sk"), qs).as("_qs")).head()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("lo",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hi",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    // an empty sketch yields an array of NULL elements (Kll contract)
+    if (skRow.isNullAt(0) || skRow.getSeq[Any](0).exists(_ == null))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val bounds = skRow.getSeq[Double](0)
+    // bucket = smallest i with v <= hi_i; the top boundary is the
+    // sketch's q(1.0) = exact max, so the chain is exhaustive
+    val assign = (1 until buckets).foldRight(lit(buckets): Column) {
+      case (i, acc) => when(v <= bounds(i - 1), lit(i)).otherwise(acc)
+    }
+    val counts = scorable(df, v).groupBy(assign.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val shell = spark.range(1, buckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+    shell.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        when(col("bucket") === 1, lit(null).cast("double"))
+          .otherwise(element_at(lit(bounds.toArray), col("bucket") - 1))
+          .as("lo"),
+        element_at(lit(bounds.toArray), col("bucket")).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Shared bucket-selection body of the equi-depth profiles —
     * the same keep-it-in-one-place rule as [[cumulativeValueCounts]]:
     * the rank formula and the lo/hi/n derivation must stay

@@ -160,6 +160,13 @@ object PipelineQueries {
     DataQuality.equiDepthHistogram(t(spark, dir, "lineitem"),
       "l_extendedprice", buckets = 8)
 
+  /** Scale-path equi-depth profile: KLL-estimated boundaries + exact
+    * binning counts (rows-only — sketch estimates aren't SQL).
+    */
+  def dqHistogramDepthSketch(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.equiDepthHistogramSketch(t(spark, dir, "lineitem"),
+      "l_extendedprice", buckets = 8)
+
   /** DQ per-group equi-depth profile: quantile buckets per return
     * flag (each group's own distribution, skew-readable).
     */
@@ -229,6 +236,7 @@ object PipelineQueries {
     "dq_histogram" -> (dqHistogram _),
     "dq_histogram_depth" -> (dqHistogramDepth _),
     "dq_histogram_depth_group" -> (dqHistogramDepthGroup _),
+    "dq_histogram_depth_sketch" -> (dqHistogramDepthSketch _),
     "dq_referential" -> (dqReferential _),
     "dq_outliers" -> (dqOutliers _),
     "dq_outliers_sketch" -> (dqOutliersSketch _),

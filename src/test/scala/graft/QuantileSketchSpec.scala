@@ -258,6 +258,27 @@ class QuantileSketchSpec extends SparkSpec {
       nullRows.mkString(","))
   }
 
+  test("sketch equi-depth histogram: exact counts of estimated buckets within rank error") {
+    // uniform 1..10000: every bucket's count must sit within the
+    // sketch's rank-error band around n/B, totals must be exact
+    val n = 10000
+    val df = (1 to n).map(i => Tuple1(i.toDouble)).toDF("v").repartition(8)
+    val out = DataQuality.equiDepthHistogramSketch(df, "v", buckets = 4)
+      .orderBy("bucket").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(3)).sum == n.toLong, "counts are exact")
+    out.foreach { r =>
+      assert(math.abs(r.getLong(3) - n / 4) <= 0.04 * n,
+        s"bucket ${r.getInt(0)}: ${r.getLong(3)} vs ${n / 4} exceeds band")
+    }
+    // boundaries are monotone and the top edge covers the max
+    val his = out.map(_.getDouble(2))
+    assert(his.sameElements(his.sorted) && his.last == n.toDouble)
+    // empty input: empty profile, same contract as the exact variant
+    val none = Seq(Option.empty[Double]).map(Tuple1(_)).toDF("v")
+    assert(DataQuality.equiDepthHistogramSketch(none, "v", 4).count() == 0L)
+  }
+
   test("SQL registration: kll_sketch -> kll_merge -> kll_quantiles") {
     Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
       .toDF("grp", "v").createOrReplaceTempView("kll_in")
