@@ -238,6 +238,13 @@ object DedupQueries {
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annLsh(e, "vec_id", "embedding"))
     }),
+    // the same audit for the IVF index (inverted lists + nprobe)
+    "ann_recall_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annRecall(
+        Similarity.annBruteForce(e, "vec_id", "embedding"),
+        Similarity.annIvf(e, "vec_id", "embedding"))
+    }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.annIvf(embs(s, d), "vec_id", "embedding")),
     // full curation pipeline: quality + repetition gates -> exact
@@ -652,6 +659,22 @@ object DedupQueries {
       |  SELECT COUNT(*) AS n FROM embeddings
       |  WHERE embedding IS NOT NULL)""".stripMargin
 
+  /** Recall@k oracle template: the brute-force truth joined against
+    * any approximate index's oracle (nested-WITH CTE composition).
+    */
+  private def annRecallSql(approxSql: String): String =
+    s"""WITH bf AS (
+       |$annBruteForceSql
+       |), ap AS (
+       |$approxSql
+       |)
+       |SELECT bf.vec_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+       |  CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM bf LEFT JOIN ap
+       |  ON ap.vec_id = bf.vec_id AND ap.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.vec_id""".stripMargin
+
   private val embeddingCovarianceSql: String =
     s"""WITH $quantizedEmbeddingCtes,
       |p AS (
@@ -917,18 +940,8 @@ object DedupQueries {
     "dedup_embedding_lsh" -> embeddingLshStatsSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
-    "ann_recall" ->
-      s"""WITH bf AS (
-         |$annBruteForceSql
-         |), ap AS (
-         |$annLshSql
-         |)
-         |SELECT bf.vec_id, CAST(COUNT(*) AS BIGINT) AS n_true,
-         |  CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
-         |  CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
-         |FROM bf LEFT JOIN ap
-         |  ON ap.vec_id = bf.vec_id AND ap.neighbor_id = bf.neighbor_id
-         |GROUP BY bf.vec_id""".stripMargin,
+    "ann_recall" -> annRecallSql(annLshSql),
+    "ann_recall_ivf" -> annRecallSql(annIvfSql),
     "ann_ivf_topk" -> annIvfSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
