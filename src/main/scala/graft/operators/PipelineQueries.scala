@@ -359,7 +359,8 @@ object PipelineQueries {
         |     WHERE cum >= (n * i + 7) // 8) AS chi
         |  FROM generate_series(1, 8) AS t(i))
         |SELECT bucket, LAG(hi) OVER (ORDER BY bucket) AS lo, hi,
-        |  chi - COALESCE(LAG(chi) OVER (ORDER BY bucket), 0) AS n
+        |  CAST(chi - COALESCE(LAG(chi) OVER (ORDER BY bucket), 0)
+        |    AS BIGINT) AS n
         |FROM b WHERE hi IS NOT NULL""".stripMargin,
     "dq_histogram_depth_group" ->
       """WITH vals AS (
@@ -383,8 +384,9 @@ object PipelineQueries {
         |  FROM (SELECT DISTINCT g FROM vals) grps, generate_series(1, 4) t(i))
         |SELECT l_returnflag, bucket,
         |  LAG(hi) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS lo, hi,
-        |  chi - COALESCE(
-        |    LAG(chi) OVER (PARTITION BY l_returnflag ORDER BY bucket), 0) AS n
+        |  CAST(chi - COALESCE(
+        |    LAG(chi) OVER (PARTITION BY l_returnflag ORDER BY bucket), 0)
+        |    AS BIGINT) AS n
         |FROM b""".stripMargin,
     "dq_referential" ->
       """WITH c AS (
