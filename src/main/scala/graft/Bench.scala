@@ -41,6 +41,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // same generate-filter exclusion as GraftSession (see rationale
+      // there): bench must measure the plans the library ships
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing (codegen compiler, parquet
@@ -49,6 +53,16 @@ object Bench {
     // one-time JVM init and timings aren't comparable across queries.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
+
+    // Optional subset (comma-separated query names) for quick local
+    // regression timing; the driver never sets it, so round artifacts
+    // always carry the full surface.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+    val metrics = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     def dropPersistedBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -64,19 +78,27 @@ object Bench {
       Thread.sleep(250)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      dropPersistedBlocks()
-      val attempts: Seq[Option[Double]] = (1 to runsPer).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count()
-              Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        dropPersistedBlocks()
+        // Attribute task metrics to this query alone: the quiesce
+        // above already idled the scheduler, drain any stragglers'
+        // events, then reset the accumulators.
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        metrics.reset()
+        val attempts: Seq[Option[Double]] = (1 to runsPer).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).queryExecution.toRdd.count()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
         }
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        (name, attempts, metrics.snapshotJson)
       }
-      (name, attempts)
-    }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     // Locale.ROOT: a comma-decimal default locale would render
     // "1234,568" and break the JSON contract this main exists for
@@ -90,15 +112,15 @@ object Bench {
     // attempts succeeded (a cold-run-only crash must not hide behind
     // a healthy warm median). -1 marks all-runs-failed medians and a
     // failed cold attempt.
-    val qs = results.map { case (k, ts) =>
+    val qs = results.map { case (k, ts, _) =>
       val ok = ts.flatten
       "\"" + k + "\":" + (if (ok.nonEmpty) r3(median(ok)) else "-1")
     }.mkString("{", ",", "}")
     val failed = results.collect {
-      case (k, ts) if ts.exists(_.isEmpty) => "\"" + k + "\""
+      case (k, ts, _) if ts.exists(_.isEmpty) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.collect {
-      case (_, ts) if ts.flatten.nonEmpty => median(ts.flatten)
+      case (_, ts, _) if ts.flatten.nonEmpty => median(ts.flatten)
     }.sum
     // methodology stamp: the round-8 inter-query quiesce (unpersist +
     // 2×System.gc + 250 ms settle) changed what the medians measure —
@@ -111,10 +133,10 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runsPer,"failed":$failed,"sf":"$sfDir","methodology":"$methodology"}"""
     // Full-precision detail (cold + every attempt) is too large for the
     // harness's bounded output tail — persist it as a repo artifact.
-    val detail = results.map { case (k, ts) =>
+    val detail = results.map { case (k, ts, stageJson) =>
       val attempts = ts.map(_.map(r6).getOrElse("-1")).mkString("[", ",", "]")
       "\"" + k + "\":{\"cold\":" + ts.head.map(r6).getOrElse("-1") +
-        ",\"attempts\":" + attempts + "}"
+        ",\"attempts\":" + attempts + ",\"stage\":" + stageJson + "}"
     }.mkString("{", ",", "}")
     val detailJson =
       s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"methodology":"$methodology","queries":$detail}"""

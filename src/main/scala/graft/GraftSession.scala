@@ -23,6 +23,19 @@ object GraftSession {
       // silently regress scan pruning.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)`
+      // under every non-outer explode; when the array is computed in
+      // the same stage (shingles, minhash signatures, quantized
+      // vectors — this engine's bread and butter), predicate pushdown
+      // substitutes the FULL array expression into both conjuncts, and
+      // higher-order folds are CodegenFallback with no cross-operator
+      // CSE — the whole computation runs 3× per row (r11 probe:
+      // quantize+explode 2.3 s → 0.08 s without the rule). The rule's
+      // only upside — pruning rows before Generate on STORED array
+      // columns — doesn't apply here (explode drops null/empty arrays
+      // itself; no semantics change).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = builder()

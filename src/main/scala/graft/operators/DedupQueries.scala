@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, posexplode}
+import org.apache.spark.sql.functions.{col, lit, pmod, posexplode_outer}
 
 import graft.Tables
 
@@ -175,12 +175,21 @@ object DedupQueries {
     // oracle (eigendecomposition), spec-verified closed-form instead.
     // Output is SCALAR rows (vec_id, component, value), not an array
     // column: the driver's rows-only check row-sorts in pandas, and
-    // an array column is unhashable there (r7's only erroring entry)
+    // an array column is unhashable there (r7's only erroring entry).
+    // posexplode_OUTER everywhere an expensive computed array is
+    // exploded: plain posexplode lets InferFiltersFromGenerate add
+    // `size(arr)>0 AND isnotnull(arr)`, and predicate pushdown then
+    // substitutes the FULL array expression into the filter — the
+    // higher-order aggregate folds are CodegenFallback with no CSE,
+    // so the whole computation re-runs per conjunct (r11 probe:
+    // quantize 2.3 s → 0.08 s from this one change). Embedding
+    // vectors are fixed-width non-null, so inner/outer are
+    // row-identical here.
     "embedding_pca_whiten" -> ((s, d) =>
       Similarity.pcaProject(embs(s, d), "vec_id", "embedding",
         k = 16, whiten = true)
         .select(col("vec_id"),
-          posexplode(col("projection")).as(Seq("component", "value")))),
+          posexplode_outer(col("projection")).as(Seq("component", "value")))),
     // int8 storage quantization — scalar rows (the pca lesson: the
     // driver's row-sort cannot hash an array column), full value-exact
     // oracle (amax fold, scale divide, and the tie-free round-half-up
@@ -188,7 +197,7 @@ object DedupQueries {
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
-          posexplode(col("qvec")).as(Seq("component", "qval")))),
+          posexplode_outer(col("qvec")).as(Seq("component", "qval")))),
     // SemDeDup: k-means clusters as candidate buckets, exact cosine
     // within — the published embedding-dedup recipe, end-to-end
     // engine-exact (the oracle replays fit + assignment + cosines)
@@ -225,7 +234,7 @@ object DedupQueries {
     "embedding_normalize" -> ((s, d) =>
       Similarity.normalizeEmbeddings(embs(s, d), "vec_id", "embedding")
         .select(col("vec_id"),
-          posexplode(col("nvec")).as(Seq("component", "value")))),
+          posexplode_outer(col("nvec")).as(Seq("component", "value")))),
     "ann_bruteforce_topk" -> ((s, d) =>
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>

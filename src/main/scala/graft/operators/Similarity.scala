@@ -547,15 +547,19 @@ object Similarity {
                          vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val amax = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
-    // loud non-finite guard (the repo's aggregate convention): one
-    // NaN component would make amax NaN (NaN wins greatest) and
-    // every qval a silent NaN→tinyint 0 — corrupt output, no error
-    val nonFinite = exists(v, x => isnan(x) || abs(x) > lit(Double.MaxValue))
-    df.select(col(idCol),
-        when(nonFinite, raise_error(concat(
-          lit("quantize: non-finite component in vector "),
-          col(idCol).cast("string"))))
-          .otherwise(amax / lit(127.0)).as("scale"), v.as("_v"))
+    // loud non-finite guard (the repo's aggregate convention), read
+    // off the amax fold itself rather than a second array scan: one
+    // NaN component makes amax NaN (NaN wins greatest in Spark's
+    // ordering) and ±Inf drives amax past MaxValue — so testing the
+    // scalar catches every non-finite input at zero extra per-row
+    // cost. (Without it, NaN→tinyint is a silent 0 — corrupt output.)
+    df.select(col(idCol), amax.as("_amax"), v.as("_v"))
+      .select(col(idCol),
+        when(isnan(col("_amax")) || col("_amax") > lit(Double.MaxValue),
+          raise_error(concat(
+            lit("quantize: non-finite component in vector "),
+            col(idCol).cast("string"))))
+          .otherwise(col("_amax") / lit(127.0)).as("scale"), col("_v"))
       .select(col(idCol), col("scale"),
         transform(col("_v"), x =>
           when(col("scale") === 0.0, lit(0L))
