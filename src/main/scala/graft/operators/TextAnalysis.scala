@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: language
@@ -295,18 +297,39 @@ object TextAnalysis {
                    segWords: Int = 5, minDocs: Int = 3): DataFrame = {
     require(segWords >= 1, "segWords must be positive")
     require(minDocs >= 2, "minDocs below 2 would delete every segment")
-    val words = split(col(textCol), " ")
-    val nseg = greatest(
-      ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
-    val segs = df.select(col(idCol),
-      posexplode(transform(sequence(lit(0), nseg - 1),
-        i => array_join(slice(words, i * segWords + 1, lit(segWords)), " ")))
-        .as(Seq("seg_idx", "seg")))
+    val segs = segmentRows(df, idCol, textCol, segWords)
     val hot = segs.groupBy("seg")
       .agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= minDocs)
-      .select(col("seg"), lit(true).as("_hot"))
-    segs.join(broadcast(hot), Seq("seg"), "left")
+      .select(col("seg"))
+    cleanAgainstHot(segs, hot, idCol)
+  }
+
+  /** (id, seg_idx, seg) rows: the disjoint `segWords`-word segments
+    * of each document — the shared extraction of [[segmentDedup]]
+    * and [[segmentDedupIncremental]] (both sides MUST segment
+    * identically or the incremental state diverges from the batch
+    * truth).
+    */
+  private def segmentRows(df: DataFrame, idCol: String, textCol: String,
+                          segWords: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nseg = greatest(
+      ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(words, i * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("seg_idx", "seg")))
+  }
+
+  /** Reassemble documents keeping only segments NOT in `hot`
+    * (one column `seg`). The hot set is boilerplate by construction
+    * — tiny relative to the corpus — so it broadcasts.
+    */
+  private def cleanAgainstHot(segs: DataFrame, hot: DataFrame,
+                              idCol: String): DataFrame =
+    segs.join(broadcast(hot.select(col("seg"), lit(true).as("_hot"))),
+        Seq("seg"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -316,5 +339,110 @@ object TextAnalysis {
             s => s.getField("seg")), " ").as("clean_text"),
         count(when(col("_hot").isNull, lit(1))).as("kept_segments"),
         count(col("_hot")).as("removed_segments"))
+
+  /** Incremental [[segmentDedup]] for the medallion gold hop: fold
+    * one micro-batch of (possibly updated) documents into a
+    * persistent frequent-segment STATE table and a gold table whose
+    * `clean_text` always equals the batch operator's recompute over
+    * every document seen so far.
+    *
+    * State = the distinct `(seg, id)` pairs of all current documents
+    * (a merge table keyed on both). Pair-rows rather than per-segment
+    * COUNTERS because counters break under exactly the events
+    * streaming must absorb: a checkpoint replay would double-count,
+    * and a document update could not retract its old segments. With
+    * pair state both are plain keyed-merge idempotence: replay merges
+    * the same pairs (no-op), an update deletes the doc's old pairs
+    * and merges its new ones.
+    *
+    * Per batch the corpus text is never re-scanned — only the batch
+    * is segmented; the state table answers "which existing documents
+    * does this batch's hot-set change affect". Affected = the batch's
+    * own docs ∪ docs holding a segment whose hot status FLIPPED
+    * (crossed `minDocs` in either direction — a later near-identical
+    * crawl can make an old segment boilerplate, and an update can
+    * retract enough copies to un-hot one). Every other document's
+    * segments kept their status, so its stored clean_text is already
+    * the batch answer — the invariant the StreamingSpec case proves
+    * across ≥3 micro-batches.
+    *
+    * `batchOrd` must rise across micro-batches (foreachBatch's
+    * batchId): it is the merge order guard, so a replayed old batch
+    * can never regress gold. Gold rows: (id, text, _ord, clean_text,
+    * kept_segments, removed_segments) — original text rides along so
+    * re-cleaning never needs the source stream again.
+    */
+  def segmentDedupIncremental(spark: SparkSession, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              statePath: String, goldPath: String,
+                              batchOrd: Long,
+                              segWords: Int = 5, minDocs: Int = 3,
+                              fmt: graft.pipeline.TableFormat =
+                                graft.pipeline.SnapshotTableFormat): Unit = {
+    require(segWords >= 1, "segWords must be positive")
+    require(minDocs >= 2, "minDocs below 2 would delete every segment")
+    import graft.pipeline.MergeTable
+    def hotOf(state: DataFrame): DataFrame = state.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("seg"))
+    val emptyHot = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType))))
+
+    // hot set BEFORE the batch; collected now because the state table
+    // is rewritten below (hot sets are boilerplate-sized — the same
+    // broadcastability argument as the batch operator)
+    val hadState = fmt.exists(statePath)
+    val oldHot =
+      if (hadState) hotOf(fmt.read(spark, statePath)) else emptyHot
+    val oldHotRows = oldHot.collect().map(_.getString(0)).toSet
+
+    // replace the batch docs' pairs: delete-then-merge makes updates
+    // retract their old segments and replays converge to the same state
+    val batchDocs = graft.Materialize.eager(
+      batch.select(col(idCol), col(textCol)))
+    if (hadState)
+      fmt.deleteKeys(spark, statePath,
+        batchDocs.select(col(idCol)).distinct(), Seq(idCol))
+    val pairs = segmentRows(batchDocs, idCol, textCol, segWords)
+      .select(col(idCol), col("seg")).distinct()
+      .withColumn("_ord", lit(batchOrd))
+    fmt.scd1Merge(spark, statePath, pairs, Seq("seg", idCol), "_ord",
+      compareExclude = Nil)
+
+    val state = fmt.read(spark, statePath)
+    val newHot = hotOf(state)
+    val newHotRows = newHot.collect().map(_.getString(0)).toSet
+    val flipped = (oldHotRows diff newHotRows) ++ (newHotRows diff oldHotRows)
+
+    // documents to (re)clean: the batch itself, plus gold docs whose
+    // segments' hot status flipped (their stored text rides in gold)
+    val toClean =
+      if (flipped.nonEmpty && fmt.exists(goldPath)) {
+        val flippedDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            flipped.toSeq.sorted
+              .map(s => org.apache.spark.sql.Row(s): org.apache.spark.sql.Row)
+              .asJava),
+          emptyHot.schema)
+        val affectedIds = state.join(broadcast(flippedDf), Seq("seg"))
+          .select(col(idCol)).distinct()
+          .join(batchDocs.select(col(idCol)), Seq(idCol), "left_anti")
+        fmt.read(spark, goldPath)
+          .join(affectedIds, Seq(idCol), "left_semi")
+          .select(col(idCol), col(textCol))
+          .unionByName(batchDocs)
+      } else batchDocs
+    val cleaned = cleanAgainstHot(
+        segmentRows(toClean, idCol, textCol, segWords), newHot, idCol)
+      .join(toClean, Seq(idCol))
+      .select(col(idCol), col(textCol), lit(batchOrd).as("_ord"),
+        col("clean_text"), col("kept_segments"), col("removed_segments"))
+    fmt.scd1Merge(spark, goldPath, cleaned, Seq(idCol), "_ord",
+      compareExclude = Nil)
+    ()
   }
 }

@@ -1177,4 +1177,83 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sameElements(Array((1L, "v2"), (2L, "w1"))),
       s"late batch regressed the table: ${rows.mkString}")
   }
+
+  test("incremental segment-dedup: streamed gold equals batch segmentDedup after every micro-batch") {
+    // the frequent-segment set is STATE carried across micro-batches
+    // (distinct (seg, doc) pair table): a later batch can make an old
+    // segment boilerplate — the affected OLD doc must be re-cleaned —
+    // and an update can retract copies and un-hot a segment, which
+    // must re-clean it back. After every fold, gold must equal the
+    // batch operator's full recompute over silver-current.
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_segdd_silver").toString
+    val state = Files.createTempDirectory("graft_segdd_state").toString + "/t"
+    val gold = Files.createTempDirectory("graft_segdd_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_segdd_ck").toString
+    val segWords = 2
+    val minDocs = 2
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        TextAnalysis.segmentDedupIncremental(spark,
+          chg.select("doc_id", "text"), "doc_id", "text",
+          state, gold, batchOrd = v.toLong,
+          segWords = segWords, minDocs = minDocs)
+      }
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = TextAnalysis.segmentDedup(
+          fmt.read(spark, silver).select(col("doc_id"), col("text")),
+          "doc_id", "text", segWords, minDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val got = MergeTable.read(spark, gold)
+        .select("doc_id", "clean_text", "kept_segments", "removed_segments")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(got.sameElements(truth),
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    // texts are whole 2-word segments so boundaries align exactly
+    val segA = "alpha beta"
+    // batch 1: three docs, no segment shared — nothing hot
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, s"$segA one two", 0),
+        (2L, "three four five six", 0),
+        (3L, "seven eight", 0)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 1")
+
+    // batch 2: doc 4 repeats segA -> now in 2 docs -> hot flips ON;
+    // OLD doc 1 (not in the batch) must be re-cleaned from state
+    fmt.scd1Merge(spark, silver, Seq(
+        (4L, s"$segA nine ten", 1),
+        (5L, "eleven twelve", 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 2 (hot flip on)")
+    val d1 = MergeTable.read(spark, gold).filter(col("doc_id") === 1L)
+      .select("clean_text", "removed_segments").head
+    assert(d1.getString(0) == "one two" && d1.getLong(1) == 1L,
+      s"doc 1 must lose the now-hot segment: $d1")
+
+    // batch 3: doc 4's UPDATE drops segA -> count falls to 1 -> hot
+    // flips OFF; doc 1 must be re-cleaned back to its full text
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, "thirteen fourteen", 2)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 3 (hot flip off via update)")
+    assert(MergeTable.read(spark, gold).filter(col("doc_id") === 1L)
+        .head.getAs[String]("clean_text") == s"$segA one two",
+      "doc 1 must be restored once the segment is no longer hot")
+
+    // caught up: nothing to process, nothing changes
+    assert(fold().isEmpty, "caught-up consumer must re-process nothing")
+    checkGoldEqualsBatch("after no-op fold")
+  }
 }
