@@ -143,6 +143,40 @@ object Multimodal {
         (col("target_w").cast("long") * col("target_h")) * 3L)
   }
 
+  /** Resample planning for audio assets: the sample-rate sibling of
+    * [[resizePlan]] — the pure-metadata-arithmetic part of an audio
+    * resample pass as ONE codegen'd projection. Downsamples to
+    * `targetRate` and never upsamples (the "never upscale" rule: an
+    * 8 kHz clip stays 8 kHz under a 16 kHz target), `resampled`
+    * marks assets whose payload actually needs the DSP stage (at
+    * 100 TB the decode stage filters on it, so already-conforming
+    * clips never leave the scan), and the output-size estimates are
+    * what the shuffle/write planner sizes partitions with.
+    *
+    * Sample accounting uses the PCM16-mono stand-in (2 bytes per
+    * sample of payload); `est_samples_out = n_in · target div rate`
+    * in pure int64 arithmetic — `div`, not double division, so the
+    * plan is bit-identical in any engine (a double quotient can
+    * round up across an integer boundary and off-by-one the floor).
+    * Non-audio assets (and unknown `sample_rate <= 0`) pass through
+    * with `resampled = false` and zero output estimates.
+    */
+  def resamplePlan(assets: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate >= 1, "target rate must be positive")
+    val isAudio = col("media_type") === "audio" && col("sample_rate") > 0
+    assets.select(col("asset_id"), col("media_type"), col("sample_rate"),
+        when(isAudio, expr("cast(length(payload) as bigint) div 2"))
+          .otherwise(lit(0L)).as("n_samples_in"),
+        when(isAudio, least(col("sample_rate"), lit(targetRate)))
+          .otherwise(col("sample_rate")).cast("int").as("target_rate"))
+      .withColumn("resampled", col("target_rate") =!= col("sample_rate"))
+      .withColumn("est_samples_out",
+        when(col("sample_rate") > 0,
+          expr("n_samples_in * cast(target_rate as bigint) div sample_rate"))
+          .otherwise(lit(0L)))
+      .withColumn("est_bytes_out", col("est_samples_out") * lit(2L))
+  }
+
   final case class ResizedAsset(
       asset_id: Long, target_w: Int, target_h: Int,
       n_bytes_out: Long, content_hash: Long)

@@ -33,10 +33,20 @@ object MultimodalQueries {
       Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents")),
       maxW = 256, maxH = 256)
 
+  /** Audio resample planning to a 8 kHz target (pure metadata + byte
+    * arithmetic in int64 `div` — oracle-exact; the fixture's audio
+    * rate is 16 kHz so the downsample branch actually fires).
+    */
+  def multimodalResample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resamplePlan(
+      Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents")),
+      targetRate = 8000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_resize" -> (multimodalResize _))
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_resample" -> (multimodalResample _))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -77,6 +87,30 @@ object MultimodalQueries {
         |    * CAST(CASE WHEN media_type = 'image'
         |       THEN greatest(floor(height * scale), 1.0) ELSE height END
         |       AS BIGINT) * 3 AS BIGINT) AS est_bytes_out
+        |FROM t""".stripMargin,
+    "multimodal_resample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |t AS (
+        |  SELECT asset_id, media_type, sample_rate,
+        |    CAST(CASE WHEN media_type = 'audio' AND sample_rate > 0
+        |         THEN n_bytes // 2 ELSE 0 END AS BIGINT) AS n_samples_in,
+        |    CAST(CASE WHEN media_type = 'audio' AND sample_rate > 0
+        |         THEN least(sample_rate, 8000) ELSE sample_rate END AS INT)
+        |      AS target_rate
+        |  FROM a)
+        |SELECT asset_id, media_type, sample_rate, n_samples_in, target_rate,
+        |  target_rate != sample_rate AS resampled,
+        |  CAST(CASE WHEN sample_rate > 0
+        |       THEN (n_samples_in * target_rate) // sample_rate
+        |       ELSE 0 END AS BIGINT) AS est_samples_out,
+        |  CAST(CASE WHEN sample_rate > 0
+        |       THEN (n_samples_in * target_rate) // sample_rate
+        |       ELSE 0 END * 2 AS BIGINT) AS est_bytes_out
         |FROM t""".stripMargin,
     "multimodal_frames" ->
       """WITH a AS (

@@ -108,4 +108,36 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.asset_id, r.content_hash)).toSet
     assert(a == b)
   }
+
+  test("resample plan downsamples audio exactly, never upsamples, passes others through") {
+    // corpus fixture: every audio asset is 16 kHz -> an 8 kHz target
+    // fires the downsample branch on all of them
+    val plan = Multimodal.resamplePlan(assets, targetRate = 8000).collect()
+    assert(plan.exists(_.getString(1) == "audio"))
+    plan.foreach { r =>
+      val (mt, rate, nIn, tr) =
+        (r.getString(1), r.getInt(2), r.getLong(3), r.getInt(4))
+      if (mt == "audio") {
+        assert(rate == 16000 && tr == 8000 && r.getBoolean(5), r.toString)
+        // exact int64 accounting: floor(nIn * 8000 / 16000) = nIn div 2
+        assert(r.getLong(6) == nIn / 2, r.toString)
+        assert(r.getLong(7) == (nIn / 2) * 2, r.toString)
+      } else {
+        assert(tr == rate && !r.getBoolean(5), s"non-audio passthrough: $r")
+        assert(nIn == 0L && r.getLong(6) == 0L && r.getLong(7) == 0L)
+      }
+    }
+    // never upsample: a clip already below the target keeps its rate
+    val slow = Seq((1L, "audio", "abcdef".getBytes, 0, 0, 8000, 0),
+        (2L, "audio", "abcdef".getBytes, 0, 0, 0, 0))
+      .toDF("asset_id", "media_type", "payload",
+        "width", "height", "sample_rate", "n_frames")
+    val rows = Multimodal.resamplePlan(slow, targetRate = 16000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(4) == 8000 && !rows(1L).getBoolean(5),
+      s"below-target clip must keep its rate: ${rows(1L)}")
+    assert(rows(1L).getLong(6) == 3L, "passthrough keeps every sample")
+    // unknown rate (<=0) is passthrough, not a division crash
+    assert(!rows(2L).getBoolean(5) && rows(2L).getLong(6) == 0L)
+  }
 }
