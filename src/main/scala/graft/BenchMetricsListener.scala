@@ -44,6 +44,12 @@ class BenchMetricsListener extends SparkListener {
     * count over ALL attempts of the query — divide by `runs` for
     * per-attempt figures; shuffle volume is deterministic per plan so
     * the total triages identically).
+    *
+    * Reading `input_bytes`: Spark's InputMetrics counts BLOCK-MANAGER
+    * reads (cached/checkpointed frames) as input alongside file-source
+    * bytes — a query whose input dwarfs its parquet files is
+    * re-reading a materialized frame (usually by design, e.g. the N²
+    * baseline's pair cache), not necessarily re-scanning the source.
     */
   def snapshotJson: String =
     s"""{"shuffle_read":${shuffleRead.sum},"shuffle_write":${shuffleWrite.sum},""" +
