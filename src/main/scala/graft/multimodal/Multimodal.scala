@@ -228,7 +228,8 @@ object Multimodal {
       .otherwise(array(lit(0L)))
     assets
       .select(col("asset_id"), col("media_type"), col("payload"),
-        col("n_frames"), explode(idxs).as("frame_idx"))
+        col("n_frames"), explode_outer(idxs).as("frame_idx"))
+      .filter(col("frame_idx").isNotNull) // see Dedup.shingles
       .withColumn("frame_hash",
         // stub per-frame content: hash of a frame-dependent payload slice
         xxhash64(col("payload").substr(

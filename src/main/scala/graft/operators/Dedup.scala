@@ -24,10 +24,20 @@ object Dedup {
     * the projection drops the text before anything shuffles.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // explode_OUTER + output-null filter everywhere a same-stage
+    // computed array is exploded (here and in the decontamination /
+    // text operators): plain explode lets InferFiltersFromGenerate +
+    // pushdown inline the whole array expression into a size/isnotnull
+    // filter — 3× the kernel per row on sessions without
+    // GraftSession's rule exclusion. The filter on the GENERATOR
+    // OUTPUT column reproduces inner-explode semantics exactly (only
+    // a null source array emits a null element) and cannot be pushed
+    // below the Generate.
     df.select(col(idCol).as("id"),
-      explode(array_distinct(transform(
+      explode_outer(array_distinct(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => col(textCol).substr(i, lit(n))))).as("shingle"))
+      .filter(col("shingle").isNotNull)
 
   /** Distinct shingle HASHES per document as one `array<long>` row:
     * (id, shash), via the codegen'd ShingleHashes64 expression (byte
@@ -208,7 +218,11 @@ object Dedup {
     }
     val bandRows = docsH
       .select(col("id"), sig.as("_sig"))
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      // _outer: a 16-element CreateArray is never null/empty, so
+      // inner and outer are row-identical — but inner would invite an
+      // inferred filter that re-derives the signature per conjunct on
+      // sessions without the rule exclusion (see shingles)
+      .select(col("id"), explode_outer(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
     (docsH, bandRows)
   }
@@ -341,7 +355,8 @@ object Dedup {
           .bitwiseAND(lit(0xffffL)).as("cval"))
     }
     val allChunks = hashed
-      .select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("cc"))
+      // _outer: same CreateArray-literal reasoning as the band rows
+      .select(col("id"), col("simhash"), explode_outer(array(chunkCols: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"),
         col("cc.cval").as("cval"))
     val chunks =
@@ -469,9 +484,11 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 13): DataFrame = {
     val c = shingleHashes(corpus, idCol, textCol, n)
-      .select(col("id"), explode(col("shash")).as("h"))
+      .select(col("id"), explode_outer(col("shash")).as("h"))
+      .filter(col("h").isNotNull) // see shingles: outer+filter defense
     val b = shingleHashes(benchmark, idCol, textCol, n)
-      .select(explode(col("shash")).as("h")).distinct()
+      .select(explode_outer(col("shash")).as("h"))
+      .filter(col("h").isNotNull).distinct()
     val hits = c.join(broadcast(b), "h")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left")
@@ -496,12 +513,14 @@ object Dedup {
                          idCol: String, textCol: String, n: Int = 13,
                          fpp: Double = 0.01): DataFrame = {
     val b = shingleHashes(benchmark, idCol, textCol, n)
-      .select(explode(col("shash")).as("h")).distinct()
+      .select(explode_outer(col("shash")).as("h"))
+      .filter(col("h").isNotNull).distinct() // see shingles
       .transform(graft.Materialize.eager)
     val bloom = b.stat.bloomFilter("h", math.max(b.count(), 1L), fpp)
     val cand = shingleHashes(corpus, idCol, textCol, n)
-      .select(col("id"), explode(col("shash")).as("h"))
-      .filter(BloomFunctions.mightContainLong(col("h"), bloom))
+      .select(col("id"), explode_outer(col("shash")).as("h"))
+      .filter(col("h").isNotNull &&
+        BloomFunctions.mightContainLong(col("h"), bloom))
     val hits = cand.join(b, "h")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left")

@@ -55,7 +55,11 @@ object TextAnalysis {
     * at a new corpus (tokenizer coverage, boilerplate detection).
     */
   def vocabTopK(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("word"))
+    // _outer + output filter: keeps the inferred generate-filter from
+    // re-running split() on sessions without GraftSession's rule
+    // exclusion (see Dedup.shingles); length(null) is null, so the
+    // existing >0 filter already absorbs outer's null-text row
+    df.select(explode_outer(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc)
@@ -131,8 +135,8 @@ object TextAnalysis {
                     k: Int = 5): DataFrame = {
     val n = df.count().toDouble
     val tf = df.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
+        explode_outer(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0) // absorbs outer's null row too
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "word")
@@ -216,7 +220,8 @@ object TextAnalysis {
         .cast("int"), lit(1))
     df.select(col(idCol), col(textCol).as("_t"), n.as("_n"))
       .select(col(idCol), col("_t"),
-        explode(sequence(lit(0), col("_n") - 1)).as("chunk_id"))
+        explode_outer(sequence(lit(0), col("_n") - 1)).as("chunk_id"))
+      .filter(col("chunk_id").isNotNull) // see Dedup.shingles
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         (col("chunk_id") * stride + 1).cast("long").as("chunk_start"),
         col("_t").substr((col("chunk_id") * stride + 1).cast("int"), lit(size))
@@ -317,9 +322,10 @@ object TextAnalysis {
     val nseg = greatest(
       ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
     df.select(col(idCol),
-      posexplode(transform(sequence(lit(0), nseg - 1),
+      posexplode_outer(transform(sequence(lit(0), nseg - 1),
         i => array_join(slice(words, i * segWords + 1, lit(segWords)), " ")))
         .as(Seq("seg_idx", "seg")))
+      .filter(col("seg").isNotNull) // see Dedup.shingles
   }
 
   /** Reassemble documents keeping only segments NOT in `hot`

@@ -200,4 +200,46 @@ class PlanSpec extends SparkSpec {
     assert(ngrams.queryExecution.executedPlan.toString.contains("*(1)"),
       "word-ngram kernels fell out of codegen")
   }
+
+  test("no inferred generate-filter re-runs a computed array, even without the rule exclusion") {
+    // GraftSession excludes InferFiltersFromGenerate, but library
+    // users bring their own sessions: every operator that explodes a
+    // same-stage computed array must use the _outer + output-filter
+    // shape, so that on a VANILLA session no Filter in the optimized
+    // plan embeds a higher-order fold (the 3×-recompute pathology the
+    // r11 probe measured at 2.3 s vs 0.08 s on quantize).
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.functions._
+    val vanilla = spark.newSession()
+    vanilla.conf.set("spark.sql.optimizer.excludedRules", "")
+    val docs = vanilla.read.parquet(s"$sf/documents.parquet")
+    val embs = vanilla.read.parquet(s"$sf/embeddings.parquet")
+    val plans = Map(
+      "shingles" -> graft.operators.Dedup
+        .shingles(docs, "doc_id", "text", 5),
+      "decontaminate" -> graft.operators.Dedup
+        .decontaminate(docs, docs.limit(10), "doc_id", "text"),
+      "segment_dedup" -> graft.operators.TextAnalysis
+        .segmentDedup(docs, "doc_id", "text"),
+      "vocab" -> graft.operators.TextAnalysis.vocabTopK(docs, "text"),
+      "tfidf" -> graft.operators.TextAnalysis
+        .tfidfTopTerms(docs, "doc_id", "text"),
+      "chunk" -> graft.operators.TextAnalysis.chunk(docs, "doc_id", "text"),
+      "quantize_exploded" -> graft.operators.Similarity
+        .quantizeEmbeddings(embs, "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode_outer(col("qvec")).as(Seq("component", "qval"))),
+      "frames" -> graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.assetsFromDocuments(docs)))
+    plans.foreach { case (name, df) =>
+      val offending = df.queryExecution.optimizedPlan.collect {
+        case f: LFilter
+            if f.condition.exists(_.isInstanceOf[HigherOrderFunction]) => f
+      }
+      assert(offending.isEmpty,
+        s"$name: a Filter re-runs a higher-order fold on a vanilla " +
+          s"session:\n${offending.headOption.getOrElse("")}")
+    }
+  }
 }
