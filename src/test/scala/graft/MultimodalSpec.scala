@@ -140,4 +140,38 @@ class MultimodalSpec extends SparkSpec {
     // unknown rate (<=0) is passthrough, not a division crash
     assert(!rows(2L).getBoolean(5) && rows(2L).getLong(6) == 0L)
   }
+
+  test("resize and resample plans run unchanged on a binary-asset file stream") {
+    // the multimodal gold hop: both planners are stateless codegen'd
+    // projections, so the SAME transform runs on a readStream of
+    // binary-payload files with no watermark or state — streamed
+    // output must equal the batch plan over the union of the files
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mm_stream").toString
+    val halves = Seq(assets.filter(col("asset_id") % 2 === 0),
+      assets.filter(col("asset_id") % 2 === 1))
+    halves.zipWithIndex.foreach { case (h, i) =>
+      h.coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i.parquet")
+    }
+    val stream = spark.readStream.schema(assets.schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    def run(name: String, planned: org.apache.spark.sql.DataFrame): Unit = {
+      val q = planned.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val tag = System.nanoTime()
+    run(s"mm_resize_$tag", Multimodal.resizePlan(stream, 256, 256))
+    run(s"mm_resample_$tag", Multimodal.resamplePlan(stream, 8000))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rowsOf(spark.table(s"mm_resize_$tag")) ==
+      rowsOf(Multimodal.resizePlan(assets, 256, 256)),
+      "streamed resize plan must equal the batch plan")
+    assert(rowsOf(spark.table(s"mm_resample_$tag")) ==
+      rowsOf(Multimodal.resamplePlan(assets, 8000)),
+      "streamed resample plan must equal the batch plan")
+  }
 }
