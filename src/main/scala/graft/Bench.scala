@@ -60,6 +60,12 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // a typo'd name must fail loudly, not produce a silently empty
+    // artifact indistinguishable from a healthy full run
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names not in the entry map: " +
+        unknown.toSeq.sorted.mkString(", "))
 
     val metrics = new BenchMetricsListener
     spark.sparkContext.addSparkListener(metrics)

@@ -37,7 +37,14 @@ object Tables {
         case TimestampNTZType =>
           // Session TZ is UTC (GraftSession), so NTZ→TZ is value-preserving.
           df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
+        case TimestampType => df
+        case other =>
+          // fail HERE, not downstream: a fourth encoding must surface
+          // as one clear error at load, not as a confusing analysis
+          // failure in whichever events query runs first
+          throw new IllegalStateException(
+            s"events.ts arrived as unsupported type $other — teach " +
+              "Tables.load (and TablesSpec) the new encoding")
       }
     } else spark.read.parquet(path)
   }

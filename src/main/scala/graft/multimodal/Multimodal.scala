@@ -169,7 +169,10 @@ object Multimodal {
           .otherwise(lit(0L)).as("n_samples_in"),
         when(isAudio, least(col("sample_rate"), lit(targetRate)))
           .otherwise(col("sample_rate")).cast("int").as("target_rate"))
-      .withColumn("resampled", col("target_rate") =!= col("sample_rate"))
+      // coalesce: a NULL sample_rate must read as passthrough-false,
+      // not a NULL that both decode-stage filter branches drop
+      .withColumn("resampled",
+        coalesce(col("target_rate") =!= col("sample_rate"), lit(false)))
       .withColumn("est_samples_out",
         when(col("sample_rate") > 0,
           expr("n_samples_in * cast(target_rate as bigint) div sample_rate"))

@@ -30,9 +30,10 @@ object Dedup {
     // pushdown inline the whole array expression into a size/isnotnull
     // filter — 3× the kernel per row on sessions without
     // GraftSession's rule exclusion. The filter on the GENERATOR
-    // OUTPUT column reproduces inner-explode semantics exactly (only
-    // a null source array emits a null element) and cannot be pushed
-    // below the Generate.
+    // OUTPUT column cannot be pushed below the Generate. Semantics
+    // note: the only rows this shape drops that inner explode kept
+    // are NULL elements — here a null-text document's [null] shingle
+    // row, which no downstream equi-join or count ever matched.
     df.select(col(idCol).as("id"),
       explode_outer(array_distinct(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),

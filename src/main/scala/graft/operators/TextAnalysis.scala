@@ -316,9 +316,14 @@ object TextAnalysis {
     * identically or the incremental state diverges from the batch
     * truth).
     */
-  private def segmentRows(df: DataFrame, idCol: String, textCol: String,
-                          segWords: Int): DataFrame = {
-    val words = split(col(textCol), " ")
+  private[graft] def segmentRows(df: DataFrame, idCol: String,
+                                 textCol: String, segWords: Int): DataFrame = {
+    // coalesce: a null-text document segments like the empty string
+    // (one "" segment), so it KEEPS its output row — with a bare
+    // null text the outer+filter shape below would drop the document
+    // from segmentDedup entirely, where the pre-r11 inner explode
+    // emitted its (id, "", 1, 0) row
+    val words = split(coalesce(col(textCol), lit("")), " ")
     val nseg = greatest(
       ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
     df.select(col(idCol),
@@ -362,21 +367,28 @@ object TextAnalysis {
     * and merges its new ones.
     *
     * Per batch the corpus text is never re-scanned — only the batch
-    * is segmented; the state table answers "which existing documents
-    * does this batch's hot-set change affect". Affected = the batch's
-    * own docs ∪ docs holding a segment whose hot status FLIPPED
-    * (crossed `minDocs` in either direction — a later near-identical
-    * crawl can make an old segment boilerplate, and an update can
-    * retract enough copies to un-hot one). Every other document's
-    * segments kept their status, so its stored clean_text is already
-    * the batch answer — the invariant the StreamingSpec case proves
-    * across ≥3 micro-batches.
+    * is segmented. Which OLD documents need re-cleaning is decided by
+    * a per-doc HOT SIGNATURE: gold stores, with each cleaned row, the
+    * order-independent hash-sum of the segments that were hot when it
+    * was cleaned (`_hot_sig`); each batch recomputes every doc's
+    * signature implied by the CURRENT state (one state⋈hot join) and
+    * re-cleans exactly the docs whose stored signature disagrees,
+    * plus the batch itself. Crucially this is a pure function of
+    * current state + current gold — no before/after flip diff — so a
+    * crash or at-least-once redelivery between the state merge and
+    * the gold merge self-heals on the next call (a transient flip
+    * signal would be LOST on replay: after the crashed attempt's
+    * state merge, old and new hot sets agree and the stale gold rows
+    * would never be revisited). Signature collisions are sum-of-
+    * xxhash64 64-bit — negligible next to the operator's semantics.
     *
     * `batchOrd` must rise across micro-batches (foreachBatch's
     * batchId): it is the merge order guard, so a replayed old batch
     * can never regress gold. Gold rows: (id, text, _ord, clean_text,
-    * kept_segments, removed_segments) — original text rides along so
-    * re-cleaning never needs the source stream again.
+    * kept_segments, removed_segments, _hot_sig) — original text rides
+    * along so re-cleaning never needs the source stream again. A
+    * pre-signature gold table reads null signatures and simply
+    * re-cleans every doc once (additive schema evolution).
     */
   def segmentDedupIncremental(spark: SparkSession, batch: DataFrame,
                               idCol: String, textCol: String,
@@ -387,68 +399,64 @@ object TextAnalysis {
                                 graft.pipeline.SnapshotTableFormat): Unit = {
     require(segWords >= 1, "segWords must be positive")
     require(minDocs >= 2, "minDocs below 2 would delete every segment")
-    import graft.pipeline.MergeTable
-    def hotOf(state: DataFrame): DataFrame = state.groupBy("seg")
-      .agg(countDistinct(col(idCol)).as("_docs"))
-      .filter(col("_docs") >= minDocs)
-      .select(col("seg"))
-    val emptyHot = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("seg",
-          org.apache.spark.sql.types.StringType))))
-
-    // hot set BEFORE the batch; collected now because the state table
-    // is rewritten below (hot sets are boilerplate-sized — the same
-    // broadcastability argument as the batch operator)
-    val hadState = fmt.exists(statePath)
-    val oldHot =
-      if (hadState) hotOf(fmt.read(spark, statePath)) else emptyHot
-    val oldHotRows = oldHot.collect().map(_.getString(0)).toSet
-
     // replace the batch docs' pairs: delete-then-merge makes updates
     // retract their old segments and replays converge to the same state
     val batchDocs = graft.Materialize.eager(
       batch.select(col(idCol), col(textCol)))
-    if (hadState)
+    val batchEmpty = batchDocs.isEmpty
+    if (fmt.exists(statePath) && !batchEmpty)
       fmt.deleteKeys(spark, statePath,
         batchDocs.select(col(idCol)).distinct(), Seq(idCol))
-    val pairs = segmentRows(batchDocs, idCol, textCol, segWords)
-      .select(col(idCol), col("seg")).distinct()
-      .withColumn("_ord", lit(batchOrd))
-    fmt.scd1Merge(spark, statePath, pairs, Seq("seg", idCol), "_ord",
-      compareExclude = Nil)
+    if (!batchEmpty)
+      fmt.scd1Merge(spark, statePath,
+        segmentRows(batchDocs, idCol, textCol, segWords)
+          .select(col(idCol), col("seg")).distinct()
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("seg", idCol), "_ord", compareExclude = Nil)
+    if (!fmt.exists(statePath)) return // empty first batch: nothing anywhere
 
+    // hot set from the CURRENT state, collected once (boilerplate-
+    // sized by construction — the batch operator's broadcast argument)
     val state = fmt.read(spark, statePath)
-    val newHot = hotOf(state)
-    val newHotRows = newHot.collect().map(_.getString(0)).toSet
-    val flipped = (oldHotRows diff newHotRows) ++ (newHotRows diff oldHotRows)
+    val hotRows = state.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("seg")).collect().map(_.getString(0)).toSeq.sorted
+    val hot = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        hotRows.map(s => org.apache.spark.sql.Row(s): org.apache.spark.sql.Row)
+          .asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType))))
 
-    // documents to (re)clean: the batch itself, plus gold docs whose
-    // segments' hot status flipped (their stored text rides in gold)
-    val toClean =
-      if (flipped.nonEmpty && fmt.exists(goldPath)) {
-        val flippedDf = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            flipped.toSeq.sorted
-              .map(s => org.apache.spark.sql.Row(s): org.apache.spark.sql.Row)
-              .asJava),
-          emptyHot.schema)
-        val affectedIds = state.join(broadcast(flippedDf), Seq("seg"))
-          .select(col(idCol)).distinct()
-          .join(batchDocs.select(col(idCol)), Seq(idCol), "left_anti")
-        fmt.read(spark, goldPath)
-          .join(affectedIds, Seq(idCol), "left_semi")
+    // per-doc signature implied by current state (absent row = no hot
+    // segments = 0); materialized because it feeds both the staleness
+    // probe and the cleaned rows
+    val sigNow = graft.Materialize.eager(
+      state.join(broadcast(hot), Seq("seg"))
+        .groupBy(col(idCol))
+        .agg(sum(xxhash64(col("seg"))).as("_sig_now")))
+
+    val toClean = graft.Materialize.eager(
+      if (fmt.exists(goldPath)) {
+        val stale = fmt.read(spark, goldPath)
+          .join(sigNow, Seq(idCol), "left_outer")
+          .filter(!(col("_hot_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col(idCol), col(textCol))
-          .unionByName(batchDocs)
-      } else batchDocs
+          .join(batchDocs.select(col(idCol)), Seq(idCol), "left_anti")
+        stale.unionByName(batchDocs)
+      } else batchDocs)
     val cleaned = cleanAgainstHot(
-        segmentRows(toClean, idCol, textCol, segWords), newHot, idCol)
+        segmentRows(toClean, idCol, textCol, segWords), hot, idCol)
       .join(toClean, Seq(idCol))
+      .join(sigNow, Seq(idCol), "left_outer")
       .select(col(idCol), col(textCol), lit(batchOrd).as("_ord"),
-        col("clean_text"), col("kept_segments"), col("removed_segments"))
-    fmt.scd1Merge(spark, goldPath, cleaned, Seq(idCol), "_ord",
-      compareExclude = Nil)
+        col("clean_text"), col("kept_segments"), col("removed_segments"),
+        coalesce(col("_sig_now"), lit(0L)).as("_hot_sig"))
+    if (!cleaned.isEmpty)
+      fmt.scd1Merge(spark, goldPath, cleaned, Seq(idCol), "_ord",
+        compareExclude = Nil)
     ()
   }
 }

@@ -139,6 +139,15 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L).getLong(6) == 3L, "passthrough keeps every sample")
     // unknown rate (<=0) is passthrough, not a division crash
     assert(!rows(2L).getBoolean(5) && rows(2L).getLong(6) == 0L)
+    // NULL rate is passthrough-FALSE, not a null that both decode
+    // filter branches would drop
+    val nullRate = Multimodal.resamplePlan(
+      slow.withColumn("sample_rate",
+        when(col("asset_id") === 2L, lit(null).cast("int"))
+          .otherwise(col("sample_rate"))),
+      targetRate = 16000).filter(col("asset_id") === 2L).head
+    assert(!nullRate.getBoolean(5) && nullRate.getLong(6) == 0L,
+      s"null-rate asset must read resampled=false: $nullRate")
   }
 
   test("resize and resample plans run unchanged on a binary-asset file stream") {

@@ -1255,5 +1255,33 @@ class StreamingSpec extends SparkSpec {
     // caught up: nothing to process, nothing changes
     assert(fold().isEmpty, "caught-up consumer must re-process nothing")
     checkGoldEqualsBatch("after no-op fold")
+
+    // CRASH REPLAY: batch 4 re-hots the segment (doc 6 repeats segA
+    // -> count back to 2). Simulate a consumer that merged the STATE
+    // but crashed before the GOLD merge, exactly between the
+    // operator's two writes: apply batch 4's state update by hand,
+    // leave gold stale. The checkpoint never advanced, so the stream
+    // redelivers batch 4 — and because staleness is detected from
+    // the stored per-doc hot signature against CURRENT state (not a
+    // transient before/after flip diff, which this replay would
+    // lose), the redelivery must still re-clean untouched doc 1.
+    val b4 = Seq((6L, s"$segA fifteen sixteen", 3))
+      .toDF("doc_id", "text", "ord")
+    fmt.scd1Merge(spark, silver, b4, Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    val sfmt = graft.pipeline.SnapshotTableFormat // state/gold default
+    sfmt.deleteKeys(spark, state,
+      b4.select("doc_id"), Seq("doc_id"))
+    sfmt.scd1Merge(spark, state,
+      graft.operators.TextAnalysis
+        .segmentRows(b4, "doc_id", "text", segWords)
+        .select(col("doc_id"), col("seg")).distinct()
+        .withColumn("_ord", lit(3L)),
+      Seq("seg", "doc_id"), "_ord", compareExclude = Nil)
+    assert(fold().nonEmpty, "the crashed batch must be redelivered")
+    checkGoldEqualsBatch("after crash-replay of batch 4")
+    assert(MergeTable.read(spark, gold).filter(col("doc_id") === 1L)
+        .head.getAs[String]("clean_text") == "one two",
+      "replay must still re-clean the untouched old doc")
   }
 }
