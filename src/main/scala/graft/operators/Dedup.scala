@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,6 +188,143 @@ object Dedup {
     jaccardPairStats(df, idCol, docsH, cand, threshold)
   }
 
+  /** Incremental [[minhashLshStats]] for the medallion gold hop — the
+    * near-dup sibling of
+    * [[TextAnalysis.segmentDedupIncremental]]: fold one micro-batch
+    * of (possibly updated) documents into persistent MinHash state
+    * and a gold stats table that always equals the batch operator's
+    * recompute over every document seen so far (same n / numPerm /
+    * bands / threshold / maxBucket / minBands across calls — the
+    * state encodes them implicitly).
+    *
+    * State (under `stateDir`): `docs` = (id, shash) — the exact-
+    * verify hash arrays, so re-verification never re-reads text; and
+    * `bands` = (id, chash, band, bhash) LSH bucket rows, `chash` =
+    * content fingerprint of the doc's hash array. Both are keyed
+    * merge tables maintained delete-then-merge per batch (updates
+    * retract their old rows; replays converge — the pair-state
+    * argument of the segment-dedup sibling).
+    *
+    * Staleness is again a SIGNATURE comparison against CURRENT state,
+    * never a before/after diff (which an at-least-once redelivery
+    * would lose): per qualifying bucket (2 ≤ size ≤ maxBucket) an
+    * order-independent member hash-XOR over xxhash64(id, chash); per
+    * doc the sum over its buckets, stored in gold as `_bucket_sig`.
+    * Including `chash` is what makes UPDATES sound: a near-identical
+    * rewrite can keep a band's bhash stable — membership unchanged —
+    * while changing the exact Jaccard against every mate, and the
+    * content hash is what propagates that invalidation to them.
+    *
+    * Per batch only the batch is shingled; stale docs re-verify
+    * against their bucket mates straight from state. The per-batch
+    * O(|bands state|) signature aggregation (two shuffles on narrow
+    * columns, ~`bands` rows per doc) is the price of exact
+    * update/retraction semantics; an append-only corpus could skip
+    * it and re-verify only buckets the batch touched.
+    *
+    * Gold rows: (id, n_candidates, n_near, max_jaccard, _ord,
+    * _bucket_sig) — identical stats columns to the batch operator.
+    */
+  def minhashLshStatsIncremental(spark: SparkSession, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 stateDir: String, goldPath: String,
+                                 batchOrd: Long,
+                                 n: Int = 5, numPerm: Int = 64,
+                                 bands: Int = 16, threshold: Double = 0.1,
+                                 maxBucket: Int = 10000, minBands: Int = 1,
+                                 fmt: graft.pipeline.TableFormat =
+                                   graft.pipeline.SnapshotTableFormat): Unit = {
+    require(numPerm % bands == 0, "numPerm must divide evenly into bands")
+    val docsPath = s"$stateDir/docs"
+    val bandsPath = s"$stateDir/bands"
+    val batchDocs = graft.Materialize.eager(
+      batch.select(col(idCol).as("id"), col(textCol).as("text")))
+    val batchEmpty = batchDocs.isEmpty
+    if (!batchEmpty) {
+      val batchH = graft.Materialize.eager(
+        shingleHashes(batchDocs, "id", "text", n))
+      val ids = batchDocs.select(col("id")).distinct()
+      if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, ids, Seq("id"))
+      fmt.scd1Merge(spark, docsPath,
+        batchH.withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      if (fmt.exists(bandsPath)) fmt.deleteKeys(spark, bandsPath, ids, Seq("id"))
+      fmt.scd1Merge(spark, bandsPath,
+        bandRowsFromHashes(batchH, numPerm, bands, withChash = true)
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
+    }
+    if (!fmt.exists(docsPath)) return // empty first batch
+
+    val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
+    val stateBands = fmt.read(spark, bandsPath)
+      .select(col("id"), col("chash"), col("band"), col("bhash"))
+
+    // qualifying buckets + their member signatures, one narrow agg
+    // bit_xor, not sum: order-independent AND overflow-free under
+    // ANSI (a sum of two xxhash64 values can already overflow long).
+    // band+bhash fold INTO the member hash: identical documents
+    // collide in every band, giving a doc several buckets with
+    // identical member sets — XOR of an even number of identical
+    // bucket signatures is 0 before AND after a change (measured: the
+    // first spec run missed exactly that staleness). With the bucket
+    // key inside the hash every bucket's signature is structurally
+    // distinct and cancellation is back to 64-bit-collision odds.
+    val buckets = stateBands.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("_sz"),
+        expr("bit_xor(xxhash64(band, bhash, id, chash))").as("_bsig"))
+      .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket)
+    val sigNow = graft.Materialize.eager(
+      stateBands.join(buckets, Seq("band", "bhash"))
+        .groupBy(col("id"))
+        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+          .as("_sig_now")))
+
+    // re-verify set = the batch ∪ gold docs whose stored signature
+    // disagrees with current state (pure function of state + gold ⇒
+    // crash between the state and gold merges self-heals on replay)
+    val affected = graft.Materialize.eager(
+      if (fmt.exists(goldPath)) {
+        fmt.read(spark, goldPath)
+          .join(sigNow, Seq("id"), "left_outer")
+          .filter(!(col("_bucket_sig") <=> coalesce(col("_sig_now"), lit(0L))))
+          .select(col("id"))
+          .unionByName(batchDocs.select(col("id"))).distinct()
+      } else batchDocs.select(col("id")).distinct())
+
+    // candidate mates of affected docs from qualifying buckets only;
+    // directed (affected, mate) pairs so each affected doc's stats
+    // count every distinct partner once — the batch mirror semantics
+    val qb = buckets.filter(col("_q")).select(col("band"), col("bhash"))
+    val aSide = stateBands.join(affected, Seq("id"), "left_semi")
+      .join(qb, Seq("band", "bhash"), "left_semi")
+      .select(col("band"), col("bhash"), col("id").as("ida"))
+    val mSide = stateBands.join(qb, Seq("band", "bhash"), "left_semi")
+      .select(col("band"), col("bhash"), col("id").as("idb"))
+    val pairs = aSide.join(mSide, Seq("band", "bhash"))
+      .filter(col("ida") =!= col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("_nh"))
+      .filter(col("_nh") >= minBands)
+      .select(col("ida"), col("idb"))
+    val jac = graft.Materialize.eager(pairJaccard(stateDocs, pairs))
+    val per = jac.groupBy(col("ida")).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_near"),
+      max(col("jaccard")).as("max_jaccard"))
+    val statsRows = affected
+      .join(per, col("id") === col("ida"), "left_outer")
+      .join(sigNow, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_jaccard"), lit(batchOrd).as("_ord"),
+        coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
+    if (!statsRows.isEmpty)
+      fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+        compareExclude = Nil)
+    ()
+  }
+
   /** MinHash band buckets -> (per-doc hash arrays, candidate pairs).
     * `maxBucket` caps degenerate bucket sizes and `minBands` drops
     * pairs colliding in fewer bands (see bucketPairs).
@@ -209,23 +346,39 @@ object Dedup {
   private def minhashBandRows(df: DataFrame, idCol: String, textCol: String,
                               n: Int, numPerm: Int, bands: Int)
       : (DataFrame, DataFrame) = {
+    val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
+    (docsH, bandRowsFromHashes(docsH, numPerm, bands))
+  }
+
+  /** (id[, chash], band, bhash) LSH band rows from an (id, shash)
+    * frame. `withChash` adds xxhash64 of the full hash array — the
+    * content fingerprint the incremental path stores with each band
+    * row so a document UPDATE invalidates every bucket that contains
+    * it (a near-identical update can keep a band's bhash stable
+    * while changing the exact Jaccard against every mate).
+    */
+  private def bandRowsFromHashes(docsH: DataFrame, numPerm: Int, bands: Int,
+                                 withChash: Boolean = false): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val r = numPerm / bands
-    val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
     val sig = HashFunctions.minhashSignature(col("shash"), numPerm)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("_sig"), b * r + 1, r)).as("bhash"))
     }
-    val bandRows = docsH
-      .select(col("id"), sig.as("_sig"))
-      // _outer: a 16-element CreateArray is never null/empty, so
+    val keep = if (withChash) Seq(col("id"), col("chash")) else Seq(col("id"))
+    val base =
+      if (withChash)
+        docsH.select(col("id"), xxhash64(col("shash")).as("chash"), sig.as("_sig"))
+      else docsH.select(col("id"), sig.as("_sig"))
+    base
+      // _outer: a bands-element CreateArray is never null/empty, so
       // inner and outer are row-identical — but inner would invite an
       // inferred filter that re-derives the signature per conjunct on
       // sessions without the rule exclusion (see shingles)
-      .select(col("id"), explode_outer(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    (docsH, bandRows)
+      .select(keep :+ explode_outer(array(bandStructs: _*)).as("bb"): _*)
+      .select(keep ++ Seq(col("bb.band").as("band"),
+        col("bb.bhash").as("bhash")): _*)
   }
 
   /** Cross-corpus near-dup: flag corpus documents near-duplicating

@@ -369,7 +369,7 @@ object TextAnalysis {
     * Per batch the corpus text is never re-scanned — only the batch
     * is segmented. Which OLD documents need re-cleaning is decided by
     * a per-doc HOT SIGNATURE: gold stores, with each cleaned row, the
-    * order-independent hash-sum of the segments that were hot when it
+    * order-independent hash-XOR of the segments that were hot when it
     * was cleaned (`_hot_sig`); each batch recomputes every doc's
     * signature implied by the CURRENT state (one state⋈hot join) and
     * re-cleans exactly the docs whose stored signature disagrees,
@@ -379,7 +379,7 @@ object TextAnalysis {
     * the gold merge self-heals on the next call (a transient flip
     * signal would be LOST on replay: after the crashed attempt's
     * state merge, old and new hot sets agree and the stale gold rows
-    * would never be revisited). Signature collisions are sum-of-
+    * would never be revisited). Signature collisions are XOR-of-
     * xxhash64 64-bit — negligible next to the operator's semantics.
     *
     * `batchOrd` must rise across micro-batches (foreachBatch's
@@ -433,10 +433,14 @@ object TextAnalysis {
     // per-doc signature implied by current state (absent row = no hot
     // segments = 0); materialized because it feeds both the staleness
     // probe and the cleaned rows
+    // bit_xor, not sum: order-independent AND overflow-free under
+    // ANSI (two xxhash64 values can already overflow a long sum);
+    // a doc's hot segments are distinct, so cancellation needs a
+    // 64-bit collision
     val sigNow = graft.Materialize.eager(
       state.join(broadcast(hot), Seq("seg"))
         .groupBy(col(idCol))
-        .agg(sum(xxhash64(col("seg"))).as("_sig_now")))
+        .agg(bit_xor(xxhash64(col("seg"))).as("_sig_now")))
 
     val toClean = graft.Materialize.eager(
       if (fmt.exists(goldPath)) {

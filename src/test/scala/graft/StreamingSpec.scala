@@ -1284,4 +1284,123 @@ class StreamingSpec extends SparkSpec {
         .head.getAs[String]("clean_text") == "one two",
       "replay must still re-clean the untouched old doc")
   }
+
+  test("incremental minhash stats: streamed gold equals batch recompute, updates retract, crashes replay") {
+    // near-dup sibling of the segment-dedup case: per-doc MinHash
+    // stats maintained across micro-batches must equal
+    // Dedup.minhashLshStats over silver-current after every fold —
+    // including untouched OLD docs whose stats change because a new
+    // near-duplicate arrived, an UPDATE retracting a partnership, and
+    // a crash between the state and gold merges.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_mh_silver").toString
+    val stateDir = Files.createTempDirectory("graft_mh_state").toString
+    val gold = Files.createTempDirectory("graft_mh_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_mh_ck").toString
+    val P = (3, 16, 4, 0.5, 10) // n, numPerm, bands, threshold, maxBucket
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        Dedup.minhashLshStatsIncremental(spark,
+          chg.select("doc_id", "text"), "doc_id", "text",
+          stateDir, gold, batchOrd = v.toLong,
+          n = P._1, numPerm = P._2, bands = P._3,
+          threshold = P._4, maxBucket = P._5)
+      }
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("max_jaccard"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = stats(Dedup.minhashLshStats(
+        fmt.read(spark, silver).select("doc_id", "text"), "doc_id", "text",
+        n = P._1, numPerm = P._2, bands = P._3,
+        threshold = P._4, maxBucket = P._5), "doc_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 1: docs 1,2 identical near-dups; doc 3 unrelated
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, dupText, 0), (2L, dupText, 0),
+        (3L, "one two three four five six seven", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 1")
+
+    // batch 2: doc 4 joins the duplicate family — OLD docs 1,2 must
+    // gain a partner without being in the batch
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, dupText, 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 2 (old docs gain a partner)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_near") == 2L,
+      "doc 1 must see both duplicates")
+
+    // batch 3: doc 2's UPDATE leaves the family — docs 1,4 must lose
+    // the partnership (content-hash retraction), doc 2 resets
+    fmt.scd1Merge(spark, silver,
+      Seq((2L, "totally different words now here instead", 2))
+        .toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 3 (update retracts a partnership)")
+
+    // CRASH REPLAY: batch 4 duplicates doc 3. Run the operator so
+    // state AND gold advance, then restore gold from a pre-batch
+    // snapshot — the on-disk aftermath of a consumer that merged
+    // state but crashed before the gold merge. The checkpoint never
+    // advanced, so fold() redelivers batch 4; the signature check
+    // against CURRENT state must still flag doc 3 stale.
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val goldBackup = Files.createTempDirectory("graft_mh_gbak").toString + "/t"
+    copyDir(gold, goldBackup)
+    val b4 = Seq((5L, "one two three four five six seven", 3))
+      .toDF("doc_id", "text", "ord")
+    fmt.scd1Merge(spark, silver, b4, Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    Dedup.minhashLshStatsIncremental(spark, b4.select("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 3L,
+      n = P._1, numPerm = P._2, bands = P._3,
+      threshold = P._4, maxBucket = P._5)
+    deleteDir(gold); copyDir(goldBackup, gold) // gold rolled back, state kept
+    assert(fold().nonEmpty, "the crashed batch must be redelivered")
+    checkGoldEqualsBatch("after crash-replay of batch 4")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L)
+        .head.getAs[Long]("n_near") == 1L,
+      "replay must still re-verify the untouched old doc 3")
+
+    assert(fold().isEmpty, "caught-up consumer must re-process nothing")
+    checkGoldEqualsBatch("after no-op fold")
+  }
 }
