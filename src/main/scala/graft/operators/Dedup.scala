@@ -62,6 +62,77 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental [[exact]] for the medallion gold hop — the third
+    * member of the incremental-dedup family next to
+    * [[minhashLshStatsIncremental]] and
+    * [[TextAnalysis.segmentDedupIncremental]], and the simplest
+    * instance of the shared design: keyed pair STATE + per-group XOR
+    * signature staleness against CURRENT state, so crashes between
+    * the state and gold merges and at-least-once redelivery
+    * self-heal (a before/after group diff would lose the signal).
+    *
+    * State = (text_hash, id) pairs of all current documents,
+    * delete-then-merge per batch (an UPDATE moves its doc between
+    * hash groups; replays converge). Gold = one row per hash group —
+    * (text_hash, keep_doc_id, n_copies), the batch operator's exact
+    * output — plus `_grp_sig`, the XOR of the group's member hashes
+    * at write time. Per batch the re-aggregated groups are the
+    * batch's own hashes plus gold rows whose stored signature
+    * disagrees with current state; a group whose last member moved
+    * away yields no current row and is DELETED from gold.
+    */
+  def exactDedupIncremental(spark: SparkSession, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            statePath: String, goldPath: String,
+                            batchOrd: Long,
+                            fmt: graft.pipeline.TableFormat =
+                              graft.pipeline.SnapshotTableFormat): Unit = {
+    val batchH = graft.Materialize.eager(
+      batch.select(col(idCol).as("id"), md5(col(textCol)).as("text_hash")))
+    if (!batchH.isEmpty) {
+      if (fmt.exists(statePath))
+        fmt.deleteKeys(spark, statePath,
+          batchH.select(col("id")).distinct(), Seq("id"))
+      fmt.scd1Merge(spark, statePath,
+        batchH.withColumn("_ord", lit(batchOrd)),
+        Seq("text_hash", "id"), "_ord", compareExclude = Nil)
+    }
+    if (!fmt.exists(statePath)) return // empty first batch
+
+    // current per-group truth + XOR member signature (bit_xor: see
+    // minhashLshStatsIncremental — overflow-free, order-independent;
+    // members distinct within a group so no structural cancellation)
+    val grp = graft.Materialize.eager(
+      fmt.read(spark, statePath).groupBy(col("text_hash"))
+        .agg(min(col("id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"),
+          expr("bit_xor(xxhash64(id))").as("_sig_now")))
+
+    val affected = graft.Materialize.eager(
+      if (fmt.exists(goldPath)) {
+        fmt.read(spark, goldPath).select(col("text_hash"), col("_grp_sig"))
+          .join(grp.select(col("text_hash"), col("_sig_now")),
+            Seq("text_hash"), "left_outer")
+          .filter(!(col("_grp_sig") <=> col("_sig_now")))
+          .select(col("text_hash"))
+          .unionByName(batchH.select(col("text_hash"))).distinct()
+      } else batchH.select(col("text_hash")).distinct())
+
+    val rows = affected.join(grp, Seq("text_hash"), "left_outer")
+    val live = rows.filter(col("_sig_now").isNotNull)
+      .select(col("text_hash"), col("keep_doc_id"), col("n_copies"),
+        lit(batchOrd).as("_ord"), col("_sig_now").as("_grp_sig"))
+    if (!live.isEmpty)
+      fmt.scd1Merge(spark, goldPath, live, Seq("text_hash"), "_ord",
+        compareExclude = Nil)
+    // groups whose last member moved away no longer exist in state —
+    // their gold rows must go (deleting an absent key is a no-op)
+    val vanished = rows.filter(col("_sig_now").isNull).select(col("text_hash"))
+    if (fmt.exists(goldPath) && !vanished.isEmpty)
+      fmt.deleteKeys(spark, goldPath, vanished, Seq("text_hash"))
+    ()
+  }
+
   /** Verify candidate pairs against full shingle-hash sets and
     * aggregate per-document stats. Shared tail of the Jaccard-style
     * near-dup operators: candidates (ida < idb) join the per-doc hash

@@ -1403,4 +1403,78 @@ class StreamingSpec extends SparkSpec {
     assert(fold().isEmpty, "caught-up consumer must re-process nothing")
     checkGoldEqualsBatch("after no-op fold")
   }
+
+  test("incremental exact dedup: streamed gold equals batch recompute; vanished groups delete") {
+    // simplest member of the incremental-dedup family: per-hash-group
+    // gold rows (text_hash, keep_doc_id, n_copies) must equal
+    // Dedup.exact over silver-current after every fold — including a
+    // late duplicate growing an OLD group, an update moving a doc
+    // between groups (the emptied group's gold row must be DELETED),
+    // and a crash between the state and gold merges.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_ex_silver").toString
+    val state = Files.createTempDirectory("graft_ex_state").toString + "/t"
+    val gold = Files.createTempDirectory("graft_ex_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_ex_ck").toString
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        Dedup.exactDedupIncremental(spark, chg.select("doc_id", "text"),
+          "doc_id", "text", state, gold, batchOrd = v.toLong)
+      }
+    def groups(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getAs[String]("text_hash"),
+        r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies")))
+        .toSeq.sortBy(_._1)
+    def check(label: String): Unit = {
+      val truth = groups(Dedup.exact(
+        fmt.read(spark, silver).select("doc_id", "text"), "doc_id", "text"))
+      val got = groups(MergeTable.read(spark, gold))
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    // batch 1: two copies of A, one B
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, "text A", 0), (2L, "text A", 0), (3L, "text B", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty); check("after batch 1")
+
+    // batch 2: a late copy of A grows the OLD group
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, "text A", 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty); check("after batch 2 (old group grows)")
+
+    // batch 3: doc 3's update moves it into the A group — the B
+    // group empties and its gold row must disappear
+    fmt.scd1Merge(spark, silver,
+      Seq((3L, "text A", 2)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty); check("after batch 3 (group vanishes)")
+    assert(MergeTable.read(spark, gold).count() == 1,
+      "only the A group may remain")
+
+    // crash replay: batch 4 creates group C; state merges, gold rolls
+    // back; redelivery must converge (signature vs current state)
+    val b4 = Seq((5L, "text C", 3)).toDF("doc_id", "text", "ord")
+    fmt.scd1Merge(spark, silver, b4, Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    val sfmt = graft.pipeline.SnapshotTableFormat
+    sfmt.deleteKeys(spark, state, b4.select(col("doc_id").as("id")), Seq("id"))
+    sfmt.scd1Merge(spark, state,
+      b4.select(col("doc_id").as("id"),
+        org.apache.spark.sql.functions.md5(col("text")).as("text_hash"))
+        .withColumn("_ord", lit(3L)),
+      Seq("text_hash", "id"), "_ord", compareExclude = Nil)
+    assert(fold().nonEmpty, "the crashed batch must be redelivered")
+    check("after crash-replay of batch 4")
+
+    assert(fold().isEmpty, "caught-up consumer must re-process nothing")
+    check("after no-op fold")
+  }
 }
