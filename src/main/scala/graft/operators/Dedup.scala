@@ -40,6 +40,19 @@ object Dedup {
         i => col(textCol).substr(i, lit(n))))).as("shingle"))
       .filter(col("shingle").isNotNull)
 
+  /** Deterministic one-row-per-id reduction of a direct-API batch (a
+    * change feed already carries one row per key; a hand-built frame
+    * might not, and two texts for one id would land the doc in TWO
+    * state groups): keep the first row by the tie columns ascending,
+    * nulls first.
+    */
+  private[operators] def oneRowPerId(df: DataFrame, idCol: String,
+                                     tieCols: Seq[String]): DataFrame =
+    df.withColumn("_rn1", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(tieCols.map(c => col(c).asc_nulls_first): _*)))
+      .filter(col("_rn1") === 1).drop("_rn1")
+
   /** Distinct shingle HASHES per document as one `array<long>` row:
     * (id, shash), via the codegen'd ShingleHashes64 expression (byte
     * n-grams — identical to character n-grams on ASCII corpora).
@@ -80,15 +93,30 @@ object Dedup {
     * batch's own hashes plus gold rows whose stored signature
     * disagrees with current state; a group whose last member moved
     * away yields no current row and is DELETED from gold.
+    *
+    * `deletes` is the silver hard-delete feed
+    * ([[graft.streaming.MergeTableStream.deletedKeys]]): their state
+    * pairs are removed, and the signature comparison re-aggregates
+    * every group they shrank. NULL-text documents are excluded from
+    * state and gold (documented deviation from the batch operator's
+    * one null-hash group: a keyed merge table cannot hold a null
+    * key, and every downstream equi-join would drop it silently —
+    * better no row than a permanently diverging one). A batch
+    * carrying several rows for one id keeps the row with the
+    * smallest hash (deterministic; a change feed never does this).
     */
   def exactDedupIncremental(spark: SparkSession, batch: DataFrame,
                             idCol: String, textCol: String,
                             statePath: String, goldPath: String,
                             batchOrd: Long,
+                            deletes: Option[DataFrame] = None,
                             fmt: graft.pipeline.TableFormat =
                               graft.pipeline.SnapshotTableFormat): Unit = {
     val batchH = graft.Materialize.eager(
-      batch.select(col(idCol).as("id"), md5(col(textCol)).as("text_hash")))
+      oneRowPerId(batch.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), md5(col(textCol)).as("text_hash")),
+        "id", Seq("text_hash")))
+    val delIds = deletes.map(_.select(col(idCol).as("id")).distinct())
     if (!batchH.isEmpty) {
       if (fmt.exists(statePath))
         fmt.deleteKeys(spark, statePath,
@@ -96,6 +124,10 @@ object Dedup {
       fmt.scd1Merge(spark, statePath,
         batchH.withColumn("_ord", lit(batchOrd)),
         Seq("text_hash", "id"), "_ord", compareExclude = Nil)
+    }
+    delIds.foreach { d =>
+      if (fmt.exists(statePath) && !d.isEmpty)
+        fmt.deleteKeys(spark, statePath, d, Seq("id"))
     }
     if (!fmt.exists(statePath)) return // empty first batch
 
@@ -118,7 +150,8 @@ object Dedup {
           .unionByName(batchH.select(col("text_hash"))).distinct()
       } else batchH.select(col("text_hash")).distinct())
 
-    val rows = affected.join(grp, Seq("text_hash"), "left_outer")
+    val rows = graft.Materialize.eager(
+      affected.join(grp, Seq("text_hash"), "left_outer"))
     val live = rows.filter(col("_sig_now").isNotNull)
       .select(col("text_hash"), col("keep_doc_id"), col("n_copies"),
         lit(batchOrd).as("_ord"), col("_sig_now").as("_grp_sig"))
@@ -295,6 +328,8 @@ object Dedup {
     *
     * Gold rows: (id, n_candidates, n_near, max_jaccard, _ord,
     * _bucket_sig) — identical stats columns to the batch operator.
+    * `deletes` is the silver hard-delete feed: state rows removed,
+    * gold row deleted, mates re-verified via the signature change.
     */
   def minhashLshStatsIncremental(spark: SparkSession, batch: DataFrame,
                                  idCol: String, textCol: String,
@@ -303,13 +338,23 @@ object Dedup {
                                  n: Int = 5, numPerm: Int = 64,
                                  bands: Int = 16, threshold: Double = 0.1,
                                  maxBucket: Int = 10000, minBands: Int = 1,
+                                 deletes: Option[DataFrame] = None,
                                  fmt: graft.pipeline.TableFormat =
                                    graft.pipeline.SnapshotTableFormat): Unit = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val docsPath = s"$stateDir/docs"
     val bandsPath = s"$stateDir/bands"
+    // null-text docs are excluded from state/gold (same documented
+    // policy as exactDedupIncremental: their null band hashes group
+    // in an aggregation but drop from every equi-join, so they could
+    // never re-verify consistently); a hand-built batch with several
+    // rows per id keeps one deterministically
     val batchDocs = graft.Materialize.eager(
-      batch.select(col(idCol).as("id"), col(textCol).as("text")))
+      oneRowPerId(batch.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", Seq("text")))
+    val delIds = deletes.map(d => graft.Materialize.eager(
+      d.select(col(idCol).as("id")).distinct()))
     val batchEmpty = batchDocs.isEmpty
     if (!batchEmpty) {
       val batchH = graft.Materialize.eager(
@@ -324,6 +369,12 @@ object Dedup {
         bandRowsFromHashes(batchH, numPerm, bands, withChash = true)
           .withColumn("_ord", lit(batchOrd)),
         Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
+    }
+    delIds.foreach { d =>
+      if (fmt.exists(docsPath) && !d.isEmpty) {
+        fmt.deleteKeys(spark, docsPath, d, Seq("id"))
+        fmt.deleteKeys(spark, bandsPath, d, Seq("id"))
+      }
     }
     if (!fmt.exists(docsPath)) return // empty first batch
 
@@ -353,15 +404,20 @@ object Dedup {
 
     // re-verify set = the batch ∪ gold docs whose stored signature
     // disagrees with current state (pure function of state + gold ⇒
-    // crash between the state and gold merges self-heals on replay)
-    val affected = graft.Materialize.eager(
+    // crash between the state and gold merges self-heals on replay);
+    // DELETED docs are excluded — their sig mismatch would otherwise
+    // re-add them with empty stats — and their gold rows removed below
+    val affectedAll =
       if (fmt.exists(goldPath)) {
         fmt.read(spark, goldPath)
           .join(sigNow, Seq("id"), "left_outer")
           .filter(!(col("_bucket_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col("id"))
           .unionByName(batchDocs.select(col("id"))).distinct()
-      } else batchDocs.select(col("id")).distinct())
+      } else batchDocs.select(col("id")).distinct()
+    val affected = graft.Materialize.eager(
+      delIds.fold(affectedAll)(d =>
+        affectedAll.join(d, Seq("id"), "left_anti")))
 
     // candidate mates of affected docs from qualifying buckets only;
     // directed (affected, mate) pairs so each affected doc's stats
@@ -393,6 +449,10 @@ object Dedup {
     if (!statsRows.isEmpty)
       fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
         compareExclude = Nil)
+    delIds.foreach { d =>
+      if (fmt.exists(goldPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, goldPath, d, Seq("id"))
+    }
     ()
   }
 

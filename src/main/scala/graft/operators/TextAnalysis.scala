@@ -388,21 +388,30 @@ object TextAnalysis {
     * kept_segments, removed_segments, _hot_sig) — original text rides
     * along so re-cleaning never needs the source stream again. A
     * pre-signature gold table reads null signatures and simply
-    * re-cleans every doc once (additive schema evolution).
+    * re-cleans every doc once (additive schema evolution). `deletes`
+    * is the silver hard-delete feed: state pairs removed (their
+    * segments' counts drop and may un-hot — the signature change
+    * re-cleans the survivors), gold rows deleted.
     */
   def segmentDedupIncremental(spark: SparkSession, batch: DataFrame,
                               idCol: String, textCol: String,
                               statePath: String, goldPath: String,
                               batchOrd: Long,
                               segWords: Int = 5, minDocs: Int = 3,
+                              deletes: Option[DataFrame] = None,
                               fmt: graft.pipeline.TableFormat =
                                 graft.pipeline.SnapshotTableFormat): Unit = {
     require(segWords >= 1, "segWords must be positive")
     require(minDocs >= 2, "minDocs below 2 would delete every segment")
     // replace the batch docs' pairs: delete-then-merge makes updates
     // retract their old segments and replays converge to the same state
+    // several rows for one id in a hand-built batch keep one
+    // deterministically (a change feed never carries duplicates)
     val batchDocs = graft.Materialize.eager(
-      batch.select(col(idCol), col(textCol)))
+      Dedup.oneRowPerId(batch.select(col(idCol), col(textCol)),
+        idCol, Seq(textCol)))
+    val delIds = deletes.map(d => graft.Materialize.eager(
+      d.select(col(idCol)).distinct()))
     val batchEmpty = batchDocs.isEmpty
     if (fmt.exists(statePath) && !batchEmpty)
       fmt.deleteKeys(spark, statePath,
@@ -413,6 +422,10 @@ object TextAnalysis {
           .select(col(idCol), col("seg")).distinct()
           .withColumn("_ord", lit(batchOrd)),
         Seq("seg", idCol), "_ord", compareExclude = Nil)
+    delIds.foreach { d =>
+      if (fmt.exists(statePath) && !d.isEmpty)
+        fmt.deleteKeys(spark, statePath, d, Seq(idCol))
+    }
     if (!fmt.exists(statePath)) return // empty first batch: nothing anywhere
 
     // hot set from the CURRENT state, collected once (boilerplate-
@@ -442,6 +455,8 @@ object TextAnalysis {
         .groupBy(col(idCol))
         .agg(bit_xor(xxhash64(col("seg"))).as("_sig_now")))
 
+    // deleted docs are excluded from re-cleaning (their sig mismatch
+    // would re-add them from gold's stored text) and removed below
     val toClean = graft.Materialize.eager(
       if (fmt.exists(goldPath)) {
         val stale = fmt.read(spark, goldPath)
@@ -449,7 +464,9 @@ object TextAnalysis {
           .filter(!(col("_hot_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col(idCol), col(textCol))
           .join(batchDocs.select(col(idCol)), Seq(idCol), "left_anti")
-        stale.unionByName(batchDocs)
+        val staleLive = delIds.fold(stale)(d =>
+          stale.join(d, Seq(idCol), "left_anti"))
+        staleLive.unionByName(batchDocs)
       } else batchDocs)
     val cleaned = cleanAgainstHot(
         segmentRows(toClean, idCol, textCol, segWords), hot, idCol)
@@ -461,6 +478,10 @@ object TextAnalysis {
     if (!cleaned.isEmpty)
       fmt.scd1Merge(spark, goldPath, cleaned, Seq(idCol), "_ord",
         compareExclude = Nil)
+    delIds.foreach { d =>
+      if (fmt.exists(goldPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, goldPath, d, Seq(idCol))
+    }
     ()
   }
 }

@@ -1283,6 +1283,20 @@ class StreamingSpec extends SparkSpec {
     assert(MergeTable.read(spark, gold).filter(col("doc_id") === 1L)
         .head.getAs[String]("clean_text") == "one two",
       "replay must still re-clean the untouched old doc")
+
+    // hard DELETE feed: doc 6 leaves — segA's count drops below
+    // minDocs, so doc 1 must be re-cleaned back to its full text and
+    // doc 6's gold row must disappear
+    val delIds = Seq(6L).toDF("doc_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
+    TextAnalysis.segmentDedupIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", state, gold, batchOrd = 4L,
+      segWords = segWords, minDocs = minDocs, deletes = Some(delIds))
+    checkGoldEqualsBatch("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("doc_id") === 1L)
+        .head.getAs[String]("clean_text") == s"$segA one two",
+      "doc 1 must be restored once the deleted doc un-hots the segment")
   }
 
   test("incremental minhash stats: streamed gold equals batch recompute, updates retract, crashes replay") {
@@ -1402,6 +1416,20 @@ class StreamingSpec extends SparkSpec {
 
     assert(fold().isEmpty, "caught-up consumer must re-process nothing")
     checkGoldEqualsBatch("after no-op fold")
+
+    // hard DELETE feed: doc 4 leaves — doc 1 loses its remaining
+    // partner and doc 4's own gold row disappears
+    val delIds = Seq(4L).toDF("doc_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
+    Dedup.minhashLshStatsIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 4L,
+      n = P._1, numPerm = P._2, bands = P._3,
+      threshold = P._4, maxBucket = P._5, deletes = Some(delIds))
+    checkGoldEqualsBatch("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_candidates") == 0L,
+      "doc 1 must lose its deleted partner")
   }
 
   test("incremental exact dedup: streamed gold equals batch recompute; vanished groups delete") {
@@ -1476,5 +1504,27 @@ class StreamingSpec extends SparkSpec {
 
     assert(fold().isEmpty, "caught-up consumer must re-process nothing")
     check("after no-op fold")
+
+    // hard DELETE feed: dropping doc 3 shrinks the A group, dropping
+    // doc 5 empties group C entirely — its gold row must go too
+    val delIds = Seq(3L, 5L).toDF("doc_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
+    Dedup.exactDedupIncremental(spark,
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("text"))
+        .limit(0),
+      "doc_id", "text", state, gold, batchOrd = 4L,
+      deletes = Some(delIds))
+    check("after hard deletes")
+    assert(MergeTable.read(spark, gold).count() == 1,
+      "group C must vanish with its last member")
+
+    // a NULL-text doc is excluded from state and gold (documented
+    // deviation: a keyed merge table cannot hold the null-hash group)
+    Dedup.exactDedupIncremental(spark,
+      Seq((9L, null.asInstanceOf[String], 5)).toDF("doc_id", "text", "ord")
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", state, gold, batchOrd = 5L)
+    assert(MergeTable.read(spark, gold).count() == 1,
+      "a null-text doc must not add a gold group")
   }
 }
