@@ -43,15 +43,15 @@ object Dedup {
   /** Deterministic one-row-per-id reduction of a direct-API batch (a
     * change feed already carries one row per key; a hand-built frame
     * might not, and two texts for one id would land the doc in TWO
-    * state groups): keep the first row by the tie columns ascending,
-    * nulls first.
+    * state groups): keep the first row by the tie columns ascending
+    * with nulls LAST — a real-text row must win over a null row for
+    * the same id, never be shadowed by it. Thin wrapper over the CDC
+    * compaction kernel.
     */
   private[operators] def oneRowPerId(df: DataFrame, idCol: String,
                                      tieCols: Seq[String]): DataFrame =
-    df.withColumn("_rn1", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(tieCols.map(c => col(c).asc_nulls_first): _*)))
-      .filter(col("_rn1") === 1).drop("_rn1")
+    graft.cdc.Cdc.latestPerKey(df, Seq(idCol),
+      tieCols.map(c => col(c).asc_nulls_last))
 
   /** Distinct shingle HASHES per document as one `array<long>` row:
     * (id, shash), via the codegen'd ShingleHashes64 expression (byte
@@ -101,9 +101,12 @@ object Dedup {
     * state and gold (documented deviation from the batch operator's
     * one null-hash group: a keyed merge table cannot hold a null
     * key, and every downstream equi-join would drop it silently —
-    * better no row than a permanently diverging one). A batch
-    * carrying several rows for one id keeps the row with the
-    * smallest hash (deterministic; a change feed never does this).
+    * better no row than a permanently diverging one); an update TO
+    * null still RETRACTS the doc's old pair — the retraction set is
+    * every id the batch mentions, not the filtered rows. A batch
+    * carrying several rows for one id keeps the real-text row first,
+    * then the smallest hash (deterministic; a change feed never
+    * duplicates).
     */
   def exactDedupIncremental(spark: SparkSession, batch: DataFrame,
                             idCol: String, textCol: String,
@@ -112,18 +115,25 @@ object Dedup {
                             deletes: Option[DataFrame] = None,
                             fmt: graft.pipeline.TableFormat =
                               graft.pipeline.SnapshotTableFormat): Unit = {
-    val batchH = graft.Materialize.eager(
-      oneRowPerId(batch.filter(col(textCol).isNotNull)
-          .select(col(idCol).as("id"), md5(col(textCol)).as("text_hash")),
-        "id", Seq("text_hash")))
-    val delIds = deletes.map(_.select(col(idCol).as("id")).distinct())
-    if (!batchH.isEmpty) {
+    // the RETRACTION set is every id the batch mentions — an update
+    // TO null text must still delete the doc's old state pair (only
+    // the filtered rows insert anything); filtering before retraction
+    // would leave the old pair live forever with no sig change to
+    // ever flag it
+    val batchAll = graft.Materialize.eager(
+      oneRowPerId(batch.select(col(idCol).as("id"),
+        md5(col(textCol)).as("text_hash")), "id", Seq("text_hash")))
+    val batchH = batchAll.filter(col("text_hash").isNotNull)
+    val delIds = deletes.map(d => graft.Materialize.eager(
+      d.select(col(idCol).as("id")).distinct()))
+    if (!batchAll.isEmpty) {
       if (fmt.exists(statePath))
         fmt.deleteKeys(spark, statePath,
-          batchH.select(col("id")).distinct(), Seq("id"))
-      fmt.scd1Merge(spark, statePath,
-        batchH.withColumn("_ord", lit(batchOrd)),
-        Seq("text_hash", "id"), "_ord", compareExclude = Nil)
+          batchAll.select(col("id")).distinct(), Seq("id"))
+      if (!batchH.isEmpty)
+        fmt.scd1Merge(spark, statePath,
+          batchH.withColumn("_ord", lit(batchOrd)),
+          Seq("text_hash", "id"), "_ord", compareExclude = Nil)
     }
     delIds.foreach { d =>
       if (fmt.exists(statePath) && !d.isEmpty)
@@ -344,37 +354,44 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     val docsPath = s"$stateDir/docs"
     val bandsPath = s"$stateDir/bands"
-    // null-text docs are excluded from state/gold (same documented
-    // policy as exactDedupIncremental: their null band hashes group
-    // in an aggregation but drop from every equi-join, so they could
-    // never re-verify consistently); a hand-built batch with several
-    // rows per id keeps one deterministically
-    val batchDocs = graft.Materialize.eager(
-      oneRowPerId(batch.filter(col(textCol).isNotNull)
-          .select(col(idCol).as("id"), col(textCol).as("text")),
+    // null-text docs are excluded from state/gold (documented
+    // deviation from the batch operator, which reports them with
+    // empty stats: their null band hashes group in an aggregation
+    // but drop from every equi-join, so they could never re-verify
+    // consistently). An update TO null text retracts like a delete —
+    // the retraction set is every id the batch mentions, not the
+    // filtered rows, or the old content would haunt its mates
+    // forever with no signature change to flag it.
+    val batchAll = graft.Materialize.eager(
+      oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
         "id", Seq("text")))
+    val batchDocs = batchAll.filter(col("text").isNotNull)
     val delIds = deletes.map(d => graft.Materialize.eager(
       d.select(col(idCol).as("id")).distinct()))
-    val batchEmpty = batchDocs.isEmpty
-    if (!batchEmpty) {
-      val batchH = graft.Materialize.eager(
-        shingleHashes(batchDocs, "id", "text", n))
-      val ids = batchDocs.select(col("id")).distinct()
+    // ids leaving gold entirely: hard deletes + update-to-null docs
+    val drops = graft.Materialize.eager(
+      delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+        _.unionByName(batchAll.filter(col("text").isNull).select(col("id"))))
+        .distinct())
+    if (!batchAll.isEmpty) {
+      val ids = batchAll.select(col("id")).distinct()
       if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, ids, Seq("id"))
-      fmt.scd1Merge(spark, docsPath,
-        batchH.withColumn("_ord", lit(batchOrd)),
-        Seq("id"), "_ord", compareExclude = Nil)
       if (fmt.exists(bandsPath)) fmt.deleteKeys(spark, bandsPath, ids, Seq("id"))
-      fmt.scd1Merge(spark, bandsPath,
-        bandRowsFromHashes(batchH, numPerm, bands, withChash = true)
-          .withColumn("_ord", lit(batchOrd)),
-        Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
-    }
-    delIds.foreach { d =>
-      if (fmt.exists(docsPath) && !d.isEmpty) {
-        fmt.deleteKeys(spark, docsPath, d, Seq("id"))
-        fmt.deleteKeys(spark, bandsPath, d, Seq("id"))
+      if (!batchDocs.isEmpty) {
+        val batchH = graft.Materialize.eager(
+          shingleHashes(batchDocs, "id", "text", n))
+        fmt.scd1Merge(spark, docsPath,
+          batchH.withColumn("_ord", lit(batchOrd)),
+          Seq("id"), "_ord", compareExclude = Nil)
+        fmt.scd1Merge(spark, bandsPath,
+          bandRowsFromHashes(batchH, numPerm, bands, withChash = true)
+            .withColumn("_ord", lit(batchOrd)),
+          Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
       }
+    }
+    if (!drops.isEmpty) {
+      if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, drops, Seq("id"))
+      if (fmt.exists(bandsPath)) fmt.deleteKeys(spark, bandsPath, drops, Seq("id"))
     }
     if (!fmt.exists(docsPath)) return // empty first batch
 
@@ -416,8 +433,8 @@ object Dedup {
           .unionByName(batchDocs.select(col("id"))).distinct()
       } else batchDocs.select(col("id")).distinct()
     val affected = graft.Materialize.eager(
-      delIds.fold(affectedAll)(d =>
-        affectedAll.join(d, Seq("id"), "left_anti")))
+      if (drops.isEmpty) affectedAll
+      else affectedAll.join(drops, Seq("id"), "left_anti"))
 
     // candidate mates of affected docs from qualifying buckets only;
     // directed (affected, mate) pairs so each affected doc's stats
@@ -449,10 +466,8 @@ object Dedup {
     if (!statsRows.isEmpty)
       fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
         compareExclude = Nil)
-    delIds.foreach { d =>
-      if (fmt.exists(goldPath) && !d.isEmpty)
-        fmt.deleteKeys(spark, goldPath, d, Seq("id"))
-    }
+    if (fmt.exists(goldPath) && !drops.isEmpty)
+      fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
     ()
   }
 

@@ -1331,8 +1331,12 @@ class StreamingSpec extends SparkSpec {
         Option(r.get(r.fieldIndex("max_jaccard"))).map(_.toString).orNull))
         .toSeq.sortBy(_._1)
     def checkGoldEqualsBatch(label: String): Unit = {
+      // null-text docs are the documented deviation (excluded from
+      // gold); they produce no shingles, so filtering them from the
+      // batch input leaves every other doc's stats untouched
       val truth = stats(Dedup.minhashLshStats(
-        fmt.read(spark, silver).select("doc_id", "text"), "doc_id", "text",
+        fmt.read(spark, silver).select("doc_id", "text")
+          .filter(col("text").isNotNull), "doc_id", "text",
         n = P._1, numPerm = P._2, bands = P._3,
         threshold = P._4, maxBucket = P._5), "doc_id")
       val got = stats(MergeTable.read(spark, gold)
@@ -1430,6 +1434,23 @@ class StreamingSpec extends SparkSpec {
     assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
         .head.getAs[Long]("n_candidates") == 0L,
       "doc 1 must lose its deleted partner")
+
+    // an update TO null retracts like a delete: doc 3's content
+    // leaves, doc 5 loses its partner, doc 3's gold row disappears
+    fmt.scd1Merge(spark, silver,
+      Seq((3L, null.asInstanceOf[String], 5)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    Dedup.minhashLshStatsIncremental(spark,
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 5L,
+      n = P._1, numPerm = P._2, bands = P._3,
+      threshold = P._4, maxBucket = P._5)
+    checkGoldEqualsBatch("after update-to-null retraction")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L).count() == 0,
+      "the nulled doc's gold row must disappear")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 5L)
+        .head.getAs[Long]("n_candidates") == 0L,
+      "doc 5 must lose its nulled partner")
   }
 
   test("incremental exact dedup: streamed gold equals batch recompute; vanished groups delete") {
@@ -1458,8 +1479,12 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies")))
         .toSeq.sortBy(_._1)
     def check(label: String): Unit = {
+      // the incremental operator's documented deviation: the batch
+      // operator's null-hash group (null-text docs) is excluded
       val truth = groups(Dedup.exact(
-        fmt.read(spark, silver).select("doc_id", "text"), "doc_id", "text"))
+          fmt.read(spark, silver).select("doc_id", "text"),
+          "doc_id", "text")
+        .filter(col("text_hash").isNotNull))
       val got = groups(MergeTable.read(spark, gold))
       assert(got == truth,
         s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
@@ -1526,5 +1551,19 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", state, gold, batchOrd = 5L)
     assert(MergeTable.read(spark, gold).count() == 1,
       "a null-text doc must not add a gold group")
+
+    // an update TO null must still RETRACT the doc's old state pair:
+    // doc 1 leaves the A group, so keep moves to doc 2 and n drops
+    fmt.scd1Merge(spark, silver,
+      Seq((1L, null.asInstanceOf[String], 6)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    Dedup.exactDedupIncremental(spark,
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", state, gold, batchOrd = 6L)
+    check("after update-to-null retraction")
+    val aGroup = MergeTable.read(spark, gold).head
+    assert(aGroup.getAs[Long]("keep_doc_id") == 2L &&
+      aGroup.getAs[Long]("n_copies") == 2L,
+      s"doc 1 must leave its group: $aGroup")
   }
 }
