@@ -66,6 +66,12 @@ object Bench {
     require(unknown.isEmpty,
       s"SPARK_GRAFT_BENCH_ONLY names not in the entry map: " +
         unknown.toSeq.sorted.mkString(", "))
+    // ...and a subset run must not clobber the committed full-surface
+    // BENCH_DETAIL.json: demand an explicit detail path
+    require(only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DETAIL"),
+      "SPARK_GRAFT_BENCH_ONLY runs must set SPARK_GRAFT_BENCH_DETAIL " +
+        "(a subset artifact at the default path would overwrite the " +
+        "committed full-run one)")
 
     val metrics = new BenchMetricsListener
     spark.sparkContext.addSparkListener(metrics)

@@ -43,15 +43,19 @@ object Dedup {
   /** Deterministic one-row-per-id reduction of a direct-API batch (a
     * change feed already carries one row per key; a hand-built frame
     * might not, and two texts for one id would land the doc in TWO
-    * state groups): keep the first row by the tie columns ascending
-    * with nulls LAST — a real-text row must win over a null row for
-    * the same id, never be shadowed by it. Thin wrapper over the CDC
-    * compaction kernel.
+    * state groups): non-null rows first (a real-text row must win
+    * over a null row for the same id, never be shadowed by it), then
+    * by value hash so the window comparator works on 8-byte keys
+    * instead of full document bodies, with the raw column as the
+    * collision-breaking tail. Thin wrapper over the CDC compaction
+    * kernel.
     */
   private[operators] def oneRowPerId(df: DataFrame, idCol: String,
                                      tieCols: Seq[String]): DataFrame =
     graft.cdc.Cdc.latestPerKey(df, Seq(idCol),
-      tieCols.map(c => col(c).asc_nulls_last))
+      tieCols.map(c => col(c).isNull.asc) ++
+        tieCols.map(c => xxhash64(col(c)).asc) ++
+        tieCols.map(c => col(c).asc_nulls_last))
 
   /** Distinct shingle HASHES per document as one `array<long>` row:
     * (id, shash), via the codegen'd ShingleHashes64 expression (byte
@@ -152,7 +156,12 @@ object Dedup {
 
     val affected = graft.Materialize.eager(
       if (fmt.exists(goldPath)) {
-        fmt.read(spark, goldPath).select(col("text_hash"), col("_grp_sig"))
+        val goldDf = fmt.read(spark, goldPath)
+        // pre-signature gold: re-aggregate every group once
+        val withSig =
+          if (goldDf.columns.contains("_grp_sig")) goldDf
+          else goldDf.withColumn("_grp_sig", lit(null).cast("long"))
+        withSig.select(col("text_hash"), col("_grp_sig"))
           .join(grp.select(col("text_hash"), col("_sig_now")),
             Seq("text_hash"), "left_outer")
           .filter(!(col("_grp_sig") <=> col("_sig_now")))
@@ -426,7 +435,13 @@ object Dedup {
     // re-add them with empty stats — and their gold rows removed below
     val affectedAll =
       if (fmt.exists(goldPath)) {
-        fmt.read(spark, goldPath)
+        val goldDf = fmt.read(spark, goldPath)
+        // pre-signature gold: re-verify every doc once (evolution
+        // adds the column on write, so the read can't assume it)
+        val withSig =
+          if (goldDf.columns.contains("_bucket_sig")) goldDf
+          else goldDf.withColumn("_bucket_sig", lit(null).cast("long"))
+        withSig
           .join(sigNow, Seq("id"), "left_outer")
           .filter(!(col("_bucket_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col("id"))

@@ -104,7 +104,7 @@ object MultimodalQueries {
         |      AS target_rate
         |  FROM a)
         |SELECT asset_id, media_type, sample_rate, n_samples_in, target_rate,
-        |  target_rate != sample_rate AS resampled,
+        |  coalesce(target_rate != sample_rate, false) AS resampled,
         |  CAST(CASE WHEN sample_rate > 0
         |       THEN (n_samples_in * target_rate) // sample_rate
         |       ELSE 0 END AS BIGINT) AS est_samples_out,

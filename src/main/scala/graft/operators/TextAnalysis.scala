@@ -428,20 +428,16 @@ object TextAnalysis {
     }
     if (!fmt.exists(statePath)) return // empty first batch: nothing anywhere
 
-    // hot set from the CURRENT state, collected once (boilerplate-
-    // sized by construction — the batch operator's broadcast argument)
+    // hot set from the CURRENT state — boilerplate-sized by
+    // construction, but materialized DISTRIBUTED (never collected:
+    // an adversarial corpus with many threshold-crossing segments
+    // must not OOM the driver); the joins below broadcast it
     val state = fmt.read(spark, statePath)
-    val hotRows = state.groupBy("seg")
-      .agg(countDistinct(col(idCol)).as("_docs"))
-      .filter(col("_docs") >= minDocs)
-      .select(col("seg")).collect().map(_.getString(0)).toSeq.sorted
-    val hot = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        hotRows.map(s => org.apache.spark.sql.Row(s): org.apache.spark.sql.Row)
-          .asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("seg",
-          org.apache.spark.sql.types.StringType))))
+    val hot = graft.Materialize.eager(
+      state.groupBy("seg")
+        .agg(countDistinct(col(idCol)).as("_docs"))
+        .filter(col("_docs") >= minDocs)
+        .select(col("seg")))
 
     // per-doc signature implied by current state (absent row = no hot
     // segments = 0); materialized because it feeds both the staleness
@@ -459,7 +455,13 @@ object TextAnalysis {
     // would re-add them from gold's stored text) and removed below
     val toClean = graft.Materialize.eager(
       if (fmt.exists(goldPath)) {
-        val stale = fmt.read(spark, goldPath)
+        val goldDf = fmt.read(spark, goldPath)
+        // pre-signature gold (additive evolution happens on WRITE):
+        // no stored signatures to compare — re-clean every doc once
+        val withSig =
+          if (goldDf.columns.contains("_hot_sig")) goldDf
+          else goldDf.withColumn("_hot_sig", lit(null).cast("long"))
+        val stale = withSig
           .join(sigNow, Seq(idCol), "left_outer")
           .filter(!(col("_hot_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col(idCol), col(textCol))

@@ -169,7 +169,7 @@ class MultimodalSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), s"$name: stream timed out")
     }
     val tag = System.nanoTime()
     run(s"mm_resize_$tag", Multimodal.resizePlan(stream, 256, 256))
