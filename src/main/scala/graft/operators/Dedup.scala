@@ -1035,4 +1035,119 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("n_near"), lit(0L)).as("n_near"), col("max_cos"))
   }
+
+  /** Incremental [[embeddingStatsLsh]] — the EMBEDDING member of the
+    * incremental-dedup family (same replay-proof design as
+    * [[exactDedupIncremental]] / [[minhashLshStatsIncremental]] /
+    * [[TextAnalysis.segmentDedupIncremental]]; same n / planes /
+    * seed / threshold / maxBucket across calls).
+    *
+    * State = one row per vector: (id, v, nn, bucket, vhash) keyed on
+    * id — `vhash` is the content fingerprint STORED at write time so
+    * the per-batch signature aggregation reads only (id, bucket,
+    * vhash) and column pruning skips the vector data entirely. Each
+    * vector owns exactly ONE SRP bucket, so the per-doc signature is
+    * its bucket's member XOR (bucket key folded into the member hash
+    * — the family rule) when the bucket qualifies (2 ≤ size ≤
+    * `maxBucket`), else 0. A vector UPDATE changes `vhash`, which
+    * invalidates every mate in the bucket — including mates whose
+    * own bucket assignment didn't move. NULL vectors are excluded
+    * from state/gold (the batch operator reports them with empty
+    * stats; a null bucket drops from every equi-join), and an update
+    * TO null retracts like a delete. Gold: (id, n_near, max_cos,
+    * _ord, _bucket_sig) — the batch operator's stats columns.
+    */
+  def embeddingStatsLshIncremental(spark: SparkSession, batch: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   statePath: String, goldPath: String,
+                                   batchOrd: Long,
+                                   threshold: Double = 0.4, planes: Int = 6,
+                                   seed: Long = 42L, maxBucket: Int = 10000,
+                                   deletes: Option[DataFrame] = None,
+                                   fmt: graft.pipeline.TableFormat =
+                                     graft.pipeline.SnapshotTableFormat): Unit = {
+    val batchAll = graft.Materialize.eager(
+      oneRowPerId(batch.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", Seq("v")))
+    val batchVecs = batchAll.filter(col("v").isNotNull)
+    val delIds = deletes.map(d => graft.Materialize.eager(
+      d.select(col(idCol).as("id")).distinct()))
+    val drops = graft.Materialize.eager(
+      delIds.fold(batchAll.filter(col("v").isNull).select(col("id")))(
+        _.unionByName(batchAll.filter(col("v").isNull).select(col("id"))))
+        .distinct())
+    if (!batchAll.isEmpty) {
+      if (fmt.exists(statePath))
+        fmt.deleteKeys(spark, statePath,
+          batchAll.select(col("id")).distinct(), Seq("id"))
+      if (!batchVecs.isEmpty)
+        fmt.scd1Merge(spark, statePath,
+          batchVecs.select(col("id"), col("v"),
+            VectorFunctions.selfNorm(col("v")).as("nn"),
+            VectorFunctions.srpBucket(col("v"), planes, seed).as("bucket"),
+            xxhash64(col("v")).as("vhash"),
+            lit(batchOrd).as("_ord")),
+          Seq("id"), "_ord", compareExclude = Nil)
+    }
+    if (fmt.exists(statePath) && !drops.isEmpty)
+      fmt.deleteKeys(spark, statePath, drops, Seq("id"))
+    if (!fmt.exists(statePath)) return // empty first batch
+
+    val state = fmt.read(spark, statePath)
+    val buckets = state.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_sz"),
+        expr("bit_xor(xxhash64(bucket, id, vhash))").as("_bsig"))
+      .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket)
+    val sigNow = graft.Materialize.eager(
+      state.select(col("id"), col("bucket"))
+        .join(buckets, Seq("bucket"))
+        .select(col("id"),
+          when(col("_q"), col("_bsig")).otherwise(lit(0L)).as("_sig_now")))
+
+    val affectedAll =
+      if (fmt.exists(goldPath)) {
+        val goldDf = fmt.read(spark, goldPath)
+        val withSig =
+          if (goldDf.columns.contains("_bucket_sig")) goldDf
+          else goldDf.withColumn("_bucket_sig", lit(null).cast("long"))
+        withSig
+          .join(sigNow, Seq("id"), "left_outer")
+          .filter(!(col("_bucket_sig") <=> coalesce(col("_sig_now"), lit(0L))))
+          .select(col("id"))
+          .unionByName(batchVecs.select(col("id"))).distinct()
+      } else batchVecs.select(col("id")).distinct()
+    val affected = graft.Materialize.eager(
+      if (drops.isEmpty) affectedAll
+      else affectedAll.join(drops, Seq("id"), "left_anti"))
+
+    val qb = buckets.filter(col("_q")).select(col("bucket"))
+    val aSide = state.join(affected, Seq("id"), "left_semi")
+      .join(qb, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("id").as("ida"),
+        col("v").as("va"), col("nn").as("na"))
+    val mSide = state.join(qb, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("id").as("idb"),
+        col("v").as("vb"), col("nn").as("nb"))
+    val cosPairs = aSide.join(mSide, Seq("bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), Similarity.cosFromParts(
+        VectorFunctions.dotProduct(col("va"), col("vb")),
+        col("na"), col("nb")).as("cos"))
+    val per = cosPairs.groupBy(col("ida")).agg(
+      sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"),
+      max(col("cos")).as("max_cos"))
+    val statsRows = affected
+      .join(per, col("id") === col("ida"), "left_outer")
+      .join(sigNow, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_cos"), lit(batchOrd).as("_ord"),
+        coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
+    if (!statsRows.isEmpty)
+      fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (fmt.exists(goldPath) && !drops.isEmpty)
+      fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    ()
+  }
 }

@@ -1566,4 +1566,86 @@ class StreamingSpec extends SparkSpec {
       aGroup.getAs[Long]("n_copies") == 2L,
       s"doc 1 must leave its group: $aGroup")
   }
+
+  test("incremental embedding near-dup: streamed gold equals batch recompute") {
+    // the EMBEDDING member of the incremental family: SRP-bucketed
+    // cosine stats maintained across micro-batches must equal
+    // Dedup.embeddingStatsLsh over silver-current after every fold —
+    // arrivals updating old vectors' stats, an update retracting a
+    // partnership, a hard delete, and an update-to-null.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_emb_silver").toString
+    val state = Files.createTempDirectory("graft_emb_state").toString + "/t"
+    val gold = Files.createTempDirectory("graft_emb_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_emb_ck").toString
+    val thr = 0.9
+
+    def vec(x: Float, y: Float): Array[Float] = Array(x, y, 0f, 0f)
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        Dedup.embeddingStatsLshIncremental(spark,
+          chg.select("vec_id", "embedding"), "vec_id", "embedding",
+          state, gold, batchOrd = v.toLong, threshold = thr, planes = 4)
+      }
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("max_cos"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def check(label: String): Unit = {
+      val truth = stats(Dedup.embeddingStatsLsh(
+        fmt.read(spark, silver).select("vec_id", "embedding")
+          .filter(col("embedding").isNotNull),
+        "vec_id", "embedding", threshold = thr, planes = 4), "vec_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "vec_id"), "vec_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    // batch 1: vectors 1,2 identical; 3 in a different direction
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, vec(1f, 0f), 0), (2L, vec(1f, 0f), 0), (3L, vec(-1f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "ord"), Seq("vec_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty); check("after batch 1")
+
+    // batch 2: vector 4 joins the duplicate family
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, vec(1f, 0f), 1)).toDF("vec_id", "embedding", "ord"),
+      Seq("vec_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty); check("after batch 2 (old vectors gain a partner)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_near") == 2L, "vec 1 must see both duplicates")
+
+    // batch 3: vector 2 rotates away — partnership retracts via vhash
+    fmt.scd1Merge(spark, silver,
+      Seq((2L, vec(-1f, 0.19f), 2)).toDF("vec_id", "embedding", "ord"),
+      Seq("vec_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty); check("after batch 3 (update retracts)")
+
+    // hard delete vector 4; then update vector 1 to a null embedding
+    val delIds = Seq(4L).toDF("vec_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("vec_id"))
+    Dedup.embeddingStatsLshIncremental(spark,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", state, gold, batchOrd = 3L,
+      threshold = thr, planes = 4, deletes = Some(delIds))
+    check("after hard delete")
+    fmt.scd1Merge(spark, silver,
+      Seq((1L, null.asInstanceOf[Array[Float]], 4))
+        .toDF("vec_id", "embedding", "ord"),
+      Seq("vec_id"), "ord", compareExclude = Nil)
+    Dedup.embeddingStatsLshIncremental(spark,
+      Seq((1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", state, gold, batchOrd = 4L,
+      threshold = thr, planes = 4)
+    check("after update-to-null retraction")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L).count() == 0,
+      "the nulled vector's gold row must disappear")
+  }
 }
