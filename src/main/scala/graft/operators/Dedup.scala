@@ -52,7 +52,11 @@ object Dedup {
     */
   private[operators] def oneRowPerId(df: DataFrame, idCol: String,
                                      tieCols: Seq[String]): DataFrame =
-    graft.cdc.Cdc.latestPerKey(df, Seq(idCol),
+    graft.cdc.Cdc.latestPerKey(
+      // a null id can never be keyed, merged, or retracted (every
+      // key join is non-null-safe) — admitting one would insert an
+      // unretractable state row, so drop such rows up front
+      df.filter(col(idCol).isNotNull), Seq(idCol),
       tieCols.map(c => col(c).isNull.asc) ++
         tieCols.map(c => xxhash64(col(c)).asc) ++
         tieCols.map(c => col(c).asc_nulls_last))
@@ -164,7 +168,11 @@ object Dedup {
         withSig.select(col("text_hash"), col("_grp_sig"))
           .join(grp.select(col("text_hash"), col("_sig_now")),
             Seq("text_hash"), "left_outer")
-          .filter(!(col("_grp_sig") <=> col("_sig_now")))
+          // a null STORED sig (pre-signature gold) is always stale —
+          // without the isNull arm, a pre-signature row whose group
+          // has vanished reads null<=>null and would persist forever
+          .filter(col("_grp_sig").isNull ||
+            !(col("_grp_sig") <=> col("_sig_now")))
           .select(col("text_hash"))
           .unionByName(batchH.select(col("text_hash"))).distinct()
       } else batchH.select(col("text_hash")).distinct())
@@ -398,9 +406,14 @@ object Dedup {
           Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
       }
     }
-    if (!drops.isEmpty) {
-      if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, drops, Seq("id"))
-      if (fmt.exists(bandsPath)) fmt.deleteKeys(spark, bandsPath, drops, Seq("id"))
+    // only HARD deletes need a second state pass: update-to-null ids
+    // were already removed by the batchAll retraction and nothing
+    // re-merged them (batchDocs excludes null rows)
+    delIds.foreach { d =>
+      if (!d.isEmpty) {
+        if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, d, Seq("id"))
+        if (fmt.exists(bandsPath)) fmt.deleteKeys(spark, bandsPath, d, Seq("id"))
+      }
     }
     if (!fmt.exists(docsPath)) return // empty first batch
 
@@ -1089,8 +1102,12 @@ object Dedup {
             lit(batchOrd).as("_ord")),
           Seq("id"), "_ord", compareExclude = Nil)
     }
-    if (fmt.exists(statePath) && !drops.isEmpty)
-      fmt.deleteKeys(spark, statePath, drops, Seq("id"))
+    // only HARD deletes need a second state pass (update-to-null ids
+    // were removed by the batchAll retraction and never re-merged)
+    delIds.foreach { d =>
+      if (fmt.exists(statePath) && !d.isEmpty)
+        fmt.deleteKeys(spark, statePath, d, Seq("id"))
+    }
     if (!fmt.exists(statePath)) return // empty first batch
 
     val state = fmt.read(spark, statePath)

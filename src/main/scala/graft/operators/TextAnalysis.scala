@@ -428,10 +428,13 @@ object TextAnalysis {
     }
     if (!fmt.exists(statePath)) return // empty first batch: nothing anywhere
 
-    // hot set from the CURRENT state — boilerplate-sized by
-    // construction, but materialized DISTRIBUTED (never collected:
-    // an adversarial corpus with many threshold-crossing segments
-    // must not OOM the driver); the joins below broadcast it
+    // hot set from the CURRENT state, materialized once as a frame.
+    // The joins below still broadcast it (so it DOES reach the
+    // driver inside BroadcastExchange, with Spark's broadcast size
+    // guard) — what this shape avoids is the extra driver-side
+    // collect/sort/rebuild copies of the previous hand-rolled
+    // local-relation version, and it keeps one code path if the
+    // broadcast hint is ever dropped for size-based planning
     val state = fmt.read(spark, statePath)
     val hot = graft.Materialize.eager(
       state.groupBy("seg")

@@ -187,4 +187,42 @@ object MergeTableStream {
     }
     todo
   }
+
+  /** [[processAvailable]] with the HARD-DELETE feed per window: `fn`
+    * receives (change rows, deleted keys, version). The from-version
+    * each window's delete feed needs is internal loop state here —
+    * without this entry point a consumer wanting deletes (the
+    * incremental dedup family's `deletes` parameter) would have to
+    * re-implement the offset tracking externally. The first window
+    * (no prior offset, or the from version vacuumed past retention)
+    * delivers an EMPTY delete feed alongside its full-snapshot
+    * change batch: with no readable predecessor there is nothing to
+    * diff against, and downstream keyed deletes of never-inserted
+    * keys are no-ops anyway.
+    */
+  def processAvailableWithDeletes(spark: SparkSession, path: String,
+                                  checkpoint: String, keys: Seq[String],
+                                  fmt: TableFormat = SnapshotTableFormat)
+                                 (fn: (DataFrame, DataFrame, Int) => Unit)
+      : Seq[Int] = {
+    val head = fmt.currentVersion(path).getOrElse(return Nil)
+    val start = lastProcessed(checkpoint)
+    val readable = fmt.readableVersions(spark, path).toSet
+    val todo = fmt.versions(path)
+      .filter(v => v <= head && start.forall(v > _) && readable.contains(v))
+    var prev = start
+    todo.foreach { v =>
+      if (fmt.isDataChange(path, v)) {
+        val dels = prev.filter(readable.contains) match {
+          case Some(p) => deletedKeys(spark, path, p, v, keys, fmt)
+          case None => fmt.readVersion(spark, path, v)
+            .select(keys.map(col): _*).limit(0)
+        }
+        fn(changes(spark, path, prev, v, fmt), dels, v)
+      }
+      commit(checkpoint, v)
+      prev = Some(v)
+    }
+    todo
+  }
 }

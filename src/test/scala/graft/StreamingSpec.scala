@@ -1567,6 +1567,57 @@ class StreamingSpec extends SparkSpec {
       s"doc 1 must leave its group: $aGroup")
   }
 
+  test("incremental exact dedup folds hard deletes through the streaming driver") {
+    // end-to-end wiring of the delete feed: silver upserts AND hard
+    // deletes flow through processAvailableWithDeletes (which owns
+    // the from-version each window's delete diff needs) into the
+    // incremental operator — no external offset bookkeeping
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_exd_silver").toString
+    val state = Files.createTempDirectory("graft_exd_state").toString + "/t"
+    val gold = Files.createTempDirectory("graft_exd_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_exd_ck").toString
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailableWithDeletes(spark, silver, ck,
+        Seq("doc_id"), fmt) { (chg, dels, v) =>
+        Dedup.exactDedupIncremental(spark, chg.select("doc_id", "text"),
+          "doc_id", "text", state, gold, batchOrd = v.toLong,
+          deletes = Some(dels))
+      }
+    def check(label: String): Unit = {
+      val truth = Dedup.exact(
+          fmt.read(spark, silver).select("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      val got = MergeTable.read(spark, gold)
+        .select("text_hash", "keep_doc_id", "n_copies")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      assert(got == truth, s"$label: $got vs $truth")
+    }
+
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, "text A", 0), (2L, "text A", 0), (3L, "text B", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty); check("after upsert batch")
+
+    // a delete-only silver commit: the change feed is empty, the
+    // delete feed carries doc 2 — its group must shrink
+    fmt.deleteKeys(spark, silver, Seq(2L).toDF("doc_id"), Seq("doc_id"))
+    assert(fold().nonEmpty); check("after streamed delete of doc 2")
+
+    // deleting doc 3 empties group B — its gold row must vanish
+    fmt.deleteKeys(spark, silver, Seq(3L).toDF("doc_id"), Seq("doc_id"))
+    assert(fold().nonEmpty); check("after streamed delete of doc 3")
+    assert(MergeTable.read(spark, gold).count() == 1)
+    assert(fold().isEmpty, "caught-up consumer must re-process nothing")
+  }
+
   test("incremental embedding near-dup: streamed gold equals batch recompute") {
     // the EMBEDDING member of the incremental family: SRP-bucketed
     // cosine stats maintained across micro-batches must equal
