@@ -61,6 +61,36 @@ object Dedup {
         tieCols.map(c => xxhash64(col(c)).asc) ++
         tieCols.map(c => col(c).asc_nulls_last))
 
+  /** The effective hard-delete id set of one incremental-dedup fold:
+    * the silver delete feed (`deletes`, input column `inCol`, aliased
+    * to `outCol`) plus — under `fullResync` — every CURRENT state id
+    * the batch does not carry. A resync window's batch is the full
+    * silver snapshot (the streaming driver re-entered past a vacuumed
+    * gap, or a fresh checkpoint runs over pre-existing state): keys
+    * hard-deleted inside the unreadable gap appear in no delete feed
+    * ever again, so the only sound reconciliation is
+    * state-minus-snapshot — the contract of
+    * [[graft.streaming.MergeTableStream.processAvailableWithDeletes]]'s
+    * `fullResync` flag. `batchIds` must be the batch's id set as one
+    * column named `outCol`; the state table's id column must also be
+    * `outCol`. Materialized EAGERLY: the resync anti-join reads the
+    * very state table the caller mutates immediately after.
+    */
+  private[operators] def combinedDeletes(spark: SparkSession,
+      deletes: Option[DataFrame], inCol: String, outCol: String,
+      fullResync: Boolean, statePath: String, batchIds: DataFrame,
+      fmt: graft.pipeline.TableFormat): Option[DataFrame] = {
+    val explicit = deletes.map(_.select(col(inCol).as(outCol)).distinct())
+    val resync =
+      if (fullResync && fmt.exists(statePath))
+        Some(fmt.read(spark, statePath).select(col(outCol)).distinct()
+          .join(batchIds, Seq(outCol), "left_anti"))
+      else None
+    Seq(explicit, resync).flatten
+      .reduceOption(_.unionByName(_))
+      .map(d => graft.Materialize.eager(d.distinct()))
+  }
+
   /** Distinct shingle HASHES per document as one `array<long>` row:
     * (id, shash), via the codegen'd ShingleHashes64 expression (byte
     * n-grams — identical to character n-grams on ASCII corpora).
@@ -105,7 +135,12 @@ object Dedup {
     * `deletes` is the silver hard-delete feed
     * ([[graft.streaming.MergeTableStream.deletedKeys]]): their state
     * pairs are removed, and the signature comparison re-aggregates
-    * every group they shrank. NULL-text documents are excluded from
+    * every group they shrank. `fullResync` marks a full-snapshot
+    * window (the driver re-entered past a vacuumed gap, or a fresh
+    * checkpoint runs over pre-existing state): state ids the batch
+    * does not carry are implied hard deletes — [[combinedDeletes]]
+    * reconciles state-minus-snapshot, because gap deletions appear
+    * in no delete feed ever again. NULL-text documents are excluded from
     * state and gold (documented deviation from the batch operator's
     * one null-hash group: a keyed merge table cannot hold a null
     * key, and every downstream equi-join would drop it silently —
@@ -121,6 +156,7 @@ object Dedup {
                             statePath: String, goldPath: String,
                             batchOrd: Long,
                             deletes: Option[DataFrame] = None,
+                            fullResync: Boolean = false,
                             fmt: graft.pipeline.TableFormat =
                               graft.pipeline.SnapshotTableFormat): Unit = {
     // the RETRACTION set is every id the batch mentions — an update
@@ -132,8 +168,8 @@ object Dedup {
       oneRowPerId(batch.select(col(idCol).as("id"),
         md5(col(textCol)).as("text_hash")), "id", Seq("text_hash")))
     val batchH = batchAll.filter(col("text_hash").isNotNull)
-    val delIds = deletes.map(d => graft.Materialize.eager(
-      d.select(col(idCol).as("id")).distinct()))
+    val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
+      statePath, batchAll.select(col("id")), fmt)
     if (!batchAll.isEmpty) {
       if (fmt.exists(statePath))
         fmt.deleteKeys(spark, statePath,
@@ -357,6 +393,9 @@ object Dedup {
     * _bucket_sig) — identical stats columns to the batch operator.
     * `deletes` is the silver hard-delete feed: state rows removed,
     * gold row deleted, mates re-verified via the signature change.
+    * `fullResync` (a full-snapshot window — vacuumed gap or fresh
+    * checkpoint) adds every state id the batch does not carry to
+    * that set: see [[combinedDeletes]].
     */
   def minhashLshStatsIncremental(spark: SparkSession, batch: DataFrame,
                                  idCol: String, textCol: String,
@@ -366,6 +405,7 @@ object Dedup {
                                  bands: Int = 16, threshold: Double = 0.1,
                                  maxBucket: Int = 10000, minBands: Int = 1,
                                  deletes: Option[DataFrame] = None,
+                                 fullResync: Boolean = false,
                                  fmt: graft.pipeline.TableFormat =
                                    graft.pipeline.SnapshotTableFormat): Unit = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
@@ -383,8 +423,8 @@ object Dedup {
       oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
         "id", Seq("text")))
     val batchDocs = batchAll.filter(col("text").isNotNull)
-    val delIds = deletes.map(d => graft.Materialize.eager(
-      d.select(col(idCol).as("id")).distinct()))
+    val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
+      docsPath, batchAll.select(col("id")), fmt)
     // ids leaving gold entirely: hard deletes + update-to-null docs
     val drops = graft.Materialize.eager(
       delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
@@ -431,10 +471,14 @@ object Dedup {
     // first spec run missed exactly that staleness). With the bucket
     // key inside the hash every bucket's signature is structurally
     // distinct and cancellation is back to 64-bit-collision odds.
-    val buckets = stateBands.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("_sz"),
-        expr("bit_xor(xxhash64(band, bhash, id, chash))").as("_bsig"))
-      .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket)
+    // materialized: referenced by BOTH sigNow and the qualifying-
+    // bucket filter `qb` below — unmaterialized, the full per-batch
+    // bands-state aggregation would run twice
+    val buckets = graft.Materialize.eager(
+      stateBands.groupBy(col("band"), col("bhash"))
+        .agg(count(lit(1)).as("_sz"),
+          expr("bit_xor(xxhash64(band, bhash, id, chash))").as("_bsig"))
+        .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket))
     val sigNow = graft.Materialize.eager(
       stateBands.join(buckets, Seq("band", "bhash"))
         .groupBy(col("id"))
@@ -1069,6 +1113,9 @@ object Dedup {
     * stats; a null bucket drops from every equi-join), and an update
     * TO null retracts like a delete. Gold: (id, n_near, max_cos,
     * _ord, _bucket_sig) — the batch operator's stats columns.
+    * `fullResync` (a full-snapshot window — vacuumed gap or fresh
+    * checkpoint) treats every state id the batch does not carry as
+    * hard-deleted: see [[combinedDeletes]].
     */
   def embeddingStatsLshIncremental(spark: SparkSession, batch: DataFrame,
                                    idCol: String, vecCol: String,
@@ -1077,14 +1124,15 @@ object Dedup {
                                    threshold: Double = 0.4, planes: Int = 6,
                                    seed: Long = 42L, maxBucket: Int = 10000,
                                    deletes: Option[DataFrame] = None,
+                                   fullResync: Boolean = false,
                                    fmt: graft.pipeline.TableFormat =
                                      graft.pipeline.SnapshotTableFormat): Unit = {
     val batchAll = graft.Materialize.eager(
       oneRowPerId(batch.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", Seq("v")))
     val batchVecs = batchAll.filter(col("v").isNotNull)
-    val delIds = deletes.map(d => graft.Materialize.eager(
-      d.select(col(idCol).as("id")).distinct()))
+    val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
+      statePath, batchAll.select(col("id")), fmt)
     val drops = graft.Materialize.eager(
       delIds.fold(batchAll.filter(col("v").isNull).select(col("id")))(
         _.unionByName(batchAll.filter(col("v").isNull).select(col("id"))))
@@ -1111,10 +1159,13 @@ object Dedup {
     if (!fmt.exists(statePath)) return // empty first batch
 
     val state = fmt.read(spark, statePath)
-    val buckets = state.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("_sz"),
-        expr("bit_xor(xxhash64(bucket, id, vhash))").as("_bsig"))
-      .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket)
+    // materialized: feeds both sigNow and `qb` (see the MinHash
+    // sibling) — one bucket aggregation per batch, not two
+    val buckets = graft.Materialize.eager(
+      state.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("_sz"),
+          expr("bit_xor(xxhash64(bucket, id, vhash))").as("_bsig"))
+        .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket))
     val sigNow = graft.Materialize.eager(
       state.select(col("id"), col("bucket"))
         .join(buckets, Seq("bucket"))

@@ -391,7 +391,10 @@ object TextAnalysis {
     * re-cleans every doc once (additive schema evolution). `deletes`
     * is the silver hard-delete feed: state pairs removed (their
     * segments' counts drop and may un-hot — the signature change
-    * re-cleans the survivors), gold rows deleted.
+    * re-cleans the survivors), gold rows deleted. `fullResync` (a
+    * full-snapshot window — vacuumed gap or fresh checkpoint) treats
+    * every state id the batch does not carry as hard-deleted:
+    * see [[Dedup.combinedDeletes]].
     */
   def segmentDedupIncremental(spark: SparkSession, batch: DataFrame,
                               idCol: String, textCol: String,
@@ -399,6 +402,7 @@ object TextAnalysis {
                               batchOrd: Long,
                               segWords: Int = 5, minDocs: Int = 3,
                               deletes: Option[DataFrame] = None,
+                              fullResync: Boolean = false,
                               fmt: graft.pipeline.TableFormat =
                                 graft.pipeline.SnapshotTableFormat): Unit = {
     require(segWords >= 1, "segWords must be positive")
@@ -410,8 +414,8 @@ object TextAnalysis {
     val batchDocs = graft.Materialize.eager(
       Dedup.oneRowPerId(batch.select(col(idCol), col(textCol)),
         idCol, Seq(textCol)))
-    val delIds = deletes.map(d => graft.Materialize.eager(
-      d.select(col(idCol)).distinct()))
+    val delIds = Dedup.combinedDeletes(spark, deletes, idCol, idCol,
+      fullResync, statePath, batchDocs.select(col(idCol)), fmt)
     val batchEmpty = batchDocs.isEmpty
     if (fmt.exists(statePath) && !batchEmpty)
       fmt.deleteKeys(spark, statePath,

@@ -165,7 +165,63 @@ object MergeTableStream {
     */
   def processAvailable(spark: SparkSession, path: String, checkpoint: String,
                        fmt: TableFormat = SnapshotTableFormat)
-                      (fn: (DataFrame, Int) => Unit): Seq[Int] = {
+                      (fn: (DataFrame, Int) => Unit): Seq[Int] =
+    walk(spark, path, checkpoint, fmt) { (prev, _, v) =>
+      fn(changes(spark, path, prev, v, fmt), v)
+    }
+
+  /** [[processAvailable]] with the HARD-DELETE feed per window: `fn`
+    * receives (change rows, deleted keys, version, fullResync). The
+    * from-version each window's delete feed needs is internal loop
+    * state here — without this entry point a consumer wanting
+    * deletes (the incremental dedup family's `deletes` parameter)
+    * would have to re-implement the offset tracking externally.
+    *
+    * A window with NO READABLE PREDECESSOR — the genuine first
+    * window, or re-entry after the from-version was vacuumed past
+    * retention — delivers the full current snapshot as its change
+    * batch, an EMPTY delete feed (there is no older snapshot left to
+    * diff against), and `fullResync = true`. That flag is a hard
+    * contract, not a hint: on a vacuumed gap the consumer may
+    * already hold keyed state, and keys hard-deleted inside the
+    * unreadable gap are invisible to every later delete diff — a
+    * keyed consumer that ignores the flag diverges from batch truth
+    * PERMANENTLY (the snapshot change batch only re-merges live
+    * rows; it never retracts). On `fullResync` the consumer must
+    * reconcile its state against the snapshot — delete every key it
+    * holds that the batch doesn't carry (the incremental dedup
+    * family's `fullResync` parameter does exactly this,
+    * state-minus-snapshot). Only a STATELESS consumer may ignore the
+    * flag: for it, deletes of never-seen keys are no-ops.
+    */
+  def processAvailableWithDeletes(spark: SparkSession, path: String,
+                                  checkpoint: String, keys: Seq[String],
+                                  fmt: TableFormat = SnapshotTableFormat)
+                                 (fn: (DataFrame, DataFrame, Int, Boolean) => Unit)
+      : Seq[Int] =
+    walk(spark, path, checkpoint, fmt) { (prev, readablePrev, v) =>
+      val (dels, resync) = readablePrev match {
+        case Some(p) => (deletedKeys(spark, path, p, v, keys, fmt), false)
+        case None => (fmt.readVersion(spark, path, v)
+          .select(keys.map(col): _*).limit(0), true)
+      }
+      fn(changes(spark, path, prev, v, fmt), dels, v, resync)
+    }
+
+  /** The shared version-walk of the two processAvailable entry
+    * points: pending committed versions oldest-first, the consumer
+    * offset committed after each, layout-only commits
+    * (`fmt.isDataChange` false) advancing the offset without
+    * invoking `fn`. `fn` receives (prev, readablePrev, version):
+    * `prev` is the raw predecessor offset — what [[changes]] diffs
+    * from; it re-probes readability itself so missing FILES (not
+    * just missing versions) still degrade safely — and
+    * `readablePrev` is that offset only when its snapshot is still
+    * listed readable, i.e. what a delete diff may legally read.
+    */
+  private def walk(spark: SparkSession, path: String, checkpoint: String,
+                   fmt: TableFormat)
+                  (fn: (Option[Int], Option[Int], Int) => Unit): Seq[Int] = {
     val head = fmt.currentVersion(path).getOrElse(return Nil)
     val start = lastProcessed(checkpoint)
     // a delta-log table keeps vacuumed versions in its log; a
@@ -181,45 +237,7 @@ object MergeTableStream {
     var prev = start
     todo.foreach { v =>
       if (fmt.isDataChange(path, v))
-        fn(changes(spark, path, prev, v, fmt), v)
-      commit(checkpoint, v)
-      prev = Some(v)
-    }
-    todo
-  }
-
-  /** [[processAvailable]] with the HARD-DELETE feed per window: `fn`
-    * receives (change rows, deleted keys, version). The from-version
-    * each window's delete feed needs is internal loop state here —
-    * without this entry point a consumer wanting deletes (the
-    * incremental dedup family's `deletes` parameter) would have to
-    * re-implement the offset tracking externally. The first window
-    * (no prior offset, or the from version vacuumed past retention)
-    * delivers an EMPTY delete feed alongside its full-snapshot
-    * change batch: with no readable predecessor there is nothing to
-    * diff against, and downstream keyed deletes of never-inserted
-    * keys are no-ops anyway.
-    */
-  def processAvailableWithDeletes(spark: SparkSession, path: String,
-                                  checkpoint: String, keys: Seq[String],
-                                  fmt: TableFormat = SnapshotTableFormat)
-                                 (fn: (DataFrame, DataFrame, Int) => Unit)
-      : Seq[Int] = {
-    val head = fmt.currentVersion(path).getOrElse(return Nil)
-    val start = lastProcessed(checkpoint)
-    val readable = fmt.readableVersions(spark, path).toSet
-    val todo = fmt.versions(path)
-      .filter(v => v <= head && start.forall(v > _) && readable.contains(v))
-    var prev = start
-    todo.foreach { v =>
-      if (fmt.isDataChange(path, v)) {
-        val dels = prev.filter(readable.contains) match {
-          case Some(p) => deletedKeys(spark, path, p, v, keys, fmt)
-          case None => fmt.readVersion(spark, path, v)
-            .select(keys.map(col): _*).limit(0)
-        }
-        fn(changes(spark, path, prev, v, fmt), dels, v)
-      }
+        fn(prev, prev.filter(readable.contains), v)
       commit(checkpoint, v)
       prev = Some(v)
     }

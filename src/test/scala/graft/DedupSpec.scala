@@ -17,6 +17,25 @@ class DedupSpec extends SparkSpec {
     assert(out.sameElements(Array((1L, 3L), (2L, 1L))))
   }
 
+  test("null-text documents: shingles drop the row, exact groups on null hash") {
+    // pins the r11 explode_outer+filter sweep's documented deviation:
+    // a null-text document contributes NO shingle row (the pre-r11
+    // inner explode emitted an (id, null) row no downstream equi-join
+    // or count ever matched), while the batch EXACT operator still
+    // reports null-text docs as one md5(null)=null hash group
+    val df = Seq((1L, "abcd"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", n = 3).collect()
+    assert(sh.forall(_.getLong(0) == 1L),
+      s"null-text docs must emit no shingle rows: ${sh.mkString(",")}")
+    assert(sh.map(_.getString(1)).sorted.sameElements(Array("abc", "bcd")))
+    val ex = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ex.length == 2, s"one real group + one null-hash group: ${ex.toSeq}")
+    assert(ex.exists(g => g._1 == null && g._2 == 2L && g._3 == 2L),
+      s"null-text docs form one null-hash group keeping min id: ${ex.toSeq}")
+  }
+
   test("ngram jaccard finds planted near-duplicates") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq(

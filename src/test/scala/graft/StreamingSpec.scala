@@ -1583,10 +1583,10 @@ class StreamingSpec extends SparkSpec {
 
     def fold(): Seq[Int] =
       MergeTableStream.processAvailableWithDeletes(spark, silver, ck,
-        Seq("doc_id"), fmt) { (chg, dels, v) =>
+        Seq("doc_id"), fmt) { (chg, dels, v, resync) =>
         Dedup.exactDedupIncremental(spark, chg.select("doc_id", "text"),
           "doc_id", "text", state, gold, batchOrd = v.toLong,
-          deletes = Some(dels))
+          deletes = Some(dels), fullResync = resync)
       }
     def check(label: String): Unit = {
       val truth = Dedup.exact(
@@ -1615,6 +1615,65 @@ class StreamingSpec extends SparkSpec {
     fmt.deleteKeys(spark, silver, Seq(3L).toDF("doc_id"), Seq("doc_id"))
     assert(fold().nonEmpty); check("after streamed delete of doc 3")
     assert(MergeTable.read(spark, gold).count() == 1)
+    assert(fold().isEmpty, "caught-up consumer must re-process nothing")
+  }
+
+  test("fullResync window reconciles keyed state past a vacuumed gap") {
+    // the degraded window of processAvailableWithDeletes: the
+    // consumer's from-version is vacuumed past retention, so the
+    // delete feed CANNOT carry keys hard-deleted inside the gap. The
+    // driver flags fullResync and the incremental operator
+    // reconciles state-minus-snapshot; without the flag doc 2's
+    // state pair would survive forever and group A would report
+    // n_copies=2 against a silver that holds one copy — permanent
+    // divergence, since the full-snapshot change batch only
+    // re-merges live rows and never retracts.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_rsync_silver").toString
+    val state = Files.createTempDirectory("graft_rsync_state").toString + "/t"
+    val gold = Files.createTempDirectory("graft_rsync_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_rsync_ck").toString
+    val resyncs = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailableWithDeletes(spark, silver, ck,
+        Seq("doc_id"), fmt) { (chg, dels, v, resync) =>
+        resyncs += ((v, resync))
+        Dedup.exactDedupIncremental(spark, chg.select("doc_id", "text"),
+          "doc_id", "text", state, gold, batchOrd = v.toLong,
+          deletes = Some(dels), fullResync = resync)
+      }
+    def check(label: String): Unit = {
+      val truth = Dedup.exact(
+          fmt.read(spark, silver).select("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      val got = MergeTable.read(spark, gold)
+        .select("text_hash", "keep_doc_id", "n_copies")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      assert(got == truth, s"$label: $got vs $truth")
+    }
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, "text A", 0), (2L, "text A", 0), (3L, "text B", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)                                          // v0
+    assert(fold() == Seq(0)); check("initial fold")
+    // inside the soon-vacuumed gap: doc 2 hard-deleted, doc 4 arrives
+    fmt.deleteKeys(spark, silver, Seq(2L).toDF("doc_id"), Seq("doc_id")) // v1
+    fmt.scd1Merge(spark, silver, Seq((4L, "text C", 2))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)                                          // v2
+    // the producer vacuums past the consumer's offset: v0/v1 files
+    // are gone, so v1's delete can never ride a delete feed
+    assert(fmt.vacuum(silver, keepVersions = 1).nonEmpty)
+    val processed = fold()
+    assert(processed.nonEmpty, s"must drain to head: $processed")
+    assert(resyncs.drop(1).exists(_._2),
+      s"the post-vacuum window must be flagged fullResync: $resyncs")
+    check("after vacuumed-gap resync")
     assert(fold().isEmpty, "caught-up consumer must re-process nothing")
   }
 

@@ -325,4 +325,33 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(sum("removed_segments")).collect()(0).getLong(0)
     assert(loose == 0L, "minDocs > corpus spread must remove nothing")
   }
+
+  test("segment dedup: null text segments as the empty string and can go hot") {
+    // pins the r11 coalesce in segmentRows: a null-text document
+    // keeps its output row (one "" segment) instead of dropping from
+    // the result, and with enough null/empty-text docs the "" segment
+    // crosses minDocs and is REMOVED like any other boilerplate —
+    // the documented deviation from pre-r11 (whose null segment never
+    // matched the hot set)
+    val one = Seq((1L, null: String), (2L, "real words here"))
+      .toDF("doc_id", "text")
+    val lone = TextAnalysis.segmentDedup(one, "doc_id", "text",
+        segWords = 5, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(lone.length == 2, "the null-text doc must keep its row")
+    assert(lone(0).getString(1) == "" && lone(0).getLong(2) == 1L &&
+      lone(0).getLong(3) == 0L,
+      s"a lone null-text doc keeps its single empty segment: ${lone(0)}")
+    val many = Seq((1L, null: String), (2L, null: String), (3L, ""),
+      (4L, "real words here")).toDF("doc_id", "text")
+    val hot = TextAnalysis.segmentDedup(many, "doc_id", "text",
+        segWords = 5, minDocs = 3)
+      .orderBy("doc_id").collect()
+    (0 until 3).foreach { i =>
+      assert(hot(i).getString(1) == "" && hot(i).getLong(2) == 0L &&
+        hot(i).getLong(3) == 1L,
+        s"three ''-segment docs cross minDocs=3, segment removed: ${hot(i)}")
+    }
+    assert(hot(3).getLong(3) == 0L, s"real doc untouched: ${hot(3)}")
+  }
 }
