@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,30 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Dedup-robust text normalization (the CCNet/Gopher-style
+    * pre-hash cleanup): lowercase, strip everything but `[a-z0-9]`
+    * and whitespace, collapse whitespace runs to one space, trim.
+    * Whole chain is built-in codegen'd string expressions — it runs
+    * inside the scan stage, and only the 16-byte hash of the result
+    * ever shuffles (see [[exactNormalized]]). Kept ASCII-literal
+    * (`\s`, `[^a-z0-9\s]`) so an external SQL engine reproduces it
+    * exactly — the oracle-parity property of the whole dedup family.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** Normalized-exact dedup: [[exact]] over [[normalizeText]], so
+    * casing/punctuation/whitespace variants of one document collapse
+    * into a single group. `n_raw_variants` counts the distinct RAW
+    * texts a group absorbed — groups with n_raw_variants > 1 are
+    * exactly the near-misses plain exact dedup leaves behind.
+    */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol))).as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col(textCol)).as("n_raw_variants"))
 
   /** Incremental [[exact]] for the medallion gold hop — the third
     * member of the incremental-dedup family next to

@@ -134,6 +134,8 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
+    "dedup_exact_normalized" -> ((s, d) =>
+      Dedup.exactNormalized(docs(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardStats(docs(s, d), "doc_id", "text")),
     // maxBucket = uncapped, explicitly: the SQL oracles have no bucket
@@ -956,6 +958,13 @@ object DedupQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_exact_normalized" ->
+      """SELECT
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+        |  min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT text) AS n_raw_variants
+        |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 5) AS shingle

@@ -65,15 +65,52 @@ object EventQueries {
         col("r_event_id").as("click_id"))
   }
 
+  /** Ordered view→click→purchase funnel over the events table. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnel(ev(spark, dir), Seq("view", "click", "purchase"))
+
+  /** Weekly cohort retention over the events table. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    Events.retention(ev(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
     "events_sessionize" -> (eventsSessionize _),
     "events_json_extract" -> (eventsJsonExtract _),
     "events_interval_join" -> (eventsIntervalJoin _),
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM t0) AS n_users
+        |UNION ALL SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM t1)
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM t2)""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |fs AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT fs.cohort_week,
+        |  CAST(date_diff('day', CAST(fs.cohort_week AS DATE),
+        |    CAST(uw.week AS DATE)) // 7 AS INT) AS week_number,
+        |  count(*) AS n_active
+        |FROM uw JOIN fs USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_json_extract" ->
       """SELECT event_type,
         |  CAST(COUNT(k) AS BIGINT) AS n_with_k,

@@ -96,6 +96,80 @@ object Events {
     * probes. Probes with no prior event are dropped (inner-join
     * semantics).
     */
+  /** Ordered funnel analysis: how many users reach each step of
+    * `steps` IN ORDER (step k's event strictly after the user's
+    * step-(k-1) time; step times are the earliest qualifying event —
+    * the standard "first-touch" funnel).
+    *
+    * Spark-first shape: a cascade of conditional whole-partition
+    * window minima over ONE hash exchange on the key — window k's
+    * input references window (k-1)'s output column, and because
+    * every Window partitions identically Catalyst plans them as
+    * chained Window nodes over a single shuffle (no self-joins, no
+    * per-step passes over the fact table). The per-user reduction
+    * and the final global count are partial-aggregated, so shuffle
+    * bytes scale with |users|, not |events| — the property that
+    * matters at 100 TB.
+    *
+    * Output: (step, event_type, n_users), step 1-based, one row per
+    * funnel step.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             keyCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(keyCol))
+    val withSteps = steps.zipWithIndex.foldLeft(events) { case (df, (et, i)) =>
+      val qualifies =
+        if (i == 0) col(typeCol) === et
+        else col(typeCol) === et && col(tsCol) > col(s"_t${i - 1}")
+      df.withColumn(s"_t$i", min(when(qualifies, col(tsCol))).over(w))
+    }
+    // every row of a user carries identical _t* values: reduce to one
+    // row per user (max = the value), then count reached users per step
+    val perUser = withSteps.groupBy(col(keyCol))
+      .agg(max(col("_t0")).as("_t0"),
+        steps.indices.drop(1).map(i => max(col(s"_t$i")).as(s"_t$i")): _*)
+    val counts = perUser.agg(
+      sum(when(col("_t0").isNotNull, 1L).otherwise(0L)).as("_n0"),
+      steps.indices.drop(1).map(i =>
+        sum(when(col(s"_t$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (et, i) =>
+        struct(lit(i + 1).as("step"), lit(et).as("event_type"),
+          col(s"_n$i").as("n_users"))
+      }: _*)).as("s"))
+      .select(col("s.step"), col("s.event_type"), col("s.n_users"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their
+    * first event (`cohort_week`), counted per subsequent active week
+    * (`week_number` = weeks since cohort entry, 0 = the entry week).
+    *
+    * Both sides pre-aggregate BEFORE any wide exchange: the activity
+    * side reduces events to distinct (user, week) pairs and the
+    * cohort side to one min-week row per user (map-side partial
+    * aggregation), so the join and final aggregate shuffle rows
+    * proportional to |users|×|active weeks| — never |events|.
+    *
+    * Output: (cohort_week, week_number, n_active).
+    */
+  def retention(events: DataFrame, keyCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val weeks = events
+      .select(col(keyCol), date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    val cohort = weeks.groupBy(col(keyCol))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort, keyCol)
+      // date, not timestamp: a week bucket has no time-of-day — and
+      // engines disagree on week-trunc return types, so the portable
+      // contract is DATE
+      .groupBy(to_date(col("cohort_week")).as("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_number"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   def asofJoin(events: DataFrame, probes: DataFrame,
                keyCol: String, tsCol: String, probeTsCol: String,
                payloadCols: Seq[String], tiebreakCol: String): DataFrame = {

@@ -17,6 +17,23 @@ class DedupSpec extends SparkSpec {
     assert(out.sameElements(Array((1L, 3L), (2L, 1L))))
   }
 
+  test("normalized exact dedup collapses case/punct/whitespace variants") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),   // whitespace + case variant of 1
+      (3L, "hello world."),    // punct variant of 1
+      (4L, "different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(df, "doc_id", "text")
+      .orderBy("keep_doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sameElements(Array((1L, 3L, 3L), (4L, 1L, 1L))),
+      s"variants must share one group: ${out.toSeq}")
+    // plain exact dedup sees 4 distinct texts — the gap normalized
+    // dedup exists to close
+    assert(Dedup.exact(df, "doc_id", "text").count() == 4)
+  }
+
   test("null-text documents: shingles drop the row, exact groups on null hash") {
     // pins the r11 explode_outer+filter sweep's documented deviation:
     // a null-text document contributes NO shingle row (the pre-r11

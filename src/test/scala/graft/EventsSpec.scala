@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+/** Hand-computed toy cases for the batch event-analytics operators
+  * (the corpus-scale shapes are oracle-checked via EventQueries).
+  */
+class EventsSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel counts users reaching each ordered step") {
+    // u1 completes view->click->purchase in order; u2 clicks BEFORE
+    // its first view (click must not count — order matters) and never
+    // purchases; u3 views only; u4 has a purchase with no prior
+    // click (purchase must not count)
+    val e = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),
+      (3L, "view", "2024-01-01 08:00:00"),
+      (4L, "view", "2024-01-01 07:00:00"),
+      (4L, "purchase", "2024-01-01 07:30:00"))
+      .map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(e, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.sameElements(Array(
+      (1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L))), out.toSeq)
+  }
+
+  test("funnel step times are strictly increasing (equal ts does not advance)") {
+    val e = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00")) // same instant: not after
+      .map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(e, Seq("view", "click"))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(out.sameElements(Array(1L, 0L)), out.toSeq)
+  }
+
+  test("retention buckets users by first-seen week") {
+    // u1 first seen week of Jan 1 (Mon), active again 2 weeks later;
+    // u2 first seen week of Jan 8, active the next week; u3 one-shot
+    val e = Seq(
+      (1L, "2024-01-02 10:00:00"), // cohort 2024-01-01, week 0
+      (1L, "2024-01-03 10:00:00"), // same week: one active row
+      (1L, "2024-01-16 10:00:00"), // week 2
+      (2L, "2024-01-09 10:00:00"), // cohort 2024-01-08, week 0
+      (2L, "2024-01-15 10:00:00"), // week 1
+      (3L, "2024-01-02 12:00:00")) // cohort 2024-01-01, week 0
+      .map { case (u, s) => (u, "view", ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.retention(e)
+      .orderBy("cohort_week", "week_number").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.sameElements(Array(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L))), out.toSeq)
+  }
+
+  test("funnel plans one exchange: chained windows share the user partitioning") {
+    val e = Seq((1L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val plan = Events.funnel(e, Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    // one hash exchange feeds all three Window nodes + the per-user
+    // aggregate; the only other exchange is the final single-row agg
+    assert(exchanges <= 1, s"funnel must not re-shuffle per step:\n$plan")
+  }
+}
