@@ -20,6 +20,17 @@ final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
 
 final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+/** Typed event row for the stateful streaming funnel. */
+final case class FunnelEvent(user_id: Long, event_id: Long,
+                             event_type: String, ts: java.sql.Timestamp)
+
+/** Emitted the moment a user advances to funnel step `step` (1-based). */
+final case class FunnelStep(user_id: Long, step: Int, event_type: String,
+                            step_ts: java.sql.Timestamp)
+
+/** Per-user funnel progress: event-time micros of each reached step. */
+final case class FunnelProgress(times: Seq[Long])
+
 /** Streaming ingestion (SURVEY.md §2 #23-24): the Spark-native
   * counterpart of the reference's Autoloader-style streaming readers
   * and foreachBatch merge writers (ingest-framework readers/
@@ -244,6 +255,53 @@ object StreamingIngest {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Stateful streaming funnel (#26b's streaming form): per-user
+    * progress through the ordered `steps` lives in the state store,
+    * and a [[FunnelStep]] row is emitted the moment a user advances —
+    * aggregating emitted rows by step reproduces
+    * [[graft.operators.Events.funnel]]'s counts when micro-batches
+    * arrive in event-time order. State per user is at most |steps|
+    * longs — bounded by user cardinality, never event volume, the
+    * same state-store contract as [[sessionizeStateful]].
+    *
+    * Batch-vs-stream skew contract: within a micro-batch events are
+    * sorted (group iterators carry no order), so a batch replay is
+    * bit-identical; ACROSS batches a late qualifying event that would
+    * have advanced a step EARLIER than the recorded time keeps the
+    * recorded (later) time — append mode cannot retract an emitted
+    * advancement. Bounded by the watermark, identical to every
+    * append-mode stateful operator here. State never times out: a
+    * user's funnel position stays valid for the stream's lifetime
+    * (it is |steps| longs; expiry would RE-EMIT steps on a user's
+    * return, double-counting conversions).
+    */
+  def funnelStateful(events: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelProgress]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[FunnelStep]
+          sorted.foreach { e =>
+            val next = times.length
+            if (next < steps.length && e.event_type == steps(next) &&
+                (next == 0 || toMicros(e.ts) > times(next - 1))) {
+              times = times :+ toMicros(e.ts)
+              out += FunnelStep(userId, next + 1, steps(next), e.ts)
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelProgress(times))
+          out.result().iterator
       }
   }
 

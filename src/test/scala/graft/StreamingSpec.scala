@@ -326,6 +326,45 @@ class StreamingSpec extends SparkSpec {
       s"${got.size} closed vs ${batch.size} batch sessions for $users users")
   }
 
+  test("stateful streaming funnel reproduces the batch funnel counts") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.FunnelEvent
+    val (dir, src) = stageEventFiles()
+    val steps = Seq("view", "click", "purchase")
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema, Map("maxFilesPerTrigger" -> "1")) // time-ordered batches
+      .select("user_id", "event_id", "event_type", "ts").as[FunnelEvent]
+    val advanced = StreamingIngest.funnelStateful(stream, steps)
+    val name = s"stream_funnel_${System.nanoTime()}"
+    val q = advanced.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // a user advances each step at most once, so per-step row counts
+    // ARE per-step user counts; the staged files are time-ordered so
+    // the greedy fold equals the batch first-touch minima exactly
+    val got = spark.table(name).groupBy("step")
+      .agg(count(lit(1)).as("n_users"), countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(r => r._2 == r._3), s"duplicate advancement: ${got.toSeq}")
+    val want = graft.operators.Events.funnel(src, steps)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val gotMap = got.map(r => (r._1, r._2)).toMap
+    assert(gotMap == want.filter(_._2 > 0L),
+      s"stream funnel $gotMap vs batch $want")
+    // the recorded step TIMES must match the batch minima per user too
+    val streamT = spark.table(name)
+      .select("user_id", "step", "step_ts")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getTimestamp(2))).toMap
+    val batchFirst = src.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    batchFirst.foreach { case (u, t) =>
+      assert(streamT((u, 1)) == t, s"user $u step-1 time drifted")
+    }
+  }
+
   test("streaming merge sink gates violating micro-batches on DQ") {
     val (dir, src) = stageEventFiles()
     val table = Files.createTempDirectory("graft_sdq_tbl").toString
