@@ -174,6 +174,25 @@ object Dedup {
     * carrying several rows for one id keeps the real-text row first,
     * then the smallest hash (deterministic; a change feed never
     * duplicates).
+    *
+    * `appendOnly` declares an INSERT-ONLY corpus (the dominant
+    * crawl-ingest regime: ids never re-appear with different text,
+    * nothing is ever deleted) and switches to a fast path whose
+    * per-batch cost is O(batch), not O(state): no retraction
+    * deletes (a redelivered identical row upserts onto its own
+    * (text_hash, id) key), no gold read, no full-state signature
+    * aggregation — only the hash groups the batch touched are
+    * re-aggregated, because append-only no OTHER group's membership
+    * (hence signature, keep id, or count) can change. Provably
+    * equivalent to the general path under that contract; replays
+    * converge the same way (state upserts are idempotent, touched
+    * groups re-aggregate from current state). A delete feed
+    * contradicts the declaration and throws; a `fullResync` window
+    * (vacuumed gap / fresh checkpoint) silently degrades to the
+    * general path for that one window — the state-minus-snapshot
+    * reconcile is exactly what such a window needs. An UPDATE
+    * slipped into an appendOnly stream corrupts state (its old pair
+    * is never retracted) — that is the contract, not a bug.
     */
   def exactDedupIncremental(spark: SparkSession, batch: DataFrame,
                             idCol: String, textCol: String,
@@ -181,8 +200,12 @@ object Dedup {
                             batchOrd: Long,
                             deletes: Option[DataFrame] = None,
                             fullResync: Boolean = false,
+                            appendOnly: Boolean = false,
                             fmt: graft.pipeline.TableFormat =
                               graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
     // the RETRACTION set is every id the batch mentions — an update
     // TO null text must still delete the doc's old state pair (only
     // the filtered rows insert anything); filtering before retraction
@@ -192,6 +215,32 @@ object Dedup {
       oneRowPerId(batch.select(col(idCol).as("id"),
         md5(col(textCol)).as("text_hash")), "id", Seq("text_hash")))
     val batchH = batchAll.filter(col("text_hash").isNotNull)
+    if (appendOnly && !fullResync) {
+      // insert-only fast path: merge the batch pairs, then
+      // re-aggregate ONLY the touched hash groups straight from
+      // state (semi-joined map-side — the groupBy shuffles batch
+      // groups, never the corpus). No group can vanish and no
+      // untouched group's stored row or signature can go stale.
+      if (batchH.isEmpty) return
+      fmt.scd1Merge(spark, statePath,
+        batchH.withColumn("_ord", lit(batchOrd)),
+        Seq("text_hash", "id"), "_ord", compareExclude = Nil)
+      val grpTouched = graft.Materialize.eager(
+        fmt.read(spark, statePath)
+          .join(batchH.select(col("text_hash")).distinct(),
+            Seq("text_hash"), "left_semi")
+          .groupBy(col("text_hash"))
+          .agg(min(col("id")).as("keep_doc_id"),
+            count(lit(1)).as("n_copies"),
+            expr("bit_xor(xxhash64(id))").as("_sig_now")))
+      val liveFast = grpTouched.select(col("text_hash"), col("keep_doc_id"),
+        col("n_copies"), lit(batchOrd).as("_ord"),
+        col("_sig_now").as("_grp_sig"))
+      if (!liveFast.isEmpty)
+        fmt.scd1Merge(spark, goldPath, liveFast, Seq("text_hash"), "_ord",
+          compareExclude = Nil)
+      return
+    }
     val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
       statePath, batchAll.select(col("id")), fmt)
     if (!batchAll.isEmpty) {
@@ -420,6 +469,18 @@ object Dedup {
     * `fullResync` (a full-snapshot window — vacuumed gap or fresh
     * checkpoint) adds every state id the batch does not carry to
     * that set: see [[combinedDeletes]].
+    *
+    * `appendOnly` declares an insert-only corpus and switches the
+    * per-batch cost from O(|bands state|) to O(batch neighborhood):
+    * the re-verify set is the members of buckets the batch touched
+    * (append-only, no other doc's bucket membership — hence
+    * signature or stats — can change), and the signature/candidate
+    * aggregations run over the TWO-HOP neighborhood only (the
+    * touched buckets' members, plus those members' other buckets,
+    * which the re-verified stats and signatures also fold). No
+    * retraction deletes, no gold read. Contract and degrade
+    * semantics as [[exactDedupIncremental]]: a delete feed throws,
+    * a `fullResync` window runs the general path.
     */
   def minhashLshStatsIncremental(spark: SparkSession, batch: DataFrame,
                                  idCol: String, textCol: String,
@@ -430,9 +491,13 @@ object Dedup {
                                  maxBucket: Int = 10000, minBands: Int = 1,
                                  deletes: Option[DataFrame] = None,
                                  fullResync: Boolean = false,
+                                 appendOnly: Boolean = false,
                                  fmt: graft.pipeline.TableFormat =
                                    graft.pipeline.SnapshotTableFormat): Unit = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
     val docsPath = s"$stateDir/docs"
     val bandsPath = s"$stateDir/bands"
     // null-text docs are excluded from state/gold (documented
@@ -447,6 +512,75 @@ object Dedup {
       oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
         "id", Seq("text")))
     val batchDocs = batchAll.filter(col("text").isNotNull)
+    if (appendOnly && !fullResync) {
+      if (batchDocs.isEmpty) return
+      val batchH = graft.Materialize.eager(
+        shingleHashes(batchDocs, "id", "text", n))
+      val batchBands = graft.Materialize.eager(
+        bandRowsFromHashes(batchH, numPerm, bands, withChash = true))
+      fmt.scd1Merge(spark, docsPath,
+        batchH.withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      fmt.scd1Merge(spark, bandsPath,
+        batchBands.withColumn("_ord", lit(batchOrd)),
+        Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
+      val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
+      val stateBands = fmt.read(spark, bandsPath)
+        .select(col("id"), col("chash"), col("band"), col("bhash"))
+      // re-verify set: members of buckets the batch touched — the
+      // only docs whose bucket membership (hence stats or stored
+      // signature) can change on an insert-only corpus
+      val affected = graft.Materialize.eager(
+        stateBands.join(batchBands.select(col("band"), col("bhash")).distinct(),
+            Seq("band", "bhash"), "left_semi")
+          .select(col("id")).distinct())
+      // ...and their whole neighborhoods: every bucket an affected
+      // doc belongs to, with full membership — both the signature
+      // fold and the candidate mates need those buckets exactly
+      val affBuckets = stateBands.join(affected, Seq("id"), "left_semi")
+        .select(col("band"), col("bhash")).distinct()
+      val nbrBands = graft.Materialize.eager(
+        stateBands.join(affBuckets, Seq("band", "bhash"), "left_semi"))
+      val buckets = graft.Materialize.eager(
+        nbrBands.groupBy(col("band"), col("bhash"))
+          .agg(count(lit(1)).as("_sz"),
+            expr("bit_xor(xxhash64(band, bhash, id, chash))").as("_bsig"))
+          .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket))
+      val sigNow = graft.Materialize.eager(
+        nbrBands.join(affected, Seq("id"), "left_semi")
+          .join(buckets, Seq("band", "bhash"))
+          .groupBy(col("id"))
+          .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+            .as("_sig_now")))
+      val qb = buckets.filter(col("_q")).select(col("band"), col("bhash"))
+      val aSide = nbrBands.join(affected, Seq("id"), "left_semi")
+        .join(qb, Seq("band", "bhash"), "left_semi")
+        .select(col("band"), col("bhash"), col("id").as("ida"))
+      val mSide = nbrBands.join(qb, Seq("band", "bhash"), "left_semi")
+        .select(col("band"), col("bhash"), col("id").as("idb"))
+      val pairs = aSide.join(mSide, Seq("band", "bhash"))
+        .filter(col("ida") =!= col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("_nh"))
+        .filter(col("_nh") >= minBands)
+        .select(col("ida"), col("idb"))
+      val jac = graft.Materialize.eager(pairJaccard(stateDocs, pairs))
+      val per = jac.groupBy(col("ida")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_near"),
+        max(col("jaccard")).as("max_jaccard"))
+      val statsRows = affected
+        .join(per, col("id") === col("ida"), "left_outer")
+        .join(sigNow, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("max_jaccard"), lit(batchOrd).as("_ord"),
+          coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
+      if (!statsRows.isEmpty)
+        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+          compareExclude = Nil)
+      return
+    }
     val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
       docsPath, batchAll.select(col("id")), fmt)
     // ids leaving gold entirely: hard deletes + update-to-null docs
@@ -1140,6 +1274,17 @@ object Dedup {
     * `fullResync` (a full-snapshot window — vacuumed gap or fresh
     * checkpoint) treats every state id the batch does not carry as
     * hard-deleted: see [[combinedDeletes]].
+    *
+    * `appendOnly` declares an insert-only corpus and drops the
+    * per-batch cost from O(state) to O(batch neighborhood): each
+    * vector owns exactly ONE SRP bucket, so the only docs whose
+    * stats or stored signature can change are the members of
+    * buckets the batch landed in — a ONE-hop neighborhood (unlike
+    * the MinHash sibling's two hops). The bucket aggregation,
+    * signatures, and cosine pairs all run over those buckets'
+    * members only. No retraction deletes, no gold read. Contract
+    * and degrade semantics as [[exactDedupIncremental]]: a delete
+    * feed throws, a `fullResync` window runs the general path.
     */
   def embeddingStatsLshIncremental(spark: SparkSession, batch: DataFrame,
                                    idCol: String, vecCol: String,
@@ -1149,12 +1294,68 @@ object Dedup {
                                    seed: Long = 42L, maxBucket: Int = 10000,
                                    deletes: Option[DataFrame] = None,
                                    fullResync: Boolean = false,
+                                   appendOnly: Boolean = false,
                                    fmt: graft.pipeline.TableFormat =
                                      graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
     val batchAll = graft.Materialize.eager(
       oneRowPerId(batch.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", Seq("v")))
     val batchVecs = batchAll.filter(col("v").isNotNull)
+    if (appendOnly && !fullResync) {
+      if (batchVecs.isEmpty) return
+      val batchState = graft.Materialize.eager(
+        batchVecs.select(col("id"), col("v"),
+          VectorFunctions.selfNorm(col("v")).as("nn"),
+          VectorFunctions.srpBucket(col("v"), planes, seed).as("bucket"),
+          xxhash64(col("v")).as("vhash")))
+      fmt.scd1Merge(spark, statePath,
+        batchState.withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      // one bucket per vector: the touched buckets' members ARE the
+      // whole affected neighborhood — aggregate only those
+      val nbr = graft.Materialize.eager(
+        fmt.read(spark, statePath)
+          .join(batchState.select(col("bucket")).distinct(),
+            Seq("bucket"), "left_semi"))
+      val buckets = graft.Materialize.eager(
+        nbr.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("_sz"),
+            expr("bit_xor(xxhash64(bucket, id, vhash))").as("_bsig"))
+          .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket))
+      val sigNow = nbr.select(col("id"), col("bucket"))
+        .join(buckets, Seq("bucket"))
+        .select(col("id"),
+          when(col("_q"), col("_bsig")).otherwise(lit(0L)).as("_sig_now"))
+      val qb = buckets.filter(col("_q")).select(col("bucket"))
+      val aSide = nbr.join(qb, Seq("bucket"), "left_semi")
+        .select(col("bucket"), col("id").as("ida"),
+          col("v").as("va"), col("nn").as("na"))
+      val mSide = nbr.join(qb, Seq("bucket"), "left_semi")
+        .select(col("bucket"), col("id").as("idb"),
+          col("v").as("vb"), col("nn").as("nb"))
+      val cosPairs = aSide.join(mSide, Seq("bucket"))
+        .filter(col("ida") =!= col("idb"))
+        .select(col("ida"), Similarity.cosFromParts(
+          VectorFunctions.dotProduct(col("va"), col("vb")),
+          col("na"), col("nb")).as("cos"))
+      val per = cosPairs.groupBy(col("ida")).agg(
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"),
+        max(col("cos")).as("max_cos"))
+      val statsRows = nbr.select(col("id"))
+        .join(per, col("id") === col("ida"), "left_outer")
+        .join(sigNow, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("max_cos"), lit(batchOrd).as("_ord"),
+          coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
+      if (!statsRows.isEmpty)
+        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+          compareExclude = Nil)
+      return
+    }
     val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
       statePath, batchAll.select(col("id")), fmt)
     val drops = graft.Materialize.eager(

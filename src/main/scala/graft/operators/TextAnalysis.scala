@@ -395,6 +395,23 @@ object TextAnalysis {
     * full-snapshot window — vacuumed gap or fresh checkpoint) treats
     * every state id the batch does not carry as hard-deleted:
     * see [[Dedup.combinedDeletes]].
+    *
+    * `appendOnly` declares an insert-only corpus and drops the
+    * per-batch cost from O(state) (the full hot-set groupBy plus
+    * the state⋈hot signature aggregation) to O(batch
+    * neighborhood). Append-only, segment doc-counts only GROW, so a
+    * segment's hot status flips at most once (cold→hot) and only
+    * for segments the batch carries: the re-clean set is the batch
+    * plus the old documents holding a segment that crossed
+    * `minDocs` THIS batch (detected as current count ≥ minDocs
+    * while current-minus-batch-contribution < minDocs — an
+    * overestimate under replay, never a miss, and re-cleaning is
+    * idempotent). Old documents' text comes from gold keyed by id;
+    * hot status is aggregated ONLY for segments the re-cleaned
+    * docs contain. No retraction deletes, no full gold scan.
+    * Contract and degrade semantics as
+    * [[Dedup.exactDedupIncremental]]: a delete feed throws, a
+    * `fullResync` window runs the general path.
     */
   def segmentDedupIncremental(spark: SparkSession, batch: DataFrame,
                               idCol: String, textCol: String,
@@ -403,10 +420,14 @@ object TextAnalysis {
                               segWords: Int = 5, minDocs: Int = 3,
                               deletes: Option[DataFrame] = None,
                               fullResync: Boolean = false,
+                              appendOnly: Boolean = false,
                               fmt: graft.pipeline.TableFormat =
                                 graft.pipeline.SnapshotTableFormat): Unit = {
     require(segWords >= 1, "segWords must be positive")
     require(minDocs >= 2, "minDocs below 2 would delete every segment")
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
     // replace the batch docs' pairs: delete-then-merge makes updates
     // retract their old segments and replays converge to the same state
     // several rows for one id in a hand-built batch keep one
@@ -414,6 +435,68 @@ object TextAnalysis {
     val batchDocs = graft.Materialize.eager(
       Dedup.oneRowPerId(batch.select(col(idCol), col(textCol)),
         idCol, Seq(textCol)))
+    if (appendOnly && !fullResync) {
+      if (batchDocs.isEmpty) return
+      val batchSegs = graft.Materialize.eager(
+        segmentRows(batchDocs, idCol, textCol, segWords)
+          .select(col(idCol), col("seg")).distinct())
+      fmt.scd1Merge(spark, statePath,
+        batchSegs.withColumn("_ord", lit(batchOrd)),
+        Seq("seg", idCol), "_ord", compareExclude = Nil)
+      val state = fmt.read(spark, statePath)
+      // current doc-counts for the batch's segments only (the only
+      // segments whose counts — hence hot status — moved this batch)
+      val segCnt = state
+        .join(batchSegs.select(col("seg")).distinct(), Seq("seg"), "left_semi")
+        .groupBy(col("seg")).agg(countDistinct(col(idCol)).as("_docs"))
+      val bCnt = batchSegs.groupBy(col("seg"))
+        .agg(countDistinct(col(idCol)).as("_bdocs"))
+      // segments that crossed minDocs THIS batch: replay makes the
+      // pre-batch estimate an UNDERcount (contributions already
+      // merged), so flips are over-claimed, never missed — and
+      // re-cleaning is idempotent
+      val flipped = segCnt.join(bCnt, Seq("seg"))
+        .filter(col("_docs") >= minDocs &&
+          col("_docs") - col("_bdocs") < minDocs)
+        .select(col("seg"))
+      val oldDocs =
+        if (fmt.exists(goldPath)) {
+          val oldIds = state.join(flipped, Seq("seg"), "left_semi")
+            .select(col(idCol)).distinct()
+            .join(batchDocs.select(col(idCol)), Seq(idCol), "left_anti")
+          Some(fmt.read(spark, goldPath)
+            .join(oldIds, Seq(idCol), "left_semi")
+            .select(col(idCol), col(textCol)))
+        } else None
+      val toClean = graft.Materialize.eager(
+        oldDocs.fold(batchDocs)(batchDocs.unionByName(_)))
+      val cleanSegs = graft.Materialize.eager(
+        segmentRows(toClean, idCol, textCol, segWords))
+      // hot status of exactly the segments the re-cleaned docs
+      // contain — sufficient for both cleaning and their signatures
+      val hotLocal = graft.Materialize.eager(
+        state.join(cleanSegs.select(col("seg")).distinct(),
+            Seq("seg"), "left_semi")
+          .groupBy(col("seg")).agg(countDistinct(col(idCol)).as("_docs"))
+          .filter(col("_docs") >= minDocs)
+          .select(col("seg")))
+      // distinct (id, seg) before the XOR: a doc repeating a hot
+      // segment would cancel its own hash out of the signature
+      val sigLocal = cleanSegs.select(col(idCol), col("seg")).distinct()
+        .join(broadcast(hotLocal), Seq("seg"))
+        .groupBy(col(idCol))
+        .agg(bit_xor(xxhash64(col("seg"))).as("_sig_now"))
+      val cleaned = cleanAgainstHot(cleanSegs, hotLocal, idCol)
+        .join(toClean, Seq(idCol))
+        .join(sigLocal, Seq(idCol), "left_outer")
+        .select(col(idCol), col(textCol), lit(batchOrd).as("_ord"),
+          col("clean_text"), col("kept_segments"), col("removed_segments"),
+          coalesce(col("_sig_now"), lit(0L)).as("_hot_sig"))
+      if (!cleaned.isEmpty)
+        fmt.scd1Merge(spark, goldPath, cleaned, Seq(idCol), "_ord",
+          compareExclude = Nil)
+      return
+    }
     val delIds = Dedup.combinedDeletes(spark, deletes, idCol, idCol,
       fullResync, statePath, batchDocs.select(col(idCol)), fmt)
     val batchEmpty = batchDocs.isEmpty

@@ -1797,4 +1797,303 @@ class StreamingSpec extends SparkSpec {
     assert(MergeTable.read(spark, gold).filter(col("id") === 1L).count() == 0,
       "the nulled vector's gold row must disappear")
   }
+
+  /** TableFormat wrapper counting direct `read(path)` calls per
+    * path — the structural proof of the append-only fast paths: the
+    * general path reads GOLD every batch (the signature-staleness
+    * probe); the fast paths never do (merges are not reads — they
+    * happen inside the format).
+    */
+  private class CountingFormat(inner: graft.pipeline.TableFormat)
+      extends graft.pipeline.TableFormat {
+    val reads = scala.collection.mutable.Map.empty[String, Int]
+    def readsOf(path: String): Int = reads.synchronized {
+      reads.filter(_._1.startsWith(path)).values.sum
+    }
+    override def exists(path: String): Boolean = inner.exists(path)
+    override def read(spark: org.apache.spark.sql.SparkSession,
+                      path: String): org.apache.spark.sql.DataFrame = {
+      reads.synchronized { reads(path) = reads.getOrElse(path, 0) + 1 }
+      inner.read(spark, path)
+    }
+    override def readVersion(spark: org.apache.spark.sql.SparkSession,
+                             path: String, version: Int) =
+      inner.readVersion(spark, path, version)
+    override def versions(path: String): Seq[Int] = inner.versions(path)
+    override def currentVersion(path: String): Option[Int] =
+      inner.currentVersion(path)
+    override def scd1Merge(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           updates: org.apache.spark.sql.DataFrame,
+                           keys: Seq[String], orderBy: String,
+                           deleteMissing: Boolean,
+                           compareExclude: Seq[String],
+                           schemaEvolution: Boolean) =
+      inner.scd1Merge(spark, path, updates, keys, orderBy, deleteMissing,
+        compareExclude, schemaEvolution)
+    override def scd2Merge(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           updates: org.apache.spark.sql.DataFrame,
+                           keys: Seq[String], orderBy: String,
+                           deleteMissing: Boolean,
+                           compareExclude: Seq[String],
+                           schemaEvolution: Boolean) =
+      inner.scd2Merge(spark, path, updates, keys, orderBy, deleteMissing,
+        compareExclude, schemaEvolution)
+    override def deleteKeys(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            delKeys: org.apache.spark.sql.DataFrame,
+                            keys: Seq[String]) =
+      inner.deleteKeys(spark, path, delKeys, keys)
+    override def vacuum(path: String, keepVersions: Int): Seq[Int] =
+      inner.vacuum(path, keepVersions)
+  }
+
+  test("append-only exact dedup fast path: equals batch and general path, never reads gold, fewer jobs") {
+    // the insert-only regime (crawl ingest): the fast path must
+    // produce gold IDENTICAL to both the batch recompute and the
+    // general path — including the stored group signatures, so a
+    // later switch back to the general path stays sound — while
+    // provably skipping the general path's per-batch work: zero
+    // direct gold reads, and strictly fewer Spark jobs per fold.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val base = graft.pipeline.SnapshotTableFormat
+    val fmtF = new CountingFormat(base)
+    val fmtG = new CountingFormat(base)
+    val stF = Files.createTempDirectory("graft_ao_ex_stF").toString + "/t"
+    val goF = Files.createTempDirectory("graft_ao_ex_goF").toString + "/t"
+    val stG = Files.createTempDirectory("graft_ao_ex_stG").toString + "/t"
+    val goG = Files.createTempDirectory("graft_ao_ex_goG").toString + "/t"
+
+    val batches = Seq(
+      Seq((1L, "text A"), (2L, "text A"), (3L, "text B")),
+      Seq((4L, "text A"), (5L, "text C")),
+      Seq((6L, "text B"), (7L, "text C"), (8L, "text D")))
+    var seen = Seq.empty[(Long, String)]
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+
+    def goldRows(path: String): Seq[(String, Long, Long, Long)] =
+      MergeTable.read(spark, path).collect()
+        .map(r => (r.getAs[String]("text_hash"), r.getAs[Long]("keep_doc_id"),
+          r.getAs[Long]("n_copies"), r.getAs[Long]("_grp_sig")))
+        .toSeq.sortBy(_._1)
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      val df = b.toDF("doc_id", "text")
+      val jF = countJobs {
+        Dedup.exactDedupIncremental(spark, df, "doc_id", "text",
+          stF, goF, batchOrd = i.toLong, appendOnly = true, fmt = fmtF)
+      }
+      val jG = countJobs {
+        Dedup.exactDedupIncremental(spark, df, "doc_id", "text",
+          stG, goG, batchOrd = i.toLong, fmt = fmtG)
+      }
+      val truth = seen.toDF("doc_id", "text")
+        .transform(d => Dedup.exact(d, "doc_id", "text"))
+        .collect().map(r => (r.getAs[String]("text_hash"),
+          r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies")))
+        .toSeq.sortBy(_._1)
+      val fast = goldRows(goF)
+      assert(fast.map(t => (t._1, t._2, t._3)) == truth,
+        s"batch $i: fast gold must equal the batch recompute")
+      assert(fast == goldRows(goG),
+        s"batch $i: fast gold (incl. signatures) must equal the general path")
+      if (i > 0)
+        assert(jF < jG,
+          s"batch $i: fast path must run fewer jobs ($jF vs $jG)")
+    }
+    assert(fmtF.readsOf(goF) == 0,
+      "the fast path must never read gold")
+    assert(fmtG.readsOf(goG) > 0,
+      "the general path's staleness probe reads gold (the cost the fast path skips)")
+
+    // a delete feed contradicts the appendOnly declaration — loudly
+    intercept[IllegalArgumentException] {
+      Dedup.exactDedupIncremental(spark,
+        Seq((9L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        stF, goF, batchOrd = 9L, appendOnly = true,
+        deletes = Some(Seq(1L).toDF("doc_id")), fmt = fmtF)
+    }
+  }
+
+  test("append-only minhash fast path: neighborhood re-verify equals batch and general path") {
+    // the two-hop case: batch doc 4 joins the duplicate family, so
+    // OLD docs 1,2 (not in the batch) must gain a partner — their
+    // re-verification needs their OTHER buckets' members too, which
+    // is exactly the fast path's two-hop neighborhood
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val base = graft.pipeline.SnapshotTableFormat
+    val fmtF = new CountingFormat(base)
+    val stF = Files.createTempDirectory("graft_ao_mh_stF").toString
+    val goF = Files.createTempDirectory("graft_ao_mh_goF").toString + "/t"
+    val stG = Files.createTempDirectory("graft_ao_mh_stG").toString
+    val goG = Files.createTempDirectory("graft_ao_mh_goG").toString + "/t"
+    val P = (3, 16, 4, 0.5, 10) // n, numPerm, bands, threshold, maxBucket
+
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val nearText = "alpha beta gamma delta epsilon zeta eta iota"
+    val batches = Seq(
+      Seq((1L, dupText), (2L, dupText),
+        (3L, "one two three four five six seven")),
+      Seq((4L, dupText)),
+      Seq((5L, "one two three four five six seven"), (6L, nearText)))
+    var seen = Seq.empty[(Long, String)]
+
+    def run(df: org.apache.spark.sql.DataFrame, ord: Long,
+            append: Boolean): Unit =
+      Dedup.minhashLshStatsIncremental(spark, df, "doc_id", "text",
+        if (append) stF else stG, if (append) goF else goG, batchOrd = ord,
+        n = P._1, numPerm = P._2, bands = P._3, threshold = P._4,
+        maxBucket = P._5, appendOnly = append,
+        fmt = if (append) fmtF else base)
+    def stats(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("max_jaccard"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      val df = b.toDF("doc_id", "text")
+      run(df, i.toLong, append = true)
+      run(df, i.toLong, append = false)
+      val truth = stats(Dedup.minhashLshStats(
+          seen.toDF("doc_id", "text"), "doc_id", "text",
+          n = P._1, numPerm = P._2, bands = P._3,
+          threshold = P._4, maxBucket = P._5)
+        .withColumnRenamed("doc_id", "id"))
+      val fast = stats(MergeTable.read(spark, goF))
+      assert(fast == truth, s"batch $i: fast gold must equal batch recompute")
+      val gen = MergeTable.read(spark, goG).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("_bucket_sig")))
+        .toSeq.sortBy(_._1)
+      val fsig = MergeTable.read(spark, goF).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("_bucket_sig")))
+        .toSeq.sortBy(_._1)
+      assert(fsig == gen,
+        s"batch $i: fast signatures must equal the general path's")
+    }
+    assert(MergeTable.read(spark, goF).filter(col("id") === 1L)
+        .head.getAs[Long]("n_near") == 3L,
+      "old doc 1 must have gained the exact duplicates AND the near variant")
+    assert(fmtF.readsOf(goF) == 0, "the fast path must never read gold")
+  }
+
+  test("append-only embedding fast path: one-hop bucket re-verify equals batch and general path") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val base = graft.pipeline.SnapshotTableFormat
+    val fmtF = new CountingFormat(base)
+    val stF = Files.createTempDirectory("graft_ao_em_stF").toString + "/t"
+    val goF = Files.createTempDirectory("graft_ao_em_goF").toString + "/t"
+    val stG = Files.createTempDirectory("graft_ao_em_stG").toString + "/t"
+    val goG = Files.createTempDirectory("graft_ao_em_goG").toString + "/t"
+    val thr = 0.9
+
+    val a = Array(1f, 0f, 0f); val a2 = Array(0.9f, 0.1f, 0f)
+    val b = Array(0f, 1f, 0f); val c = Array(-1f, 0f, 0.2f)
+    val batches = Seq(
+      Seq((1L, a), (2L, a2), (3L, b)),
+      Seq((4L, a)),
+      Seq((5L, b), (6L, c)))
+    var seen = Seq.empty[(Long, Array[Float])]
+
+    def stats(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("max_cos")))
+          .map(v => f"${v.asInstanceOf[Double]}%.6f").orNull))
+        .toSeq.sortBy(_._1)
+
+    batches.zipWithIndex.foreach { case (bt, i) =>
+      seen ++= bt
+      val df = bt.toDF("vec_id", "embedding")
+      Dedup.embeddingStatsLshIncremental(spark, df, "vec_id", "embedding",
+        stF, goF, batchOrd = i.toLong, threshold = thr, planes = 4,
+        appendOnly = true, fmt = fmtF)
+      Dedup.embeddingStatsLshIncremental(spark, df, "vec_id", "embedding",
+        stG, goG, batchOrd = i.toLong, threshold = thr, planes = 4, fmt = base)
+      val truth = stats(Dedup.embeddingStatsLsh(
+          seen.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = thr, planes = 4)
+        .withColumnRenamed("vec_id", "id"))
+      assert(stats(MergeTable.read(spark, goF)) == truth,
+        s"batch $i: fast gold must equal batch recompute")
+      def full(p: String) = MergeTable.read(spark, p).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_near"),
+          r.getAs[Long]("_bucket_sig"))).toSeq.sortBy(_._1)
+      assert(full(goF) == full(goG),
+        s"batch $i: fast gold (incl. signatures) must equal the general path")
+    }
+    assert(fmtF.readsOf(goF) == 0, "the fast path must never read gold")
+  }
+
+  test("append-only segment dedup fast path: hot flips re-clean old docs, equals batch and general path") {
+    // batch 2 pushes the shared segment's doc-count over minDocs:
+    // OLD docs 1,2 (not in the batch) must be re-cleaned — the fast
+    // path finds them via the flipped-segment probe, with their text
+    // read from gold keyed by id, never a full hot-set aggregation
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val base = graft.pipeline.SnapshotTableFormat
+    val fmtF = new CountingFormat(base)
+    val stF = Files.createTempDirectory("graft_ao_sg_stF").toString + "/t"
+    val goF = Files.createTempDirectory("graft_ao_sg_goF").toString + "/t"
+    val stG = Files.createTempDirectory("graft_ao_sg_stG").toString + "/t"
+    val goG = Files.createTempDirectory("graft_ao_sg_goG").toString + "/t"
+    val (segWords, minDocs) = (2, 3)
+    val segA = "common boiler"
+
+    val batches = Seq(
+      Seq((1L, s"$segA one two"), (2L, s"$segA three four")),
+      Seq((3L, s"$segA five six")),
+      Seq((4L, "seven eight"), (5L, s"$segA nine ten")))
+    var seen = Seq.empty[(Long, String)]
+
+    def stats(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("kept_segments"),
+        r.getAs[Long]("removed_segments"))).toSeq.sortBy(_._1)
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      val df = b.toDF("doc_id", "text")
+      TextAnalysis.segmentDedupIncremental(spark, df, "doc_id", "text",
+        stF, goF, batchOrd = i.toLong, segWords = segWords,
+        minDocs = minDocs, appendOnly = true, fmt = fmtF)
+      TextAnalysis.segmentDedupIncremental(spark, df, "doc_id", "text",
+        stG, goG, batchOrd = i.toLong, segWords = segWords,
+        minDocs = minDocs, fmt = base)
+      val truth = stats(TextAnalysis.segmentDedup(
+        seen.toDF("doc_id", "text"), "doc_id", "text",
+        segWords = segWords, minDocs = minDocs))
+      assert(stats(MergeTable.read(spark, goF)) == truth,
+        s"batch $i: fast gold must equal batch recompute")
+      def full(p: String) = MergeTable.read(spark, p).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Long]("_hot_sig"))).toSeq.sortBy(_._1)
+      assert(full(goF) == full(goG),
+        s"batch $i: fast gold (incl. signatures) must equal the general path")
+    }
+    assert(MergeTable.read(spark, goF).filter(col("doc_id") === 1L)
+        .head.getAs[String]("clean_text") == "one two",
+      "old doc 1 must have lost the flipped hot segment")
+    assert(fmtF.readsOf(goF) > 0,
+      "old docs' text IS read from gold keyed by id — that read is the design")
+  }
 }
