@@ -843,14 +843,33 @@ object Dedup {
     * signal; unbounded floods don't): cap, don't erase. Cost over
     * resolve is one window on the cluster key — cluster-sized
     * partitions, no new corpus shuffle.
+    *
+    * This self-contained form re-runs the full resolve (candidate
+    * generation + iterative propagation). A real pipeline should
+    * materialize [[dedupResolve]]'s output ONCE and hand it to the
+    * pre-resolved overload below — the cluster map and the cap are
+    * then two cheap reads of one resolution instead of two full
+    * propagations (they were the two heaviest entries of the bench
+    * board when run independently).
     */
   def dedupClusterCap(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, maxPerCluster: Int,
                       maxBucket: Int = 10000,
-                      minBands: Int = 1): DataFrame = {
+                      minBands: Int = 1): DataFrame =
+    dedupClusterCap(
+      dedupResolve(df, idCol, textCol, threshold = threshold,
+        maxBucket = maxBucket, minBands = minBands),
+      idCol, maxPerCluster)
+
+  /** The cap window over an ALREADY-RESOLVED cluster frame
+    * ([[dedupResolve]] output: one row per document with its
+    * `canonical` cluster id). Use this overload when the resolution
+    * is materialized and shared — it adds exactly one window on the
+    * cluster key and nothing else.
+    */
+  def dedupClusterCap(resolved: DataFrame, idCol: String,
+                      maxPerCluster: Int): DataFrame = {
     require(maxPerCluster >= 1, "maxPerCluster must be positive")
-    val resolved = dedupResolve(df, idCol, textCol, threshold = threshold,
-      maxBucket = maxBucket, minBands = minBands)
     val w = Window.partitionBy(col("canonical")).orderBy(col(idCol).asc)
     resolved.withColumn("cluster_rank", row_number().over(w))
       .withColumn("kept", col("cluster_rank") <= maxPerCluster)

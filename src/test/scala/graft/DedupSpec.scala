@@ -157,6 +157,17 @@ class DedupSpec extends SparkSpec {
     val keepOne = Dedup.dedupClusterCap(df, "doc_id", "text",
         threshold = 0.5, maxPerCluster = 1).collect()
     assert(keepOne.forall(r => r.getBoolean(4) == !r.getBoolean(2)))
+    // the pre-resolved overload over a shared resolution equals the
+    // self-contained form exactly — the pipeline shape that pays the
+    // candidate generation + propagation once for map AND cap
+    val resolved = graft.Materialize.eager(
+      Dedup.dedupResolve(df, "doc_id", "text", threshold = 0.5))
+    val shared = Dedup.dedupClusterCap(resolved, "doc_id", maxPerCluster = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getBoolean(4)))
+      .sorted
+    assert(shared.sameElements(out),
+      "pre-resolved overload must equal the self-contained form")
   }
 
   test("cluster resolution follows transitive chains") {

@@ -78,4 +78,94 @@ class ExtensionsSpec extends SparkSpec {
       .collect())
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("hash kernels are byte-correct on multilingual text") {
+    // the kernels operate on UTF8String BYTES; the oracle board only
+    // exercises the ASCII corpus (DedupQueries' ascii(substr(...))
+    // formulations are ASCII-scoped by design). These cases pin the
+    // multilingual contract instead: for CJK, emoji (surrogate
+    // pairs), combining characters, RTL text, and mixed scripts, each
+    // kernel must equal an independent JVM reference computed from
+    // java.lang.String's UTF-8 encoding, byte for byte.
+    import SparkSpec.spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.functions.HashFunctions
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{col, split}
+
+    val texts = Seq(
+      "你好世界 深度学习 模型",   // CJK with spaces
+      "日本語のテキスト",                   // Japanese, no spaces
+      "café café naïve",                                    // precomposed vs combining
+      "😀🙏🎉 emoji 👍 mix",        // surrogate pairs
+      "مرحبا بالعالم", // Arabic (RTL)
+      "mixed 中文 and ascii and 🤖",
+      "à",                                                             // shorter than n
+      "")                                                                   // empty
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+
+    def mix(x0: Long): Long = {
+      var z = x0
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def fnv(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    def refShingles(s: String, n: Int): Seq[Long] = {
+      val b = s.getBytes(UTF_8)
+      val count = math.max(b.length - n + 1, 1)
+      (0 until count).map { i =>
+        mix(fnv(java.util.Arrays.copyOfRange(b, i, math.min(i + n, b.length))))
+      }.distinct.sorted
+    }
+    def refPoly(s: String, mult: Long, mod: Long): Long =
+      s.getBytes(UTF_8).foldLeft(0L)((acc, b) => (acc * mult + (b & 0xffL)) % mod)
+    def refSimhash(tokens: Seq[String]): Long = {
+      val counts = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = fnv(t.getBytes(UTF_8))
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (counts(b) > 0) acc | (1L << b) else acc)
+    }
+
+    val n = 5
+    val got = df.select(col("id"),
+        HashFunctions.shingleHashes(col("text"), n).as("sh"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        HashFunctions.simhash64(split(col("text"), " ")).as("sim"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[scala.collection.Seq[Long]]("sh").toSeq,
+        r.getAs[Long]("fp"), r.getAs[Long]("sim")))
+      .sortBy(_._1)
+
+    got.foreach { case (i, sh, fp, sim) =>
+      val t = texts(i.toInt)
+      assert(sh == refShingles(t, n),
+        s"shingle_hashes diverges from the UTF-8 byte reference on: $t")
+      assert(fp == refPoly(t, 31L, 1000000007L),
+        s"poly_hash fingerprint diverges from the UTF-8 byte reference on: $t")
+      assert(sim == refSimhash(t.split(" ").toSeq),
+        s"simhash64 diverges from the UTF-8 byte reference on: $t")
+    }
+
+    // combining-vs-precomposed are DIFFERENT byte sequences and must
+    // hash differently (no implicit normalization inside the kernels)
+    val nfc = "caf\u00e9"   // precomposed
+    val nfd = "cafe\u0301"  // combining acute
+    assert(refPoly(nfc, 31L, 1000000007L) != refPoly(nfd, 31L, 1000000007L))
+    val kernelPair = Seq((0L, nfc), (1L, nfd)).toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().sortBy(_.getAs[Long]("id")).map(_.getAs[Long]("fp"))
+    assert(kernelPair(0) != kernelPair(1),
+      "the kernel must distinguish NFC from NFD byte sequences")
+  }
 }
