@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,8 +245,6 @@ object Similarity {
     */
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
              k: Int = 5, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
-    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      VectorFunctions.selfNorm(col(vecCol)).as("nn"))
     // Lehmer-style modular hash picks the sample: (id mod p) * a mod p
     // with p = 2^31-1 never exceeds ~1.04e14, so it cannot overflow
     // int64 for ANY id (a raw Knuth multiply would — an
@@ -262,9 +260,23 @@ object Similarity {
         lit(2147483647L)).asc, col("id").asc)
       .limit(nlist)
       .collect()
-    val centIds = centRows.map(_.getLong(0))
-    val centVecs = centRows.map(_.getSeq[Float](1).toArray)
+    annIvfWith(df, idCol, vecCol,
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Float](1).toArray), k, nprobe)
+  }
+
+  /** [[annIvf]] with an EXPLICIT coarse quantizer — the IVF query
+    * given trained centroids. Exposed separately so an epoch-frozen
+    * index ([[annIvfIncremental]]) and its batch recompute share one
+    * quantizer, and so a caller can bring a better-trained one
+    * (k-means on a driver-side sample) than the default Lehmer draw.
+    */
+  def annIvfWith(df: DataFrame, idCol: String, vecCol: String,
+                 centIds: Array[Long], centVecs: Array[Array[Float]],
+                 k: Int = 5, nprobe: Int = 4): DataFrame = {
     val centNorms = centVecs.map(normF)
+    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      VectorFunctions.selfNorm(col(vecCol)).as("nn"))
     val assigned = e
       .withColumn("cids", VectorFunctions.nearestCentroids(col("v"),
         centIds, centVecs, centNorms, nprobe))
@@ -280,6 +292,223 @@ object Similarity {
         cosFromParts(VectorFunctions.dotProduct(col("v"), col("mv")),
           col("nn"), col("mn")).as("cos_sim"))
     topKWithin(pairs, k)
+  }
+
+  /** Incremental [[annIvf]] — IVF inverted-list maintenance across
+    * micro-batches, the ANN member of the incremental gold-hop
+    * family (same keyed-state + signature-staleness design as
+    * [[Dedup.exactDedupIncremental]] and siblings; same k / nlist /
+    * nprobe across calls).
+    *
+    * The coarse quantizer is FROZEN per epoch: the first non-empty
+    * batch draws the same Lehmer sample [[annIvf]] would (from that
+    * batch) and writes `stateDir/centroids`; every later batch
+    * reuses it. Centroid drift would re-assign every list at once —
+    * that is a rebuild, not an increment; re-train by starting a new
+    * `stateDir` epoch. Batch-recompute equality therefore holds
+    * against [[annIvfWith]] on the SAME centroids, not against
+    * [[annIvf]]'s corpus-dependent draw.
+    *
+    * State under `stateDir`: `members` (id, v, nn, vhash, mcid,
+    * cids) keyed on id, delete-then-merge per batch — mcid is the
+    * vector's inverted list, cids its nprobe probe lists; `sigs`
+    * (id, _probe_sig) — the staleness LEDGER, one row per live
+    * vector. A vector's signature is the XOR over its probe lists
+    * of the list's member signature (bit_xor over xxhash64(mcid,
+    * id, vhash) — list id folded into the member hash, the family
+    * rule), so any member arriving in / leaving / updating inside
+    * any probed list flags every prober stale. The ledger is
+    * written LAST: a crash between the gold and ledger merges
+    * leaves the old signatures in place, so the replayed batch
+    * re-queries the same vectors instead of going permanently
+    * stale (the family's crash-self-heal argument, split across
+    * two tables).
+    *
+    * Gold: [[annIvf]]'s (vec_id, rank, neighbor_id, cos_sim) rows
+    * keyed (vec_id, rank), refreshed delete-then-merge per affected
+    * vector. Per batch only stale-or-batch vectors re-query — the
+    * equi-join probes their lists straight from state. The
+    * per-batch O(|members| × nprobe) signature aggregation is the
+    * price of exact update/delete retraction; `appendOnly` drops it
+    * to the touched-list neighborhood (members never move lists on
+    * an insert-only corpus, so only probers of lists the batch
+    * landed in can change). Contract as the family: a delete feed
+    * under `appendOnly` throws; a `fullResync` window degrades to
+    * the general path. NULL vectors are excluded from state and
+    * gold; an update TO null retracts like a delete.
+    */
+  def annIvfIncremental(spark: SparkSession, batch: DataFrame,
+                        idCol: String, vecCol: String,
+                        stateDir: String, goldPath: String,
+                        batchOrd: Long,
+                        k: Int = 5, nlist: Int = 64, nprobe: Int = 4,
+                        deletes: Option[DataFrame] = None,
+                        fullResync: Boolean = false,
+                        appendOnly: Boolean = false,
+                        fmt: graft.pipeline.TableFormat =
+                          graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val centsPath = s"$stateDir/centroids"
+    val membersPath = s"$stateDir/members"
+    val sigsPath = s"$stateDir/sigs"
+    val batchAll = graft.Materialize.eager(
+      Dedup.oneRowPerId(batch.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v")), "id", Seq("v")))
+    val batchVecs = batchAll.filter(col("v").isNotNull)
+
+    // epoch quantizer: train once, then frozen (replays skip — the
+    // exists guard makes the write idempotent at window granularity)
+    if (!fmt.exists(centsPath)) {
+      if (batchVecs.isEmpty) return
+      fmt.scd1Merge(spark, centsPath,
+        batchVecs.select(col("id"), col("v"))
+          .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
+            lit(2147483647L)).asc, col("id").asc)
+          .limit(nlist).withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+    }
+    val centRows = fmt.read(spark, centsPath).select(col("id"), col("v"))
+      .orderBy(col("id")).collect() // nlist rows — driver-sized
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Float](1).toArray)
+    val centNorms = centVecs.map(normF)
+    def assign(df: DataFrame): DataFrame = df
+      .select(col("id"), col("v"),
+        VectorFunctions.selfNorm(col("v")).as("nn"),
+        xxhash64(col("v")).as("vhash"),
+        VectorFunctions.nearestCentroids(col("v"), centIds, centVecs,
+          centNorms, nprobe).as("cids"))
+      .withColumn("mcid", col("cids").getItem(0))
+
+    if (appendOnly && !fullResync) {
+      if (batchVecs.isEmpty) return
+      val assignedBatch = graft.Materialize.eager(assign(batchVecs))
+      fmt.scd1Merge(spark, membersPath,
+        assignedBatch.withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      val members = fmt.read(spark, membersPath)
+      // new members land in their mcid lists only — the affected set
+      // is every vector probing a touched list (incl. the batch:
+      // a vector's own mcid is among its probe lists)
+      val touched = assignedBatch.select(col("mcid").as("cid")).distinct()
+      val affected = graft.Materialize.eager(
+        members.select(col("id"), explode(col("cids")).as("cid"))
+          .join(touched, Seq("cid"), "left_semi")
+          .select(col("id")).distinct())
+      // signatures for the affected only: aggregate just the lists
+      // they probe (full membership of those lists is in state)
+      val affLists = members.join(affected, Seq("id"), "left_semi")
+        .select(explode(col("cids")).as("cid")).distinct()
+      val listSigs = graft.Materialize.eager(
+        members.join(affLists, col("mcid") === col("cid"), "left_semi")
+          .groupBy(col("mcid"))
+          .agg(expr("bit_xor(xxhash64(mcid, id, vhash))").as("_lsig")))
+      val vecSigs = members.join(affected, Seq("id"), "left_semi")
+        .select(col("id"), explode(col("cids")).as("cid"))
+        .join(listSigs.withColumnRenamed("mcid", "cid"), Seq("cid"),
+          "left_outer")
+        .groupBy(col("id"))
+        .agg(bit_xor(coalesce(col("_lsig"), lit(0L))).as("_sig_now"))
+      ivfRefresh(spark, members, affected, vecSigs, None,
+        goldPath, sigsPath, batchOrd, k, fmt)
+      return
+    }
+
+    val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
+      fullResync, membersPath, batchAll.select(col("id")), fmt)
+    val drops = graft.Materialize.eager(
+      delIds.fold(batchAll.filter(col("v").isNull).select(col("id")))(
+        _.unionByName(batchAll.filter(col("v").isNull).select(col("id"))))
+        .distinct())
+    if (!batchAll.isEmpty) {
+      if (fmt.exists(membersPath))
+        fmt.deleteKeys(spark, membersPath,
+          batchAll.select(col("id")).distinct(), Seq("id"))
+      if (!batchVecs.isEmpty)
+        fmt.scd1Merge(spark, membersPath,
+          assign(batchVecs).withColumn("_ord", lit(batchOrd)),
+          Seq("id"), "_ord", compareExclude = Nil)
+    }
+    delIds.foreach { d =>
+      if (fmt.exists(membersPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, membersPath, d, Seq("id"))
+    }
+    if (!fmt.exists(membersPath)) return // empty first batch
+
+    val members = fmt.read(spark, membersPath)
+    val listSigs = graft.Materialize.eager(
+      members.groupBy(col("mcid"))
+        .agg(expr("bit_xor(xxhash64(mcid, id, vhash))").as("_lsig")))
+    val vecSigs = graft.Materialize.eager(
+      members.select(col("id"), explode(col("cids")).as("cid"))
+        .join(listSigs.withColumnRenamed("mcid", "cid"), Seq("cid"),
+          "left_outer")
+        .groupBy(col("id"))
+        .agg(bit_xor(coalesce(col("_lsig"), lit(0L))).as("_sig_now")))
+    val affectedAll =
+      if (fmt.exists(sigsPath))
+        fmt.read(spark, sigsPath).select(col("id"), col("_probe_sig"))
+          .join(vecSigs, Seq("id"), "left_outer")
+          .filter(!(col("_probe_sig") <=> coalesce(col("_sig_now"), lit(0L))))
+          .select(col("id"))
+          .unionByName(batchVecs.select(col("id"))).distinct()
+      else vecSigs.select(col("id")) // bootstrap: everything once
+    val affected = graft.Materialize.eager(
+      if (drops.isEmpty) affectedAll
+      else affectedAll.join(drops, Seq("id"), "left_anti"))
+    ivfRefresh(spark, members, affected, vecSigs,
+      if (drops.isEmpty) None else Some(drops),
+      goldPath, sigsPath, batchOrd, k, fmt)
+  }
+
+  /** Shared tail of [[annIvfIncremental]]'s two paths: re-query the
+    * affected vectors against the inverted lists, refresh their gold
+    * rows delete-then-merge, then write the signature ledger LAST
+    * (the crash-ordering invariant) and clear dropped ids.
+    */
+  private def ivfRefresh(spark: SparkSession, members: DataFrame,
+                         affected: DataFrame, vecSigs: DataFrame,
+                         drops: Option[DataFrame],
+                         goldPath: String, sigsPath: String,
+                         batchOrd: Long, k: Int,
+                         fmt: graft.pipeline.TableFormat): Unit = {
+    val probes = members.join(affected, Seq("id"), "left_semi")
+      .select(col("id"), col("v"), col("nn"), explode(col("cids")).as("cid"))
+    val lists = members.select(col("mcid").as("cid"),
+      col("id").as("neighbor_id"), col("v").as("mv"), col("nn").as("mn"))
+    val pairs = probes.join(lists, Seq("cid"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id").as("vec_id"), col("neighbor_id"),
+        cosFromParts(VectorFunctions.dotProduct(col("v"), col("mv")),
+          col("nn"), col("mn")).as("cos_sim"))
+    val newTop = graft.Materialize.eager(
+      topKWithin(pairs, k).withColumn("_ord", lit(batchOrd)))
+    if (fmt.exists(goldPath) && !affected.isEmpty)
+      fmt.deleteKeys(spark, goldPath,
+        affected.select(col("id").as("vec_id")), Seq("vec_id"))
+    if (!newTop.isEmpty)
+      fmt.scd1Merge(spark, goldPath, newTop, Seq("vec_id", "rank"), "_ord",
+        compareExclude = Nil)
+    drops.foreach { d =>
+      if (fmt.exists(goldPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, goldPath,
+          d.select(col("id").as("vec_id")), Seq("vec_id"))
+    }
+    // the LEDGER goes last: see annIvfIncremental's crash argument
+    if (!affected.isEmpty)
+      fmt.scd1Merge(spark, sigsPath,
+        affected.join(vecSigs, Seq("id"), "left_outer")
+          .select(col("id"),
+            coalesce(col("_sig_now"), lit(0L)).as("_probe_sig"),
+            lit(batchOrd).as("_ord")),
+        Seq("id"), "_ord", compareExclude = Nil)
+    drops.foreach { d =>
+      if (fmt.exists(sigsPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, sigsPath, d, Seq("id"))
+    }
+    ()
   }
 
   /** #33 LSH-bucketed top-K: equi-join on SRP bucket, top-K within.

@@ -2096,4 +2096,171 @@ class StreamingSpec extends SparkSpec {
     assert(fmtF.readsOf(goF) > 0,
       "old docs' text IS read from gold keyed by id — that read is the design")
   }
+
+  test("incremental IVF ANN: maintained gold equals batch recompute on frozen centroids") {
+    // the ANN member of the incremental family: inverted lists
+    // maintained delete+merge across micro-batches, per-vector
+    // probe-list signatures deciding who re-queries. Gold must equal
+    // annIvfWith over silver-current on the SAME epoch-frozen
+    // centroids after every fold — including old vectors whose
+    // neighborhood a new arrival changed, an UPDATE moving a vector
+    // between lists, a crash rolled back between the members merge
+    // and the gold/ledger merges, hard deletes, and update-to-null.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Similarity
+    val fmtS = graft.pipeline.SnapshotTableFormat
+    val stateDir = Files.createTempDirectory("graft_ivf_state").toString
+    val gold = Files.createTempDirectory("graft_ivf_gold").toString + "/t"
+    val (k, nlist, nprobe) = (3, 3, 2)
+    var corpus = scala.collection.immutable.SortedMap.empty[Long, Array[Float]]
+
+    def fold(batch: Seq[(Long, Array[Float])], ord: Long,
+             dels: Option[Seq[Long]] = None): Unit =
+      Similarity.annIvfIncremental(spark,
+        batch.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        stateDir, gold, batchOrd = ord, k = k, nlist = nlist,
+        nprobe = nprobe, deletes = dels.map(_.toDF("vec_id")))
+    def row4(r: org.apache.spark.sql.Row): (Long, Int, Long, Double) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))
+    def check(label: String): Unit = {
+      val centRows = fmtS.read(spark, s"$stateDir/centroids")
+        .select("id", "v").orderBy("id").collect()
+      val truth = Similarity.annIvfWith(
+          corpus.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          centRows.map(_.getLong(0)),
+          centRows.map(_.getSeq[Float](1).toArray), k = k, nprobe = nprobe)
+        .collect().map(row4).toSeq.sorted
+      val got = MergeTable.read(spark, gold)
+        .select("vec_id", "rank", "neighbor_id", "cos_sim")
+        .collect().map(row4).toSeq.sorted
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    // batch 1: cluster A = {1, 2}, cluster B = {3}, outlier C = {6}
+    val b1 = Seq(1L -> Array(1f, 0f, 0f), 2L -> Array(0.95f, 0.05f, 0f),
+      3L -> Array(0f, 1f, 0f), 6L -> Array(0f, 0f, 1f))
+    corpus ++= b1; fold(b1, 0L); check("after batch 1")
+
+    // batch 2: 4 joins A, 5 joins B — OLD probers of both lists must
+    // re-query without being in the batch
+    val b2 = Seq(4L -> Array(0.9f, 0.1f, 0f), 5L -> Array(0.05f, 0.95f, 0f))
+    corpus ++= b2; fold(b2, 1L); check("after batch 2 (old vectors gain neighbors)")
+
+    // batch 3: vector 2's UPDATE moves it from the A region to B —
+    // A's probers lose it, B's probers gain it
+    val b3 = Seq(2L -> Array(0f, 0.9f, 0.1f))
+    corpus ++= b3; fold(b3, 2L); check("after batch 3 (update moves lists)")
+
+    // CRASH: run batch 4 fully, then roll gold AND the signature
+    // ledger back to their pre-batch snapshots — the on-disk
+    // aftermath of a consumer that merged members and crashed. The
+    // redelivered batch must converge via the stale ledger.
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val goldBak = Files.createTempDirectory("graft_ivf_gbak").toString + "/t"
+    val sigsBak = Files.createTempDirectory("graft_ivf_sbak").toString + "/t"
+    copyDir(gold, goldBak); copyDir(s"$stateDir/sigs", sigsBak)
+    val b4 = Seq(7L -> Array(0.98f, 0.02f, 0f))
+    corpus ++= b4; fold(b4, 3L)
+    deleteDir(gold); copyDir(goldBak, gold)
+    deleteDir(s"$stateDir/sigs"); copyDir(sigsBak, s"$stateDir/sigs")
+    fold(b4, 4L) // redelivery
+    check("after crash-replay of batch 4")
+
+    // hard DELETE: 4 leaves — the A probers must drop it from their
+    // top-k and 4's own gold rows must disappear
+    corpus -= 4L
+    fold(Seq.empty, 5L, dels = Some(Seq(4L)))
+    check("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("vec_id") === 4L)
+      .count() == 0, "the deleted vector's gold rows must go")
+
+    // update TO null retracts like a delete
+    corpus -= 6L
+    Similarity.annIvfIncremental(spark,
+      Seq((6L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", stateDir, gold, batchOrd = 6L,
+      k = k, nlist = nlist, nprobe = nprobe)
+    check("after update-to-null retraction")
+    assert(MergeTable.read(spark, gold).filter(col("vec_id") === 6L)
+      .count() == 0, "the nulled vector's gold rows must go")
+  }
+
+  test("append-only IVF ANN fast path: touched-list re-query equals batch and general path") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.Similarity
+    val base = graft.pipeline.SnapshotTableFormat
+    val fmtF = new CountingFormat(base)
+    val fmtG = new CountingFormat(base)
+    val stF = Files.createTempDirectory("graft_ao_ivf_stF").toString
+    val goF = Files.createTempDirectory("graft_ao_ivf_goF").toString + "/t"
+    val stG = Files.createTempDirectory("graft_ao_ivf_stG").toString
+    val goG = Files.createTempDirectory("graft_ao_ivf_goG").toString + "/t"
+    val (k, nlist, nprobe) = (3, 3, 2)
+
+    val batches = Seq(
+      Seq(1L -> Array(1f, 0f, 0f), 2L -> Array(0.95f, 0.05f, 0f),
+        3L -> Array(0f, 1f, 0f), 6L -> Array(0f, 0f, 1f)),
+      Seq(4L -> Array(0.9f, 0.1f, 0f)),
+      Seq(5L -> Array(0.05f, 0.95f, 0f), 7L -> Array(0.98f, 0.02f, 0f)))
+    var corpus = scala.collection.immutable.SortedMap.empty[Long, Array[Float]]
+    def row4(r: org.apache.spark.sql.Row): (Long, Int, Long, Double) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      corpus ++= b
+      val df = b.toDF("vec_id", "embedding")
+      Similarity.annIvfIncremental(spark, df, "vec_id", "embedding",
+        stF, goF, batchOrd = i.toLong, k = k, nlist = nlist,
+        nprobe = nprobe, appendOnly = true, fmt = fmtF)
+      Similarity.annIvfIncremental(spark, df, "vec_id", "embedding",
+        stG, goG, batchOrd = i.toLong, k = k, nlist = nlist,
+        nprobe = nprobe, fmt = fmtG)
+      val centRows = base.read(spark, s"$stF/centroids")
+        .select("id", "v").orderBy("id").collect()
+      val truth = Similarity.annIvfWith(
+          corpus.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          centRows.map(_.getLong(0)),
+          centRows.map(_.getSeq[Float](1).toArray), k = k, nprobe = nprobe)
+        .collect().map(row4).toSeq.sorted
+      def gr(p: String) = MergeTable.read(spark, p)
+        .select("vec_id", "rank", "neighbor_id", "cos_sim")
+        .collect().map(row4).toSeq.sorted
+      assert(gr(goF) == truth, s"batch $i: fast gold must equal batch recompute")
+      assert(gr(goF) == gr(goG), s"batch $i: fast gold must equal the general path")
+    }
+    // the structural saving: the fast path never consults the
+    // signature ledger (affected derives from the touched lists)
+    assert(fmtF.readsOf(s"$stF/sigs") == 0,
+      "the fast path must never read the signature ledger")
+    assert(fmtG.readsOf(s"$stG/sigs") > 0,
+      "the general path's staleness probe reads the ledger every batch")
+    intercept[IllegalArgumentException] {
+      Similarity.annIvfIncremental(spark,
+        Seq((9L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", stF, goF, batchOrd = 9L, appendOnly = true,
+        deletes = Some(Seq(1L).toDF("vec_id")), fmt = fmtF)
+    }
+  }
 }
