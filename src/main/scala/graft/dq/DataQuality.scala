@@ -287,6 +287,16 @@ object DataQuality {
     * value order, and group total `_n` — ONE shuffle of the distinct
     * values. This is the engine-exactness-critical kernel (every
     * oracle replays it verbatim); keep it in exactly one place.
+    *
+    * CARDINALITY BOUND (applies to every caller): the cumulative
+    * window sorts each partition's distinct-value set in ONE task —
+    * the whole column's when ungrouped. Right for bounded-cardinality
+    * columns (status flags, gridded prices, enumerations — the DQ
+    * profiling targets); a straggler/OOM on a continuous near-unique
+    * column at corpus scale. Every exact caller has a KLL sketch
+    * companion with partial-agg shape for that case
+    * ([[iqrOutliersSketch]], [[equiDepthHistogramSketch]],
+    * [[sketchPercentiles]]) — those are the 100-TB defaults.
     */
   private def cumulativeValueCounts(df: DataFrame, v: Column,
                                     groupCols: Seq[Column]): DataFrame = {
@@ -315,6 +325,9 @@ object DataQuality {
     * (interpolating quantiles are not bit-comparable across
     * engines; rank-selected data values are). Output: one row per
     * group with one column per requested (alias, q).
+    * [[cumulativeValueCounts]]'s cardinality bound applies per
+    * group; [[sketchPercentiles]] is the continuous-column
+    * companion.
     */
   private[graft] def discretePercentiles(df: DataFrame, groupCol: String,
                                          valueCol: String,

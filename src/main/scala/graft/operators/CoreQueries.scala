@@ -210,8 +210,13 @@ object CoreQueries {
     * rank — identical values by definition. The low-cardinality
     * group key means a per-ROW rank window would sort the whole
     * table on |groups| tasks; the distinct-value frame is orders of
-    * magnitude smaller at any scale. `approx_percentile` is the
-    * q6-style sketch companion when an error bound is acceptable.
+    * magnitude smaller at any scale. CARDINALITY BOUND: each group's
+    * distinct-value set still sorts in one task (l_quantity: 50
+    * gridded values — fine); a continuous near-unique column at
+    * corpus scale needs the sketch shape instead —
+    * [[q11ApproxPercentiles]] (GK) or
+    * [[graft.dq.DataQuality.sketchPercentiles]] (KLL), both
+    * partial-agg, no distinct-value shuffle.
     */
   def q11Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")

@@ -168,6 +168,11 @@ object ConfigHandler {
       case "sql" =>
         SqlTransform(need(n, "query", at).asText,
           opt(n, "substitutions").map(s => strMap(s).toMap).getOrElse(Map.empty))
+      case "resize_plan" =>
+        ResizePlan(need(n, "max_width", at).asInt,
+          need(n, "max_height", at).asInt)
+      case "resample_plan" =>
+        ResamplePlan(need(n, "target_rate", at).asInt)
       case other => throw new ConfigError(at, s"unknown transform type '$other'")
     }
 

@@ -117,6 +117,29 @@ final case class BruteForceDiff(snapshot: DataFrame, keys: Seq[String]) extends 
   def apply(df: DataFrame): DataFrame = BruteForceDiff.diff(df, snapshot, keys)
 }
 
+/** Image resize planning as a config pipeline step
+  * ([[graft.multimodal.Multimodal.resizePlan]]): aspect-preserving
+  * fit into `maxW`×`maxH`, one codegen'd projection over the typed
+  * asset metadata. Stateless, so the SAME config step runs batch or
+  * streaming (`StreamingIngest.runConfig`). JSON: `{"type":
+  * "resize_plan", "max_width": N, "max_height": N}`.
+  */
+final case class ResizePlan(maxW: Int, maxH: Int) extends Transform {
+  def apply(df: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.resizePlan(df, maxW, maxH)
+}
+
+/** Audio resample planning as a config pipeline step
+  * ([[graft.multimodal.Multimodal.resamplePlan]]): exact int64
+  * sample-count math toward `targetRate`, never upsampling.
+  * Stateless, batch or streaming. JSON: `{"type": "resample_plan",
+  * "target_rate": N}`.
+  */
+final case class ResamplePlan(targetRate: Int) extends Transform {
+  def apply(df: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.resamplePlan(df, targetRate)
+}
+
 object BruteForceDiff {
   import org.apache.spark.sql.functions._
 

@@ -94,6 +94,41 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Config-driven STREAMING run: the same `IngestConfig` the batch
+    * `IngestJob` executes, run as an availableNow file stream —
+    * inferred-schema read with the batch readers' control columns,
+    * the config's transform chain (every step of the algebra is a
+    * stateless projection/filter, including the multimodal
+    * resize/resample planners, so one config serves both modes),
+    * then each write as its streaming sink: `append` →
+    * [[appendSink]], `merge` → [[mergeSink]] with the config's
+    * keys / table format / partitioning and per-micro-batch DQ.
+    * Blocks until all pending files replay (the reference's
+    * availableNow job shape); re-running with the same
+    * `checkpointDir` processes only NEW files — the medallion
+    * incremental contract.
+    */
+  def runConfig(spark: SparkSession, cfg: graft.pipeline.IngestConfig,
+                checkpointDir: String): Unit = {
+    val src = readStreamInferred(spark, cfg.source.format,
+      cfg.source.path, cfg.source.options)
+    val transformed = graft.pipeline.Pipeline(cfg.transforms)(src)
+    val queries = cfg.writes.zipWithIndex.map { case (w, i) =>
+      val ck = s"$checkpointDir/w$i"
+      w.mode match {
+        case "append" => appendSink(transformed, w.path, ck, w.format)
+        case "merge" => mergeSink(transformed, w.path, ck, w.keys,
+          w.orderBy, dqRules = cfg.dqRules, fmt = cfg.tableFormat,
+          partitionBy = w.partitionBy,
+          optimizeEvery = if (w.optimizeAfter) 1 else 0)
+        case other => throw new IllegalArgumentException(
+          s"streaming write supports append|merge, got '$other' — " +
+            "overwrite is a batch-only mode")
+      }
+    }
+    queries.foreach(_.awaitTermination())
+  }
+
   /** Watermarked dedup: bounded state (the reference's streaming
     * dedup has no state bound at all). `eventTimeCol` drives the
     * watermark; duplicates of `keys` arriving within `delay` are

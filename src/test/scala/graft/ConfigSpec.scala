@@ -455,4 +455,80 @@ class ConfigSpec extends SparkSpec {
         | "partitionBy": ["a"]}""".stripMargin))
     assert(ok.writes.head.partitionBy == Seq("a"))
   }
+
+  test("streaming config run drives the multimodal planners through the medallion sinks") {
+    // the resize/resample planners as CONFIG steps, executed by the
+    // STREAMING runner: JSON round-trips the new transform types, an
+    // availableNow file stream replays the staged assets through the
+    // planner projection into an append sink (resize) and a keyed
+    // merge table (resample), and both outputs equal the batch
+    // planner over the same files. A second runConfig with the same
+    // checkpoints after new files land processes ONLY the new files
+    // — the medallion incremental contract, config-driven.
+    import graft.multimodal.Multimodal
+    import graft.streaming.StreamingIngest
+    val srcDir = Files.createTempDirectory("graft_cfgmm_src").toString + "/assets"
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.load(spark, sf, "documents"))
+    assets.filter(col("asset_id") % 2 === 0).write.parquet(srcDir)
+    val outResize = Files.createTempDirectory("graft_cfgmm_rz").toString + "/t"
+    val tblResample = Files.createTempDirectory("graft_cfgmm_rs").toString + "/t"
+    val ckA = Files.createTempDirectory("graft_cfgmm_ckA").toString
+    val ckB = Files.createTempDirectory("graft_cfgmm_ckB").toString
+
+    val cfgResize = ConfigHandler.parse(
+      s"""{
+         |  "source": {"format": "parquet", "path": "$srcDir"},
+         |  "transforms": [
+         |    {"type": "resize_plan", "max_width": 256, "max_height": 256}
+         |  ],
+         |  "writes": [{"path": "$outResize", "mode": "append"}]
+         |}""".stripMargin)
+    assert(cfgResize.transforms == Seq(ResizePlan(256, 256)),
+      "resize_plan must round-trip through JSON")
+    val cfgResample = ConfigHandler.parse(
+      s"""{
+         |  "source": {"format": "parquet", "path": "$srcDir"},
+         |  "transforms": [{"type": "resample_plan", "target_rate": 8000}],
+         |  "writes": [{"path": "$tblResample", "mode": "merge",
+         |              "keys": ["asset_id"], "orderBy": "asset_id"}]
+         |}""".stripMargin)
+    assert(cfgResample.transforms == Seq(ResamplePlan(8000)),
+      "resample_plan must round-trip through JSON")
+
+    StreamingIngest.runConfig(spark, cfgResize, ckA)
+    StreamingIngest.runConfig(spark, cfgResample, ckB)
+
+    def rzRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("asset_id", "media_type", "width", "height", "target_w",
+        "target_h", "resized", "est_bytes_out")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    def rsRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("asset_id", "media_type", "sample_rate", "n_samples_in",
+        "target_rate", "resampled", "est_samples_out", "est_bytes_out")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+
+    val batchSrc = spark.read.parquet(srcDir)
+    assert(rzRows(spark.read.parquet(outResize)) ==
+      rzRows(Multimodal.resizePlan(batchSrc, 256, 256)),
+      "streamed resize plan must equal the batch planner")
+    assert(rsRows(MergeTable.read(spark, tblResample)) ==
+      rsRows(Multimodal.resamplePlan(batchSrc, 8000)),
+      "streamed resample plan must equal the batch planner")
+
+    // new files land; the same checkpoints replay only them
+    assets.filter(col("asset_id") % 2 === 1).write.mode("append").parquet(srcDir)
+    StreamingIngest.runConfig(spark, cfgResample, ckB)
+    assert(rsRows(MergeTable.read(spark, tblResample)) ==
+      rsRows(Multimodal.resamplePlan(spark.read.parquet(srcDir), 8000)),
+      "incremental re-run must fold the new files into the merge table")
+
+    // overwrite is a batch-only write mode — rejected before start()
+    val bad = cfgResize.copy(writes = Seq(cfgResize.writes.head.copy(
+      mode = "overwrite")))
+    intercept[IllegalArgumentException] {
+      StreamingIngest.runConfig(spark, bad,
+        Files.createTempDirectory("graft_cfgmm_ckC").toString)
+    }
+  }
 }
