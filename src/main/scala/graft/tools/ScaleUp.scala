@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize a larger test corpus from an existing SF dir
+  * by unioning `factor` key-shifted copies of every table — the
+  * self-run scale probe the round logs call "sf1.0 from sf0.1".
+  * Every `*key` / `*_id` column shifts by `copy * 100M` (cast back
+  * to its source type; base ids < 10M and 9 * 100M + 10M fits int),
+  * so referential integrity holds WITHIN each copy: joins match at
+  * the same per-row rate as the source and the fact/dim ratios are
+  * preserved. Dim tables (region/nation) scale too — 10 copies of a
+  * 25-row dim is still a broadcast dim. Non-key values (text,
+  * vectors, timestamps) are duplicated verbatim, which makes the
+  * dedup family see a 10x-duplicated corpus — the dup-heavy regime
+  * those operators exist for.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1 && factor <= 20, "factor must be in [1, 20]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val offset = 100000000L
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val keyCols = df.columns.filter(c => c.endsWith("key") || c.endsWith("_id"))
+      val copies = (0 until factor).map { i =>
+        keyCols.foldLeft(df) { (d, c) =>
+          d.withColumn(c,
+            (col(c).cast("long") + lit(i * offset)).cast(df.schema(c).dataType))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t x$factor written")
+    }
+    spark.stop()
+  }
+}
