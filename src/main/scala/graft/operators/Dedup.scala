@@ -916,12 +916,19 @@ object Dedup {
           .filter(col("_n") > maxBucket).select("chunk", "cval")
         allChunks.join(broadcast(flood), Seq("chunk", "cval"), "left_anti")
       }
+    // hamming computes MAP-SIDE, before the dedup shuffle: a pair
+    // colliding in several chunks must count once, but each id has
+    // exactly ONE simhash, so distinct on (ida, idb, hamming) equals
+    // distinct on the hash-carrying 4-column row while shuffling 3
+    // narrow columns instead of both 64-bit hashes (the 10x scale
+    // probe showed this distinct as the bench's only spilling
+    // exchange on a duplicate-heavy corpus)
     val cand = chunks.as("a").join(chunks.as("b"),
       col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("a.simhash").as("ha"),
-        col("b.id").as("idb"), col("b.simhash").as("hb")).distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming")).distinct()
       .transform(graft.Materialize.eager) // mirrored below: avoid double evaluation
     val both = cand.select(col("ida").as("id"), col("hamming"))
       .unionByName(cand.select(col("idb").as("id"), col("hamming")))
