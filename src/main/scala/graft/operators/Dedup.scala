@@ -898,16 +898,7 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"),
       HashFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
       .transform(graft.Materialize.eager)
-    val chunkCols = (0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("simhash"), c * 16)
-          .bitwiseAND(lit(0xffffL)).as("cval"))
-    }
-    val allChunks = hashed
-      // _outer: same CreateArray-literal reasoning as the band rows
-      .select(col("id"), col("simhash"), explode_outer(array(chunkCols: _*)).as("cc"))
-      .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"),
-        col("cc.cval").as("cval"))
+    val allChunks = simhashChunkRows(hashed)
     val chunks =
       if (maxBucket == Int.MaxValue) allChunks
       else {
@@ -941,6 +932,200 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         col("min_hamming"))
+  }
+
+  /** The 16-bit chunk rows of a (id, simhash) frame — the SimHash
+    * bucket projection shared by [[simhashStats]] and the
+    * incremental member (both sides MUST bucket identically or the
+    * incremental state diverges from the batch truth): pure column
+    * arithmetic, derivable from the single state table at any time
+    * with no extra storage.
+    */
+  private def simhashChunkRows(hashed: DataFrame): DataFrame = {
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16)
+          .bitwiseAND(lit(0xffffL)).as("cval"))
+    }
+    hashed
+      // _outer: a 4-element CreateArray is never null/empty — same
+      // inferred-filter reasoning as the band rows
+      .select(col("id"), col("simhash"),
+        explode_outer(array(chunkCols: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"),
+        col("cc.cval").as("cval"))
+  }
+
+  /** Incremental [[simhashStats]] — the SIMHASH member of the
+    * incremental-dedup family, completing the five-member set next
+    * to [[exactDedupIncremental]], [[minhashLshStatsIncremental]],
+    * [[embeddingStatsLshIncremental]], and
+    * [[TextAnalysis.segmentDedupIncremental]] (same keyed-state +
+    * XOR-signature-vs-current-state design; same maxHamming /
+    * maxBucket across calls).
+    *
+    * The simplest near-dup member: state is ONE merge table —
+    * (id, simhash) keyed on id, delete-then-merge per batch — because
+    * the chunk bucket rows derive from it by pure projection
+    * ([[simhashChunkRows]]), and the simhash doubles as the content
+    * fingerprint (an update changes it, which changes the member
+    * hash in every bucket the doc occupies — mates re-verify with no
+    * separate chash column). Qualifying buckets are 2 ≤ size ≤
+    * `maxBucket` (the batch operator's flood cap: over-cap buckets
+    * leave candidate generation, their members keep empty-stats
+    * rows); a bucket crossing the cap changes its members'
+    * signatures, so exactly they re-verify. Gold: (id, simhash,
+    * n_candidates, n_near, min_hamming, _ord, _bucket_sig) — the
+    * batch stats columns. NULL-text docs are excluded from state and
+    * gold (documented family deviation; the batch operator reports
+    * them with empty stats), and an update TO null retracts like a
+    * delete. `fullResync` reconciles state-minus-snapshot
+    * ([[combinedDeletes]]); `appendOnly` declares an insert-only
+    * corpus and re-verifies only the two-hop neighborhood of buckets
+    * the batch touched — no retraction deletes, no gold read, no
+    * full-state signature aggregation (contract as the family: a
+    * delete feed under the flag throws, a resync window runs the
+    * general path).
+    */
+  def simhashStatsIncremental(spark: SparkSession, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              statePath: String, goldPath: String,
+                              batchOrd: Long,
+                              maxHamming: Int = 8, maxBucket: Int = 10000,
+                              deletes: Option[DataFrame] = None,
+                              fullResync: Boolean = false,
+                              appendOnly: Boolean = false,
+                              fmt: graft.pipeline.TableFormat =
+                                graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val batchAll = graft.Materialize.eager(
+      oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", Seq("text")))
+    val batchDocs = batchAll.filter(col("text").isNotNull)
+    def hashBatch(df: DataFrame): DataFrame =
+      df.select(col("id"),
+        HashFunctions.simhash64(split(col("text"), " ")).as("simhash"))
+
+    // shared verify tail: re-verify `affected` against their bucket
+    // mates from `state`, merge their gold rows
+    def refresh(state: DataFrame, chunks: DataFrame, buckets: DataFrame,
+                affected: DataFrame, sigNow: DataFrame,
+                drops: Option[DataFrame]): Unit = {
+      val qb = buckets.filter(col("_q")).select(col("chunk"), col("cval"))
+      val aSide = chunks.join(affected, Seq("id"), "left_semi")
+        .join(qb, Seq("chunk", "cval"), "left_semi")
+        .select(col("chunk"), col("cval"), col("id").as("ida"),
+          col("simhash").as("ha"))
+      val mSide = chunks.join(qb, Seq("chunk", "cval"), "left_semi")
+        .select(col("chunk"), col("cval"), col("id").as("idb"),
+          col("simhash").as("hb"))
+      val pairs = aSide.join(mSide, Seq("chunk", "cval"))
+        .filter(col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .distinct()
+      val per = pairs.groupBy(col("ida")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L)).as("n_near"),
+        min(col("hamming")).as("min_hamming"))
+      val statsRows = state.join(affected, Seq("id"), "left_semi")
+        .join(per, col("id") === col("ida"), "left_outer")
+        .join(sigNow, Seq("id"), "left_outer")
+        .select(col("id"), col("simhash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("min_hamming"), lit(batchOrd).as("_ord"),
+          coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
+      if (!statsRows.isEmpty)
+        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+          compareExclude = Nil)
+      drops.foreach { d =>
+        if (fmt.exists(goldPath) && !d.isEmpty)
+          fmt.deleteKeys(spark, goldPath, d, Seq("id"))
+      }
+    }
+    def bucketAgg(chunkRows: DataFrame): DataFrame =
+      chunkRows.groupBy(col("chunk"), col("cval"))
+        .agg(count(lit(1)).as("_sz"),
+          expr("bit_xor(xxhash64(chunk, cval, id, simhash))").as("_bsig"))
+        .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket)
+
+    if (appendOnly && !fullResync) {
+      if (batchDocs.isEmpty) return
+      val batchH = graft.Materialize.eager(hashBatch(batchDocs))
+      fmt.scd1Merge(spark, statePath,
+        batchH.withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      val state = fmt.read(spark, statePath)
+      val chunks = simhashChunkRows(state)
+      val touched = simhashChunkRows(batchH)
+        .select(col("chunk"), col("cval")).distinct()
+      val affected = graft.Materialize.eager(
+        chunks.join(touched, Seq("chunk", "cval"), "left_semi")
+          .select(col("id")).distinct())
+      val affBuckets = chunks.join(affected, Seq("id"), "left_semi")
+        .select(col("chunk"), col("cval")).distinct()
+      val nbrChunks = graft.Materialize.eager(
+        chunks.join(affBuckets, Seq("chunk", "cval"), "left_semi"))
+      val buckets = graft.Materialize.eager(bucketAgg(nbrChunks))
+      val sigNow = graft.Materialize.eager(
+        nbrChunks.join(affected, Seq("id"), "left_semi")
+          .join(buckets, Seq("chunk", "cval"))
+          .groupBy(col("id"))
+          .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+            .as("_sig_now")))
+      refresh(state, nbrChunks, buckets, affected, sigNow, None)
+      return
+    }
+
+    val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
+      statePath, batchAll.select(col("id")), fmt)
+    val drops = graft.Materialize.eager(
+      delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+        _.unionByName(batchAll.filter(col("text").isNull).select(col("id"))))
+        .distinct())
+    if (!batchAll.isEmpty) {
+      if (fmt.exists(statePath))
+        fmt.deleteKeys(spark, statePath,
+          batchAll.select(col("id")).distinct(), Seq("id"))
+      if (!batchDocs.isEmpty)
+        fmt.scd1Merge(spark, statePath,
+          hashBatch(batchDocs).withColumn("_ord", lit(batchOrd)),
+          Seq("id"), "_ord", compareExclude = Nil)
+    }
+    delIds.foreach { d =>
+      if (fmt.exists(statePath) && !d.isEmpty)
+        fmt.deleteKeys(spark, statePath, d, Seq("id"))
+    }
+    if (!fmt.exists(statePath)) return // empty first batch
+
+    val state = fmt.read(spark, statePath)
+    val chunks = graft.Materialize.eager(simhashChunkRows(state))
+    val buckets = graft.Materialize.eager(bucketAgg(chunks))
+    val sigNow = graft.Materialize.eager(
+      chunks.join(buckets, Seq("chunk", "cval"))
+        .groupBy(col("id"))
+        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+          .as("_sig_now")))
+    val affectedAll =
+      if (fmt.exists(goldPath)) {
+        val goldDf = fmt.read(spark, goldPath)
+        val withSig =
+          if (goldDf.columns.contains("_bucket_sig")) goldDf
+          else goldDf.withColumn("_bucket_sig", lit(null).cast("long"))
+        withSig
+          .join(sigNow, Seq("id"), "left_outer")
+          .filter(!(col("_bucket_sig") <=> coalesce(col("_sig_now"), lit(0L))))
+          .select(col("id"))
+          .unionByName(batchDocs.select(col("id"))).distinct()
+      } else batchDocs.select(col("id")).distinct()
+    val affected = graft.Materialize.eager(
+      if (drops.isEmpty) affectedAll
+      else affectedAll.join(drops, Seq("id"), "left_anti"))
+    refresh(state, chunks, buckets, affected, sigNow,
+      if (drops.isEmpty) None else Some(drops))
   }
 
   /** Resolve near-dup candidate pairs into clusters: iterative

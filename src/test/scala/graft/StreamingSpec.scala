@@ -2097,6 +2097,154 @@ class StreamingSpec extends SparkSpec {
       "old docs' text IS read from gold keyed by id — that read is the design")
   }
 
+  test("incremental simhash stats: streamed gold equals batch recompute, updates retract, crashes replay") {
+    // the SIMHASH member completes the five-member incremental
+    // family. Single state table (id, simhash) — chunk buckets
+    // derive by projection, and the simhash doubles as the content
+    // fingerprint, so an UPDATE invalidates every bucket mate with
+    // no separate chash column. Gold must equal simhashStats over
+    // live-current after every fold.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val state = Files.createTempDirectory("graft_sh_state").toString + "/t"
+    val gold = Files.createTempDirectory("graft_sh_gold").toString + "/t"
+    var live = scala.collection.immutable.SortedMap.empty[Long, String]
+
+    def fold(batch: Seq[(Long, String)], ord: Long,
+             dels: Option[Seq[Long]] = None): Unit =
+      Dedup.simhashStatsIncremental(spark, batch.toDF("doc_id", "text"),
+        "doc_id", "text", state, gold, batchOrd = ord,
+        deletes = dels.map(_.toDF("doc_id")))
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("simhash"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("min_hamming"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def check(label: String): Unit = {
+      val truth = stats(Dedup.simhashStats(
+        live.toSeq.toDF("doc_id", "text"), "doc_id", "text"), "doc_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 1: docs 1,2 identical; doc 3 unrelated
+    val b1 = Seq(1L -> dupText, 2L -> dupText,
+      3L -> "one two three four five six seven")
+    live ++= b1; fold(b1, 0L); check("after batch 1")
+
+    // batch 2: doc 4 joins the family — OLD docs 1,2 gain a partner
+    val b2 = Seq(4L -> dupText)
+    live ++= b2; fold(b2, 1L); check("after batch 2 (old docs gain a partner)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_near") == 2L,
+      "doc 1 must see both duplicates")
+
+    // batch 3: doc 2's UPDATE leaves the family — the simhash change
+    // IS the content-fingerprint retraction
+    val b3 = Seq(2L -> "totally different words now here instead")
+    live ++= b3; fold(b3, 2L); check("after batch 3 (update retracts)")
+
+    // CRASH: run batch 4 fully, roll gold back, refold — the
+    // signature check against CURRENT state must re-flag the mates
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val bak = Files.createTempDirectory("graft_sh_bak").toString + "/t"
+    copyDir(gold, bak)
+    val b4 = Seq(5L -> "one two three four five six seven")
+    live ++= b4; fold(b4, 3L)
+    deleteDir(gold); copyDir(bak, gold)
+    fold(b4, 4L) // redelivery
+    check("after crash-replay of batch 4")
+
+    // hard DELETE: doc 4 leaves — docs 1's stats shrink, 4's row goes
+    live -= 4L
+    fold(Seq.empty, 5L, dels = Some(Seq(4L)))
+    check("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 4L).count() == 0)
+
+    // update TO null retracts like a delete
+    live -= 1L
+    fold(Seq(1L -> null.asInstanceOf[String]), 6L)
+    check("after update-to-null retraction")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L).count() == 0)
+  }
+
+  test("append-only simhash fast path: touched-chunk re-verify equals batch and general path") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val base = graft.pipeline.SnapshotTableFormat
+    val fmtF = new CountingFormat(base)
+    val stF = Files.createTempDirectory("graft_ao_sh_stF").toString + "/t"
+    val goF = Files.createTempDirectory("graft_ao_sh_goF").toString + "/t"
+    val stG = Files.createTempDirectory("graft_ao_sh_stG").toString + "/t"
+    val goG = Files.createTempDirectory("graft_ao_sh_goG").toString + "/t"
+
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val batches = Seq(
+      Seq(1L -> dupText, 2L -> dupText,
+        3L -> "one two three four five six seven"),
+      Seq(4L -> dupText),
+      Seq(5L -> "one two three four five six seven"))
+    var live = scala.collection.immutable.SortedMap.empty[Long, String]
+
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("simhash"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("min_hamming"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      live ++= b
+      val df = b.toDF("doc_id", "text")
+      Dedup.simhashStatsIncremental(spark, df, "doc_id", "text",
+        stF, goF, batchOrd = i.toLong, appendOnly = true, fmt = fmtF)
+      Dedup.simhashStatsIncremental(spark, df, "doc_id", "text",
+        stG, goG, batchOrd = i.toLong, fmt = base)
+      val truth = stats(Dedup.simhashStats(
+        live.toSeq.toDF("doc_id", "text"), "doc_id", "text"), "doc_id")
+      assert(stats(MergeTable.read(spark, goF)
+          .withColumnRenamed("id", "doc_id"), "doc_id") == truth,
+        s"batch $i: fast gold must equal batch recompute")
+      def full(p: String) = MergeTable.read(spark, p).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("_bucket_sig"))).toSeq.sortBy(_._1)
+      assert(full(goF) == full(goG),
+        s"batch $i: fast gold (incl. signatures) must equal the general path")
+    }
+    assert(fmtF.readsOf(goF) == 0, "the fast path must never read gold")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashStatsIncremental(spark,
+        Seq((9L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        stF, goF, batchOrd = 9L, appendOnly = true,
+        deletes = Some(Seq(1L).toDF("doc_id")), fmt = fmtF)
+    }
+  }
+
   test("incremental IVF ANN: maintained gold equals batch recompute on frozen centroids") {
     // the ANN member of the incremental family: inverted lists
     // maintained delete+merge across micro-batches, per-vector
