@@ -875,6 +875,139 @@ object Dedup {
       .withColumn("kept", col("cluster_rank") <= maxPerCluster)
   }
 
+  /** Incremental [[dedupResolve]] — near-dup CLUSTER maintenance
+    * across micro-batches on an INSERT-ONLY corpus, the resolution
+    * counterpart of the incremental stats family.
+    *
+    * The design hinges on one fact: with a LABELS table as state, a
+    * new edge merges clusters at the LABEL level, so historic edges
+    * never need storing. Per batch: only the batch is shingled; its
+    * candidate mates come from the touched buckets' full membership
+    * (append-only, two old docs' shared-bucket count never changes,
+    * so every old-old pair was already processed when its second
+    * endpoint arrived — only batch-involving pairs are new, and
+    * their `minBands` collision count over CURRENT buckets is
+    * complete); verified edges project through the labels table to
+    * distinct (canonicalA, canonicalB) CLUSTER pairs — a graph
+    * bounded by the batch's touched clusters, not the corpus — and
+    * [[resolveClusters]] over that tiny graph yields the relabel
+    * map. Only rows of merged clusters rewrite (broadcast remap
+    * join, keyed merge); the labels table at `goldPath` IS the
+    * output: (id, canonical), `is_dup = id != canonical` derived on
+    * read.
+    *
+    * Equality with the batch recompute: canonical = component
+    * minimum propagates through label-level unions exactly (min is
+    * associative across merge order). Two documented
+    * time-of-arrival deviations, both inherent to incrementality:
+    * a bucket crossing `maxBucket` stops generating NEW pairs but
+    * cannot retract edges already verified (the batch recompute
+    * drops the whole bucket), and with `minBands > 1` collision
+    * counts are as-of each pair's first evaluation. Under buckets
+    * that stay below the cap — the operating regime the cap is FOR
+    * — gold equals [[dedupResolve]] exactly (spec-proven).
+    *
+    * Insert-only by contract: a DELETE can split a cluster, which
+    * no label-level operation can express — that is a rebuild
+    * (re-run [[dedupResolve]]), not an increment. Replay-safe: a
+    * redelivered batch re-inits its docs' self-labels only when its
+    * `batchOrd` is not older than the stored row (the merge-order
+    * guard), then re-derives the same merges from current state.
+    * NULL-text docs are excluded (family rule).
+    */
+  def dedupResolveIncremental(spark: SparkSession, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              stateDir: String, goldPath: String,
+                              batchOrd: Long,
+                              n: Int = 5, numPerm: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.1,
+                              maxBucket: Int = 10000, minBands: Int = 1,
+                              fmt: graft.pipeline.TableFormat =
+                                graft.pipeline.SnapshotTableFormat): Unit = {
+    require(numPerm % bands == 0, "numPerm must divide evenly into bands")
+    val docsPath = s"$stateDir/docs"
+    val bandsPath = s"$stateDir/bands"
+    val batchAll = graft.Materialize.eager(
+      oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", Seq("text")))
+    val batchDocs = batchAll.filter(col("text").isNotNull)
+    if (batchDocs.isEmpty) return
+    val batchH = graft.Materialize.eager(
+      shingleHashes(batchDocs, "id", "text", n))
+    val batchBands = graft.Materialize.eager(
+      bandRowsFromHashes(batchH, numPerm, bands))
+    fmt.scd1Merge(spark, docsPath,
+      batchH.withColumn("_ord", lit(batchOrd)),
+      Seq("id"), "_ord", compareExclude = Nil)
+    fmt.scd1Merge(spark, bandsPath,
+      batchBands.withColumn("_ord", lit(batchOrd)),
+      Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
+    // self-labels for the batch BEFORE edge projection, ord-guarded:
+    // a replayed old batch cannot regress a label a later batch set
+    fmt.scd1Merge(spark, goldPath,
+      batchDocs.select(col("id"), col("id").as("canonical"),
+        lit(batchOrd).as("_ord")),
+      Seq("id"), "_ord", compareExclude = Nil)
+
+    val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
+    val stateBands = fmt.read(spark, bandsPath)
+      .select(col("id"), col("band"), col("bhash"))
+    // new pairs: batch docs x full membership of their buckets,
+    // qualifying at arrival time (2 <= size <= maxBucket)
+    val nbr = graft.Materialize.eager(
+      stateBands.join(batchBands.select(col("band"), col("bhash")).distinct(),
+        Seq("band", "bhash"), "left_semi"))
+    val qb = nbr.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") >= 2 && col("_sz") <= maxBucket)
+      .select(col("band"), col("bhash"))
+    val aSide = nbr.join(batchDocs.select(col("id")), Seq("id"), "left_semi")
+      .join(qb, Seq("band", "bhash"), "left_semi")
+      .select(col("band"), col("bhash"), col("id").as("ida"))
+    val mSide = nbr.join(qb, Seq("band", "bhash"), "left_semi")
+      .select(col("band"), col("bhash"), col("id").as("idb"))
+    val cand = aSide.join(mSide, Seq("band", "bhash"))
+      .filter(col("ida") =!= col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("_nh"))
+      .filter(col("_nh") >= minBands)
+      // batch-batch pairs arrive in both directions — normalize
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"))
+      .distinct()
+    val edges = graft.Materialize.eager(
+      pairJaccard(stateDocs, cand).filter(col("jaccard") >= threshold)
+        .select(col("ida"), col("idb")))
+    if (edges.isEmpty) return
+
+    // project edges to CLUSTER pairs through current labels; the
+    // resulting graph is touched-clusters-sized
+    val labels = fmt.read(spark, goldPath)
+    val lp = graft.Materialize.eager(
+      edges
+        .join(labels.select(col("id").as("ida"),
+          col("canonical").as("_ca")), Seq("ida"))
+        .join(labels.select(col("id").as("idb"),
+          col("canonical").as("_cb")), Seq("idb"))
+        .filter(col("_ca") =!= col("_cb"))
+        .select(col("_ca").as("ida"), col("_cb").as("idb")).distinct())
+    if (lp.isEmpty) return
+    val touchedCans = lp.select(col("ida").as("id"))
+      .unionByName(lp.select(col("idb").as("id"))).distinct()
+    val remap = graft.Materialize.eager(
+      resolveClusters(touchedCans, lp)
+        .filter(col("id") =!= col("canonical"))
+        .select(col("id").as("_oldCan"), col("canonical").as("_newCan")))
+    // rewrite ONLY merged clusters' rows (broadcast remap, keyed merge)
+    val updated = labels
+      .join(broadcast(remap), col("canonical") === col("_oldCan"))
+      .select(col("id"), col("_newCan").as("canonical"),
+        lit(batchOrd).as("_ord"))
+    if (!updated.isEmpty)
+      fmt.scd1Merge(spark, goldPath, updated, Seq("id"), "_ord",
+        compareExclude = Nil)
+    ()
+  }
+
   /** #30 SimHash near-dup: 64-bit SimHash (custom codegen'd Catalyst
     * expression) bucketed on its four 16-bit chunks — by pigeonhole,
     * any pair within Hamming distance 3 shares a chunk; candidates

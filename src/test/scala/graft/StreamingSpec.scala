@@ -2097,6 +2097,93 @@ class StreamingSpec extends SparkSpec {
       "old docs' text IS read from gold keyed by id — that read is the design")
   }
 
+  test("incremental cluster resolution: labels equal batch dedupResolve; a bridge merges old clusters") {
+    // the resolution counterpart of the incremental stats family:
+    // labels maintained across insert-only micro-batches must equal
+    // dedupResolve over the cumulative corpus after every fold. The
+    // decisive case is the BRIDGE: a batch doc near TWO existing
+    // clusters must merge them — every old member of the
+    // higher-canonical cluster relabels without being in the batch,
+    // through the label-level union (no historic edges stored).
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val stateDir = Files.createTempDirectory("graft_rc_state").toString
+    val gold = Files.createTempDirectory("graft_rc_gold").toString + "/t"
+    val thr = 0.25
+    var live = scala.collection.immutable.SortedMap.empty[Long, String]
+
+    def fold(batch: Seq[(Long, String)], ord: Long): Unit =
+      Dedup.dedupResolveIncremental(spark, batch.toDF("doc_id", "text"),
+        "doc_id", "text", stateDir, gold, batchOrd = ord,
+        numPerm = 64, bands = 32, threshold = thr)
+    def check(label: String): Unit = {
+      val truth = Dedup.dedupResolve(live.toSeq.toDF("doc_id", "text"),
+          "doc_id", "text", numPerm = 64, bands = 32, threshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq.sorted
+      val got = MergeTable.read(spark, gold)
+        .select(col("id"), col("canonical"),
+          (col("id") =!= col("canonical")).as("is_dup"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq.sorted
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val t2 = "one two three four five six seven eight " * 4
+    val bridge = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "one two three four five six seven eight ") * 2
+
+    // batch 1: two separate clusters
+    val b1 = Seq(10L -> t1, 11L -> (t1 + "x"), 30L -> t2, 31L -> (t2 + "z"))
+    live ++= b1; fold(b1, 0L); check("after batch 1")
+    // batch 2: an unrelated singleton and one more member of X
+    val b2 = Seq(12L -> (t1 + "yy"), 40L -> "nothing shared with anyone at all here")
+    live ++= b2; fold(b2, 1L); check("after batch 2")
+    // batch 3: the bridge merges X and Y — old docs 30,31 relabel
+    val b3 = Seq(20L -> bridge)
+    live ++= b3; fold(b3, 2L); check("after batch 3 (bridge merge)")
+    val cans = MergeTable.read(spark, gold)
+      .filter(col("id").isin(10L, 11L, 12L, 20L, 30L, 31L))
+      .select(col("canonical")).distinct().collect().map(_.getLong(0))
+    assert(cans.toSeq == Seq(10L),
+      s"the bridge must pull every member to canonical 10, got ${cans.toSeq}")
+
+    // duplicate delivery of batch 3 converges (ord-guarded re-init)
+    fold(b3, 3L); check("after duplicate delivery")
+
+    // crash: roll labels back to pre-bridge, redeliver — the merges
+    // re-derive from docs/bands state, which already holds the batch
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val bak = Files.createTempDirectory("graft_rc_bak").toString + "/t"
+    copyDir(gold, bak)
+    val b4 = Seq(13L -> (t1 + "qq"))
+    live ++= b4; fold(b4, 4L)
+    deleteDir(gold); copyDir(bak, gold)
+    fold(b4, 5L) // redelivery after gold rollback
+    check("after crash-replay of batch 4")
+  }
+
   test("incremental simhash stats: streamed gold equals batch recompute, updates retract, crashes replay") {
     // the SIMHASH member completes the five-member incremental
     // family. Single state table (id, simhash) — chunk buckets
