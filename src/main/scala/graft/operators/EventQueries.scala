@@ -73,6 +73,10 @@ object EventQueries {
   def eventsRetention(spark: SparkSession, dir: String): DataFrame =
     Events.retention(ev(spark, dir))
 
+  /** Event-type transition matrix over the events table. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    Events.transitions(ev(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
@@ -81,6 +85,7 @@ object EventQueries {
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
+    "events_transitions" -> (eventsTransitions _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
@@ -111,6 +116,21 @@ object EventQueries {
         |  count(*) AS n_active
         |FROM uw JOIN fs USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |m AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type,
+        |    count(*) AS n_transitions
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS p_transition
+        |FROM m""".stripMargin,
     "events_json_extract" ->
       """SELECT event_type,
         |  CAST(COUNT(k) AS BIGINT) AS n_with_k,

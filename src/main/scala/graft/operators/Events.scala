@@ -170,6 +170,37 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Event transition matrix — the path-analysis primitive: per key,
+    * order events by (ts, id) (the id tiebreak makes simultaneous
+    * events deterministic — engines would otherwise disagree on lag
+    * order), pair each event with its predecessor's type, and count
+    * (from_type, to_type) globally, with the row-conditional
+    * probability alongside.
+    *
+    * Shape: ONE hash exchange on the key for the lag window (the
+    * same per-key sort sessionize pays), then a partial-agg count to
+    * a |types|²-sized matrix; the probability window runs over that
+    * tiny matrix, never the fact table. `n / total` divides two
+    * exact longs as doubles — bit-identical across engines.
+    *
+    * Output: (from_type, to_type, n_transitions, p_transition).
+    */
+  def transitions(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val matrix = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wTot = Window.partitionBy(col("from_type"))
+    matrix.withColumn("p_transition",
+      col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(wTot).cast("double"))
+  }
+
   def asofJoin(events: DataFrame, probes: DataFrame,
                keyCol: String, tsCol: String, probeTsCol: String,
                payloadCols: Seq[String], tiebreakCol: String): DataFrame = {

@@ -37,6 +37,31 @@ class EventsSpec extends SparkSpec {
       (1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L))), out.toSeq)
   }
 
+  test("transition matrix counts consecutive pairs per user with deterministic tiebreak") {
+    // u1: view->click->view (two transitions); u2: view->view; u3 has
+    // two SIMULTANEOUS events — the event_id tiebreak must order them
+    // (3,"a") before (4,"b"), giving a->b, not b->a
+    val e = Seq(
+      (1L, 10L, "view", "2024-01-01 10:00:00"),
+      (1L, 11L, "click", "2024-01-01 10:05:00"),
+      (1L, 12L, "view", "2024-01-01 10:10:00"),
+      (2L, 20L, "view", "2024-01-01 09:00:00"),
+      (2L, 21L, "view", "2024-01-01 09:30:00"),
+      (3L, 3L, "a", "2024-01-01 08:00:00"),
+      (3L, 4L, "b", "2024-01-01 08:00:00"))
+      .map { case (u, id, t, s) => (u, id, t, ts(s)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.transitions(e)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(out == Seq(
+      ("a", "b", 1L, 1.0),
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "view", 1L, 0.5)), out)
+  }
+
   test("funnel step times are strictly increasing (equal ts does not advance)") {
     val e = Seq(
       (1L, "view", "2024-01-01 10:00:00"),
