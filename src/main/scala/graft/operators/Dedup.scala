@@ -400,15 +400,69 @@ object Dedup {
     // materialize once: the hash arrays feed candidate generation AND
     // both sides of the verify join (3 evaluations otherwise)
     val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
+    jaccardPairStats(df, idCol, docsH,
+      rareShingleCandidates(docsH, maxDf), threshold)
+  }
+
+  /** Candidate pairs sharing at least one RARE shingle (document
+    * frequency ≤ maxDf). Shared by the Jaccard and containment
+    * verifiers: frequent shingles carry no discriminative signal and
+    * would make the pairing quadratic in corpus size, so they are
+    * excluded from candidate generation (never from verification).
+    */
+  private def rareShingleCandidates(docsH: DataFrame, maxDf: Int): DataFrame = {
     val sh = docsH.select(col("id"), explode(col("shash")).as("h"))
-    val rareBuckets = sh.groupBy("h").agg(collect_set(col("id")).as("ids"))
+    sh.groupBy("h").agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxDf && size(col("ids")) > 1)
-    val cand = rareBuckets
       .select(explode(col("ids")).as("ida"), col("ids"))
       .select(col("ida"), explode(col("ids")).as("idb"))
       .filter(col("ida") < col("idb"))
       .distinct()
-    jaccardPairStats(df, idCol, docsH, cand, threshold)
+  }
+
+  /** N-gram CONTAINMENT near-dup — the asymmetric sibling of
+    * [[ngramJaccardStats]]: containment(a→b) = |Sa ∩ Sb| / |Sa|.
+    * Jaccard misses partial copies (a paragraph quoted inside a much
+    * longer page scores near 0 because the union is dominated by the
+    * long side); containment scores the quoted side near 1 — the
+    * metric suffix-array/quotation decontamination pipelines use for
+    * subset duplication (Broder 1997's "containment", public).
+    *
+    * Same scale shape as the Jaccard operator: rare-shingle candidate
+    * buckets (ids-only shuffle), one verify join over the sorted hash
+    * arrays, per-pair BOTH directions computed from one intersection
+    * count. Per document: candidate count, partners at ≥ threshold,
+    * and the max containment of ITS shingle set in any partner (high
+    * ⇒ this document is substantially contained elsewhere).
+    */
+  def ngramContainmentStats(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, maxDf: Int = 20,
+                            threshold: Double = 0.5): DataFrame = {
+    val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
+    val cand = rareShingleCandidates(docsH, maxDf)
+    // one intersection per pair, both directional ratios from it;
+    // materialized because the union mirror references it twice
+    val pairs = cand
+      .join(docsH.as("da"), col("da.id") === col("ida"))
+      .join(docsH.as("db"), col("db.id") === col("idb"))
+      .withColumn("_shared",
+        HashFunctions.sortedIntersectCount(col("da.shash"), col("db.shash")))
+      .select(col("ida"), col("idb"),
+        (col("_shared").cast("double") / size(col("da.shash"))).as("cont_a"),
+        (col("_shared").cast("double") / size(col("db.shash"))).as("cont_b"))
+      .transform(graft.Materialize.eager)
+    val both = pairs.select(col("ida").as("id"), col("cont_a").as("containment"))
+      .unionByName(pairs.select(col("idb").as("id"), col("cont_b").as("containment")))
+    val per = both.groupBy("id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("containment") >= threshold, 1L).otherwise(0L))
+        .as("n_contained"),
+      max(col("containment")).as("max_containment"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_contained"), lit(0L)).as("n_contained"),
+        col("max_containment"))
   }
 
   /** #29 MinHash+LSH near-dup: numPerm permutations approximated by

@@ -138,6 +138,8 @@ object DedupQueries {
       Dedup.exactNormalized(docs(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardStats(docs(s, d), "doc_id", "text")),
+    "dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainmentStats(docs(s, d), "doc_id", "text")),
     // maxBucket = uncapped, explicitly: the SQL oracles have no bucket
     // cap, so the oracle callers opt out of the operator's finite
     // flood-guard default to stay bit-comparable at any SF
@@ -965,6 +967,45 @@ object DedupQueries {
         |  min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
         |  COUNT(DISTINCT text) AS n_raw_variants
         |FROM documents GROUP BY 1""".stripMargin,
+    // same shingle/rare-candidate CTEs as dedup_ngram_jaccard; the
+    // metric divides the shared count by EACH side's own set size
+    // (directional containment), thresholded at 0.5
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 5) AS shingle
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 3, 2))) AS t(i)),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  WHERE a.shingle IN (SELECT shingle FROM rare)),
+        |shared AS (
+        |  SELECT c.ida, c.idb, count(*) AS shared
+        |  FROM cand c
+        |  JOIN sh sa ON sa.id = c.ida
+        |  JOIN sh sb ON sb.id = c.idb AND sb.shingle = sa.shingle
+        |  GROUP BY c.ida, c.idb),
+        |cont AS (
+        |  SELECT ida, idb,
+        |    CAST(shared AS DOUBLE) / za.n_sh AS cont_a,
+        |    CAST(shared AS DOUBLE) / zb.n_sh AS cont_b
+        |  FROM shared
+        |  JOIN sizes za ON za.id = ida
+        |  JOIN sizes zb ON zb.id = idb),
+        |per AS (
+        |  SELECT id, count(*) AS n_candidates,
+        |    CAST(SUM(CASE WHEN containment >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_contained,
+        |    max(containment) AS max_containment
+        |  FROM (SELECT ida AS id, cont_a AS containment FROM cont
+        |        UNION ALL SELECT idb AS id, cont_b AS containment FROM cont)
+        |  GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_candidates, 0) AS n_candidates,
+        |  COALESCE(p.n_contained, 0) AS n_contained,
+        |  p.max_containment
+        |FROM documents d LEFT JOIN per p ON p.id = d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 5) AS shingle

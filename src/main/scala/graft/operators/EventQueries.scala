@@ -77,6 +77,12 @@ object EventQueries {
   def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
     Events.transitions(ev(spark, dir))
 
+  /** Hourly rate-spike detection per event type (3× trailing-24h
+    * mean, ≥6 observed trailing hours).
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Events.rateAnomaly(ev(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
@@ -86,6 +92,7 @@ object EventQueries {
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "events_transitions" -> (eventsTransitions _),
+    "events_anomaly" -> (eventsAnomaly _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
@@ -116,6 +123,30 @@ object EventQueries {
         |  count(*) AS n_active
         |FROM uw JOIN fs USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // integer cross-product spike test (n·trail_hours > 3·trail_sum):
+    // the flag never touches floating point; the ratio divides two
+    // exact longs as doubles once — same IEEE op on both engines
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *,
+        |    SUM(n_events) OVER w AS trail_sum,
+        |    CAST(COUNT(n_events) OVER w AS BIGINT) AS trail_hours
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n_events,
+        |  CAST(trail_sum AS BIGINT) AS trail_sum, trail_hours,
+        |  CASE WHEN trail_hours >= 6 THEN
+        |    CAST(n_events * trail_hours AS DOUBLE) / CAST(trail_sum AS DOUBLE)
+        |  END AS rate_ratio,
+        |  CASE WHEN trail_hours >= 6 THEN
+        |    n_events * trail_hours > 3 * trail_sum
+        |  END AS is_spike
+        |FROM t""".stripMargin,
     "events_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -201,6 +201,46 @@ object Events {
         sum(col("n_transitions")).over(wTot).cast("double"))
   }
 
+  /** Rate-spike detection per event type: hourly counts vs the mean
+    * of the type's trailing `trailHours` OBSERVED hourly buckets
+    * (hours with zero events don't emit rows, so a sparse type's
+    * trail is its last active hours — the operating-metric
+    * convention; calendar-gap semantics would need a generated hour
+    * spine). An hour is a spike when its count exceeds `factor` ×
+    * the trailing mean, evaluated as the INTEGER cross-product
+    * `n·trail_hours > factor·trail_sum` — no floating point in the
+    * decision, so the flag is bit-stable across engines; the
+    * reported ratio divides two exact longs as doubles once.
+    *
+    * Scale shape: one corpus shuffle to (type, hour) counts with
+    * map-side partial aggregation — the window then runs over the
+    * |types|×|hours| matrix, never the fact table. Rows with fewer
+    * than `minTrail` observed trailing hours report null ratio/flag
+    * (cold start).
+    *
+    * Output: (event_type, hour, n_events, trail_sum, trail_hours,
+    * rate_ratio, is_spike).
+    */
+  def rateAnomaly(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", trailHours: Int = 24,
+                  minTrail: Int = 6, factor: Int = 3): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+      .rowsBetween(-trailHours, -1)
+    val enough = col("trail_hours") >= minTrail
+    hourly
+      .withColumn("trail_sum", sum(col("n_events")).over(w))
+      .withColumn("trail_hours", count(col("n_events")).over(w))
+      .withColumn("rate_ratio", when(enough,
+        (col("n_events") * col("trail_hours")).cast("double") /
+          col("trail_sum").cast("double")))
+      .withColumn("is_spike", when(enough,
+        col("n_events") * col("trail_hours") > col("trail_sum") * factor))
+  }
+
   def asofJoin(events: DataFrame, probes: DataFrame,
                keyCol: String, tsCol: String, probeTsCol: String,
                payloadCols: Seq[String], tiebreakCol: String): DataFrame = {

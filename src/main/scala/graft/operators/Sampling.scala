@@ -35,6 +35,30 @@ object Sampling {
       .filter(col("sample_bucket") < rate * 4294967296.0)
   }
 
+  /** Per-group frequency cap — the crawl-pipeline "at most N pages
+    * per domain" rule: within each group keep the `cap` rows with the
+    * LOWEST salted hash buckets (a deterministic uniform draw, so the
+    * kept set is an unbiased within-group sample, stable under
+    * re-runs and — unlike rank-by-id — unbiased under id assignment
+    * order; the id tiebreak only disambiguates bucket collisions).
+    *
+    * Scale shape: the rank-≤-cap filter plans as WindowGroupLimit —
+    * each partition locally retains cap rows per group before the
+    * exchange, so the shuffle carries at most cap·|groups| rows per
+    * partition, never the corpus. No collect, no skew sensitivity
+    * beyond the window's own hash partitioning.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  cap: Int, salt: String = "cap"): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    val bucket = hashBucket(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    df.withColumn("cap_bucket", bucket)
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("cap_bucket").asc, col(idCol).asc)))
+      .filter(col("cap_rank") <= cap)
+  }
+
   /** Deterministic train/val/test assignment: each row lands in the
     * named fraction whose cumulative [0, 1) interval contains its
     * salted hash bucket. Pure per-row projection — no shuffle, no

@@ -68,6 +68,13 @@ object SamplingQueries {
       .select("doc_id", "source", "est_tokens", "sample_bucket")
   }
 
+  /** Crawl-style per-source frequency cap: at most 10 docs per
+    * source, drawn by salted hash (unbiased within-group sample).
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(docs(spark, dir).select("doc_id", "source"),
+      "doc_id", "source", cap = 10)
+
   /** Deterministic 80/10/10 split assignment over the corpus. */
   def dataSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.trainValTestSplit(docs(spark, dir), "doc_id")
@@ -87,7 +94,8 @@ object SamplingQueries {
     "data_mix" -> (dataMix _),
     "data_mix_temperature_plan" -> (dataMixTemperaturePlan _),
     "data_mix_temperature" -> (dataMixTemperature _),
-    "data_mix_epochs" -> (dataMixEpochs _))
+    "data_mix_epochs" -> (dataMixEpochs _),
+    "source_cap" -> (sourceCap _))
 
   /** Shared mix CTEs: per-source token totals -> weights -> the
     * capped rate. `CAST(SUM AS BIGINT)` pins DuckDB's HUGEINT sum
@@ -141,6 +149,20 @@ object SamplingQueries {
       |  FROM p, z)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "source_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS cap_bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, cap_bucket,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY cap_bucket ASC, doc_id ASC) AS INT)
+        |      AS cap_rank
+        |  FROM t)
+        |SELECT doc_id, source, cap_bucket, cap_rank
+        |FROM r WHERE cap_rank <= 10""".stripMargin,
     "data_mix_epochs" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -65,6 +65,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /** BPE first-merge statistics: the frequency of every adjacent
+    * character pair across the corpus, weighted by word frequency —
+    * the counting step a byte-pair-encoding tokenizer trainer runs
+    * before its first merge (Sennrich et al. 2016, public BPE
+    * literature; LLM-pipeline layer beyond the reference surface).
+    *
+    * Scale shape: the corpus-sized shuffle is a word count (classic
+    * map-side-combine reduction to vocabulary size); pair explosion
+    * runs over the VOCABULARY table, not the corpus, and the second
+    * aggregate lands on ≤ |alphabet|² groups. `orderBy.limit` plans
+    * as TakeOrderedAndProject (per-partition top-K + K-row driver
+    * merge). At 100 TB the only full-data pass is the word split.
+    *
+    * Output: (pair, n_occurrences, n_word_types), deterministic
+    * (count desc, pair asc) top-K. `n_occurrences` counts every
+    * position in every word occurrence ("aaa" ×3 contributes 6 to
+    * "aa"); `n_word_types` counts distinct words containing the pair.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    // _outer + output filter: see vocabTopK — null-text rows fall to
+    // the length filter, and split() is never re-run by an inferred
+    // generate-filter on vanilla sessions
+    val wordFreq = df
+      .select(explode_outer(split(col(textCol), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    wordFreq
+      .select(col("w"), col("wc"),
+        explode_outer(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy("pair")
+      .agg(sum(col("wc")).as("n_occurrences"),
+        count_distinct(col("w")).as("n_word_types"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Boilerplate word-n-gram detection: the most frequent n-word
     * shingles of the corpus via a Misra-Gries sketch
     * ([[graft.functions.HeavyHitters]]). [[vocabTopK]] is exact

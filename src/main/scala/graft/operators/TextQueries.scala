@@ -109,6 +109,12 @@ object TextQueries {
     TextAnalysis.segmentDedup(docs(spark, dir), "doc_id", "text",
       segWords = 5, minDocs = 3)
 
+  /** BPE first-merge pair counting: top 50 adjacent character pairs
+    * by frequency-weighted occurrence (tokenizer-training prep).
+    */
+  def bpePairTopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(docs(spark, dir), "text", k = 50)
+
   /** RAG-shape chunking: 200-char windows, 50-char overlap. */
   def textChunk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -145,7 +151,8 @@ object TextQueries {
     "text_dup_ngrams" -> (textDupNgrams _),
     "text_segment_dedup" -> (textSegmentDedup _),
     "text_chunk" -> (textChunk _),
-    "text_redact" -> (textRedact _))
+    "text_redact" -> (textRedact _),
+    "bpe_pair_topk" -> (bpePairTopK _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -155,6 +162,21 @@ object TextQueries {
     ws.map(w => occ("text", w)).mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "bpe_pair_topk" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(text, '[^a-z]+')) AS w
+        |  FROM documents),
+        |wf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wc
+        |  FROM w WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT substring(w, CAST(i AS INT), 2) AS pair, w, wc
+        |  FROM wf, UNNEST(range(1, length(w))) AS t(i))
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_word_types
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair ASC
+        |LIMIT 50""".stripMargin,
     "text_langid" -> {
       val s = markers.map { case (l, ws) => s"${score(ws)} AS score_$l" }
       s"""WITH scored AS (

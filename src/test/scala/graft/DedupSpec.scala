@@ -1144,4 +1144,40 @@ class DedupSpec extends SparkSpec {
       "vec_id", "embedding").count()
     assert(n > 0)
   }
+
+  test("containment scores a quoted fragment near 1 where Jaccard stays low") {
+    import SparkSpec.spark.implicits._
+    // doc 1 is a fragment fully contained in the much longer doc 2:
+    // every 5-shingle of doc 1 appears in doc 2, so containment(1->2)
+    // = 1.0 while Jaccard is |S1|/|S2| (small). doc 3 is unrelated.
+    val frag = "the quick brown fox jumps over the lazy dog"
+    val page = ("unrelated preamble text here and then " + frag +
+      " followed by a long tail of other words entirely") * 1
+    val docs = Seq((1L, frag), (2L, page),
+      // alphabet-disjoint from every 5-gram of docs 1-2
+      (3L, "zzzzz qqqqq zzzzz qqqqq zzzzz qqqqq zzzzz"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentStats(docs, "doc_id", "text",
+        maxDf = 20, threshold = 0.9)
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getLong(d1.fieldIndex("n_candidates")) == 1L, d1.toString)
+    assert(d1.getDouble(d1.fieldIndex("max_containment")) == 1.0,
+      "fragment fully contained")
+    assert(d1.getLong(d1.fieldIndex("n_contained")) == 1L)
+    val d2 = out(1)
+    // the long page's own containment in the fragment is |S1|/|S2| < 0.9
+    assert(d2.getDouble(d2.fieldIndex("max_containment")) < 0.9 &&
+      d2.getLong(d2.fieldIndex("n_contained")) == 0L, d2.toString)
+    // cross-check the asymmetry against the symmetric Jaccard operator
+    val jac = Dedup.ngramJaccardStats(docs, "doc_id", "text", maxDf = 20)
+      .orderBy("doc_id").collect()
+    val j1 = jac(0)
+    assert(j1.getDouble(j1.fieldIndex("max_jaccard")) < 0.9,
+      "Jaccard must miss the subset duplication containment catches")
+    // unrelated doc: no candidates, null max
+    val d3 = out(2)
+    assert(d3.getLong(d3.fieldIndex("n_candidates")) == 0L &&
+      d3.isNullAt(d3.fieldIndex("max_containment")), d3.toString)
+  }
 }

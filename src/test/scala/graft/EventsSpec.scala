@@ -104,4 +104,39 @@ class EventsSpec extends SparkSpec {
     // aggregate; the only other exchange is the final single-row agg
     assert(exchanges <= 1, s"funnel must not re-shuffle per step:\n$plan")
   }
+
+  test("rate anomaly flags hours above factor x trailing mean, integer-exact") {
+    // one type, 5 observed hours: counts 2,2,2,10,2. With a 3-hour
+    // trail and minTrail=2: hour0 has no trail (null flag), hour1 has
+    // 1 trailing hour (< minTrail, null), hour2 trail=(2,2) mean 2,
+    // hour3 trail=(2,2,2) mean 2 -> 10 > 2*2 SPIKES, hour4
+    // trail=(2,2,10) mean 14/3 -> 2 is not a spike
+    val rows = (0 until 5).flatMap { h =>
+      val n = if (h == 3) 10 else 2
+      (0 until n).map(i => ("page", ts(f"2024-01-01 0$h%d:00:${i % 60}%02d")))
+    }
+    val out = Events.rateAnomaly(rows.toDF("event_type", "ts"),
+        trailHours = 3, minTrail = 2, factor = 2)
+      .orderBy("hour").collect()
+    assert(out.length == 5)
+    assert(out(0).isNullAt(out(0).fieldIndex("is_spike")) &&
+      out(1).isNullAt(out(1).fieldIndex("is_spike")),
+      "cold-start hours report null flag")
+    val h3 = out(3)
+    assert(h3.getLong(h3.fieldIndex("n_events")) == 10L &&
+      h3.getLong(h3.fieldIndex("trail_sum")) == 6L &&
+      h3.getLong(h3.fieldIndex("trail_hours")) == 3L &&
+      h3.getBoolean(h3.fieldIndex("is_spike")), h3.toString)
+    assert(h3.getDouble(h3.fieldIndex("rate_ratio")) == 5.0, "10*3/6")
+    val h4 = out(4)
+    assert(!h4.getBoolean(h4.fieldIndex("is_spike")) &&
+      h4.getLong(h4.fieldIndex("trail_sum")) == 14L, h4.toString)
+    // trailing window is per type: a second type's hours don't leak
+    val mixed = rows ++ Seq(("other", ts("2024-01-01 03:00:00")))
+    val o2 = Events.rateAnomaly(mixed.toDF("event_type", "ts"),
+        trailHours = 3, minTrail = 2, factor = 2)
+      .filter(col("event_type") === "page").orderBy("hour").collect()
+    assert(o2.map(_.toString).sameElements(out.map(_.toString)),
+      "per-type partition isolation")
+  }
 }

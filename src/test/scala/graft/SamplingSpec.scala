@@ -238,4 +238,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.trainValTestSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("capPerGroup keeps the cap lowest-bucket rows per group, order-independent") {
+    import SparkSpec.spark.implicits._
+    val rows = (1L to 20L).map(i => (i, if (i <= 17) "big" else "small"))
+    val df = rows.toDF("id", "grp")
+    val out = Sampling.capPerGroup(df, "id", "grp", cap = 5).collect()
+    val byGrp = out.groupBy(_.getString(1)).map { case (g, rs) => g -> rs }
+    assert(byGrp("big").length == 5, "oversized group capped")
+    assert(byGrp("small").length == 3, "undersized group kept whole")
+    // kept set = the 5 smallest cap_buckets of each group
+    val bigAll = Sampling.capPerGroup(df, "id", "grp", cap = 100)
+      .filter(col("grp") === "big")
+      .orderBy(col("cap_bucket").asc, col("id").asc)
+      .select("id").as[Long].collect().take(5).toSet
+    val bigKept = out.filter(_.getString(1) == "big").map(_.getLong(0)).toSet
+    assert(bigKept == bigAll, "kept = prefix of the bucket order")
+    // partitioning/order independence: same kept set after reshuffle
+    val shuffled = Sampling.capPerGroup(df.repartition(7, col("id")),
+        "id", "grp", cap = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("cap_rank"))))
+      .toSet
+    assert(shuffled == out.map(r =>
+      (r.getLong(0), r.getInt(r.fieldIndex("cap_rank")))).toSet)
+    // rank-limit filter plans as WindowGroupLimit (partial per
+    // partition before the exchange — the 100 TB shape)
+    val plan = Sampling.capPerGroup(df, "id", "grp", cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
 }

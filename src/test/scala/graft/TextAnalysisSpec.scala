@@ -354,4 +354,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(hot(3).getLong(3) == 0L, s"real doc untouched: ${hot(3)}")
   }
+
+  test("bpe pair stats count adjacent pairs weighted by word frequency") {
+    import SparkSpec.spark.implicits._
+    // "ab" x3 (as two docs contribute 2+1 occurrences), "abc" x1,
+    // "aaa" x1; punctuation/digits split words; 1-char words dropped
+    val docs = Seq(
+      (1L, "ab ab. abc a"),
+      (2L, "ab aaa, 7x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(docs, "text", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // pair "ab": words ab(freq 3) + abc(freq 1) -> 4 occurrences,
+    //   2 word types; "aa": word aaa has TWO aa positions -> 2 occ,
+    //   1 type; "bc": abc -> 1; "x" from "7x" splits to empty (digit
+    //   separator) + "x" (len 1, dropped)
+    assert(out == Seq(("ab", 4L, 2L), ("aa", 2L, 1L), ("bc", 1L, 1L)),
+      out.toString)
+    // deterministic order: count desc then pair asc, stable top-K
+    assert(out.map(_._1) == Seq("ab", "aa", "bc"))
+  }
 }
