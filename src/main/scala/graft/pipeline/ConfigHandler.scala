@@ -87,14 +87,21 @@ object ConfigHandler {
     // cross-field checks that need both the writes and the format
     cfg.writes.zipWithIndex.foreach { case (w, i) =>
       val at = s"$$.writes[$i]"
-      if (w.clusterBy.nonEmpty && cfg.tableFormat != DeltaLogTableFormat)
+      if ((w.clusterBy.nonEmpty || w.zorderBy.nonEmpty) &&
+          cfg.tableFormat != DeltaLogTableFormat)
         throw new ConfigError(at,
-          "clusterBy needs file-stats clustering — tableFormat 'delta-log'")
+          "clusterBy/zorderBy need file-stats clustering — tableFormat 'delta-log'")
       // the clustered optimize only runs after merge writes; accepting
       // it on append/overwrite would silently never cluster
-      if (w.clusterBy.nonEmpty && w.mode != "merge")
+      if ((w.clusterBy.nonEmpty || w.zorderBy.nonEmpty) && w.mode != "merge")
         throw new ConfigError(at,
-          s"clusterBy runs after merge writes only, not mode '${w.mode}'")
+          s"clusterBy/zorderBy run after merge writes only, not mode '${w.mode}'")
+      if (w.clusterBy.nonEmpty && w.zorderBy.nonEmpty)
+        throw new ConfigError(at,
+          "clusterBy and zorderBy are mutually exclusive layouts")
+      if (w.zorderBy.nonEmpty && w.zorderBy.size < 2)
+        throw new ConfigError(at,
+          "zorderBy needs >= 2 columns; use clusterBy for one")
       if (w.mode == "merge" && w.partitionBy.size > 1 &&
           cfg.tableFormat != DeltaLogTableFormat)
         throw new ConfigError(at, "multi-column partitionBy merges need " +
@@ -140,7 +147,8 @@ object ConfigHandler {
       extractMode = extract,
       optimizeAfter = opt(n, "optimizeAfter").exists(_.asBoolean),
       partitionBy = opt(n, "partitionBy").map(strSeq).getOrElse(Nil),
-      clusterBy = opt(n, "clusterBy").map(_.asText))
+      clusterBy = opt(n, "clusterBy").map(_.asText),
+      zorderBy = opt(n, "zorderBy").map(strSeq).getOrElse(Nil))
     if (w.mode == "merge" && w.keys.isEmpty)
       throw new ConfigError(at, "merge mode requires non-empty 'keys'")
     if (w.mode == "merge" && w.partitionBy.nonEmpty && w.extractMode == "fe")

@@ -1345,6 +1345,113 @@ object DeltaLogTableFormat extends TableFormat {
       }
     }
 
+  /** OPTIMIZE with multi-column Z-ORDER clustering — the full form of
+    * Delta's `OPTIMIZE ... ZORDER BY (a, b, ...)`: rewrite all live
+    * files ordered by the bit-interleaved rank of the cluster
+    * columns, so file-level min/max stats stay narrow on EVERY
+    * cluster column at once and [[readRange]] prunes multi-column
+    * workloads 1-D clustering can't serve (a layout clustered on `a`
+    * alone leaves `b`'s per-file ranges full-width — `b` lookups
+    * scan everything; the Z-curve gives each file a ~hypercube of
+    * the value space, so a point lookup on any one of k columns
+    * admits ~files^((k-1)/k)).
+    *
+    * Rank normalization: each column maps to a [0, 2^bitsPerCol)
+    * bucket id via its own approximate quantile boundaries (one
+    * `approxQuantile` pass for ALL columns; the driver holds
+    * 2^bitsPerCol doubles per column — bounded, never data-sized),
+    * which makes the interleave robust to skew and scale differences
+    * between columns. Bucketing + interleave + range partition +
+    * in-file sort are all codegen'd column expressions; like
+    * [[optimize]] the commit is `dataChange = false` (rows
+    * identical, only layout changed). Numeric cluster columns only
+    * (quantile ranking; strings would need a collation-aware rank).
+    * Nulls bucket to 0 — they cluster together at the curve origin.
+    * Returns None on an empty table.
+    */
+  def optimizeZorder(spark: SparkSession, path: String,
+                     clusterCols: Seq[String],
+                     targetFileBytes: Long = 128L << 20,
+                     bitsPerCol: Int = 8)
+      : Option[OptimizeStats] = {
+    require(clusterCols.size >= 2,
+      "zorder needs >= 2 columns; use optimizeClustered for one")
+    require(bitsPerCol >= 1 && bitsPerCol * clusterCols.size <= 62,
+      s"bitsPerCol * columns must fit a long, got $bitsPerCol * ${clusterCols.size}")
+    // Option flow instead of non-local returns — see optimize()
+    withCommitRetry(s"optimizeZorder($path)") {
+      currentVersion(path).flatMap { head =>
+        val st = replayState(spark, path, head)
+        if (st.liveMap.isEmpty) None
+        else {
+          val keySets = st.liveMap.values.map(_.pv.keySet).toSet
+          require(keySets.size <= 1,
+            s"optimizeZorder: table at $path mixes partitioned and " +
+              "unpartitioned live files — run a partitioned full merge first")
+          val partitionCols =
+            keySets.headOption.map(_.toSeq.sorted).getOrElse(Nil)
+          val totalBytes = st.liveMap.values.map(_.size).sum
+          val nFiles = math.max(1,
+            math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+          val df0 = st.schemaJson
+            .map(s => spark.read.schema(
+              DataType.fromJson(s).asInstanceOf[StructType]))
+            .getOrElse(spark.read)
+            .parquet(st.live.map(f => s"$path/$f"): _*)
+          clusterCols.foreach { c =>
+            require(df0.schema(c).dataType.isInstanceOf[
+                org.apache.spark.sql.types.NumericType],
+              s"optimizeZorder: numeric cluster columns only, $c is " +
+                df0.schema(c).dataType.simpleString)
+          }
+          val nBuckets = 1 << bitsPerCol
+          // one pass over the data for every column's boundaries;
+          // probabilities exclude 0 and 1 -> 2^bits - 1 cut points
+          val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+          val cast = clusterCols.map(c => col(c).cast("double")
+            .as(s"_zq_$c"))
+          val bounds = df0.select(cast: _*)
+            .stat.approxQuantile(
+              clusterCols.map(c => s"_zq_$c").toArray, probs, 0.001)
+          // bucket id = #boundaries <= value (codegen'd filter over a
+          // literal array; a null value fails every <= and lands in
+          // bucket 0)
+          val bucketIds = clusterCols.zip(bounds).map { case (c, bs) =>
+            // empty boundaries (all-null or zero-row column): every
+            // row buckets to 0 — the column contributes nothing
+            val cuts = if (bs.isEmpty) Array(Double.MaxValue)
+              else bs.distinct.sorted
+            size(filter(array(cuts.map(lit(_)): _*),
+              b => b <= col(c).cast("double"))).cast("long")
+          }
+          // interleave: bit i of column c lands at position
+          // i * nCols + c (column 0 holds the most significant slot
+          // of each group — leading column still dominates ties)
+          val nCols = clusterCols.size
+          val zval = (0 until bitsPerCol).flatMap { i =>
+            bucketIds.zipWithIndex.map { case (b, c) =>
+              shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
+                i * nCols + (nCols - 1 - c))
+            }
+          }.reduce(_.bitwiseOR(_))
+          val rangeCols = partitionCols.map(col) :+ col("_zval")
+          val df = df0.withColumn("_zval", zval)
+            .repartitionByRange(nFiles, rangeCols: _*)
+            .sortWithinPartitions(rangeCols: _*)
+            .drop("_zval")
+          val previous = st.live
+          val v = commitFiles(path, df, partitionBy = partitionCols,
+            removeOf = (_, _) => previous, basedOn = Some(head),
+            dataChange = false, operation = Some("OPTIMIZE"))
+          val written = Files.readAllLines(logFile(path, v),
+            StandardCharsets.UTF_8)
+            .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
+          Some(OptimizeStats(v, compacted = previous.size, written = written))
+        }
+      }
+    }
+  }
+
   /** Delete data files referenced ONLY by versions older than the
     * newest `keepVersions` commits. The JSON log is never truncated
     * (see class doc); a dropped version's log entry remains but

@@ -63,7 +63,14 @@ final case class WriteConfig(
       * ~one file. Implies the post-merge optimize; delta-log format
       * only (rejected at parse otherwise).
       */
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None,
+    /** The ≥2-column form: rewrite Z-ORDERED on these columns after a
+      * merge write, so file stats stay narrow on every listed column
+      * at once (multi-column lookup workloads). Numeric columns only
+      * — [[DeltaLogTableFormat.optimizeZorder]]. Mutually exclusive
+      * with clusterBy; delta-log + merge mode only (parse-checked).
+      */
+    zorderBy: Seq[String] = Nil)
 
 final case class IngestConfig(
     source: SourceConfig,
@@ -212,13 +219,17 @@ object IngestJob {
       cfg.auditTablePath.foreach { p =>
         Audit.log(spark, wc.path, wc.mode, stats).write.mode("append").parquet(s"$p/audit_log")
       }
-      if (wc.mode == "merge" && (wc.optimizeAfter || wc.clusterBy.nonEmpty)) {
-        // clusterBy implies the post-merge optimize, upgraded to the
-        // clustered rewrite (delta-log only; parse-validated)
-        val result = wc.clusterBy match {
-          case Some(cc) => DeltaLogTableFormat.optimizeClustered(spark, wc.path, cc)
-          case None     => cfg.tableFormat.optimize(spark, wc.path)
-        }
+      if (wc.mode == "merge" && (wc.optimizeAfter || wc.clusterBy.nonEmpty ||
+          wc.zorderBy.nonEmpty)) {
+        // clusterBy/zorderBy imply the post-merge optimize, upgraded
+        // to the clustered rewrite (delta-log only; parse-validated)
+        val result =
+          if (wc.zorderBy.nonEmpty)
+            DeltaLogTableFormat.optimizeZorder(spark, wc.path, wc.zorderBy)
+          else wc.clusterBy match {
+            case Some(cc) => DeltaLogTableFormat.optimizeClustered(spark, wc.path, cc)
+            case None     => cfg.tableFormat.optimize(spark, wc.path)
+          }
         result.foreach { os =>
           // audit the maintenance commit like the reference does
           // (writer.py:690 audit_log(operation="optimize")):

@@ -454,6 +454,51 @@ class ConfigSpec extends SparkSpec {
       """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
         | "partitionBy": ["a"]}""".stripMargin))
     assert(ok.writes.head.partitionBy == Seq("a"))
+    // zorderBy: same format/mode rules as clusterBy, plus >= 2 columns
+    // and exclusivity with clusterBy
+    intercept[ConfigHandler.ConfigError](ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "zorderBy": ["a", "b"]}""".stripMargin)))
+    intercept[ConfigHandler.ConfigError](ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "zorderBy": ["a"]}""".stripMargin,
+      fmtLine = """, "tableFormat": "delta-log"""")))
+    intercept[ConfigHandler.ConfigError](ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "clusterBy": "a", "zorderBy": ["a", "b"]}""".stripMargin,
+      fmtLine = """, "tableFormat": "delta-log"""")))
+    val okZ = ConfigHandler.parse(base(
+      """{"path": "/tmp/t", "mode": "merge", "keys": ["k"],
+        | "zorderBy": ["a", "b"]}""".stripMargin,
+      fmtLine = """, "tableFormat": "delta-log""""))
+    assert(okZ.writes.head.zorderBy == Seq("a", "b"))
+  }
+
+  test("config-driven zorder layout runs after the merge and audits it") {
+    val src = stageSource()
+    val p = Files.createTempDirectory("graft_cfg_z").toString + "/t"
+    val audit = Files.createTempDirectory("graft_cfg_zaud").toString
+    val cfg = ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$p", "mode": "merge",
+         |  "keys": ["o_orderkey"], "orderBy": "o_orderkey",
+         |  "zorderBy": ["o_orderkey", "o_custkey"]}],
+         |"auditTablePath": "$audit",
+         |"tableFormat": "delta-log"}""".stripMargin)
+    IngestJob.run(spark, cfg)
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    // merge commit + zorder OPTIMIZE commit
+    assert(fmt.versions(p) == Seq(0, 1))
+    val want = Tables.load(spark, sf, "orders").count()
+    assert(fmt.read(spark, p).count() == want)
+    val audits = spark.read.parquet(s"$audit/audit_log")
+      .select("audit_operation").collect().map(_.getString(0)).sorted
+    assert(audits.sameElements(Array("merge", "optimize")),
+      audits.mkString(","))
+    // the layout still serves stats-pruned point reads on both columns
+    val one = fmt.read(spark, p).select("o_orderkey").limit(1)
+      .collect()(0).getLong(0)
+    assert(fmt.readEqual(spark, p, "o_orderkey", one).count() == 1)
   }
 
   test("streaming config run drives the multimodal planners through the medallion sinks") {

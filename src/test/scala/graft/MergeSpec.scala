@@ -711,6 +711,60 @@ class MergeSpec extends SparkSpec {
       s"narrow range must stay within adjacent buckets: ${narrow.inputFiles.length}")
   }
 
+  test("delta-log zorder optimize: both cluster columns prune, 1-D clustering doesn't") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val pZ = tmp()
+    val pC = tmp()
+    // 20x20 grid: x and y are independent, so any 1-D layout that
+    // narrows x-ranges leaves every file's y-range full-width
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 400).toList)
+      .map(i => (i.toLong, (i % 20).toLong, (i / 20).toLong, s"v$i"))
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevConf = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      Seq(pZ, pC).foreach { p =>
+        fmt.scd1Merge(spark, p, rows.toDF("id", "x", "y", "v"),
+          Seq("id"), "id")
+      }
+    } finally spark.conf.set(coalesceKey, prevConf)
+    val hash = tableHash(fmt.read(spark, pZ))
+    assert(fmt.read(spark, pZ).inputFiles.length > 2, "multi-file seed")
+
+    // small target: enough z-range files that each covers a ~square
+    // block of the grid (coarse ranges can't fix the y bit at all)
+    fmt.optimizeZorder(spark, pZ, Seq("x", "y"), targetFileBytes = 1024).get
+    val zFiles = fmt.read(spark, pZ).inputFiles.length
+    assert(zFiles >= 8, s"want enough z-range files, got $zFiles")
+    assert(tableHash(fmt.read(spark, pZ)) == hash, "rows unchanged")
+    // a point lookup on EITHER column prunes: each file covers a
+    // ~square block of the grid, so one x (or y) value intersects
+    // only the blocks in its row/column of the curve
+    val xScan = fmt.readEqual(spark, pZ, "x", 10L)
+    val yScan = fmt.readEqual(spark, pZ, "y", 10L)
+    assert(xScan.count() == 20 && yScan.count() == 20)
+    assert(xScan.inputFiles.length < zFiles,
+      s"x lookup must prune: ${xScan.inputFiles.length} of $zFiles")
+    assert(yScan.inputFiles.length < zFiles,
+      s"y lookup must prune: ${yScan.inputFiles.length} of $zFiles")
+
+    // contrast: 1-D clustering on x leaves y-lookups scanning all
+    fmt.optimizeClustered(spark, pC, "x", targetFileBytes = 2048).get
+    val cFiles = fmt.read(spark, pC).inputFiles.length
+    val yOnC = fmt.readEqual(spark, pC, "y", 10L)
+    assert(yOnC.inputFiles.length == cFiles,
+      s"x-clustered layout can't prune y: ${yOnC.inputFiles.length} vs $cFiles")
+    // zorder wants >= 2 numeric columns, loudly
+    intercept[IllegalArgumentException] {
+      fmt.optimizeZorder(spark, pZ, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      fmt.optimizeZorder(spark, pZ, Seq("x", "v"))
+    }
+  }
+
   test("delta-log concurrent writers: loser recomputes against the new head") {
     import SparkSpec.spark.implicits._
     val fmt = graft.pipeline.DeltaLogTableFormat
