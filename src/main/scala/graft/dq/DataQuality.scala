@@ -117,6 +117,60 @@ object DataQuality {
         col("n"))
   }
 
+  /** Distribution drift between two snapshots of a column — the DQ
+    * check a recurring pipeline runs before trusting a new window of
+    * data against a reference window. Both sides bin into `bins`
+    * FIXED equi-width buckets over [lo, hi) (caller-pinned bounds:
+    * data-derived bounds would move between runs and fake drift;
+    * values outside clamp to the edge bins, so tail escape still
+    * shows up as edge-bin growth). Per bin: counts, shares (an exact
+    * long divided by an exact long, once — same IEEE op on any
+    * engine), and |ref_share − cur_share|; the total-variation
+    * distance is half that column's sum. The share-difference form is
+    * deliberately NOT PSI: PSI's ln(p/q) is not correctly rounded
+    * across engines and explodes on empty bins, while TV distance is
+    * bounded, empty-bin-safe, and bit-reproducible.
+    *
+    * Scale shape: one corpus pass per side collapsing to ≤ bins rows
+    * with map-side partial aggregation, then a bins-row broadcast
+    * join. Nothing else shuffles at any corpus size.
+    *
+    * Output: (bin, bin_lo, bin_hi, ref_n, cur_n, ref_share,
+    * cur_share, share_diff), every bin present on either side.
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+                        lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    def binned(df: DataFrame, n: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val bin = least(lit(bins - 1),
+        greatest(lit(0), floor((v - lit(lo)) / lit(w)).cast("int")))
+      scorable(df, v).groupBy(bin.as("bin")).agg(count(lit(1)).as(n))
+    }
+    val r = binned(ref, "ref_n")
+    val c = binned(cur, "cur_n")
+    val joined = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    // totals from the tiny binned frames, not another corpus pass
+    joined
+      .withColumn("ref_total", sum(col("ref_n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("cur_total", sum(col("cur_n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
+        col("ref_n"), col("cur_n"),
+        (col("ref_n").cast("double") / col("ref_total")).as("ref_share"),
+        (col("cur_n").cast("double") / col("cur_total")).as("cur_share"))
+      .withColumn("share_diff",
+        abs(col("ref_share") - col("cur_share")))
+  }
+
   /** Equi-DEPTH histogram: `buckets` quantile buckets of (roughly)
     * equal row count — the distribution profile that stays readable
     * under skew, where the equi-width [[histogram]] collapses into

@@ -83,6 +83,14 @@ object EventQueries {
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
     Events.rateAnomaly(ev(spark, dir))
 
+  /** Top 20 three-step entry paths across users. */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame =
+    Events.entryPaths(ev(spark, dir))
+
+  /** RFM quintile segmentation, anchored after the corpus window. */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame =
+    Events.rfm(ev(spark, dir), anchor = "2024-02-01")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
@@ -93,6 +101,8 @@ object EventQueries {
     "events_retention" -> (eventsRetention _),
     "events_transitions" -> (eventsTransitions _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_paths" -> (eventsPaths _),
+    "events_rfm" -> (eventsRfm _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
@@ -123,6 +133,46 @@ object EventQueries {
         |  count(*) AS n_active
         |FROM uw JOIN fs USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "events_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_keys
+        |FROM p GROUP BY path
+        |ORDER BY n_keys DESC, path ASC
+        |LIMIT 20""".stripMargin,
+    // monetary sums DECIMAL(18,2) on both engines (a double sum is
+    // partition-order dependent); every ntile order carries the key
+    // tiebreak so quintile edges cannot float
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(ts) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |      AS monetary
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT *, CAST(date_diff('day', CAST(last_ts AS DATE),
+        |    DATE '2024-02-01') AS INT) AS recency_days
+        |  FROM per)
+        |SELECT user_id, last_ts, recency_days, frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
+        |    AS m_score,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) * 100
+        |    + ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) * 10
+        |    + ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
+        |    AS rfm
+        |FROM d""".stripMargin,
     // integer cross-product spike test (n·trail_hours > 3·trail_sum):
     // the flag never touches floating point; the ratio divides two
     // exact longs as doubles once — same IEEE op on both engines

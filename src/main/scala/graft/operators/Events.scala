@@ -223,11 +223,29 @@ object Events {
     */
   def rateAnomaly(events: DataFrame, typeCol: String = "event_type",
                   tsCol: String = "ts", trailHours: Int = 24,
-                  minTrail: Int = 6, factor: Int = 3): DataFrame = {
-    val hourly = events
+                  minTrail: Int = 6, factor: Int = 3): DataFrame =
+    rateAnomalyFromHourly(hourlyCounts(events, typeCol, tsCol),
+      trailHours, minTrail, factor)
+
+  /** The fact-table pass of [[rateAnomaly]]: (event_type, hour,
+    * n_events) with map-side partial aggregation. Also the shape a
+    * STREAMING count table maintains (a stateful windowed agg keyed
+    * on the same columns), which [[rateAnomalyFromHourly]] then
+    * scores without ever re-reading events — StreamingSpec proves
+    * that composition equals the batch operator.
+    */
+  def hourlyCounts(events: DataFrame, typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame =
+    events
       .groupBy(col(typeCol).as("event_type"),
         date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** The matrix pass of [[rateAnomaly]] — runs over any
+    * (event_type, hour, n_events) frame, |types|×|hours| sized.
+    */
+  def rateAnomalyFromHourly(hourly: DataFrame, trailHours: Int = 24,
+                            minTrail: Int = 6, factor: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
       .rowsBetween(-trailHours, -1)
     val enough = col("trail_hours") >= minTrail
@@ -239,6 +257,79 @@ object Events {
           col("trail_sum").cast("double")))
       .withColumn("is_spike", when(enough,
         col("n_events") * col("trail_hours") > col("trail_sum") * factor))
+  }
+
+  /** Top entry paths: each key's first `steps` event types in
+    * (ts, id) order joined with '>' — the "how do users start"
+    * path-analysis companion of [[transitions]] (which loses
+    * ordering beyond pairs) and [[funnel]] (which fixes the path in
+    * advance). One hash exchange on the key for the rank window
+    * (WindowGroupLimit keeps only `steps` rows per key per partition
+    * before it), then the per-key path assembles from ≤ steps rows
+    * and the count lands on |distinct paths| groups. `orderBy.limit`
+    * is a TakeOrderedAndProject.
+    *
+    * Output: (path, n_keys, k) — top k paths by key count,
+    * deterministic (count desc, path asc).
+    */
+  def entryPaths(events: DataFrame, keyCol: String = "user_id",
+                 tsCol: String = "ts", typeCol: String = "event_type",
+                 idCol: String = "event_id", steps: Int = 3,
+                 k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= steps)
+      .groupBy(col(keyCol))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("_rn"), col(typeCol).as("t")))),
+          s => s.getField("t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** RFM scoring — recency / frequency / monetary quintiles per key,
+    * the classic engagement segmentation. One key-grouped aggregate
+    * collapses the fact table to |keys| rows (recency = whole days
+    * from the LAST event to the caller's anchor — an explicit
+    * timestamp, because "now" is not reproducible; monetary sums
+    * DECIMAL(18,2), exact under any partition order where a double
+    * sum is not); the three ntile(5) windows then run over the
+    * per-key frame, each with a (metric, key) total order so ties
+    * cannot float between engines. Cardinality bound: the
+    * unpartitioned ntile sorts the |keys| frame in one task — fine
+    * to tens of millions of keys; at billions, derive the quintile
+    * boundaries from [[graft.dq.DataQuality.sketchPercentiles]]
+    * over the same aggregate and bin with a codegen'd comparison.
+    *
+    * Output: (key, last_ts, recency_days, frequency, monetary,
+    * r_score, f_score, m_score, rfm) — rank-style scores, LOWER =
+    * better (1 = most recent / most events / highest spend),
+    * rfm = r·100 + f·10 + m (111 = best segment).
+    */
+  def rfm(events: DataFrame, anchor: String,
+          keyCol: String = "user_id", tsCol: String = "ts",
+          valueCol: String = "value"): DataFrame = {
+    val per = events.groupBy(col(keyCol))
+      .agg(max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col(valueCol))).as("monetary"))
+      .withColumn("recency_days",
+        datediff(lit(anchor).cast("date"), col("last_ts").cast("date")))
+    def quintile(order: Seq[Column]) =
+      ntile(5).over(Window.orderBy(order: _*))
+    per
+      .withColumn("r_score",
+        quintile(Seq(col("recency_days").asc, col(keyCol).asc)))
+      .withColumn("f_score",
+        quintile(Seq(col("frequency").desc, col(keyCol).asc)))
+      .withColumn("m_score",
+        quintile(Seq(col("monetary").desc, col(keyCol).asc)))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
   def asofJoin(events: DataFrame, probes: DataFrame,

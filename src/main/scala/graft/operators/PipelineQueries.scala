@@ -201,6 +201,18 @@ object PipelineQueries {
     DataQuality.iqrOutliersSketch(t(spark, dir, "lineitem"),
       "l_returnflag", "l_extendedprice")
 
+  /** Week-over-week value-distribution drift on the events stream:
+    * week of Jan 1 (reference) vs week of Jan 8 (current), fixed
+    * [0, 500) bounds, 10 bins, total-variation-ready shares.
+    */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val ref = e.filter(col("ts") >= "2024-01-01" && col("ts") < "2024-01-08")
+    val cur = e.filter(col("ts") >= "2024-01-08" && col("ts") < "2024-01-15")
+    DataQuality.distributionDrift(ref, cur, "value",
+      lo = 0.0, hi = 500.0, bins = 10)
+  }
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -240,6 +252,7 @@ object PipelineQueries {
     "dq_referential" -> (dqReferential _),
     "dq_outliers" -> (dqOutliers _),
     "dq_outliers_sketch" -> (dqOutliersSketch _),
+    "dq_drift" -> (dqDrift _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -254,6 +267,37 @@ object PipelineQueries {
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // shares divide exact longs as doubles once; fixed [0,500)x10
+    // bins so both engines bin identically (see distributionDrift)
+    "dq_drift" ->
+      """WITH r AS (
+        |  SELECT least(9, greatest(0,
+        |      CAST(floor((CAST(value AS DOUBLE) - 0.0) / 50.0) AS INT))) AS bin
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |c AS (
+        |  SELECT least(9, greatest(0,
+        |      CAST(floor((CAST(value AS DOUBLE) - 0.0) / 50.0) AS INT))) AS bin
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |rb AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM r GROUP BY bin),
+        |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM c GROUP BY bin),
+        |j AS (
+        |  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+        |    COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+        |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+        |t AS (
+        |  SELECT *, SUM(ref_n) OVER () AS rt, SUM(cur_n) OVER () AS ct
+        |  FROM j)
+        |SELECT bin, 0.0 + bin * 50.0 AS bin_lo,
+        |  0.0 + (bin + 1) * 50.0 AS bin_hi, ref_n, cur_n,
+        |  CAST(ref_n AS DOUBLE) / rt AS ref_share,
+        |  CAST(cur_n AS DOUBLE) / ct AS cur_share,
+        |  abs(CAST(ref_n AS DOUBLE) / rt - CAST(cur_n AS DOUBLE) / ct)
+        |    AS share_diff
+        |FROM t""".stripMargin,
     "pipe_transform_chain" ->
       """SELECT l_orderkey AS order_key, l_partkey AS part_key, l_quantity,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS gross,

@@ -161,4 +161,28 @@ class CoreQueriesSpec extends SparkSpec {
     val ch = graft.dq.DataQuality.histogram(const, "x", 10).collect()
     assert(ch.length == 1 && ch(0).getInt(0) == 0 && ch(0).getLong(3) == 3L)
   }
+
+  test("distribution drift reports exact shares and edge-clamped bins") {
+    import SparkSpec.spark.implicits._
+    // ref: uniform over bins 0 and 1 (4 rows each); cur: shifted to
+    // bin 1 (2) and bin 3 (6), plus an out-of-range value clamping
+    // into the top bin and nulls/NaN dropped
+    val ref = Seq(1.0, 2.0, 3.0, 4.0, 11.0, 12.0, 13.0, 14.0).toDF("v")
+    val cur = Seq(Some(11.0), Some(12.0), Some(31.0), Some(32.0),
+      Some(33.0), Some(34.0), Some(35.0), Some(36.0), Some(99.0),
+      None, Some(Double.NaN)).toDF("v")
+    val out = graft.dq.DataQuality
+      .distributionDrift(ref, cur, "v", lo = 0.0, hi = 40.0, bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // cur has 9 scorable rows: bins 1->2, 3->6, and 99.0 clamps to 3
+    assert(out.toSeq == Seq(
+      (0, 4L, 0L, 0.5, 0.0, 0.5),
+      (1, 4L, 2L, 0.5, 2.0 / 9, 0.5 - 2.0 / 9),
+      (3, 0L, 7L, 0.0, 7.0 / 9, 7.0 / 9)), out.toSeq.toString)
+    // total variation = half the share_diff sum, here (0.5+...)/2
+    val tv = out.map(_._6).sum / 2
+    assert(math.abs(tv - (0.5 + (0.5 - 2.0 / 9) + 7.0 / 9) / 2) < 1e-15)
+  }
 }

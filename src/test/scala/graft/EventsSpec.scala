@@ -139,4 +139,64 @@ class EventsSpec extends SparkSpec {
     assert(o2.map(_.toString).sameElements(out.map(_.toString)),
       "per-type partition isolation")
   }
+
+  test("entry paths take each key's first events in (ts, id) order") {
+    // u1 and u2 share a>b>c; u3 has only two events (short path);
+    // u4 has simultaneous first events ordered by the id tiebreak
+    val e = Seq(
+      (1L, 10L, "a", "2024-01-01 10:00:00"),
+      (1L, 11L, "b", "2024-01-01 10:01:00"),
+      (1L, 12L, "c", "2024-01-01 10:02:00"),
+      (1L, 13L, "d", "2024-01-01 10:03:00"), // beyond steps, ignored
+      (2L, 20L, "a", "2024-01-01 09:00:00"),
+      (2L, 21L, "b", "2024-01-01 09:01:00"),
+      (2L, 22L, "c", "2024-01-01 09:02:00"),
+      (3L, 30L, "x", "2024-01-01 08:00:00"),
+      (3L, 31L, "y", "2024-01-01 08:01:00"),
+      (4L, 41L, "p", "2024-01-01 07:00:00"),
+      (4L, 40L, "q", "2024-01-01 07:00:00"), // same ts: id 40 first
+      (4L, 42L, "r", "2024-01-01 07:05:00"))
+      .map { case (u, id, t, s) => (u, id, t, ts(s)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.entryPaths(e, steps = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a>b>c", 2L), ("q>p>r", 1L), ("x>y", 1L)),
+      out.toString)
+  }
+
+  test("rfm quintiles are deterministic and integer-anchored") {
+    // 5 users with strictly ordered metrics so every quintile is
+    // forced: user i has i events of value 10.00 each on day i
+    val e = (1 to 5).flatMap { u =>
+      (1 to u).map(i =>
+        (u.toLong, ts(f"2024-01-0$u%d 10:$i%02d:00"), 10.0))
+    }.toDF("user_id", "ts", "value")
+    val out = Events.rfm(e, anchor = "2024-01-10")
+      .orderBy("user_id").collect()
+    val u5 = out(4)
+    // rank-style scores: 1 = best (most recent / most events /
+    // highest spend) — user 5 should be the 111 segment
+    val got = out.map { r =>
+      (r.getLong(r.fieldIndex("user_id")),
+        r.getInt(r.fieldIndex("recency_days")),
+        r.getLong(r.fieldIndex("frequency")),
+        r.getInt(r.fieldIndex("r_score")),
+        r.getInt(r.fieldIndex("f_score")),
+        r.getInt(r.fieldIndex("m_score")),
+        r.getInt(r.fieldIndex("rfm")))
+    }.toSeq
+    // recency_days: user u last event on day u -> 10 - u days.
+    // r_score orders recency ASC (most recent first): u5 -> 1 ... u1 -> 5
+    // f_score orders frequency DESC: u5 -> 1 ... u1 -> 5
+    // m_score orders monetary DESC: same ordering
+    assert(got == Seq(
+      (1L, 9, 1L, 5, 5, 5, 555),
+      (2L, 8, 2L, 4, 4, 4, 444),
+      (3L, 7, 3L, 3, 3, 3, 333),
+      (4L, 6, 4L, 2, 2, 2, 222),
+      (5L, 5, 5L, 1, 1, 1, 111)), got.toString)
+    // monetary is exact decimal: 5 * 10.00 = 50.00
+    assert(u5.getDecimal(u5.fieldIndex("monetary"))
+      .compareTo(new java.math.BigDecimal("50.00")) == 0)
+  }
 }

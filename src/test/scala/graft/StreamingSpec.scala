@@ -270,6 +270,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want), s"${got.length} vs ${want.length} windows")
   }
 
+  test("rate anomaly scores a streaming-maintained hourly count table like batch") {
+    // the decomposition contract: a stateful streaming agg maintains
+    // the (event_type, hour, n_events) table — hours complete as data
+    // arrives, REGARDLESS of micro-batch boundaries — and the window
+    // pass scores it without re-reading events. Complete-mode memory
+    // sink stands in for the merge-table materialization.
+    val (dir, src) = stageEventFiles()
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val counts = Events.hourlyCounts(stream)
+    val name = s"stream_anom_${System.nanoTime()}"
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(r.fieldIndex("event_type")),
+        r.getTimestamp(r.fieldIndex("hour")),
+        r.getLong(r.fieldIndex("n_events")),
+        if (r.isNullAt(r.fieldIndex("rate_ratio"))) "null"
+        else r.getDouble(r.fieldIndex("rate_ratio")).toString,
+        if (r.isNullAt(r.fieldIndex("is_spike"))) "null"
+        else r.getBoolean(r.fieldIndex("is_spike")).toString)).sorted
+    val got = render(Events.rateAnomalyFromHourly(spark.table(name),
+      trailHours = 3, minTrail = 2, factor = 2))
+    val want = render(Events.rateAnomaly(src,
+      trailHours = 3, minTrail = 2, factor = 2))
+    assert(got.length == want.length && got.sameElements(want),
+      s"${got.length} vs ${want.length} hourly rows")
+  }
+
   test("split assignment is stateless: streaming equals batch per row") {
     // trainValTestSplit is a pure projection (no window, no state),
     // so it must run UNCHANGED on a stream and agree with the batch
