@@ -232,6 +232,30 @@ object TextAnalysis {
         .cast("double") / nWords))
   }
 
+  /** Lexical diversity via the Gini–Simpson index: 1 − Σ(cᵢ/n)²
+    * over the document's word frequencies — the entropy-family
+    * signal pretraining quality filters use, in the ONE member of
+    * that family whose arithmetic is cross-engine exact (Shannon
+    * entropy needs ln/log2, which are not correctly rounded; here
+    * Σcᵢ² accumulates as exact LONGS in-row, and the single
+    * division cᵢ²-sum/n² is one IEEE op). 0 = one word repeated,
+    * → 1 = all words distinct. Per-row array math like
+    * [[repetitionMetrics]] — no shuffle at any corpus size.
+    */
+  def diversityMetrics(text: Column): Seq[(String, Column)] = {
+    val words = split(text, " ")
+    val nWords = size(words).cast("long")
+    val sumSq = aggregate(array_distinct(words), lit(0L),
+      (acc, w) => acc + {
+        val c = size(filter(words, x => x === w)).cast("long")
+        c * c
+      })
+    Seq(
+      "n_words" -> nWords,
+      "simpson_diversity" ->
+        (lit(1.0) - sumSq.cast("double") / (nWords * nWords).cast("double")))
+  }
+
   /** Token counts: whitespace tokens, regex word-ish tokens (a
     * BPE-style pre-tokenizer split), and a chars/4 BPE estimate.
     */

@@ -109,6 +109,14 @@ object TextQueries {
     TextAnalysis.segmentDedup(docs(spark, dir), "doc_id", "text",
       segWords = 5, minDocs = 3)
 
+  /** Gini–Simpson lexical diversity per document (integer-exact
+    * frequency sums, one IEEE division).
+    */
+  def textDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.diversityMetrics(col("text"))
+    docs(spark, dir).select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** BPE first-merge pair counting: top 50 adjacent character pairs
     * by frequency-weighted occurrence (tokenizer-training prep).
     */
@@ -152,7 +160,8 @@ object TextQueries {
     "text_segment_dedup" -> (textSegmentDedup _),
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _),
-    "bpe_pair_topk" -> (bpePairTopK _))
+    "bpe_pair_topk" -> (bpePairTopK _),
+    "text_diversity" -> (textDiversity _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -162,6 +171,25 @@ object TextQueries {
     ws.map(w => occ("text", w)).mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // sum of squared counts folds as exact BIGINTs on both engines;
+    // the only float op is the final sum/n² division
+    "text_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_distinct(words),
+        |        w -> CAST(len(list_filter(words, x -> x = w)) AS BIGINT)
+        |          * CAST(len(list_filter(words, x -> x = w)) AS BIGINT))),
+        |      (a, x) -> a + x) AS BIGINT) AS sum_sq
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(1.0 AS DOUBLE)
+        |    - CAST(sum_sq AS DOUBLE) / CAST(n_words * n_words AS DOUBLE)
+        |    AS simpson_diversity
+        |FROM m""".stripMargin,
     "bpe_pair_topk" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(text, '[^a-z]+')) AS w

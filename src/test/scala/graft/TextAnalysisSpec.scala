@@ -374,4 +374,21 @@ class TextAnalysisSpec extends SparkSpec {
     // deterministic order: count desc then pair asc, stable top-K
     assert(out.map(_._1) == Seq("ab", "aa", "bc"))
   }
+
+  test("simpson diversity is exact at the closed-form endpoints") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"),   // one word repeated -> 0
+      (2L, "a b c"),   // all distinct -> 1 - 3/9 = 2/3
+      (3L, "a a b"))   // 1 - (4+1)/9 = 4/9
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.diversityMetrics(col("text"))
+    val out = docs.select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0.0),
+      (2L, 3L, 1.0 - 3.0 / 9),
+      (3L, 3L, 1.0 - 5.0 / 9)), out.toString)
+  }
 }
