@@ -83,6 +83,15 @@ object EventQueries {
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
     Events.rateAnomaly(ev(spark, dir))
 
+  /** Exact DAU / trailing-7-day WAU / stickiness per observed day. */
+  def eventsActive(spark: SparkSession, dir: String): DataFrame =
+    Events.activeUsers(ev(spark, dir))
+
+  /** HLL-sketch companion of [[eventsActive]] (rows-only: estimates).
+    */
+  def eventsActiveSketch(spark: SparkSession, dir: String): DataFrame =
+    Events.activeUsersSketch(ev(spark, dir))
+
   /** Top 20 three-step entry paths across users. */
   def eventsPaths(spark: SparkSession, dir: String): DataFrame =
     Events.entryPaths(ev(spark, dir))
@@ -103,6 +112,8 @@ object EventQueries {
     "events_anomaly" -> (eventsAnomaly _),
     "events_paths" -> (eventsPaths _),
     "events_rfm" -> (eventsRfm _),
+    "events_active" -> (eventsActive _),
+    "events_active_sketch" -> (eventsActiveSketch _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
@@ -133,6 +144,26 @@ object EventQueries {
         |  count(*) AS n_active
         |FROM uw JOIN fs USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // WAU materializes each distinct (user, day) pair into the <=7
+    // trailing windows it serves — the explode runs over the
+    // |users|x|days| frame, never events; anchors outside the
+    // observed-day set drop via the dau join
+    "events_active" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM pairs GROUP BY day),
+        |served AS (
+        |  SELECT p.k, p.day + CAST(t.o AS INT) AS day
+        |  FROM pairs p, UNNEST(range(0, 7)) AS t(o)),
+        |wau AS (
+        |  SELECT s.day, CAST(count(DISTINCT s.k) AS BIGINT) AS wau
+        |  FROM served s JOIN dau d ON s.day = d.day
+        |  GROUP BY s.day)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN wau w USING (day)""".stripMargin,
     "events_paths" ->
       """WITH r AS (
         |  SELECT user_id, event_type,

@@ -291,6 +291,76 @@ object Events {
       .limit(k)
   }
 
+  /** Rolling active users — DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per calendar day. Both counts are
+    * EXACT: the corpus collapses to distinct (key, day) pairs first
+    * (one shuffle with partial agg — days are coarse, so this frame
+    * is tiny), DAU is a per-day count, and WAU materializes each
+    * pair into the ≤7 trailing windows it serves (a 7-way explode of
+    * the |keys|×|days| frame, NOT the fact table) and counts
+    * distinct keys per window day. Only days present in the data
+    * report (observed-day semantics, like [[rateAnomaly]]).
+    * Stickiness divides two exact longs as doubles once.
+    *
+    * At extreme key cardinality the distinct-pair frame is the cost;
+    * the mergeable-sketch companion (per-day `hll_sketch_agg`,
+    * trailing `hll_union_agg`) trades exactness for a registers-only
+    * shuffle — the same trade the DQ profile documents.
+    *
+    * Output: (day, dau, wau, stickiness).
+    */
+  def activeUsers(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    val pairs = events
+      .select(col(keyCol).as("_k"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val dau = pairs.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    // pair (k, d) serves windows anchored at d .. d+6; anchors not in
+    // the observed-day set are dropped by the semi join below
+    val served = pairs.select(col("_k"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("_off"),
+        col("day"))
+      .select(col("_k"), date_add(col("day"), col("_off")).as("day"))
+    val wau = served
+      .join(dau.select(col("day")), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count_distinct(col("_k")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+  }
+
+  /** Mergeable-sketch companion of [[activeUsers]] — the 100 TB
+    * shape at extreme key cardinality: one Datasketches HLL per day
+    * (registers-only shuffle, never the key space), then a trailing
+    * CALENDAR-day range window unions the sketches and estimates
+    * WAU. `rangeBetween` over `unix_date` keeps window semantics
+    * identical to the exact operator across observed-day gaps.
+    * Estimates are deterministic for a given input set (register
+    * maxima — no RNG, order-free) but are estimates: the query
+    * entry is rows-only, the error bound is spec-pinned vs exact.
+    * The unpartitioned window runs over the |days| frame.
+    *
+    * Output: (day, dau, wau_est, stickiness_est).
+    */
+  def activeUsersSketch(events: DataFrame, keyCol: String = "user_id",
+                        tsCol: String = "ts", windowDays: Int = 7,
+                        lgConfigK: Int = 12): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count_distinct(col(keyCol)).as("dau"),
+        hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("_sk"))
+    val w = Window.orderBy(unix_date(col("day")))
+      .rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("wau_est",
+        hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false)).over(w)))
+      .select(col("day"), col("dau"), col("wau_est"),
+        (col("dau").cast("double") / col("wau_est").cast("double"))
+          .as("stickiness_est"))
+  }
+
   /** RFM scoring — recency / frequency / monetary quintiles per key,
     * the classic engagement segmentation. One key-grouped aggregate
     * collapses the fact table to |keys| rows (recency = whole days

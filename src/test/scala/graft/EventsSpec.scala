@@ -164,6 +164,46 @@ class EventsSpec extends SparkSpec {
       out.toString)
   }
 
+  test("active users: exact DAU/WAU across a day gap; sketch agrees within error") {
+    // u1 active days 1,2,9; u2 active days 1,8; u3 active day 8.
+    // observed days: 1, 2, 8, 9 (gap 3..7). Trailing-7-day windows:
+    //   day1: {u1,u2}            dau=2 wau=2
+    //   day2: {u1(1,2), u2(1)}   dau=1 wau=2
+    //   day8: {u1(2: 8-6=2 yes), u2(8), u3(8)} -> wau={u1,u2,u3}=3, dau=2
+    //   day9: {u1(9), u2(8), u3(8)} wau=3, dau=1
+    val e = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-01 11:00:00"),
+      (1L, "2024-03-02 10:00:00"), (1L, "2024-03-09 10:00:00"),
+      (2L, "2024-03-01 10:00:00"), (2L, "2024-03-08 10:00:00"),
+      (3L, "2024-03-08 10:00:00"))
+      .map { case (u, s) => (u, ts(s)) }
+      .toDF("user_id", "ts")
+    val out = Events.activeUsers(e).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-03-01", 2L, 2L),
+      ("2024-03-02", 1L, 2L),
+      ("2024-03-08", 2L, 3L),
+      ("2024-03-09", 1L, 3L)), out.toString)
+    // the sketch companion must use CALENDAR windows (the range
+    // window over unix_date), so the day-8 window still reaches
+    // day 2 across the gap; at this cardinality HLL is exact
+    val sk = Events.activeUsersSketch(e).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(sk == out.map { case (d, dau, wau) => (d, dau, wau) },
+      sk.toString)
+    // corpus-scale: estimates within the documented HLL error of exact
+    val exact = Events.activeUsers(Tables.load(spark, sf, "events"))
+      .select("day", "wau").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val est = Events.activeUsersSketch(Tables.load(spark, sf, "events"))
+      .select("day", "wau_est").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    assert(est.nonEmpty && est.forall { case (d, v) =>
+      math.abs(v - exact(d)) <= math.max(2.0, 0.05 * exact(d))
+    }, "HLL estimate within 5% of exact")
+  }
+
   test("rfm quintiles are deterministic and integer-anchored") {
     // 5 users with strictly ordered metrics so every quintile is
     // forced: user i has i events of value 10.00 each on day i
