@@ -69,6 +69,11 @@ object EventQueries {
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
     Events.funnel(ev(spark, dir), Seq("view", "click", "purchase"))
 
+  /** The funnel under a 24-hour conversion window. */
+  def eventsFunnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    Events.funnelWindowed(ev(spark, dir), Seq("view", "click", "purchase"),
+      within = "24 hours")
+
   /** Weekly cohort retention over the events table. */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame =
     Events.retention(ev(spark, dir))
@@ -107,6 +112,7 @@ object EventQueries {
     "events_json_extract" -> (eventsJsonExtract _),
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_funnel" -> (eventsFunnel _),
+    "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "events_retention" -> (eventsRetention _),
     "events_transitions" -> (eventsTransitions _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -128,6 +134,24 @@ object EventQueries {
         |t2 AS (
         |  SELECT e.user_id, min(e.ts) AS t FROM events e
         |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM t0) AS n_users
+        |UNION ALL SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM t1)
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM t2)""".stripMargin,
+    "events_funnel_windowed" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t1 AS (
+        |  SELECT e.user_id, t0.t AS t_first, min(e.ts) AS t FROM events e
+        |  JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+        |    AND e.ts <= t0.t + INTERVAL 24 HOURS
+        |  WHERE e.event_type = 'click' GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |    AND e.ts <= t1.t_first + INTERVAL 24 HOURS
         |  WHERE e.event_type = 'purchase' GROUP BY 1)
         |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
         |  (SELECT count(*) FROM t0) AS n_users

@@ -116,13 +116,35 @@ object Events {
     */
   def funnel(events: DataFrame, steps: Seq[String],
              keyCol: String = "user_id", tsCol: String = "ts",
-             typeCol: String = "event_type"): DataFrame = {
+             typeCol: String = "event_type"): DataFrame =
+    funnelBounded(events, steps, keyCol, tsCol, typeCol, _ => lit(true))
+
+  /** [[funnel]] with a CONVERSION WINDOW: later steps only count
+    * within `within` (e.g. "24 hours") of the user's step-1 time —
+    * the product-analytics default, where an unbounded funnel
+    * overcounts conversions that were really new journeys. Same
+    * one-exchange chained-window plan; the bound is one more
+    * predicate inside each step's conditional minimum.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+                     within: String, keyCol: String = "user_id",
+                     tsCol: String = "ts",
+                     typeCol: String = "event_type"): DataFrame =
+    funnelBounded(events, steps, keyCol, tsCol, typeCol,
+      i => if (i == 0) lit(true)
+        else col(tsCol) <= col("_t0") + expr(s"INTERVAL $within"))
+
+  private def funnelBounded(events: DataFrame, steps: Seq[String],
+                            keyCol: String, tsCol: String,
+                            typeCol: String,
+                            bound: Int => Column): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val w = Window.partitionBy(col(keyCol))
     val withSteps = steps.zipWithIndex.foldLeft(events) { case (df, (et, i)) =>
       val qualifies =
         if (i == 0) col(typeCol) === et
-        else col(typeCol) === et && col(tsCol) > col(s"_t${i - 1}")
+        else col(typeCol) === et && col(tsCol) > col(s"_t${i - 1}") &&
+          bound(i)
       df.withColumn(s"_t$i", min(when(qualifies, col(tsCol))).over(w))
     }
     // every row of a user carries identical _t* values: reduce to one

@@ -37,6 +37,32 @@ class EventsSpec extends SparkSpec {
       (1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L))), out.toSeq)
   }
 
+  test("windowed funnel drops conversions outside the window; unbounded keeps them") {
+    // u1 converts within 24h of the first view; u2's click lands 25h
+    // after the first view (outside); u3's click is inside but the
+    // purchase is outside the window ANCHORED AT THE FIRST VIEW
+    val e = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 20:00:00"),
+      (1L, "purchase", "2024-01-02 09:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-02 11:00:00"),
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-02 09:00:00"),
+      (3L, "purchase", "2024-01-02 11:00:00"))
+      .map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val bounded = Events.funnelWindowed(e, steps, within = "24 hours")
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(bounded.sameElements(Array((1, 3L), (2, 2L), (3, 1L))),
+      bounded.toSeq.toString)
+    val unbounded = Events.funnel(e, steps)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(unbounded.sameElements(Array((1, 3L), (2, 3L), (3, 2L))),
+      unbounded.toSeq.toString)
+  }
+
   test("transition matrix counts consecutive pairs per user with deterministic tiebreak") {
     // u1: view->click->view (two transitions); u2: view->view; u3 has
     // two SIMULTANEOUS events — the event_id tiebreak must order them
