@@ -137,6 +137,10 @@ object DataQuality {
     *
     * Output: (bin, bin_lo, bin_hi, ref_n, cur_n, ref_share,
     * cur_share, share_diff), every bin present on either side.
+    * Contract: both sides must hold ≥1 scorable row — an empty side
+    * makes its shares 0/0, which engines render differently (Spark
+    * NaN, DuckDB NULL), so the comparison is only meaningful (and
+    * only oracle-stable) on non-empty windows.
     */
   def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
                         lo: Double, hi: Double, bins: Int = 10): DataFrame = {

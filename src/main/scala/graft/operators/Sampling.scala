@@ -35,6 +35,29 @@ object Sampling {
       .filter(col("sample_bucket") < rate * 4294967296.0)
   }
 
+  /** Deterministic WEIGHTED sampling: keep a row iff its salted hash
+    * bucket falls below `weight · rate · 2³²`, where `weight` is a
+    * per-row [0, 1] column (a quality score) — each row's keep
+    * probability is proportional to its weight, so the sample
+    * soft-prefers high-quality documents instead of hard-gating on a
+    * threshold (the quality-weighted regime pretraining mixes use
+    * between "keep all" and "top-quantile only"). Same determinism
+    * contract as [[stratifiedSample]]: no RNG, stable under re-runs
+    * and repartitioning, kept set monotone in `rate`, and the salt
+    * decorrelates from every other bucket use of the id. One
+    * codegen'd projection + filter — no shuffle at any corpus size.
+    * Weights are clamped into [0, 1]; null weights drop the row.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double = 1.0,
+                     salt: String = "wsample"): DataFrame = {
+    require(rate > 0 && rate <= 1.0, s"rate must be in (0, 1], got $rate")
+    val w = least(lit(1.0), greatest(lit(0.0), col(weightCol).cast("double")))
+    df.withColumn("sample_bucket",
+        hashBucket(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+      .filter(col("sample_bucket") < w * rate * 4294967296.0)
+  }
+
   /** Per-group frequency cap — the crawl-pipeline "at most N pages
     * per domain" rule: within each group keep the `cap` rows with the
     * LOWEST salted hash buckets (a deterministic uniform draw, so the

@@ -75,6 +75,16 @@ object SamplingQueries {
     Sampling.capPerGroup(docs(spark, dir).select("doc_id", "source"),
       "doc_id", "source", cap = 10)
 
+  /** Quality-weighted sampling: keep probability ∝ alpha ratio,
+    * scaled by a 0.5 base rate.
+    */
+  def dataSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      docs(spark, dir).select(col("doc_id"), col("source"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("weight")),
+      "doc_id", "weight", rate = 0.5)
+
   /** Deterministic 80/10/10 split assignment over the corpus. */
   def dataSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.trainValTestSplit(docs(spark, dir), "doc_id")
@@ -95,7 +105,8 @@ object SamplingQueries {
     "data_mix_temperature_plan" -> (dataMixTemperaturePlan _),
     "data_mix_temperature" -> (dataMixTemperature _),
     "data_mix_epochs" -> (dataMixEpochs _),
-    "source_cap" -> (sourceCap _))
+    "source_cap" -> (sourceCap _),
+    "data_sample_weighted" -> (dataSampleWeighted _))
 
   /** Shared mix CTEs: per-source token totals -> weights -> the
     * capped rate. `CAST(SUM AS BIGINT)` pins DuckDB's HUGEINT sum
@@ -149,6 +160,20 @@ object SamplingQueries {
       |  FROM p, z)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // keep iff bucket < (clamped weight * rate) * 2^32 — the same
+    // left-associated double chain as weightedSample
+    "data_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS weight,
+        |    CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS sample_bucket
+        |  FROM documents)
+        |SELECT doc_id, source, weight, sample_bucket
+        |FROM t
+        |WHERE sample_bucket <
+        |  least(1.0, greatest(0.0, weight)) * 0.5 * 4294967296.0""".stripMargin,
     "source_cap" ->
       """WITH t AS (
         |  SELECT doc_id, source,

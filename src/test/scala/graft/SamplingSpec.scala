@@ -239,6 +239,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample keeps rows proportionally to weight, monotone in rate") {
+    import SparkSpec.spark.implicits._
+    val rows = (1L to 2000L).map(i => (i,
+      if (i % 4 == 0) Some(0.0)
+      else if (i % 4 == 1) Some(1.0)
+      else if (i % 4 == 2) Some(0.25)
+      else Option.empty[Double]))
+    val df = rows.toDF("id", "w")
+    val keep = Sampling.weightedSample(df, "id", "w", rate = 1.0)
+      .select("id").as[Long].collect().toSet
+    // weight 0 and null weights never pass; weight 1 at rate 1 always
+    assert(keep.forall(i => i % 4 == 1 || i % 4 == 2))
+    assert(rows.count(_._2.contains(1.0)) == keep.count(_ % 4 == 1),
+      "weight 1 at rate 1 keeps every row")
+    // weight 0.25 keeps roughly a quarter (hash-uniform)
+    val q = keep.count(_ % 4 == 2).toDouble / rows.count(_._2.contains(0.25))
+    assert(q > 0.15 && q < 0.35, s"0.25-weight keep fraction $q")
+    // monotone: the rate-0.3 sample is a subset of the rate-0.9 one
+    val lo = Sampling.weightedSample(df, "id", "w", rate = 0.3)
+      .select("id").as[Long].collect().toSet
+    val hi = Sampling.weightedSample(df, "id", "w", rate = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "kept set monotone in rate")
+    // out-of-range weights clamp instead of over-keeping
+    val wild = Seq((1L, 7.5), (2L, -3.0)).toDF("id", "w")
+    val kw = Sampling.weightedSample(wild, "id", "w", rate = 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(kw.contains(1L) && !kw.contains(2L))
+  }
+
   test("capPerGroup keeps the cap lowest-bucket rows per group, order-independent") {
     import SparkSpec.spark.implicits._
     val rows = (1L to 20L).map(i => (i, if (i <= 17) "big" else "small"))
