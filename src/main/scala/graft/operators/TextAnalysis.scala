@@ -65,6 +65,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /** Out-of-vocabulary rate per document: the fraction of a doc's
+    * words outside the corpus's top-`vocabSize` vocabulary — the
+    * rare-word/gibberish signal quality filters use where a real
+    * LM perplexity would need non-reproducible float logs. The
+    * vocabulary is [[vocabTopK]]'s exact top-K (deterministic
+    * tiebreak), collected ONCE driver-side — a K-BOUNDED collect
+    * like the k-means centroid feed, never corpus-sized — and
+    * embedded as a literal array in a codegen'd per-row filter: the
+    * scoring pass shuffles nothing. The ratio divides two exact
+    * ints once.
+    *
+    * Output: (id, n_words, n_oov, oov_rate).
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 100): DataFrame = {
+    val vocab = vocabTopK(df, textCol, vocabSize)
+      .select("word").collect().map(_.getString(0))
+    val vocabArr = array(vocab.map(lit(_)): _*)
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val nWords = size(words)
+    val nOov = size(filter(words, w => !array_contains(vocabArr, w)))
+    df.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      nOov.cast("long").as("n_oov"),
+      (nOov.cast("double") / nWords.cast("double")).as("oov_rate"))
+  }
+
   /** BPE first-merge statistics: the frequency of every adjacent
     * character pair across the corpus, weighted by word frequency —
     * the counting step a byte-pair-encoding tokenizer trainer runs

@@ -109,6 +109,13 @@ object TextQueries {
     TextAnalysis.segmentDedup(docs(spark, dir), "doc_id", "text",
       segWords = 5, minDocs = 3)
 
+  /** OOV rate per document against the corpus top-20 vocabulary
+    * (the synthetic corpus has ~31 distinct words, so top-20 leaves
+    * a real OOV tail; production default is the operator's 100).
+    */
+  def textOov(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(docs(spark, dir), "doc_id", "text", vocabSize = 20)
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -161,7 +168,8 @@ object TextQueries {
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _),
     "bpe_pair_topk" -> (bpePairTopK _),
-    "text_diversity" -> (textDiversity _))
+    "text_diversity" -> (textDiversity _),
+    "text_oov" -> (textOov _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -171,6 +179,27 @@ object TextQueries {
     ws.map(w => occ("text", w)).mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // vocabulary = the same exact top-100 (count desc, word asc) the
+    // Spark side collects; the per-doc fraction divides exact counts
+    "text_oov" ->
+      """WITH v AS (
+        |  SELECT word FROM (
+        |    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |    WHERE length(word) > 0
+        |    GROUP BY word ORDER BY n DESC, word ASC LIMIT 20)),
+        |vl AS (SELECT list(word) AS vocab FROM v),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(words, x -> NOT list_contains(vl.vocab, x)))
+        |    AS BIGINT) AS n_oov,
+        |  CAST(len(list_filter(words, x -> NOT list_contains(vl.vocab, x)))
+        |    AS DOUBLE) / CAST(len(words) AS DOUBLE) AS oov_rate
+        |FROM w, vl""".stripMargin,
     // sum of squared counts folds as exact BIGINTs on both engines;
     // the only float op is the final sum/n² division
     "text_diversity" ->

@@ -188,6 +188,11 @@ class EventsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(out == Seq(("a>b>c", 2L), ("q>p>r", 1L), ("x>y", 1L)),
       out.toString)
+    // the rank filter plans as WindowGroupLimit: each partition
+    // retains <= steps rows per key BEFORE the exchange
+    val plan = Events.entryPaths(e, steps = 3, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
   test("active users: exact DAU/WAU across a day gap; sketch agrees within error") {

@@ -375,6 +375,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._1) == Seq("ab", "aa", "bc"))
   }
 
+  test("oov rate counts exactly the words outside the top-K vocabulary") {
+    import SparkSpec.spark.implicits._
+    // corpus vocab by count: a(4) b(3) c(1) zq(1) -> top-2 = {a, b}
+    // (count desc, word asc tiebreak puts c before zq at equal count,
+    // but K=2 keeps only a and b)
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a a b b zq"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, 1.0 / 4),
+      (2L, 5L, 1L, 1.0 / 5)), out.toString)
+  }
+
   test("simpson diversity is exact at the closed-form endpoints") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
