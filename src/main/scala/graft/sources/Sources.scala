@@ -104,9 +104,26 @@ object Sources {
       case "text"      => readText(spark, path, options)
       case "binaryfile" => readBinaryFiles(spark, path, options)
       case "table"     => readTable(spark, path)
-      case "snapshot"  => graft.pipeline.SnapshotTableFormat.read(spark, path)
-      case "delta-log" => graft.pipeline.DeltaLogTableFormat.read(spark, path)
+      case "snapshot" =>
+        tableFormatRead(graft.pipeline.SnapshotTableFormat, spark, path, options)
+      case "delta-log" =>
+        tableFormatRead(graft.pipeline.DeltaLogTableFormat, spark, path, options)
       case other       => throw new IllegalArgumentException(s"unsupported source format: $other")
+    }
+
+  /** Table-format source with TIME TRAVEL: the `versionAsOf` option
+    * (Delta's reader option of the same name) pins the read to a
+    * committed version — a config can reprocess yesterday's state of
+    * an upstream table without the upstream changing anything.
+    * Vacuumed versions fail loudly at read (the format's contract),
+    * never silently serve current data.
+    */
+  private def tableFormatRead(fmt: graft.pipeline.TableFormat,
+                              spark: SparkSession, path: String,
+                              options: Map[String, String]): DataFrame =
+    options.get("versionAsOf") match {
+      case Some(v) => fmt.readVersion(spark, path, v.toInt)
+      case None    => fmt.read(spark, path)
     }
 
   /** Drop ingest control columns (silver-layer projection). */

@@ -120,7 +120,9 @@ object StreamingIngest {
         case "merge" => mergeSink(transformed, w.path, ck, w.keys,
           w.orderBy, dqRules = cfg.dqRules, fmt = cfg.tableFormat,
           partitionBy = w.partitionBy,
-          optimizeEvery = if (w.optimizeAfter) 1 else 0)
+          optimizeEvery = if (w.optimizeAfter || w.clusterBy.nonEmpty ||
+            w.zorderBy.nonEmpty) 1 else 0,
+          clusterBy = w.clusterBy, zorderBy = w.zorderBy)
         case other => throw new IllegalArgumentException(
           s"streaming write supports append|merge, got '$other' — " +
             "overwrite is a batch-only mode")
@@ -161,8 +163,15 @@ object StreamingIngest {
                 fmt: graft.pipeline.TableFormat =
                   graft.pipeline.SnapshotTableFormat,
                 partitionBy: Seq[String] = Nil,
-                optimizeEvery: Int = 0)
+                optimizeEvery: Int = 0,
+                clusterBy: Option[String] = None,
+                zorderBy: Seq[String] = Nil)
       : StreamingQuery = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive layouts")
+    require((clusterBy.isEmpty && zorderBy.isEmpty) ||
+        fmt == graft.pipeline.DeltaLogTableFormat,
+      "clusterBy/zorderBy need file-stats clustering — the delta-log format")
     // validate the partitionBy/fmt pairing NOW, not inside
     // foreachBatch: the same require there would only fire on the
     // first non-empty micro-batch — failing a RUNNING stream at an
@@ -219,7 +228,17 @@ object StreamingIngest {
         // defer compaction a whole cycle.
         if (optimizeEvery > 0 && (batchId + 1) % optimizeEvery == 0 &&
             fmt.exists(tablePath)) {
-          fmt.optimize(batch.sparkSession, tablePath)
+          // clusterBy/zorderBy upgrade the cadence compaction to the
+          // layout rewrite, mirroring the batch IngestJob dispatch
+          val spark = batch.sparkSession
+          if (zorderBy.nonEmpty)
+            graft.pipeline.DeltaLogTableFormat
+              .optimizeZorder(spark, tablePath, zorderBy)
+          else clusterBy match {
+            case Some(c) => graft.pipeline.DeltaLogTableFormat
+              .optimizeClustered(spark, tablePath, c)
+            case None => fmt.optimize(spark, tablePath)
+          }
           ()
         }
       }

@@ -399,6 +399,39 @@ class ConfigSpec extends SparkSpec {
     assert(pruned.inputFiles.length <= all.inputFiles.length)
   }
 
+  test("versionAsOf source option time-travels a table-format source") {
+    val src = stageSource()
+    val dir = Files.createTempDirectory("graft_cfg_tt").toString
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    // v0: full orders; v1: a one-row update
+    IngestJob.run(spark, ConfigHandler.parse(
+      s"""{"source": {"format": "parquet", "path": "$src"},
+         |"writes": [{"path": "$dir/t", "mode": "merge",
+         |  "keys": ["o_orderkey"]}],
+         |"tableFormat": "delta-log"}""".stripMargin))
+    val v0Count = fmt.read(spark, s"$dir/t").count()
+    import SparkSpec.spark.implicits._
+    // the update carries the stored control columns (equal ord passes
+    // the order guard); only the status changes
+    fmt.scd1Merge(spark, s"$dir/t",
+      fmt.read(spark, s"$dir/t").limit(1)
+        .withColumn("o_orderstatus", lit("TRAVELLED")),
+      Seq("o_orderkey"), "file_modification_time")
+    assert(fmt.versions(s"$dir/t") == Seq(0, 1))
+    // a downstream config reprocesses the v0 STATE of the table
+    IngestJob.run(spark, ConfigHandler.parse(
+      s"""{"source": {"format": "delta-log", "path": "$dir/t",
+         |  "options": {"versionAsOf": "0"}},
+         |"writes": [{"path": "$dir/replay", "mode": "overwrite"}]}""".stripMargin))
+    val replay = spark.read.parquet(s"$dir/replay")
+    assert(replay.count() == v0Count)
+    assert(replay.filter(col("o_orderstatus") === "TRAVELLED").count() == 0,
+      "v0 read must not see the v1 update")
+    // current read still sees it
+    assert(fmt.read(spark, s"$dir/t")
+      .filter(col("o_orderstatus") === "TRAVELLED").count() == 1)
+  }
+
   test("table-format sources chain one pipeline's target into the next") {
     val src = stageSource()
     val dir = Files.createTempDirectory("graft_cfg_chain").toString

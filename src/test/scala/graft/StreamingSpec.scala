@@ -217,6 +217,51 @@ class StreamingSpec extends SparkSpec {
     assert(q.lastProgress != null)
   }
 
+  test("streaming merge sink's cadence compaction upgrades to the zorder layout") {
+    import SparkSpec.spark.implicits._
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val dir = Files.createTempDirectory("graft_szo_src").toString
+    val table = Files.createTempDirectory("graft_szo_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_szo_ck").toString
+    // two micro-batches over a 10x10 grid
+    (1 to 2).foreach { i =>
+      (0 until 50).map { j =>
+        val n = (i - 1) * 50 + j
+        (n.toLong, (n % 10).toLong, (n / 10).toLong, i)
+      }.toDF("id", "x", "y", "ord").coalesce(1)
+        .write.parquet(s"$dir/f$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$dir/*.parquet").schema
+    val stream = StreamingIngest.readStream(spark, "parquet",
+      s"$dir/*.parquet", schema, Map("maxFilesPerTrigger" -> "1"))
+      .select("id", "x", "y", "ord")
+    val q = StreamingIngest.mergeSink(stream, table, ckpt,
+      keys = Seq("id"), orderBy = "ord", compareExclude = Nil,
+      fmt = fmt, optimizeEvery = 2, zorderBy = Seq("x", "y"))
+    q.awaitTermination(120000)
+    assert(fmt.read(spark, table).count() == 100)
+    // the cadence commit is an OPTIMIZE (layout-only)
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ops = fmt.versions(table).map { v =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        table, "_delta_log", f"$v%020d.json")).asScala
+        .filter(_.nonEmpty).map(m.readTree)
+        .find(_.has("commitInfo")).map(_.get("commitInfo")
+          .get("operation").asText()).getOrElse("?")
+    }
+    assert(ops.count(_ == "OPTIMIZE") >= 1, s"zorder cadence commit: $ops")
+    // layout misconfigurations fail BEFORE the stream starts
+    intercept[IllegalArgumentException] {
+      StreamingIngest.mergeSink(stream, table, ckpt, Seq("id"), "ord",
+        fmt = fmt, clusterBy = Some("x"), zorderBy = Seq("x", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      StreamingIngest.mergeSink(stream, table, ckpt, Seq("id"), "ord",
+        zorderBy = Seq("x", "y")) // snapshot format
+    }
+  }
+
   test("watermarked streaming dedup drops in-window duplicate keys") {
     val dir = Files.createTempDirectory("graft_dedup_src").toString
     import SparkSpec.spark.implicits._
