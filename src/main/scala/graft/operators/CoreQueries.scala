@@ -197,6 +197,25 @@ object CoreQueries {
     topK.withColumn("rank", row_number().over(w))
   }
 
+  /** #10d Count-of-counts distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … orders — the classic skew-profile
+    * query. Scale shape: orders pre-aggregate to one row per
+    * customer key BEFORE the join (map-side combine), so the left
+    * join moves |customers| + |ordering customers| rows, never
+    * |orders|; zero-order customers fall out of the left join's
+    * nulls; the second aggregate lands on |distinct counts| groups.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("_n"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("_n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** #11c Exact per-group percentiles: the value at 1-based rank
     * ceil(q*n) of the sorted group — SQL-standard percentile_disc.
     * (Built-in continuous percentiles interpolate with
@@ -264,10 +283,20 @@ object CoreQueries {
     "q9_rollup" -> (q9Rollup _),
     "q10_topk_orders" -> (q10TopKOrders _),
     "q11_percentiles" -> (q11Percentiles _),
-    "q11_approx_percentiles" -> (q11ApproxPercentiles _))
+    "q11_approx_percentiles" -> (q11ApproxPercentiles _),
+    "q13_custdist" -> (q13CustDist _))
 
   /** DuckDB-parity oracle SQL (same aliases, same decimal math). */
   val oracleSql: Map[String, String] = Map(
+    "q13_custdist" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY o_custkey),
+        |cc AS (
+        |  SELECT COALESCE(per.n, 0) AS c_count
+        |  FROM customer LEFT JOIN per ON c_custkey = o_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY c_count""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -42,13 +42,47 @@ object MultimodalQueries {
       Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents")),
       targetRate = 8000)
 
+  /** Exact asset dedup by payload content hash WITHIN each media
+    * type (bytes matching across types is coincidence, not
+    * duplication): the binary sibling of `dedup_exact` — one
+    * hash-groupBy with map-side combine, the shuffle carries
+    * (md5, type, id, bytes), never payloads. `bytes_saved` is the
+    * dedup ROI a storage planner reads off directly.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Multimodal.assetsFromDocuments(Tables.load(spark, dir, "documents"))
+      .groupBy(md5(col("payload")).as("payload_md5"), col("media_type"))
+      .agg(min(col("asset_id")).as("keep_asset_id"),
+        count(lit(1)).as("n_copies"),
+        max(length(col("payload"))).cast("long").as("n_bytes"))
+      .withColumn("bytes_saved", (col("n_copies") - 1L) * col("n_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_resample" -> (multimodalResample _))
 
   val oracleSql: Map[String, String] = Map(
+    // md5(text) == md5 of the utf-8 payload bytes (the cast the
+    // Spark side applies); media_type replays the doc_id % 3 rule
+    "multimodal_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    md5(text) AS payload_md5,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT payload_md5, media_type,
+        |  min(asset_id) AS keep_asset_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  max(n_bytes) AS n_bytes,
+        |  (CAST(count(*) AS BIGINT) - 1) * max(n_bytes) AS bytes_saved
+        |FROM a GROUP BY payload_md5, media_type""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

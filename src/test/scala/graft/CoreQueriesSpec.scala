@@ -162,6 +162,21 @@ class CoreQueriesSpec extends SparkSpec {
     assert(ch.length == 1 && ch(0).getInt(0) == 0 && ch(0).getLong(3) == 3L)
   }
 
+  test("q13 count-of-counts conserves customers and orders") {
+    val out = SparkEntry.queries("q13_custdist")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.load(spark, sf, "customer").count()
+    val nOrders = Tables.load(spark, sf, "orders").count()
+    assert(out.map(_._2).sum == nCust, "every customer lands in one bucket")
+    assert(out.map { case (c, d) => c * d }.sum == nOrders,
+      "buckets weighted by order count recover the orders table")
+    // zero-order customers surface explicitly iff any exist
+    val zeros = out.find(_._1 == 0L).map(_._2).getOrElse(0L)
+    val ordering = Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(zeros == nCust - ordering, s"zero bucket $zeros")
+  }
+
   test("distribution drift reports exact shares and edge-clamped bins") {
     import SparkSpec.spark.implicits._
     // ref: uniform over bins 0 and 1 (4 rows each); cur: shifted to

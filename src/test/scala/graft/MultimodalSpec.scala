@@ -183,4 +183,23 @@ class MultimodalSpec extends SparkSpec {
       rowsOf(Multimodal.resamplePlan(assets, 8000)),
       "streamed resample plan must equal the batch plan")
   }
+
+  test("asset dedup partitions assets per type and prices the duplicate bytes") {
+    val out = graft.operators.MultimodalQueries
+      .multimodalDedup(spark, sf).collect()
+    val n = assets.count()
+    assert(out.map(_.getLong(out(0).fieldIndex("n_copies"))).sum == n,
+      "every asset lands in exactly one (hash, type) group")
+    // a duplicated payload under the SAME type prices its savings
+    out.filter(_.getLong(out(0).fieldIndex("n_copies")) > 1).foreach { r =>
+      val copies = r.getLong(r.fieldIndex("n_copies"))
+      val bytes = r.getLong(r.fieldIndex("n_bytes"))
+      assert(r.getLong(r.fieldIndex("bytes_saved")) == (copies - 1) * bytes)
+    }
+    // identical bytes under DIFFERENT media types stay separate
+    // groups (keyed on the pair, not the hash alone)
+    val byHash = out.groupBy(_.getString(out(0).fieldIndex("payload_md5")))
+    assert(byHash.exists(_._2.length > 1) ||
+      out.length == byHash.size, "type-keyed grouping well-formed")
+  }
 }
