@@ -332,10 +332,20 @@ object Events {
     * Output: (day, dau, wau, stickiness).
     */
   def activeUsers(events: DataFrame, keyCol: String = "user_id",
-                  tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
-    val pairs = events
-      .select(col(keyCol).as("_k"), to_date(col(tsCol)).as("day"))
-      .distinct()
+                  tsCol: String = "ts", windowDays: Int = 7): DataFrame =
+    activeUsersFromPairs(
+      events.select(col(keyCol).as("_k"), to_date(col(tsCol)).as("day"))
+        .distinct(),
+      windowDays)
+
+  /** The scoring pass of [[activeUsers]] over a (_k, day) DISTINCT
+    * pair frame — also the shape a streaming sink maintains as a
+    * keyed merge table (keys = (_k, day), idempotent under replay),
+    * which this pass then scores without re-reading events;
+    * StreamingSpec proves that composition equals the batch operator.
+    */
+  def activeUsersFromPairs(pairs: DataFrame,
+                           windowDays: Int = 7): DataFrame = {
     val dau = pairs.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
     // pair (k, d) serves windows anchored at d .. d+6; anchors not in

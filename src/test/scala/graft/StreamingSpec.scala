@@ -348,6 +348,34 @@ class StreamingSpec extends SparkSpec {
       s"${got.length} vs ${want.length} hourly rows")
   }
 
+  test("active users score a streaming-maintained (user, day) pair table like batch") {
+    // the pair table is a KEYED merge table (keys = (_k, day)), so
+    // micro-batch replays and cross-batch repeats of the same
+    // (user, day) are plain upsert idempotence — then the scoring
+    // pass runs over the table, never the event stream
+    val (dir, src) = stageEventFiles()
+    val table = Files.createTempDirectory("graft_au_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_au_ck").toString
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema)
+      .select(col("user_id").as("_k"), to_date(col("ts")).as("day"))
+      .withColumn("_ord", lit(1))
+    val q = StreamingIngest.mergeSink(stream, table, ckpt,
+      keys = Seq("_k", "day"), orderBy = "_ord", compareExclude = Nil)
+    q.awaitTermination(120000)
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getDate(r.fieldIndex("day")).toString,
+        r.getLong(r.fieldIndex("dau")),
+        r.getLong(r.fieldIndex("wau")),
+        r.getDouble(r.fieldIndex("stickiness")))).sorted
+    val stored = graft.pipeline.MergeTable.read(spark, table)
+      .select("_k", "day")
+    val got = render(Events.activeUsersFromPairs(stored))
+    val want = render(Events.activeUsers(src))
+    assert(got.length == want.length && got.sameElements(want),
+      s"${got.length} vs ${want.length} days")
+  }
+
   test("split assignment is stateless: streaming equals batch per row") {
     // trainValTestSplit is a pure projection (no window, no state),
     // so it must run UNCHANGED on a stream and agree with the batch
