@@ -250,6 +250,147 @@ object CoreQueries {
         Seq("median_price" -> 0.5, "p95_price" -> 0.95)), Seq("l_returnflag"))
   }
 
+  /** #10e Scalar-subquery max join-back (TPC-H Q15 shape): the
+    * supplier(s) whose quarter revenue equals the global maximum.
+    * Decorrelation shape: revenue aggregates ONCE per supplier
+    * (map-side combine over the shipdate-pruned scan), the global max
+    * folds that |suppliers|-sized frame to ONE row, and a broadcast
+    * cross join + equality filter replaces the correlated
+    * `WHERE total_rev = (SELECT max(...))` — at 100 TB the only
+    * corpus-sized pass is the filtered lineitem scan. The equality
+    * compares exact DECIMALs (never doubles), so ties are exact on
+    * both engines; the output casts to double only after the filter.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .as("_rev"))
+    // constant-key equi-join: the one-row scalar frame broadcasts as
+    // a BroadcastHashJoin (a keyless cross join would plan BNLJ and
+    // trip the blanket all-pairs alarm PlanSpec keeps strict).
+    // pmod(col, 1) rather than lit(1): a foldable key is optimized
+    // out and the join degenerates back to BNLJ (the q10 lesson).
+    val mx = rev.agg(max(col("_rev")).as("_mx"))
+      .withColumn("_k", pmod(col("_mx") * lit(0), lit(1)).cast("int"))
+    rev.withColumn("_k", pmod(col("l_suppkey"), lit(1)).cast("int"))
+      .join(broadcast(mx), Seq("_k")).filter(col("_rev") === col("_mx"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast("double").as("total_rev"))
+  }
+
+  /** #10f Correlated-aggregate decorrelation (TPC-H Q17 shape):
+    * revenue lost to small-quantity lines — lineitems of a narrow
+    * part family whose quantity is under 20% of that part's average
+    * line quantity. The textbook form runs a correlated
+    * `(SELECT 0.2*avg(l_quantity) WHERE l_partkey = outer)` per row;
+    * here the per-part aggregate computes ONCE (partial agg on the
+    * partkey shuffle) and joins back. The threshold comparison
+    * cross-multiplies to stay in exact integers/decimals —
+    * `qty * 5 * n < sum_qty` instead of `qty < 0.2 * (sum/n)` — so
+    * no float division participates in row selection on either
+    * engine; `/ 7.0` happens once on the final exact decimal.
+    */
+  def q17SmallQtyRev(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 25)
+      .select(col("p_partkey"))
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("_pk"))
+      .agg(sum(dec(col("l_quantity"))).as("_sum_qty"),
+        count(lit(1)).as("_n"))
+    li.join(perPart, col("l_partkey") === col("_pk"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("_n") < col("_sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+  }
+
+  /** #10g Correlated-threshold semi-join (TPC-H Q20 shape): suppliers
+    * who moved more than a threshold quantity of some single part in
+    * 1995. The correlated `EXISTS (SELECT .. HAVING sum(qty) > T)`
+    * decorrelates to: pre-aggregate lineitem per (suppkey, partkey)
+    * — partial agg folds the corpus to the supplier×part key space
+    * before the shuffle — filter the threshold, project distinct
+    * suppkeys (already grouped, no second shuffle), LEFT SEMI join
+    * supplier. The semi join moves only the qualifying key set.
+    */
+  def q20HeavyParts(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("_q"))
+      .filter(col("_q") > lit(50).cast(DecimalType(18, 2)))
+      .select(col("l_suppkey"))
+    t(spark, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  /** #10h EXISTS / NOT-EXISTS profile decorrelation (TPC-H Q21
+    * shape): per supplier, the number of multi-supplier orders where
+    * that supplier was the UNIQUE last shipper. The textbook form is
+    * one EXISTS (another supplier in the order) plus two NOT EXISTS
+    * (no later line; no other supplier sharing the final date) — all
+    * correlated on the outer row; the oracle states exactly that
+    * form, and the hash match proves this decorrelation: fold
+    * lineitem to one row per (order, supplier) with its max shipdate,
+    * then ONE exchange on orderkey computes the order max date,
+    * supplier count, and at-max supplier count as three chained
+    * windows, and a codegen filter picks the unique laggards. At
+    * 100 TB there are two narrow shuffles (key+date rows), no
+    * correlated re-scans.
+    */
+  def q21LastShipper(spark: SparkSession, dir: String): DataFrame = {
+    val sm = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("_smx"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val qualified = sm
+      .withColumn("_mx", max(col("_smx")).over(w))
+      .withColumn("_ns", count(lit(1)).over(w))
+      .withColumn("_natmax",
+        sum(when(col("_smx") === col("_mx"), 1L).otherwise(0L)).over(w))
+      .filter(col("_smx") === col("_mx") && col("_ns") > 1 &&
+        col("_natmax") === 1L)
+    qualified.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  /** #10i Global-scalar anti-join (TPC-H Q22 shape): high-balance
+    * customers dormant since the cutoff, rolled up per nation. The
+    * scalar subquery (global positive-balance average) folds to ONE
+    * broadcast row; the above-average test cross-multiplies
+    * `acctbal * n > sum` so the average is never materialized as a
+    * float on either engine; dormancy is a LEFT ANTI join against
+    * the date-pruned orders keys (the anti side carries only
+    * custkeys). Every corpus pass is a pruned scan; nothing
+    * correlated re-executes.
+    */
+  def q22DormantValue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    // constant-key scalar join — see q15TopSupplier's note on BNLJ
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("_s"), count(lit(1)).as("_n"))
+      .withColumn("_k", pmod(col("_n"), lit(1)).cast("int"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.withColumn("_k", pmod(col("c_custkey"), lit(1)).cast("int"))
+      .join(broadcast(stats), Seq("_k"))
+      .filter(dec(col("c_acctbal")) * col("_n") > col("_s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_dormant"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+  }
+
   /** Sketch companion of #11c (the q6_approx pattern): single-pass
     * Greenwald-Khanna quantile summaries via `percentile_approx` —
     * one partial-aggregable sketch per group instead of the
@@ -284,10 +425,75 @@ object CoreQueries {
     "q10_topk_orders" -> (q10TopKOrders _),
     "q11_percentiles" -> (q11Percentiles _),
     "q11_approx_percentiles" -> (q11ApproxPercentiles _),
-    "q13_custdist" -> (q13CustDist _))
+    "q13_custdist" -> (q13CustDist _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_rev" -> (q17SmallQtyRev _),
+    "q20_heavy_parts" -> (q20HeavyParts _),
+    "q21_last_shipper" -> (q21LastShipper _),
+    "q22_dormant_value" -> (q22DormantValue _))
 
-  /** DuckDB-parity oracle SQL (same aliases, same decimal math). */
+  /** DuckDB-parity oracle SQL (same aliases, same decimal math).
+    * The q15/q17/q20/q21/q22 oracles deliberately state the TEXTBOOK
+    * correlated-subquery forms — the hash match proves the Spark
+    * side's decorrelated plans compute the same relation.
+    */
   val oracleSql: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+        |FROM supplier JOIN rev ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT MAX(r) FROM rev)""".stripMargin,
+    "q17_small_qty_rev" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l1
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size <= 25
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5
+        |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin,
+    "q20_heavy_parts" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2)))""".stripMargin,
+    "q21_last_shipper" ->
+      """WITH laggard AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  WHERE EXISTS (
+        |      SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM lineitem l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_shipdate > l1.l_shipdate)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM lineitem l4
+        |      WHERE l4.l_orderkey = l1.l_orderkey AND l4.l_suppkey <> l1.l_suppkey
+        |        AND l4.l_shipdate = l1.l_shipdate))
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier JOIN laggard ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name""".stripMargin,
+    "q22_dormant_value" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_dormant,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "q13_custdist" ->
       """WITH per AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n

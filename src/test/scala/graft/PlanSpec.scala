@@ -97,6 +97,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scalar-subquery decorrelations broadcast their one-row frame as a hash join") {
+    // q15/q22 replace `WHERE x = (SELECT max..)` / `> (SELECT avg..)`
+    // with a one-row aggregate joined on a non-foldable constant key:
+    // must plan BroadcastHashJoin, never BNLJ (a foldable lit(1) key
+    // gets optimized out and degenerates the join — the q10 lesson)
+    Seq("q15_top_supplier", "q22_dormant_value").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its scalar BHJ")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q scalar join degenerated to BNLJ:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q20/q22 existence predicates plan as semi/anti hash joins") {
+    val p20 = SparkEntry.queries("q20_heavy_parts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p20.contains("LeftSemi"), s"q20 EXISTS must be a semi join:\n${p20.take(1500)}")
+    val p22 = SparkEntry.queries("q22_dormant_value")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p22.contains("LeftAnti"), s"q22 NOT EXISTS must be an anti join:\n${p22.take(1500)}")
+  }
+
+  test("q21 chained windows share one orderkey exchange") {
+    // max/count/at-max-count all partition by l_orderkey: one hash
+    // exchange must feed the whole window chain (the funnel pattern)
+    val plan = SparkEntry.queries("q21_last_shipper")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val orderKeyExchanges = "Exchange hashpartitioning\\(l_orderkey#\\d+,"
+      .r.findAllIn(plan).size
+    assert(orderKeyExchanges <= 1,
+      s"window chain re-shuffled on orderkey $orderKeyExchanges times:\n${plan.take(2500)}")
+  }
+
   test("decontaminate pushes the source filter to the parquet scan") {
     val plan = formatted("dedup_decontaminate")
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*source[^\\]]*\\].*"),
