@@ -79,6 +79,51 @@ object DataQuality {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Exact Pearson correlation for the given column pairs in ONE
+    * aggregate pass (the [[evaluate]] shape: all moments in a single
+    * scan, then a struct explode fans the scalar row out to one row
+    * per pair). The five moments per pair — Σx, Σy, Σxy, Σx², Σy² —
+    * accumulate as EXACT decimals (associative, immune to partition
+    * order), and only the final closed form
+    * `(n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))`
+    * runs in doubles — every op there (*, −, /, IEEE sqrt) is
+    * correctly rounded, so the result is bit-identical across
+    * engines. Built-in `corr()` uses a streaming update with
+    * merge-order-dependent float error; this formulation is the
+    * oracle-comparable one.
+    *
+    * Columns must be non-null (moments and n must count the same
+    * rows); a zero-variance column yields NaN (0/0), same on both
+    * engines. CARDINALITY BOUND: the decimal product sums hold
+    * |Σxy| < 10^34 at scale 4 — at 100 TB of money-scale values
+    * that is not approached; values beyond ~10^9 per row should be
+    * rescaled first.
+    *
+    * Output: (col_x, col_y, n, corr) per pair.
+    */
+  def correlationMatrix(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one column pair required")
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: String): Column = col(c).cast(DecimalType(18, 2))
+    val aggs = count(lit(1)).as("_n") +: pairs.zipWithIndex.flatMap {
+      case ((x, y), i) => Seq(
+        sum(d(x)).as(s"_sx$i"), sum(d(y)).as(s"_sy$i"),
+        sum(d(x) * d(y)).as(s"_sxy$i"),
+        sum(d(x) * d(x)).as(s"_sxx$i"), sum(d(y) * d(y)).as(s"_syy$i"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val n = col("_n").cast("double")
+      val sx = col(s"_sx$i").cast("double"); val sy = col(s"_sy$i").cast("double")
+      val sxy = col(s"_sxy$i").cast("double")
+      val sxx = col(s"_sxx$i").cast("double"); val syy = col(s"_syy$i").cast("double")
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), col("_n").as("n"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Equi-width histogram of a numeric column — the distribution
     * profile next to [[profile]]'s completeness/cardinality. Two
     * aggregate passes by construction (bounds, then bins — the

@@ -213,6 +213,17 @@ object PipelineQueries {
       lo = 0.0, hi = 500.0, bins = 10)
   }
 
+  /** #18g Exact correlation profiler: Pearson r between the lineitem
+    * measures, one aggregate pass — see
+    * [[graft.dq.DataQuality.correlationMatrix]] for the exact-moment
+    * / closed-form design that makes a float statistic oracle-exact.
+    */
+  def dqCorr(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.correlationMatrix(t(spark, dir, "lineitem"), Seq(
+      "l_quantity" -> "l_extendedprice",
+      "l_quantity" -> "l_discount",
+      "l_extendedprice" -> "l_discount"))
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -253,6 +264,7 @@ object PipelineQueries {
     "dq_outliers" -> (dqOutliers _),
     "dq_outliers_sketch" -> (dqOutliersSketch _),
     "dq_drift" -> (dqDrift _),
+    "dq_corr" -> (dqCorr _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -267,6 +279,29 @@ object PipelineQueries {
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact decimal moments; closed-form corr in doubles with the
+    // same op order as the Spark side (see correlationMatrix)
+    "dq_corr" -> {
+      def mom(x: String, y: String, i: Int) =
+        s"""SUM(CAST($x AS DECIMAL(18,2))) AS sx$i,
+           |  SUM(CAST($y AS DECIMAL(18,2))) AS sy$i,
+           |  SUM(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS sxy$i,
+           |  SUM(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS sxx$i,
+           |  SUM(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS syy$i""".stripMargin
+      def row(x: String, y: String, i: Int) =
+        s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+           |  (CAST(n AS DOUBLE) * CAST(sxy$i AS DOUBLE) - CAST(sx$i AS DOUBLE) * CAST(sy$i AS DOUBLE))
+           |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx$i AS DOUBLE) - CAST(sx$i AS DOUBLE) * CAST(sx$i AS DOUBLE))
+           |     * sqrt(CAST(n AS DOUBLE) * CAST(syy$i AS DOUBLE) - CAST(sy$i AS DOUBLE) * CAST(sy$i AS DOUBLE))) AS corr
+           |FROM m""".stripMargin
+      val pairs = Seq(("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount"))
+      s"""WITH m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${pairs.zipWithIndex.map { case ((x, y), i) => mom(x, y, i) }.mkString(",\n  ")}
+         |  FROM lineitem)
+         |${pairs.zipWithIndex.map { case ((x, y), i) => row(x, y, i) }.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // shares divide exact longs as doubles once; fixed [0,500)x10
     // bins so both engines bin identically (see distributionDrift)
     "dq_drift" ->

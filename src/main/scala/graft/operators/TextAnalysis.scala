@@ -92,6 +92,42 @@ object TextAnalysis {
       (nOov.cast("double") / nWords.cast("double")).as("oov_rate"))
   }
 
+  /** Frequency-based quality proxy: the mean corpus frequency of a
+    * document's words against the exact top-`vocabSize` vocabulary —
+    * the cross-engine-exact analog of the unigram-LM scoring CCNet
+    * uses for quality bucketing (there, mean −log p(w); here, mean
+    * c(w), the arithmetic-mean counterpart that needs no transcendental:
+    * the same rational-over-ln substitution as tf-idf's N/df).
+    * Gibberish/rare-word documents score LOW mean frequency; listy
+    * boilerplate scores high.
+    *
+    * Scale shape: the vocabulary is a K-BOUNDED driver collect (the
+    * [[oovRate]] contract) embedded as a literal map; scoring is then
+    * one codegen'd projection over the corpus — `sum_freq` folds
+    * in-row as exact LONGS (order-free, OOV words contribute 0), and
+    * the single division to `mean_freq` is one IEEE op. No shuffle
+    * at any corpus size beyond the vocabulary count itself.
+    *
+    * Output: (id, n_words, sum_freq, mean_freq).
+    */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int = 100): DataFrame = {
+    val entries = vocabTopK(df, textCol, vocabSize).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val freqMap = map(entries.flatMap { case (w, c) =>
+      Seq(lit(w), lit(c)) }.toIndexedSeq: _*)
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val sumFreq = aggregate(words, lit(0L),
+      (acc, w) => acc + coalesce(element_at(freqMap, w), lit(0L)))
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      sumFreq.as("sum_freq"),
+      when(nWords === 0L, lit(null).cast("double"))
+        .otherwise(sumFreq.cast("double") / nWords.cast("double"))
+        .as("mean_freq"))
+  }
+
   /** BPE first-merge statistics: the frequency of every adjacent
     * character pair across the corpus, weighted by word frequency —
     * the counting step a byte-pair-encoding tokenizer trainer runs

@@ -116,6 +116,13 @@ object TextQueries {
   def textOov(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.oovRate(docs(spark, dir), "doc_id", "text", vocabSize = 20)
 
+  /** Mean corpus word frequency per document vs the same top-20
+    * vocabulary — the transcendental-free unigram-LM quality proxy
+    * (see TextAnalysis.rarityScore).
+    */
+  def textRarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rarityScore(docs(spark, dir), "doc_id", "text", vocabSize = 20)
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -169,7 +176,8 @@ object TextQueries {
     "text_redact" -> (textRedact _),
     "bpe_pair_topk" -> (bpePairTopK _),
     "text_diversity" -> (textDiversity _),
-    "text_oov" -> (textOov _))
+    "text_oov" -> (textOov _),
+    "text_rarity" -> (textRarity _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -179,6 +187,32 @@ object TextQueries {
     ws.map(w => occ("text", w)).mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // same exact top-20 vocabulary; sum_freq folds exact BIGINTs
+    // in-row (order-free), one IEEE division to the mean
+    "text_rarity" ->
+      """WITH wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word),
+        |v AS (SELECT word, n FROM wc ORDER BY n DESC, word ASC LIMIT 20),
+        |vl AS (SELECT list(word) AS words, list(n) AS ns FROM v),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS words
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(d.words) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(d.words,
+        |        x -> CAST(coalesce(vl.ns[list_position(vl.words, x)], 0) AS BIGINT))),
+        |      (a, b) -> a + b) AS BIGINT) AS sum_freq
+        |  FROM d, vl)
+        |SELECT doc_id, n_words, sum_freq,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |       ELSE CAST(sum_freq AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_freq
+        |FROM s""".stripMargin,
     // vocabulary = the same exact top-100 (count desc, word asc) the
     // Spark side collects; the per-doc fraction divides exact counts
     "text_oov" ->

@@ -112,6 +112,30 @@ class CoreQueriesSpec extends SparkSpec {
     assert(tot == c)
   }
 
+  test("correlation matrix hits the closed-form endpoints and tracks built-in corr") {
+    import SparkSpec.spark.implicits._
+    // y = 2x + 1 -> r = 1; z = -x -> r = -1. The closed form lands a
+    // few ULPs off ±1 (sqrt(a)*sqrt(b) != sqrt(ab) in floats) — the
+    // operator's guarantee is cross-ENGINE bit-identity of that
+    // float path (the oracle proves it), not symbolic exactness
+    val lin = Seq((1.0, 3.0, -1.0), (2.0, 5.0, -2.0), (3.0, 7.0, -3.0),
+      (4.0, 9.0, -4.0)).toDF("x", "y", "z")
+    val r = graft.dq.DataQuality.correlationMatrix(lin,
+      Seq("x" -> "y", "x" -> "z")).orderBy("col_y").collect()
+      .map(row => (row.getString(0), row.getString(1), row.getDouble(3))).toSeq
+    assert(r.map(_._1) == Seq("x", "x") && r.map(_._2) == Seq("y", "z"))
+    assert(math.abs(r(0)._3 - 1.0) < 1e-12 && math.abs(r(1)._3 + 1.0) < 1e-12,
+      r.toString)
+    // against Spark's own streaming corr on real data: the two
+    // algorithms differ in float path but must agree to ~1e-9
+    val li = Tables.load(spark, sf, "lineitem")
+    val exact = graft.dq.DataQuality.correlationMatrix(li,
+      Seq("l_quantity" -> "l_extendedprice")).collect()(0).getDouble(3)
+    val builtin = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(exact - builtin) < 1e-9, s"$exact vs $builtin")
+  }
+
   test("iqr outliers flag exactly the fence-crossers") {
     import SparkSpec.spark.implicits._
     val rows = ((1 to 11).map(i => ("g", i.toDouble)) :+ ("g", 100.0)) ++

@@ -393,6 +393,22 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 5L, 1L, 1.0 / 5)), out.toString)
   }
 
+  test("rarity score sums exact corpus frequencies with OOV as zero") {
+    import SparkSpec.spark.implicits._
+    // corpus counts: a(4) b(3) c(1) zq(1); top-2 vocab = {a:4, b:3}
+    val docs = Seq(
+      (1L, "a a b c"),    // 4+4+3+0 = 11 over 4 words
+      (2L, "a a b b zq")) // 4+4+3+3+0 = 14 over 5 words
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 4L, 11L, 11.0 / 4),
+      (2L, 5L, 14L, 14.0 / 5)), out.toString)
+  }
+
   test("simpson diversity is exact at the closed-form endpoints") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
