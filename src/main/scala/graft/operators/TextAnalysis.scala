@@ -65,6 +65,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /** Per-document word counts as a keyed pair frame (id, word, n) —
+    * the decomposition of [[vocabTopK]] a streaming sink can maintain
+    * as a merge table keyed on (id, word): re-delivery of a document
+    * upserts the SAME (id, word, n) rows (n is a function of the doc
+    * text alone), so at-least-once replay is plain idempotence, and a
+    * document hard-delete drops exactly its pair rows.
+    *
+    * Deliberately STATELESS (in-row distinct+count fold, the
+    * diversityMetrics family, O(distinct×words) per doc) rather than
+    * an explode+groupBy: no aggregation means the projection runs
+    * UNCHANGED on a stream ahead of a foreachBatch merge — the
+    * trainValTestSplit property — instead of becoming a stateful
+    * streaming agg. TextAnalysisSpec proves it equal to the
+    * explode/groupBy formulation. Null/empty text yields no pairs.
+    */
+  def wordCountPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    // _outer + null filter: see vocabTopK (no inferred generate-filter
+    // may re-run the computed array on vanilla sessions)
+    df.select(col(idCol),
+        explode_outer(transform(array_distinct(words),
+          w => struct(w.as("word"),
+            size(filter(words, x => x === w)).cast("long").as("n"))))
+          .as("p"))
+      .filter(col("p").isNotNull)
+      .select(col(idCol), col("p.word").as("word"), col("p.n").as("n"))
+  }
+
+  /** The scoring pass of [[vocabTopK]] over a [[wordCountPairs]]
+    * frame — per-doc counts sum to corpus counts exactly, so this
+    * equals the batch operator (StreamingSpec proves the composition
+    * over a streaming-maintained pair table). Same deterministic
+    * tiebreak, same TakeOrderedAndProject shape.
+    */
+  def vocabFromPairs(pairs: DataFrame, k: Int = 100): DataFrame =
+    pairs.groupBy(col("word")).agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
   /** Out-of-vocabulary rate per document: the fraction of a doc's
     * words outside the corpus's top-`vocabSize` vocabulary — the
     * rare-word/gibberish signal quality filters use where a real

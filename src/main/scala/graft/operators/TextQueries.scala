@@ -123,6 +123,12 @@ object TextQueries {
   def textRarity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.rarityScore(docs(spark, dir), "doc_id", "text", vocabSize = 20)
 
+  /** Per-document word-count pairs — the streaming-maintainable
+    * decomposition of the vocabulary (see TextAnalysis.wordCountPairs).
+    */
+  def textWordCounts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordCountPairs(docs(spark, dir), "doc_id", "text")
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -177,7 +183,8 @@ object TextQueries {
     "bpe_pair_topk" -> (bpePairTopK _),
     "text_diversity" -> (textDiversity _),
     "text_oov" -> (textOov _),
-    "text_rarity" -> (textRarity _))
+    "text_rarity" -> (textRarity _),
+    "text_word_counts" -> (textWordCounts _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -187,6 +194,12 @@ object TextQueries {
     ws.map(w => occ("text", w)).mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // the in-row fold counts exactly what a per-doc group-by counts
+    "text_word_counts" ->
+      """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY doc_id, word""".stripMargin,
     // same exact top-20 vocabulary; sum_freq folds exact BIGINTs
     // in-row (order-free), one IEEE division to the mean
     "text_rarity" ->

@@ -376,6 +376,55 @@ class StreamingSpec extends SparkSpec {
       s"${got.length} vs ${want.length} days")
   }
 
+  test("vocabulary scores a streaming-maintained (doc, word) pair table like batch") {
+    import graft.operators.TextAnalysis
+    // wordCountPairs is stateless, so it rides the document stream
+    // unchanged; the merge table keyed (doc_id, word) absorbs the
+    // second file's REPLAY of a first-file document as an idempotent
+    // same-value upsert, and the scoring pass then equals the batch
+    // vocabulary over the distinct corpus
+    val docsAll = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = Files.createTempDirectory("graft_stream_vocab").toString
+    val sp = spark
+    import sp.implicits._
+    val half = docsAll.length / 2
+    val fileA = docsAll.take(half)
+    val fileB = docsAll.drop(half) :+ docsAll.head // cross-batch replay
+    Seq(fileA, fileB).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dir/stage$i"
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val f = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+      val dest = Paths.get(dir, f"docs$i%02d.parquet")
+      Files.move(f, dest)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val table = Files.createTempDirectory("graft_vocab_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vocab_ck").toString
+    val stream = TextAnalysis.wordCountPairs(
+      StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+        schema, Map("maxFilesPerTrigger" -> "1")),
+      "doc_id", "text")
+    val q = StreamingIngest.mergeSink(stream, table, ckpt,
+      keys = Seq("doc_id", "word"), orderBy = "n", compareExclude = Nil)
+    q.awaitTermination(120000)
+    val stored = graft.pipeline.MergeTable.read(spark, table)
+      .select("doc_id", "word", "n")
+    val got = TextAnalysis.vocabFromPairs(stored, 25).collect().toSeq
+    val want = TextAnalysis.vocabTopK(
+      docsAll.toSeq.toDF("doc_id", "text"), "text", 25).collect().toSeq
+    assert(got == want, s"streamed vocab diverges:\n$got\n$want")
+  }
+
   test("split assignment is stateless: streaming equals batch per row") {
     // trainValTestSplit is a pure projection (no window, no state),
     // so it must run UNCHANGED on a stream and agree with the batch

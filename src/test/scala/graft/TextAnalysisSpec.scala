@@ -393,6 +393,26 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 5L, 1L, 1.0 / 5)), out.toString)
   }
 
+  test("word-count pairs: in-row fold equals explode/groupBy; vocab recomposes") {
+    import SparkSpec.spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(Seq((888888L, null.asInstanceOf[String]),
+        (888889L, "")).toDF("doc_id", "text"))
+    val pairs = TextAnalysis.wordCountPairs(docs, "doc_id", "text")
+    val viaGroupBy = docs
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    assert(pairs.exceptAll(viaGroupBy).isEmpty && viaGroupBy.exceptAll(pairs).isEmpty,
+      "stateless pair fold diverges from the groupBy formulation")
+    assert(pairs.filter(col("doc_id") >= 888888L).count() == 0,
+      "null/empty text must yield no pairs")
+    // the scoring pass over pairs reproduces the batch vocabulary
+    val a = TextAnalysis.vocabFromPairs(pairs, 25).collect().toSeq
+    val b = TextAnalysis.vocabTopK(docs, "text", 25).collect().toSeq
+    assert(a == b, s"vocabFromPairs diverges:\n$a\n$b")
+  }
+
   test("rarity score sums exact corpus frequencies with OOV as zero") {
     import SparkSpec.spark.implicits._
     // corpus counts: a(4) b(3) c(1) zq(1); top-2 vocab = {a:4, b:3}
