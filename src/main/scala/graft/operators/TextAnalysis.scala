@@ -206,6 +206,81 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Collocation extraction by LIFT — n(xy)·N / (n(x)·n(y)), the
+    * rational core of pointwise mutual information (PMI = log lift;
+    * the log is monotone, so ranking by lift IS ranking by PMI, and
+    * lift needs no transcendental — the tf-idf N/df substitution
+    * again). High-lift bigrams are the multiword expressions
+    * ("new york") a tokenizer/phrase-miner wants; `minCount` guards
+    * the classic PMI low-frequency explosion.
+    *
+    * Scale shape: one corpus pass for unigram counts (map-side
+    * combine to vocabulary size), one for bigram counts via the
+    * codegen'd [[graft.functions.HashFunctions.wordNgrams]] kernel
+    * (combine to bigram-vocabulary size, then the minCount filter
+    * cuts the tail), two BROADCAST dictionary joins to attach n(x)
+    * and n(y), a one-row scalar join for N (the q15 pmod-key shape),
+    * and TakeOrderedAndProject for the top-K. Nothing corpus-sized
+    * crosses the wire. The lift division runs once per surviving
+    * bigram: two double multiplies and one divide, correctly rounded
+    * and oracle-exact.
+    *
+    * Tokenization matches the n-gram kernel (split on single space,
+    * empty tokens count — the dup-ngram oracle contract).
+    *
+    * Output: (bigram, n_pair, n_left, n_right, lift), lift desc,
+    * bigram asc, top k.
+    */
+  def collocationsTopK(df: DataFrame, textCol: String,
+                       minCount: Int = 5, k: Int = 50): DataFrame = {
+    val uni = df.select(explode_outer(split(col(textCol), " ")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tot = uni.agg(sum(col("n_w")).as("_tot"))
+      .withColumn("_k", pmod(col("_tot"), lit(1)).cast("int"))
+    val bi = df.select(explode_outer(
+        graft.functions.HashFunctions.wordNgrams(col(textCol), 2)).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val left = uni.select(col("w").as("_wl"), col("n_w").as("n_left"))
+    val right = uni.select(col("w").as("_wr"), col("n_w").as("n_right"))
+    bi.withColumn("_wl", split(col("bigram"), " ").getItem(0))
+      .withColumn("_wr", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(left), Seq("_wl"))
+      .join(broadcast(right), Seq("_wr"))
+      .withColumn("_k", pmod(col("n_pair"), lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("_k"))
+      .select(col("bigram"), col("n_pair"), col("n_left"), col("n_right"),
+        ((col("n_pair").cast("double") * col("_tot").cast("double")) /
+          (col("n_left").cast("double") * col("n_right").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Corpus vocabulary summary in one pass over the word-count
+    * frame: vocabulary size, total tokens, hapax legomena (words
+    * seen once — the classic crawl-noise signal: OCR junk and
+    * misspellings are hapax-heavy), type/token ratio. Exact longs
+    * everywhere; the two rates are single IEEE divisions.
+    *
+    * Output: one row (vocab_size, n_tokens, n_hapax, hapax_rate,
+    * type_token_ratio).
+    */
+  def vocabStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode_outer(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("vocab_size"), col("n_tokens"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("vocab_size").cast("double"))
+          .as("hapax_rate"),
+        (col("vocab_size").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"))
+
   /** Boilerplate word-n-gram detection: the most frequent n-word
     * shingles of the corpus via a Misra-Gries sketch
     * ([[graft.functions.HeavyHitters]]). [[vocabTopK]] is exact

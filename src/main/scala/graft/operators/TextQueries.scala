@@ -129,6 +129,15 @@ object TextQueries {
   def textWordCounts(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.wordCountPairs(docs(spark, dir), "doc_id", "text")
 
+  /** Top bigram collocations by lift (rational PMI ranking). */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocationsTopK(docs(spark, dir), "text",
+      minCount = 5, k = 50)
+
+  /** One-row corpus vocabulary summary (hapax rate, TTR). */
+  def textVocabStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(docs(spark, dir), "text")
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -184,7 +193,9 @@ object TextQueries {
     "text_diversity" -> (textDiversity _),
     "text_oov" -> (textOov _),
     "text_rarity" -> (textRarity _),
-    "text_word_counts" -> (textWordCounts _))
+    "text_word_counts" -> (textWordCounts _),
+    "text_collocations" -> (textCollocations _),
+    "text_vocab_stats" -> (textVocabStats _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -194,6 +205,47 @@ object TextQueries {
     ws.map(w => occ("text", w)).mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // same single-space tokenization as the n-gram kernel (empty
+    // tokens count); lift = two double multiplies and one divide in
+    // the SAME order as the Spark side
+    "text_collocations" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS words FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+        |  FROM (SELECT unnest(words) AS w FROM w) GROUP BY w),
+        |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS t FROM uni),
+        |bi AS (
+        |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM (
+        |    SELECT unnest(list_transform(
+        |      range(1, greatest(len(words) - 1, 0) + 1),
+        |      i -> words[i] || ' ' || words[i+1])) AS bigram
+        |    FROM w)
+        |  GROUP BY bigram HAVING COUNT(*) >= 5)
+        |SELECT bigram, n_pair,
+        |  ul.n_w AS n_left, ur.n_w AS n_right,
+        |  (CAST(n_pair AS DOUBLE) * CAST(tot.t AS DOUBLE))
+        |    / (CAST(ul.n_w AS DOUBLE) * CAST(ur.n_w AS DOUBLE)) AS lift
+        |FROM bi
+        |JOIN uni ul ON ul.w = string_split(bigram, ' ')[1]
+        |JOIN uni ur ON ur.w = string_split(bigram, ' ')[2]
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, bigram ASC
+        |LIMIT 50""".stripMargin,
+    // exact longs; the two rates divide once each
+    "text_vocab_stats" ->
+      """WITH wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_rate,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS type_token_ratio
+        |FROM wc""".stripMargin,
     // the in-row fold counts exactly what a per-doc group-by counts
     "text_word_counts" ->
       """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n

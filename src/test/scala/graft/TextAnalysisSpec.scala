@@ -413,6 +413,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b, s"vocabFromPairs diverges:\n$a\n$b")
   }
 
+  test("collocation lift is the exact count ratio, ranked like PMI") {
+    import SparkSpec.spark.implicits._
+    // unigrams: x:3 y:3 z:3, N=9; bigrams with count>=2:
+    // "x y":2 and "y z":2, both lift = 2*9/(3*3) = 2.0 — the equal
+    // lift pins the deterministic bigram-asc tiebreak too
+    val docs = Seq((1L, "x y x"), (2L, "x y z"), (3L, "z y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsTopK(docs, "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4))).toSeq
+    assert(out == Seq(("x y", 2L, 2.0), ("y z", 2L, 2.0)), out.toString)
+  }
+
+  test("vocab stats count hapax and type/token ratio exactly") {
+    import SparkSpec.spark.implicits._
+    // words: a(3) b(2) c(1) d(1) -> vocab 4, tokens 7, hapax 2
+    val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabStats(docs, "text").collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getDouble(3), out.getDouble(4)) ==
+      ((4L, 7L, 2L, 2.0 / 4, 4.0 / 7)), out.toString)
+  }
+
   test("rarity score sums exact corpus frequencies with OOV as zero") {
     import SparkSpec.spark.implicits._
     // corpus counts: a(4) b(3) c(1) zq(1); top-2 vocab = {a:4, b:3}
