@@ -79,6 +79,43 @@ object DataQuality {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Functional-dependency profiler: for each candidate determinant →
+    * dependent pair, does every determinant value map to exactly one
+    * dependent value? Exactly the check a schema-inference /
+    * normalization pass runs before declaring a lookup table. The
+    * test is pure counting — FD holds iff
+    * |distinct det| = |distinct (det, dep)| — and `strength`
+    * (their ratio, ≤ 1, one IEEE division) grades near-dependencies.
+    *
+    * ONE aggregate pass for all pairs via the multi-distinct expand
+    * (the q6 family): the scan expands 2·|pairs| ways before the
+    * shuffle, so keep the pair list bounded (profiling cardinality,
+    * not a per-row operator); the shuffle itself carries only
+    * distinct values. Rows with a NULL in a pair's columns are
+    * skipped by both engines' distinct-count semantics — run on
+    * NOT-NULL-gated columns for exact FD claims.
+    *
+    * Output: (determinant, dependent, n_det, n_pairs, fd_holds,
+    * strength) per pair.
+    */
+  def functionalDependencies(df: DataFrame,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one candidate pair required")
+    val aggs = pairs.zipWithIndex.flatMap { case ((det, dep), i) =>
+      Seq(countDistinct(col(det)).as(s"_d$i"),
+        countDistinct(col(det), col(dep)).as(s"_p$i"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((det, dep), i) =>
+      struct(lit(det).as("determinant"), lit(dep).as("dependent"),
+        col(s"_d$i").as("n_det"), col(s"_p$i").as("n_pairs"),
+        (col(s"_d$i") === col(s"_p$i")).as("fd_holds"),
+        (col(s"_d$i").cast("double") / col(s"_p$i").cast("double"))
+          .as("strength"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Exact Pearson correlation for the given column pairs in ONE
     * aggregate pass (the [[evaluate]] shape: all moments in a single
     * scan, then a struct explode fans the scalar row out to one row

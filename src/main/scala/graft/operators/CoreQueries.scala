@@ -363,6 +363,28 @@ object CoreQueries {
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
   }
 
+  /** #10j HAVING-subquery join-back (TPC-H Q18 shape): orders whose
+    * total line quantity crosses a threshold, with their customers.
+    * The textbook `o_orderkey IN (SELECT .. HAVING sum > T)` plus a
+    * correlated scalar for the quantity column collapses to ONE
+    * per-order aggregate that serves both the membership test (the
+    * filter) and the output column — the aggregate's orderkey hash
+    * partitioning feeds the orders join exchange directly, and the
+    * HAVING filter cuts the frame to the qualifying keys before
+    * anything joins. Threshold compare is exact decimal.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("_q"))
+      .filter(col("_q") > lit(250).cast(DecimalType(18, 2)))
+    qty.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("_q").cast("double").as("total_qty"))
+  }
+
   /** #10i Global-scalar anti-join (TPC-H Q22 shape): high-balance
     * customers dormant since the cutoff, rolled up per nation. The
     * scalar subquery (global positive-balance average) folds to ONE
@@ -428,6 +450,7 @@ object CoreQueries {
     "q13_custdist" -> (q13CustDist _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty_rev" -> (q17SmallQtyRev _),
+    "q18_big_orders" -> (q18BigOrders _),
     "q20_heavy_parts" -> (q20HeavyParts _),
     "q21_last_shipper" -> (q21LastShipper _),
     "q22_dormant_value" -> (q22DormantValue _))
@@ -457,6 +480,15 @@ object CoreQueries {
         |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5
         |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
         |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |        FROM lineitem WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(250 AS DECIMAL(18,2)))""".stripMargin,
     "q20_heavy_parts" ->
       """SELECT s_suppkey, s_name, s_acctbal
         |FROM supplier

@@ -224,6 +224,16 @@ object PipelineQueries {
       "l_quantity" -> "l_discount",
       "l_extendedprice" -> "l_discount"))
 
+  /** #18h Functional-dependency profile over the part dimension: one
+    * exact FD (the key), one coarse and one weak near-dependency —
+    * the normalization-candidate report.
+    */
+  def dqFuncdep(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.functionalDependencies(t(spark, dir, "part"), Seq(
+      "p_partkey" -> "p_brand",
+      "p_brand" -> "p_type",
+      "p_name" -> "p_brand"))
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -265,6 +275,7 @@ object PipelineQueries {
     "dq_outliers_sketch" -> (dqOutliersSketch _),
     "dq_drift" -> (dqDrift _),
     "dq_corr" -> (dqCorr _),
+    "dq_funcdep" -> (dqFuncdep _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -279,6 +290,20 @@ object PipelineQueries {
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // pure distinct counting; strength divides exact longs once
+    "dq_funcdep" -> {
+      def row(det: String, dep: String) =
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |  CAST(COUNT(DISTINCT $det) AS BIGINT) AS n_det,
+           |  CAST(COUNT(DISTINCT ($det, $dep)) AS BIGINT) AS n_pairs,
+           |  COUNT(DISTINCT $det) = COUNT(DISTINCT ($det, $dep)) AS fd_holds,
+           |  CAST(COUNT(DISTINCT $det) AS DOUBLE)
+           |    / CAST(COUNT(DISTINCT ($det, $dep)) AS DOUBLE) AS strength
+           |FROM part""".stripMargin
+      Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+        ("p_name", "p_brand"))
+        .map { case (a, b) => row(a, b) }.mkString("\nUNION ALL\n")
+    },
     // exact decimal moments; closed-form corr in doubles with the
     // same op order as the Spark side (see correlationMatrix)
     "dq_corr" -> {

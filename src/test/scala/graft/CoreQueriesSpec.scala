@@ -22,8 +22,8 @@ class CoreQueriesSpec extends SparkSpec {
       "lineitem").foreach { tname =>
       Tables.load(spark, sf, tname).createOrReplaceTempView(tname)
     }
-    Seq("q15_top_supplier", "q17_small_qty_rev", "q20_heavy_parts",
-      "q21_last_shipper", "q22_dormant_value").foreach { q =>
+    Seq("q15_top_supplier", "q17_small_qty_rev", "q18_big_orders",
+      "q20_heavy_parts", "q21_last_shipper", "q22_dormant_value").foreach { q =>
       val decorr = SparkEntry.queries(q)(spark, sf)
       val correlated = spark.sql(SparkEntry.oracleSql(q))
       val cols = decorr.columns.sorted.map(col(_))
@@ -134,6 +134,19 @@ class CoreQueriesSpec extends SparkSpec {
     val builtin = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
       .collect()(0).getDouble(0)
     assert(math.abs(exact - builtin) < 1e-9, s"$exact vs $builtin")
+  }
+
+  test("functional dependencies: exact FD, violated FD, strength ratio") {
+    import SparkSpec.spark.implicits._
+    // k -> v holds (k unique); v -> w fails on v=1 mapping to {x,y}
+    val t = Seq((1, 1, "x"), (2, 1, "y"), (3, 2, "x")).toDF("k", "v", "w")
+    val out = graft.dq.DataQuality.functionalDependencies(t,
+      Seq("k" -> "v", "v" -> "w")).orderBy("determinant").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5))).toSeq
+    assert(out == Seq(
+      ("k", 3L, 3L, true, 1.0),
+      ("v", 2L, 3L, false, 2.0 / 3)), out.toString)
   }
 
   test("iqr outliers flag exactly the fence-crossers") {
