@@ -105,6 +105,12 @@ object EventQueries {
   def eventsRfm(spark: SparkSession, dir: String): DataFrame =
     Events.rfm(ev(spark, dir), anchor = "2024-02-01")
 
+  /** Burst debounce at a 1-day chain gap (the synthetic stream is
+    * sparse per (user, type); production telemetry uses seconds).
+    */
+  def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame =
+    Events.debounce(ev(spark, dir), gapSec = 86400L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
@@ -118,11 +124,38 @@ object EventQueries {
     "events_anomaly" -> (eventsAnomaly _),
     "events_paths" -> (eventsPaths _),
     "events_rfm" -> (eventsRfm _),
+    "events_dedup_window" -> (eventsDedupWindow _),
     "events_active" -> (eventsActive _),
     "events_active_sketch" -> (eventsActiveSketch _),
     "asof_join" -> (asofJoinQuery _))
 
   val oracleSql: Map[String, String] = Map(
+    // chain semantics: lag -> new-burst flag -> running burst id ->
+    // leader by (ts, event_id); integer-exact microsecond gaps
+    "events_dedup_window" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    LAG(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > CAST(86400 AS BIGINT) * 1000000
+        |    THEN 1 ELSE 0 END AS nb
+        |  FROM x),
+        |c AS (
+        |  SELECT *, SUM(nb) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM b),
+        |r AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, seq
+        |      ORDER BY ts, event_id) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, event_type, seq) AS BIGINT)
+        |      AS burst_size
+        |  FROM c)
+        |SELECT user_id, event_type, ts, event_id, value, burst_size
+        |FROM r WHERE rn = 1""".stripMargin,
     "events_funnel" ->
       """WITH t0 AS (
         |  SELECT user_id, min(ts) AS t FROM events

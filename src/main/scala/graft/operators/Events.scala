@@ -68,6 +68,40 @@ object Events {
         sum(dec(col("value"))).cast("double").as("session_value"))
   }
 
+  /** Burst debounce: keep only the FIRST event of each per-(user,
+    * type) burst — consecutive same-type events within `gapSec` of
+    * the previous one collapse into their leader. The telemetry
+    * dedup every event pipeline runs before counting anything
+    * (double-clicks, retry storms, at-least-once producer repeats);
+    * the batch twin of streaming's
+    * `dropDuplicatesWithinWatermark`-style suppression, with CHAIN
+    * semantics (each kept event re-anchors the window, so a burst
+    * longer than the gap still collapses to one leader — the
+    * [[sessionize]] lag→cumsum fold, not a fixed bucket).
+    *
+    * One shuffle on (user, type); both windows and the leader filter
+    * share it. Output: the surviving event rows plus `burst_size`
+    * (how many raw events the leader absorbed — audit column, exact).
+    */
+  def debounce(events: DataFrame, gapSec: Long = 60L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("_new_burst",
+        when(col("_prev_us").isNull ||
+          unix_micros(col("ts")) - col("_prev_us") > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_burst_seq", sum(col("_new_burst")).over(run))
+      .groupBy(col("user_id"), col("event_type"), col("_burst_seq"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("_lead"),
+        count(lit(1)).as("burst_size"))
+      .select(col("user_id"), col("event_type"),
+        col("_lead.ts").as("ts"), col("_lead.event_id").as("event_id"),
+        col("_lead.value").as("value"), col("burst_size"))
+  }
+
   /** #26b Interval (range) join, batch twin of
     * StreamingIngest.intervalJoin (same column-prefix contract so the
     * two can't drift): each left row pairs with same-key right rows

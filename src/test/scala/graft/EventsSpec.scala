@@ -119,6 +119,37 @@ class EventsSpec extends SparkSpec {
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L))), out.toSeq)
   }
 
+  test("debounce collapses chains, re-anchoring each kept event") {
+    // u1/click at 0s, 50s, 100s with gap 60: CHAIN semantics keep
+    // only the 0s leader (each event is within 60s of its
+    // predecessor) even though 100s is beyond 60s of the leader —
+    // a fixed-bucket dedup would wrongly keep 100s. The 300s event
+    // (200s after its predecessor) starts a new burst. u1/view
+    // (other type) is untouched; same-ts ties break by event_id.
+    val e = Seq(
+      (1L, "click", 10L, "2024-01-01 10:00:00", 1.0),
+      (1L, "click", 11L, "2024-01-01 10:00:50", 2.0),
+      (1L, "click", 12L, "2024-01-01 10:01:40", 3.0),
+      (1L, "click", 13L, "2024-01-01 10:05:00", 4.0),
+      (1L, "view", 14L, "2024-01-01 10:00:30", 5.0),
+      (2L, "click", 16L, "2024-01-01 10:00:00", 7.0),
+      (2L, "click", 15L, "2024-01-01 10:00:00", 6.0))
+      .map { case (u, t, id, s, v) => (u, t, id, ts(s), v) }
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val out = Events.debounce(e, gapSec = 60L)
+      .orderBy("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(r.fieldIndex("event_id")),
+        r.getLong(r.fieldIndex("burst_size"))))
+      .toSeq
+    assert(out == Seq(
+      (1L, "click", 10L, 3L),  // 0s leader absorbs 50s and 100s
+      (1L, "click", 13L, 1L),  // 300s: new burst
+      (1L, "view", 14L, 1L),
+      (2L, "click", 15L, 2L)), // tie at same ts: lower event_id leads
+      out.toString)
+  }
+
   test("funnel plans one exchange: chained windows share the user partitioning") {
     val e = Seq((1L, "view", ts("2024-01-01 10:00:00")))
       .toDF("user_id", "event_type", "ts")
