@@ -385,6 +385,31 @@ object CoreQueries {
         col("_q").cast("double").as("total_qty"))
   }
 
+  /** #10k Conditional revenue share (TPC-H Q14 shape): the fraction
+    * of one month's revenue from promo-type parts. lineitem prunes to
+    * the month at the scan, pre-projects the two needed columns, and
+    * joins part WITHOUT a broadcast hint (part is dimension-shaped
+    * here but fact-scale at sf100 — the q3 rule: AQE decides). The
+    * conditional and total sums fold in ONE aggregate; the share is
+    * two IEEE ops on the exact decimal totals.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .select(col("l_partkey"), (dec(col("l_extendedprice")) *
+        (one - dec(col("l_discount")))).as("_rev"))
+    li.join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("_rev"))
+          .otherwise(lit(0).cast(DecimalType(38, 4)))).as("_promo"),
+        sum(col("_rev")).as("_total"))
+      .select(col("_promo").cast("double").as("promo_rev"),
+        col("_total").cast("double").as("total_rev"),
+        ((lit(100.0) * col("_promo").cast("double")) /
+          col("_total").cast("double")).as("promo_share"))
+  }
+
   /** #10i Global-scalar anti-join (TPC-H Q22 shape): high-balance
     * customers dormant since the cutoff, rolled up per nation. The
     * scalar subquery (global positive-balance average) folds to ONE
@@ -448,6 +473,7 @@ object CoreQueries {
     "q11_percentiles" -> (q11Percentiles _),
     "q11_approx_percentiles" -> (q11ApproxPercentiles _),
     "q13_custdist" -> (q13CustDist _),
+    "q14_promo_share" -> (q14PromoShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty_rev" -> (q17SmallQtyRev _),
     "q18_big_orders" -> (q18BigOrders _),
@@ -461,6 +487,19 @@ object CoreQueries {
     * side's decorrelated plans compute the same relation.
     */
   val oracleSql: Map[String, String] = Map(
+    "q14_promo_share" ->
+      """WITH m AS (
+        |  SELECT
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(38,4)) END) AS promo,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01')
+        |SELECT CAST(promo AS DOUBLE) AS promo_rev,
+        |  CAST(total AS DOUBLE) AS total_rev,
+        |  (100.0 * CAST(promo AS DOUBLE)) / CAST(total AS DOUBLE) AS promo_share
+        |FROM m""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

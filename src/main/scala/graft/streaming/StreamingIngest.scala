@@ -31,6 +31,14 @@ final case class FunnelStep(user_id: Long, step: Int, event_type: String,
 /** Per-user funnel progress: event-time micros of each reached step. */
 final case class FunnelProgress(times: Seq[Long])
 
+/** Typed event row for the stateful streaming debounce. */
+final case class DebounceEvent(user_id: Long, event_type: String,
+                               event_id: Long, ts: java.sql.Timestamp,
+                               value: Double)
+
+/** Last raw event time (micros) of the open burst per (user, type). */
+final case class DebounceState(lastUs: Long)
+
 /** Streaming ingestion (SURVEY.md §2 #23-24): the Spark-native
   * counterpart of the reference's Autoloader-style streaming readers
   * and foreachBatch merge writers (ingest-framework readers/
@@ -355,6 +363,49 @@ object StreamingIngest {
             }
           }
           if (times.nonEmpty) state.update(FunnelProgress(times))
+          out.result().iterator
+      }
+  }
+
+  /** Stateful streaming debounce ([[graft.operators.Events.debounce]]'s
+    * streaming form): burst LEADERS are emitted the moment they
+    * arrive — a leader is recognizable immediately (its gap to the
+    * previous raw event exceeds the threshold), so unlike the
+    * session/burst AGGREGATES no close/timeout wait is needed and
+    * append mode is exact. State per (user, type) is ONE long (the
+    * last raw event time — chain semantics re-anchor on every raw
+    * event, kept or suppressed), bounded by key cardinality.
+    *
+    * The emitted rows equal the batch operator's leaders (batch also
+    * reports burst_size; a stream cannot know it at emission time —
+    * count it downstream from the suppressed/raw ratio if needed).
+    * Same micro-batch contract as [[funnelStateful]]: in-batch rows
+    * sort per key, cross-batch order is the file order (spec-proven
+    * equal to batch on an ordered availableNow replay), late data
+    * bounded by the watermark. State never times out: one long per
+    * key, and expiry would re-emit a mid-burst event as a false
+    * leader on the key's return.
+    */
+  def debounceStateful(events: Dataset[DebounceEvent], gapSec: Long)
+      : Dataset[DebounceEvent] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebounceEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[DebounceEvent],
+         state: GroupState[DebounceState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+          val out = Seq.newBuilder[DebounceEvent]
+          var last = state.getOption.map(_.lastUs)
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            if (last.forall(l => t - l > gapUs)) out += e
+            last = Some(last.fold(t)(math.max(t, _)))
+          }
+          last.foreach(l => state.update(DebounceState(l)))
           out.result().iterator
       }
   }

@@ -520,6 +520,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful streaming debounce emits exactly the batch leaders across batches") {
+    import SparkSpec.spark.implicits._
+    import graft.streaming.DebounceEvent
+    // gap = 1 day on the sparse synthetic stream (the batch entry's
+    // setting); the staged files cut at Jan 10 / Jan 20, so bursts
+    // STRADDLE micro-batch boundaries — a follower arriving in the
+    // next batch is suppressed only if the (user, type) state
+    // carried the previous raw event time over
+    val (dir, src) = stageEventFiles()
+    val gapSec = 86400L
+    val stream = StreamingIngest.readStream(spark, "parquet", s"$dir/*.parquet",
+      src.schema, Map("maxFilesPerTrigger" -> "1")) // time-ordered batches
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .as[DebounceEvent]
+    val kept = StreamingIngest.debounceStateful(stream, gapSec)
+    val name = s"stream_debounce_${System.nanoTime()}"
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name)
+      .select("user_id", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Events.debounce(src, gapSec)
+      .select("user_id", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"stream leaders ${got.size} vs batch ${want.size}; " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // and the suppression is real: fewer leaders than raw events
+    assert(got.size < src.count(), "debounce suppressed nothing")
+  }
+
   test("streaming merge sink gates violating micro-batches on DQ") {
     val (dir, src) = stageEventFiles()
     val table = Files.createTempDirectory("graft_sdq_tbl").toString
