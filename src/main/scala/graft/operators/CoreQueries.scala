@@ -410,6 +410,55 @@ object CoreQueries {
           col("_total").cast("double")).as("promo_share"))
   }
 
+  /** #10l NOT-IN exclusion + grouped distinct (TPC-H Q16 shape):
+    * supplier variety per part profile, excluding blacklisted
+    * suppliers. The `NOT IN (SELECT ..)` exclusion is a LEFT ANTI
+    * join against the (tiny, pre-filtered) blacklist — the oracle
+    * states the subquery form; note NOT IN is only anti-join-equal
+    * because the blacklist key is non-null by construction. The
+    * part-supplier bridge pre-DISTINCTs (l_partkey, l_suppkey) so
+    * the attribute join and the final per-profile distinct count
+    * work on the collapsed pair set, not raw lineitems.
+    */
+  def q16PartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val blacklist = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val bridge = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO")
+    bridge.join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** #10m Disjunctive join predicate (TPC-H Q19 shape): revenue from
+    * three OR'd (brand, size-range, quantity-range) profiles. The
+    * disjunction references BOTH sides, so it cannot become a join
+    * key — it rides the equi-join on partkey as a codegen residual;
+    * what CAN push down does: Catalyst factors the common
+    * `l_quantity <= 30` / `p_size <= 50` style bounds toward the
+    * scans while the OR stays post-join. One aggregate, exact
+    * decimals.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    def profile(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(profile("Brand#12", 1, 15, 1, 11) ||
+        profile("Brand#23", 16, 30, 10, 20) ||
+        profile("Brand#34", 31, 50, 20, 30))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
   /** #10i Global-scalar anti-join (TPC-H Q22 shape): high-balance
     * customers dormant since the cutoff, rolled up per nation. The
     * scalar subquery (global positive-balance average) folds to ONE
@@ -475,6 +524,8 @@ object CoreQueries {
     "q13_custdist" -> (q13CustDist _),
     "q14_promo_share" -> (q14PromoShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_part_suppliers" -> (q16PartSuppliers _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q17_small_qty_rev" -> (q17SmallQtyRev _),
     "q18_big_orders" -> (q18BigOrders _),
     "q20_heavy_parts" -> (q20HeavyParts _),
@@ -519,6 +570,22 @@ object CoreQueries {
         |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5
         |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
         |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin,
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q18_big_orders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
         |  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))

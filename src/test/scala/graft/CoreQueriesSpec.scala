@@ -22,8 +22,9 @@ class CoreQueriesSpec extends SparkSpec {
       "lineitem").foreach { tname =>
       Tables.load(spark, sf, tname).createOrReplaceTempView(tname)
     }
-    Seq("q15_top_supplier", "q17_small_qty_rev", "q18_big_orders",
-      "q20_heavy_parts", "q21_last_shipper", "q22_dormant_value").foreach { q =>
+    Seq("q15_top_supplier", "q16_part_suppliers", "q17_small_qty_rev",
+      "q18_big_orders", "q19_disjunctive", "q20_heavy_parts",
+      "q21_last_shipper", "q22_dormant_value").foreach { q =>
       val decorr = SparkEntry.queries(q)(spark, sf)
       val correlated = spark.sql(SparkEntry.oracleSql(q))
       val cols = decorr.columns.sorted.map(col(_))
