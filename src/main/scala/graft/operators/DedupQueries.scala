@@ -260,6 +260,12 @@ object DedupQueries {
     }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.annIvf(embs(s, d), "vec_id", "embedding")),
+    // IVF-PQ: inverted lists carry m+norm-byte codes, ADC scoring;
+    // deterministic (fixed-order in-row float folds) but the oracle
+    // would have to replay the whole two-level quantizer in SQL —
+    // declared rows-only, recall floor spec-pinned vs brute force
+    "ann_ivfpq_topk" -> ((s, d) =>
+      Similarity.annIvfPq(embs(s, d), "vec_id", "embedding")),
     // full curation pipeline: quality + repetition gates -> exact
     // dedup -> decontamination vs the src0 benchmark -> per
     // (source, lang) doc/token accounting

@@ -473,6 +473,40 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("ivf-pq preserves ranking quality on coded candidates") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val truth = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3)
+    val pq = Similarity.annIvfPq(e, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, m = 8, ksub = 64, rerank = 0)
+    val rows = pq.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self pair")
+    // deterministic: same sample, same driver-refined codebooks,
+    // fixed-order ADC
+    val again = Similarity.annIvfPq(e, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, m = 8, ksub = 64, rerank = 0).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    def meanRecall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.annRecall(truth, approx)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+    // quantized scoring loses precision but must keep ranking SIGNAL
+    // (well above the ~k/N random floor), and exact RERANK of the ADC
+    // shortlist must recover most of the gap to exact-scored IVF —
+    // while neither can beat IVF (same candidate pool, PQ only prunes)
+    val rPq = meanRecall(pq)
+    val rRr = meanRecall(Similarity.annIvfPq(e, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, m = 8, ksub = 64, rerank = 4))
+    val rIvf = meanRecall(
+      Similarity.annIvf(e, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2))
+    info(f"recall@3: adc $rPq%.4f  rerank $rRr%.4f  exact ivf $rIvf%.4f")
+    assert(rPq > 0.10, f"PQ recall degenerate: $rPq%.4f")
+    assert(rRr >= rPq - 1e-12, "exact rerank cannot lose to raw ADC ranks")
+    assert(rRr >= 0.8 * rIvf, f"rerank $rRr%.4f too far below ivf $rIvf%.4f")
+    assert(rRr <= rIvf + 1e-12,
+      "PQ scores the same candidate pool — it cannot beat exact scoring")
+  }
+
   test("ivf recall rises monotonically with nprobe and reaches 1.0 at nlist") {
     val e = Tables.load(spark, sf, "embeddings")
     val truth = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3)
