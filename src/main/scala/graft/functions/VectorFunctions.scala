@@ -50,6 +50,24 @@ object VectorOps {
     d
   }
 
+  /** ADC (asymmetric-distance) dot: sum over subquantizers of the
+    * probe's precomputed table entry for the candidate's code —
+    * `Σ_j tables[j][codes[j]]` in one allocation-free loop (the HOF
+    * zip_with+aggregate formulation allocates an intermediate array
+    * per PAIR, and pairs are the N²-shaped frame in IVF-PQ).
+    * Fixed iteration order keeps the double sum deterministic.
+    */
+  def adcDot(codes: ArrayData, tables: ArrayData): Double = {
+    val m = math.min(codes.numElements(), tables.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += tables.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+
   /** Sum of squares of a float vector, accumulated in double. */
   def selfNorm(a: ArrayData): Double = {
     val n = a.numElements()
@@ -330,6 +348,26 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `adc_dot(codes, tables)`: codegen'd PQ asymmetric-distance dot —
+  * `Σ_j tables[j][codes[j]]` over (`array<int>`, `array<array<double>>`)
+  * with no per-row allocation (see [[VectorOps.adcDot]]).
+  */
+case class AdcDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_dot"
+
+  override protected def nullSafeEval(c: Any, t: Any): Any =
+    VectorOps.adcDot(c.asInstanceOf[ArrayData], t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.functions.VectorOps.adcDot($c, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `self_norm(a)`: codegen'd sum of squares of an `array<float>`. */
 case class SelfNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -356,6 +394,11 @@ object VectorFunctions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       DotProduct(org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  def adcDot(codes: Column, tables: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      AdcDot(org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tables)))
 
   def selfNorm(a: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

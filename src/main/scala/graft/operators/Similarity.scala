@@ -417,10 +417,9 @@ object Similarity {
         col("codes").as("mcodes"), col("nn").as("mn"))
     val probes = assigned
       .select(col("id"), col("nn"), col("tbl"), explode(col("cids")).as("cid"))
-    val adc = aggregate(
-      zip_with(col("mcodes"), col("tbl"),
-        (c, t) => element_at(t, c + lit(1))),
-      lit(0.0), (acc, x) => acc + x)
+    // allocation-free codegen kernel — the HOF zip_with+aggregate
+    // form allocates an array per PAIR and dominated the pair scan
+    val adc = VectorFunctions.adcDot(col("mcodes"), col("tbl"))
     val pairs = probes.join(lists,
         col("cid") === col("mcid") && col("id") =!= col("neighbor_id"))
       .select(col("id").as("vec_id"), col("neighbor_id"),

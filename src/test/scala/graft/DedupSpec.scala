@@ -507,6 +507,25 @@ class DedupSpec extends SparkSpec {
       "PQ scores the same candidate pool — it cannot beat exact scoring")
   }
 
+  test("adc_dot kernel equals the zip_with/aggregate HOF fold") {
+    val df = Seq(
+      (Array(0, 2, 1), Array(Array(1.5, 2.5, 3.5), Array(0.25, 0.5, 0.75),
+        Array(10.0, 20.0, 30.0))),
+      (Array(1, 0, 0), Array(Array(-1.0, 4.0, 0.0), Array(2.0, 8.0, 16.0),
+        Array(0.125, 64.0, 5.0))))
+      .toDF("codes", "tbl")
+    val out = df.select(
+      graft.functions.VectorFunctions.adcDot(col("codes"), col("tbl"))
+        .as("kernel"),
+      aggregate(zip_with(col("codes"), col("tbl"),
+          (c, t) => element_at(t, c + lit(1))),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"kernel ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+    assert(out(0).getDouble(0) == 1.5 + 0.75 + 20.0)
+  }
+
   test("ivf recall rises monotonically with nprobe and reaches 1.0 at nlist") {
     val e = Tables.load(spark, sf, "embeddings")
     val truth = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3)
