@@ -79,6 +79,35 @@ object DataQuality {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+
+  /** Leading-digit profile (Benford screening): the distribution of
+    * first digits of a positive numeric column — fabricated or
+    * unit-mixed data shows up as a first-digit distribution that
+    * drifts from the column's established profile (and from
+    * Benford's curve for naturally-spanning magnitudes; the expected
+    * curve needs log10, so the comparison happens offline — this
+    * operator reports the exact observed profile). The digit comes
+    * from the INTEGER part rendered as a string — integer-to-string
+    * is exact and engine-identical, where float formatting and
+    * log10-based digit extraction are not. One aggregate pass;
+    * shares divide exact longs once.
+    *
+    * Output: (digit, n, share) for digits 1-9 present in the data.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) > 0 && !isnan(col(valueCol).cast("double")))
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    // the unpartitioned total window runs over the AGGREGATED frame —
+    // at most 9 rows by construction, never the corpus
+    digits
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()).cast("double")).as("share"))
+  }
+
   /** Functional-dependency profiler: for each candidate determinant →
     * dependent pair, does every determinant value map to exactly one
     * dependent value? Exactly the check a schema-inference /

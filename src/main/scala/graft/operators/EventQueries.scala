@@ -111,6 +111,10 @@ object EventQueries {
   def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame =
     Events.debounce(ev(spark, dir), gapSec = 86400L)
 
+  /** Top-decile purchase-value concentration (Pareto profile). */
+  def eventsValuePareto(spark: SparkSession, dir: String): DataFrame =
+    Events.valueConcentration(ev(spark, dir), topPct = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed_agg" -> (eventsWindowedAgg _),
     "events_sliding_agg" -> (eventsSlidingAgg _),
@@ -125,6 +129,7 @@ object EventQueries {
     "events_paths" -> (eventsPaths _),
     "events_rfm" -> (eventsRfm _),
     "events_dedup_window" -> (eventsDedupWindow _),
+    "events_value_pareto" -> (eventsValuePareto _),
     "events_active" -> (eventsActive _),
     "events_active_sketch" -> (eventsActiveSketch _),
     "asof_join" -> (asofJoinQuery _))
@@ -132,6 +137,25 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     // chain semantics: lag -> new-burst flag -> running burst id ->
     // leader by (ts, event_id); integer-exact microsecond gaps
+    // exact-integer cutoff, exact decimal sums, one share division
+    "events_value_pareto" ->
+      """WITH pu AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id),
+        |r AS (
+        |  SELECT v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY v DESC, user_id ASC) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM pu),
+        |k AS (SELECT v, n, rn <= (n * 10 + 99) // 100 AS keep FROM r)
+        |SELECT MAX(n) AS n_users,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS top_users,
+        |  CAST(SUM(CASE WHEN keep THEN v END) AS DOUBLE) AS top_value,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CASE WHEN keep THEN v END) AS DOUBLE)
+        |    / CAST(SUM(v) AS DOUBLE) AS value_share
+        |FROM k""".stripMargin,
     "events_dedup_window" ->
       """WITH x AS (
         |  SELECT user_id, event_type, ts, event_id, value,

@@ -68,6 +68,44 @@ object Events {
         sum(dec(col("value"))).cast("double").as("session_value"))
   }
 
+  /** Value concentration (Pareto profile): what share of total
+    * purchase value comes from the top `topPct`% of users — the
+    * whale-concentration number every monetization/abuse review
+    * starts from. The cutoff is exact-integer
+    * (`rank <= ceil(n·topPct/100)` computed as `(n·topPct+99)/100`
+    * in longs), value sums are exact decimals, and the single share
+    * division is one IEEE op — fully oracle-exact.
+    *
+    * The ranking window is unpartitioned but runs over the PER-USER
+    * aggregate, bounded by user cardinality, not event volume (the
+    * dq_outliers family contract; at extreme user counts rank via
+    * the distinct-value cumulative shape or sketch quantiles
+    * instead).
+    *
+    * Output: one row (n_users, top_users, top_value, total_value,
+    * value_share).
+    */
+  def valueConcentration(events: DataFrame, topPct: Int = 10): DataFrame = {
+    require(topPct >= 1 && topPct <= 100, "topPct must be in [1, 100]")
+    val perUser = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(dec(col("value"))).as("_v"))
+    val w = Window.orderBy(col("_v").desc, col("user_id").asc)
+    val n = Window.partitionBy()
+    perUser
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(n))
+      .withColumn("_keep",
+        col("_rn") <= (col("_n") * topPct + 99L) / 100L)
+      .agg(
+        max(col("_n")).as("n_users"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("top_users"),
+        sum(when(col("_keep"), col("_v"))).cast("double").as("top_value"),
+        sum(col("_v")).cast("double").as("total_value"),
+        (sum(when(col("_keep"), col("_v"))).cast("double") /
+          sum(col("_v")).cast("double")).as("value_share"))
+  }
+
   /** Burst debounce: keep only the FIRST event of each per-(user,
     * type) burst — consecutive same-type events within `gapSec` of
     * the previous one collapse into their leader. The telemetry

@@ -234,6 +234,10 @@ object PipelineQueries {
       "p_brand" -> "p_type",
       "p_name" -> "p_brand"))
 
+  /** #18i Leading-digit (Benford screening) profile of order totals. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.benfordProfile(t(spark, dir, "orders"), "o_totalprice")
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -276,6 +280,7 @@ object PipelineQueries {
     "dq_drift" -> (dqDrift _),
     "dq_corr" -> (dqCorr _),
     "dq_funcdep" -> (dqFuncdep _),
+    "dq_benford" -> (dqBenford _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -290,6 +295,17 @@ object PipelineQueries {
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // integer-part string rendering is exact and engine-identical;
+    // the share total runs over the <=9-row aggregated frame
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders
+        |  WHERE o_totalprice > 0 AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        |FROM c""".stripMargin,
     // pure distinct counting; strength divides exact longs once
     "dq_funcdep" -> {
       def row(det: String, dep: String) =

@@ -150,6 +150,31 @@ class CoreQueriesSpec extends SparkSpec {
       ("v", 2L, 3L, false, 2.0 / 3)), out.toString)
   }
 
+  test("benford profile buckets by exact integer-part leading digit") {
+    import SparkSpec.spark.implicits._
+    // 1.5, 19.0 -> '1'; 250.0, 2.3 -> '2'; 0 and negatives excluded
+    val t = Seq(1.5, 19.0, 250.0, 2.3, 0.0, -77.0).toDF("v")
+    val out = graft.dq.DataQuality.benfordProfile(t, "v")
+      .orderBy("digit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("1", 2L, 0.5), ("2", 2L, 0.5)), out.toString)
+  }
+
+  test("value concentration keeps exactly ceil(n*pct/100) top users") {
+    import SparkSpec.spark.implicits._
+    import java.sql.Timestamp
+    // 10 purchase users with values 10..1 -> top 10% = 1 user, share
+    // 10/55; the non-purchase event must not count
+    val rows = (1 to 10).map(i =>
+      (i.toLong, "purchase", (11 - i).toDouble,
+        Timestamp.valueOf("2024-01-01 10:00:00"))) :+
+      (99L, "view", 1000.0, Timestamp.valueOf("2024-01-01 10:00:00"))
+    val e = rows.toDF("user_id", "event_type", "value", "ts")
+    val r = graft.operators.Events.valueConcentration(e, topPct = 10).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((10L, 1L, 10.0, 55.0, 10.0 / 55.0)), r.toString)
+  }
+
   test("iqr outliers flag exactly the fence-crossers") {
     import SparkSpec.spark.implicits._
     val rows = ((1 to 11).map(i => ("g", i.toDouble)) :+ ("g", 100.0)) ++
