@@ -266,6 +266,14 @@ object DedupQueries {
     // declared rows-only, recall floor spec-pinned vs brute force
     "ann_ivfpq_topk" -> ((s, d) =>
       Similarity.annIvfPq(embs(s, d), "vec_id", "embedding")),
+    // recall@k of the two-stage IVF-PQ pipeline vs brute force —
+    // rows-only (the PQ side has no SQL oracle), floor spec-pinned
+    "ann_recall_ivfpq" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annRecall(
+        Similarity.annBruteForce(e, "vec_id", "embedding"),
+        Similarity.annIvfPq(e, "vec_id", "embedding"))
+    }),
     // full curation pipeline: quality + repetition gates -> exact
     // dedup -> decontamination vs the src0 benchmark -> per
     // (source, lang) doc/token accounting
