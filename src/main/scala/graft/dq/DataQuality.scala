@@ -86,18 +86,44 @@ object DataQuality {
     * drifts from the column's established profile (and from
     * Benford's curve for naturally-spanning magnitudes; the expected
     * curve needs log10, so the comparison happens offline — this
-    * operator reports the exact observed profile). The digit comes
-    * from the INTEGER part rendered as a string — integer-to-string
-    * is exact and engine-identical, where float formatting and
-    * log10-based digit extraction are not. One aggregate pass;
-    * shares divide exact longs once.
+    * operator reports the exact observed profile). The digit is the
+    * first SIGNIFICANT digit: the value is normalized into [1, 10)
+    * by a fixed-depth chain of power-of-10 multiply/divide steps
+    * (binary exponent decomposition, 9 up + 9 down steps covering
+    * the whole double range incl. subnormals and > 2^63) — every
+    * step is one IEEE-754 op on engine-identical literals, so the
+    * result is bit-identical cross-engine where float formatting
+    * and log10-based extraction are not. Fractional values in (0,1)
+    * therefore profile correctly (0.00123 → digit 1), as do values
+    * beyond long range — the two holes of the naive
+    * floor-then-string form. One aggregate pass; shares divide
+    * exact longs once.
     *
     * Output: (digit, n, share) for digits 1-9 present in the data.
     */
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
-    val digits = df
-      .filter(col(valueCol) > 0 && !isnan(col(valueCol).cast("double")))
-      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+    // descending powers of two: one conditional scale per step puts
+    // any positive finite double into [1, 10) after 18 cheap column
+    // projections (chained withColumn, so Catalyst keeps each step
+    // named instead of exploding the expression tree 3^18-fold)
+    val pows = Seq(256, 128, 64, 32, 16, 8, 4, 2, 1)
+    val base = df
+      .filter(col(valueCol) > 0 && !isnan(col(valueCol).cast("double")) &&
+        col(valueCol).cast("double") <= lit(Double.MaxValue))
+      .select(col(valueCol).cast("double").as("_v"))
+    val up = pows.foldLeft(base) { (d, p) =>
+      // v < 10^(1-p)  ⇒  v·10^p still < 10
+      d.withColumn("_v",
+        when(col("_v") < lit(s"1e${1 - p}".toDouble),
+          col("_v") * lit(s"1e$p".toDouble)).otherwise(col("_v")))
+    }
+    val normed = pows.foldLeft(up) { (d, p) =>
+      d.withColumn("_v",
+        when(col("_v") >= lit(s"1e$p".toDouble),
+          col("_v") / lit(s"1e$p".toDouble)).otherwise(col("_v")))
+    }
+    val digits = normed
+      .select(substring(floor(col("_v")).cast("long").cast("string"), 1, 1)
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     // the unpartitioned total window runs over the AGGREGATED frame —

@@ -95,8 +95,10 @@ object Events {
     perUser
       .withColumn("_rn", row_number().over(w).cast("long"))
       .withColumn("_n", count(lit(1)).over(n))
+      // `div` keeps the ceil in integer arithmetic (Column `/` on
+      // longs is double division, only ceil-equivalent below 2^53)
       .withColumn("_keep",
-        col("_rn") <= (col("_n") * topPct + 99L) / 100L)
+        col("_rn") <= expr(s"(_n * $topPct + 99) div 100"))
       .agg(
         max(col("_n")).as("n_users"),
         sum(when(col("_keep"), 1L).otherwise(0L)).as("top_users"),
@@ -504,6 +506,11 @@ object Events {
         quintile(Seq(col("monetary").desc, col(keyCol).asc)))
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      // positional contract: the driver hashes columns in schema order,
+      // so the output order is part of the operator's interface
+      .select(col(keyCol), col("last_ts"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("rfm"))
   }
 
   def asofJoin(events: DataFrame, probes: DataFrame,

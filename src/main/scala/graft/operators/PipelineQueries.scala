@@ -295,17 +295,32 @@ object PipelineQueries {
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // integer-part string rendering is exact and engine-identical;
-    // the share total runs over the <=9-row aggregated frame
-    "dq_benford" ->
-      """WITH d AS (
-        |  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
-        |  FROM orders
-        |  WHERE o_totalprice > 0 AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
-        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit)
-        |SELECT digit, n,
-        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
-        |FROM c""".stripMargin,
+    // first-significant-digit via the same fixed-depth power-of-10
+    // IEEE normalization chain as the Spark side (a CTE per step so
+    // neither engine duplicates the CASE operand); the share total
+    // runs over the <=9-row aggregated frame
+    "dq_benford" -> {
+      val pows = Seq(256, 128, 64, 32, 16, 8, 4, 2, 1)
+      val upCtes = pows.zipWithIndex.map { case (p, i) =>
+        s"s${i + 1} AS (SELECT CASE WHEN v < 1e${1 - p} THEN v * 1e$p ELSE v END AS v FROM s$i)"
+      }
+      val downCtes = pows.zipWithIndex.map { case (p, i) =>
+        s"s${i + 10} AS (SELECT CASE WHEN v >= 1e$p THEN v / 1e$p ELSE v END AS v FROM s${i + 9})"
+      }
+      val ctes = (Seq(
+        """s0 AS (
+          |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+          |  WHERE o_totalprice > 0 AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+          |    AND CAST(o_totalprice AS DOUBLE) <= 1.7976931348623157e308)""".stripMargin)
+        ++ upCtes ++ downCtes ++ Seq(
+        "d AS (SELECT substring(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM s18)",
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit)"))
+        .mkString(",\n")
+      s"""WITH $ctes
+         |SELECT digit, n,
+         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+         |FROM c""".stripMargin
+    },
     // pure distinct counting; strength divides exact longs once
     "dq_funcdep" -> {
       def row(det: String, dep: String) =

@@ -121,14 +121,22 @@ object TextAnalysis {
               vocabSize: Int = 100): DataFrame = {
     val vocab = vocabTopK(df, textCol, vocabSize)
       .select("word").collect().map(_.getString(0))
-    val vocabArr = array(vocab.map(lit(_)): _*)
+    // typed empty literal: array() of zero columns is NullType and
+    // fails analysis inside array_contains
+    val vocabArr =
+      if (vocab.isEmpty) lit(Array.empty[String])
+      else array(vocab.map(lit(_)).toIndexedSeq: _*)
     val words = filter(split(col(textCol), " "), w => length(w) > 0)
     val nWords = size(words)
     val nOov = size(filter(words, w => !array_contains(vocabArr, w)))
     df.select(col(idCol),
       nWords.cast("long").as("n_words"),
       nOov.cast("long").as("n_oov"),
-      (nOov.cast("double") / nWords.cast("double")).as("oov_rate"))
+      // empty/whitespace-only doc: no words to judge — null, not NaN
+      // (the rarityScore contract)
+      when(nWords === 0, lit(null).cast("double"))
+        .otherwise(nOov.cast("double") / nWords.cast("double"))
+        .as("oov_rate"))
   }
 
   /** Frequency-based quality proxy: the mean corpus frequency of a

@@ -296,8 +296,9 @@ object TextQueries {
         |  CAST(len(words) AS BIGINT) AS n_words,
         |  CAST(len(list_filter(words, x -> NOT list_contains(vl.vocab, x)))
         |    AS BIGINT) AS n_oov,
-        |  CAST(len(list_filter(words, x -> NOT list_contains(vl.vocab, x)))
-        |    AS DOUBLE) / CAST(len(words) AS DOUBLE) AS oov_rate
+        |  CASE WHEN len(words) = 0 THEN NULL
+        |    ELSE CAST(len(list_filter(words, x -> NOT list_contains(vl.vocab, x)))
+        |      AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS oov_rate
         |FROM w, vl""".stripMargin,
     // sum of squared counts folds as exact BIGINTs on both engines;
     // the only float op is the final sum/n² division

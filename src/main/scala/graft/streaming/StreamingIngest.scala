@@ -281,7 +281,7 @@ object StreamingIngest {
     import events.sparkSession.implicits._
     val gapUs = gapSec * 1000000L
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", s"${math.max(gapSec, 3600L)} seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -390,8 +390,12 @@ object StreamingIngest {
       : Dataset[DebounceEvent] = {
     import events.sparkSession.implicits._
     val gapUs = gapSec * 1000000L
+    // the suppression horizon must cover the chain gap: an event
+    // arriving later than the watermark is dropped by the stream but
+    // counted by the batch twin, so tie the watermark to gapSec
+    // (floor 1h for ordinary out-of-orderness at small gaps)
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", s"${math.max(gapSec, 3600L)} seconds")
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[DebounceState, DebounceEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -150,14 +150,20 @@ class CoreQueriesSpec extends SparkSpec {
       ("v", 2L, 3L, false, 2.0 / 3)), out.toString)
   }
 
-  test("benford profile buckets by exact integer-part leading digit") {
+  test("benford profile buckets by first significant digit") {
     import SparkSpec.spark.implicits._
-    // 1.5, 19.0 -> '1'; 250.0, 2.3 -> '2'; 0 and negatives excluded
-    val t = Seq(1.5, 19.0, 250.0, 2.3, 0.0, -77.0).toDF("v")
+    // 1.5, 19.0, 0.00123 -> '1'; 250.0, 2.3 -> '2'; fractional and
+    // beyond-long values take their SIGNIFICANT digit (0.5 -> '5',
+    // 9.3e18 > Long.MaxValue -> '9', 4.9e-324 subnormal -> '4');
+    // 0 and negatives excluded
+    val t = Seq(1.5, 19.0, 250.0, 2.3, 0.0, -77.0,
+      0.00123, 0.5, 9.3e18, 4.9e-324).toDF("v")
     val out = graft.dq.DataQuality.benfordProfile(t, "v")
       .orderBy("digit").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(out == Seq(("1", 2L, 0.5), ("2", 2L, 0.5)), out.toString)
+    assert(out == Seq(("1", 3L, 3.0 / 8), ("2", 2L, 2.0 / 8),
+      ("4", 1L, 1.0 / 8), ("5", 1L, 1.0 / 8), ("9", 1L, 1.0 / 8)),
+      out.toString)
   }
 
   test("value concentration keeps exactly ceil(n*pct/100) top users") {

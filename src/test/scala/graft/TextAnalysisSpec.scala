@@ -382,15 +382,18 @@ class TextAnalysisSpec extends SparkSpec {
     // but K=2 keeps only a and b)
     val docs = Seq(
       (1L, "a a b c"),
-      (2L, "a a b b zq"))
+      (2L, "a a b b zq"),
+      (3L, "   "))
       .toDF("doc_id", "text")
     val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabSize = 2)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
       .toSeq
     assert(out == Seq(
       (1L, 4L, 1L, 1.0 / 4),
-      (2L, 5L, 1L, 1.0 / 5)), out.toString)
+      (2L, 5L, 1L, 1.0 / 5),
+      (3L, 0L, 0L, null)), out.toString)
   }
 
   test("word-count pairs: in-row fold equals explode/groupBy; vocab recomposes") {

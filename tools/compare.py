@@ -2,8 +2,8 @@
 """Dev-only oracle-parity harness (driver-side python; NOT part of the
 library). Replicates the driver's correctness gate: run Verify via
 sbt, then execute each oracle SQL in DuckDB over the same parquet
-tables and compare values exactly (columns sorted by name, rows sorted
-by all columns).
+tables and compare values exactly (columns POSITIONAL — schema order,
+exactly as the driver hashes — rows sorted by all columns).
 
 Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-verify] [query ...]
 """
@@ -24,7 +24,9 @@ def norm(v):
     return str(v)
 
 def table_rows(tbl):
-    cols = sorted(tbl.column_names)
+    # POSITIONAL: keep schema order — the driver hashes positionally,
+    # so a column-order mismatch must fail here too (r12 lesson).
+    cols = list(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
     rows = sorted(tuple(norm(x) for x in row) for row in zip(*data)) if data else []
     return cols, rows
