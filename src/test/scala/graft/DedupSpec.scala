@@ -492,19 +492,32 @@ class DedupSpec extends SparkSpec {
         .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
     // quantized scoring loses precision but must keep ranking SIGNAL
     // (well above the ~k/N random floor), and exact RERANK of the ADC
-    // shortlist must recover most of the gap to exact-scored IVF —
-    // while neither can beat IVF (same candidate pool, PQ only prunes)
+    // shortlist must recover nearly all of the gap to exact scoring
+    // ON ITS OWN candidate pool (the refined cosine-k-means coarse
+    // quantizer — annIvfWith on pqCoarse's centroids is that
+    // ceiling; annIvf's raw-sampled quantizer is a DIFFERENT pool,
+    // kept as a pool-agnostic quality bar only)
     val rPq = meanRecall(pq)
     val rRr = meanRecall(Similarity.annIvfPq(e, "vec_id", "embedding", k = 3,
       nlist = 8, nprobe = 2, m = 8, ksub = 64, rerank = 4))
     val rIvf = meanRecall(
       Similarity.annIvf(e, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2))
-    info(f"recall@3: adc $rPq%.4f  rerank $rRr%.4f  exact ivf $rIvf%.4f")
-    assert(rPq > 0.10, f"PQ recall degenerate: $rPq%.4f")
+    val (cIds, cVecs) = Similarity.pqCoarse(e, "vec_id", "embedding",
+      nlist = 8, ksub = 64)
+    val rPool = meanRecall(Similarity.annIvfWith(e, "vec_id", "embedding",
+      cIds, cVecs, k = 3, nprobe = 2))
+    info(f"recall@3: adc $rPq%.4f  rerank $rRr%.4f  exact ivf $rIvf%.4f  pool ceiling $rPool%.4f")
+    // projection-residual codes: measured 0.27 adc / 0.43 rerank vs
+    // 0.23 / 0.37 for raw-slice codes on this corpus — the floors
+    // below leave regeneration slack but would catch a fallback
+    assert(rPq > 0.15, f"PQ recall degenerate: $rPq%.4f")
     assert(rRr >= rPq - 1e-12, "exact rerank cannot lose to raw ADC ranks")
     assert(rRr >= 0.8 * rIvf, f"rerank $rRr%.4f too far below ivf $rIvf%.4f")
-    assert(rRr <= rIvf + 1e-12,
-      "PQ scores the same candidate pool — it cannot beat exact scoring")
+    assert(rRr >= 0.8 * rPool,
+      f"rerank $rRr%.4f too far below its own pool ceiling $rPool%.4f")
+    assert(rRr <= rPool + 1e-12,
+      "PQ scores a subset of its own candidate pool — it cannot beat " +
+        "exact scoring on that pool")
   }
 
   test("adc_dot kernel equals the zip_with/aggregate HOF fold") {
