@@ -105,6 +105,14 @@ object EventQueries {
   def eventsRfm(spark: SparkSession, dir: String): DataFrame =
     Events.rfm(ev(spark, dir), anchor = "2024-02-01")
 
+  /** [[eventsRfm]]'s sketch-boundary scale path — sub-capacity at
+    * this SF (|keys| « sketchK), so the KLL boundaries are exact
+    * order statistics and the DuckDB oracle replays them with the
+    * same ceil(q·n) list-rank rule.
+    */
+  def eventsRfmSketch(spark: SparkSession, dir: String): DataFrame =
+    Events.rfmSketch(ev(spark, dir), anchor = "2024-02-01")
+
   /** Burst debounce at a 1-day chain gap (the synthetic stream is
     * sparse per (user, type); production telemetry uses seconds).
     */
@@ -128,6 +136,7 @@ object EventQueries {
     "events_anomaly" -> (eventsAnomaly _),
     "events_paths" -> (eventsPaths _),
     "events_rfm" -> (eventsRfm _),
+    "events_rfm_sketch" -> (eventsRfmSketch _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_value_pareto" -> (eventsValuePareto _),
     "events_active" -> (eventsActive _),
@@ -285,6 +294,65 @@ object EventQueries {
         |    + ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
         |    AS rfm
         |FROM d""".stripMargin,
+    // sketch-boundary RFM: sub-capacity KLL == exact order
+    // statistics, so the boundaries replay as ascending-list ranks
+    // at GREATEST(1, ceil(q*n)) (the kllQuantiles rule, same IEEE
+    // double multiply) and scores bin by value comparison
+    "events_rfm_sketch" ->
+      """WITH per AS (
+        |  SELECT user_id, max(ts) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |      AS monetary
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT *, CAST(date_diff('day', CAST(last_ts AS DATE),
+        |    DATE '2024-02-01') AS INT) AS recency_days
+        |  FROM per),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    list(CAST(recency_days AS DOUBLE)
+        |      ORDER BY CAST(recency_days AS DOUBLE)) AS lr,
+        |    list(CAST(frequency AS DOUBLE)
+        |      ORDER BY CAST(frequency AS DOUBLE)) AS lf,
+        |    list(CAST(monetary AS DOUBLE)
+        |      ORDER BY CAST(monetary AS DOUBLE)) AS lm
+        |  FROM d),
+        |q AS (
+        |  SELECT
+        |    lr[GREATEST(1, CAST(ceil(0.2 * n) AS BIGINT))] AS r1,
+        |    lr[GREATEST(1, CAST(ceil(0.4 * n) AS BIGINT))] AS r2,
+        |    lr[GREATEST(1, CAST(ceil(0.6 * n) AS BIGINT))] AS r3,
+        |    lr[GREATEST(1, CAST(ceil(0.8 * n) AS BIGINT))] AS r4,
+        |    lf[GREATEST(1, CAST(ceil(0.2 * n) AS BIGINT))] AS f1,
+        |    lf[GREATEST(1, CAST(ceil(0.4 * n) AS BIGINT))] AS f2,
+        |    lf[GREATEST(1, CAST(ceil(0.6 * n) AS BIGINT))] AS f3,
+        |    lf[GREATEST(1, CAST(ceil(0.8 * n) AS BIGINT))] AS f4,
+        |    lm[GREATEST(1, CAST(ceil(0.2 * n) AS BIGINT))] AS m1,
+        |    lm[GREATEST(1, CAST(ceil(0.4 * n) AS BIGINT))] AS m2,
+        |    lm[GREATEST(1, CAST(ceil(0.6 * n) AS BIGINT))] AS m3,
+        |    lm[GREATEST(1, CAST(ceil(0.8 * n) AS BIGINT))] AS m4
+        |  FROM b),
+        |s AS (
+        |  SELECT d.*,
+        |    1 + CAST(CAST(recency_days AS DOUBLE) > q.r1 AS INT)
+        |      + CAST(CAST(recency_days AS DOUBLE) > q.r2 AS INT)
+        |      + CAST(CAST(recency_days AS DOUBLE) > q.r3 AS INT)
+        |      + CAST(CAST(recency_days AS DOUBLE) > q.r4 AS INT) AS r_score,
+        |    1 + CAST(CAST(frequency AS DOUBLE) <= q.f4 AS INT)
+        |      + CAST(CAST(frequency AS DOUBLE) <= q.f3 AS INT)
+        |      + CAST(CAST(frequency AS DOUBLE) <= q.f2 AS INT)
+        |      + CAST(CAST(frequency AS DOUBLE) <= q.f1 AS INT) AS f_score,
+        |    1 + CAST(CAST(monetary AS DOUBLE) <= q.m4 AS INT)
+        |      + CAST(CAST(monetary AS DOUBLE) <= q.m3 AS INT)
+        |      + CAST(CAST(monetary AS DOUBLE) <= q.m2 AS INT)
+        |      + CAST(CAST(monetary AS DOUBLE) <= q.m1 AS INT) AS m_score
+        |  FROM d, q)
+        |SELECT user_id, last_ts, recency_days, frequency, monetary,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+        |FROM s""".stripMargin,
     // integer cross-product spike test (n·trail_hours > 3·trail_sum):
     // the flag never touches floating point; the ratio divides two
     // exact longs as doubles once — same IEEE op on both engines

@@ -489,12 +489,7 @@ object Events {
   def rfm(events: DataFrame, anchor: String,
           keyCol: String = "user_id", tsCol: String = "ts",
           valueCol: String = "value"): DataFrame = {
-    val per = events.groupBy(col(keyCol))
-      .agg(max(col(tsCol)).as("last_ts"),
-        count(lit(1)).as("frequency"),
-        sum(dec(col(valueCol))).as("monetary"))
-      .withColumn("recency_days",
-        datediff(lit(anchor).cast("date"), col("last_ts").cast("date")))
+    val per = rfmAggregate(events, anchor, keyCol, tsCol, valueCol)
     def quintile(order: Seq[Column]) =
       ntile(5).over(Window.orderBy(order: _*))
     per
@@ -508,6 +503,73 @@ object Events {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       // positional contract: the driver hashes columns in schema order,
       // so the output order is part of the operator's interface
+      .select(col(keyCol), col("last_ts"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("rfm"))
+  }
+
+  /** The shared per-key collapse of [[rfm]]/[[rfmSketch]]: one
+    * key-grouped aggregate reduces the fact table to |keys| rows of
+    * (key, last_ts, frequency, monetary, recency_days).
+    */
+  private def rfmAggregate(events: DataFrame, anchor: String,
+                           keyCol: String, tsCol: String,
+                           valueCol: String): DataFrame =
+    events.groupBy(col(keyCol))
+      .agg(max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col(valueCol))).as("monetary"))
+      .withColumn("recency_days",
+        datediff(lit(anchor).cast("date"), col("last_ts").cast("date")))
+
+  /** [[rfm]]'s sketch-boundary scale path — the billions-of-keys
+    * form the exact operator's scaladoc names. The exact ntile(5)
+    * sorts the whole |keys| frame in ONE task; here the quintile
+    * BOUNDARIES come instead from one KLL sketch pass over the
+    * per-key aggregate (partial-aggregable — O(k·log n) buffers
+    * shuffle, never keys) and each key is then binned by a codegen'd
+    * comparison against the four broadcast boundary values per
+    * metric. No global sort at any cardinality.
+    *
+    * Semantics vs [[rfm]]: scores bin by VALUE, so equal metric
+    * values always share a score (ntile splits ties arbitrarily by
+    * the key tiebreak to force equal-size tiles) and tile sizes are
+    * only approximately n/5 under heavy ties; boundary values are
+    * rank estimates within the KLL bound once n exceeds sketch
+    * capacity. On sub-capacity tie-free frames with 5 | n the two
+    * operators agree exactly (spec-pinned: the sketch stores every
+    * value, its ceil(q·n) rank rule picks the ntile tile edges, and
+    * distinct values make rank-binning == value-binning).
+    *
+    * Output: identical shape and column order to [[rfm]].
+    */
+  def rfmSketch(events: DataFrame, anchor: String,
+                keyCol: String = "user_id", tsCol: String = "ts",
+                valueCol: String = "value", sketchK: Int = 512): DataFrame = {
+    import graft.functions.Kll
+    val per = rfmAggregate(events, anchor, keyCol, tsCol, valueCol)
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val bounds = per.agg(
+        Kll.kllSketch(col("recency_days").cast("double"), sketchK).as("_sr"),
+        Kll.kllSketch(col("frequency").cast("double"), sketchK).as("_sf"),
+        Kll.kllSketch(col("monetary").cast("double"), sketchK).as("_sm"))
+      .select(Kll.kllQuantiles(col("_sr"), qs).as("_qr"),
+        Kll.kllQuantiles(col("_sf"), qs).as("_qf"),
+        Kll.kllQuantiles(col("_sm"), qs).as("_qm"))
+    // lower = better, as in rfm: recency bins ascending (small
+    // recency → 1), frequency/monetary descending (large → 1)
+    def asc(v: Column, q: Column): Column =
+      lit(1) + (v > q.getItem(0)).cast("int") + (v > q.getItem(1)).cast("int") +
+        (v > q.getItem(2)).cast("int") + (v > q.getItem(3)).cast("int")
+    def desc(v: Column, q: Column): Column =
+      lit(1) + (v <= q.getItem(3)).cast("int") + (v <= q.getItem(2)).cast("int") +
+        (v <= q.getItem(1)).cast("int") + (v <= q.getItem(0)).cast("int")
+    per.crossJoin(broadcast(bounds))
+      .withColumn("r_score", asc(col("recency_days").cast("double"), col("_qr")))
+      .withColumn("f_score", desc(col("frequency").cast("double"), col("_qf")))
+      .withColumn("m_score", desc(col("monetary").cast("double"), col("_qm")))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .select(col(keyCol), col("last_ts"), col("recency_days"),
         col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"), col("rfm"))

@@ -301,4 +301,36 @@ class EventsSpec extends SparkSpec {
     assert(u5.getDecimal(u5.fieldIndex("monetary"))
       .compareTo(new java.math.BigDecimal("50.00")) == 0)
   }
+
+  test("rfmSketch equals exact rfm on a sub-capacity tie-free frame") {
+    // 10 users, strictly ordered metrics, 5 | n: the KLL boundaries
+    // are exact order statistics and value-binning == ntile ranks
+    val e = (1 to 10).flatMap { u =>
+      (1 to u).map(i =>
+        (u.toLong, ts(f"2024-01-$u%02d 10:$i%02d:00"), u * 1.25))
+    }.toDF("user_id", "ts", "value")
+    val exact = Events.rfm(e, anchor = "2024-01-20")
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val sk = Events.rfmSketch(e, anchor = "2024-01-20")
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(sk == exact, s"sketch=$sk\nexact=$exact")
+    // and the schemas (incl. column ORDER — the positional driver
+    // contract) agree
+    assert(Events.rfmSketch(e, anchor = "2024-01-20").columns.toSeq ==
+      Events.rfm(e, anchor = "2024-01-20").columns.toSeq)
+  }
+
+  test("rfmSketch gives equal metric values equal scores (no tie split)") {
+    // all 10 users identical -> every boundary equals the value,
+    // every score must be the SAME (ntile would force tiles 1..5)
+    val e = (1 to 10).map(u =>
+      (u.toLong, ts("2024-01-05 10:00:00"), 10.0))
+      .toDF("user_id", "ts", "value")
+    val out = Events.rfmSketch(e, anchor = "2024-01-20").collect()
+    assert(out.length == 10)
+    val scores = out.map(r => (r.getInt(r.fieldIndex("r_score")),
+      r.getInt(r.fieldIndex("f_score")),
+      r.getInt(r.fieldIndex("m_score")))).distinct
+    assert(scores.length == 1, s"tied metrics split scores: ${scores.toSeq}")
+  }
 }
