@@ -465,6 +465,242 @@ object Dedup {
         col("max_containment"))
   }
 
+  /** Incremental [[ngramContainmentStats]] — the CONTAINMENT member
+    * of the incremental gold-hop family (siblings:
+    * [[exactDedupIncremental]], [[minhashLshStatsIncremental]],
+    * [[simhashStatsIncremental]], [[embeddingStatsLshIncremental]],
+    * [[dedupResolveIncremental]],
+    * [[TextAnalysis.segmentDedupIncremental]], `annIvfIncremental` —
+    * same keyed-state + XOR-signature-staleness design; same n /
+    * maxDf / threshold across calls).
+    *
+    * Structure maps onto the MinHash member with the LSH band bucket
+    * replaced by the RARE-SHINGLE bucket: the bucket key is the
+    * shingle hash itself and qualification is 2 ≤ df ≤ maxDf (the
+    * batch operator's candidate rule — frequent shingles carry no
+    * discriminative signal). State: `docs` = (id, shash) hash
+    * arrays; `shingles` = (id, chash, h) EXPLODED posting rows keyed
+    * (h, id), chash = content fingerprint. The posting state is the
+    * structural cost of this member — O(shingles/doc) rows where
+    * every sibling stores O(1) — and is exactly an incremental
+    * inverted index of the corpus's shingles; the qualification
+    * bound means buckets past maxDf still store members (df can
+    * shrink back under deletes) but never generate pairs or
+    * signatures.
+    *
+    * Staleness: per qualifying bucket an order-independent member
+    * XOR of xxhash64(h, id, chash); per doc the XOR over its
+    * qualifying buckets, stored in gold as `_shingle_sig`. The
+    * chash fold is what propagates a mate's content rewrite: every
+    * candidate pair shares ≥1 qualifying bucket, so a change to
+    * either side's shingle SET (which moves the directional
+    * containment of both) flips a shared bucket's signature even
+    * when membership is unchanged. Qualification flips (df crossing
+    * maxDf either way) change member signatures for the same reason
+    * membership changes do.
+    *
+    * `appendOnly` switches the per-batch cost from
+    * O(|posting state|) to O(batch neighborhood): on an insert-only
+    * corpus a doc's stats change only when a batch doc lands in (or
+    * newly disqualifies) one of its buckets, so the re-verify set is
+    * the members of batch-touched buckets and every aggregation runs
+    * over the two-hop neighborhood. Contract and degrade semantics
+    * as the siblings: a delete feed throws under `appendOnly`;
+    * `fullResync` runs the general path.
+    *
+    * Gold rows: (id, n_candidates, n_contained, max_containment,
+    * _ord, _shingle_sig) — stats columns identical to the batch
+    * operator, spec-proven equal to its recompute over every
+    * document seen.
+    */
+  def containmentStatsIncremental(spark: SparkSession, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  stateDir: String, goldPath: String,
+                                  batchOrd: Long,
+                                  n: Int = 5, maxDf: Int = 20,
+                                  threshold: Double = 0.5,
+                                  deletes: Option[DataFrame] = None,
+                                  fullResync: Boolean = false,
+                                  appendOnly: Boolean = false,
+                                  fmt: graft.pipeline.TableFormat =
+                                    graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val docsPath = s"$stateDir/docs"
+    val postPath = s"$stateDir/shingles"
+    def shingleRows(docsH: DataFrame): DataFrame =
+      docsH.select(col("id"), xxhash64(col("shash")).as("chash"),
+        explode(col("shash")).as("h"))
+    def contStats(stateDocs: DataFrame, pairs: DataFrame): DataFrame =
+      pairs
+        .join(stateDocs.as("da"), col("da.id") === col("ida"))
+        .join(stateDocs.as("db"), col("db.id") === col("idb"))
+        .withColumn("_shared", HashFunctions.sortedIntersectCount(
+          col("da.shash"), col("db.shash")))
+        .select(col("ida"), col("idb"),
+          (col("_shared").cast("double") / size(col("da.shash")))
+            .as("containment"))
+        .groupBy(col("ida")).agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("containment") >= threshold, 1L).otherwise(0L))
+            .as("n_contained"),
+          max(col("containment")).as("max_containment"))
+    // null-text handling: the batch operator's documented deviation
+    // (see minhashLshStatsIncremental) — null docs never enter
+    // state/gold, an update TO null retracts like a delete
+    val batchAll = graft.Materialize.eager(
+      oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", Seq("text")))
+    val batchDocs = batchAll.filter(col("text").isNotNull)
+    if (appendOnly && !fullResync) {
+      if (batchDocs.isEmpty) return
+      val batchH = graft.Materialize.eager(
+        shingleHashes(batchDocs, "id", "text", n))
+      val batchPost = graft.Materialize.eager(shingleRows(batchH))
+      fmt.scd1Merge(spark, docsPath,
+        batchH.withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      fmt.scd1Merge(spark, postPath,
+        batchPost.withColumn("_ord", lit(batchOrd)),
+        Seq("h", "id"), "_ord", compareExclude = Nil)
+      val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
+      val statePost = fmt.read(spark, postPath)
+        .select(col("id"), col("chash"), col("h"))
+      // re-verify set: members of buckets the batch touched — the
+      // only docs whose bucket membership, qualification, or stored
+      // signature can change on an insert-only corpus
+      val affected = graft.Materialize.eager(
+        statePost.join(batchPost.select(col("h")).distinct(),
+            Seq("h"), "left_semi")
+          .select(col("id")).distinct())
+      val affBuckets = statePost.join(affected, Seq("id"), "left_semi")
+        .select(col("h")).distinct()
+      val nbrPost = graft.Materialize.eager(
+        statePost.join(affBuckets, Seq("h"), "left_semi"))
+      val buckets = graft.Materialize.eager(
+        nbrPost.groupBy(col("h"))
+          .agg(count(lit(1)).as("_sz"),
+            expr("bit_xor(xxhash64(h, id, chash))").as("_bsig"))
+          .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxDf))
+      val sigNow = graft.Materialize.eager(
+        nbrPost.join(affected, Seq("id"), "left_semi")
+          .join(buckets, Seq("h"))
+          .groupBy(col("id"))
+          .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+            .as("_sig_now")))
+      val qb = buckets.filter(col("_q")).select(col("h"))
+      val aSide = nbrPost.join(affected, Seq("id"), "left_semi")
+        .join(qb, Seq("h"), "left_semi")
+        .select(col("h"), col("id").as("ida"))
+      val mSide = nbrPost.join(qb, Seq("h"), "left_semi")
+        .select(col("h"), col("id").as("idb"))
+      val pairs = aSide.join(mSide, Seq("h"))
+        .filter(col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb")).distinct()
+      val per = graft.Materialize.eager(contStats(stateDocs, pairs))
+      val statsRows = affected
+        .join(per, col("id") === col("ida"), "left_outer")
+        .join(sigNow, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_contained"), lit(0L)).as("n_contained"),
+          col("max_containment"), lit(batchOrd).as("_ord"),
+          coalesce(col("_sig_now"), lit(0L)).as("_shingle_sig"))
+      if (!statsRows.isEmpty)
+        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+          compareExclude = Nil)
+      return
+    }
+    val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
+      docsPath, batchAll.select(col("id")), fmt)
+    val drops = graft.Materialize.eager(
+      delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+        _.unionByName(batchAll.filter(col("text").isNull).select(col("id"))))
+        .distinct())
+    if (!batchAll.isEmpty) {
+      val ids = batchAll.select(col("id")).distinct()
+      if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, ids, Seq("id"))
+      if (fmt.exists(postPath)) fmt.deleteKeys(spark, postPath, ids, Seq("id"))
+      if (!batchDocs.isEmpty) {
+        val batchH = graft.Materialize.eager(
+          shingleHashes(batchDocs, "id", "text", n))
+        fmt.scd1Merge(spark, docsPath,
+          batchH.withColumn("_ord", lit(batchOrd)),
+          Seq("id"), "_ord", compareExclude = Nil)
+        fmt.scd1Merge(spark, postPath,
+          shingleRows(batchH).withColumn("_ord", lit(batchOrd)),
+          Seq("h", "id"), "_ord", compareExclude = Nil)
+      }
+    }
+    delIds.foreach { d =>
+      if (!d.isEmpty) {
+        if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, d, Seq("id"))
+        if (fmt.exists(postPath)) fmt.deleteKeys(spark, postPath, d, Seq("id"))
+      }
+    }
+    if (!fmt.exists(docsPath)) return // empty first batch
+
+    val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
+    val statePost = fmt.read(spark, postPath)
+      .select(col("id"), col("chash"), col("h"))
+
+    // qualifying buckets + member signatures — the bucket key h folds
+    // into the member hash so structurally identical member sets in
+    // different buckets cannot cancel (the minhash member's lesson)
+    val buckets = graft.Materialize.eager(
+      statePost.groupBy(col("h"))
+        .agg(count(lit(1)).as("_sz"),
+          expr("bit_xor(xxhash64(h, id, chash))").as("_bsig"))
+        .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxDf))
+    val sigNow = graft.Materialize.eager(
+      statePost.join(buckets, Seq("h"))
+        .groupBy(col("id"))
+        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+          .as("_sig_now")))
+
+    val affectedAll =
+      if (fmt.exists(goldPath)) {
+        val goldDf = fmt.read(spark, goldPath)
+        val withSig =
+          if (goldDf.columns.contains("_shingle_sig")) goldDf
+          else goldDf.withColumn("_shingle_sig", lit(null).cast("long"))
+        withSig
+          .join(sigNow, Seq("id"), "left_outer")
+          .filter(!(col("_shingle_sig") <=> coalesce(col("_sig_now"), lit(0L))))
+          .select(col("id"))
+          .unionByName(batchDocs.select(col("id"))).distinct()
+      } else batchDocs.select(col("id")).distinct()
+    val affected = graft.Materialize.eager(
+      if (drops.isEmpty) affectedAll
+      else affectedAll.join(drops, Seq("id"), "left_anti"))
+
+    val qb = buckets.filter(col("_q")).select(col("h"))
+    val aSide = statePost.join(affected, Seq("id"), "left_semi")
+      .join(qb, Seq("h"), "left_semi")
+      .select(col("h"), col("id").as("ida"))
+    val mSide = statePost.join(qb, Seq("h"), "left_semi")
+      .select(col("h"), col("id").as("idb"))
+    val pairs = aSide.join(mSide, Seq("h"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val per = graft.Materialize.eager(contStats(stateDocs, pairs))
+    val statsRows = affected
+      .join(per, col("id") === col("ida"), "left_outer")
+      .join(sigNow, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_contained"), lit(0L)).as("n_contained"),
+        col("max_containment"), lit(batchOrd).as("_ord"),
+        coalesce(col("_sig_now"), lit(0L)).as("_shingle_sig"))
+    if (!statsRows.isEmpty)
+      fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (fmt.exists(goldPath) && !drops.isEmpty)
+      fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    ()
+  }
+
   /** #29 MinHash+LSH near-dup: numPerm permutations approximated by
     * re-hashing each shingle hash with a per-permutation seed, min
     * per seed — all computed INSIDE the row with transform/array_min

@@ -1681,6 +1681,215 @@ class StreamingSpec extends SparkSpec {
       "doc 5 must lose its nulled partner")
   }
 
+  test("incremental containment stats: streamed gold equals batch recompute, updates retract, crashes replay") {
+    // CONTAINMENT member of the incremental family: per-doc
+    // directional-containment stats maintained across micro-batches
+    // must equal Dedup.ngramContainmentStats over silver-current
+    // after every fold. The scenario exercises the asymmetry the
+    // member exists for: a short fragment contained in a long page
+    // (containment(frag->page) ~ 1 where Jaccard is low), an OLD doc
+    // gaining a partner, an UPDATE retracting one, a crash between
+    // the state and gold merges, a hard delete, and update-to-null.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_ct_silver").toString
+    val stateDir = Files.createTempDirectory("graft_ct_state").toString
+    val gold = Files.createTempDirectory("graft_ct_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_ct_ck").toString
+    val P = (3, 20, 0.5) // n, maxDf, threshold
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        Dedup.containmentStatsIncremental(spark,
+          chg.select("doc_id", "text"), "doc_id", "text",
+          stateDir, gold, batchOrd = v.toLong,
+          n = P._1, maxDf = P._2, threshold = P._3)
+      }
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_contained"),
+        Option(r.get(r.fieldIndex("max_containment"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = stats(Dedup.ngramContainmentStats(
+        fmt.read(spark, silver).select("doc_id", "text")
+          .filter(col("text").isNotNull), "doc_id", "text",
+        n = P._1, maxDf = P._2, threshold = P._3), "doc_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    val page = "the quick brown fox jumps over the lazy dog"
+    val frag = "quick brown fox"
+    // batch 1: fragment 2 inside page 1; doc 3 unrelated
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, page, 0), (2L, frag, 0), (3L, "zzz yyy xxx www vvv", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 1")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 2L)
+        .head.getAs[Long]("n_contained") == 1L,
+      "the fragment must report containment in the page")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_contained") == 0L,
+      "the page is NOT contained in its fragment (asymmetry)")
+
+    // batch 2: doc 4, another fragment of the page — OLD docs 1,2
+    // must gain a partner without being in the batch
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, "brown fox jumps over", 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 2 (old docs gain a partner)")
+
+    // batch 3: doc 2's UPDATE leaves the family — the page loses a
+    // contained partner via the content-hash retraction
+    fmt.scd1Merge(spark, silver,
+      Seq((2L, "totally different words now", 2))
+        .toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 3 (update retracts a partnership)")
+
+    // CRASH REPLAY: batch 4 duplicates doc 3's text, then gold is
+    // rolled back to the pre-batch snapshot (state kept) and the
+    // batch redelivered — the signature check must re-flag doc 3
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val goldBackup = Files.createTempDirectory("graft_ct_gbak").toString + "/t"
+    copyDir(gold, goldBackup)
+    val b4 = Seq((5L, "zzz yyy xxx www vvv", 3)).toDF("doc_id", "text", "ord")
+    fmt.scd1Merge(spark, silver, b4, Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    Dedup.containmentStatsIncremental(spark, b4.select("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 3L,
+      n = P._1, maxDf = P._2, threshold = P._3)
+    deleteDir(gold); copyDir(goldBackup, gold) // gold rolled back, state kept
+    assert(fold().nonEmpty, "the crashed batch must be redelivered")
+    checkGoldEqualsBatch("after crash-replay of batch 4")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L)
+        .head.getAs[Long]("n_contained") == 1L,
+      "replay must still re-verify the untouched old doc 3")
+
+    assert(fold().isEmpty, "caught-up consumer must re-process nothing")
+    checkGoldEqualsBatch("after no-op fold")
+
+    // hard DELETE feed: doc 4 leaves — the page loses that partner
+    val delIds = Seq(4L).toDF("doc_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
+    Dedup.containmentStatsIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 4L,
+      n = P._1, maxDf = P._2, threshold = P._3, deletes = Some(delIds))
+    checkGoldEqualsBatch("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 4L).count() == 0,
+      "the deleted doc's gold row must disappear")
+
+    // update TO null retracts like a delete
+    fmt.scd1Merge(spark, silver,
+      Seq((3L, null.asInstanceOf[String], 5)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    Dedup.containmentStatsIncremental(spark,
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 5L,
+      n = P._1, maxDf = P._2, threshold = P._3)
+    checkGoldEqualsBatch("after update-to-null retraction")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L).count() == 0,
+      "the nulled doc's gold row must disappear")
+  }
+
+  test("append-only containment fast path: neighborhood re-verify equals batch and general path") {
+    // two-hop case for the containment member: batch fragment 4
+    // lands in the page's buckets, so OLD docs (not in the batch)
+    // must re-verify — their stats need their other buckets' members
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val base = graft.pipeline.SnapshotTableFormat
+    val fmtF = new CountingFormat(base)
+    val stF = Files.createTempDirectory("graft_ao_ct_stF").toString
+    val goF = Files.createTempDirectory("graft_ao_ct_goF").toString + "/t"
+    val stG = Files.createTempDirectory("graft_ao_ct_stG").toString
+    val goG = Files.createTempDirectory("graft_ao_ct_goG").toString + "/t"
+    val P = (3, 20, 0.5) // n, maxDf, threshold
+
+    val page = "the quick brown fox jumps over the lazy dog"
+    val batches = Seq(
+      Seq((1L, page), (2L, "quick brown fox"),
+        (3L, "zzz yyy xxx www vvv")),
+      Seq((4L, "brown fox jumps over")),
+      Seq((5L, "zzz yyy xxx www vvv"), (6L, "lazy dog")))
+    var seen = Seq.empty[(Long, String)]
+
+    def run(df: org.apache.spark.sql.DataFrame, ord: Long,
+            append: Boolean): Unit =
+      Dedup.containmentStatsIncremental(spark, df, "doc_id", "text",
+        if (append) stF else stG, if (append) goF else goG, batchOrd = ord,
+        n = P._1, maxDf = P._2, threshold = P._3, appendOnly = append,
+        fmt = if (append) fmtF else base)
+    def stats(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_contained"),
+        Option(r.get(r.fieldIndex("max_containment"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      val df = b.toDF("doc_id", "text")
+      run(df, i.toLong, append = true)
+      run(df, i.toLong, append = false)
+      val truth = stats(Dedup.ngramContainmentStats(
+          seen.toDF("doc_id", "text"), "doc_id", "text",
+          n = P._1, maxDf = P._2, threshold = P._3)
+        .withColumnRenamed("doc_id", "id"))
+      val fast = stats(MergeTable.read(spark, goF))
+      assert(fast == truth, s"batch $i: fast gold must equal batch recompute")
+      val gen = MergeTable.read(spark, goG).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("_shingle_sig")))
+        .toSeq.sortBy(_._1)
+      val fsig = MergeTable.read(spark, goF).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("_shingle_sig")))
+        .toSeq.sortBy(_._1)
+      assert(fsig == gen,
+        s"batch $i: fast signatures must equal the general path's")
+    }
+    assert(MergeTable.read(spark, goF).filter(col("id") === 2L)
+        .head.getAs[Long]("n_contained") >= 1L,
+      "the fragment must stay contained in the page across folds")
+    assert(fmtF.readsOf(goF) == 0, "the fast path must never read gold")
+
+    // a delete feed contradicts the appendOnly declaration — loudly
+    intercept[IllegalArgumentException] {
+      Dedup.containmentStatsIncremental(spark,
+        Seq((9L, "x y z")).toDF("doc_id", "text"), "doc_id", "text",
+        stF, goF, batchOrd = 9L, appendOnly = true,
+        deletes = Some(Seq(1L).toDF("doc_id")), fmt = fmtF)
+    }
+  }
+
   test("incremental exact dedup: streamed gold equals batch recompute; vanished groups delete") {
     // simplest member of the incremental-dedup family: per-hash-group
     // gold rows (text_hash, keep_doc_id, n_copies) must equal
