@@ -585,6 +585,131 @@ object CoreQueries {
         sum(when(!urgent, col("_n")).otherwise(0L)).as("low_line_count"))
   }
 
+  /** #10q Region-local supplier volume (TPC-H Q5 shape): revenue by
+    * nation for a year's orders where customer and supplier sit in
+    * the SAME nation of one region — the classic 6-way star join
+    * with a cross-dimension correlation (c_nationkey = s_nationkey)
+    * that cannot fold into any single equi-join. Scale shape: orders
+    * prune to the year at the scan; the two fact joins
+    * (orders⨝customer on custkey, ⨝lineitem on orderkey) shuffle
+    * narrow projections; supplier attaches on suppkey with the
+    * nation correlation as a residual (dimension-shaped — the q3
+    * rule, AQE decides broadcast); the region-filtered nation list
+    * broadcasts. One aggregate onto |nations| rows, exact decimals.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("_rev")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("_rev")).cast("double").as("revenue"))
+  }
+
+  /** #10r Bilateral shipping volume (TPC-H Q7 shape): revenue
+    * between two trading nations per direction per year. The
+    * disjunctive nation-pair predicate references BOTH dimension
+    * chains, so (like q19's) it rides as a post-join residual; both
+    * nation lookups broadcast, the year projects with EXTRACT once,
+    * and the aggregate lands on 2 directions × |years| rows.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .as("_rev"))
+    li.join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("_snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("_snk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("_cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("_cnk"))
+      .filter((col("supp_nation") === "NATION_18" &&
+        col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" &&
+          col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        expr("EXTRACT(YEAR FROM l_shipdate)").cast("long").as("l_year"))
+      .agg(sum(col("_rev")).cast("double").as("revenue"))
+  }
+
+  /** #10s National market share (TPC-H Q8 shape): one nation's
+    * suppliers' share of a region's market for a part family, per
+    * order year. The share is a conditional-over-total ratio INSIDE
+    * each year group — the same exact-decimal-sums-then-one-division
+    * discipline as q14 — and the nation name needed only for the
+    * CASE rides the broadcast supplier-nation join. The part family
+    * filter broadcasts against lineitem FIRST (the most selective
+    * cut), then orders/customer/region constrain the market.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val marketCust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .join(broadcast(t(spark, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNat = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .as("_rev"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(expr("EXTRACT(YEAR FROM o_orderdate)").cast("long")
+        .as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", col("_rev"))
+          .otherwise(lit(0).cast(DecimalType(38, 4)))).as("_nat"),
+        sum(col("_rev")).as("_total"))
+      .select(col("o_year"),
+        col("_nat").cast("double").as("nation_rev"),
+        col("_total").cast("double").as("total_rev"),
+        (col("_nat").cast("double") / col("_total").cast("double"))
+          .as("mkt_share"))
+  }
+
   /** Sketch companion of #11c (the q6_approx pattern): single-pass
     * Greenwald-Khanna quantile summaries via `percentile_approx` —
     * one partial-aggregable sketch per group instead of the
@@ -631,7 +756,10 @@ object CoreQueries {
     "q22_dormant_value" -> (q22DormantValue _),
     "q2_min_cost_supp" -> (q2MinCostSupp _),
     "q10_returned_item" -> (q10ReturnedItem _),
-    "q12_priority_class" -> (q12PriorityClass _))
+    "q12_priority_class" -> (q12PriorityClass _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _))
 
   /** DuckDB-parity oracle SQL (same aliases, same decimal math).
     * The q15/q17/q20/q21/q22 oracles deliberately state the TEXTBOOK
@@ -663,6 +791,51 @@ object CoreQueries {
         |      AND s2.s_nationkey = n2.n_nationkey
         |      AND n2.n_regionkey = r2.r_regionkey
         |      AND r2.r_name = 'EUROPE')""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)""".stripMargin,
+    // conditional-over-total inside each year group: exact decimal
+    // sums, one IEEE division (the q14 discipline)
+    "q8_market_share" ->
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |    SUM(CASE WHEN n2.n_name = 'NATION_2'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(38,4)) END) AS nat,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total
+        |  FROM lineitem, part, orders, customer, nation n1, region, supplier, nation n2
+        |  WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+        |    AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA'
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY EXTRACT(YEAR FROM o_orderdate))
+        |SELECT o_year, CAST(nat AS DOUBLE) AS nation_rev,
+        |  CAST(total AS DOUBLE) AS total_rev,
+        |  CAST(nat AS DOUBLE) / CAST(total AS DOUBLE) AS mkt_share
+        |FROM m""".stripMargin,
     // top-20 kept by EXACT decimal revenue + custkey tiebreak, cast
     // to double only after selection
     "q10_returned_item" ->

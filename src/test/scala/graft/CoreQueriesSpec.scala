@@ -22,7 +22,8 @@ class CoreQueriesSpec extends SparkSpec {
       "lineitem").foreach { tname =>
       Tables.load(spark, sf, tname).createOrReplaceTempView(tname)
     }
-    Seq("q2_min_cost_supp", "q10_returned_item", "q12_priority_class",
+    Seq("q2_min_cost_supp", "q5_local_supplier", "q7_volume_shipping",
+      "q8_market_share", "q10_returned_item", "q12_priority_class",
       "q15_top_supplier", "q16_part_suppliers", "q17_small_qty_rev",
       "q18_big_orders", "q19_disjunctive", "q20_heavy_parts",
       "q21_last_shipper", "q22_dormant_value").foreach { q =>
