@@ -243,6 +243,16 @@ object DedupQueries {
       Similarity.annBruteForce(embs(s, d), "vec_id", "embedding")),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.annLsh(embs(s, d), "vec_id", "embedding")),
+    "ann_lsh_multiprobe" -> ((s, d) =>
+      Similarity.annLshMultiprobe(embs(s, d), "vec_id", "embedding")),
+    // recall of the multi-probe index — same storage as ann_lsh,
+    // ~(planes+1)-table candidate coverage
+    "ann_recall_lsh_multiprobe" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annRecall(
+        Similarity.annBruteForce(e, "vec_id", "embedding"),
+        Similarity.annLshMultiprobe(e, "vec_id", "embedding"))
+    }),
     // recall@k audit of the LSH index against the exact truth —
     // the accept/reject evidence for every ANN parameter trade
     "ann_recall" -> ((s, d) => {
@@ -492,6 +502,27 @@ object DedupQueries {
       |  SELECT * FROM e WHERE bucket NOT IN (
       |    SELECT bucket FROM e GROUP BY bucket HAVING count(*) > 10000))"""
       .stripMargin
+
+  // multi-probe: each vector probes its own bucket + the 6 one-bit
+  // flips; the index side stays ek (stored once), XOR flips are
+  // distinct so no pair dedup is needed — mirrors
+  // Similarity.annLshMultiprobe exactly
+  private val annLshMultiprobeSql: String =
+    s"""WITH $srpBucketCtes,
+       |$floodCapCte,
+       |pr AS (
+       |  SELECT vec_id, embedding, nn, xor(bucket, CAST(f AS INT)) AS pbucket
+       |  FROM ek, UNNEST([0, 1, 2, 4, 8, 16, 32]) AS t(f)),
+       |c AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $cosSql AS cos_sim
+       |  FROM pr a JOIN ek b ON a.pbucket = b.bucket AND a.vec_id != b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM c)
+       |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
 
   private val annLshSql: String =
     s"""WITH $srpBucketCtes,
@@ -967,6 +998,8 @@ object DedupQueries {
     "dedup_embedding_lsh" -> embeddingLshStatsSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
+    "ann_lsh_multiprobe" -> annLshMultiprobeSql,
+    "ann_recall_lsh_multiprobe" -> annRecallSql(annLshMultiprobeSql),
     "ann_recall" -> annRecallSql(annLshSql),
     "ann_recall_ivf" -> annRecallSql(annIvfSql),
     "ann_ivf_topk" -> annIvfSql,

@@ -793,6 +793,44 @@ object Similarity {
     topKWithin(pairs, k)
   }
 
+  /** Multi-probe [[annLsh]] (Lv et al. 2007, the standard recall
+    * lever for hyperplane LSH): each vector probes its own SRP
+    * bucket PLUS the `planes` buckets at Hamming distance 1 — a
+    * vector near a hyperplane lands on one side, its neighbors on
+    * the other, and the single-bit flips recover exactly those
+    * split pairs. Equivalent recall to ~(planes+1) independent hash
+    * tables at the storage/build cost of ONE: the index side of the
+    * join is unchanged (each vector is stored once, under its own
+    * bucket), only the probe side explodes ×(planes+1) — and probe
+    * rows are (id, v, nn, pbucket), so the shuffle grows by the
+    * probe fan-out, never by a second copy of the corpus. A pair
+    * can match through at most one probe (XOR flips are distinct),
+    * so no post-join dedup is needed. Flood-capped buckets are
+    * excluded from the INDEX side, so probing into one finds
+    * nothing — the same recall-only cap as the base operator.
+    * Kernel-exact oracle: the SQL replays the bucket, the bit
+    * flips, and the sequential-fold cosine bit-for-bit.
+    */
+  def annLshMultiprobe(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int = 5, planes: Int = 6, seed: Long = 42L,
+                       maxBucket: Int = 10000): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.selfNorm(col(vecCol)).as("nn"),
+      VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
+      .transform(graft.Materialize.lazily)
+    val kept = capFloodBuckets(e, maxBucket)
+    val flips = lit(0) +: (0 until planes).map(p => lit(1 << p))
+    val probes = kept.select(col("id"), col("v"), col("nn"),
+      explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*))
+        .as("pbucket"))
+    val pairs = probes.as("a").join(kept.as("b"),
+        col("a.pbucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+        cosFromParts(VectorFunctions.dotProduct(col("a.v"), col("b.v")),
+          col("a.nn"), col("b.nn")).as("cos_sim"))
+    topKWithin(pairs, k)
+  }
+
   /** Drop rows whose bucket (SRP bucket, k-means cluster, simhash
     * chunk — any bounded-cardinality candidate key) holds more than
     * `maxBucket` vectors. The distinct bucket ids are bounded small,
