@@ -710,6 +710,106 @@ object CoreQueries {
           .as("mkt_share"))
   }
 
+  /** #10t Priority EXISTS profile (TPC-H Q4 shape): orders of a
+    * quarter with at least one LATE line (shipped > 60 days after
+    * the order), counted per priority. The textbook correlated
+    * `EXISTS (SELECT .. WHERE l_orderkey = o_orderkey AND late)`
+    * decorrelates to ONE left-semi join whose condition carries the
+    * equi-key plus the cross-table lateness residual — the semi join
+    * moves only (orderkey, shipdate) and stops at the first match
+    * per order, and the count lands on |priorities| rows.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    o.join(t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** #10u Forecast revenue scan (TPC-H Q6 shape): one filtered scan,
+    * one aggregate, ZERO joins — the query exists to prove the
+    * predicate set (year range + discount band + quantity cap)
+    * reaches the parquet reader as PushedFilters and the revenue
+    * folds map-side in exact decimals. The whole plan is scan →
+    * partial agg → single-row exchange.
+    */
+  def q6RevenueForecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 10)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"))
+
+  /** #10v Product-line profit (TPC-H Q9 shape): per (supplier
+    * nation, order year), revenue minus cost for one part family.
+    * The reference costs from partsupp; this corpus prices cost as
+    * `p_retailprice · l_quantity` (the same join topology — part is
+    * the cost carrier). Scale shape: the name-filtered part list
+    * broadcasts against lineitem FIRST, profit is computed per line
+    * in exact decimals BEFORE any further join, orders attaches only
+    * (orderkey, orderdate), supplier's nation broadcasts, and the
+    * aggregate lands on |nations|×|years| rows.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) -
+          dec(col("p_retailprice")) * dec(col("l_quantity"))).as("_profit"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("EXTRACT(YEAR FROM o_orderdate)").cast("long").as("o_year"))
+      .agg(sum(col("_profit")).cast("double").as("profit"))
+  }
+
+  /** #10w Important-stock HAVING-vs-global-scalar (TPC-H Q11 shape):
+    * parts whose traded value through one nation's suppliers exceeds
+    * a fraction of that nation's total. The correlated
+    * `HAVING sum(v) > (SELECT sum(v) * 0.0001 FROM same)` folds the
+    * global total to ONE broadcast row (the q22 constant-key
+    * pattern) and the fraction test cross-multiplies —
+    * `value · 10000 > total` — so the comparison stays in exact
+    * decimals on both engines; the per-part aggregate is one
+    * partial-agg shuffle of the nation-filtered lines.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val lines = t(spark, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .select(col("l_partkey"), dec(col("l_extendedprice")).as("_v"))
+    val vals = lines.groupBy(col("l_partkey")).agg(sum(col("_v")).as("_pv"))
+    val total = vals.agg(sum(col("_pv")).as("_t"))
+      .withColumn("_k", pmod(col("_t") * lit(0), lit(1)).cast("int"))
+    vals.withColumn("_k", pmod(col("l_partkey"), lit(1)).cast("int"))
+      .join(broadcast(total), Seq("_k"))
+      .filter(col("_pv") * lit(10000) > col("_t"))
+      .select(col("l_partkey"), col("_pv").cast("double").as("part_value"))
+  }
+
   /** Sketch companion of #11c (the q6_approx pattern): single-pass
     * Greenwald-Khanna quantile summaries via `percentile_approx` —
     * one partial-aggregable sketch per group instead of the
@@ -759,7 +859,11 @@ object CoreQueries {
     "q12_priority_class" -> (q12PriorityClass _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
-    "q8_market_share" -> (q8MarketShare _))
+    "q8_market_share" -> (q8MarketShare _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q6_revenue_forecast" -> (q6RevenueForecast _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _))
 
   /** DuckDB-parity oracle SQL (same aliases, same decimal math).
     * The q15/q17/q20/q21/q22 oracles deliberately state the TEXTBOOK
@@ -791,6 +895,50 @@ object CoreQueries {
         |      AND s2.s_nationkey = n2.n_nationkey
         |      AND n2.n_regionkey = r2.r_regionkey
         |      AND r2.r_name = 'EUROPE')""".stripMargin,
+    // TEXTBOOK correlated EXISTS form (TPC-H Q4) — the hash match
+    // proves the semi-join decorrelation; dialect-common, replayed
+    // in-Spark by the equivalence spec
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem, part, orders, supplier, nation
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)""".stripMargin,
+    // TEXTBOOK correlated global-scalar HAVING (TPC-H Q11), stated
+    // with the cross-multiplied exact-decimal fraction test
+    "q11_important_stock" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3')""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -22,8 +22,10 @@ class CoreQueriesSpec extends SparkSpec {
       "lineitem").foreach { tname =>
       Tables.load(spark, sf, tname).createOrReplaceTempView(tname)
     }
-    Seq("q2_min_cost_supp", "q5_local_supplier", "q7_volume_shipping",
-      "q8_market_share", "q10_returned_item", "q12_priority_class",
+    Seq("q2_min_cost_supp", "q4_order_priority", "q5_local_supplier",
+      "q6_revenue_forecast", "q7_volume_shipping", "q8_market_share",
+      "q9_product_profit", "q10_returned_item", "q11_important_stock",
+      "q12_priority_class",
       "q15_top_supplier", "q16_part_suppliers", "q17_small_qty_rev",
       "q18_big_orders", "q19_disjunctive", "q20_heavy_parts",
       "q21_last_shipper", "q22_dormant_value").foreach { q =>

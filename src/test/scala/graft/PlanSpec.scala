@@ -49,6 +49,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q6_revenue_forecast: all three predicates reach the parquet scan") {
+    val plan = formatted("q6_revenue_forecast")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(plan.matches(s"(?s).*PushedFilters: \\[[^\\]]*$c[^\\]]*\\].*"),
+        s"$c not pushed:\n${plan.take(2000)}")
+    }
+  }
+
   test("q10_returned_item: top-20 is TakeOrderedAndProject after the agg") {
     val plan = SparkEntry.queries("q10_returned_item")(spark, sf)
       .queryExecution.executedPlan.toString
