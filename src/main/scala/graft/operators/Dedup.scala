@@ -1322,27 +1322,58 @@ object Dedup {
       HashFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
       .transform(graft.Materialize.eager)
     val allChunks = simhashChunkRows(hashed)
-    val chunks =
-      if (maxBucket == Int.MaxValue) allChunks
+    // the flood set is DRIVER-COLLECTED (it was already assumed
+    // broadcast-small): per chunk, the 16-bit values whose bucket
+    // exceeds maxBucket. Embedded as literals it serves BOTH the
+    // candidate exclusion (a map-side filter replacing the anti-join)
+    // and the first-chunk pair dedup below.
+    val floodSets: Array[Set[Long]] =
+      if (maxBucket == Int.MaxValue) Array.fill(4)(Set.empty[Long])
       else {
-        val flood = allChunks.groupBy("chunk", "cval")
+        val f = allChunks.groupBy("chunk", "cval")
           .agg(count(lit(1)).as("_n"))
-          .filter(col("_n") > maxBucket).select("chunk", "cval")
-        allChunks.join(broadcast(flood), Seq("chunk", "cval"), "left_anti")
+          .filter(col("_n") > maxBucket).select("chunk", "cval").collect()
+        Array.tabulate(4)(c =>
+          f.filter(_.getInt(0) == c).map(_.getLong(1)).toSet)
       }
-    // hamming computes MAP-SIDE, before the dedup shuffle: a pair
-    // colliding in several chunks must count once, but each id has
-    // exactly ONE simhash, so distinct on (ida, idb, hamming) equals
-    // distinct on the hash-carrying 4-column row while shuffling 3
-    // narrow columns instead of both 64-bit hashes (the 10x scale
-    // probe showed this distinct as the bench's only spilling
-    // exchange on a duplicate-heavy corpus)
+    def inFlood(chunkNo: Column, v: Column): Column =
+      (0 until 4).map { c =>
+        if (floodSets(c).isEmpty) lit(false)
+        else chunkNo === c && v.isInCollection(floodSets(c))
+      }.reduce(_ || _)
+    val chunks = allChunks.filter(!inFlood(col("chunk"), col("cval")))
+    // pair dedup is MAP-SIDE, not an exchange: a pair colliding in
+    // several chunks must count once, and "is this the pair's FIRST
+    // surviving colliding chunk?" is decidable from the two simhashes
+    // plus the literal flood sets — an earlier chunk collides iff its
+    // 16-bit XOR slice is zero, and an earlier COLLIDING bucket holds
+    // both members (size ≥ 2), so it can only have been dropped by
+    // the flood cap, which the filter consults. The old
+    // distinct-on-(ida, idb) formulation was the bench's ONLY
+    // spilling exchange on the duplicate-heavy 10x corpus (every
+    // duplicate family's pairs arrived 4x into one hash aggregate);
+    // this filter drops the 3/4 multiplicity before anything
+    // shuffles and removes the aggregation entirely.
+    val xorH = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    def xorChunk(c: Int): Column =
+      shiftrightunsigned(xorH, c * 16).bitwiseAND(lit(0xffffL))
+    def aChunk(c: Int): Column =
+      shiftrightunsigned(col("a.simhash"), c * 16).bitwiseAND(lit(0xffffL))
+    def earlierOk(c: Int): Column =
+      xorChunk(c) =!= 0L ||
+        (if (floodSets(c).isEmpty) lit(false)
+         else aChunk(c).isInCollection(floodSets(c)))
+    val firstChunk = (0 until 4).map { c =>
+      col("a.chunk") === c &&
+        (0 until c).map(earlierOk).foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = chunks.as("a").join(chunks.as("b"),
       col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
         col("a.id") < col("b.id"))
+      .filter(firstChunk)
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming")).distinct()
+          .as("hamming"))
       .transform(graft.Materialize.eager) // mirrored below: avoid double evaluation
     val both = cand.select(col("ida").as("id"), col("hamming"))
       .unionByName(cand.select(col("idb").as("id"), col("hamming")))

@@ -1211,6 +1211,69 @@ class DedupSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("simhash map-side first-chunk pair dedup equals the distinct formulation") {
+    // the batch operator now decides "first surviving colliding
+    // chunk" from the two simhashes + literal flood sets instead of
+    // a distinct exchange (the 10x bench's only spill); this pins
+    // exact equality against the old distinct formulation across
+    // flood regimes, incl. caps small enough to drop real buckets
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.functions.HashFunctions
+    val real = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(300)
+    // synthetic mixed-flood corpus: 8 identical (all buckets flood at
+    // cap 5), 3 identical (qualify), 2 near variants
+    val synth = ((1 to 8).map(i => (100L + i, "alpha beta gamma delta")) ++
+      (1 to 3).map(i => (200L + i, "one two three four five")) ++
+      Seq((301L, "one two three four six"), (302L, "alpha beta gamma echo")))
+      .toDF("doc_id", "text")
+    def reference(docs: DataFrame, maxBucket: Int): Seq[String] = {
+      val hashed = docs.select(col("doc_id").as("id"),
+        HashFunctions.simhash64(split(col("text"), " ")).as("simhash"))
+      val chunkCols = (0 until 4).map { c =>
+        struct(lit(c).as("chunk"), shiftrightunsigned(col("simhash"), c * 16)
+          .bitwiseAND(lit(0xffffL)).as("cval"))
+      }
+      val allChunks = hashed
+        .select(col("id"), col("simhash"),
+          explode(array(chunkCols: _*)).as("cc"))
+        .select(col("id"), col("simhash"),
+          col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+      val chunks =
+        if (maxBucket == Int.MaxValue) allChunks
+        else {
+          val flood = allChunks.groupBy("chunk", "cval")
+            .agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > maxBucket).select("chunk", "cval")
+          allChunks.join(broadcast(flood), Seq("chunk", "cval"), "left_anti")
+        }
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") &&
+            col("a.cval") === col("b.cval") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("ida"), col("b.id").as("idb"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .as("hamming")).distinct()
+      val both = cand.select(col("ida").as("id"), col("hamming"))
+        .unionByName(cand.select(col("idb").as("id"), col("hamming")))
+      val per = both.groupBy("id").agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= 8, 1L).otherwise(0L)).as("n_near"),
+        min(col("hamming")).as("min_hamming"))
+      hashed.join(per, Seq("id"), "left")
+        .select(col("id"), col("simhash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("min_hamming"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    for (docs <- Seq(real, synth); cap <- Seq(2, 5, Int.MaxValue)) {
+      val got = Dedup.simhashStats(docs, "doc_id", "text", maxBucket = cap)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == reference(docs, cap), s"mismatch at maxBucket=$cap")
+    }
+  }
+
   test("multi-probe lsh recall dominates single-probe at the same stored index") {
     val e = Tables.load(spark, sf, "embeddings")
     val truth = Similarity.annBruteForce(e, "vec_id", "embedding")
