@@ -126,6 +126,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "embedding_gramian(v)")
         EmbeddingGramian(args(0)).toAggregateExpression()
       }))
+    e.injectFunction((FunctionIdentifier("adc_dot"),
+      info("adc_dot",
+        "adc_dot(codes, tables) - PQ asymmetric dot: sum_j tables[j][codes[j]]"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "adc_dot(codes, tables)")
+        AdcDot(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted distinct bigint arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b)")
+        SortedIntersectCount(args(0), args(1))
+      }))
     e.injectFunction((FunctionIdentifier("kll_sketch"),
       info("kll_sketch",
         "kll_sketch(x[, k]) - mergeable KLL quantile sketch aggregate (binary)"),

@@ -69,6 +69,16 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT embedding_gramian(embedding).n AS n FROM ext_embs")
       .head().getLong(0)
     assert(gr == qs)
+
+    // PQ ADC lookup-sum and the sorted-merge intersect kernel
+    val adc = spark.sql(
+      "SELECT adc_dot(array(1, 0), array(array(1.0d, 2.0d), array(3.0d, 4.0d))) AS d")
+      .head().getDouble(0)
+    assert(adc == 5.0, s"adc_dot: $adc") // tables[0][1] + tables[1][0]
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L, 9L)) AS n")
+      .head().getInt(0)
+    assert(ic == 2, s"sorted_intersect_count: $ic")
   }
 
   test("non-literal parameters are rejected with a clear error") {
