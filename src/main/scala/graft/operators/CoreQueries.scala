@@ -517,7 +517,9 @@ object CoreQueries {
     bridge.join(eur, col("l_suppkey") === col("s_suppkey"))
       .withColumn("_mn", min(col("_cost")).over(w))
       .filter(col("_cost") === col("_mn"))
-      .join(broadcast(t(spark, dir, "part").filter(col("p_size") === 15)),
+      // part is dimension-shaped here but fact-scale at sf100 — the
+      // q3/q14 rule: no broadcast hint, AQE decides
+      .join(t(spark, dir, "part").filter(col("p_size") === 15),
         col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), col("p_type"),
@@ -686,7 +688,9 @@ object CoreQueries {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("supp_nation"))
     t(spark, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      // the family filter keeps ~1/6 of part — fact-scale at sf100,
+      // so no broadcast hint (the q3/q14 rule: AQE decides)
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
           .as("_rev"))
@@ -763,7 +767,9 @@ object CoreQueries {
       .filter(col("p_name").like("%widget%"))
       .select(col("p_partkey"), col("p_retailprice"))
     t(spark, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      // name-filtered part is ~1/6 of the table — fact-scale at
+      // sf100, no broadcast hint (AQE decides)
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) -
           dec(col("p_retailprice")) * dec(col("l_quantity"))).as("_profit"))
@@ -798,8 +804,9 @@ object CoreQueries {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val lines = t(spark, dir, "lineitem")
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
-        "left_semi")
+      // the key list is supplier/|nations| — fact-scale growth, so
+      // the semi join carries no broadcast hint (AQE decides)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .select(col("l_partkey"), dec(col("l_extendedprice")).as("_v"))
     val vals = lines.groupBy(col("l_partkey")).agg(sum(col("_v")).as("_pv"))
     val total = vals.agg(sum(col("_pv")).as("_t"))
