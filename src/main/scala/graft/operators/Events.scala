@@ -547,7 +547,11 @@ object Events {
                 keyCol: String = "user_id", tsCol: String = "ts",
                 valueCol: String = "value", sketchK: Int = 512): DataFrame = {
     import graft.functions.Kll
+    // materialized once: the frame feeds the boundary sketch pass AND
+    // the scoring join — unmaterialized, the fact-table aggregate
+    // would run twice
     val per = rfmAggregate(events, anchor, keyCol, tsCol, valueCol)
+      .transform(graft.Materialize.eager)
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
     // constant-key equi-join for the one-row boundary frame: a bare
     // crossJoin plans BroadcastNestedLoopJoin and trips the blanket
