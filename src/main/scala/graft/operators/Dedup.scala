@@ -113,6 +113,42 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-source exact-dedup ROI rollup — the report every dedup
+    * pipeline publishes before anyone approves the compute spend:
+    * per source, how many documents are exact duplicates and how
+    * many bytes deduplication would reclaim. A duplicate is any doc
+    * that is not its hash group's keeper (min id — the [[exact]]
+    * rule), so `bytes_saved` is the byte sum of non-keeper rows:
+    * exactly the storage delta of keep-one dedup. Scoped
+    * WITHIN-source: cross-source duplicate attribution is a policy
+    * choice (whose copy is canonical?) that the global [[exact]]
+    * groups answer; this rollup charges each source for its own
+    * redundancy. ONE aggregation
+    * over (source, hash) — the shuffle carries 16-byte hashes,
+    * counts, and byte sums, never text — then a |sources|-row
+    * rollup; `dup_rate` divides exact longs once. UTF-8 byte length
+    * (octet_length) on both engines.
+    *
+    * Output per source: (source, n_docs, n_unique, n_dup,
+    * bytes_total, bytes_saved, dup_rate).
+    */
+  def dedupSavings(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String): DataFrame =
+    df.groupBy(col(sourceCol).as("source"), md5(col(textCol)).as("_h"))
+      .agg(count(lit(1)).as("_n"),
+        sum(octet_length(col(textCol)).cast("long")).as("_bytes"),
+        // the keeper's bytes: all group members share one text, so
+        // any member's length is the keeper's — bytes/n is exact
+        min(octet_length(col(textCol)).cast("long")).as("_keep_bytes"))
+      .groupBy(col("source"))
+      .agg(sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("_n") - 1L).as("n_dup"),
+        sum(col("_bytes")).as("bytes_total"),
+        sum(col("_bytes") - col("_keep_bytes")).as("bytes_saved"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_docs").cast("double"))
+
   /** Dedup-robust text normalization (the CCNet/Gopher-style
     * pre-hash cleanup): lowercase, strip everything but `[a-z0-9]`
     * and whitespace, collapse whitespace runs to one space, trim.

@@ -134,6 +134,8 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
+    "dedup_savings" -> ((s, d) =>
+      Dedup.dedupSavings(docs(s, d), "doc_id", "text", "source")),
     "dedup_exact_normalized" -> ((s, d) =>
       Dedup.exactNormalized(docs(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -1007,6 +1009,22 @@ object DedupQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // within-source keep-one ROI: bytes_saved = non-keeper bytes
+    "dedup_savings" ->
+      """WITH g AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS bytes,
+        |    CAST(MIN(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS keep_bytes
+        |  FROM documents GROUP BY source, md5(text))
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(n - 1) AS BIGINT) AS n_dup,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(bytes - keep_bytes) AS BIGINT) AS bytes_saved,
+        |  CAST(SUM(n - 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_rate
+        |FROM g GROUP BY source""".stripMargin,
     "dedup_exact_normalized" ->
       """SELECT
         |  md5(trim(regexp_replace(regexp_replace(lower(text),

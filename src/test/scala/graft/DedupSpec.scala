@@ -1211,6 +1211,21 @@ class DedupSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("dedup savings charges exactly the non-keeper bytes, within source") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa", "s1"), (2L, "aaaa", "s1"), (3L, "bb", "s1"),
+      (4L, "aaaa", "s2")) // same text in s2 — NOT charged across sources
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupSavings(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(out == Seq(
+      ("s1", 3L, 2L, 1L, 10L, 4L, 1.0 / 3),
+      ("s2", 1L, 1L, 0L, 4L, 0L, 0.0)), out.toString)
+  }
+
   test("simhash map-side first-chunk pair dedup equals the distinct formulation") {
     // the batch operator now decides "first surviving colliding
     // chunk" from the two simhashes + literal flood sets instead of
