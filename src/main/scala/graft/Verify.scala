@@ -9,6 +9,10 @@ object Verify {
     // optional: query names after outDir run just that subset (dev
     // loop); the driver passes exactly two args and gets everything
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"Verify: unknown query name(s) ${unknown.mkString(", ")} — a typo " +
+        "here would silently write nothing and exit 0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

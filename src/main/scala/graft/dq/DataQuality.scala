@@ -96,8 +96,14 @@ object DataQuality {
     * and log10-based extraction are not. Fractional values in (0,1)
     * therefore profile correctly (0.00123 → digit 1), as do values
     * beyond long range — the two holes of the naive
-    * floor-then-string form. One aggregate pass; shares divide
-    * exact longs once.
+    * floor-then-string form. Caveat: a value whose mantissa sits
+    * within a few ulp of a digit boundary (9.99999999999999…eN) can
+    * bin to the neighboring digit — the chain's rounding is
+    * deterministic and engine-identical, so the profile stays
+    * bit-reproducible, but boundary-straddling inputs are counted by
+    * their post-rounding digit (KernelPropertySpec pins correctness
+    * off-boundary across the whole double range). One aggregate
+    * pass; shares divide exact longs once.
     *
     * Output: (digit, n, share) for digits 1-9 present in the data.
     */

@@ -105,13 +105,22 @@ object EventQueries {
   def eventsRfm(spark: SparkSession, dir: String): DataFrame =
     Events.rfm(ev(spark, dir), anchor = "2024-02-01")
 
-  /** [[eventsRfm]]'s sketch-boundary scale path — sub-capacity at
-    * this SF (|keys| « sketchK), so the KLL boundaries are exact
-    * order statistics and the DuckDB oracle replays them with the
-    * same ceil(q·n) list-rank rule.
+  /** [[eventsRfm]]'s sketch-boundary scale path. The oracle's
+    * exactness precondition is SUB-CAPACITY KLL (boundaries = exact
+    * order statistics), so sketchK is derived from the ACTUAL key
+    * count rather than assumed — a testdata regeneration that grows
+    * the user population can never silently turn the boundaries
+    * into estimates and spuriously red the gate. One countDistinct
+    * pass; at true scale a caller uses the operator's fixed-k
+    * default and a rows-only check instead.
     */
-  def eventsRfmSketch(spark: SparkSession, dir: String): DataFrame =
-    Events.rfmSketch(ev(spark, dir), anchor = "2024-02-01")
+  def eventsRfmSketch(spark: SparkSession, dir: String): DataFrame = {
+    val events = ev(spark, dir)
+    val nKeys = events.select(col("user_id")).distinct().count()
+    require(nKeys < Int.MaxValue / 2, "rfm sketch oracle: key count overflow")
+    Events.rfmSketch(events, anchor = "2024-02-01",
+      sketchK = math.max(512, nKeys.toInt + 1))
+  }
 
   /** Burst debounce at a 1-day chain gap (the synthetic stream is
     * sparse per (user, type); production telemetry uses seconds).

@@ -39,8 +39,9 @@ def main():
     only = set(args[2:])
 
     if not skip_verify:
+        subset = " " + " ".join(sorted(only)) if only else ""
         rc = os.system(
-            f"cd /root/repo && sbt --error 'runMain graft.Verify {sfdir} {outdir}' 1>&2")
+            f"cd /root/repo && sbt --error 'runMain graft.Verify {sfdir} {outdir}{subset}' 1>&2")
         if rc != 0:
             print("sbt Verify failed"); sys.exit(1)
 
