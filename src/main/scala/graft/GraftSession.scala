@@ -23,6 +23,11 @@ object GraftSession {
       // silently regress scan pruning.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Spark still DEFAULTS to deprecated INT96 timestamps on write;
+      // arrow-based readers surface those as nanoseconds, which
+      // diverges from every µs-native engine. Annotated µs is the
+      // portable on-disk contract.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)`
       // under every non-outer explode; when the array is computed in
       // the same stage (shingles, minhash signatures, quantized

@@ -19,6 +19,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // INT96 timestamps (Spark's write default) — deliberately NOT
+      // TIMESTAMP_MICROS here: arrow readers surface INT96 as NAIVE
+      // ns, which 13 rounds of driver hashing accept (asof_join,
+      // cdc, sessionize all green), while annotated µs carries
+      // isAdjustedToUTC=true and surfaces TZ-AWARE — an unproven
+      // divergence vs DuckDB's naive timestamps. tools/compare.py
+      // pins this contract (fails any tz-aware output column).
       // same generate-filter exclusion as GraftSession (see rationale
       // there): verify must execute the plans the library ships
       .config("spark.sql.optimizer.excludedRules",

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` payloads plus typed metadata, with decode /
   * feature-extraction as partition-wise batch processing.
   *
-  * The decode step is a STUB — media codecs are not available in this
-  * environment — replaced by a deterministic fake (byte-histogram
-  * moments). Everything around it is the real Spark plumbing a
-  * 100 TB media pipeline needs: a typed payload schema, a
+  * Image decode is REAL — JDK-only [[ImageCodec]] (javax.imageio:
+  * PNG/JPEG/GIF/BMP) behind [[decodeImages]]/[[resizeImages]].
+  * Audio/video decode remains a STUB — those codecs are not
+  * available in this environment — replaced by a deterministic fake
+  * (byte-histogram moments / payload-slice hashes). Everything
+  * around both is the real Spark plumbing a 100 TB media pipeline
+  * needs: a typed payload schema, a
   * mapPartitions iterator that processes one asset at a time (never
   * materializes a partition — payloads can be tens of MB each), and
   * repartitioning by size class so decode-heavy partitions don't
@@ -79,6 +82,72 @@ object Multimodal {
     while (i < headLen) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
     MediaFeatures(a.asset_id, a.media_type, bytes.length.toLong,
       mean, sumSq / n - mean * mean, h)
+  }
+
+  final case class DecodedImage(
+      asset_id: Long, decoded: Boolean, format: String,
+      width: Int, height: Int, channels: Int, mean_luma: Double)
+
+  /** REAL image decode — JDK-only [[ImageCodec]] (PNG/JPEG/GIF/BMP,
+    * the readers every JRE ships), same iterator-per-asset contract
+    * as [[decodeFeatures]]: payloads stream through one at a time
+    * and never accumulate in the partition. Emits TRUE pixel
+    * dimensions/channels from the decoded raster (the metadata
+    * columns are what the upstream CLAIMS; a crawled corpus lies).
+    * Payloads ImageIO cannot parse — corrupt bytes, or the text
+    * test double — come back `decoded = false` with the claimed
+    * metadata dims passed through, because at 100 TB decode failure
+    * is a data category to aggregate over, not an exception.
+    */
+  def decodeImages(assets: Dataset[MediaAsset]): Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      ImageCodec.decode(a.payload) match {
+        case Some(img) =>
+          DecodedImage(a.asset_id, decoded = true,
+            ImageCodec.formatName(a.payload).getOrElse("unknown"),
+            img.getWidth, img.getHeight, ImageCodec.channels(img),
+            ImageCodec.meanLuma(img))
+        case None =>
+          DecodedImage(a.asset_id, decoded = false, "undecodable",
+            a.width, a.height, 0, -1.0)
+      }
+    })
+  }
+
+  final case class ResizedImage(
+      asset_id: Long, decoded: Boolean, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, n_bytes_out: Long, png: Array[Byte])
+
+  /** REAL resize execution: decode → aspect-fit into `maxW`×`maxH`
+    * (same scale arithmetic as [[resizePlan]], applied to the TRUE
+    * decoded dims — never upscales) → bilinear rescale → lossless
+    * PNG re-encode. One asset at a time through the iterator; the
+    * output payload is the re-encoded PNG, so the stage composes
+    * with a downstream write or a second decode. Undecodable
+    * payloads pass through `decoded = false` with an empty payload
+    * and zero byte count.
+    */
+  def resizeImages(assets: Dataset[MediaAsset], maxW: Int,
+                   maxH: Int): Dataset[ResizedImage] = {
+    import assets.sparkSession.implicits._
+    require(maxW >= 1 && maxH >= 1, "target box must be positive")
+    assets.mapPartitions(_.map { a =>
+      ImageCodec.decode(a.payload) match {
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(
+            math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+          val tw = math.max(math.floor(w * scale), 1.0).toInt
+          val th = math.max(math.floor(h * scale), 1.0).toInt
+          val png = ImageCodec.encodePng(ImageCodec.resize(img, tw, th))
+          ResizedImage(a.asset_id, decoded = true, w, h, tw, th,
+            png.length.toLong, png)
+        case None =>
+          ResizedImage(a.asset_id, decoded = false, a.width, a.height,
+            a.width, a.height, 0L, Array.emptyByteArray)
+      }
+    })
   }
 
   /** Metadata projection over the binary column — the SQL-facing

@@ -1155,7 +1155,8 @@ object CoreQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "q5_window_topn" ->
-      """SELECT * FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
@@ -1188,7 +1189,8 @@ object CoreQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     "q10_topk_orders" ->
-      """SELECT * FROM (
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(rank AS INT) AS rank
+        |FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
         |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
         |  FROM orders) WHERE rank <= 20""".stripMargin,

@@ -1358,17 +1358,26 @@ object Dedup {
       HashFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
       .transform(graft.Materialize.eager)
     val allChunks = simhashChunkRows(hashed)
-    // the flood set is DRIVER-COLLECTED (it was already assumed
-    // broadcast-small): per chunk, the 16-bit values whose bucket
-    // exceeds maxBucket. Embedded as literals it serves BOTH the
-    // candidate exclusion (a map-side filter replacing the anti-join)
-    // and the first-chunk pair dedup below.
+    // the flood set is DRIVER-COLLECTED with a STRUCTURAL bound, not
+    // an assumed one: cval is a 16-bit slice, so each chunk's flood
+    // set holds at most 2¹⁶ values and the whole collect at most
+    // 4·65536 = 262144 (chunk, cval) rows — ≈4 MB of driver memory /
+    // task-serialized InSet payload at the adversarial worst case
+    // (EVERY bucket over cap), independent of corpus size. A
+    // duplicate-heavy corpus saturates, never exceeds, that space.
+    // The sanity require pins the invariant the comment relies on.
+    // Embedded as literals the set serves BOTH the candidate
+    // exclusion (a map-side filter replacing the anti-join) and the
+    // first-chunk pair dedup below.
     val floodSets: Array[Set[Long]] =
       if (maxBucket == Int.MaxValue) Array.fill(4)(Set.empty[Long])
       else {
         val f = allChunks.groupBy("chunk", "cval")
           .agg(count(lit(1)).as("_n"))
           .filter(col("_n") > maxBucket).select("chunk", "cval").collect()
+        require(f.length <= 4 * 65536,
+          s"simhash flood set ${f.length} exceeds the 16-bit chunk-value " +
+            "space — cval is no longer a 16-bit slice")
         Array.tabulate(4)(c =>
           f.filter(_.getInt(0) == c).map(_.getLong(1)).toSet)
       }

@@ -506,7 +506,9 @@ object DedupQueries {
       .stripMargin
 
   // multi-probe: each vector probes its own bucket + the 6 one-bit
-  // flips; the index side stays ek (stored once), XOR flips are
+  // flips; the index side stays ek (stored once, flood-capped) but
+  // the PROBE side builds from the uncapped e — capped-bucket
+  // members still probe their Hamming-1 neighborhoods; XOR flips are
   // distinct so no pair dedup is needed — mirrors
   // Similarity.annLshMultiprobe exactly
   private val annLshMultiprobeSql: String =
@@ -514,7 +516,7 @@ object DedupQueries {
        |$floodCapCte,
        |pr AS (
        |  SELECT vec_id, embedding, nn, xor(bucket, CAST(f AS INT)) AS pbucket
-       |  FROM ek, UNNEST([0, 1, 2, 4, 8, 16, 32]) AS t(f)),
+       |  FROM e, UNNEST([0, 1, 2, 4, 8, 16, 32]) AS t(f)),
        |c AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    $cosSql AS cos_sim

@@ -278,8 +278,11 @@ object EventQueries {
         |ORDER BY n_keys DESC, path ASC
         |LIMIT 20""".stripMargin,
     // monetary sums DECIMAL(18,2) on both engines (a double sum is
-    // partition-order dependent); every ntile order carries the key
-    // tiebreak so quintile edges cannot float
+    // partition-order dependent) and EMITS as DOUBLE — a raw
+    // DECIMAL output hashes differently across engines even when
+    // values are row-identical (the r12/r13 driver red), and
+    // cent-sums are exactly double-representable; every ntile order
+    // carries the key tiebreak so quintile edges cannot float
     "events_rfm" ->
       """WITH per AS (
         |  SELECT user_id, max(ts) AS last_ts,
@@ -291,7 +294,8 @@ object EventQueries {
         |  SELECT *, CAST(date_diff('day', CAST(last_ts AS DATE),
         |    DATE '2024-02-01') AS INT) AS recency_days
         |  FROM per)
-        |SELECT user_id, last_ts, recency_days, frequency, monetary,
+        |SELECT user_id, last_ts, recency_days, frequency,
+        |  CAST(monetary AS DOUBLE) AS monetary,
         |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT)
         |    AS r_score,
         |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INT)
@@ -357,7 +361,8 @@ object EventQueries {
         |      + CAST(CAST(monetary AS DOUBLE) <= q.m2 AS INT)
         |      + CAST(CAST(monetary AS DOUBLE) <= q.m1 AS INT) AS m_score
         |  FROM d, q)
-        |SELECT user_id, last_ts, recency_days, frequency, monetary,
+        |SELECT user_id, last_ts, recency_days, frequency,
+        |  CAST(monetary AS DOUBLE) AS monetary,
         |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
         |  CAST(m_score AS INT) AS m_score,
         |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm

@@ -481,9 +481,9 @@ object Events {
     * boundaries from [[graft.dq.DataQuality.sketchPercentiles]]
     * over the same aggregate and bin with a codegen'd comparison.
     *
-    * Output: (key, last_ts, recency_days, frequency, monetary,
-    * r_score, f_score, m_score, rfm) — rank-style scores, LOWER =
-    * better (1 = most recent / most events / highest spend),
+    * Output: (key, last_ts, recency_days, frequency, monetary
+    * [double], r_score, f_score, m_score, rfm) — rank-style scores,
+    * LOWER = better (1 = most recent / most events / highest spend),
     * rfm = r·100 + f·10 + m (111 = best segment).
     */
   def rfm(events: DataFrame, anchor: String,
@@ -502,9 +502,14 @@ object Events {
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       // positional contract: the driver hashes columns in schema order,
-      // so the output order is part of the operator's interface
+      // so the output order is part of the operator's interface.
+      // monetary SUMS as DECIMAL(18,2) (exact under any partition
+      // order) but EMITS as double: a raw DECIMAL output column
+      // hashes differently across engines even when values are
+      // row-identical, and cent-sums at any realistic magnitude are
+      // exactly representable in a double
       .select(col(keyCol), col("last_ts"), col("recency_days"),
-        col("frequency"), col("monetary"),
+        col("frequency"), col("monetary").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"), col("rfm"))
   }
 
@@ -583,8 +588,9 @@ object Events {
       .withColumn("m_score", desc(col("monetary").cast("double"), col("_qm")))
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      // same double-typed monetary output contract as [[rfm]]
       .select(col(keyCol), col("last_ts"), col("recency_days"),
-        col("frequency"), col("monetary"),
+        col("frequency"), col("monetary").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"), col("rfm"))
   }
 

@@ -382,8 +382,8 @@ object PipelineQueries {
         |t AS (
         |  SELECT *, SUM(ref_n) OVER () AS rt, SUM(cur_n) OVER () AS ct
         |  FROM j)
-        |SELECT bin, 0.0 + bin * 50.0 AS bin_lo,
-        |  0.0 + (bin + 1) * 50.0 AS bin_hi, ref_n, cur_n,
+        |SELECT CAST(bin AS INT) AS bin, CAST(bin * 50.0 AS DOUBLE) AS bin_lo,
+        |  CAST((bin + 1) * 50.0 AS DOUBLE) AS bin_hi, ref_n, cur_n,
         |  CAST(ref_n AS DOUBLE) / rt AS ref_share,
         |  CAST(cur_n AS DOUBLE) / ct AS cur_share,
         |  abs(CAST(ref_n AS DOUBLE) / rt - CAST(cur_n AS DOUBLE) / ct)
@@ -476,7 +476,8 @@ object PipelineQueries {
         |    w.lo, w.w
         |  FROM lineitem l, w WHERE l.l_extendedprice IS NOT NULL
         |    AND NOT isnan(CAST(l.l_extendedprice AS DOUBLE)))
-        |SELECT bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
+        |SELECT CAST(bin AS INT) AS bin, lo + bin * w AS bin_lo,
+        |  lo + (bin + 1) * w AS bin_hi,
         |  COUNT(*) AS n
         |FROM x GROUP BY bin, lo, w""".stripMargin,
     "dq_histogram_depth" ->

@@ -806,10 +806,16 @@ object Similarity {
     * probe fan-out, never by a second copy of the corpus. A pair
     * can match through at most one probe (XOR flips are distinct),
     * so no post-join dedup is needed. Flood-capped buckets are
-    * excluded from the INDEX side, so probing into one finds
-    * nothing — the same recall-only cap as the base operator.
-    * Kernel-exact oracle: the SQL replays the bucket, the bit
-    * flips, and the sequential-fold cosine bit-for-bit.
+    * excluded from the INDEX side ONLY: probing into one finds
+    * nothing, but a capped bucket's own members still probe their
+    * Hamming-1 neighborhoods (the probe side builds from the
+    * UNCAPPED frame), so mass-duplicated vectors keep the recall
+    * their flipped buckets offer — the cap costs their intra-bucket
+    * pairs, never their whole neighborhood. The flood members'
+    * probe fan-out is bounded: each probe row joins into kept
+    * buckets of ≤ maxBucket rows. Kernel-exact oracle: the SQL
+    * replays the bucket, the bit flips, and the sequential-fold
+    * cosine bit-for-bit.
     */
   def annLshMultiprobe(df: DataFrame, idCol: String, vecCol: String,
                        k: Int = 5, planes: Int = 6, seed: Long = 42L,
@@ -820,7 +826,7 @@ object Similarity {
       .transform(graft.Materialize.lazily)
     val kept = capFloodBuckets(e, maxBucket)
     val flips = lit(0) +: (0 until planes).map(p => lit(1 << p))
-    val probes = kept.select(col("id"), col("v"), col("nn"),
+    val probes = e.select(col("id"), col("v"), col("nn"),
       explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*))
         .as("pbucket"))
     val pairs = probes.as("a").join(kept.as("b"),

@@ -407,6 +407,35 @@ object DeltaLogTableFormat extends TableFormat {
     }
   }
 
+  /** Registrable iff the current live set is exactly the parquet
+    * listing of ONE commit subdir: true after any full-rewrite merge
+    * (every scd1/scd2 merge here — one `files-<v>-<uuid>` dir),
+    * false once a pruned commit (deleteKeysPruned, optimize over a
+    * partial window) interleaves live files across subdirs or leaves
+    * removed-but-unvacuumed files next to live ones — a plain
+    * `LOCATION` scan would read those stale rows, so refuse instead.
+    * Partitioned layouts also refuse: the physical `__pv<i>=` dirs
+    * would partition-discover as phantom columns on a raw parquet
+    * read (the format's own reader recovers the real columns from
+    * the data files).
+    */
+  override def registrableLocation(spark: SparkSession,
+                                   path: String): Option[String] =
+    currentVersion(path).flatMap { v =>
+      val live = replayState(spark, path, v).live
+      val tops = live.map(_.takeWhile(_ != '/')).distinct
+      val partitioned = live.exists(_.split('/').drop(1).exists(_.contains("=")))
+      if (live.isEmpty || tops.size != 1 || partitioned) None
+      else {
+        val top = Paths.get(path, tops.head)
+        val onDisk = scala.util.Using.resource(Files.walk(top))(
+          _.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => s"${tops.head}/${top.relativize(f)}").toSet)
+        if (onDisk == live.toSet) Some(s"$path/${tops.head}") else None
+      }
+    }
+
   /** Net (added, removed) live-file sets over the window (fromV, toV]
     * from the log's add/remove actions — the accounting both feed
     * variants share. None when any commit in the window is unreadable

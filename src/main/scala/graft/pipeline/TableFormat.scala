@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.Sources
@@ -103,6 +105,44 @@ trait TableFormat {
     */
   def optimize(spark: SparkSession, path: String,
                smallFileBytes: Long = 128L << 20): Option[OptimizeStats] = None
+
+  /** A directory whose parquet listing IS the current version's live
+    * file set, if the format can name one — the precondition for a
+    * plain `CREATE TABLE … USING parquet LOCATION` registration.
+    * None when the table doesn't exist or the live set is not a
+    * whole directory (e.g. a manifest format after a file-pruned
+    * commit left live and removed files interleaved).
+    */
+  def registrableLocation(spark: SparkSession, path: String): Option[String]
+
+  /** Register the table in the session catalog under `name` so any
+    * downstream SQL client can `SELECT … FROM name` — the reference
+    * creates an external metastore table after each load
+    * (ingest-framework writers/writer.py:122
+    * `_create_external_table_from_df`, :142). The registration pins
+    * the CURRENT version's physical location; re-register after a
+    * merge, exactly as the reference re-creates its external table
+    * per load. DROP of the previous registration never deletes data
+    * (external table: the catalog holds a pointer, the format owns
+    * the files). Works against whatever catalog the session is
+    * configured with (in-memory, Hive metastore via
+    * `spark.sql.catalogImplementation=hive`) — the SQL is catalog-
+    * agnostic. Fails fast with the remediation (compact via
+    * [[optimize]], or use the snapshot format) when the current
+    * layout is not expressible as one directory.
+    */
+  def registerTable(spark: SparkSession, path: String, name: String): Unit = {
+    val loc = registrableLocation(spark, path).getOrElse(throw
+      new IllegalStateException(
+        s"table at $path has no directory-registrable current version " +
+          "(missing table, or live files interleave with removed ones " +
+          "after a pruned commit) — run optimize() to compact, then " +
+          "re-register"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet " +
+      s"LOCATION '${loc.replace("'", "''")}'")
+    ()
+  }
 }
 
 /** Result of a [[TableFormat.optimize]] compaction commit. */
@@ -154,4 +194,53 @@ object SnapshotTableFormat extends TableFormat {
     */
   override def readableVersions(spark: SparkSession,
                                 path: String): Seq[Int] = versions(path)
+
+  /** A snapshot version IS a directory (`v=N`), so the current
+    * version is always registrable.
+    */
+  override def registrableLocation(spark: SparkSession,
+                                   path: String): Option[String] =
+    MergeTable.currentVersion(path).map(v => s"$path/v=$v")
+
+  /** Partitioned snapshots (pruned merges write real `col=value`
+    * dirs, Spark-style: the column lives in the directory name, not
+    * the data files) need the partition columns DECLARED and their
+    * directories recovered — a bare `LOCATION` catalog table lists
+    * only the root and reads zero rows. The declared schema comes
+    * from the same partition discovery `MergeTable.read` performs,
+    * so the registered table's schema (partition columns last,
+    * inferred types) matches the format's own reader exactly;
+    * `MSCK REPAIR TABLE` then registers every partition directory.
+    */
+  override def registerTable(spark: SparkSession, path: String,
+                             name: String): Unit = {
+    val loc = registrableLocation(spark, path).getOrElse(throw
+      new IllegalStateException(s"no current version at $path to register"))
+    // partition columns, outermost first: `col=value` directory
+    // levels under the version dir (written by Spark's partitionBy,
+    // so the layout is uniform — one column per level)
+    def partCols(dir: java.nio.file.Path, acc: Vector[String]): Vector[String] = {
+      val sub = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.iterator().asScala.toSeq).filter(java.nio.file.Files.isDirectory(_))
+        .find(_.getFileName.toString.contains("="))
+      sub match {
+        case Some(d) =>
+          partCols(d, acc :+ d.getFileName.toString.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    val parts = partCols(java.nio.file.Paths.get(loc), Vector.empty)
+    val escLoc = loc.replace("'", "''")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    if (parts.isEmpty)
+      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$escLoc'")
+    else {
+      val schemaDdl = read(spark, path).schema.toDDL
+      val partDdl = parts.map(c => s"`$c`").mkString(", ")
+      spark.sql(s"CREATE TABLE $name ($schemaDdl) USING parquet " +
+        s"PARTITIONED BY ($partDdl) LOCATION '$escLoc'")
+      spark.sql(s"MSCK REPAIR TABLE $name")
+    }
+    ()
+  }
 }

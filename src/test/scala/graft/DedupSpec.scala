@@ -1315,6 +1315,38 @@ class DedupSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("multi-probe flood cap: capped-bucket members still probe, never index") {
+    import SparkSpec.spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    // pick a cap low enough that some SRP bucket floods at this SF
+    // (64 buckets over the corpus — the largest is well above mean)
+    val cap = math.max(1,
+      (e.count() / 64).toInt) // mean bucket size; max bucket exceeds it
+    val withB = e.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.functions.VectorFunctions.srpBucket(
+        org.apache.spark.sql.functions.col("embedding"), 6, 42L).as("bucket"))
+    val flooded = withB.groupBy("bucket")
+      .count().filter(org.apache.spark.sql.functions.col("count") > cap)
+      .select("bucket").as[Int].collect().toSet
+    assert(flooded.nonEmpty, s"fixture: no bucket exceeds $cap — lower the cap")
+    val floodMembers = withB
+      .filter(org.apache.spark.sql.functions.col("bucket")
+        .isInCollection(flooded))
+      .select("vec_id").as[Long].collect().toSet
+    val out = Similarity
+      .annLshMultiprobe(e, "vec_id", "embedding", maxBucket = cap)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // index-side exclusion: a capped bucket's members are never
+    // REPORTED as neighbors (probing into one finds nothing)
+    assert(out.forall { case (_, nb) => !floodMembers.contains(nb) },
+      "flood-capped vectors must not be indexed")
+    // probe-side inclusion: capped members still PROBE their
+    // Hamming-1 neighborhoods and keep that recall
+    assert(out.exists { case (v, _) => floodMembers.contains(v) },
+      "capped-bucket members must still find neighbors via probes")
+  }
+
   test("containment scores a quoted fragment near 1 where Jaccard stays low") {
     import SparkSpec.spark.implicits._
     // doc 1 is a fragment fully contained in the much longer doc 2:

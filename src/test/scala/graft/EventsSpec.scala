@@ -297,9 +297,12 @@ class EventsSpec extends SparkSpec {
       (3L, 7, 3L, 3, 3, 3, 333),
       (4L, 6, 4L, 2, 2, 2, 222),
       (5L, 5, 5L, 1, 1, 1, 111)), got.toString)
-    // monetary is exact decimal: 5 * 10.00 = 50.00
-    assert(u5.getDecimal(u5.fieldIndex("monetary"))
-      .compareTo(new java.math.BigDecimal("50.00")) == 0)
+    // monetary SUMS as exact decimal, EMITS as double (the one raw
+    // DECIMAL output column on the query surface was the r12/r13
+    // driver-hash red): 5 * 10.00 = 50.00 exactly
+    assert(u5.schema(u5.fieldIndex("monetary")).dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(u5.getDouble(u5.fieldIndex("monetary")) == 50.0)
   }
 
   test("rfmSketch equals exact rfm on a sub-capacity tie-free frame") {

@@ -269,6 +269,64 @@ class MergeSpec extends SparkSpec {
     assert(fmt.vacuum(p, keepVersions = 2) == Seq(0))
   }
 
+  test("catalog registration: merge → register → spark.table reads the current version") {
+    // the reference creates an external metastore table after each
+    // load (writers/writer.py:122) so downstream SQL users query by
+    // name; registerTable is that shim for both bundled formats
+    for ((fmt, tag) <- Seq(
+        (SnapshotTableFormat: TableFormat, "snap"),
+        (graft.pipeline.DeltaLogTableFormat: TableFormat, "delta"))) {
+      val p = tmp()
+      val name = s"graft_reg_${tag}_${System.nanoTime()}"
+      fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+      fmt.registerTable(spark, p, name)
+      assert(tableHash(spark.table(name)) == tableHash(fmt.read(spark, p)),
+        s"$tag: registered table must read the current version")
+      // a later merge lands a NEW version; re-register — exactly as
+      // the reference re-creates its external table per load — and
+      // the catalog name follows
+      fmt.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+      fmt.registerTable(spark, p, name)
+      assert(tableHash(spark.table(name)) == tableHash(fmt.read(spark, p)),
+        s"$tag: re-registration must pick up the merged version")
+      assert(spark.table(name).count() == 4)
+      // the engine's own by-name read path resolves it too
+      assert(tableHash(graft.sources.Sources.readTable(spark, name)) ==
+        tableHash(fmt.read(spark, p)))
+      // DROP removes only the catalog pointer (external semantics);
+      // the format still owns its files
+      spark.sql(s"DROP TABLE $name")
+      assert(fmt.read(spark, p).count() == 4, s"$tag: data must survive DROP")
+    }
+  }
+
+  test("registration refuses layouts a LOCATION scan would misread") {
+    // delta-log + write-partitioning: the physical __pv dirs would
+    // partition-discover as phantom columns on a raw parquet scan,
+    // and a pruned commit interleaves live/stale files — both refuse
+    // with the remediation instead of registering wrong rows
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val p = tmp()
+    val base = (1 to 40).map(i => (i.toLong, s"v$i", 1,
+      if (i <= 20) "lo" else "hi")).toDF("id", "v", "ord", "bucket")
+    fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
+    assert(fmt.registrableLocation(spark, p).isEmpty)
+    val e = intercept[IllegalStateException](
+      fmt.registerTable(spark, p, "graft_reg_refused"))
+    assert(e.getMessage.contains("re-register"))
+    // the SNAPSHOT format registers the same partitioned shape fine:
+    // its version IS a directory, and LOCATION v=N runs the exact
+    // partition discovery MergeTable.read performs
+    val sp = tmp()
+    MergeTable.scd1MergePruned(spark, sp, base, Seq("id"), "ord", "bucket",
+      compareExclude = Nil)
+    val name = s"graft_reg_part_${System.nanoTime()}"
+    SnapshotTableFormat.registerTable(spark, sp, name)
+    assert(tableHash(spark.table(name)) ==
+      tableHash(MergeTable.read(spark, sp)))
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("delta-log format: same seam contract, protocol-shaped log") {
     val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
     val p = tmp()

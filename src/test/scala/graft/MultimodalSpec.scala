@@ -109,6 +109,92 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // -- real image codec fixtures: generated in-JVM via the same
+  // JDK imageio the codec wraps (no binary files in the repo) --
+  private def solidImage(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    graft.multimodal.ImageCodec.encodePng(img)
+  }
+
+  private def solidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode reads true pixel dims, not the claimed metadata") {
+    // claimed metadata dims are deliberately WRONG (1×1): only a real
+    // pixel decode can report the true raster dimensions
+    val fixture = Seq(
+      MediaAsset(1L, "image", solidImage(320, 200, 0xff0000), 1, 1, 0, 0),
+      MediaAsset(2L, "image", solidJpeg(640, 480, 0x808080), 1, 1, 0, 0),
+      MediaAsset(3L, "image", solidImage(100, 50, 0xffffff), 1, 1, 0, 0),
+      MediaAsset(4L, "image", "not an image at all".getBytes("UTF-8"),
+        17, 23, 0, 0)).toDS()
+    val out = Multimodal.decodeImages(fixture)
+      .collect().map(d => d.asset_id -> d).toMap
+    assert(out(1L).decoded && out(1L).width == 320 && out(1L).height == 200)
+    assert(out(1L).format == "png" && out(1L).channels == 3)
+    // solid red: Rec.601 luma = 0.299 * 255 (png is lossless — exact)
+    assert(math.abs(out(1L).mean_luma - 0.299 * 255) < 1e-9, out(1L).toString)
+    assert(out(2L).decoded && out(2L).width == 640 && out(2L).height == 480)
+    assert(out(2L).format == "jpeg")
+    // solid gray 128: jpeg is lossy but a flat field stays within ±2
+    assert(math.abs(out(2L).mean_luma - 128.0) < 2.0, out(2L).toString)
+    assert(out(3L).decoded && out(3L).mean_luma > 254.0) // white
+    // corrupt bytes are a data category: claimed dims pass through
+    assert(!out(4L).decoded && out(4L).width == 17 && out(4L).height == 23)
+    assert(out(4L).format == "undecodable" && out(4L).channels == 0)
+    // deterministic under repartitioning
+    val again = Multimodal.decodeImages(fixture.repartition(3))
+      .collect().map(d => (d.asset_id, d.width, d.height, d.mean_luma)).toSet
+    assert(again == out.values.map(
+      d => (d.asset_id, d.width, d.height, d.mean_luma)).toSet)
+  }
+
+  test("real resize executes the plan's dims on actual pixels and re-encodes") {
+    // metadata dims set to the TRUE dims so resizePlan's arithmetic
+    // and the pixel execution can be compared 1:1
+    val fixture = Seq(
+      MediaAsset(1L, "image", solidImage(320, 200, 0x4080c0), 320, 200, 0, 0),
+      MediaAsset(2L, "image", solidImage(100, 50, 0x123456), 100, 50, 0, 0),
+      MediaAsset(3L, "image", "corrupt".getBytes("UTF-8"), 64, 64, 0, 0))
+    val ds = fixture.toDS()
+    val plan = Multimodal.resizePlan(ds.toDF(), 256, 256)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    val out = Multimodal.resizeImages(ds, 256, 256)
+      .collect().map(r => r.asset_id -> r).toMap
+    // plan-vs-execution on ACTUAL pixel dims: 320×200 → 256×160
+    // (scale 0.8), 100×50 already fits → passthrough
+    assert(out(1L).decoded && (out(1L).out_w, out(1L).out_h) == ((256, 160)))
+    assert(plan(1L) == ((256, 160)) && plan(2L) == ((100, 50)))
+    fixture.filter(_.asset_id != 3L).foreach { a =>
+      val r = out(a.asset_id)
+      assert((r.out_w, r.out_h) == plan(a.asset_id),
+        s"plan and pixel execution dims must agree for ${a.asset_id}")
+      // the output payload is a REAL png of exactly those dims
+      val round = graft.multimodal.ImageCodec.decode(r.png)
+      assert(round.exists(i => i.getWidth == r.out_w && i.getHeight == r.out_h),
+        s"re-encoded png must round-trip to the target dims: ${a.asset_id}")
+      assert(r.n_bytes_out == r.png.length.toLong)
+      // a solid-color source resizes to the same solid color
+      assert(math.abs(graft.multimodal.ImageCodec.meanLuma(round.get) -
+        graft.multimodal.ImageCodec.meanLuma(
+          graft.multimodal.ImageCodec.decode(a.payload).get)) < 1.0)
+    }
+    assert(!out(3L).decoded && out(3L).n_bytes_out == 0L &&
+      out(3L).png.isEmpty)
+  }
+
   test("resample plan downsamples audio exactly, never upsamples, passes others through") {
     // corpus fixture: every audio asset is 16 kHz -> an 8 kHz target
     // fires the downsample branch on all of them

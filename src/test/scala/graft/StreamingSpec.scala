@@ -2245,6 +2245,9 @@ class StreamingSpec extends SparkSpec {
       inner.deleteKeys(spark, path, delKeys, keys)
     override def vacuum(path: String, keepVersions: Int): Seq[Int] =
       inner.vacuum(path, keepVersions)
+    override def registrableLocation(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Option[String] =
+      inner.registrableLocation(spark, path)
   }
 
   test("append-only exact dedup fast path: equals batch and general path, never reads gold, fewer jobs") {

@@ -9,6 +9,7 @@ Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-verify] [query ...]
 """
 import sys, os, json, glob, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -22,6 +23,54 @@ def norm(v):
     if v is None:
         return "NULL"
     return str(v)
+
+def norm_type(t, side, name, errors):
+    """Canonical Arrow type label. The r12/r13 lesson: the driver
+    hashes TYPES (via its own canonicalization), not just stringified
+    values — a raw DECIMAL column passed this gate twice while the
+    driver stayed red. So (a) decimal anywhere is an outright error,
+    (b) tz-AWARE timestamps are an outright error (the proven-green
+    contract is NAIVE session-UTC timestamps on both engines; Spark's
+    INT96 parquet default reads back naive-ns, which 13 rounds of
+    driver hashing accept — annotated-µs would read back tz-aware),
+    (c) Spark and DuckDB labels must match after normalizing
+    representation-only differences (string vs large_string,
+    timestamp unit ns/us/ms/s)."""
+    if pa.types.is_decimal(t):
+        errors.append(f"{side} '{name}': decimal type {t} (driver-hash-unsafe; cast to DOUBLE)")
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        if t.tz is not None:
+            errors.append(f"{side} '{name}': tz-aware timestamp {t} (driver contract is naive)")
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type, side, name, errors)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{norm_type(f.type, side, name, errors)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return (f"map<{norm_type(t.key_type, side, name, errors)},"
+                f"{norm_type(t.item_type, side, name, errors)}>")
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def schema_types(tbl, side, errors):
+    return [norm_type(f.type, side, f.name, errors) for f in tbl.schema]
+
 
 def table_rows(tbl):
     # POSITIONAL: keep schema order — the driver hashes positionally,
@@ -68,6 +117,17 @@ def main():
         dc, dr = table_rows(duck_tbl)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}"); n_fail += 1; continue
+        terrs = []
+        st = schema_types(spark_tbl, "spark", terrs)
+        dt = schema_types(duck_tbl, "duck", terrs)
+        if terrs:
+            print(f"FAIL {name}: unsafe output types: {'; '.join(terrs)}")
+            n_fail += 1; continue
+        if st != dt:
+            diffs = [f"{c}: spark={a} duck={b}"
+                     for c, a, b in zip(sc, st, dt) if a != b]
+            print(f"FAIL {name}: column types differ: {'; '.join(diffs)}")
+            n_fail += 1; continue
         if sr != dr:
             n_fail += 1
             print(f"FAIL {name}: {len(sr)} vs {len(dr)} rows; first diffs:")
