@@ -505,8 +505,10 @@ object Dedup {
     * of the incremental gold-hop family (siblings:
     * [[exactDedupIncremental]], [[minhashLshStatsIncremental]],
     * [[simhashStatsIncremental]], [[embeddingStatsLshIncremental]],
-    * [[dedupResolveIncremental]],
-    * [[TextAnalysis.segmentDedupIncremental]], `annIvfIncremental` —
+    * [[dedupResolveIncremental]], [[jaccardStatsIncremental]] —
+    * which shares THIS member's posting state and implementation,
+    * differing only in the pair score —
+    * [[TextAnalysis.segmentDedupIncremental]], `annIvfIncremental`;
     * same keyed-state + XOR-signature-staleness design; same n /
     * maxDf / threshold across calls).
     *
@@ -559,29 +561,80 @@ object Dedup {
                                   fullResync: Boolean = false,
                                   appendOnly: Boolean = false,
                                   fmt: graft.pipeline.TableFormat =
-                                    graft.pipeline.SnapshotTableFormat): Unit = {
+                                    graft.pipeline.SnapshotTableFormat): Unit =
+    shingleStatsIncremental(spark, batch, idCol, textCol, stateDir, goldPath,
+      batchOrd, n, maxDf, threshold, deletes, fullResync, appendOnly, fmt,
+      jaccard = false)
+
+  /** Incremental [[ngramJaccardStats]] — the symmetric JACCARD
+    * member of the incremental family, completing the pairing with
+    * [[containmentStatsIncremental]] the way the batch operators
+    * pair: both are verdicts over the SAME rare-shingle candidate
+    * index, differing only in the per-pair score (Jaccard
+    * |∩|/|∪| vs directional containment |∩|/|Sa|). The posting
+    * state, bucket qualification (2 ≤ df ≤ maxDf), XOR-signature
+    * staleness, append-only fast path, and delete/null-retraction
+    * contracts are IDENTICAL — one shared implementation serves
+    * both, so any state dir built by one member is readable by the
+    * other (same `docs` + `shingles` tables; only the gold stats
+    * columns differ: n_near/max_jaccard here, spec-proven equal to
+    * the batch operator's recompute after every fold).
+    */
+  def jaccardStatsIncremental(spark: SparkSession, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              stateDir: String, goldPath: String,
+                              batchOrd: Long,
+                              n: Int = 5, maxDf: Int = 20,
+                              threshold: Double = 0.1,
+                              deletes: Option[DataFrame] = None,
+                              fullResync: Boolean = false,
+                              appendOnly: Boolean = false,
+                              fmt: graft.pipeline.TableFormat =
+                                graft.pipeline.SnapshotTableFormat): Unit =
+    shingleStatsIncremental(spark, batch, idCol, textCol, stateDir, goldPath,
+      batchOrd, n, maxDf, threshold, deletes, fullResync, appendOnly, fmt,
+      jaccard = true)
+
+  private def shingleStatsIncremental(spark: SparkSession, batch: DataFrame,
+                                      idCol: String, textCol: String,
+                                      stateDir: String, goldPath: String,
+                                      batchOrd: Long, n: Int, maxDf: Int,
+                                      threshold: Double,
+                                      deletes: Option[DataFrame],
+                                      fullResync: Boolean, appendOnly: Boolean,
+                                      fmt: graft.pipeline.TableFormat,
+                                      jaccard: Boolean): Unit = {
     require(!(appendOnly && deletes.nonEmpty),
       "appendOnly declares an insert-only corpus; a delete feed " +
         "contradicts it — drop the flag and use the general path")
     val docsPath = s"$stateDir/docs"
     val postPath = s"$stateDir/shingles"
+    // the two members differ ONLY here: the per-ordered-pair score
+    // and the gold stat column names
+    val (nearName, maxName) =
+      if (jaccard) ("n_near", "max_jaccard")
+      else ("n_contained", "max_containment")
     def shingleRows(docsH: DataFrame): DataFrame =
       docsH.select(col("id"), xxhash64(col("shash")).as("chash"),
         explode(col("shash")).as("h"))
-    def contStats(stateDocs: DataFrame, pairs: DataFrame): DataFrame =
+    def contStats(stateDocs: DataFrame, pairs: DataFrame): DataFrame = {
+      val score =
+        if (jaccard)
+          col("_shared").cast("double") /
+            (size(col("da.shash")) + size(col("db.shash")) - col("_shared"))
+        else col("_shared").cast("double") / size(col("da.shash"))
       pairs
         .join(stateDocs.as("da"), col("da.id") === col("ida"))
         .join(stateDocs.as("db"), col("db.id") === col("idb"))
         .withColumn("_shared", HashFunctions.sortedIntersectCount(
           col("da.shash"), col("db.shash")))
-        .select(col("ida"), col("idb"),
-          (col("_shared").cast("double") / size(col("da.shash")))
-            .as("containment"))
+        .select(col("ida"), col("idb"), score.as("_score"))
         .groupBy(col("ida")).agg(
           count(lit(1)).as("n_candidates"),
-          sum(when(col("containment") >= threshold, 1L).otherwise(0L))
-            .as("n_contained"),
-          max(col("containment")).as("max_containment"))
+          sum(when(col("_score") >= threshold, 1L).otherwise(0L))
+            .as(nearName),
+          max(col("_score")).as(maxName))
+    }
     // null-text handling: the batch operator's documented deviation
     // (see minhashLshStatsIncremental) — null docs never enter
     // state/gold, an update TO null retracts like a delete
@@ -640,8 +693,8 @@ object Dedup {
         .join(sigNow, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col("n_contained"), lit(0L)).as("n_contained"),
-          col("max_containment"), lit(batchOrd).as("_ord"),
+          coalesce(col(nearName), lit(0L)).as(nearName),
+          col(maxName), lit(batchOrd).as("_ord"),
           coalesce(col("_sig_now"), lit(0L)).as("_shingle_sig"))
       if (!statsRows.isEmpty)
         fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
@@ -726,8 +779,8 @@ object Dedup {
       .join(sigNow, Seq("id"), "left_outer")
       .select(col("id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_contained"), lit(0L)).as("n_contained"),
-        col("max_containment"), lit(batchOrd).as("_ord"),
+        coalesce(col(nearName), lit(0L)).as(nearName),
+        col(maxName), lit(batchOrd).as("_ord"),
         coalesce(col("_sig_now"), lit(0L)).as("_shingle_sig"))
     if (!statsRows.isEmpty)
       fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",

@@ -384,9 +384,10 @@ object Similarity {
     * oracle, this entry is rows-only declared, so it can afford the
     * better quantizer — refined lists lift candidate-pool recall,
     * the binding constraint once rerank recovers exact scores
-    * (measured at the defaults on the sf0.01 corpus: reranked mean
-    * recall@5 0.34 with raw-slice codes on the sampled quantizer →
-    * 0.41 with projection-residual codes on the refined one, at
+    * (measured on the sf0.01 corpus at nlist=64/nprobe=4: reranked
+    * mean recall@5 0.34 with raw-slice codes on the sampled
+    * quantizer → 0.43 with projection-residual codes on the refined
+    * one, at
     * identical m/ksub/nprobe). Every float op is
     * fixed-order, so the output is deterministic (rows-only entry;
     * recall floor vs brute force is spec-pinned).
@@ -403,10 +404,21 @@ object Similarity {
     * re-scoring, while the inverted-list shuffle stays coded.
     * `rerank = 0` returns raw ADC ranks (projection-residual codes —
     * see [[graft.functions.VectorOps.pqEncode]]).
+    *
+    * Default depths sit at the MEASURED knee (DedupSpec's
+    * rerank-depth curve, sf0.01): rerank=8 is where the reranked
+    * recall lands exactly ON the exact-scored ceiling of its own
+    * candidate pool (0.4348 at nprobe=4 — deeper shortlists buy
+    * nothing), so past it only the POOL binds — and nprobe=8 spends
+    * the ~10× row-width savings of the coded lists on twice the
+    * probes (8 probes × ~24 B rows ≈ 0.8× the shuffle bytes of
+    * exact IVF's 4 × 256 B), lifting recall@5 to 0.5628 — ABOVE
+    * exact [[annIvf]] at its own defaults (0.44). Neither knob
+    * touches stored bytes; both are query-time trades.
     */
   def annIvfPq(df: DataFrame, idCol: String, vecCol: String,
-               k: Int = 5, nlist: Int = 64, nprobe: Int = 4,
-               m: Int = 8, ksub: Int = 64, rerank: Int = 4): DataFrame = {
+               k: Int = 5, nlist: Int = 64, nprobe: Int = 8,
+               m: Int = 8, ksub: Int = 64, rerank: Int = 8): DataFrame = {
     val trainVecs = pqSample(df, idCol, vecCol,
       math.max(4 * nlist, 4 * ksub))
     require(trainVecs.nonEmpty, "annIvfPq: empty corpus")

@@ -23,7 +23,10 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
     val Array(src, dst, factorS) = args
     val factor = factorS.toInt
-    require(factor >= 1 && factor <= 20, "factor must be in [1, 20]")
+    // cap keeps (factor-1)·1e8 + base ids well inside int64; every
+    // testdata key column is BIGINT with base maxima < 1e6 (r14
+    // probe), so factor 100 (the "sf10 from sf0.1" probe) is safe
+    require(factor >= 1 && factor <= 128, "factor must be in [1, 128]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

@@ -1822,6 +1822,109 @@ class StreamingSpec extends SparkSpec {
       "the nulled doc's gold row must disappear")
   }
 
+  test("incremental jaccard stats: gold equals batch recompute, state interops with containment") {
+    // JACCARD member: same posting state and staleness machinery as
+    // the containment member (shared implementation — the crash
+    // replay and append-only contracts are proven there), so this
+    // spec pins what is NEW: the symmetric score against the batch
+    // operator after inserts, an old doc gaining a partner, an
+    // update retraction and a hard delete — then proves the state
+    // dir is READABLE BY THE OTHER MEMBER (same docs/shingles
+    // tables, different gold).
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_jc_silver").toString
+    val stateDir = Files.createTempDirectory("graft_jc_state").toString
+    val gold = Files.createTempDirectory("graft_jc_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_jc_ck").toString
+    val P = (3, 20, 0.1) // n, maxDf, threshold
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        Dedup.jaccardStatsIncremental(spark,
+          chg.select("doc_id", "text"), "doc_id", "text",
+          stateDir, gold, batchOrd = v.toLong,
+          n = P._1, maxDf = P._2, threshold = P._3)
+      }
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("max_jaccard"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = stats(Dedup.ngramJaccardStats(
+        fmt.read(spark, silver).select("doc_id", "text")
+          .filter(col("text").isNotNull), "doc_id", "text",
+        n = P._1, maxDf = P._2, threshold = P._3), "doc_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy cat"
+    // batch 1: near-dup pair (high symmetric Jaccard) + unrelated
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, a, 0), (2L, b, 0), (3L, "zzz yyy xxx www vvv", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 1")
+    val g1 = MergeTable.read(spark, gold).filter(col("id") === 1L).head
+    assert(g1.getAs[Long]("n_near") == 1L &&
+      g1.getAs[Double]("max_jaccard") > 0.5,
+      s"near-dup pair must score high symmetric jaccard: $g1")
+
+    // batch 2: doc 4 near both — OLD docs 1,2 gain a partner
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, "quick brown fox jumps over the lazy", 1))
+        .toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 2 (old docs gain a partner)")
+
+    // batch 3: doc 2's update leaves the family
+    fmt.scd1Merge(spark, silver,
+      Seq((2L, "totally different words now", 2))
+        .toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 3 (update retracts a partnership)")
+
+    // hard delete: doc 4 leaves — doc 1 loses its last partner
+    val delIds = Seq(4L).toDF("doc_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
+    Dedup.jaccardStatsIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 3L,
+      n = P._1, maxDf = P._2, threshold = P._3, deletes = Some(delIds))
+    checkGoldEqualsBatch("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 4L).count() == 0)
+
+    // STATE INTEROP: the containment member reads THIS state dir
+    // (same docs/shingles tables) into its own gold and matches its
+    // own batch operator — one inverted index serves both verdicts
+    val contGold = Files.createTempDirectory("graft_jc_cgold").toString + "/t"
+    val current = fmt.read(spark, silver)
+      .filter(col("text").isNotNull).select("doc_id", "text")
+    Dedup.containmentStatsIncremental(spark, current, "doc_id", "text",
+      stateDir, contGold, batchOrd = 4L,
+      n = P._1, maxDf = P._2, threshold = 0.5)
+    val contTruth = Dedup.ngramContainmentStats(current, "doc_id", "text",
+        n = P._1, maxDf = P._2, threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val contGot = MergeTable.read(spark, contGold)
+      .select(col("id").as("doc_id"), col("n_candidates"),
+        col("n_contained"), col("max_containment"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(contGot == contTruth,
+      s"containment over shared state: $contGot vs $contTruth")
+  }
+
   test("append-only containment fast path: neighborhood re-verify equals batch and general path") {
     // two-hop case for the containment member: batch fragment 4
     // lands in the page's buckets, so OLD docs (not in the batch)
