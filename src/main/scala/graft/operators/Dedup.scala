@@ -448,8 +448,19 @@ object Dedup {
     */
   private def rareShingleCandidates(docsH: DataFrame, maxDf: Int): DataFrame = {
     val sh = docsH.select(col("id"), explode(col("shash")).as("h"))
-    sh.groupBy("h").agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) <= maxDf && size(col("ids")) > 1)
+    // two-phase (r14): count document frequency FIRST (map-side
+    // combinable longs — tiny shuffle), qualify 2 ≤ df ≤ maxDf, and
+    // only THEN collect ids for qualifying shingles (bounded lists,
+    // ≤ maxDf each). The one-phase collect_set collected EVERY
+    // shingle's full posting list before filtering — on a
+    // duplicate-heavy corpus the common shingles' lists are
+    // corpus-sized and the aggregate spilled GBs at the sf10 probe
+    // (4.8 GB memory spill) for lists the filter then threw away.
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf && col("_df") > 1)
+      .select(col("h"))
+    sh.join(rare, Seq("h"), "left_semi")
+      .groupBy("h").agg(collect_set(col("id")).as("ids"))
       .select(explode(col("ids")).as("ida"), col("ids"))
       .select(col("ida"), explode(col("ids")).as("idb"))
       .filter(col("ida") < col("idb"))
@@ -795,13 +806,115 @@ object Dedup {
     * per seed — all computed INSIDE the row with transform/array_min
     * (no explode, no groupBy: the signature stage shuffles nothing).
     * Band hashes become LSH bucket keys; the only shuffle carries
-    * (band, bandHash, id); band-collision pairs are verified with
+    * (band, bandHash, group); band-collision pairs are verified with
     * true Jaccard over the hash sets.
+    *
+    * EXACT-DUPLICATE COLLAPSE (r14): all LSH work runs on DISTINCT
+    * shingle-hash arrays, one representative per content group, and
+    * per-doc stats expand afterwards by group size. This is
+    * value-EXACT, not an approximation: identical arrays give
+    * identical band rows, so every bucket is group-closed (it holds
+    * all of a group's docs or none), the flood-cap decision on the
+    * summed doc count matches the doc-level bucket size, every
+    * cross-group doc pair shares exactly the buckets its group pair
+    * shares, and within-group pairs all score Jaccard 1. A
+    * mass-duplicated corpus — the regime this operator exists for —
+    * otherwise pays pair cost quadratic in the duplication factor
+    * UNDER the flood cap (the 100×-duplicated sf10 probe: every
+    * bucket ~100×-degenerate yet below maxBucket, 153 GB of
+    * aggregate spill, job death); collapsed, the pair stage is
+    * quadratic in DISTINCT contents only. Group identity is
+    * xxhash64 of the sorted hash array (two distinct contents
+    * colliding ≈ 2⁻⁶⁴, deterministic, and the value-exact oracle
+    * would surface it — the decontaminate-oracle argument).
     */
   def minhashLshStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.1,
                       maxBucket: Int = 10000): DataFrame = {
+    val docsH = shingleHashes(df, idCol, textCol, n)
+      .transform(graft.Materialize.eager)
+    val members = docsH
+      .select(col("id"), xxhash64(col("shash")).as("chash"))
+    // one representative array per content group (all members'
+    // arrays are identical by construction, so `first` is exact)
+    val groups = docsH
+      .groupBy(xxhash64(col("shash")).as("chash"))
+      .agg(count(lit(1)).as("gsize"), first(col("shash")).as("shash"))
+      .transform(graft.Materialize.eager)
+    val gFrame = groups.select(col("chash").as("id"), col("shash"))
+    val bandRows = bandRowsFromHashes(gFrame, numPerm, bands)
+      .join(groups.select(col("chash").as("id"), col("gsize")), Seq("id"))
+    // group-level buckets; the cap applies to the DOC count (sum of
+    // group sizes — the doc-level bucket size), so flood semantics
+    // are unchanged. Group pairs include the SELF pair (ga == gb)
+    // when the group has ≥ 2 docs: those are the within-group doc
+    // pairs, kept iff some bucket holding the group survives the cap
+    // — exactly when the doc-level formulation kept them.
+    val pairs = bandRows.groupBy("band", "bhash")
+      .agg(collect_set(struct(col("id"), col("gsize"))).as("gs"),
+        sum(col("gsize")).as("_total"))
+      .filter(col("_total") > 1 && col("_total") <= maxBucket)
+      .select(explode(col("gs")).as("a"), col("gs"))
+      .select(col("a"), explode(col("gs")).as("b"))
+      .filter(col("a.id") < col("b.id") ||
+        (col("a.id") === col("b.id") && col("a.gsize") >= 2))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+      .transform(graft.Materialize.eager)
+    // cross-group pairs verify ONCE per group pair on the reps
+    val jac = pairJaccardTwo(gFrame, gFrame,
+      pairs.filter(col("ida") =!= col("idb")))
+    val both = jac.select(col("ida").as("chash"), col("idb").as("other"),
+        col("jaccard"))
+      .unionByName(jac.select(col("idb").as("chash"),
+        col("ida").as("other"), col("jaccard")))
+    val crossAgg = both
+      .join(groups.select(col("chash").as("other"), col("gsize").as("osize")),
+        Seq("other"))
+      .groupBy("chash").agg(
+        sum(col("osize")).as("_cross_cand"),
+        sum(when(col("jaccard") >= threshold, col("osize")).otherwise(0L))
+          .as("_cross_near"),
+        max(col("jaccard")).as("_cross_max"))
+    val selfGroups = pairs.filter(col("ida") === col("idb"))
+      .select(col("ida").as("chash")).withColumn("_self", lit(true))
+    // an EMPTY-shingle group's within-pairs score 0/0 = NULL at doc
+    // level (null counts as a candidate, never as near, never as a
+    // max) — mirror that, don't award Jaccard 1
+    val withinScored = col("_self") && size(col("shash")) > 0
+    val gstats = groups
+      .join(selfGroups, Seq("chash"), "left")
+      .join(crossAgg, Seq("chash"), "left")
+      .select(col("chash"),
+        (when(col("_self"), col("gsize") - 1L).otherwise(0L) +
+          coalesce(col("_cross_cand"), lit(0L))).as("n_candidates"),
+        (when(withinScored && lit(1.0 >= threshold), col("gsize") - 1L)
+          .otherwise(0L) +
+          coalesce(col("_cross_near"), lit(0L))).as("n_near"),
+        // greatest ignores nulls: 1.0 for a duplicated group with a
+        // kept bucket, the best cross score otherwise, null if none
+        greatest(when(withinScored, lit(1.0)), col("_cross_max"))
+          .as("max_jaccard"))
+    df.select(col(idCol).as("id"))
+      .join(members.join(gstats, Seq("chash")).drop("chash"),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_jaccard"))
+  }
+
+  /** The pre-collapse doc-level formulation of [[minhashLshStats]] —
+    * kept package-private as the equivalence REFERENCE: DedupSpec
+    * proves the collapsed operator equal to this on duplicate-heavy
+    * corpora across flood regimes. Do not use at scale (pair cost
+    * quadratic in the duplication factor under the cap).
+    */
+  private[graft] def minhashLshStatsUncollapsed(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.1, maxBucket: Int = 10000): DataFrame = {
     val (docsH, cand) =
       minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket)
     jaccardPairStats(df, idCol, docsH, cand, threshold)
@@ -1410,7 +1523,23 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"),
       HashFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
       .transform(graft.Materialize.eager)
-    val allChunks = simhashChunkRows(hashed)
+    // EXACT-DUPLICATE COLLAPSE (r14, the minhashLshStats design):
+    // the verification metric (bit_count of the XOR) depends ONLY on
+    // the two simhash values, so all bucket/pair work runs per
+    // DISTINCT simhash with a group size, and per-doc stats expand
+    // afterwards. Buckets are group-closed (equal hashes share all
+    // four chunks), the flood cap applies to the SUMMED doc count,
+    // within-group doc pairs all sit at Hamming 0 — value-exact,
+    // spec-pinned against the doc-level reference. The sf10 probe's
+    // 100x-duplicated corpus killed the doc-level form (every chunk
+    // bucket 100x-degenerate under the cap); collapsed, pair cost is
+    // quadratic in distinct hashes only.
+    val groups = hashed.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("gsize"))
+      .transform(graft.Materialize.eager)
+    val allChunks = simhashChunkRows(
+        groups.select(col("simhash").as("id"), col("simhash")))
+      .join(groups.select(col("simhash"), col("gsize")), Seq("simhash"))
     // the flood set is DRIVER-COLLECTED with a STRUCTURAL bound, not
     // an assumed one: cval is a 16-bit slice, so each chunk's flood
     // set holds at most 2¹⁶ values and the whole collect at most
@@ -1426,7 +1555,7 @@ object Dedup {
       if (maxBucket == Int.MaxValue) Array.fill(4)(Set.empty[Long])
       else {
         val f = allChunks.groupBy("chunk", "cval")
-          .agg(count(lit(1)).as("_n"))
+          .agg(sum(col("gsize")).as("_n"))
           .filter(col("_n") > maxBucket).select("chunk", "cval").collect()
         require(f.length <= 4 * 65536,
           s"simhash flood set ${f.length} exceeds the 16-bit chunk-value " +
@@ -1473,13 +1602,39 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
       .transform(graft.Materialize.eager) // mirrored below: avoid double evaluation
-    val both = cand.select(col("ida").as("id"), col("hamming"))
-      .unionByName(cand.select(col("idb").as("id"), col("hamming")))
-    val per = both.groupBy("id").agg(
-      count(lit(1)).as("n_candidates"),
-      sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L)).as("n_near"),
-      min(col("hamming")).as("min_hamming"))
-    hashed.join(per, Seq("id"), "left")
+    // expansion: cross-group doc pairs multiply by the OTHER group's
+    // size; within-group pairs ((gsize-1) per doc, Hamming 0) exist
+    // iff the group kept at least one unflooded chunk bucket —
+    // exactly when the doc-level formulation would have paired them
+    val both = cand.select(col("ida").as("simhash"),
+        col("idb").as("other"), col("hamming"))
+      .unionByName(cand.select(col("idb").as("simhash"),
+        col("ida").as("other"), col("hamming")))
+    val crossAgg = both
+      .join(groups.select(col("simhash").as("other"),
+        col("gsize").as("osize")), Seq("other"))
+      .groupBy("simhash").agg(
+        sum(col("osize")).as("_cross_cand"),
+        sum(when(col("hamming") <= maxHamming, col("osize")).otherwise(0L))
+          .as("_cross_near"),
+        min(col("hamming")).as("_cross_min"))
+    val keptGroups = chunks.select(col("id").as("simhash")).distinct()
+      .withColumn("_kept", lit(true))
+    val withinPairs = col("_kept") && col("gsize") >= 2L
+    val gstats = groups
+      .join(keptGroups, Seq("simhash"), "left")
+      .join(crossAgg, Seq("simhash"), "left")
+      .select(col("simhash"),
+        (when(withinPairs, col("gsize") - 1L).otherwise(0L) +
+          coalesce(col("_cross_cand"), lit(0L))).as("n_candidates"),
+        (when(withinPairs && lit(0 <= maxHamming), col("gsize") - 1L)
+          .otherwise(0L) +
+          coalesce(col("_cross_near"), lit(0L))).as("n_near"),
+        // least skips nulls: 0 for a duplicated group with a kept
+        // bucket, else the best cross Hamming, null if no pairs
+        least(when(withinPairs, lit(0)), col("_cross_min"))
+          .as("min_hamming"))
+    hashed.join(gstats, Seq("simhash"), "left")
       .select(col("id").as(idCol), col("simhash"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),

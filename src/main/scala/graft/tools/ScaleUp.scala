@@ -16,16 +16,21 @@ import org.apache.spark.sql.functions._
   * dedup family see a 10x-duplicated corpus — the dup-heavy regime
   * those operators exist for.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor> [offset]
+  *
+  * `offset` (default 1e8) must exceed every base id and
+  * `(factor-1)·offset + maxBaseId` must fit the NARROWEST key
+  * column type: region/nation keys are int32, so the factor-100
+  * sf10 probe passes 1e7 (max shifted id ≈ 9.9e8 < 2³¹; base ids
+  * < 2e5, so copies cannot collide). An overflowing cast fails the
+  * job loudly (ANSI CAST_OVERFLOW) rather than wrapping.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
-    val Array(src, dst, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [offset]")
+    val Array(src, dst, factorS) = args.take(3)
     val factor = factorS.toInt
-    // cap keeps (factor-1)·1e8 + base ids well inside int64; every
-    // testdata key column is BIGINT with base maxima < 1e6 (r14
-    // probe), so factor 100 (the "sf10 from sf0.1" probe) is safe
     require(factor >= 1 && factor <= 128, "factor must be in [1, 128]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -35,7 +40,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val offset = 100000000L
+    val offset = if (args.length == 4) args(3).toLong else 100000000L
+    require(offset >= 1000000L, "offset must exceed every base id")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>

@@ -239,6 +239,39 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"), plan.take(3000))
   }
 
+  test("minhash duplicate collapse equals the doc-level formulation across flood regimes") {
+    // the r14 collapse runs LSH on distinct contents and expands by
+    // group size — value-EXACT vs the doc-level reference, including
+    // flood caps that drop some of a group's buckets but not others
+    val base = "one two three four five six seven eight nine ten " * 3
+    val docs =
+      (1 to 7).map(i => (i.toLong, base)) ++ // dup group of 7
+        (10 to 11).map(i => (i.toLong, base + "x")) ++ // near-dup pair
+        Seq((20L, "totally other vocabulary nothing shared here at all")) ++
+        (30 to 32).map(i =>
+          (i.toLong, "second duplicated group content words " * 4)) ++
+        // sub-shingle-length texts: EMPTY hash arrays form one group
+        // whose within-pairs score 0/0 = NULL at doc level — the
+        // collapse must not award them Jaccard 1
+        (40 to 42).map(i => (i.toLong, "ab"))
+    val df = docs.toDF("doc_id", "text")
+    for (cap <- Seq(3, 8, 10000)) {
+      val fast = Dedup.minhashLshStats(df, "doc_id", "text", maxBucket = cap)
+        .collect().map(_.toString).sorted.toSeq
+      val ref = Dedup
+        .minhashLshStatsUncollapsed(df, "doc_id", "text", maxBucket = cap)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fast == ref, s"maxBucket=$cap: $fast vs $ref")
+    }
+    // and on the real corpus at defaults
+    val real = Tables.load(spark, sf, "documents")
+    val f2 = Dedup.minhashLshStats(real, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val r2 = Dedup.minhashLshStatsUncollapsed(real, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(f2.sameElements(r2))
+  }
+
   test("maxBucket cap drops flood buckets from candidate generation only") {
     val flood = (1 to 20).map(i => (i.toLong, "identical template page body " * 3))
     val base = "one two three four five six seven eight nine ten " * 2
