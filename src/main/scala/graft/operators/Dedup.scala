@@ -171,7 +171,13 @@ object Dedup {
   def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(normalizeText(col(textCol))).as("norm_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"),
-        countDistinct(col(textCol)).as("n_raw_variants"))
+        // distinct over md5(text), not the raw text: the distinct
+        // expand shuffles (norm_hash, distinct-key) rows, and full
+        // document strings there cost KBs per row where the hash is
+        // 32 B (the sf10 probe: 36 GB of aggregate spill for rows
+        // the md5 form moves in ~100 MB). md5-equality is the same
+        // text-equality contract `exact` already keys on.
+        countDistinct(md5(col(textCol))).as("n_raw_variants"))
 
   /** Incremental [[exact]] for the medallion gold hop — the third
     * member of the incremental-dedup family next to
@@ -1271,27 +1277,51 @@ object Dedup {
                         threshold: Double = 0.1,
                         maxBucket: Int = 10000, minBands: Int = 1)
       : DataFrame = {
-    val (corpusH, corpusBands) =
-      minhashBandRows(corpus, idCol, textCol, n, numPerm, bands)
-    val (refH, refBands) =
-      minhashBandRows(reference, idCol, textCol, n, numPerm, bands)
-    val ca = corpusBands.groupBy("band", "bhash")
-      .agg(collect_set(col("id")).as("ca"))
-      .filter(size(col("ca")) <= maxBucket)
-    val rb = refBands.groupBy("band", "bhash")
-      .agg(collect_set(col("id")).as("rb"))
-      .filter(size(col("rb")) <= maxBucket)
+    // EXACT-DUPLICATE COLLAPSE (r14), two-sided: both corpora group
+    // by distinct shingle-hash array; candidates and verification
+    // run group-to-group, and expansion is trivial here because the
+    // per-corpus-doc stats don't depend on the CORPUS group's size —
+    // every copy shares its group's (n_ref_candidates,
+    // max_ref_jaccard), and candidate counts multiply by the REF
+    // group's size only. The per-side bucket caps apply to the
+    // summed doc counts, exactly the doc-level bucket sizes.
+    def grouped(df: DataFrame): (DataFrame, DataFrame) = {
+      val h = shingleHashes(df, idCol, textCol, n)
+        .transform(graft.Materialize.eager)
+      val g = h.groupBy(xxhash64(col("shash")).as("chash"))
+        .agg(count(lit(1)).as("gsize"), first(col("shash")).as("shash"))
+        .transform(graft.Materialize.eager)
+      (h.select(col("id"), xxhash64(col("shash")).as("chash")), g)
+    }
+    val (cMembers, cGroups) = grouped(corpus)
+    val (_, rGroups) = grouped(reference)
+    def bandRowsOf(g: DataFrame): DataFrame =
+      bandRowsFromHashes(g.select(col("chash").as("id"), col("shash")),
+        numPerm, bands)
+        .join(g.select(col("chash").as("id"), col("gsize")), Seq("id"))
+    val ca = bandRowsOf(cGroups).groupBy("band", "bhash")
+      .agg(collect_set(col("id")).as("ca"), sum(col("gsize")).as("_ct"))
+      .filter(col("_ct") <= maxBucket)
+    val rb = bandRowsOf(rGroups).groupBy("band", "bhash")
+      .agg(collect_set(col("id")).as("rb"), sum(col("gsize")).as("_rt"))
+      .filter(col("_rt") <= maxBucket)
     val cand = ca.join(rb, Seq("band", "bhash"))
       .select(explode(col("ca")).as("ida"), col("rb"))
       .select(col("ida"), explode(col("rb")).as("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minBands)
       .select(col("ida"), col("idb"))
-    val per = pairJaccardTwo(corpusH, refH, cand)
-      .groupBy(col("ida").as("id")).agg(
-        count(lit(1)).as("n_ref_candidates"),
+    val perGroup = pairJaccardTwo(
+        cGroups.select(col("chash").as("id"), col("shash")),
+        rGroups.select(col("chash").as("id"), col("shash")), cand)
+      .join(rGroups.select(col("chash").as("idb"), col("gsize").as("rsize")),
+        Seq("idb"))
+      .groupBy(col("ida").as("chash")).agg(
+        sum(col("rsize")).as("n_ref_candidates"),
         max(col("jaccard")).as("max_ref_jaccard"))
-    corpus.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+    corpus.select(col(idCol).as("id"))
+      .join(cMembers.join(perGroup, Seq("chash")).drop("chash"),
+        Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_ref_candidates"), lit(0L)).as("n_ref_candidates"),
         col("max_ref_jaccard"),
@@ -1315,15 +1345,69 @@ object Dedup {
                    threshold: Double = 0.1,
                    maxBucket: Int = 10000, minBands: Int = 1,
                    saltBuckets: Int = 1): DataFrame = {
-    val (docsH, cand) =
-      minhashCandidates(df, idCol, textCol, n, numPerm, bands, maxBucket,
-        minBands)
-    val near = pairJaccard(docsH, cand).filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"))
-    resolveClusters(df.select(col(idCol).as("id")), near,
+    // EXACT-DUPLICATE COLLAPSE (r14, the minhashLshStats design
+    // carried into resolution): the near-dup GRAPH is built over
+    // distinct contents — one node per shingle-hash-array group,
+    // node id = the group's MIN doc id (unique across groups, so
+    // cluster canonicals are true doc-id minima) — and membership
+    // expands afterwards. Value-exact: a group whose kept-bucket
+    // count passes minBands has ALL its copies pairwise connected
+    // at Jaccard 1 at doc level (any kept bucket holds every copy),
+    // so the group collapses to one node; a group that keeps no
+    // qualifying bucket has NO doc-level edges at all (cross-pair
+    // band hits are bounded by its own kept-bucket count), so its
+    // members resolve as singletons. Without the collapse the edge
+    // set is quadratic in the duplication factor below the flood
+    // cap — the sf10 probe's 100x-duplicated corpus spilled 291 GB
+    // and died here.
+    val docsH = shingleHashes(df, idCol, textCol, n)
+      .transform(graft.Materialize.eager)
+    val members = docsH.select(col("id"), xxhash64(col("shash")).as("chash"))
+    val groups = docsH
+      .groupBy(xxhash64(col("shash")).as("chash"))
+      .agg(count(lit(1)).as("gsize"), min(col("id")).as("gmin"),
+        first(col("shash")).as("shash"))
+      .transform(graft.Materialize.eager)
+    val gFrame = groups.select(col("chash").as("id"), col("shash"))
+    val bandRows = bandRowsFromHashes(gFrame, numPerm, bands)
+      .join(groups.select(col("chash").as("id"), col("gsize")), Seq("id"))
+    val gpairs = bandRows.groupBy("band", "bhash")
+      .agg(collect_set(struct(col("id"), col("gsize"))).as("gs"),
+        sum(col("gsize")).as("_total"))
+      .filter(col("_total") > 1 && col("_total") <= maxBucket)
+      .select(explode(col("gs")).as("a"), col("gs"))
+      .select(col("a"), explode(col("gs")).as("b"))
+      .filter(col("a.id") < col("b.id") ||
+        (col("a.id") === col("b.id") && col("a.gsize") >= 2))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minBands)
+      .transform(graft.Materialize.eager)
+    val intra = gpairs.filter(col("ida") === col("idb"))
+      .select(col("ida").as("chash")).withColumn("_intra", lit(true))
+    val near = pairJaccardTwo(gFrame, gFrame,
+        gpairs.filter(col("ida") =!= col("idb")).select("ida", "idb"))
+      .filter(col("jaccard") >= threshold)
+    val gm = groups.select(col("chash"), col("gmin"), col("gsize"))
+    val gEdges = near
+      .join(gm.select(col("chash").as("ida"), col("gmin").as("ga")),
+        Seq("ida"))
+      .join(gm.select(col("chash").as("idb"), col("gmin").as("gb")),
+        Seq("idb"))
+      .select(col("ga").as("ida"), col("gb").as("idb"))
+    val resolved = resolveClusters(
+      groups.select(col("gmin").as("id")), gEdges,
       saltBuckets = saltBuckets)
-      .select(col("id").as(idCol), col("canonical"),
-        (col("id") =!= col("canonical")).as("is_dup"))
+    members
+      .join(gm, Seq("chash"))
+      .join(intra, Seq("chash"), "left")
+      .join(resolved.select(col("id").as("gmin"), col("canonical").as("_gc")),
+        Seq("gmin"), "left")
+      .select(col("id").as(idCol),
+        when(col("gsize") === 1L || col("_intra"),
+          coalesce(col("_gc"), col("gmin")))
+          .otherwise(col("id")).as("canonical"))
+      .withColumn("is_dup", col(idCol) =!= col("canonical"))
   }
 
   /** [[dedupResolve]] with a per-cluster CAP instead of keep-one:

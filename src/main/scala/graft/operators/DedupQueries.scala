@@ -467,13 +467,25 @@ object DedupQueries {
     * `e(vec_id, embedding, bucket, nn)`. Shared by the LSH ANN and
     * LSH embedding-stats oracles.
     */
-  private val srpBucketCtes: String = {
+  /** The r14 auto-planes rule in pure integer SQL: smallest p in
+    * [6, 24] with N ≤ 512·2^p — static range + MIN, no log2 (not
+    * correctly rounded, could disagree across engines at a
+    * boundary). Evaluates to 6 at every verify SF.
+    */
+  private val autoPlanesSql: String =
+    """(SELECT CAST(MIN(p) AS INT) FROM range(6, 25) t(p)
+      |    WHERE p = 24 OR (SELECT count(*) FROM embeddings)
+      |      <= 512 * (CAST(1 AS BIGINT) << CAST(p AS INT)))"""
+      .stripMargin
+
+  private def srpBucketCtes(planesSql: String): String = {
     val mixA = mulmod64("xor(z0, z0 >> 33)", 4283543511L, 3981806797L)
     val mixB = mulmod64("xor(z1, z1 >> 33)", 3301882366L, 444984403L)
     s"""params AS (
        |  SELECT CAST(p AS INT) AS p, CAST(i AS INT) AS i,
        |    CAST(42 + p * 4294967296 + i AS UBIGINT) AS z0
-       |  FROM range(6) t1(p), range(64) t2(i)),
+       |  FROM range(24) t1(p), range(64) t2(i)
+       |  WHERE p < $planesSql),
        |m1 AS (SELECT p, i, $mixA AS z1 FROM params),
        |m2 AS (SELECT p, i, $mixB AS z2 FROM m1),
        |wt AS (
@@ -512,11 +524,13 @@ object DedupQueries {
   // distinct so no pair dedup is needed — mirrors
   // Similarity.annLshMultiprobe exactly
   private val annLshMultiprobeSql: String =
-    s"""WITH $srpBucketCtes,
+    s"""WITH ${srpBucketCtes(autoPlanesSql)},
        |$floodCapCte,
        |pr AS (
        |  SELECT vec_id, embedding, nn, xor(bucket, CAST(f AS INT)) AS pbucket
-       |  FROM e, UNNEST([0, 1, 2, 4, 8, 16, 32]) AS t(f)),
+       |  FROM e, (SELECT 0 AS f UNION ALL
+       |           SELECT CAST(1 AS BIGINT) << CAST(p AS INT)
+       |           FROM range(24) t(p) WHERE p < $autoPlanesSql) t(f)),
        |c AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    $cosSql AS cos_sim
@@ -529,7 +543,7 @@ object DedupQueries {
        |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
 
   private val annLshSql: String =
-    s"""WITH $srpBucketCtes,
+    s"""WITH ${srpBucketCtes(autoPlanesSql)},
        |$floodCapCte,
        |c AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -542,8 +556,10 @@ object DedupQueries {
        |  FROM c)
        |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
 
+  // fixed 6, NOT auto: embeddingStatsLsh keeps a fixed plane count
+  // (its incremental sibling requires identical bucketing per batch)
   private val embeddingLshStatsSql: String =
-    s"""WITH $srpBucketCtes,
+    s"""WITH ${srpBucketCtes("6")},
        |$floodCapCte,
        |c AS (
        |  SELECT a.vec_id AS ida, b.vec_id AS idb, $cosSql AS cos
@@ -561,6 +577,11 @@ object DedupQueries {
     * nearest-centroid assignment and nprobe probing with the
     * bit-exact sequential-fold cosine; ranks agree because the
     * underlying doubles agree bit-for-bit and ties break on ids.
+    * The subquery LIMIT replays the r14 auto-nlist rule
+    * (clamp(⌈√N⌉, 64, 4096) — both engines' sqrt are correctly-
+    * rounded IEEE so the integer agrees; = 64 at every verify SF)
+    * and the flood-cap CTE mirrors maxList=10000 (never fires at
+    * verify SF, semantics pinned like the LSH ek CTE).
     */
   private val annIvfSql: String =
     s"""WITH e AS (
@@ -569,14 +590,18 @@ object DedupQueries {
        |cent AS (
        |  SELECT id AS cid, embedding, nn FROM e
        |  ORDER BY ((id % 2147483647) * 48271) % 2147483647 ASC, id ASC
-       |  LIMIT 64),
+       |  LIMIT (SELECT GREATEST(64, LEAST(4096,
+       |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)),
        |rr AS (
        |  SELECT a.id, a.embedding, a.nn, b.cid,
        |    ROW_NUMBER() OVER (PARTITION BY a.id
        |      ORDER BY $cosSql DESC, b.cid ASC) AS crank
        |  FROM e a, cent b),
-       |lists AS (
+       |l0 AS (
        |  SELECT cid, id AS neighbor_id, embedding, nn FROM rr WHERE crank = 1),
+       |lists AS (
+       |  SELECT * FROM l0 WHERE cid NOT IN (
+       |    SELECT cid FROM l0 GROUP BY cid HAVING count(*) > 10000)),
        |probes AS (
        |  SELECT cid, id, embedding, nn FROM rr WHERE crank <= 4),
        |pairs AS (
@@ -1032,7 +1057,7 @@ object DedupQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
-        |  COUNT(DISTINCT text) AS n_raw_variants
+        |  COUNT(DISTINCT md5(text)) AS n_raw_variants
         |FROM documents GROUP BY 1""".stripMargin,
     // same shingle/rare-candidate CTEs as dedup_ngram_jaccard; the
     // metric divides the shared count by EACH side's own set size

@@ -242,9 +242,27 @@ object Similarity {
     * inverted lists (element 0 = nearest centroid) and the exploded
     * N×nprobe probe set read from it, so the scan and the
     * assignment kernel run exactly once.
+    *
+    * `nlist = 0` (the default) AUTO-SIZES the quantizer to
+    * clamp(⌈√N⌉, 64, 4096) — the standard IVF sizing rule. A fixed
+    * nlist quietly turns quadratic as the corpus grows: total pair
+    * cost is Σ|list|·|probers| ≈ N²·nprobe/nlist, so sf10 (2M
+    * vectors) at the old fixed 64 ground through ~10¹¹ pairs (199 s,
+    * 92 GB spill) where √N sizing (1414 lists) keeps mean lists at
+    * √N. The upper clamp bounds the plan-embedded centroid array
+    * (4096 × d floats ≈ 1 MB at d=64); beyond it bring a trained
+    * quantizer via [[annIvfWith]]. The auto rule is mirrored in the
+    * SQL oracle as a subquery LIMIT (both engines' sqrt are
+    * correctly-rounded IEEE, so the integer agrees), and at the
+    * verify SF it evaluates to the old 64 exactly.
     */
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
-             k: Int = 5, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
+             k: Int = 5, nlist: Int = 0, nprobe: Int = 4,
+             maxList: Int = 10000): DataFrame = {
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(64, math.min(4096,
+        math.ceil(math.sqrt(df.count().toDouble)).toLong)).toInt
     // Lehmer-style modular hash picks the sample: (id mod p) * a mod p
     // with p = 2^31-1 never exceeds ~1.04e14, so it cannot overflow
     // int64 for ANY id (a raw Knuth multiply would — an
@@ -258,11 +276,11 @@ object Similarity {
       .filter(col("v").isNotNull) // a null vector cannot quantize
       .orderBy(pmod(pmod(col("id"), lit(2147483647L)) * lit(48271L),
         lit(2147483647L)).asc, col("id").asc)
-      .limit(nlist)
+      .limit(nl)
       .collect()
     annIvfWith(df, idCol, vecCol,
       centRows.map(_.getLong(0)),
-      centRows.map(_.getSeq[Float](1).toArray), k, nprobe)
+      centRows.map(_.getSeq[Float](1).toArray), k, nprobe, maxList)
   }
 
   /** [[annIvf]] with an EXPLICIT coarse quantizer — the IVF query
@@ -273,7 +291,8 @@ object Similarity {
     */
   def annIvfWith(df: DataFrame, idCol: String, vecCol: String,
                  centIds: Array[Long], centVecs: Array[Array[Float]],
-                 k: Int = 5, nprobe: Int = 4): DataFrame = {
+                 k: Int = 5, nprobe: Int = 4,
+                 maxList: Int = 10000): DataFrame = {
     val centNorms = centVecs.map(normF)
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"))
@@ -281,9 +300,25 @@ object Similarity {
       .withColumn("cids", VectorFunctions.nearestCentroids(col("v"),
         centIds, centVecs, centNorms, nprobe))
       .transform(graft.Materialize.eager)
-    val lists = assigned
-      .select(col("cids").getItem(0).as("mcid"), col("id").as("neighbor_id"),
-        col("v").as("mv"), col("nn").as("mn"))
+    // maxList is the degenerate-inverted-list guard the other
+    // bucketed generators carry (capFloodBuckets): a mis-sized
+    // quantizer (nlist ≪ √N) or a mass-duplicated corpus makes some
+    // list corpus-scale, and probes × that list is the quadratic the
+    // r14 sf10 probe hit (nlist=64 over 2M vectors: ~31k-row lists,
+    // ~2.5e11 pairs, 31 GB of sort spill before the kill). Over-cap
+    // lists leave the INDEX side only — their members still probe
+    // (the multi-probe lesson), so they keep the recall their other
+    // probed lists offer. The primary scale lever remains sizing
+    // nlist ≈ √N; the cap is the guard for the corpus nobody
+    // anticipated. The incremental member's batch-equality contract
+    // is against the UNCAPPED recompute — pass Int.MaxValue when
+    // comparing at a scale where the cap fires.
+    val lists = capFloodBuckets(
+      assigned
+        .select(col("cids").getItem(0).as("mcid"),
+          col("id").as("neighbor_id"), col("v").as("mv"),
+          col("nn").as("mn")),
+      maxList, "mcid")
     val probes = assigned
       .select(col("id"), col("v"), col("nn"), explode(col("cids")).as("cid"))
     val pairs = probes.join(lists,
@@ -417,12 +452,22 @@ object Similarity {
     * touches stored bytes; both are query-time trades.
     */
   def annIvfPq(df: DataFrame, idCol: String, vecCol: String,
-               k: Int = 5, nlist: Int = 64, nprobe: Int = 8,
-               m: Int = 8, ksub: Int = 64, rerank: Int = 8): DataFrame = {
+               k: Int = 5, nlist: Int = 0, nprobe: Int = 8,
+               m: Int = 8, ksub: Int = 64, rerank: Int = 8,
+               maxList: Int = 10000): DataFrame = {
+    // nlist = 0 auto-sizes to clamp(⌈√N⌉, 64, 1024) — the annIvf
+    // sizing rule with a LOWER clamp: this quantizer is driver-Lloyd
+    // TRAINED (O(sample·nlist·d) single-threaded, vs annIvf's free
+    // draw), and 1024 keeps the fit in seconds. Beyond the clamp,
+    // train outside and use the building blocks directly.
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(64, math.min(1024,
+        math.ceil(math.sqrt(df.count().toDouble)).toLong)).toInt
     val trainVecs = pqSample(df, idCol, vecCol,
-      math.max(4 * nlist, 4 * ksub))
+      math.max(4 * nl, 4 * ksub))
     require(trainVecs.nonEmpty, "annIvfPq: empty corpus")
-    val centVecs = refineCoarseCosine(trainVecs, nlist)
+    val centVecs = refineCoarseCosine(trainVecs, nl)
     val centIds = Array.tabulate(centVecs.length)(_.toLong)
     val centNorms = centVecs.map(normF)
     val d = trainVecs.head.length
@@ -511,11 +556,14 @@ object Similarity {
       .withColumn("tbl", tables)
       .transform(graft.Materialize.eager)
     // candidate side: codes + norm + projection scale only — still
-    // the ~10x-narrower shuffle
-    val lists = assigned
-      .select(col("cids").getItem(0).as("mcid"), col("id").as("neighbor_id"),
-        col("codes").as("mcodes"), col("nn").as("mn"),
-        col("alpha").as("malpha"))
+    // the ~10x-narrower shuffle; maxList = the same degenerate-list
+    // guard as annIvfWith (index side only, members still probe)
+    val lists = capFloodBuckets(
+      assigned
+        .select(col("cids").getItem(0).as("mcid"),
+          col("id").as("neighbor_id"), col("codes").as("mcodes"),
+          col("nn").as("mn"), col("alpha").as("malpha")),
+      maxList, "mcid")
     val probes = assigned
       .select(col("id"), col("nn"), col("tbl"),
         explode(arrays_zip(col("cids"), col("cdots"))).as("pz"))
@@ -778,13 +826,24 @@ object Similarity {
     * their vectors report no neighbors (a recall trade, same as
     * Dedup.bucketPairs' cap) instead of one task computing a
     * quadratic bucket. The bucket-id space is 2^planes, so the
-    * flood set is a tiny broadcast anti-join, not a shuffle. At
-    * corpus scale raise `planes` so expected bucket size stays
-    * under the cap.
+    * flood set is a tiny broadcast anti-join, not a shuffle.
+    *
+    * `planes = 0` (the default) AUTO-SIZES the bucket space:
+    * smallest planes in [6, 24] with N ≤ 512·2^planes, so expected
+    * bucket size stays ~512 regardless of corpus scale — a FIXED
+    * plane count quietly degenerates exactly like a fixed IVF nlist
+    * (in-bucket pair cost Σ|b|² ≈ N²/2^planes; the r14 sf10 probe:
+    * 2M vectors over 2⁶ buckets = every bucket ~31k, everything
+    * either flood-dropped or ground through the cap boundary). The
+    * rule is INTEGER-only (a log2-based rule could disagree across
+    * engines near a boundary — log2 is not correctly rounded) and
+    * replays in the SQL oracle as a static-range MIN; at every
+    * verify SF it evaluates to the old 6 exactly.
     */
   def annLsh(df: DataFrame, idCol: String, vecCol: String,
-             k: Int = 5, planes: Int = 6, seed: Long = 42L,
+             k: Int = 5, planes: Int = 0, seed: Long = 42L,
              maxBucket: Int = 10000): DataFrame = {
+    val pl = resolvePlanes(planes, df)
     // LAZY checkpoint: the SRP projection feeds the flood count plus
     // both join sides (4 plan references) and must evaluate once —
     // but building the frame must stay side-effect-free (plan
@@ -794,7 +853,7 @@ object Similarity {
     // requirement in resolveClusters).
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
-      VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
+      VectorFunctions.srpBucket(col(vecCol), pl, seed).as("bucket"))
       .transform(graft.Materialize.lazily)
     val kept = capFloodBuckets(e, maxBucket)
     val pairs = kept.as("a").join(kept.as("b"),
@@ -830,14 +889,15 @@ object Similarity {
     * cosine bit-for-bit.
     */
   def annLshMultiprobe(df: DataFrame, idCol: String, vecCol: String,
-                       k: Int = 5, planes: Int = 6, seed: Long = 42L,
+                       k: Int = 5, planes: Int = 0, seed: Long = 42L,
                        maxBucket: Int = 10000): DataFrame = {
+    val pl = resolvePlanes(planes, df)
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
-      VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
+      VectorFunctions.srpBucket(col(vecCol), pl, seed).as("bucket"))
       .transform(graft.Materialize.lazily)
     val kept = capFloodBuckets(e, maxBucket)
-    val flips = lit(0) +: (0 until planes).map(p => lit(1 << p))
+    val flips = lit(0) +: (0 until pl).map(p => lit(1 << p))
     val probes = e.select(col("id"), col("v"), col("nn"),
       explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*))
         .as("pbucket"))
@@ -848,6 +908,22 @@ object Similarity {
           col("a.nn"), col("b.nn")).as("cos_sim"))
     topKWithin(pairs, k)
   }
+
+  /** Smallest planes in [6, 24] with n ≤ 512·2^planes — the SRP
+    * bucket-space sizing rule (expected bucket ≈ 512 docs at any
+    * corpus scale). Pure integer arithmetic so the SQL oracle's
+    * replay agrees exactly; 6 at every verify SF. `planes > 0`
+    * passes through (explicit override; the incremental embedding
+    * member NEEDS a fixed plane count across batches).
+    */
+  private[operators] def resolvePlanes(planes: Int, df: DataFrame): Int =
+    if (planes > 0) planes
+    else {
+      val n = df.count()
+      var p = 6
+      while (p < 24 && n > (512L << p)) p += 1
+      p
+    }
 
   /** Drop rows whose bucket (SRP bucket, k-means cluster, simhash
     * chunk — any bounded-cardinality candidate key) holds more than

@@ -623,6 +623,47 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getDouble(0) == 1.5 + 0.75 + 20.0)
   }
 
+  test("ivf maxList cap drops flooded inverted lists from the index only") {
+    // the r14 guard: a mis-sized quantizer (nlist << sqrt(N)) or a
+    // mass-duplicated corpus makes some inverted list corpus-scale
+    // and probes x list goes quadratic (the sf10 kill). Over-cap
+    // lists leave the INDEX side; their members still PROBE.
+    import SparkSpec.spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    // explicit tiny quantizer so list sizes are large and knowable
+    val centRows = e.orderBy("vec_id").limit(4)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+    val cIds = centRows.map(_.getLong(0))
+    val cVecs = centRows.map(_.getSeq[Float](1).toArray)
+    val cNorms = cVecs.map(v => math.sqrt(
+      v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    val assigned = e.select(col("vec_id").cast("long").as("id"),
+      graft.functions.VectorFunctions.nearestCentroids(
+        col("embedding"), cIds, cVecs, cNorms, 1).getItem(0).as("mcid"))
+    val cap = (e.count() / 4).toInt // mean list size; max exceeds it
+    val flooded = assigned.groupBy("mcid").count()
+      .filter(col("count") > cap).select("mcid").as[Long].collect().toSet
+    assert(flooded.nonEmpty, s"fixture: no list exceeds $cap")
+    val floodMembers = assigned
+      .filter(col("mcid").isInCollection(flooded))
+      .select("id").as[Long].collect().toSet
+    val out = Similarity.annIvfWith(e, "vec_id", "embedding",
+        cIds, cVecs, k = 3, nprobe = 2, maxList = cap)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (_, nb) => !floodMembers.contains(nb) },
+      "flooded-list members must not be indexed")
+    assert(out.exists { case (v, _) => floodMembers.contains(v) },
+      "flooded-list members must still find neighbors via their probes")
+    // the default cap never fires at this SF: capped == uncapped
+    val a = Similarity.annIvf(e, "vec_id", "embedding")
+      .collect().map(_.toString).sorted
+    val b = Similarity.annIvf(e, "vec_id", "embedding",
+        maxList = Int.MaxValue)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("ivf recall rises monotonically with nprobe and reaches 1.0 at nlist") {
     val e = Tables.load(spark, sf, "embeddings")
     val truth = Similarity.annBruteForce(e, "vec_id", "embedding", k = 3)
