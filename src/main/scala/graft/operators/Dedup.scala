@@ -2226,14 +2226,22 @@ object Dedup {
     * bucketPairs) instead of letting one bucket go quadratic.
     */
   def embeddingStatsLsh(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.4, planes: Int = 6,
+                        threshold: Double = 0.4, planes: Int = 0,
                         seed: Long = 42L,
                         maxBucket: Int = 10000): DataFrame = {
+    // planes = 0 auto-sizes the SRP bucket space to the corpus (the
+    // r14 annLsh rule — smallest p in [6, 24] with N ≤ 512·2^p,
+    // mirrored in the SQL oracle, = 6 at every verify SF): fixed
+    // planes leave in-bucket pair cost ≈ N²/2^planes growing with
+    // the corpus (142 s at the sf10 probe). The INCREMENTAL member
+    // requires one fixed plane count across calls — pass it
+    // explicitly there.
+    val pl = Similarity.resolvePlanes(planes, df)
     // materialize once: `e` feeds the flood count, both sides of the
     // self-join, plus the final left join (see embeddingStats)
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"),
-      VectorFunctions.srpBucket(col(vecCol), planes, seed).as("bucket"))
+      VectorFunctions.srpBucket(col(vecCol), pl, seed).as("bucket"))
       .transform(graft.Materialize.eager)
     val kept = Similarity.capFloodBuckets(e, maxBucket)
     val pairs = kept.as("a").join(kept.as("b"),

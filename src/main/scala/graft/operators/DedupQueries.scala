@@ -556,10 +556,8 @@ object DedupQueries {
        |  FROM c)
        |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5""".stripMargin
 
-  // fixed 6, NOT auto: embeddingStatsLsh keeps a fixed plane count
-  // (its incremental sibling requires identical bucketing per batch)
   private val embeddingLshStatsSql: String =
-    s"""WITH ${srpBucketCtes("6")},
+    s"""WITH ${srpBucketCtes(autoPlanesSql)},
        |$floodCapCte,
        |c AS (
        |  SELECT a.vec_id AS ida, b.vec_id AS idb, $cosSql AS cos
