@@ -885,9 +885,11 @@ object Dedup {
         max(col("jaccard")).as("_cross_max"))
     val selfGroups = pairs.filter(col("ida") === col("idb"))
       .select(col("ida").as("chash")).withColumn("_self", lit(true))
-    // an EMPTY-shingle group's within-pairs score 0/0 = NULL at doc
-    // level (null counts as a candidate, never as near, never as a
-    // max) — mirror that, don't award Jaccard 1
+    // defensive null contract: an EMPTY hash array's within-pairs
+    // would score 0/0 = NULL at doc level (a candidate, never near,
+    // never a max) — mirror that rather than awarding Jaccard 1.
+    // The bundled shingler never emits an empty array (it truncates
+    // short text to one shingle), so this guards custom hash frames.
     val withinScored = col("_self") && size(col("shash")) > 0
     val gstats = groups
       .join(selfGroups, Seq("chash"), "left")
@@ -1388,7 +1390,13 @@ object Dedup {
     val near = pairJaccardTwo(gFrame, gFrame,
         gpairs.filter(col("ida") =!= col("idb")).select("ida", "idb"))
       .filter(col("jaccard") >= threshold)
-    val gm = groups.select(col("chash"), col("gmin"), col("gsize"))
+    // _scored: defensive twin of minhashLshStats's withinScored —
+    // an EMPTY hash array's within-pairs would verify to NULL
+    // Jaccard (0/0) and fail the threshold, so such copies must
+    // resolve as singletons. The bundled shingler never emits an
+    // empty array; this pins the contract for custom hash frames.
+    val gm = groups.select(col("chash"), col("gmin"), col("gsize"),
+      (size(col("shash")) > 0).as("_scored"))
     val gEdges = near
       .join(gm.select(col("chash").as("ida"), col("gmin").as("ga")),
         Seq("ida"))
@@ -1404,7 +1412,7 @@ object Dedup {
       .join(resolved.select(col("id").as("gmin"), col("canonical").as("_gc")),
         Seq("gmin"), "left")
       .select(col("id").as(idCol),
-        when(col("gsize") === 1L || col("_intra"),
+        when(col("gsize") === 1L || (col("_intra") && col("_scored")),
           coalesce(col("_gc"), col("gmin")))
           .otherwise(col("id")).as("canonical"))
       .withColumn("is_dup", col(idCol) =!= col("canonical"))

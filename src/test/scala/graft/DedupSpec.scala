@@ -126,14 +126,23 @@ class DedupSpec extends SparkSpec {
     val df = Seq(
       (10L, base), (11L, base + "x"), (12L, base + "yy"),  // cluster -> 10
       (20L, "totally different other words entirely unrelated content"),
-      (30L, "third unique document nothing shared with the others at all"))
+      (30L, "third unique document nothing shared with the others at all"),
+      // identical copies: the duplicate collapse must co-cluster
+      // them (Jaccard 1) under the min id without expanding pairs
+      (40L, base), (41L, base),
+      // sub-shingle-length duplicates: the shingler always emits at
+      // least one (truncated) shingle, so these share the singleton
+      // set {h("ab")} at Jaccard 1 and cluster like any duplicates
+      (50L, "ab"), (51L, "ab"))
       .toDF("doc_id", "text")
     val out = Dedup.dedupResolve(df, "doc_id", "text",
       numPerm = 64, bands = 16, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
     assert(out.sameElements(Array(
       (10L, 10L, false), (11L, 10L, true), (12L, 10L, true),
-      (20L, 20L, false), (30L, 30L, false))), out.mkString(","))
+      (20L, 20L, false), (30L, 30L, false),
+      (40L, 10L, true), (41L, 10L, true),
+      (50L, 50L, false), (51L, 50L, true))), out.mkString(","))
   }
 
   test("cluster cap keeps a bounded number of representatives per cluster") {
@@ -250,9 +259,8 @@ class DedupSpec extends SparkSpec {
         Seq((20L, "totally other vocabulary nothing shared here at all")) ++
         (30 to 32).map(i =>
           (i.toLong, "second duplicated group content words " * 4)) ++
-        // sub-shingle-length texts: EMPTY hash arrays form one group
-        // whose within-pairs score 0/0 = NULL at doc level — the
-        // collapse must not award them Jaccard 1
+        // sub-shingle-length texts: the shingler truncates to one
+        // shingle, so these form a {h("ab")} group scoring Jaccard 1
         (40 to 42).map(i => (i.toLong, "ab"))
     val df = docs.toDF("doc_id", "text")
     for (cap <- Seq(3, 8, 10000)) {
