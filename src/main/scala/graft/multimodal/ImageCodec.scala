@@ -28,14 +28,41 @@ object ImageCodec {
     ImageIO.setUseCache(false)
   }
 
+  /** Pixel budget for [[decode]]: a raster is rejected (None)
+    * before allocation when width·height exceeds this. A crafted
+    * few-KB PNG can declare 40000×40000 in its header; fully
+    * decoding it allocates a multi-GB raster and the resulting
+    * OutOfMemoryError is an Error no decode-failure catch sees —
+    * one hostile asset would kill the executor. 100 MPix ≈ 400 MB
+    * ARGB, comfortably above any legitimate crawled image.
+    */
+  val maxPixels: Long = 100L * 1000 * 1000
+
   /** Decode any JRE-supported image format. None for bytes that are
     * not a parseable image (the text-payload test double takes this
-    * branch) — decode failure is data, not an exception, because at
-    * scale some slice of a crawled corpus is always corrupt.
+    * branch) or whose HEADER declares a raster beyond [[maxPixels]]
+    * (the decompression-bomb guard — dimensions are read from the
+    * header before any pixel allocation) — decode failure is data,
+    * not an exception, because at scale some slice of a crawled
+    * corpus is always corrupt or hostile.
     */
   def decode(payload: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-    catch { case _: Exception => None }
+    try {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(in)
+          try {
+            val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+            if (w <= 0 || h <= 0 || w * h > maxPixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   /** Container format sniffed from the payload bytes ("png",
     * "JPEG", ...) without a full decode — magic-byte dispatch via

@@ -1287,16 +1287,19 @@ object Dedup {
     // max_ref_jaccard), and candidate counts multiply by the REF
     // group's size only. The per-side bucket caps apply to the
     // summed doc counts, exactly the doc-level bucket sizes.
-    def grouped(df: DataFrame): (DataFrame, DataFrame) = {
-      val h = shingleHashes(df, idCol, textCol, n)
-        .transform(graft.Materialize.eager)
-      val g = h.groupBy(xxhash64(col("shash")).as("chash"))
+    // the corpus side materializes its hash frame (it feeds BOTH the
+    // groupBy and the members projection); the reference side's hash
+    // frame has exactly one consumer — checkpointing it would write
+    // the pipeline's widest intermediate once for nothing
+    def groupsOf(h: DataFrame): DataFrame =
+      h.groupBy(xxhash64(col("shash")).as("chash"))
         .agg(count(lit(1)).as("gsize"), first(col("shash")).as("shash"))
         .transform(graft.Materialize.eager)
-      (h.select(col("id"), xxhash64(col("shash")).as("chash")), g)
-    }
-    val (cMembers, cGroups) = grouped(corpus)
-    val (_, rGroups) = grouped(reference)
+    val cH = shingleHashes(corpus, idCol, textCol, n)
+      .transform(graft.Materialize.eager)
+    val cMembers = cH.select(col("id"), xxhash64(col("shash")).as("chash"))
+    val cGroups = groupsOf(cH)
+    val rGroups = groupsOf(shingleHashes(reference, idCol, textCol, n))
     def bandRowsOf(g: DataFrame): DataFrame =
       bandRowsFromHashes(g.select(col("chash").as("id"), col("shash")),
         numPerm, bands)
@@ -2308,7 +2311,16 @@ object Dedup {
                                    idCol: String, vecCol: String,
                                    statePath: String, goldPath: String,
                                    batchOrd: Long,
-                                   threshold: Double = 0.4, planes: Int = 6,
+                                   // planes has NO default on purpose
+                                   // (unlike the batch member's
+                                   // corpus-sized auto): the state
+                                   // requires ONE fixed plane count
+                                   // across every batch, and a
+                                   // default that silently diverged
+                                   // from the batch member's auto
+                                   // value would break the
+                                   // gold-equals-recompute audit
+                                   threshold: Double = 0.4, planes: Int,
                                    seed: Long = 42L, maxBucket: Int = 10000,
                                    deletes: Option[DataFrame] = None,
                                    fullResync: Boolean = false,

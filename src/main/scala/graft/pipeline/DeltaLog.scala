@@ -428,11 +428,18 @@ object DeltaLogTableFormat extends TableFormat {
       if (live.isEmpty || tops.size != 1 || partitioned) None
       else {
         val top = Paths.get(path, tops.head)
-        val onDisk = scala.util.Using.resource(Files.walk(top))(
-          _.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(f => s"${tops.head}/${top.relativize(f)}").toSet)
-        if (onDisk == live.toSet) Some(s"$path/${tops.head}") else None
+        // a subdir removed out-of-band (manual cleanup, partial
+        // restore) means "not registrable", not an escaping IO
+        // exception — the caller's remediation message must surface
+        val onDisk = scala.util.Try(
+          scala.util.Using.resource(Files.walk(top))(
+            _.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => s"${tops.head}/${top.relativize(f)}").toSet))
+          .getOrElse(Set.empty[String])
+        if (onDisk.nonEmpty && onDisk == live.toSet)
+          Some(s"$path/${tops.head}")
+        else None
       }
     }
 

@@ -195,12 +195,38 @@ object SnapshotTableFormat extends TableFormat {
   override def readableVersions(spark: SparkSession,
                                 path: String): Seq[Int] = versions(path)
 
-  /** A snapshot version IS a directory (`v=N`), so the current
-    * version is always registrable.
+  /** A snapshot version IS a directory (`v=N`) — but the trait
+    * contract promises a location safe for a BARE `LOCATION`
+    * registration, which a partitioned layout is not (the catalog
+    * table would read zero rows). Partitioned snapshots return None
+    * here; [[registerTable]] below still registers them, with
+    * declared partition columns + MSCK.
     */
   override def registrableLocation(spark: SparkSession,
                                    path: String): Option[String] =
+    currentVersionDir(path).filter(loc =>
+      partitionColumnsOf(java.nio.file.Paths.get(loc)).isEmpty)
+
+  private def currentVersionDir(path: String): Option[String] =
     MergeTable.currentVersion(path).map(v => s"$path/v=$v")
+
+  /** Partition columns, outermost first: `col=value` directory
+    * levels under the version dir (written by Spark's partitionBy,
+    * so the layout is uniform — one column per level).
+    */
+  private def partitionColumnsOf(dir: java.nio.file.Path): Vector[String] = {
+    def descend(d: java.nio.file.Path, acc: Vector[String]): Vector[String] = {
+      val sub = scala.util.Using.resource(java.nio.file.Files.list(d))(
+        _.iterator().asScala.toSeq).filter(java.nio.file.Files.isDirectory(_))
+        .find(_.getFileName.toString.contains("="))
+      sub match {
+        case Some(p) =>
+          descend(p, acc :+ p.getFileName.toString.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    descend(dir, Vector.empty)
+  }
 
   /** Partitioned snapshots (pruned merges write real `col=value`
     * dirs, Spark-style: the column lives in the directory name, not
@@ -214,22 +240,9 @@ object SnapshotTableFormat extends TableFormat {
     */
   override def registerTable(spark: SparkSession, path: String,
                              name: String): Unit = {
-    val loc = registrableLocation(spark, path).getOrElse(throw
+    val loc = currentVersionDir(path).getOrElse(throw
       new IllegalStateException(s"no current version at $path to register"))
-    // partition columns, outermost first: `col=value` directory
-    // levels under the version dir (written by Spark's partitionBy,
-    // so the layout is uniform — one column per level)
-    def partCols(dir: java.nio.file.Path, acc: Vector[String]): Vector[String] = {
-      val sub = scala.util.Using.resource(java.nio.file.Files.list(dir))(
-        _.iterator().asScala.toSeq).filter(java.nio.file.Files.isDirectory(_))
-        .find(_.getFileName.toString.contains("="))
-      sub match {
-        case Some(d) =>
-          partCols(d, acc :+ d.getFileName.toString.takeWhile(_ != '='))
-        case None => acc
-      }
-    }
-    val parts = partCols(java.nio.file.Paths.get(loc), Vector.empty)
+    val parts = partitionColumnsOf(java.nio.file.Paths.get(loc))
     val escLoc = loc.replace("'", "''")
     spark.sql(s"DROP TABLE IF EXISTS $name")
     if (parts.isEmpty)

@@ -41,12 +41,25 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val offset = if (args.length == 4) args(3).toLong else 100000000L
-    require(offset >= 1000000L, "offset must exceed every base id")
+    require(offset >= 1L, "offset must be positive")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val keyCols = df.columns.filter(c => c.endsWith("key") || c.endsWith("_id"))
+      // the documented precondition CHECKED against the data, not a
+      // constant: an offset at or below a base id makes copy k's
+      // shifted range overlap copy k+1's — silently colliding keys,
+      // phantom duplicate groups, inflated join rates
+      if (keyCols.nonEmpty) {
+        val longs = keyCols.map(c => col(c).cast("long")).toIndexedSeq
+        val perRowMax = if (longs.size == 1) longs.head else greatest(longs: _*)
+        val maxBase = df.select(perRowMax.as("m"))
+          .agg(max(col("m"))).head.getLong(0)
+        require(offset > maxBase,
+          s"$t: offset $offset must exceed every base id (max $maxBase) " +
+            "or shifted copies collide")
+      }
       val copies = (0 until factor).map { i =>
         keyCols.foldLeft(df) { (d, c) =>
           d.withColumn(c,
