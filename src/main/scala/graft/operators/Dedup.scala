@@ -462,7 +462,14 @@ object Dedup {
     // duplicate-heavy corpus the common shingles' lists are
     // corpus-sized and the aggregate spilled GBs at the sf10 probe
     // (4.8 GB memory spill) for lists the filter then threw away.
-    val rare = sh.groupBy("h").agg(count(lit(1)).as("_df"))
+    // countDistinct(id), not count(lit(1)): shingle hashes are
+    // distinct WITHIN a doc, so the two agree on unique-id input, but
+    // a frame carrying duplicate doc ids would double-count rows and
+    // silently shift which shingles qualify under maxDf. The distinct
+    // count matches the collect_set posting-list semantics below
+    // exactly, stays map-side combinable, and is still far cheaper
+    // than the old pre-filter posting-list collect.
+    val rare = sh.groupBy("h").agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") <= maxDf && col("_df") > 1)
       .select(col("h"))
     sh.join(rare, Seq("h"), "left_semi")

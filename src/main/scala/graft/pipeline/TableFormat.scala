@@ -111,9 +111,14 @@ trait TableFormat {
     * plain `CREATE TABLE … USING parquet LOCATION` registration.
     * None when the table doesn't exist or the live set is not a
     * whole directory (e.g. a manifest format after a file-pruned
-    * commit left live and removed files interleaved).
+    * commit left live and removed files interleaved). Default None:
+    * a format that doesn't opt in simply can't be registered via the
+    * trait default (registerTable fails with its remediation
+    * message) — third-party implementors keep compiling, matching
+    * the other optional extension points ([[optimize]]).
     */
-  def registrableLocation(spark: SparkSession, path: String): Option[String]
+  def registrableLocation(spark: SparkSession, path: String): Option[String] =
+    None
 
   /** Register the table in the session catalog under `name` so any
     * downstream SQL client can `SELECT … FROM name` — the reference
@@ -138,11 +143,23 @@ trait TableFormat {
           "(missing table, or live files interleave with removed ones " +
           "after a pruned commit) — run optimize() to compact, then " +
           "re-register"))
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"CREATE TABLE $name USING parquet " +
+    val qName = TableFormat.quoteIdent(name)
+    spark.sql(s"DROP TABLE IF EXISTS $qName")
+    spark.sql(s"CREATE TABLE $qName USING parquet " +
       s"LOCATION '${loc.replace("'", "''")}'")
     ()
   }
+}
+
+object TableFormat {
+  /** Backtick-quote a caller-supplied table name for SQL
+    * interpolation (the location string is already escaped; the name
+    * was not — a name with spaces or quotes failed or resolved to an
+    * unintended identifier). Dotted names quote each part so
+    * `db.table` still addresses database `db`.
+    */
+  def quoteIdent(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 }
 
 /** Result of a [[TableFormat.optimize]] compaction commit. */
@@ -244,15 +261,16 @@ object SnapshotTableFormat extends TableFormat {
       new IllegalStateException(s"no current version at $path to register"))
     val parts = partitionColumnsOf(java.nio.file.Paths.get(loc))
     val escLoc = loc.replace("'", "''")
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val qName = TableFormat.quoteIdent(name)
+    spark.sql(s"DROP TABLE IF EXISTS $qName")
     if (parts.isEmpty)
-      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$escLoc'")
+      spark.sql(s"CREATE TABLE $qName USING parquet LOCATION '$escLoc'")
     else {
       val schemaDdl = read(spark, path).schema.toDDL
       val partDdl = parts.map(c => s"`$c`").mkString(", ")
-      spark.sql(s"CREATE TABLE $name ($schemaDdl) USING parquet " +
+      spark.sql(s"CREATE TABLE $qName ($schemaDdl) USING parquet " +
         s"PARTITIONED BY ($partDdl) LOCATION '$escLoc'")
-      spark.sql(s"MSCK REPAIR TABLE $name")
+      spark.sql(s"MSCK REPAIR TABLE $qName")
     }
     ()
   }

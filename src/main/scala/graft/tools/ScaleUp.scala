@@ -54,8 +54,12 @@ object ScaleUp {
       if (keyCols.nonEmpty) {
         val longs = keyCols.map(c => col(c).cast("long")).toIndexedSeq
         val perRowMax = if (longs.size == 1) longs.head else greatest(longs: _*)
-        val maxBase = df.select(perRowMax.as("m"))
-          .agg(max(col("m"))).head.getLong(0)
+        // max() over an empty table is null — report the empty source
+        // explicitly instead of letting getLong(0) NPE
+        val maxRow = df.select(perRowMax.as("m")).agg(max(col("m"))).head
+        require(!maxRow.isNullAt(0),
+          s"$t: source table is empty — nothing to scale at $src/$t.parquet")
+        val maxBase = maxRow.getLong(0)
         require(offset > maxBase,
           s"$t: offset $offset must exceed every base id (max $maxBase) " +
             "or shifted copies collide")

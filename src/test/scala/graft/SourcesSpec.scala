@@ -92,6 +92,55 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("avro-nope"))
   }
 
+  test("timestamps round-trip exactly under the production write type") {
+    // GraftSession writes annotated TIMESTAMP_MICROS (GraftSession
+    // .scala:30) while Verify deliberately stays on INT96 for the
+    // DuckDB oracle — so the oracle harness never exercises the
+    // SHIPPED session's timestamp write path. This pins it directly:
+    // write + re-read under the GraftSession config (the shared test
+    // session) must be value-exact at microsecond precision, across
+    // pre-1970, sub-second, and null values, in a non-UTC reader
+    // session timezone as well as UTC.
+    assert(spark.conf.get("spark.sql.parquet.outputTimestampType") ==
+      "TIMESTAMP_MICROS", "spec must run under the production write type")
+    val dir = Files.createTempDirectory("graft_src_tsrt").toString + "/data"
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'1969-12-31 23:59:59.999999'),
+        |  (2L, TIMESTAMP'1970-01-01 00:00:00'),
+        |  (3L, TIMESTAMP'2024-02-29 12:34:56.000001'),
+        |  (4L, TIMESTAMP'2262-04-11 23:47:16.854775'),
+        |  (5L, CAST(NULL AS TIMESTAMP)) AS t(id, ts)""".stripMargin)
+    df.write.parquet(dir)
+    val want = df.collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).sortBy(_._1)
+    def got(): Seq[(Long, Option[String])] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).sortBy(_._1).toSeq
+    assert(got() == want.toSeq, "µs round-trip in UTC")
+    // instant semantics must survive a reader in another zone: the
+    // annotated type is tz-adjusted (an instant), so re-reading under
+    // a shifted session zone must yield the same micros-since-epoch
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val shifted = spark.read.parquet(dir)
+        .select(col("id"), unix_micros(col("ts")).as("us")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .sortBy(_._1).toSeq
+      spark.conf.set("spark.sql.session.timeZone", before)
+      val wantUs = spark.sql(
+        """SELECT id, unix_micros(ts) FROM VALUES
+          |  (1L, TIMESTAMP'1969-12-31 23:59:59.999999'),
+          |  (2L, TIMESTAMP'1970-01-01 00:00:00'),
+          |  (3L, TIMESTAMP'2024-02-29 12:34:56.000001'),
+          |  (4L, TIMESTAMP'2262-04-11 23:47:16.854775'),
+          |  (5L, CAST(NULL AS TIMESTAMP)) AS t(id, ts)""".stripMargin)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1).toSeq
+      assert(shifted == wantUs, "instant preserved across reader timezones")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("dropControlColumns restores the business schema") {
     val dir = Files.createTempDirectory("graft_src_drop").toString + "/data"
     orders.write.parquet(dir)
