@@ -540,25 +540,27 @@ object Dedup {
     * replaced by the RARE-SHINGLE bucket: the bucket key is the
     * shingle hash itself and qualification is 2 ≤ df ≤ maxDf (the
     * batch operator's candidate rule — frequent shingles carry no
-    * discriminative signal). State: `docs` = (id, shash) hash
-    * arrays; `shingles` = (id, chash, h) EXPLODED posting rows keyed
-    * (h, id), chash = content fingerprint. The posting state is the
-    * structural cost of this member — O(shingles/doc) rows where
-    * every sibling stores O(1) — and is exactly an incremental
-    * inverted index of the corpus's shingles; the qualification
-    * bound means buckets past maxDf still store members (df can
-    * shrink back under deletes) but never generate pairs or
-    * signatures.
+    * discriminative signal). State is GROUP-KEYED (r15, the
+    * exact-duplicate collapse): `docs` = (id, chash) membership;
+    * `groups` = (chash, shash) one representative hash array per
+    * distinct content; `shingles` = (h, chash) posting rows keyed on
+    * both — an incremental inverted index over DISTINCT contents,
+    * O(shingles per distinct content) instead of per doc. Document
+    * frequency is the summed group size; the qualification bound
+    * means buckets past maxDf still store members (df can shrink
+    * back under deletes) but never generate pairs or signatures. A
+    * pre-r15 doc-level state dir fails fast with the rebuild
+    * remediation.
     *
     * Staleness: per qualifying bucket an order-independent member
-    * XOR of xxhash64(h, id, chash); per doc the XOR over its
-    * qualifying buckets, stored in gold as `_shingle_sig`. The
-    * chash fold is what propagates a mate's content rewrite: every
-    * candidate pair shares ≥1 qualifying bucket, so a change to
-    * either side's shingle SET (which moves the directional
-    * containment of both) flips a shared bucket's signature even
-    * when membership is unchanged. Qualification flips (df crossing
-    * maxDf either way) change member signatures for the same reason
+    * XOR of xxhash64(h, chash, gsize); per GROUP the XOR over its
+    * qualifying buckets; per doc its group's value, stored in gold
+    * as `_shingle_sig`. The chash fold propagates a mate's content
+    * rewrite (a changed shingle SET moves the directional containment
+    * of both sides of every shared bucket's pairs); the gsize fold
+    * propagates duplicate arrivals/departures even when bucket
+    * membership is unchanged. Qualification flips (df crossing maxDf
+    * either way) change member signatures for the same reason
     * membership changes do.
     *
     * `appendOnly` switches the per-batch cost from
@@ -631,34 +633,131 @@ object Dedup {
     require(!(appendOnly && deletes.nonEmpty),
       "appendOnly declares an insert-only corpus; a delete feed " +
         "contradicts it — drop the flag and use the general path")
-    val docsPath = s"$stateDir/docs"
-    val postPath = s"$stateDir/shingles"
+    val docsPath = s"$stateDir/docs"       // membership (id, chash)
+    val groupsPath = s"$stateDir/groups"   // (chash, shash) representatives
+    val postPath = s"$stateDir/shingles"   // (h, chash) group posting rows
+    requireGroupKeyedState(spark, docsPath, fmt, legacyCol = "shash")
     // the two members differ ONLY here: the per-ordered-pair score
     // and the gold stat column names
     val (nearName, maxName) =
       if (jaccard) ("n_near", "max_jaccard")
       else ("n_contained", "max_containment")
-    def shingleRows(docsH: DataFrame): DataFrame =
-      docsH.select(col("id"), xxhash64(col("shash")).as("chash"),
-        explode(col("shash")).as("h"))
-    def contStats(stateDocs: DataFrame, pairs: DataFrame): DataFrame = {
+
+    // EXACT-DUPLICATE COLLAPSE (r15): the posting state is an
+    // inverted index over DISTINCT contents — O(shingles per distinct
+    // content) rows instead of per doc — and all qualification, pair,
+    // signature, and verify work runs per group. Value-exact by the
+    // batch argument: identical shingle SETS make every posting
+    // bucket group-closed, document frequency is the summed group
+    // size, within-group pairs score exactly 1 (identical sets), and
+    // every cross-group doc pair shares precisely its group pair's
+    // qualifying shingles and score.
+    def groupPostings(batchH: DataFrame): DataFrame =
+      batchH.groupBy(col("chash")).agg(first(col("shash")).as("shash"))
+        .select(col("chash"), explode(col("shash")).as("h"))
+    def bucketAgg(postIn: DataFrame, gsizes: DataFrame): DataFrame =
+      postIn.join(gsizes, Seq("chash"))
+        .groupBy(col("h"))
+        .agg(sum(col("gsize")).as("_df"),
+          expr("bit_xor(xxhash64(h, chash, gsize))").as("_bsig"))
+        .withColumn("_q", col("_df") >= 2 && col("_df") <= maxDf)
+    def groupSig(postIn: DataFrame, buckets: DataFrame): DataFrame =
+      postIn.join(buckets, Seq("h"))
+        .groupBy(col("chash"))
+        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+          .as("_gsig"))
+
+    // shared verify tail: per-GROUP stats for the affected groups,
+    // cross pairs scored once per group pair on the representative
+    // arrays (directional containment from the affected side),
+    // expanded to affected docs through the membership table
+    def refresh(members: DataFrame, groupsT: DataFrame, postT: DataFrame,
+                gsizes: DataFrame, buckets: DataFrame,
+                affectedDocs: DataFrame, affectedGroups: DataFrame,
+                sigNowDoc: DataFrame, drops: Option[DataFrame]): Unit = {
+      val qb = buckets.filter(col("_q")).select(col("h"))
+      val aSide = postT.join(affectedGroups, Seq("chash"), "left_semi")
+        .join(qb, Seq("h"), "left_semi")
+        .select(col("h"), col("chash").as("ga"))
+      val mSide = postT.join(qb, Seq("h"), "left_semi")
+        .select(col("h"), col("chash").as("gb"))
+      val pairs = aSide.join(mSide, Seq("h"))
+        .filter(col("ga") =!= col("gb"))
+        .select(col("ga"), col("gb")).distinct()
       val score =
         if (jaccard)
           col("_shared").cast("double") /
             (size(col("da.shash")) + size(col("db.shash")) - col("_shared"))
         else col("_shared").cast("double") / size(col("da.shash"))
-      pairs
-        .join(stateDocs.as("da"), col("da.id") === col("ida"))
-        .join(stateDocs.as("db"), col("db.id") === col("idb"))
+      val scored = graft.Materialize.eager(pairs
+        .join(groupsT.as("da"), col("da.chash") === col("ga"))
+        .join(groupsT.as("db"), col("db.chash") === col("gb"))
         .withColumn("_shared", HashFunctions.sortedIntersectCount(
           col("da.shash"), col("db.shash")))
-        .select(col("ida"), col("idb"), score.as("_score"))
-        .groupBy(col("ida")).agg(
-          count(lit(1)).as("n_candidates"),
-          sum(when(col("_score") >= threshold, 1L).otherwise(0L))
-            .as(nearName),
-          max(col("_score")).as(maxName))
+        .select(col("ga"), col("gb"), score.as("_score")))
+      val crossAgg = scored
+        .join(gsizes.select(col("chash").as("gb"), col("gsize").as("osize")),
+          Seq("gb"))
+        .groupBy(col("ga")).agg(
+          sum(col("osize")).as("_cross_cand"),
+          sum(when(col("_score") >= threshold, col("osize")).otherwise(0L))
+            .as("_cross_near"),
+          max(col("_score")).as("_cross_max"))
+        .withColumnRenamed("ga", "chash")
+      val keptQ = postT.join(qb, Seq("h"), "left_semi")
+        .select(col("chash")).distinct().withColumn("_kept", lit(true))
+      val withinPairs = col("_kept") && col("gsize") >= 2L
+      // identical sets score exactly 1 (both flavors); empty arrays
+      // would score 0/0 = null at doc level — mirror (the bundled
+      // shingler never emits one; guards custom hash frames)
+      val withinScored = withinPairs && col("_nonempty")
+      val gstats = affectedGroups
+        .join(gsizes, Seq("chash"))
+        .join(groupsT.select(col("chash"),
+          (size(col("shash")) > 0).as("_nonempty")), Seq("chash"))
+        .join(keptQ, Seq("chash"), "left")
+        .join(crossAgg, Seq("chash"), "left")
+        .select(col("chash"),
+          (when(withinPairs, col("gsize") - 1L).otherwise(0L) +
+            coalesce(col("_cross_cand"), lit(0L))).as("n_candidates"),
+          (when(withinScored && lit(1.0 >= threshold), col("gsize") - 1L)
+            .otherwise(0L) +
+            coalesce(col("_cross_near"), lit(0L))).as(nearName),
+          greatest(when(withinScored, lit(1.0)), col("_cross_max"))
+            .as(maxName))
+      val statsRows = affectedDocs
+        .join(members, Seq("id"), "left")
+        .join(gstats, Seq("chash"), "left")
+        .join(sigNowDoc, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col(nearName), lit(0L)).as(nearName),
+          col(maxName), lit(batchOrd).as("_ord"),
+          coalesce(col("_sig_now"), lit(0L)).as("_shingle_sig"))
+      if (!statsRows.isEmpty)
+        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+          compareExclude = Nil)
+      drops.foreach { d =>
+        if (fmt.exists(goldPath) && !d.isEmpty)
+          fmt.deleteKeys(spark, goldPath, d, Seq("id"))
+      }
     }
+    def mergeState(batchH: DataFrame): Unit = {
+      fmt.scd1Merge(spark, docsPath,
+        batchH.select(col("id"), col("chash"))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      val batchGroups = graft.Materialize.eager(
+        batchH.groupBy(col("chash")).agg(first(col("shash")).as("shash")))
+      fmt.scd1Merge(spark, groupsPath,
+        batchGroups.withColumn("_ord", lit(batchOrd)),
+        Seq("chash"), "_ord", compareExclude = Nil)
+      fmt.scd1Merge(spark, postPath,
+        batchGroups.select(col("chash"), explode(col("shash")).as("h"))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("h", "chash"), "_ord", compareExclude = Nil)
+    }
+
     // null-text handling: the batch operator's documented deviation
     // (see minhashLshStatsIncremental) — null docs never enter
     // state/gold, an update TO null retracts like a delete
@@ -669,60 +768,40 @@ object Dedup {
     if (appendOnly && !fullResync) {
       if (batchDocs.isEmpty) return
       val batchH = graft.Materialize.eager(
-        shingleHashes(batchDocs, "id", "text", n))
-      val batchPost = graft.Materialize.eager(shingleRows(batchH))
-      fmt.scd1Merge(spark, docsPath,
-        batchH.withColumn("_ord", lit(batchOrd)),
-        Seq("id"), "_ord", compareExclude = Nil)
-      fmt.scd1Merge(spark, postPath,
-        batchPost.withColumn("_ord", lit(batchOrd)),
-        Seq("h", "id"), "_ord", compareExclude = Nil)
-      val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
-      val statePost = fmt.read(spark, postPath)
-        .select(col("id"), col("chash"), col("h"))
-      // re-verify set: members of buckets the batch touched — the
-      // only docs whose bucket membership, qualification, or stored
-      // signature can change on an insert-only corpus
-      val affected = graft.Materialize.eager(
-        statePost.join(batchPost.select(col("h")).distinct(),
-            Seq("h"), "left_semi")
-          .select(col("id")).distinct())
-      val affBuckets = statePost.join(affected, Seq("id"), "left_semi")
+        shingleHashes(batchDocs, "id", "text", n)
+          .withColumn("chash", xxhash64(col("shash"))))
+      mergeState(batchH)
+      val members = fmt.read(spark, docsPath).select(col("id"), col("chash"))
+      val groupsT = fmt.read(spark, groupsPath)
+        .select(col("chash"), col("shash"))
+      val postT = fmt.read(spark, postPath).select(col("chash"), col("h"))
+      // re-verify set: GROUPS sharing a posting bucket with the
+      // batch's groups — the only groups whose qualification,
+      // document frequency, or signature can change on an insert-only
+      // corpus — and the two-hop posting neighborhood as the slice
+      val touched = batchH.select(col("chash"), explode(col("shash")).as("h"))
+        .select(col("h")).distinct()
+      val affectedGroups = graft.Materialize.eager(
+        postT.join(touched, Seq("h"), "left_semi")
+          .select(col("chash")).distinct())
+      val affBuckets = postT.join(affectedGroups, Seq("chash"), "left_semi")
         .select(col("h")).distinct()
       val nbrPost = graft.Materialize.eager(
-        statePost.join(affBuckets, Seq("h"), "left_semi"))
-      val buckets = graft.Materialize.eager(
-        nbrPost.groupBy(col("h"))
-          .agg(count(lit(1)).as("_sz"),
-            expr("bit_xor(xxhash64(h, id, chash))").as("_bsig"))
-          .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxDf))
-      val sigNow = graft.Materialize.eager(
-        nbrPost.join(affected, Seq("id"), "left_semi")
-          .join(buckets, Seq("h"))
-          .groupBy(col("id"))
-          .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
-            .as("_sig_now")))
-      val qb = buckets.filter(col("_q")).select(col("h"))
-      val aSide = nbrPost.join(affected, Seq("id"), "left_semi")
-        .join(qb, Seq("h"), "left_semi")
-        .select(col("h"), col("id").as("ida"))
-      val mSide = nbrPost.join(qb, Seq("h"), "left_semi")
-        .select(col("h"), col("id").as("idb"))
-      val pairs = aSide.join(mSide, Seq("h"))
-        .filter(col("ida") =!= col("idb"))
-        .select(col("ida"), col("idb")).distinct()
-      val per = graft.Materialize.eager(contStats(stateDocs, pairs))
-      val statsRows = affected
-        .join(per, col("id") === col("ida"), "left_outer")
-        .join(sigNow, Seq("id"), "left_outer")
-        .select(col("id"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col(nearName), lit(0L)).as(nearName),
-          col(maxName), lit(batchOrd).as("_ord"),
-          coalesce(col("_sig_now"), lit(0L)).as("_shingle_sig"))
-      if (!statsRows.isEmpty)
-        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
-          compareExclude = Nil)
+        postT.join(affBuckets, Seq("h"), "left_semi"))
+      val gsizes = graft.Materialize.eager(
+        members.join(nbrPost.select(col("chash")).distinct(),
+            Seq("chash"), "left_semi")
+          .groupBy(col("chash")).agg(count(lit(1)).as("gsize")))
+      val buckets = graft.Materialize.eager(bucketAgg(nbrPost, gsizes))
+      val gsig = graft.Materialize.eager(groupSig(
+        nbrPost.join(affectedGroups, Seq("chash"), "left_semi"), buckets))
+      val affectedDocs = graft.Materialize.eager(
+        members.join(affectedGroups, Seq("chash"), "left_semi")
+          .select(col("id")))
+      val sigNowDoc = members.join(gsig, Seq("chash"))
+        .select(col("id"), col("_gsig").as("_sig_now"))
+      refresh(members, groupsT, nbrPost, gsizes, buckets,
+        affectedDocs, affectedGroups, sigNowDoc, None)
       return
     }
     val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
@@ -731,46 +810,59 @@ object Dedup {
       delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
         _.unionByName(batchAll.filter(col("text").isNull).select(col("id"))))
         .distinct())
+    // orphan-sweep scope: groups the retractions can leave, read
+    // BEFORE any state mutation
+    val retIds = graft.Materialize.eager(
+      batchAll.select(col("id")).unionByName(drops).distinct())
+    val touchedOld: Option[DataFrame] =
+      if (fmt.exists(docsPath) && !retIds.isEmpty)
+        Some(graft.Materialize.eager(
+          fmt.read(spark, docsPath)
+            .join(retIds, Seq("id"), "left_semi")
+            .select(col("chash")).distinct()))
+      else None
     if (!batchAll.isEmpty) {
-      val ids = batchAll.select(col("id")).distinct()
-      if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, ids, Seq("id"))
-      if (fmt.exists(postPath)) fmt.deleteKeys(spark, postPath, ids, Seq("id"))
+      if (fmt.exists(docsPath))
+        fmt.deleteKeys(spark, docsPath,
+          batchAll.select(col("id")).distinct(), Seq("id"))
       if (!batchDocs.isEmpty) {
         val batchH = graft.Materialize.eager(
-          shingleHashes(batchDocs, "id", "text", n))
-        fmt.scd1Merge(spark, docsPath,
-          batchH.withColumn("_ord", lit(batchOrd)),
-          Seq("id"), "_ord", compareExclude = Nil)
-        fmt.scd1Merge(spark, postPath,
-          shingleRows(batchH).withColumn("_ord", lit(batchOrd)),
-          Seq("h", "id"), "_ord", compareExclude = Nil)
+          shingleHashes(batchDocs, "id", "text", n)
+            .withColumn("chash", xxhash64(col("shash"))))
+        mergeState(batchH)
       }
     }
     delIds.foreach { d =>
-      if (!d.isEmpty) {
-        if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, d, Seq("id"))
-        if (fmt.exists(postPath)) fmt.deleteKeys(spark, postPath, d, Seq("id"))
+      if (fmt.exists(docsPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, docsPath, d, Seq("id"))
+    }
+    // orphan sweep: a group whose LAST member left must leave the
+    // groups/postings tables — its posting rows would otherwise keep
+    // counting toward document frequencies and signatures forever
+    touchedOld.foreach { t =>
+      val orphans = graft.Materialize.eager(
+        t.join(fmt.read(spark, docsPath).select(col("chash")),
+          Seq("chash"), "left_anti"))
+      if (!orphans.isEmpty) {
+        if (fmt.exists(groupsPath))
+          fmt.deleteKeys(spark, groupsPath, orphans, Seq("chash"))
+        if (fmt.exists(postPath))
+          fmt.deleteKeys(spark, postPath, orphans, Seq("chash"))
       }
     }
     if (!fmt.exists(docsPath)) return // empty first batch
 
-    val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
-    val statePost = fmt.read(spark, postPath)
-      .select(col("id"), col("chash"), col("h"))
-
-    // qualifying buckets + member signatures — the bucket key h folds
-    // into the member hash so structurally identical member sets in
-    // different buckets cannot cancel (the minhash member's lesson)
-    val buckets = graft.Materialize.eager(
-      statePost.groupBy(col("h"))
-        .agg(count(lit(1)).as("_sz"),
-          expr("bit_xor(xxhash64(h, id, chash))").as("_bsig"))
-        .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxDf))
-    val sigNow = graft.Materialize.eager(
-      statePost.join(buckets, Seq("h"))
-        .groupBy(col("id"))
-        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
-          .as("_sig_now")))
+    val members = graft.Materialize.eager(
+      fmt.read(spark, docsPath).select(col("id"), col("chash")))
+    val groupsT = fmt.read(spark, groupsPath).select(col("chash"), col("shash"))
+    val postT = fmt.read(spark, postPath).select(col("chash"), col("h"))
+    val gsizes = graft.Materialize.eager(
+      members.groupBy(col("chash")).agg(count(lit(1)).as("gsize")))
+    val buckets = graft.Materialize.eager(bucketAgg(postT, gsizes))
+    val gsig = graft.Materialize.eager(groupSig(postT, buckets))
+    val sigNowDoc = graft.Materialize.eager(
+      members.join(gsig, Seq("chash"))
+        .select(col("id"), col("_gsig").as("_sig_now")))
 
     val affectedAll =
       if (fmt.exists(goldPath)) {
@@ -779,7 +871,7 @@ object Dedup {
           if (goldDf.columns.contains("_shingle_sig")) goldDf
           else goldDf.withColumn("_shingle_sig", lit(null).cast("long"))
         withSig
-          .join(sigNow, Seq("id"), "left_outer")
+          .join(sigNowDoc, Seq("id"), "left_outer")
           .filter(!(col("_shingle_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col("id"))
           .unionByName(batchDocs.select(col("id"))).distinct()
@@ -787,31 +879,11 @@ object Dedup {
     val affected = graft.Materialize.eager(
       if (drops.isEmpty) affectedAll
       else affectedAll.join(drops, Seq("id"), "left_anti"))
-
-    val qb = buckets.filter(col("_q")).select(col("h"))
-    val aSide = statePost.join(affected, Seq("id"), "left_semi")
-      .join(qb, Seq("h"), "left_semi")
-      .select(col("h"), col("id").as("ida"))
-    val mSide = statePost.join(qb, Seq("h"), "left_semi")
-      .select(col("h"), col("id").as("idb"))
-    val pairs = aSide.join(mSide, Seq("h"))
-      .filter(col("ida") =!= col("idb"))
-      .select(col("ida"), col("idb")).distinct()
-    val per = graft.Materialize.eager(contStats(stateDocs, pairs))
-    val statsRows = affected
-      .join(per, col("id") === col("ida"), "left_outer")
-      .join(sigNow, Seq("id"), "left_outer")
-      .select(col("id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col(nearName), lit(0L)).as(nearName),
-        col(maxName), lit(batchOrd).as("_ord"),
-        coalesce(col("_sig_now"), lit(0L)).as("_shingle_sig"))
-    if (!statsRows.isEmpty)
-      fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
-        compareExclude = Nil)
-    if (fmt.exists(goldPath) && !drops.isEmpty)
-      fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
-    ()
+    val affectedGroups = graft.Materialize.eager(
+      members.join(affected, Seq("id"), "left_semi")
+        .select(col("chash")).distinct())
+    refresh(members, groupsT, postT, gsizes, buckets, affected,
+      affectedGroups, sigNowDoc, if (drops.isEmpty) None else Some(drops))
   }
 
   /** #29 MinHash+LSH near-dup: numPerm permutations approximated by
@@ -944,30 +1016,43 @@ object Dedup {
     * bands / threshold / maxBucket / minBands across calls — the
     * state encodes them implicitly).
     *
-    * State (under `stateDir`): `docs` = (id, shash) — the exact-
-    * verify hash arrays, so re-verification never re-reads text; and
-    * `bands` = (id, chash, band, bhash) LSH bucket rows, `chash` =
-    * content fingerprint of the doc's hash array. Both are keyed
-    * merge tables maintained delete-then-merge per batch (updates
-    * retract their old rows; replays converge — the pair-state
-    * argument of the segment-dedup sibling).
+    * State (under `stateDir`) is GROUP-KEYED (r15 — the incremental
+    * carry of the batch operator's exact-duplicate collapse): `docs`
+    * = (id, chash) doc→content-group membership; `groups` = (chash,
+    * shash) one representative hash array per distinct content; and
+    * `bands` = (chash, band, bhash) LSH bucket rows per GROUP, chash
+    * = xxhash64 of the hash array. All keyed merge tables maintained
+    * delete-then-merge per batch (updates retract their old
+    * membership row; a group whose last member leaves is swept from
+    * `groups`/`bands`; replays converge — the pair-state argument of
+    * the segment-dedup sibling). The collapse is value-EXACT by the
+    * batch operator's argument (buckets are group-closed, the flood
+    * cap applies to the SUMMED doc count, within-group pairs score
+    * Jaccard 1), and it removes the duplication-factor quadratic the
+    * doc-level state paid per fold: pair rows, posting rows, and the
+    * signature aggregation all scale with DISTINCT contents, while
+    * docs contribute one narrow membership row each. A state dir
+    * written by the pre-r15 doc-level layout fails fast with a
+    * rebuild remediation (fresh state dir + fullResync window).
     *
     * Staleness is again a SIGNATURE comparison against CURRENT state,
     * never a before/after diff (which an at-least-once redelivery
-    * would lose): per qualifying bucket (2 ≤ size ≤ maxBucket) an
-    * order-independent member hash-XOR over xxhash64(id, chash); per
-    * doc the sum over its buckets, stored in gold as `_bucket_sig`.
-    * Including `chash` is what makes UPDATES sound: a near-identical
-    * rewrite can keep a band's bhash stable — membership unchanged —
-    * while changing the exact Jaccard against every mate, and the
-    * content hash is what propagates that invalidation to them.
+    * would lose): per qualifying bucket (2 ≤ Σgsize ≤ maxBucket) an
+    * order-independent member hash-XOR over xxhash64(band, bhash,
+    * chash, gsize); per GROUP the XOR over its qualifying buckets;
+    * per doc its group's value, stored in gold as `_bucket_sig`.
+    * Folding `gsize` is what makes duplicate arrivals sound: a new
+    * member of an existing group changes no bucket MEMBERSHIP, but
+    * it changes every mate's within/cross counts — the size fold
+    * propagates that invalidation. Folding `chash` propagates a
+    * mate's content rewrite exactly as the doc-level design did.
     *
     * Per batch only the batch is shingled; stale docs re-verify
-    * against their bucket mates straight from state. The per-batch
-    * O(|bands state|) signature aggregation (two shuffles on narrow
-    * columns, ~`bands` rows per doc) is the price of exact
-    * update/retraction semantics; an append-only corpus could skip
-    * it and re-verify only buckets the batch touched.
+    * against their bucket mates straight from state (group reps
+    * verified once per group pair, stats expanded by group size).
+    * The per-batch O(|groups| · bands + |docs|) signature aggregation
+    * (narrow columns, map-side combinable) is the price of exact
+    * update/retraction semantics.
     *
     * Gold rows: (id, n_candidates, n_near, max_jaccard, _ord,
     * _bucket_sig) — identical stats columns to the batch operator.
@@ -1006,7 +1091,104 @@ object Dedup {
       "appendOnly declares an insert-only corpus; a delete feed " +
         "contradicts it — drop the flag and use the general path")
     val docsPath = s"$stateDir/docs"
+    val groupsPath = s"$stateDir/groups"
     val bandsPath = s"$stateDir/bands"
+    requireGroupKeyedState(spark, docsPath, fmt, legacyCol = "shash")
+
+    // bucket truth over a (neighborhood slice of the) bands table:
+    // doc-level size = Σ member-group sizes; the member hash folds
+    // band+bhash (structural distinctness — the doc-level lesson),
+    // chash (content rewrites propagate to mates), and gsize
+    // (duplicate arrivals/departures propagate even when bucket
+    // MEMBERSHIP is unchanged)
+    def bucketAgg(bandsIn: DataFrame, gsizes: DataFrame): DataFrame =
+      bandsIn.join(gsizes, Seq("chash"))
+        .groupBy(col("band"), col("bhash"))
+        .agg(sum(col("gsize")).as("_total"),
+          expr("bit_xor(xxhash64(band, bhash, chash, gsize))").as("_bsig"))
+        .withColumn("_q", col("_total") >= 2 && col("_total") <= maxBucket)
+    def groupSig(bandsIn: DataFrame, buckets: DataFrame): DataFrame =
+      bandsIn.join(buckets, Seq("band", "bhash"))
+        .groupBy(col("chash"))
+        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+          .as("_gsig"))
+
+    // shared verify tail: per-GROUP stats for the affected groups
+    // (cross pairs verified once per group pair on the representative
+    // arrays; within-group terms from group size), expanded to the
+    // affected docs through the membership table — the batch
+    // operator's collapsed tail applied to state
+    def refresh(members: DataFrame, groupsT: DataFrame, bandsT: DataFrame,
+                gsizes: DataFrame, buckets: DataFrame,
+                affectedDocs: DataFrame, affectedGroups: DataFrame,
+                sigNowDoc: DataFrame, drops: Option[DataFrame]): Unit = {
+      val qb = buckets.filter(col("_q")).select(col("band"), col("bhash"))
+      val aSide = bandsT.join(affectedGroups, Seq("chash"), "left_semi")
+        .join(qb, Seq("band", "bhash"), "left_semi")
+        .select(col("band"), col("bhash"), col("chash").as("ga"))
+      val mSide = bandsT.join(qb, Seq("band", "bhash"), "left_semi")
+        .select(col("band"), col("bhash"), col("chash").as("gb"))
+      // directed (affected-group, mate-group) pairs; ≥ minBands shared
+      // qualifying buckets, exactly the doc-level collision rule
+      val pairs = aSide.join(mSide, Seq("band", "bhash"))
+        .filter(col("ga") =!= col("gb"))
+        .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("_nh"))
+        .filter(col("_nh") >= minBands)
+        .select(col("ga").as("ida"), col("gb").as("idb"))
+      val gFrame = groupsT.select(col("chash").as("id"), col("shash"))
+      val jac = graft.Materialize.eager(pairJaccardTwo(gFrame, gFrame, pairs))
+      val crossAgg = jac
+        .join(gsizes.select(col("chash").as("idb"), col("gsize").as("osize")),
+          Seq("idb"))
+        .groupBy(col("ida")).agg(
+          sum(col("osize")).as("_cross_cand"),
+          sum(when(col("jaccard") >= threshold, col("osize")).otherwise(0L))
+            .as("_cross_near"),
+          max(col("jaccard")).as("_cross_max"))
+        .withColumnRenamed("ida", "chash")
+      // within-group terms exist when the group keeps ≥ minBands
+      // qualifying own buckets (members share EVERY bucket, so the
+      // group's self-pairs all collide in exactly those)
+      val keptQ = bandsT.join(qb, Seq("band", "bhash"), "left_semi")
+        .groupBy(col("chash")).agg(count(lit(1)).as("_nq"))
+        .filter(col("_nq") >= minBands)
+        .select(col("chash")).withColumn("_kept", lit(true))
+      val withinPairs = col("_kept") && col("gsize") >= 2L
+      // empty-array guard mirrors the batch tail: 0/0 scores null at
+      // doc level — a candidate, never near, never a max
+      val withinScored = withinPairs && col("_nonempty")
+      val gstats = affectedGroups
+        .join(gsizes, Seq("chash"))
+        .join(groupsT.select(col("chash"),
+          (size(col("shash")) > 0).as("_nonempty")), Seq("chash"))
+        .join(keptQ, Seq("chash"), "left")
+        .join(crossAgg, Seq("chash"), "left")
+        .select(col("chash"),
+          (when(withinPairs, col("gsize") - 1L).otherwise(0L) +
+            coalesce(col("_cross_cand"), lit(0L))).as("n_candidates"),
+          (when(withinScored && lit(1.0 >= threshold), col("gsize") - 1L)
+            .otherwise(0L) +
+            coalesce(col("_cross_near"), lit(0L))).as("n_near"),
+          greatest(when(withinScored, lit(1.0)), col("_cross_max"))
+            .as("max_jaccard"))
+      val statsRows = affectedDocs
+        .join(members, Seq("id"), "left")
+        .join(gstats, Seq("chash"), "left")
+        .join(sigNowDoc, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("max_jaccard"), lit(batchOrd).as("_ord"),
+          coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
+      if (!statsRows.isEmpty)
+        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+          compareExclude = Nil)
+      drops.foreach { d =>
+        if (fmt.exists(goldPath) && !d.isEmpty)
+          fmt.deleteKeys(spark, goldPath, d, Seq("id"))
+      }
+    }
+
     // null-text docs are excluded from state/gold (documented
     // deviation from the batch operator, which reports them with
     // empty stats: their null band hashes group in an aggregation
@@ -1022,70 +1204,47 @@ object Dedup {
     if (appendOnly && !fullResync) {
       if (batchDocs.isEmpty) return
       val batchH = graft.Materialize.eager(
-        shingleHashes(batchDocs, "id", "text", n))
-      val batchBands = graft.Materialize.eager(
-        bandRowsFromHashes(batchH, numPerm, bands, withChash = true))
-      fmt.scd1Merge(spark, docsPath,
-        batchH.withColumn("_ord", lit(batchOrd)),
-        Seq("id"), "_ord", compareExclude = Nil)
-      fmt.scd1Merge(spark, bandsPath,
-        batchBands.withColumn("_ord", lit(batchOrd)),
-        Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
-      val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
-      val stateBands = fmt.read(spark, bandsPath)
-        .select(col("id"), col("chash"), col("band"), col("bhash"))
-      // re-verify set: members of buckets the batch touched — the
-      // only docs whose bucket membership (hence stats or stored
-      // signature) can change on an insert-only corpus
-      val affected = graft.Materialize.eager(
-        stateBands.join(batchBands.select(col("band"), col("bhash")).distinct(),
-            Seq("band", "bhash"), "left_semi")
-          .select(col("id")).distinct())
+        shingleHashes(batchDocs, "id", "text", n)
+          .withColumn("chash", xxhash64(col("shash"))))
+      mergeMinhashGroupState(spark, batchH, docsPath, groupsPath, bandsPath,
+        batchOrd, numPerm, bands, fmt)
+      val members = fmt.read(spark, docsPath).select(col("id"), col("chash"))
+      val groupsT = fmt.read(spark, groupsPath)
+        .select(col("chash"), col("shash"))
+      val bandsT = fmt.read(spark, bandsPath)
+        .select(col("chash"), col("band"), col("bhash"))
+      // re-verify set: GROUPS sharing a bucket with the batch's
+      // groups (includes those groups themselves) — the only groups
+      // whose bucket totals, membership, or signatures can change on
+      // an insert-only corpus — and their members as the doc set
+      val batchBuckets = bandRowsFromHashes(
+          batchH.select(col("chash").as("id"), col("shash")).distinct(),
+          numPerm, bands)
+        .select(col("band"), col("bhash")).distinct()
+      val affectedGroups = graft.Materialize.eager(
+        bandsT.join(batchBuckets, Seq("band", "bhash"), "left_semi")
+          .select(col("chash")).distinct())
       // ...and their whole neighborhoods: every bucket an affected
-      // doc belongs to, with full membership — both the signature
+      // group belongs to, with full membership — both the signature
       // fold and the candidate mates need those buckets exactly
-      val affBuckets = stateBands.join(affected, Seq("id"), "left_semi")
+      val affBuckets = bandsT.join(affectedGroups, Seq("chash"), "left_semi")
         .select(col("band"), col("bhash")).distinct()
       val nbrBands = graft.Materialize.eager(
-        stateBands.join(affBuckets, Seq("band", "bhash"), "left_semi"))
-      val buckets = graft.Materialize.eager(
-        nbrBands.groupBy(col("band"), col("bhash"))
-          .agg(count(lit(1)).as("_sz"),
-            expr("bit_xor(xxhash64(band, bhash, id, chash))").as("_bsig"))
-          .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket))
-      val sigNow = graft.Materialize.eager(
-        nbrBands.join(affected, Seq("id"), "left_semi")
-          .join(buckets, Seq("band", "bhash"))
-          .groupBy(col("id"))
-          .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
-            .as("_sig_now")))
-      val qb = buckets.filter(col("_q")).select(col("band"), col("bhash"))
-      val aSide = nbrBands.join(affected, Seq("id"), "left_semi")
-        .join(qb, Seq("band", "bhash"), "left_semi")
-        .select(col("band"), col("bhash"), col("id").as("ida"))
-      val mSide = nbrBands.join(qb, Seq("band", "bhash"), "left_semi")
-        .select(col("band"), col("bhash"), col("id").as("idb"))
-      val pairs = aSide.join(mSide, Seq("band", "bhash"))
-        .filter(col("ida") =!= col("idb"))
-        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("_nh"))
-        .filter(col("_nh") >= minBands)
-        .select(col("ida"), col("idb"))
-      val jac = graft.Materialize.eager(pairJaccard(stateDocs, pairs))
-      val per = jac.groupBy(col("ida")).agg(
-        count(lit(1)).as("n_candidates"),
-        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_near"),
-        max(col("jaccard")).as("max_jaccard"))
-      val statsRows = affected
-        .join(per, col("id") === col("ida"), "left_outer")
-        .join(sigNow, Seq("id"), "left_outer")
-        .select(col("id"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"),
-          col("max_jaccard"), lit(batchOrd).as("_ord"),
-          coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
-      if (!statsRows.isEmpty)
-        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
-          compareExclude = Nil)
+        bandsT.join(affBuckets, Seq("band", "bhash"), "left_semi"))
+      val gsizes = graft.Materialize.eager(
+        members.join(nbrBands.select(col("chash")).distinct(),
+            Seq("chash"), "left_semi")
+          .groupBy(col("chash")).agg(count(lit(1)).as("gsize")))
+      val buckets = graft.Materialize.eager(bucketAgg(nbrBands, gsizes))
+      val gsig = graft.Materialize.eager(groupSig(
+        nbrBands.join(affectedGroups, Seq("chash"), "left_semi"), buckets))
+      val affectedDocs = graft.Materialize.eager(
+        members.join(affectedGroups, Seq("chash"), "left_semi")
+          .select(col("id")))
+      val sigNowDoc = members.join(gsig, Seq("chash"))
+        .select(col("id"), col("_gsig").as("_sig_now"))
+      refresh(members, groupsT, nbrBands, gsizes, buckets,
+        affectedDocs, affectedGroups, sigNowDoc, None)
       return
     }
     val delIds = combinedDeletes(spark, deletes, idCol, "id", fullResync,
@@ -1095,60 +1254,68 @@ object Dedup {
       delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
         _.unionByName(batchAll.filter(col("text").isNull).select(col("id"))))
         .distinct())
+    // groups this fold's retractions can LEAVE (re-keyed or deleted
+    // ids' old membership) — the orphan-sweep scope, read BEFORE any
+    // state mutation
+    val retIds = graft.Materialize.eager(
+      batchAll.select(col("id")).unionByName(drops).distinct())
+    val touchedOld: Option[DataFrame] =
+      if (fmt.exists(docsPath) && !retIds.isEmpty)
+        Some(graft.Materialize.eager(
+          fmt.read(spark, docsPath)
+            .join(retIds, Seq("id"), "left_semi")
+            .select(col("chash")).distinct()))
+      else None
     if (!batchAll.isEmpty) {
-      val ids = batchAll.select(col("id")).distinct()
-      if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, ids, Seq("id"))
-      if (fmt.exists(bandsPath)) fmt.deleteKeys(spark, bandsPath, ids, Seq("id"))
+      if (fmt.exists(docsPath))
+        fmt.deleteKeys(spark, docsPath,
+          batchAll.select(col("id")).distinct(), Seq("id"))
       if (!batchDocs.isEmpty) {
         val batchH = graft.Materialize.eager(
-          shingleHashes(batchDocs, "id", "text", n))
-        fmt.scd1Merge(spark, docsPath,
-          batchH.withColumn("_ord", lit(batchOrd)),
-          Seq("id"), "_ord", compareExclude = Nil)
-        fmt.scd1Merge(spark, bandsPath,
-          bandRowsFromHashes(batchH, numPerm, bands, withChash = true)
-            .withColumn("_ord", lit(batchOrd)),
-          Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
+          shingleHashes(batchDocs, "id", "text", n)
+            .withColumn("chash", xxhash64(col("shash"))))
+        mergeMinhashGroupState(spark, batchH, docsPath, groupsPath, bandsPath,
+          batchOrd, numPerm, bands, fmt)
       }
     }
     // only HARD deletes need a second state pass: update-to-null ids
     // were already removed by the batchAll retraction and nothing
     // re-merged them (batchDocs excludes null rows)
     delIds.foreach { d =>
-      if (!d.isEmpty) {
-        if (fmt.exists(docsPath)) fmt.deleteKeys(spark, docsPath, d, Seq("id"))
-        if (fmt.exists(bandsPath)) fmt.deleteKeys(spark, bandsPath, d, Seq("id"))
+      if (fmt.exists(docsPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, docsPath, d, Seq("id"))
+    }
+    // orphan sweep: a group whose LAST member left must leave the
+    // groups/bands tables too — its band rows would otherwise keep
+    // counting toward bucket totals and signatures forever
+    touchedOld.foreach { t =>
+      val orphans = graft.Materialize.eager(
+        t.join(fmt.read(spark, docsPath).select(col("chash")),
+          Seq("chash"), "left_anti"))
+      if (!orphans.isEmpty) {
+        if (fmt.exists(groupsPath))
+          fmt.deleteKeys(spark, groupsPath, orphans, Seq("chash"))
+        if (fmt.exists(bandsPath))
+          fmt.deleteKeys(spark, bandsPath, orphans, Seq("chash"))
       }
     }
     if (!fmt.exists(docsPath)) return // empty first batch
 
-    val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
-    val stateBands = fmt.read(spark, bandsPath)
-      .select(col("id"), col("chash"), col("band"), col("bhash"))
-
-    // qualifying buckets + their member signatures, one narrow agg
-    // bit_xor, not sum: order-independent AND overflow-free under
-    // ANSI (a sum of two xxhash64 values can already overflow long).
-    // band+bhash fold INTO the member hash: identical documents
-    // collide in every band, giving a doc several buckets with
-    // identical member sets — XOR of an even number of identical
-    // bucket signatures is 0 before AND after a change (measured: the
-    // first spec run missed exactly that staleness). With the bucket
-    // key inside the hash every bucket's signature is structurally
-    // distinct and cancellation is back to 64-bit-collision odds.
-    // materialized: referenced by BOTH sigNow and the qualifying-
-    // bucket filter `qb` below — unmaterialized, the full per-batch
-    // bands-state aggregation would run twice
-    val buckets = graft.Materialize.eager(
-      stateBands.groupBy(col("band"), col("bhash"))
-        .agg(count(lit(1)).as("_sz"),
-          expr("bit_xor(xxhash64(band, bhash, id, chash))").as("_bsig"))
-        .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket))
-    val sigNow = graft.Materialize.eager(
-      stateBands.join(buckets, Seq("band", "bhash"))
-        .groupBy(col("id"))
-        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
-          .as("_sig_now")))
+    val members = graft.Materialize.eager(
+      fmt.read(spark, docsPath).select(col("id"), col("chash")))
+    val groupsT = fmt.read(spark, groupsPath).select(col("chash"), col("shash"))
+    val bandsT = fmt.read(spark, bandsPath)
+      .select(col("chash"), col("band"), col("bhash"))
+    // group sizes from the membership table: one narrow map-side-
+    // combinable aggregation — the only per-fold pass over the
+    // O(docs) table; everything downstream is groups-sized
+    val gsizes = graft.Materialize.eager(
+      members.groupBy(col("chash")).agg(count(lit(1)).as("gsize")))
+    val buckets = graft.Materialize.eager(bucketAgg(bandsT, gsizes))
+    val gsig = graft.Materialize.eager(groupSig(bandsT, buckets))
+    val sigNowDoc = graft.Materialize.eager(
+      members.join(gsig, Seq("chash"))
+        .select(col("id"), col("_gsig").as("_sig_now")))
 
     // re-verify set = the batch ∪ gold docs whose stored signature
     // disagrees with current state (pure function of state + gold ⇒
@@ -1164,7 +1331,7 @@ object Dedup {
           if (goldDf.columns.contains("_bucket_sig")) goldDf
           else goldDf.withColumn("_bucket_sig", lit(null).cast("long"))
         withSig
-          .join(sigNow, Seq("id"), "left_outer")
+          .join(sigNowDoc, Seq("id"), "left_outer")
           .filter(!(col("_bucket_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col("id"))
           .unionByName(batchDocs.select(col("id"))).distinct()
@@ -1172,41 +1339,57 @@ object Dedup {
     val affected = graft.Materialize.eager(
       if (drops.isEmpty) affectedAll
       else affectedAll.join(drops, Seq("id"), "left_anti"))
-
-    // candidate mates of affected docs from qualifying buckets only;
-    // directed (affected, mate) pairs so each affected doc's stats
-    // count every distinct partner once — the batch mirror semantics
-    val qb = buckets.filter(col("_q")).select(col("band"), col("bhash"))
-    val aSide = stateBands.join(affected, Seq("id"), "left_semi")
-      .join(qb, Seq("band", "bhash"), "left_semi")
-      .select(col("band"), col("bhash"), col("id").as("ida"))
-    val mSide = stateBands.join(qb, Seq("band", "bhash"), "left_semi")
-      .select(col("band"), col("bhash"), col("id").as("idb"))
-    val pairs = aSide.join(mSide, Seq("band", "bhash"))
-      .filter(col("ida") =!= col("idb"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("_nh"))
-      .filter(col("_nh") >= minBands)
-      .select(col("ida"), col("idb"))
-    val jac = graft.Materialize.eager(pairJaccard(stateDocs, pairs))
-    val per = jac.groupBy(col("ida")).agg(
-      count(lit(1)).as("n_candidates"),
-      sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_near"),
-      max(col("jaccard")).as("max_jaccard"))
-    val statsRows = affected
-      .join(per, col("id") === col("ida"), "left_outer")
-      .join(sigNow, Seq("id"), "left_outer")
-      .select(col("id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"),
-        col("max_jaccard"), lit(batchOrd).as("_ord"),
-        coalesce(col("_sig_now"), lit(0L)).as("_bucket_sig"))
-    if (!statsRows.isEmpty)
-      fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
-        compareExclude = Nil)
-    if (fmt.exists(goldPath) && !drops.isEmpty)
-      fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
-    ()
+    val affectedGroups = graft.Materialize.eager(
+      members.join(affected, Seq("id"), "left_semi")
+        .select(col("chash")).distinct())
+    refresh(members, groupsT, bandsT, gsizes, buckets, affected,
+      affectedGroups, sigNowDoc, if (drops.isEmpty) None else Some(drops))
   }
+
+  /** Merge one batch's group-keyed MinHash state (batchH = (id,
+    * shash, chash)): membership keyed on id, representative arrays
+    * keyed on chash, band rows keyed (band, bhash, chash). Group and
+    * band rows for an EXISTING chash merge idempotently (identical
+    * content by construction), so replays converge.
+    */
+  private def mergeMinhashGroupState(spark: SparkSession, batchH: DataFrame,
+      docsPath: String, groupsPath: String, bandsPath: String,
+      batchOrd: Long, numPerm: Int, bands: Int,
+      fmt: graft.pipeline.TableFormat): Unit = {
+    fmt.scd1Merge(spark, docsPath,
+      batchH.select(col("id"), col("chash"))
+        .withColumn("_ord", lit(batchOrd)),
+      Seq("id"), "_ord", compareExclude = Nil)
+    // one representative array per batch group (`first` exact: all
+    // members' arrays are identical by construction)
+    val batchGroups = graft.Materialize.eager(
+      batchH.groupBy(col("chash")).agg(first(col("shash")).as("shash")))
+    fmt.scd1Merge(spark, groupsPath,
+      batchGroups.withColumn("_ord", lit(batchOrd)),
+      Seq("chash"), "_ord", compareExclude = Nil)
+    fmt.scd1Merge(spark, bandsPath,
+      bandRowsFromHashes(
+          batchGroups.select(col("chash").as("id"), col("shash")),
+          numPerm, bands)
+        .select(col("id").as("chash"), col("band"), col("bhash"))
+        .withColumn("_ord", lit(batchOrd)),
+      Seq("band", "bhash", "chash"), "_ord", compareExclude = Nil)
+  }
+
+  /** Fail fast when a state dir written by the pre-r15 DOC-level
+    * layout is fed to a group-keyed fold (the membership table used
+    * to carry per-doc `shash` arrays / band rows): a silent misread
+    * is worse than a rebuild. Remediation = fresh state dir + a
+    * fullResync snapshot window (the documented bootstrap path).
+    */
+  private def requireGroupKeyedState(spark: SparkSession, docsPath: String,
+      fmt: graft.pipeline.TableFormat, legacyCol: String): Unit =
+    if (fmt.exists(docsPath) &&
+        fmt.read(spark, docsPath).columns.contains(legacyCol))
+      throw new IllegalStateException(
+        s"$docsPath holds the pre-group-keyed doc-level state layout " +
+          s"(column '$legacyCol' present) — rebuild from a fresh state " +
+          "dir + a fullResync snapshot window")
 
   /** MinHash band buckets -> (per-doc hash arrays, candidate pairs).
     * `maxBucket` caps degenerate bucket sizes and `minBands` drops
@@ -1778,12 +1961,20 @@ object Dedup {
     * the chunk bucket rows derive from it by pure projection
     * ([[simhashChunkRows]]), and the simhash doubles as the content
     * fingerprint (an update changes it, which changes the member
-    * hash in every bucket the doc occupies — mates re-verify with no
-    * separate chash column). Qualifying buckets are 2 ≤ size ≤
-    * `maxBucket` (the batch operator's flood cap: over-cap buckets
-    * leave candidate generation, their members keep empty-stats
-    * rows); a bucket crossing the cap changes its members'
-    * signatures, so exactly they re-verify. Gold: (id, simhash,
+    * hash in every bucket the group occupies — mates re-verify with
+    * no separate chash column). Every DERIVED structure is
+    * exact-duplicate-COLLAPSED (r15, the batch operator's r14
+    * design): chunk rows, bucket totals, signatures, and verify
+    * pairs are per DISTINCT simhash with a group size, so the
+    * per-fold pair/signature cost scales with distinct hashes, not
+    * docs — the duplication-factor quadratic the sf10 probe killed
+    * on the batch side cannot recur here. Qualifying buckets are
+    * 2 ≤ Σgsize ≤ `maxBucket` (the batch operator's flood cap
+    * applied to the summed DOC count: over-cap buckets leave
+    * candidate generation, their members keep empty-stats rows); a
+    * bucket crossing the cap — or a group's size changing, which
+    * folds into every bucket signature — re-verifies exactly the
+    * groups whose stats can move. Gold: (id, simhash,
     * n_candidates, n_near, min_hamming, _ord, _bucket_sig) — the
     * batch stats columns. NULL-text docs are excluded from state and
     * gold (documented family deviation; the batch operator reports
@@ -1817,31 +2008,82 @@ object Dedup {
       df.select(col("id"),
         HashFunctions.simhash64(split(col("text"), " ")).as("simhash"))
 
-    // shared verify tail: re-verify `affected` against their bucket
-    // mates from `state`, merge their gold rows
-    def refresh(state: DataFrame, chunks: DataFrame, buckets: DataFrame,
-                affected: DataFrame, sigNow: DataFrame,
+    // EXACT-DUPLICATE COLLAPSE (r15, carrying the batch operator's
+    // r14 design into the fold): the state stays (id, simhash) — the
+    // simhash doubles as the content-group key — but every DERIVED
+    // structure is per DISTINCT simhash with a group size. Chunk
+    // rows, bucket totals, signatures, and verify pairs all scale
+    // with distinct hashes; docs contribute one narrow state row
+    // each. Value-exact by the batch argument (equal hashes share
+    // all four chunks ⇒ buckets are group-closed; the flood cap
+    // applies to the summed doc count; within-group pairs sit at
+    // Hamming 0).
+    def groupSizes(state: DataFrame): DataFrame =
+      state.groupBy(col("simhash")).agg(count(lit(1)).as("gsize"))
+    def groupChunks(gsizes: DataFrame): DataFrame =
+      simhashChunkRows(gsizes.select(col("simhash").as("id"), col("simhash")))
+        .select(col("simhash"), col("chunk"), col("cval"))
+    // member hash folds chunk+cval (structural distinctness), the
+    // simhash (the content key), and gsize (duplicate arrivals
+    // propagate to mates even when bucket membership is unchanged)
+    def bucketAgg(chunkRows: DataFrame, gsizes: DataFrame): DataFrame =
+      chunkRows.join(gsizes, Seq("simhash"))
+        .groupBy(col("chunk"), col("cval"))
+        .agg(sum(col("gsize")).as("_total"),
+          expr("bit_xor(xxhash64(chunk, cval, simhash, gsize))").as("_bsig"))
+        .withColumn("_q", col("_total") >= 2 && col("_total") <= maxBucket)
+    def groupSig(chunkRows: DataFrame, buckets: DataFrame): DataFrame =
+      chunkRows.join(buckets, Seq("chunk", "cval"))
+        .groupBy(col("simhash"))
+        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
+          .as("_gsig"))
+
+    // shared verify tail: per-GROUP stats for affected groups, cross
+    // pairs verified once per distinct-simhash pair, expanded to the
+    // affected docs through the state table
+    def refresh(state: DataFrame, chunkRows: DataFrame, gsizes: DataFrame,
+                buckets: DataFrame, affectedDocs: DataFrame,
+                affectedGroups: DataFrame, sigNowDoc: DataFrame,
                 drops: Option[DataFrame]): Unit = {
       val qb = buckets.filter(col("_q")).select(col("chunk"), col("cval"))
-      val aSide = chunks.join(affected, Seq("id"), "left_semi")
+      val aSide = chunkRows.join(affectedGroups, Seq("simhash"), "left_semi")
         .join(qb, Seq("chunk", "cval"), "left_semi")
-        .select(col("chunk"), col("cval"), col("id").as("ida"),
-          col("simhash").as("ha"))
-      val mSide = chunks.join(qb, Seq("chunk", "cval"), "left_semi")
-        .select(col("chunk"), col("cval"), col("id").as("idb"),
-          col("simhash").as("hb"))
+        .select(col("chunk"), col("cval"), col("simhash").as("ga"))
+      val mSide = chunkRows.join(qb, Seq("chunk", "cval"), "left_semi")
+        .select(col("chunk"), col("cval"), col("simhash").as("gb"))
       val pairs = aSide.join(mSide, Seq("chunk", "cval"))
-        .filter(col("ida") =!= col("idb"))
-        .select(col("ida"), col("idb"),
-          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .filter(col("ga") =!= col("gb"))
+        .select(col("ga"), col("gb"),
+          bit_count(col("ga").bitwiseXOR(col("gb"))).as("hamming"))
         .distinct()
-      val per = pairs.groupBy(col("ida")).agg(
-        count(lit(1)).as("n_candidates"),
-        sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L)).as("n_near"),
-        min(col("hamming")).as("min_hamming"))
-      val statsRows = state.join(affected, Seq("id"), "left_semi")
-        .join(per, col("id") === col("ida"), "left_outer")
-        .join(sigNow, Seq("id"), "left_outer")
+      val crossAgg = pairs
+        .join(gsizes.select(col("simhash").as("gb"), col("gsize").as("osize")),
+          Seq("gb"))
+        .groupBy(col("ga")).agg(
+          sum(col("osize")).as("_cross_cand"),
+          sum(when(col("hamming") <= maxHamming, col("osize")).otherwise(0L))
+            .as("_cross_near"),
+          min(col("hamming")).as("_cross_min"))
+        .withColumnRenamed("ga", "simhash")
+      val keptQ = chunkRows.join(qb, Seq("chunk", "cval"), "left_semi")
+        .select(col("simhash")).distinct().withColumn("_kept", lit(true))
+      val withinPairs = col("_kept") && col("gsize") >= 2L
+      val gstats = affectedGroups
+        .join(gsizes, Seq("simhash"))
+        .join(keptQ, Seq("simhash"), "left")
+        .join(crossAgg, Seq("simhash"), "left")
+        .select(col("simhash"),
+          (when(withinPairs, col("gsize") - 1L).otherwise(0L) +
+            coalesce(col("_cross_cand"), lit(0L))).as("n_candidates"),
+          (when(withinPairs && lit(0 <= maxHamming), col("gsize") - 1L)
+            .otherwise(0L) +
+            coalesce(col("_cross_near"), lit(0L))).as("n_near"),
+          least(when(withinPairs, lit(0)), col("_cross_min"))
+            .as("min_hamming"))
+      val statsRows = affectedDocs
+        .join(state.select(col("id"), col("simhash")), Seq("id"), "left")
+        .join(gstats, Seq("simhash"), "left")
+        .join(sigNowDoc, Seq("id"), "left_outer")
         .select(col("id"), col("simhash"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           coalesce(col("n_near"), lit(0L)).as("n_near"),
@@ -1855,11 +2097,6 @@ object Dedup {
           fmt.deleteKeys(spark, goldPath, d, Seq("id"))
       }
     }
-    def bucketAgg(chunkRows: DataFrame): DataFrame =
-      chunkRows.groupBy(col("chunk"), col("cval"))
-        .agg(count(lit(1)).as("_sz"),
-          expr("bit_xor(xxhash64(chunk, cval, id, simhash))").as("_bsig"))
-        .withColumn("_q", col("_sz") >= 2 && col("_sz") <= maxBucket)
 
     if (appendOnly && !fullResync) {
       if (batchDocs.isEmpty) return
@@ -1868,24 +2105,35 @@ object Dedup {
         batchH.withColumn("_ord", lit(batchOrd)),
         Seq("id"), "_ord", compareExclude = Nil)
       val state = fmt.read(spark, statePath)
-      val chunks = simhashChunkRows(state)
-      val touched = simhashChunkRows(batchH)
+      // re-verify set: GROUPS sharing a chunk bucket with the batch's
+      // hashes (includes those hashes' own groups), their members as
+      // the doc set, and the two-hop bucket neighborhood as the slice
+      val touched = simhashChunkRows(
+          batchH.select(col("simhash").as("id"), col("simhash")).distinct())
         .select(col("chunk"), col("cval")).distinct()
-      val affected = graft.Materialize.eager(
-        chunks.join(touched, Seq("chunk", "cval"), "left_semi")
-          .select(col("id")).distinct())
-      val affBuckets = chunks.join(affected, Seq("id"), "left_semi")
+      val allGsizes = graft.Materialize.eager(groupSizes(state))
+      val allChunks = groupChunks(allGsizes)
+      val affectedGroups = graft.Materialize.eager(
+        allChunks.join(touched, Seq("chunk", "cval"), "left_semi")
+          .select(col("simhash")).distinct())
+      val affBuckets = allChunks
+        .join(affectedGroups, Seq("simhash"), "left_semi")
         .select(col("chunk"), col("cval")).distinct()
       val nbrChunks = graft.Materialize.eager(
-        chunks.join(affBuckets, Seq("chunk", "cval"), "left_semi"))
-      val buckets = graft.Materialize.eager(bucketAgg(nbrChunks))
-      val sigNow = graft.Materialize.eager(
-        nbrChunks.join(affected, Seq("id"), "left_semi")
-          .join(buckets, Seq("chunk", "cval"))
-          .groupBy(col("id"))
-          .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
-            .as("_sig_now")))
-      refresh(state, nbrChunks, buckets, affected, sigNow, None)
+        allChunks.join(affBuckets, Seq("chunk", "cval"), "left_semi"))
+      val gsizes = graft.Materialize.eager(
+        allGsizes.join(nbrChunks.select(col("simhash")).distinct(),
+          Seq("simhash"), "left_semi"))
+      val buckets = graft.Materialize.eager(bucketAgg(nbrChunks, gsizes))
+      val gsig = graft.Materialize.eager(groupSig(
+        nbrChunks.join(affectedGroups, Seq("simhash"), "left_semi"), buckets))
+      val affectedDocs = graft.Materialize.eager(
+        state.join(affectedGroups, Seq("simhash"), "left_semi")
+          .select(col("id")))
+      val sigNowDoc = state.join(gsig, Seq("simhash"))
+        .select(col("id"), col("_gsig").as("_sig_now"))
+      refresh(state, nbrChunks, gsizes, buckets, affectedDocs,
+        affectedGroups, sigNowDoc, None)
       return
     }
 
@@ -1910,14 +2158,14 @@ object Dedup {
     }
     if (!fmt.exists(statePath)) return // empty first batch
 
-    val state = fmt.read(spark, statePath)
-    val chunks = graft.Materialize.eager(simhashChunkRows(state))
-    val buckets = graft.Materialize.eager(bucketAgg(chunks))
-    val sigNow = graft.Materialize.eager(
-      chunks.join(buckets, Seq("chunk", "cval"))
-        .groupBy(col("id"))
-        .agg(bit_xor(when(col("_q"), col("_bsig")).otherwise(lit(0L)))
-          .as("_sig_now")))
+    val state = graft.Materialize.eager(fmt.read(spark, statePath))
+    val gsizes = graft.Materialize.eager(groupSizes(state))
+    val chunkRows = graft.Materialize.eager(groupChunks(gsizes))
+    val buckets = graft.Materialize.eager(bucketAgg(chunkRows, gsizes))
+    val gsig = graft.Materialize.eager(groupSig(chunkRows, buckets))
+    val sigNowDoc = graft.Materialize.eager(
+      state.join(gsig, Seq("simhash"))
+        .select(col("id"), col("_gsig").as("_sig_now")))
     val affectedAll =
       if (fmt.exists(goldPath)) {
         val goldDf = fmt.read(spark, goldPath)
@@ -1925,7 +2173,7 @@ object Dedup {
           if (goldDf.columns.contains("_bucket_sig")) goldDf
           else goldDf.withColumn("_bucket_sig", lit(null).cast("long"))
         withSig
-          .join(sigNow, Seq("id"), "left_outer")
+          .join(sigNowDoc, Seq("id"), "left_outer")
           .filter(!(col("_bucket_sig") <=> coalesce(col("_sig_now"), lit(0L))))
           .select(col("id"))
           .unionByName(batchDocs.select(col("id"))).distinct()
@@ -1933,8 +2181,11 @@ object Dedup {
     val affected = graft.Materialize.eager(
       if (drops.isEmpty) affectedAll
       else affectedAll.join(drops, Seq("id"), "left_anti"))
-    refresh(state, chunks, buckets, affected, sigNow,
-      if (drops.isEmpty) None else Some(drops))
+    val affectedGroups = graft.Materialize.eager(
+      state.join(affected, Seq("id"), "left_semi")
+        .select(col("simhash")).distinct())
+    refresh(state, chunkRows, gsizes, buckets, affected, affectedGroups,
+      sigNowDoc, if (drops.isEmpty) None else Some(drops))
   }
 
   /** Resolve near-dup candidate pairs into clusters: iterative

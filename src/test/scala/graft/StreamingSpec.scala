@@ -1681,6 +1681,100 @@ class StreamingSpec extends SparkSpec {
       "doc 5 must lose its nulled partner")
   }
 
+  test("incremental near-dup collapse: 100x-duplicated corpus folds at distinct-content pair cost, gold equals batch") {
+    // The sf10 probe's killer shape fed to the INCREMENTAL minhash
+    // member: every document duplicated 100x, every bucket
+    // 100x-degenerate yet BELOW the flood cap — the regime where the
+    // pre-collapse doc-level state paid pair cost quadratic in the
+    // duplication factor (the last batch-vs-streaming scale
+    // asymmetry). Two asserts: (a) gold equals the batch operator's
+    // recompute after every fold (value-exactness of the collapse),
+    // and (b) no stage of the fold shuffles more than a small LINEAR
+    // multiple of the doc count — the doc-level formulation's pair
+    // stage alone would shuffle ~bands * (dup^2) * families ≈ 10^6
+    // records here (100^2 per band bucket), two orders of magnitude
+    // past the bound.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val stateDir = Files.createTempDirectory("graft_cl_state").toString
+    val gold = Files.createTempDirectory("graft_cl_gold").toString + "/t"
+    val P = (3, 16, 4, 0.5, 1000000) // n, numPerm, bands, threshold, maxBucket
+    val dup = 100
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota", // near-dup of [0]
+      "one two three four five six seven eight",
+      "unrelated corpus words some other line here now")
+    def family(t: Int, base: Long): Seq[(Long, String)] =
+      (0 until dup).map(i => (base + i, texts(t)))
+    val batch1 = family(0, 100L) ++ family(2, 300L)
+    val batch2 = family(1, 500L) ++ family(3, 700L)
+    var seen = Seq.empty[(Long, String)]
+
+    def fold(b: Seq[(Long, String)], ord: Long): Unit =
+      Dedup.minhashLshStatsIncremental(spark, b.toDF("doc_id", "text"),
+        "doc_id", "text", stateDir, gold, batchOrd = ord,
+        n = P._1, numPerm = P._2, bands = P._3,
+        threshold = P._4, maxBucket = P._5)
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_near"),
+        Option(r.get(r.fieldIndex("max_jaccard"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = stats(Dedup.minhashLshStats(
+        seen.toDF("doc_id", "text"), "doc_id", "text",
+        n = P._1, numPerm = P._2, bands = P._3,
+        threshold = P._4, maxBucket = P._5), "doc_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth, s"$label: collapse must be value-exact " +
+        s"(first diff: ${got.zip(truth).find(p => p._1 != p._2)})")
+    }
+
+    seen ++= batch1
+    fold(batch1, 0L)
+    checkGoldEqualsBatch("after batch 1 (200 docs, 2 distinct contents)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 100L)
+        .head.getAs[Long]("n_near") == (dup - 1).toLong,
+      "a duplicated doc must see its whole family")
+
+    // fold 2 under a per-stage shuffle meter: old family [0] gains
+    // 100 near partners (family [1]) — a two-family re-verify — and
+    // the heaviest stage must stay linear in docs
+    val maxStage = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null)
+          maxStage.getAndAccumulate(m.shuffleWriteMetrics.recordsWritten,
+            (a: Long, b: Long) => math.max(a, b))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      seen ++= batch2
+      fold(batch2, 1L)
+      // listener events are async — poll until the max stabilizes
+      var prev = -1L; var cur = maxStage.get(); var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = maxStage.get(); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    checkGoldEqualsBatch("after batch 2 (400 docs, 4 distinct contents)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 100L)
+        .head.getAs[Long]("n_near") == (2 * dup - 1).toLong,
+      "old docs must gain the whole near family without being in the batch")
+    val docs = seen.size.toLong
+    assert(maxStage.get() <= 10L * docs,
+      s"pair work must scale with distinct contents, not docs: heaviest " +
+        s"stage shuffled ${maxStage.get()} records for $docs docs " +
+        s"(doc-level pairing would shuffle ~10^6)")
+  }
+
   test("incremental containment stats: streamed gold equals batch recompute, updates retract, crashes replay") {
     // CONTAINMENT member of the incremental family: per-doc
     // directional-containment stats maintained across micro-batches
@@ -1895,12 +1989,59 @@ class StreamingSpec extends SparkSpec {
     assert(fold().nonEmpty)
     checkGoldEqualsBatch("after batch 3 (update retracts a partnership)")
 
+    // CRASH REPLAY through the JACCARD member ITSELF (the shared
+    // implementation's crash contract is proven in the containment
+    // spec; this closes the inheritance gap): doc 5 arrives as a
+    // near-dup of doc 2's new text, state AND gold advance, then
+    // gold rolls back to its pre-batch snapshot — the on-disk
+    // aftermath of a consumer that merged state but crashed before
+    // the gold merge. Re-running the same fold (same batchOrd) must
+    // re-flag the untouched mate via the signature-vs-current-state
+    // check and converge gold back to the batch truth.
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val goldBackup = Files.createTempDirectory("graft_jc_gbak").toString + "/t"
+    copyDir(gold, goldBackup)
+    val b3b = Seq((5L, "totally different words here", 3))
+      .toDF("doc_id", "text", "ord")
+    fmt.scd1Merge(spark, silver, b3b, Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    Dedup.jaccardStatsIncremental(spark, b3b.select("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 3L,
+      n = P._1, maxDf = P._2, threshold = P._3)
+    deleteDir(gold); copyDir(goldBackup, gold) // gold rolled back, state kept
+    Dedup.jaccardStatsIncremental(spark, b3b.select("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 3L,
+      n = P._1, maxDf = P._2, threshold = P._3)
+    checkGoldEqualsBatch("after crash-replay of batch 3b")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 2L)
+        .head.getAs[Long]("n_near") == 1L,
+      "replay must still re-verify the untouched old doc 2")
+
     // hard delete: doc 4 leaves — doc 1 loses its last partner
     val delIds = Seq(4L).toDF("doc_id")
     fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
     Dedup.jaccardStatsIncremental(spark,
       Seq.empty[(Long, String)].toDF("doc_id", "text"),
-      "doc_id", "text", stateDir, gold, batchOrd = 3L,
+      "doc_id", "text", stateDir, gold, batchOrd = 4L,
       n = P._1, maxDf = P._2, threshold = P._3, deletes = Some(delIds))
     checkGoldEqualsBatch("after hard delete")
     assert(MergeTable.read(spark, gold).filter(col("id") === 4L).count() == 0)
@@ -1912,7 +2053,7 @@ class StreamingSpec extends SparkSpec {
     val current = fmt.read(spark, silver)
       .filter(col("text").isNotNull).select("doc_id", "text")
     Dedup.containmentStatsIncremental(spark, current, "doc_id", "text",
-      stateDir, contGold, batchOrd = 4L,
+      stateDir, contGold, batchOrd = 6L,
       n = P._1, maxDf = P._2, threshold = 0.5)
     val contTruth = Dedup.ngramContainmentStats(current, "doc_id", "text",
         n = P._1, maxDf = P._2, threshold = 0.5)
