@@ -263,6 +263,14 @@ object DedupQueries {
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annLsh(e, "vec_id", "embedding"))
     }),
+    // SAMPLED recall audit — the 100 TB-safe form: exact truth only
+    // for a deterministic md5-bucket probe sample (rate 0.1, salted),
+    // per-probe rows value-identical to ann_recall's
+    "ann_recall_sampled" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annRecallSampled(e, "vec_id", "embedding",
+        Similarity.annLsh(e, "vec_id", "embedding"))
+    }),
     // the same audit for the IVF index (inverted lists + nprobe)
     "ann_recall_ivf" -> ((s, d) => {
       val e = embs(s, d)
@@ -747,6 +755,46 @@ object DedupQueries {
   /** Recall@k oracle template: the brute-force truth joined against
     * any approximate index's oracle (nested-WITH CTE composition).
     */
+  /** The sampled audit's probe rule in DuckDB: same salted-md5
+    * hash bucket as Sampling.hashBucket (first 8 hex chars → uniform
+    * [0, 2³²)), keep iff bucket < rate·2³². `ref` is the query-side
+    * vec_id reference.
+    */
+  private def annProbeFilterSql(ref: String): String =
+    s"""CAST(('0x' || substr(md5('annprobe:' || CAST($ref AS VARCHAR)), 1, 8)) AS BIGINT)
+       |    < 0.1 * 4294967296.0""".stripMargin
+
+  /** [[annRecallSql]] with the exact-truth side restricted to the
+    * deterministic probe sample — per-probe rows are value-identical
+    * to the full audit's (same exact top-k per query), so the
+    * composed CTE oracle stays hash-exact.
+    */
+  private def annRecallSampledSql(approxSql: String): String =
+    s"""WITH bf AS (
+       |WITH e AS (
+       |  SELECT vec_id, embedding, $selfNormSql AS nn
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $cosSql AS cos_sim
+       |  FROM e a JOIN e b ON a.vec_id != b.vec_id
+       |  WHERE ${annProbeFilterSql("a.vec_id")}),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM c)
+       |SELECT vec_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+       |), ap AS (
+       |$approxSql
+       |)
+       |SELECT bf.vec_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+       |  CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM bf LEFT JOIN ap
+       |  ON ap.vec_id = bf.vec_id AND ap.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.vec_id""".stripMargin
+
   private def annRecallSql(approxSql: String): String =
     s"""WITH bf AS (
        |$annBruteForceSql
@@ -1028,6 +1076,7 @@ object DedupQueries {
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "ann_recall_lsh_multiprobe" -> annRecallSql(annLshMultiprobeSql),
     "ann_recall" -> annRecallSql(annLshSql),
+    "ann_recall_sampled" -> annRecallSampledSql(annLshSql),
     "ann_recall_ivf" -> annRecallSql(annIvfSql),
     "ann_ivf_topk" -> annIvfSql,
     "dedup_exact" ->

@@ -52,27 +52,43 @@ object Similarity {
     * is the edge of comfortable broadcast territory.
     */
   def annBruteForce(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 5, maxCorpusRows: Int = 1000000): DataFrame = {
+                    k: Int = 5, maxCorpusRows: Int = 1000000): DataFrame =
+    annBruteForceAgainst(df, df, idCol, vecCol, k, maxCorpusRows)
+
+  /** [[annBruteForce]] generalized to a QUERY frame scored against a
+    * (possibly different) CANDIDATE corpus — the shape a sampled
+    * recall audit needs at scale: exact top-k for a probe subset of
+    * queries, each scanning the full corpus once (cost linear in
+    * |queries|·|corpus|, not |corpus|²). Self-matches are excluded
+    * by id, so running it with `queries` ⊆ `corpus` yields exactly
+    * the corresponding [[annBruteForce]] rows.
+    */
+  def annBruteForceAgainst(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String,
+                           k: Int = 5, maxCorpusRows: Int = 1000000): DataFrame = {
     require(maxCorpusRows > 0, "maxCorpusRows must be positive")
-    val spark = df.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
-    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val e = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val corpusDs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
     // Int.MaxValue means "explicitly uncapped" (the idiom the error
     // message invites); +1 would overflow it into a negative limit
     val collected =
-      if (maxCorpusRows == Int.MaxValue) e.collect()
-      else e.limit(maxCorpusRows + 1).collect()
+      if (maxCorpusRows == Int.MaxValue) corpusDs.collect()
+      else corpusDs.limit(maxCorpusRows + 1).collect()
     require(collected.length <= maxCorpusRows,
       s"annBruteForce is the exact O(N^2) baseline and collects the corpus " +
         s"to the driver; it exceeds maxCorpusRows=$maxCorpusRows here. Use " +
         s"the bucketed scale paths instead: Similarity.annLsh (SRP-bucket " +
         s"equi-join) or Similarity.annIvf (inverted-file lists), or raise " +
         s"the cap explicitly if the driver can hold the corpus.")
-    val corpus = spark.sparkContext.broadcast(
+    val bcast = spark.sparkContext.broadcast(
       collected.map { case (id, v) => (id, v, normF(v)) })
     e.mapPartitions { rows =>
-      val cand = corpus.value
+      val cand = bcast.value
       rows.flatMap { case (id, v) =>
         val na = normF(v)
         // bounded top-k by (cos desc, neighbor_id asc), insertion sort
@@ -166,6 +182,40 @@ object Similarity {
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+
+  /** SAMPLED recall@k audit — the form that is itself 100 TB-runnable:
+    * exact ground truth is computed only for a deterministic probe
+    * sample of queries (each probe scans the corpus once — cost
+    * linear in |probes|·|corpus|, where the full audit's exact side
+    * is |corpus|²), and the approximate index's results are scored on
+    * exactly that subset. The probe rule is the engine's standard
+    * hash-bucket draw ([[Sampling.hashBucket]]: salted md5 → uniform
+    * [0, 2³²) bucket, keep iff bucket < rate·2³²) — no RNG, stable
+    * under re-runs/repartitioning, monotone in `rate` (raising the
+    * rate EXTENDS the probe set), portable to any engine with md5,
+    * and salted so it decorrelates from every other bucket use of the
+    * id. Per-probe rows are value-identical to the full audit's rows
+    * for the same queries (the truth side is the same exact top-k);
+    * the sampled MEAN recall estimates the full mean with the usual
+    * √|probes| error — DedupSpec pins both properties.
+    */
+  def annRecallSampled(df: DataFrame, idCol: String, vecCol: String,
+                       approx: DataFrame, k: Int = 5, rate: Double = 0.1,
+                       salt: String = "annprobe",
+                       maxCorpusRows: Int = 1000000): DataFrame = {
+    require(rate > 0 && rate <= 1.0, s"rate must be in (0, 1], got $rate")
+    val bucket = Sampling.hashBucket(
+      concat(lit(s"$salt:"), col(idCol).cast("string")))
+    val probes = df.filter(bucket < rate * 4294967296.0)
+    val truth = annBruteForceAgainst(probes, df, idCol, vecCol,
+      k, maxCorpusRows)
+    // semi-join the approx side down to the probes BEFORE its
+    // distinct: recall only reads probe rows, and the distinct would
+    // otherwise shuffle the full k·N result set
+    annRecall(truth,
+      approx.join(probes.select(col(idCol).cast("long").as("vec_id")),
+        Seq("vec_id"), "left_semi"))
+  }
 
   /** Reference join+window formulation of #32 (kept for the
     * result-equality spec and as the shape that works when neither

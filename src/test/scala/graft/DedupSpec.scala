@@ -372,6 +372,44 @@ class DedupSpec extends SparkSpec {
       dedup(1) == ((2L, 2L, 0L, 0.0)), dedup.mkString(","))
   }
 
+  test("sampled ANN recall: probe rows equal the full audit's, mean within tolerance") {
+    // the 100 TB-safe audit: exact truth only for a deterministic
+    // md5-bucket probe sample. Two pins: (a) per-probe rows are
+    // VALUE-IDENTICAL to the full audit's rows for the same queries
+    // (the sample rule restricts, never perturbs, the truth side);
+    // (b) the sampled mean estimates the full mean within a stated
+    // tolerance — everything is hash-deterministic, so this is a
+    // fixed property of the corpus, not a flaky draw.
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val approx = Similarity.annLsh(e, "vec_id", "embedding")
+      .transform(graft.Materialize.eager) // two audits read it below
+    val full = Similarity.annRecall(
+      Similarity.annBruteForce(e, "vec_id", "embedding"), approx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val sampled = Similarity.annRecallSampled(e, "vec_id", "embedding",
+        approx, rate = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val n = e.count()
+    assert(sampled.nonEmpty && sampled.length < n,
+      s"probe sample must be a strict non-empty subset: ${sampled.length}/$n")
+    // rate 0.1 over a uniform hash: the probe count concentrates
+    // around n/10 (loose 3x bounds — deterministic, not a draw)
+    assert(sampled.length >= n / 30 && sampled.length <= n * 3 / 10,
+      s"probe count ${sampled.length} implausible for rate 0.1 over $n")
+    val probeIds = sampled.map(_._1).toSet
+    val fullOnProbes = full.filter(r => probeIds.contains(r._1))
+    assert(sampled.sameElements(fullOnProbes),
+      "sampled audit rows must be value-identical to the full audit's " +
+        s"probe rows (first diff: ${sampled.zip(fullOnProbes).find(p => p._1 != p._2)})")
+    val meanFull = full.map(_._4).sum / full.length
+    val meanSampled = sampled.map(_._4).sum / sampled.length
+    assert(math.abs(meanFull - meanSampled) <= 0.2,
+      f"sampled mean recall $meanSampled%.3f must track full $meanFull%.3f " +
+        "within 0.2 at rate 0.1")
+  }
+
   test("embeddingStats fails fast beyond its all-pairs row cap") {
     val e = Tables.load(spark, sf, "embeddings")
     val err = intercept[IllegalArgumentException] {
