@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL — JDK-only [[ImageCodec]] (javax.imageio:
   * PNG/JPEG/GIF/BMP) behind [[decodeImages]]/[[resizeImages]].
-  * Audio/video decode remains a STUB — those codecs are not
-  * available in this environment — replaced by a deterministic fake
-  * (byte-histogram moments / payload-slice hashes). Everything
+  * Audio decode is REAL too (r15) — JDK-only [[AudioCodec]]
+  * (javax.sound.sampled: WAV/AIFF/AU, PCM/ULAW/ALAW) behind
+  * [[decodeAudio]]/[[resampleAudio]], which executes [[resamplePlan]]
+  * for real. VIDEO decode remains a STUB — no video codec ships with
+  * the JDK — replaced by a deterministic fake (payload-slice
+  * hashes). Everything
   * around both is the real Spark plumbing a 100 TB media pipeline
   * needs: a typed payload schema, a
   * mapPartitions iterator that processes one asset at a time (never
@@ -146,6 +149,71 @@ object Multimodal {
         case None =>
           ResizedImage(a.asset_id, decoded = false, a.width, a.height,
             a.width, a.height, 0L, Array.emptyByteArray)
+      }
+    })
+  }
+
+  final case class DecodedAudio(
+      asset_id: Long, decoded: Boolean, sample_rate: Int,
+      channels: Int, n_samples: Long, rms: Double)
+
+  /** REAL audio decode — JDK-only [[AudioCodec]] (WAV/AIFF/AU, the
+    * readers every JRE ships), same iterator-per-asset contract as
+    * [[decodeImages]]. Emits the TRUE sample rate / channel count /
+    * sample count from the decoded stream (the metadata columns are
+    * what the upstream claims; a crawled corpus lies) plus the RMS
+    * amplitude as the decoded-real-samples statistic. Payloads the
+    * JDK cannot parse — corrupt bytes, compressed codecs, the text
+    * test double — come back `decoded = false` with the claimed
+    * metadata passed through: decode failure is a data category to
+    * aggregate over, not an exception.
+    */
+  def decodeAudio(assets: Dataset[MediaAsset]): Dataset[DecodedAudio] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      AudioCodec.decode(a.payload) match {
+        case Some(d) =>
+          DecodedAudio(a.asset_id, decoded = true, d.sampleRate,
+            d.channels, d.samples.length.toLong, AudioCodec.rms(d.samples))
+        case None =>
+          DecodedAudio(a.asset_id, decoded = false, a.sample_rate, 0, 0L, -1.0)
+      }
+    })
+  }
+
+  final case class ResampledAudio(
+      asset_id: Long, decoded: Boolean, src_rate: Int, target_rate: Int,
+      n_samples_in: Long, n_samples_out: Long, n_bytes_out: Long,
+      wav: Array[Byte])
+
+  /** REAL resample execution — [[resamplePlan]]'s arithmetic applied
+    * to the TRUE decoded stream: decode → mono PCM16 → downsample to
+    * `targetRate` when the source rate is higher (never upsamples,
+    * the plan's rule) → lossless WAV re-encode, one asset at a time
+    * through the iterator. The output sample count follows the
+    * plan's int64 contract exactly (`n_out = n_in · target div
+    * src` — [[AudioCodec.resample]] shares the arithmetic), which is
+    * what MultimodalSpec asserts plan-vs-execution. Undecodable
+    * payloads pass through `decoded = false` with an empty payload.
+    */
+  def resampleAudio(assets: Dataset[MediaAsset],
+                    targetRate: Int): Dataset[ResampledAudio] = {
+    import assets.sparkSession.implicits._
+    require(targetRate >= 1, "target rate must be positive")
+    assets.mapPartitions(_.map { a =>
+      AudioCodec.decode(a.payload) match {
+        case Some(d) =>
+          val tgt = math.min(d.sampleRate, targetRate)
+          val out =
+            if (tgt == d.sampleRate) d.samples
+            else AudioCodec.resample(d.samples, d.sampleRate, tgt)
+          val wav = AudioCodec.encodeWav(out, tgt)
+          ResampledAudio(a.asset_id, decoded = true, d.sampleRate, tgt,
+            d.samples.length.toLong, out.length.toLong,
+            wav.length.toLong, wav)
+        case None =>
+          ResampledAudio(a.asset_id, decoded = false, a.sample_rate,
+            a.sample_rate, 0L, 0L, 0L, Array.emptyByteArray)
       }
     })
   }

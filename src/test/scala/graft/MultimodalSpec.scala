@@ -195,6 +195,118 @@ class MultimodalSpec extends SparkSpec {
       out(3L).png.isEmpty)
   }
 
+  // -- real audio codec fixtures: generated in-JVM via the same
+  // javax.sound.sampled the codec wraps (no binary files in repo) --
+  private def sineSamples(rate: Int, n: Int, amp: Double): Array[Short] =
+    Array.tabulate(n)(i =>
+      math.rint(amp * 32767.0 * math.sin(2 * math.Pi * 440.0 * i / rate))
+        .toShort)
+
+  private def sineWav(rate: Int, n: Int, amp: Double): Array[Byte] =
+    graft.multimodal.AudioCodec.encodeWav(sineSamples(rate, n, amp), rate)
+
+  /** Stereo PCM16 WAV with the SAME sine on both channels — the mono
+    * mixdown must reproduce it.
+    */
+  private def stereoWav(rate: Int, n: Int, amp: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val s = sineSamples(rate, n, amp)
+    val bytes = new Array[Byte](n * 4)
+    for (i <- 0 until n; c <- 0 until 2) {
+      bytes((i * 2 + c) * 2) = (s(i) & 0xff).toByte
+      bytes((i * 2 + c) * 2 + 1) = ((s(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 2, 4, rate.toFloat, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos) finally in.close()
+    bos.toByteArray
+  }
+
+  /** 8-bit UNSIGNED PCM WAV — exercises the JDK conversion provider
+    * path (decode normalizes every encoding to signed 16-bit).
+    */
+  private def pcm8Wav(rate: Int, n: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = Array.tabulate(n)(i =>
+      (128 + math.rint(100.0 * math.sin(2 * math.Pi * 440.0 * i / rate))).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos) finally in.close()
+    bos.toByteArray
+  }
+
+  test("real audio decode reads true stream params, not the claimed metadata") {
+    // claimed sample_rate deliberately WRONG (1): only a real decode
+    // can report the container's true rate/channels/sample count
+    val fixture = Seq(
+      MediaAsset(1L, "audio", sineWav(16000, 1600, 0.5), 0, 0, 1, 0),
+      MediaAsset(2L, "audio", stereoWav(8000, 800, 0.5), 0, 0, 1, 0),
+      MediaAsset(3L, "audio", pcm8Wav(8000, 400), 0, 0, 1, 0),
+      MediaAsset(4L, "audio", "not audio at all".getBytes("UTF-8"),
+        0, 0, 44100, 0)).toDS()
+    val out = Multimodal.decodeAudio(fixture)
+      .collect().map(d => d.asset_id -> d).toMap
+    assert(out(1L).decoded && out(1L).sample_rate == 16000 &&
+      out(1L).channels == 1 && out(1L).n_samples == 1600L, out(1L).toString)
+    // 0.5-amplitude sine over whole periods: RMS = 0.5/sqrt(2) ± 1 LSB
+    assert(math.abs(out(1L).rms - 0.5 / math.sqrt(2.0)) < 1e-3,
+      out(1L).toString)
+    // stereo: true channel count, frame-count samples after mixdown,
+    // and the same-sine mixdown preserves the RMS
+    assert(out(2L).decoded && out(2L).sample_rate == 8000 &&
+      out(2L).channels == 2 && out(2L).n_samples == 800L, out(2L).toString)
+    assert(math.abs(out(2L).rms - 0.5 / math.sqrt(2.0)) < 1e-3)
+    // 8-bit unsigned converts through the JDK provider
+    assert(out(3L).decoded && out(3L).sample_rate == 8000 &&
+      out(3L).n_samples == 400L && out(3L).rms > 0.001, out(3L).toString)
+    // corrupt bytes are a data category: claimed rate passes through
+    assert(!out(4L).decoded && out(4L).sample_rate == 44100 &&
+      out(4L).n_samples == 0L && out(4L).rms == -1.0)
+    // deterministic under repartitioning
+    val again = Multimodal.decodeAudio(fixture.repartition(3))
+      .collect().map(d => (d.asset_id, d.n_samples, d.rms)).toSet
+    assert(again == out.values.map(d => (d.asset_id, d.n_samples, d.rms)).toSet)
+  }
+
+  test("real audio resample executes the plan's int64 sample arithmetic and round-trips") {
+    val fixture = Seq(
+      MediaAsset(1L, "audio", sineWav(16000, 1601, 0.5), 0, 0, 16000, 0),
+      // already at/below target: never upsample
+      MediaAsset(2L, "audio", sineWav(8000, 800, 0.5), 0, 0, 8000, 0),
+      MediaAsset(3L, "audio", "corrupt".getBytes("UTF-8"), 0, 0, 8000, 0))
+      .toDS()
+    val out = Multimodal.resampleAudio(fixture, 12000)
+      .collect().map(r => r.asset_id -> r).toMap
+    // the executed count IS the plan formula on the TRUE decoded
+    // count: n_out = n_in * target div src, in int64 (1601 samples
+    // makes the quotient non-trivial: 1601*12000 div 16000 = 1200)
+    assert(out(1L).decoded && out(1L).src_rate == 16000 &&
+      out(1L).target_rate == 12000 && out(1L).n_samples_in == 1601L)
+    assert(out(1L).n_samples_out == 1601L * 12000L / 16000L,
+      out(1L).toString)
+    // round trip: the emitted WAV decodes to the target rate/count,
+    // and a sine's RMS survives linear-interp downsampling
+    val round = graft.multimodal.AudioCodec.decode(out(1L).wav).get
+    assert(round.sampleRate == 12000 &&
+      round.samples.length.toLong == out(1L).n_samples_out)
+    assert(math.abs(graft.multimodal.AudioCodec.rms(round.samples) -
+      0.5 / math.sqrt(2.0)) < 0.01)
+    // never upsample: 8 kHz under a 12 kHz target passes through
+    assert(out(2L).decoded && out(2L).target_rate == 8000 &&
+      out(2L).n_samples_out == out(2L).n_samples_in)
+    val round2 = graft.multimodal.AudioCodec.decode(out(2L).wav).get
+    assert(round2.sampleRate == 8000 && round2.samples.length == 800)
+    // undecodable: empty payload, decoded=false
+    assert(!out(3L).decoded && out(3L).wav.isEmpty &&
+      out(3L).n_bytes_out == 0L)
+  }
+
   test("resample plan downsamples audio exactly, never upsamples, passes others through") {
     // corpus fixture: every audio asset is 16 kHz -> an 8 kHz target
     // fires the downsample branch on all of them
