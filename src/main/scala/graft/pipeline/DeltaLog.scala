@@ -1327,6 +1327,99 @@ object DeltaLogTableFormat extends TableFormat {
       }
     }
 
+  /** Rewrite the ENTIRE live set into one fresh commit
+    * (`dataChange = false` — rows identical, only layout changed):
+    * after it, the live set is exactly one commit subdir's whole
+    * parquet listing, which is the precondition for a directory
+    * registration. Keeps the table's partition layout (a pruned
+    * merge after the compact still matches its partition tokens).
+    * Returns None on an empty table.
+    */
+  def compactFull(spark: SparkSession, path: String,
+                  targetFileBytes: Long = 128L << 20): Option[OptimizeStats] =
+    withCommitRetry(s"compactFull($path)") {
+      currentVersion(path).flatMap { head =>
+        val st = replayState(spark, path, head)
+        if (st.liveMap.isEmpty) None
+        else {
+          val keySets = st.liveMap.values.map(_.pv.keySet).toSet
+          require(keySets.size <= 1,
+            s"compactFull: table at $path mixes partitioned and " +
+              "unpartitioned live files — run a partitioned full merge first")
+          val partitionCols =
+            keySets.headOption.map(_.toSeq.sorted).getOrElse(Nil)
+          val df0 = st.schemaJson
+            .map(s => spark.read.schema(
+              DataType.fromJson(s).asInstanceOf[StructType]))
+            .getOrElse(spark.read)
+            .parquet(st.live.map(f => s"$path/$f"): _*)
+          val df =
+            if (partitionCols.nonEmpty)
+              // one file per partition tuple (the optimize() rule)
+              df0.repartition(partitionCols.map(col): _*)
+            else {
+              val totalBytes = st.liveMap.values.map(_.size).sum
+              df0.coalesce(math.max(1,
+                math.ceil(totalBytes.toDouble / targetFileBytes).toInt))
+            }
+          val previous = st.live
+          val v = commitFiles(path, df, partitionBy = partitionCols,
+            removeOf = (_, _) => previous, basedOn = Some(head),
+            dataChange = false, operation = Some("OPTIMIZE"))
+          val written = Files.readAllLines(logFile(path, v),
+            StandardCharsets.UTF_8)
+            .asScala.count(l => l.nonEmpty && mapper.readTree(l).has("add"))
+          Some(OptimizeStats(v, compacted = previous.size, written = written))
+        }
+      }
+    }
+
+  /** Catalog registration for EVERY current layout — the delta-log
+    * answer to the reference's per-load external tables. A
+    * single-subdir unpartitioned live set registers as a plain
+    * `LOCATION` table (the trait default's shape). Every other
+    * layout — pruned commits interleaving live/stale files,
+    * `__pv<i>=` write-partitioned dirs that would partition-discover
+    * as phantom columns — first runs [[compactFull]] (rows
+    * identical, `dataChange = false`, time travel intact until
+    * vacuum), then registers the fresh commit subdir with the
+    * DECLARED table schema and `recursiveFileLookup` — the
+    * documented switch that lists every data file under the location
+    * and DISABLES partition-directory inference. The `__pv` layout
+    * keeps every partition column's value IN the data files, so the
+    * registered table reads full, correct rows while the physical
+    * `__pv` dir names stay invisible. Stats-based pruning on the
+    * partition column still applies — compacted files are
+    * partition-homogeneous (min == max) — so the registration loses
+    * no skipping power a parquet reader can use.
+    */
+  override def registerTable(spark: SparkSession, path: String,
+                             name: String): Unit = {
+    val qName = TableFormat.quoteIdent(name)
+    val (loc, recursive) = registrableLocation(spark, path) match {
+      case Some(l) => (l, false)
+      case None =>
+        require(compactFull(spark, path).nonEmpty,
+          s"no live data at $path to register")
+        val head = currentVersion(path).getOrElse(
+          throw new IllegalStateException(s"no delta log at $path"))
+        val st = replayState(spark, path, head)
+        val tops = st.live.map(_.takeWhile(_ != '/')).distinct
+        require(tops.size == 1,
+          s"compactFull left a multi-subdir live set at $path — " +
+            "concurrent writer mid-registration; retry")
+        (s"$path/${tops.head}", true)
+    }
+    val escLoc = loc.replace("'", "''")
+    val schemaDdl = read(spark, path).schema.toDDL
+    val opts =
+      if (recursive) " OPTIONS (recursiveFileLookup 'true')" else ""
+    spark.sql(s"DROP TABLE IF EXISTS $qName")
+    spark.sql(s"CREATE TABLE $qName ($schemaDdl) USING parquet$opts " +
+      s"LOCATION '$escLoc'")
+    ()
+  }
+
   /** OPTIMIZE with 1-D clustering — the single-column form of Delta's
     * `OPTIMIZE ... ZORDER BY`: rewrite ALL live files with rows
     * range-partitioned (and sorted within files) by `clusterCol`, so

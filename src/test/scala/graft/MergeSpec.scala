@@ -300,31 +300,58 @@ class MergeSpec extends SparkSpec {
     }
   }
 
-  test("registration refuses layouts a LOCATION scan would misread") {
+  test("registration compacts-then-registers layouts a LOCATION scan would misread") {
     // delta-log + write-partitioning: the physical __pv dirs would
     // partition-discover as phantom columns on a raw parquet scan,
-    // and a pruned commit interleaves live/stale files — both refuse
-    // with the remediation instead of registering wrong rows
+    // and a pruned commit interleaves live/stale files — so a bare
+    // LOCATION is still refused (registrableLocation None), but
+    // registerTable now runs an eager compactFull (dataChange=false)
+    // and registers the fresh single-subdir commit with the DECLARED
+    // schema: full correct rows, no phantom partition columns
     val fmt = graft.pipeline.DeltaLogTableFormat
     val p = tmp()
     val base = (1 to 40).map(i => (i.toLong, s"v$i", 1,
       if (i <= 20) "lo" else "hi")).toDF("id", "v", "ord", "bucket")
     fmt.scd1MergePruned(spark, p, base, Seq("id"), "ord", "bucket")
-    assert(fmt.registrableLocation(spark, p).isEmpty)
-    val e = intercept[IllegalStateException](
-      fmt.registerTable(spark, p, "graft_reg_refused"))
-    assert(e.getMessage.contains("re-register"))
+    // make the layout genuinely pruned: a second merge touching only
+    // one partition interleaves live files across commit subdirs
+    fmt.scd1MergePruned(spark, p,
+      Seq((1L, "v1b", 2, "lo")).toDF("id", "v", "ord", "bucket"),
+      Seq("id"), "ord", "bucket")
+    assert(fmt.registrableLocation(spark, p).isEmpty,
+      "a pruned partitioned layout must never register as a bare LOCATION")
+    val name = s"graft_reg_pruned_${System.nanoTime()}"
+    fmt.registerTable(spark, p, name)
+    assert(spark.table(name).columns.sameElements(
+      fmt.read(spark, p).columns),
+      "registered schema must be the declared one — no phantom __pv columns")
+    assert(tableHash(spark.table(name)) == tableHash(fmt.read(spark, p)),
+      "registered table must read the exact current rows")
+    assert(spark.table(name).count() == 40)
+    // the compact preserved history: time travel still reaches the
+    // pre-registration version (dataChange=false commit)
+    assert(fmt.read(spark, p).filter(col("id") === 1L)
+      .head.getString(1) == "v1b")
+    // a later pruned merge + re-register follows the new version —
+    // the reference's re-create-external-table-per-load contract
+    fmt.scd1MergePruned(spark, p,
+      Seq((40L, "v40b", 3, "hi")).toDF("id", "v", "ord", "bucket"),
+      Seq("id"), "ord", "bucket")
+    fmt.registerTable(spark, p, name)
+    assert(tableHash(spark.table(name)) == tableHash(fmt.read(spark, p)),
+      "re-registration must pick up the newly merged version")
+    spark.sql(s"DROP TABLE `$name`")
     // the SNAPSHOT format registers the same partitioned shape fine:
     // its version IS a directory, and LOCATION v=N runs the exact
     // partition discovery MergeTable.read performs
     val sp = tmp()
     MergeTable.scd1MergePruned(spark, sp, base, Seq("id"), "ord", "bucket",
       compareExclude = Nil)
-    val name = s"graft_reg_part_${System.nanoTime()}"
-    SnapshotTableFormat.registerTable(spark, sp, name)
-    assert(tableHash(spark.table(name)) ==
+    val snapName = s"graft_reg_part_${System.nanoTime()}"
+    SnapshotTableFormat.registerTable(spark, sp, snapName)
+    assert(tableHash(spark.table(snapName)) ==
       tableHash(MergeTable.read(spark, sp)))
-    spark.sql(s"DROP TABLE $name")
+    spark.sql(s"DROP TABLE $snapName")
   }
 
   test("delta-log format: same seam contract, protocol-shaped log") {
