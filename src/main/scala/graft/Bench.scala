@@ -38,9 +38,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Shuffle-partition floor, separately overridable from core
+    // count: the sf10 probes showed 16-23 GB sorts spilling at 32
+    // partitions purely because partition size grew with the data
+    // (a cluster runs thousands of partitions + AQE). Probe runs set
+    // a floor sized to the SF (e.g. 256 at 100x) and AQE's
+    // coalescePartitions shrinks small stages back down, so the
+    // verify-SF bench numbers are unaffected.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // AQE's coalesce target: 64 MB of COMPRESSED shuffle bytes per
+    // partition is Spark's default, sized for multi-GB executors; a
+    // local[32] JVM gives each of 32 concurrent tasks a sliver of
+    // one heap, so 64 MB compressed (several hundred MB of unsafe
+    // rows) spills in post-shuffle sorts. Probe runs size this down
+    // with the partition floor.
+    val advisoryMb = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisoryMb}m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
