@@ -435,6 +435,12 @@ object Dedup {
     * shingles carry no discriminative signal and would make the
     * bucket pairing quadratic in the corpus size, so they are
     * excluded from candidate generation (not from verification).
+    *
+    * PRECONDITION (shared with [[ngramContainmentStats]]): one row
+    * per doc id. Duplicate ids would double-count document frequency
+    * in the candidate qualifier and duplicate verify pairs. Keyed
+    * tables satisfy it by construction; hand-built frames can run
+    * the change-feed reduction (one row per key) first.
     */
   def ngramJaccardStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, maxDf: Int = 20,
@@ -462,14 +468,16 @@ object Dedup {
     // duplicate-heavy corpus the common shingles' lists are
     // corpus-sized and the aggregate spilled GBs at the sf10 probe
     // (4.8 GB memory spill) for lists the filter then threw away.
-    // countDistinct(id), not count(lit(1)): shingle hashes are
-    // distinct WITHIN a doc, so the two agree on unique-id input, but
-    // a frame carrying duplicate doc ids would double-count rows and
-    // silently shift which shingles qualify under maxDf. The distinct
-    // count matches the collect_set posting-list semantics below
-    // exactly, stays map-side combinable, and is still far cheaper
-    // than the old pre-filter posting-list collect.
-    val rare = sh.groupBy("h").agg(countDistinct(col("id")).as("_df"))
+    // count(lit(1)) counts DOCS here because shingle hashes are
+    // distinct WITHIN a doc (array-distinct upstream) and the
+    // operators require unique doc ids (documented precondition on
+    // the jaccard/containment entry points — their callers either
+    // read keyed tables or run the change-feed one-row-per-id
+    // reduction). countDistinct(id) would be robust to duplicate ids
+    // but shuffles the full (h, id) posting expansion — measured
+    // 3.6x on the sf0.1 bench, exactly the cost the two-phase
+    // candidate index exists to avoid.
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf && col("_df") > 1)
       .select(col("h"))
     sh.join(rare, Seq("h"), "left_semi")
