@@ -1681,6 +1681,17 @@ object Dedup {
     * output: (id, canonical), `is_dup = id != canonical` derived on
     * read.
     *
+    * GROUP-KEYED (r15, the family's exact-duplicate collapse): state
+    * is (id, chash) membership + (chash, shash) representatives +
+    * per-group band rows (the minhash member's layout — a pre-r15
+    * doc-level state dir fails fast); candidate pairs and Jaccard
+    * verifications run once per DISTINCT content pair, and the
+    * doc-level edge set is replaced by a connectivity-equivalent
+    * star per touched group plus one anchor edge per verified group
+    * pair — edge cost linear in members, quadratic only in distinct
+    * contents (buckets are group-closed, so the components — and
+    * hence the min-label canonicals — are identical).
+    *
     * Equality with the batch recompute: canonical = component
     * minimum propagates through label-level unions exactly (min is
     * associative across merge order). Two documented
@@ -1710,23 +1721,20 @@ object Dedup {
                               fmt: graft.pipeline.TableFormat =
                                 graft.pipeline.SnapshotTableFormat): Unit = {
     require(numPerm % bands == 0, "numPerm must divide evenly into bands")
-    val docsPath = s"$stateDir/docs"
-    val bandsPath = s"$stateDir/bands"
+    val docsPath = s"$stateDir/docs"     // membership (id, chash)
+    val groupsPath = s"$stateDir/groups" // (chash, shash) representatives
+    val bandsPath = s"$stateDir/bands"   // (chash, band, bhash)
+    requireGroupKeyedState(spark, docsPath, fmt, legacyCol = "shash")
     val batchAll = graft.Materialize.eager(
       oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
         "id", Seq("text")))
     val batchDocs = batchAll.filter(col("text").isNotNull)
     if (batchDocs.isEmpty) return
     val batchH = graft.Materialize.eager(
-      shingleHashes(batchDocs, "id", "text", n))
-    val batchBands = graft.Materialize.eager(
-      bandRowsFromHashes(batchH, numPerm, bands))
-    fmt.scd1Merge(spark, docsPath,
-      batchH.withColumn("_ord", lit(batchOrd)),
-      Seq("id"), "_ord", compareExclude = Nil)
-    fmt.scd1Merge(spark, bandsPath,
-      batchBands.withColumn("_ord", lit(batchOrd)),
-      Seq("band", "bhash", "id"), "_ord", compareExclude = Nil)
+      shingleHashes(batchDocs, "id", "text", n)
+        .withColumn("chash", xxhash64(col("shash"))))
+    mergeMinhashGroupState(spark, batchH, docsPath, groupsPath, bandsPath,
+      batchOrd, numPerm, bands, fmt)
     // self-labels for the batch BEFORE edge projection, ord-guarded:
     // a replayed old batch cannot regress a label a later batch set
     fmt.scd1Merge(spark, goldPath,
@@ -1734,34 +1742,90 @@ object Dedup {
         lit(batchOrd).as("_ord")),
       Seq("id"), "_ord", compareExclude = Nil)
 
-    val stateDocs = fmt.read(spark, docsPath).select(col("id"), col("shash"))
-    val stateBands = fmt.read(spark, bandsPath)
-      .select(col("id"), col("band"), col("bhash"))
-    // new pairs: batch docs x full membership of their buckets,
-    // qualifying at arrival time (2 <= size <= maxBucket)
-    val nbr = graft.Materialize.eager(
-      stateBands.join(batchBands.select(col("band"), col("bhash")).distinct(),
-        Seq("band", "bhash"), "left_semi"))
-    val qb = nbr.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("_sz"))
+    val members = fmt.read(spark, docsPath).select(col("id"), col("chash"))
+    val groupsT = fmt.read(spark, groupsPath).select(col("chash"), col("shash"))
+    val bandsT = fmt.read(spark, bandsPath)
+      .select(col("chash"), col("band"), col("bhash"))
+    // EXACT-DUPLICATE COLLAPSE (r15): candidate generation and
+    // verification run per DISTINCT content — one Jaccard per group
+    // pair — and the doc-level edge set is replaced by a STAR per
+    // touched group (anchor = group min member) plus one anchor edge
+    // per verified group pair. Connectivity — all min-label
+    // propagation needs — is identical to the doc-level pair set
+    // (buckets are group-closed: a cross pair in a qualifying bucket
+    // connects every member of both groups at this fold; a batch doc
+    // landing in a kept group connects all its members at Jaccard 1),
+    // so gold still equals the batch resolve under below-cap buckets,
+    // while edge/verify cost is linear in members + quadratic only in
+    // distinct contents. Arrival-time cap semantics unchanged (the
+    // documented incremental deviation): qualification is the summed
+    // doc count of the bucket NOW.
+    val batchBuckets = bandRowsFromHashes(
+        batchH.select(col("chash").as("id"), col("shash")).distinct(),
+        numPerm, bands)
+      .select(col("band"), col("bhash")).distinct()
+    val nbrBands = graft.Materialize.eager(
+      bandsT.join(batchBuckets, Seq("band", "bhash"), "left_semi"))
+    val gsizes = graft.Materialize.eager(
+      members.join(nbrBands.select(col("chash")).distinct(),
+          Seq("chash"), "left_semi")
+        .groupBy(col("chash")).agg(count(lit(1)).as("gsize")))
+    val qb = nbrBands.join(gsizes, Seq("chash"))
+      .groupBy(col("band"), col("bhash"))
+      .agg(sum(col("gsize")).as("_sz"))
       .filter(col("_sz") >= 2 && col("_sz") <= maxBucket)
       .select(col("band"), col("bhash"))
-    val aSide = nbr.join(batchDocs.select(col("id")), Seq("id"), "left_semi")
+    val batchGroups = batchH.select(col("chash")).distinct()
+    val aSide = nbrBands.join(batchGroups, Seq("chash"), "left_semi")
       .join(qb, Seq("band", "bhash"), "left_semi")
-      .select(col("band"), col("bhash"), col("id").as("ida"))
-    val mSide = nbr.join(qb, Seq("band", "bhash"), "left_semi")
-      .select(col("band"), col("bhash"), col("id").as("idb"))
-    val cand = aSide.join(mSide, Seq("band", "bhash"))
-      .filter(col("ida") =!= col("idb"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("_nh"))
+      .select(col("band"), col("bhash"), col("chash").as("ga"))
+    val mSide = nbrBands.join(qb, Seq("band", "bhash"), "left_semi")
+      .select(col("band"), col("bhash"), col("chash").as("gb"))
+    val gpairs = aSide.join(mSide, Seq("band", "bhash"))
+      .filter(col("ga") =!= col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("_nh"))
       .filter(col("_nh") >= minBands)
-      // batch-batch pairs arrive in both directions — normalize
-      .select(least(col("ida"), col("idb")).as("ida"),
-        greatest(col("ida"), col("idb")).as("idb"))
+      // batch-batch group pairs arrive in both directions — normalize
+      .select(least(col("ga"), col("gb")).as("ida"),
+        greatest(col("ga"), col("gb")).as("idb"))
       .distinct()
-    val edges = graft.Materialize.eager(
-      pairJaccard(stateDocs, cand).filter(col("jaccard") >= threshold)
+    val gFrame = groupsT.select(col("chash").as("id"), col("shash"))
+    val gedges = graft.Materialize.eager(
+      pairJaccardTwo(gFrame, gFrame, gpairs)
+        .filter(col("jaccard") >= threshold)
         .select(col("ida"), col("idb")))
+    // within-group merges: a batch group with ≥ minBands qualifying
+    // own buckets and ≥ 2 members — its members are pairwise mates
+    // at exactly Jaccard 1 in the doc-level formulation (empty hash
+    // arrays score 0/0 = null there, so they never self-merge)
+    val selfGroups =
+      if (1.0 >= threshold)
+        nbrBands.join(batchGroups, Seq("chash"), "left_semi")
+          .join(qb, Seq("band", "bhash"), "left_semi")
+          .groupBy(col("chash")).agg(count(lit(1)).as("_nq"))
+          .filter(col("_nq") >= minBands)
+          .join(gsizes, Seq("chash")).filter(col("gsize") >= 2)
+          .join(groupsT.filter(size(col("shash")) > 0)
+            .select(col("chash")), Seq("chash"), "left_semi")
+          .select(col("chash"))
+      else batchGroups.limit(0).select(col("chash"))
+    val touchedGroups = gedges.select(col("ida").as("chash"))
+      .unionByName(gedges.select(col("idb").as("chash")))
+      .unionByName(selfGroups).distinct()
+    val anchors = graft.Materialize.eager(
+      members.join(touchedGroups, Seq("chash"), "left_semi")
+        .groupBy(col("chash")).agg(min(col("id")).as("_anchor")))
+    val starEdges = members.join(anchors, Seq("chash"))
+      .filter(col("id") =!= col("_anchor"))
+      .select(col("_anchor").as("ida"), col("id").as("idb"))
+    val anchorEdges = gedges
+      .join(anchors.select(col("chash").as("ida"), col("_anchor").as("_aa")),
+        Seq("ida"))
+      .join(anchors.select(col("chash").as("idb"), col("_anchor").as("_ab")),
+        Seq("idb"))
+      .select(col("_aa").as("ida"), col("_ab").as("idb"))
+    val edges = graft.Materialize.eager(
+      starEdges.unionByName(anchorEdges))
     if (edges.isEmpty) return
 
     // project edges to CLUSTER pairs through current labels; the

@@ -1773,6 +1773,30 @@ class StreamingSpec extends SparkSpec {
       s"pair work must scale with distinct contents, not docs: heaviest " +
         s"stage shuffled ${maxStage.get()} records for $docs docs " +
         s"(doc-level pairing would shuffle ~10^6)")
+
+    // the RESOLVE member on the same killer shape: group-keyed edges
+    // (star per touched group + anchor edges) must land the exact
+    // batch-resolve labels across both folds
+    val rState = Files.createTempDirectory("graft_cl_rstate").toString
+    val rGold = Files.createTempDirectory("graft_cl_rgold").toString + "/t"
+    Dedup.dedupResolveIncremental(spark, batch1.toDF("doc_id", "text"),
+      "doc_id", "text", rState, rGold, batchOrd = 0L,
+      n = P._1, numPerm = P._2, bands = P._3,
+      threshold = P._4, maxBucket = P._5)
+    Dedup.dedupResolveIncremental(spark, batch2.toDF("doc_id", "text"),
+      "doc_id", "text", rState, rGold, batchOrd = 1L,
+      n = P._1, numPerm = P._2, bands = P._3,
+      threshold = P._4, maxBucket = P._5)
+    val truthLabels = Dedup.dedupResolve(seen.toDF("doc_id", "text"),
+        "doc_id", "text", n = P._1, numPerm = P._2, bands = P._3,
+        threshold = P._4, maxBucket = P._5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val goldLabels = MergeTable.read(spark, rGold)
+      .select(col("id"), col("canonical"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(goldLabels == truthLabels,
+      s"resolve labels must equal batch recompute on the duplicated " +
+        s"corpus (first diff: ${goldLabels.zip(truthLabels).find(p => p._1 != p._2)})")
   }
 
   test("incremental containment stats: streamed gold equals batch recompute, updates retract, crashes replay") {
