@@ -58,6 +58,27 @@ object PipelineQueries {
     chain(t(spark, dir, "lineitem"))
   }
 
+  /** #12b MS-Access SQL transform, end-to-end: translate a legacy
+    * Access query — brackets, IIf, &-concat, TOP, #date# literal,
+    * Access LIKE wildcards, a table rename — through
+    * [[graft.pipeline.AccessSql]] (the reference's sql-converter:
+    * ms_access_to_databricks_sql.py:7) and EXECUTE the result on the
+    * lake table. The oracle is the hand-written ANSI equivalent, so
+    * the translation is value-verified, not just string-compared.
+    */
+  def pipeAccessSql(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_access_orders")
+    val access =
+      """SELECT TOP 20 [o_orderkey],
+        |  IIf([o_totalprice] > 150000, "big", "small") AS bucket,
+        |  UCase([o_orderstatus]) & "-" & [o_orderpriority] AS tag
+        |FROM legacy_orders
+        |WHERE [o_orderpriority] LIKE "1*" AND [o_orderdate] >= #1/1/1995#
+        |ORDER BY [o_orderkey]""".stripMargin
+    spark.sql(graft.pipeline.AccessSql.translate(access,
+      Map("legacy_orders" -> "graft_access_orders")))
+  }
+
   /** #12 Templated SQL transform over a registered view. */
   def pipeSqlTransform(spark: SparkSession, dir: String): DataFrame =
     SqlTransform(
@@ -262,6 +283,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_transform_chain" -> (pipeTransformChain _),
     "pipe_sql_transform" -> (pipeSqlTransform _),
+    "pipe_access_sql" -> (pipeAccessSql _),
     "pipe_brute_force_diff" -> (pipeBruteForceDiff _),
     "cdc_latest_per_key" -> (cdcLatestPerKey _),
     "cdc_apply_ops" -> (cdcApplyOps _),
@@ -394,6 +416,13 @@ object PipelineQueries {
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS gross,
         |  CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem WHERE l_quantity > 30""".stripMargin,
+    "pipe_access_sql" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket,
+        |  upper(o_orderstatus) || '-' || o_orderpriority AS tag
+        |FROM orders
+        |WHERE o_orderpriority LIKE '1%' AND o_orderdate >= DATE'1995-01-01'
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin,
     "pipe_sql_transform" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
