@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale probe for the GROUP-KEYED incremental near-dup
+  * members on a duplication-heavy corpus — the sf10 killer shape fed
+  * to the streaming path. Fold 1 is the catch-up fold (the whole
+  * corpus in one batch); fold 2 is a duplicate-heavy increment (new
+  * doc ids over EXISTING contents — the shape whose doc-level pair
+  * cost was quadratic in the duplication factor). Prints wall
+  * seconds per fold.
+  *
+  * Usage: runMain graft.tools.IncrementalProbe <sfDir> <workDir>
+  */
+object IncrementalProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: IncrementalProbe <sfDir> <workDir>")
+    val Array(sfDir, workDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val stateDir = s"$workDir/state"
+    val gold = s"$workDir/gold"
+    def fold(label: String, batch: org.apache.spark.sql.DataFrame,
+             ord: Long): Unit = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.minhashLshStatsIncremental(spark, batch,
+        "doc_id", "text", stateDir, gold, batchOrd = ord)
+      println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    println(s"[inc-probe] corpus $n docs from $sfDir")
+    fold("fold1 catch-up (whole corpus)", docs, 0L)
+    // duplicate-heavy increment: 1000 NEW ids over 10 existing
+    // contents — every new doc lands in maximal existing groups
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val hot = docs.select(col("text")).distinct().orderBy(col("text")).limit(10)
+      .collect().map(_.getString(0))
+    import spark.implicits._
+    val inc = (0 until 1000)
+      .map(i => (maxId + 1 + i, hot(i % hot.length))).toDF("doc_id", "text")
+    fold("fold2 duplicate-heavy increment (1000 docs, 10 contents)", inc, 1L)
+    val goldRows = graft.pipeline.MergeTable.read(spark, gold).count()
+    println(s"[inc-probe] gold rows $goldRows")
+    spark.stop()
+  }
+}
