@@ -42,7 +42,6 @@ object IncrementalProbe {
       println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     println(s"[inc-probe] corpus $n docs from $sfDir")
-    fold("fold1 catch-up (whole corpus)", docs, 0L)
     // duplicate-heavy increment: 1000 NEW ids over 10 existing
     // contents — every new doc lands in maximal existing groups
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
@@ -51,9 +50,45 @@ object IncrementalProbe {
     import spark.implicits._
     val inc = (0 until 1000)
       .map(i => (maxId + 1 + i, hot(i % hot.length))).toDF("doc_id", "text")
-    fold("fold2 duplicate-heavy increment (1000 docs, 10 contents)", inc, 1L)
+
+    fold("minhash fold1 catch-up (whole corpus)", docs, 0L)
+    fold("minhash fold2 duplicate-heavy increment (1000 docs, 10 contents)",
+      inc, 1L)
     val goldRows = graft.pipeline.MergeTable.read(spark, gold).count()
-    println(s"[inc-probe] gold rows $goldRows")
+    println(s"[inc-probe] minhash gold rows $goldRows")
+
+    def foldSim(label: String, batch: org.apache.spark.sql.DataFrame,
+                ord: Long): Unit = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.simhashStatsIncremental(spark, batch,
+        "doc_id", "text", s"$workDir/sim_state", s"$workDir/sim_gold",
+        batchOrd = ord)
+      println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    foldSim("simhash fold1 catch-up", docs, 0L)
+    foldSim("simhash fold2 increment", inc, 1L)
+
+    def foldCont(label: String, batch: org.apache.spark.sql.DataFrame,
+                 ord: Long): Unit = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.containmentStatsIncremental(spark, batch,
+        "doc_id", "text", s"$workDir/ct_state", s"$workDir/ct_gold",
+        batchOrd = ord)
+      println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    foldCont("containment fold1 catch-up", docs, 0L)
+    foldCont("containment fold2 increment", inc, 1L)
+
+    def foldRes(label: String, batch: org.apache.spark.sql.DataFrame,
+                ord: Long): Unit = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.dedupResolveIncremental(spark, batch,
+        "doc_id", "text", s"$workDir/rs_state", s"$workDir/rs_gold",
+        batchOrd = ord)
+      println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    foldRes("resolve fold1 catch-up", docs, 0L)
+    foldRes("resolve fold2 increment", inc, 1L)
     spark.stop()
   }
 }
