@@ -660,9 +660,6 @@ object Dedup {
     // size, within-group pairs score exactly 1 (identical sets), and
     // every cross-group doc pair shares precisely its group pair's
     // qualifying shingles and score.
-    def groupPostings(batchH: DataFrame): DataFrame =
-      batchH.groupBy(col("chash")).agg(first(col("shash")).as("shash"))
-        .select(col("chash"), explode(col("shash")).as("h"))
     def bucketAgg(postIn: DataFrame, gsizes: DataFrame): DataFrame =
       postIn.join(gsizes, Seq("chash"))
         .groupBy(col("h"))
