@@ -25,6 +25,31 @@ final case class Neighbor(vec_id: Long, rank: Int, neighbor_id: Long,
   */
 object Similarity {
 
+  /** Bounded insertion top-k by (cos desc via nanCmp, id asc) — the
+    * single kernel both brute-force formulations share, so their tie
+    * and NaN behavior cannot drift apart. nanCmp ranks NaN first,
+    * matching Spark's DESC sort (DedupSpec pins the equivalence).
+    */
+  private final class BoundedTopK(k: Int) extends Serializable {
+    val ids = new Array[Long](k)
+    val cos = new Array[Double](k)
+    var filled = 0
+    def insert(cid: Long, c: Double): Unit = {
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = VectorOps.nanCmp(cos(pos - 1), c)
+        cmp < 0 || (cmp == 0 && ids(pos - 1) > cid)
+      }) pos -= 1
+      if (pos < k) {
+        val last = math.min(filled, k - 1)
+        var m = last
+        while (m > pos) { ids(m) = ids(m - 1); cos(m) = cos(m - 1); m -= 1 }
+        ids(pos) = cid; cos(pos) = c
+        if (filled < k) filled += 1
+      }
+    }
+  }
+
   private def topKWithin(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -62,6 +87,13 @@ object Similarity {
     * |queries|·|corpus|, not |corpus|²). Self-matches are excluded
     * by id, so running it with `queries` ⊆ `corpus` yields exactly
     * the corresponding [[annBruteForce]] rows.
+    *
+    * This is the TINY-CORPUS baseline: it collects and broadcasts the
+    * corpus (gated by `maxCorpusRows`) while distributing the probe
+    * scan. When the corpus is the big side — every sampled audit at
+    * scale — use [[annBruteForceDistributed]], which flips the data
+    * movement (broadcast probes, scan corpus) and leaves the corpus
+    * unbounded; results are value-identical.
     */
   def annBruteForceAgainst(queries: DataFrame, corpus: DataFrame,
                            idCol: String, vecCol: String,
@@ -91,10 +123,7 @@ object Similarity {
       val cand = bcast.value
       rows.flatMap { case (id, v) =>
         val na = normF(v)
-        // bounded top-k by (cos desc, neighbor_id asc), insertion sort
-        val topIds = new Array[Long](k)
-        val topCos = new Array[Double](k)
-        var filled = 0
+        val top = new BoundedTopK(k)
         var c = 0
         while (c < cand.length) {
           val (cid, cv, nb) = cand(c)
@@ -102,26 +131,87 @@ object Similarity {
             val cos =
               if (na == 0.0 || nb == 0.0) 0.0
               else dotF(v, cv) / (math.sqrt(na) * math.sqrt(nb))
-            var pos = filled
-            while (pos > 0 && {
-              val cmp = VectorOps.nanCmp(topCos(pos - 1), cos)
-              cmp < 0 || (cmp == 0 && topIds(pos - 1) > cid)
-            }) pos -= 1
-            if (pos < k) {
-              val last = math.min(filled, k - 1)
-              var m = last
-              while (m > pos) {
-                topIds(m) = topIds(m - 1); topCos(m) = topCos(m - 1); m -= 1
-              }
-              topIds(pos) = cid; topCos(pos) = cos
-              if (filled < k) filled += 1
-            }
+            top.insert(cid, cos)
           }
           c += 1
         }
-        (0 until filled).map(r => Neighbor(id, r + 1, topIds(r), topCos(r)))
+        (0 until top.filled).map(r => Neighbor(id, r + 1, top.ids(r), top.cos(r)))
       }
     }.toDF()
+  }
+
+  /** The 100 TB-runnable exact-truth form: broadcast the (small by
+    * construction) PROBE set and scan the CORPUS distributed — the
+    * exact mirror of [[annBruteForceAgainst]]'s data movement. Each
+    * corpus partition folds its rows into one bounded top-k buffer
+    * per probe (memory = |probes|·k, independent of corpus size),
+    * emits ≤ k partial rows per probe, and a final per-probe top-k
+    * merge over those ≤ partitions·k rows picks the global answer.
+    * Result rows are value-identical to [[annBruteForceAgainst]] for
+    * the same inputs: a global top-k row is necessarily in its own
+    * partition's top-k, and the (cos desc via nanCmp, id asc)
+    * comparator is total over the distinct neighbor ids, so the
+    * merge order cannot change the set (DedupSpec pins equality).
+    *
+    * `maxProbeRows` gates the one remaining driver collect — the
+    * probe side, which a sampled audit makes small by construction
+    * (rate·N). The corpus side is UNBOUNDED: this is the form that
+    * audits a billion-vector corpus instead of failing its gate.
+    */
+  def annBruteForceDistributed(queries: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               k: Int = 5,
+                               maxProbeRows: Int = 1000000): DataFrame = {
+    require(maxProbeRows > 0, "maxProbeRows must be positive")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probeDs = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    // same limit(cap + 1) idiom as the corpus-collect baseline:
+    // Int.MaxValue = explicitly uncapped, +1 would overflow it
+    val collected =
+      if (maxProbeRows == Int.MaxValue) probeDs.collect()
+      else probeDs.limit(maxProbeRows + 1).collect()
+    require(collected.length <= maxProbeRows,
+      s"annBruteForceDistributed broadcasts the PROBE set to every " +
+        s"executor; it exceeds maxProbeRows=$maxProbeRows here. Lower the " +
+        s"probe sample rate (the corpus side is unbounded — only probes " +
+        s"are gated), or raise the cap explicitly if executors can hold " +
+        s"the probe set.")
+    val bcast = spark.sparkContext.broadcast(
+      collected.map { case (id, v) => (id, v, normF(v)) })
+    val corpusDs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val partials = corpusDs.mapPartitions { rows =>
+      val pr = bcast.value
+      val np = pr.length
+      if (np == 0 || !rows.hasNext) Iterator.empty
+      else {
+        val bufs = Array.fill(np)(new BoundedTopK(k))
+        while (rows.hasNext) {
+          val (cid, cv) = rows.next()
+          val nb = normF(cv)
+          var p = 0
+          while (p < np) {
+            val (pid, pv, na) = pr(p)
+            if (cid != pid) {
+              val cos =
+                if (na == 0.0 || nb == 0.0) 0.0
+                else dotF(pv, cv) / (math.sqrt(na) * math.sqrt(nb))
+              bufs(p).insert(cid, cos)
+            }
+            p += 1
+          }
+        }
+        (0 until np).iterator.flatMap { p =>
+          val b = bufs(p)
+          (0 until b.filled).iterator.map(r => (pr(p)._1, b.ids(r), b.cos(r)))
+        }
+      }
+    }.toDF("vec_id", "neighbor_id", "cos_sim")
+    topKWithin(partials, k)
   }
 
   /** Centroid-distance outlier gate: flag vectors whose L2 distance
@@ -198,17 +288,23 @@ object Similarity {
     * for the same queries (the truth side is the same exact top-k);
     * the sampled MEAN recall estimates the full mean with the usual
     * √|probes| error — DedupSpec pins both properties.
+    *
+    * The truth side runs [[annBruteForceDistributed]]: the sampled
+    * PROBE set (small by construction — rate·N, gated by
+    * `maxProbeRows`) is broadcast, the CORPUS is scanned distributed
+    * and is unbounded. Nothing corpus-sized ever reaches the driver,
+    * so the audit itself is 100 TB-runnable, not just linear-cost.
     */
   def annRecallSampled(df: DataFrame, idCol: String, vecCol: String,
                        approx: DataFrame, k: Int = 5, rate: Double = 0.1,
                        salt: String = "annprobe",
-                       maxCorpusRows: Int = 1000000): DataFrame = {
+                       maxProbeRows: Int = 1000000): DataFrame = {
     require(rate > 0 && rate <= 1.0, s"rate must be in (0, 1], got $rate")
     val bucket = Sampling.hashBucket(
       concat(lit(s"$salt:"), col(idCol).cast("string")))
     val probes = df.filter(bucket < rate * 4294967296.0)
-    val truth = annBruteForceAgainst(probes, df, idCol, vecCol,
-      k, maxCorpusRows)
+    val truth = annBruteForceDistributed(probes, df, idCol, vecCol,
+      k, maxProbeRows)
     // semi-join the approx side down to the probes BEFORE its
     // distinct: recall only reads probe rows, and the distinct would
     // otherwise shuffle the full k·N result set

@@ -410,6 +410,61 @@ class DedupSpec extends SparkSpec {
         "within 0.2 at rate 0.1")
   }
 
+  test("distributed brute force equals the collect form, corpus unbounded") {
+    // the 100 TB form: probes broadcast, corpus scanned distributed.
+    // Three pins: (a) bit-exact equality with the corpus-collect
+    // baseline on the same inputs; (b) a corpus ABOVE a lowered
+    // synthetic cap runs through the distributed form where the
+    // collect baseline fails fast — only the PROBE side is gated;
+    // (c) the probe gate itself fails fast with a message naming the
+    // knob that shrinks the probe set.
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count().toInt
+    val probes = e.filter(col("vec_id") % 17 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(t => (t._1, t._2))
+    val dist = key(Similarity.annBruteForceDistributed(
+      probes, e.repartition(13), "vec_id", "embedding", k = 4))
+    val coll = key(Similarity.annBruteForceAgainst(
+      probes, e, "vec_id", "embedding", k = 4))
+    assert(dist.sameElements(coll),
+      s"distributed vs collect first diff: ${dist.zip(coll).find(p => p._1 != p._2)}")
+    // (b): cap 10 << corpus n — the collect baseline refuses this
+    // corpus, the distributed form audits it (probes fit the gate)
+    val tiny = probes.limit(8)
+    intercept[IllegalArgumentException] {
+      Similarity.annBruteForceAgainst(tiny, e, "vec_id", "embedding",
+        k = 3, maxCorpusRows = 10)
+    }
+    val over = key(Similarity.annBruteForceDistributed(
+      tiny, e, "vec_id", "embedding", k = 3, maxProbeRows = 10))
+    val overRef = key(Similarity.annBruteForceAgainst(
+      tiny, e, "vec_id", "embedding", k = 3))
+    assert(over.sameElements(overRef) && over.nonEmpty,
+      s"corpus ($n rows) above the synthetic cap (10) must still audit")
+    // (c): the probe gate
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annBruteForceDistributed(e, e, "vec_id", "embedding",
+        k = 3, maxProbeRows = 10)
+    }
+    assert(err.getMessage.contains("probe sample rate"),
+      s"gate must point at the probe-rate knob: ${err.getMessage}")
+    // NaN cosines rank first through the partial merge too (the
+    // window's DESC NaN-first order must agree with the kernel's)
+    import SparkSpec.spark.implicits._
+    val nan = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(Float.NaN, 1.0f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val nd = key(Similarity.annBruteForceDistributed(
+      nan, nan.repartition(3), "vec_id", "embedding", k = 2))
+    val nc = key(Similarity.annBruteForceAgainst(
+      nan, nan, "vec_id", "embedding", k = 2))
+    assert(nd.sameElements(nc), s"NaN merge: ${nd.mkString(",")} vs ${nc.mkString(",")}")
+  }
+
   test("embeddingStats fails fast beyond its all-pairs row cap") {
     val e = Tables.load(spark, sf, "embeddings")
     val err = intercept[IllegalArgumentException] {
