@@ -420,28 +420,41 @@ object DeltaLogTableFormat extends TableFormat {
     * the data files).
     */
   override def registrableLocation(spark: SparkSession,
-                                   path: String): Option[String] =
-    currentVersion(path).flatMap { v =>
-      val live = replayState(spark, path, v).live
-      val tops = live.map(_.takeWhile(_ != '/')).distinct
-      val partitioned = live.exists(_.split('/').drop(1).exists(_.contains("=")))
-      if (live.isEmpty || tops.size != 1 || partitioned) None
-      else {
-        val top = Paths.get(path, tops.head)
-        // a subdir removed out-of-band (manual cleanup, partial
-        // restore) means "not registrable", not an escaping IO
-        // exception — the caller's remediation message must surface
-        val onDisk = scala.util.Try(
-          scala.util.Using.resource(Files.walk(top))(
-            _.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .map(f => s"${tops.head}/${top.relativize(f)}").toSet))
-          .getOrElse(Set.empty[String])
-        if (onDisk.nonEmpty && onDisk == live.toSet)
-          Some(s"$path/${tops.head}")
-        else None
-      }
+                                   path: String): Option[String] = {
+    val live = currentVersion(path)
+      .map(v => replayState(spark, path, v).live).getOrElse(Nil)
+    val partitioned = live.exists(_.split('/').drop(1).exists(_.contains("=")))
+    if (partitioned) None else wholeSubdirLive(path, live)
+  }
+
+  /** The current live set's single commit subdir, if the live files
+    * are exactly one subdir's complete parquet listing — the
+    * precondition for registering that directory without reading
+    * stale rows. Partition-layout-agnostic: [[registrableLocation]]
+    * additionally refuses partitioned layouts (bare-LOCATION
+    * contract), while [[registerTable]] accepts them here via
+    * recursiveFileLookup.
+    */
+  private def wholeSubdirLive(path: String,
+                              live: Seq[String]): Option[String] = {
+    val tops = live.map(_.takeWhile(_ != '/')).distinct
+    if (live.isEmpty || tops.size != 1) None
+    else {
+      val top = Paths.get(path, tops.head)
+      // a subdir removed out-of-band (manual cleanup, partial
+      // restore) means "not registrable", not an escaping IO
+      // exception — the caller's remediation message must surface
+      val onDisk = scala.util.Try(
+        scala.util.Using.resource(Files.walk(top))(
+          _.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => s"${tops.head}/${top.relativize(f)}").toSet))
+        .getOrElse(Set.empty[String])
+      if (onDisk.nonEmpty && onDisk == live.toSet)
+        Some(s"$path/${tops.head}")
+      else None
     }
+  }
 
   /** Net (added, removed) live-file sets over the window (fromV, toV]
     * from the log's add/remove actions — the accounting both feed
@@ -723,7 +736,8 @@ object DeltaLogTableFormat extends TableFormat {
                             => Seq[String],
                           basedOn: Option[Int],
                           dataChange: Boolean = true,
-                          operation: Option[String] = None): Int = {
+                          operation: Option[String] = None,
+                          onePerTuple: Boolean = false): Int = {
     // optimistic concurrency, pinned correctly: the commit version is
     // basedOn + 1 — the version the CALLER'S PLAN actually read — not
     // currentVersion()+1 at commit time. If another writer lands
@@ -745,7 +759,21 @@ object DeltaLogTableFormat extends TableFormat {
       val withPv = partitionBy.zipWithIndex.foldLeft(df) {
         case (d, (pc, i)) => d.withColumn(s"__pv$i", col(pc))
       }
-      withPv.write.mode("overwrite")
+      // onePerTuple: hash-shuffle the output one-task-per-partition-
+      // tuple so each tuple writes ONE file. Without it every write
+      // task emits a file per tuple it holds — fine for few-tuple
+      // date batches (N tasks × few dates), but a hash-bucketed
+      // layout's N buckets × N tasks multiplied into tens of
+      // thousands of KB-sized files per commit (measured: 16k files
+      // in a 3-commit gold table at the sf10 probe, and every later
+      // read paying the per-file open cost). Buckets are uniform by
+      // construction, so one task per tuple is the right
+      // parallelism; low-cardinality layouts keep the default.
+      val shaped =
+        if (onePerTuple)
+          withPv.repartition(partitionBy.indices.map(i => col(s"__pv$i")): _*)
+        else withPv
+      shaped.write.mode("overwrite")
         .partitionBy(partitionBy.indices.map(i => s"__pv$i"): _*)
         .parquet(s"$path/$subdir")
     } else
@@ -938,6 +966,11 @@ object DeltaLogTableFormat extends TableFormat {
     */
   override def deleteKeys(spark: SparkSession, path: String,
                           delKeys: DataFrame, keys: Seq[String]): MergeStats =
+    deleteKeysRewrite(spark, path, delKeys, keys, onePerTuple = false)
+
+  private def deleteKeysRewrite(spark: SparkSession, path: String,
+                                delKeys: DataFrame, keys: Seq[String],
+                                onePerTuple: Boolean): MergeStats =
     withCommitRetry(s"deleteKeys($path)") {
       val head = currentVersion(path).getOrElse(
         throw new IllegalArgumentException(s"no delta-log table at $path"))
@@ -947,7 +980,7 @@ object DeltaLogTableFormat extends TableFormat {
       MergeTable.observedWrite(tagged, dropActions = Seq("delete"))(out => {
         commitFiles(path, out, partitionCols,
           removeOf = (prev, _) => prev.live, basedOn = Some(head),
-          operation = Some("DELETE"))
+          operation = Some("DELETE"), onePerTuple = onePerTuple)
         ()
       })
     }
@@ -981,7 +1014,8 @@ object DeltaLogTableFormat extends TableFormat {
     */
   def deleteKeysPruned(spark: SparkSession, path: String,
                        delKeys: DataFrame, keys: Seq[String],
-                       maxKeys: Int = 100000): MergeStats = {
+                       maxKeys: Int = 100000,
+                       onePerTuple: Boolean = false): MergeStats = {
     // existence first: an empty tombstone batch against a mistyped
     // path must fail like every other call, not silently no-op
     require(exists(path), s"no delta-log table at $path")
@@ -991,7 +1025,7 @@ object DeltaLogTableFormat extends TableFormat {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
     val tuples = dk.limit(maxKeys + 1).collect()
     if (tuples.length > maxKeys)
-      return deleteKeys(spark, path, delKeys, keys)
+      return deleteKeysRewrite(spark, path, delKeys, keys, onePerTuple)
     if (tuples.isEmpty) return MergeStats(0, 0, 0)
     // per-key bounds over the WHOLE feed: one range check per
     // (file, key) rejects most files before the per-tuple loop —
@@ -1039,7 +1073,8 @@ object DeltaLogTableFormat extends TableFormat {
         } => f
       }
       val layout = consistentLayout(spark, path, head)
-      if (layout.isEmpty) deleteKeys(spark, path, delKeys, keys)
+      if (layout.isEmpty)
+        deleteKeysRewrite(spark, path, delKeys, keys, onePerTuple)
       else if (touched.isEmpty) MergeStats(0, 0, 0)
       else {
         val schema = st.schemaJson
@@ -1050,7 +1085,7 @@ object DeltaLogTableFormat extends TableFormat {
         MergeTable.observedWrite(tagged, dropActions = Seq("delete")) { out =>
           commitFiles(path, out, layout.get,
             removeOf = (_, _) => touched, basedOn = Some(head),
-            operation = Some("DELETE"))
+            operation = Some("DELETE"), onePerTuple = onePerTuple)
           ()
         }
       }
@@ -1139,20 +1174,23 @@ object DeltaLogTableFormat extends TableFormat {
     mergePruned(spark, path, updates, keys, orderBy, partitionCols,
       scdType = 2, compareExclude)
 
-  private def mergePruned(spark: SparkSession, path: String, updates: DataFrame,
+  private[pipeline] def mergePruned(spark: SparkSession, path: String,
+                          updates: DataFrame,
                           keys: Seq[String], orderBy: String,
                           partitionCols: Seq[String], scdType: Int,
-                          compareExclude: Seq[String]): MergeStats =
+                          compareExclude: Seq[String],
+                          onePerTuple: Boolean = false): MergeStats =
     withCommitRetry(s"mergePruned($path)") {
       mergePrunedOnce(spark, path, updates, keys, orderBy, partitionCols,
-        scdType, compareExclude)
+        scdType, compareExclude, onePerTuple)
     }
 
   private def mergePrunedOnce(spark: SparkSession, path: String,
                               updates: DataFrame,
                               keys: Seq[String], orderBy: String,
                               partitionCols: Seq[String], scdType: Int,
-                              compareExclude: Seq[String]): MergeStats = {
+                              compareExclude: Seq[String],
+                              onePerTuple: Boolean): MergeStats = {
     require(partitionCols.nonEmpty, "pruned merge needs a partition column")
     partitionCols.foreach(pc => require(updates.columns.contains(pc),
       s"updates must carry partition column $pc"))
@@ -1168,7 +1206,7 @@ object DeltaLogTableFormat extends TableFormat {
           .withColumn("delete_time", lit(null).cast("timestamp"))
       else base).observe(obs, count(lit(1)).as("n"))
       commitFiles(path, first, partitionCols, (_, _) => Nil,
-        basedOn = None)
+        basedOn = None, onePerTuple = onePerTuple)
       return MergeStats(obs.get("n").asInstanceOf[Long], 0, 0)
     }
     val affected: Seq[Seq[Any]] = updates
@@ -1231,7 +1269,8 @@ object DeltaLogTableFormat extends TableFormat {
           orderGuard = Some(orderBy))
     MergeTable.observedWrite(tagged,
       dropActions = if (scdType == 2) Nil else Seq("delete")) { out =>
-      commitPruned(path, out, partitionCols, basedOn = head); ()
+      commitPruned(path, out, partitionCols, basedOn = head,
+        onePerTuple = onePerTuple); ()
     }
   }
 
@@ -1243,8 +1282,10 @@ object DeltaLogTableFormat extends TableFormat {
     */
   private def commitPruned(path: String, df: DataFrame,
                            partitionCols: Seq[String],
-                           basedOn: Option[Int]): Unit = {
-    commitFiles(path, df, partitionCols, (prev, written) => {
+                           basedOn: Option[Int],
+                           onePerTuple: Boolean = false): Unit = {
+    commitFiles(path, df, partitionCols, onePerTuple = onePerTuple,
+      removeOf = (prev, written) => {
       def tupleOf(pv: Map[String, String]): Option[Seq[String]] = {
         val t = partitionCols.flatMap(pv.get)
         if (t.size == partitionCols.size) Some(t) else None
@@ -1396,19 +1437,29 @@ object DeltaLogTableFormat extends TableFormat {
   override def registerTable(spark: SparkSession, path: String,
                              name: String): Unit = {
     val qName = TableFormat.quoteIdent(name)
+    def alreadyCompact: Option[String] = currentVersion(path)
+      .flatMap(v => wholeSubdirLive(path, replayState(spark, path, v).live))
     val (loc, recursive) = registrableLocation(spark, path) match {
       case Some(l) => (l, false)
-      case None =>
-        require(compactFull(spark, path).nonEmpty,
-          s"no live data at $path to register")
-        val head = currentVersion(path).getOrElse(
-          throw new IllegalStateException(s"no delta log at $path"))
-        val st = replayState(spark, path, head)
-        val tops = st.live.map(_.takeWhile(_ != '/')).distinct
-        require(tops.size == 1,
-          s"compactFull left a multi-subdir live set at $path — " +
-            "concurrent writer mid-registration; retry")
-        (s"$path/${tops.head}", true)
+      // a partitioned layout whose live set is ALREADY exactly one
+      // commit subdir's complete listing (fresh partitioned write,
+      // prior compactFull, re-registration with no intervening
+      // merges) registers directly — compacting again would rewrite
+      // the entire live set per register call for nothing
+      case None => alreadyCompact match {
+        case Some(l) => (l, true)
+        case None =>
+          require(compactFull(spark, path).nonEmpty,
+            s"no live data at $path to register")
+          val head = currentVersion(path).getOrElse(
+            throw new IllegalStateException(s"no delta log at $path"))
+          val st = replayState(spark, path, head)
+          val tops = st.live.map(_.takeWhile(_ != '/')).distinct
+          require(tops.size == 1,
+            s"compactFull left a multi-subdir live set at $path — " +
+              "concurrent writer mid-registration; retry")
+          (s"$path/${tops.head}", true)
+      }
     }
     val escLoc = loc.replace("'", "''")
     val schemaDdl = read(spark, path).schema.toDDL

@@ -11,12 +11,24 @@ import org.apache.spark.sql.functions._
   * cost was quadratic in the duplication factor). Prints wall
   * seconds per fold.
   *
-  * Usage: runMain graft.tools.IncrementalProbe <sfDir> <workDir>
+  * Usage: runMain graft.tools.IncrementalProbe <sfDir> <workDir> [fmt]
+  * where fmt is `snapshot` (default) or `bucketed[:N]` — the
+  * key-hash-bucketed delta-log pruned layout ([[graft.pipeline
+  * .BucketedTableFormat]]) whose fold-2 merges rewrite touched
+  * buckets only.
   */
 object IncrementalProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: IncrementalProbe <sfDir> <workDir>")
-    val Array(sfDir, workDir) = args
+    require(args.length == 2 || args.length == 3,
+      "usage: IncrementalProbe <sfDir> <workDir> [snapshot|bucketed[:N]]")
+    val Array(sfDir, workDir) = args.take(2)
+    val fmt: graft.pipeline.TableFormat = args.lift(2) match {
+      case None | Some("snapshot") => graft.pipeline.SnapshotTableFormat
+      case Some("bucketed") => graft.pipeline.BucketedTableFormat()
+      case Some(s) if s.startsWith("bucketed:") =>
+        graft.pipeline.BucketedTableFormat(s.stripPrefix("bucketed:").toInt)
+      case Some(other) => sys.error(s"unknown fmt $other")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,7 +50,7 @@ object IncrementalProbe {
              ord: Long): Unit = {
       val t0 = System.nanoTime()
       graft.operators.Dedup.minhashLshStatsIncremental(spark, batch,
-        "doc_id", "text", stateDir, gold, batchOrd = ord)
+        "doc_id", "text", stateDir, gold, batchOrd = ord, fmt = fmt)
       println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     println(s"[inc-probe] corpus $n docs from $sfDir")
@@ -54,7 +66,14 @@ object IncrementalProbe {
     fold("minhash fold1 catch-up (whole corpus)", docs, 0L)
     fold("minhash fold2 duplicate-heavy increment (1000 docs, 10 contents)",
       inc, 1L)
-    val goldRows = graft.pipeline.MergeTable.read(spark, gold).count()
+    // narrow increment: the steady-state streaming micro-batch shape
+    // (10 keys). Under the bucketed layout this touches ≤10 of the
+    // state/gold buckets — the fold where pruned merges beat the
+    // snapshot whole-table rewrite hardest.
+    val narrow = (0 until 10)
+      .map(i => (maxId + 2000 + i, hot(i % 2))).toDF("doc_id", "text")
+    fold("minhash fold3 narrow increment (10 docs, 2 contents)", narrow, 2L)
+    val goldRows = fmt.read(spark, gold).count()
     println(s"[inc-probe] minhash gold rows $goldRows")
 
     def foldSim(label: String, batch: org.apache.spark.sql.DataFrame,
@@ -62,7 +81,7 @@ object IncrementalProbe {
       val t0 = System.nanoTime()
       graft.operators.Dedup.simhashStatsIncremental(spark, batch,
         "doc_id", "text", s"$workDir/sim_state", s"$workDir/sim_gold",
-        batchOrd = ord)
+        batchOrd = ord, fmt = fmt)
       println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     foldSim("simhash fold1 catch-up", docs, 0L)
@@ -73,7 +92,7 @@ object IncrementalProbe {
       val t0 = System.nanoTime()
       graft.operators.Dedup.containmentStatsIncremental(spark, batch,
         "doc_id", "text", s"$workDir/ct_state", s"$workDir/ct_gold",
-        batchOrd = ord)
+        batchOrd = ord, fmt = fmt)
       println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     foldCont("containment fold1 catch-up", docs, 0L)
@@ -84,7 +103,7 @@ object IncrementalProbe {
       val t0 = System.nanoTime()
       graft.operators.Dedup.dedupResolveIncremental(spark, batch,
         "doc_id", "text", s"$workDir/rs_state", s"$workDir/rs_gold",
-        batchOrd = ord)
+        batchOrd = ord, fmt = fmt)
       println(f"[inc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     foldRes("resolve fold1 catch-up", docs, 0L)

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.FileTime
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
@@ -1679,6 +1681,122 @@ class StreamingSpec extends SparkSpec {
     assert(MergeTable.read(spark, gold).filter(col("id") === 5L)
         .head.getAs[Long]("n_candidates") == 0L,
       "doc 5 must lose its nulled partner")
+  }
+
+  test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
+    // Task: the incremental members' state/gold merges on the
+    // BucketedTableFormat layout — key-hash bucket partition columns
+    // over delta-log pruned commits, so a small fold rewrites only
+    // the buckets holding its touched keys instead of the whole
+    // state table (the r15-measured fold cost was dominated by
+    // snapshot whole-table state merges). Pins: (a) gold equals the
+    // batch recompute after every fold; (b) the small fold's docs
+    // state commit REMOVES strictly fewer files than were live —
+    // untouched buckets' files survive (the pruning, asserted on
+    // disk, not argued); (c) crash replay (state advanced, gold
+    // rolled back, batch redelivered) converges; (d) a hard-delete
+    // feed folds through the stats-pruned delete path.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val sfmt = graft.pipeline.BucketedTableFormat(buckets = 8)
+    val stateDir = Files.createTempDirectory("graft_bk_state").toString
+    val gold = Files.createTempDirectory("graft_bk_gold").toString + "/t"
+    val P = (3, 16, 4, 0.5, 10) // n, numPerm, bands, threshold, maxBucket
+    var corpus = Map.empty[Long, String]
+    def foldBatch(ord: Long, rows: (Long, String)*): Unit = {
+      corpus ++= rows.toMap
+      Dedup.minhashLshStatsIncremental(spark,
+        rows.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        stateDir, gold, batchOrd = ord, n = P._1, numPerm = P._2,
+        bands = P._3, threshold = P._4, maxBucket = P._5, fmt = sfmt)
+    }
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = Dedup.minhashLshStats(
+        corpus.toSeq.toDF("doc_id", "text").filter(col("text").isNotNull),
+        "doc_id", "text", n = P._1, numPerm = P._2, bands = P._3,
+        threshold = P._4, maxBucket = P._5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      val got = sfmt.read(spark, gold)
+        .select(col("id"), col("n_candidates"), col("n_near"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    // fold 1: a 30-doc corpus spread over many buckets (catch-up)
+    foldBatch(0L, ((1L, dupText) +: (2L to 30L).map(i =>
+      (i, s"filler words number $i distinct content piece"))): _*)
+    checkGoldEqualsBatch("after catch-up fold")
+    val docsPath = s"$stateDir/docs"
+    val liveBefore = {
+      val v = graft.pipeline.DeltaLogTableFormat.currentVersion(docsPath).get
+      sfmt.read(spark, docsPath).count() // sanity: table readable
+      v
+    }
+    // fold 2: ONE new near-duplicate of doc 1 — touches one key's
+    // bucket; with 8 buckets and 30 keys spread across them, the
+    // pruned commit must leave most live files untouched
+    foldBatch(1L, (31L, dupText))
+    checkGoldEqualsBatch("after single-doc increment")
+    assert(sfmt.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_near") == 1L, "doc 1 must gain its partner")
+    val logDir = java.nio.file.Paths.get(docsPath, "_delta_log")
+    val mergeCommit = java.nio.file.Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toInt).max
+    val commitLines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(docsPath, "_delta_log", f"$mergeCommit%020d.json"))
+      .asScala.filter(_.nonEmpty)
+    val removed = commitLines.count(_.contains("\"remove\""))
+    val priorLive = graft.pipeline.DeltaLogTableFormat
+      .readVersion(spark, docsPath, liveBefore).inputFiles.length
+    assert(removed > 0 && removed < priorLive,
+      s"fold-2 docs commit must rewrite only touched buckets: removed " +
+        s"$removed of $priorLive live files (whole-table rewrite = all)")
+    // the layout column never leaks through the format's reader
+    assert(!sfmt.read(spark, docsPath).columns
+        .contains(graft.pipeline.BucketedTableFormat.BucketCol))
+    // crash replay: state advanced, gold rolled back, batch redelivered
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val goldBackup = Files.createTempDirectory("graft_bk_gbak").toString + "/t"
+    copyDir(gold, goldBackup)
+    foldBatch(2L, (32L, dupText)) // state AND gold advance
+    deleteDir(gold); copyDir(goldBackup, gold) // gold rolled back
+    foldBatch(2L, (32L, dupText)) // redelivery: same batch, same ord
+    checkGoldEqualsBatch("after crash-replay")
+    assert(sfmt.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_near") == 2L,
+      "replay must re-verify the untouched old doc 1")
+    // hard-delete feed through the stats-pruned delete path
+    corpus -= 31L
+    Dedup.minhashLshStatsIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      stateDir, gold, batchOrd = 3L, n = P._1, numPerm = P._2,
+      bands = P._3, threshold = P._4, maxBucket = P._5,
+      deletes = Some(Seq(31L).toDF("doc_id")), fmt = sfmt)
+    checkGoldEqualsBatch("after hard delete")
+    assert(sfmt.read(spark, gold).filter(col("id") === 31L).count() == 0)
   }
 
   test("incremental near-dup collapse: 100x-duplicated corpus folds at distinct-content pair cost, gold equals batch") {
