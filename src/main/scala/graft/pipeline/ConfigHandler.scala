@@ -77,12 +77,8 @@ object ConfigHandler {
         .map { case (n, i) => parseDqRule(n, s"$$.dqRules[$i]") },
       auditTablePath = opt(root, "auditTablePath").map(_.asText),
       failOnDqViolation = opt(root, "failOnDqViolation").exists(_.asBoolean),
-      tableFormat = opt(root, "tableFormat").map(_.asText) match {
-        case None | Some("snapshot") => SnapshotTableFormat
-        case Some("delta-log")       => DeltaLogTableFormat
-        case Some(other) => throw new ConfigError("$.tableFormat",
-          s"unknown table format '$other' (snapshot | delta-log)")
-      })
+      tableFormat = formatOf(opt(root, "tableFormat").map(_.asText),
+        "$.tableFormat"))
   } match { case cfg =>
     // cross-field checks that need both the writes and the format
     cfg.writes.zipWithIndex.foreach { case (w, i) =>
@@ -109,6 +105,76 @@ object ConfigHandler {
     }
     cfg
   }
+
+  /** Config block for the INCREMENTAL dedup family (SURVEY.md §2
+    * #27-31 streaming members) — the declaration that lets a
+    * medallion job maintain near-dup/exact-dup/ANN gold tables from
+    * a silver change feed like any other write, instead of hand-
+    * wiring [[graft.streaming.MergeTableStream]] + the member call.
+    * Executed by [[graft.streaming.IncrementalDedupJob.run]].
+    *
+    * `contentCol` is the text column for text members and the
+    * embedding column for `embedding`/`ivf`. `params` carries the
+    * member's tuning knobs by name (validated against the member's
+    * real parameter list — unknown keys fail fast, they are silent
+    * no-ops otherwise). `stateFormat` picks the state/gold layout:
+    * `bucketed[:N]` is the 100 TB path (key-hash bucketed delta-log
+    * pruned merges — see [[BucketedTableFormat]]).
+    */
+  final case class IncrementalDedupConfig(
+      member: String,
+      silverPath: String,
+      checkpoint: String,
+      stateDir: String,
+      goldPath: String,
+      idCol: String,
+      contentCol: String,
+      appendOnly: Boolean = false,
+      silverFormat: TableFormat = SnapshotTableFormat,
+      stateFormat: TableFormat = SnapshotTableFormat,
+      params: Map[String, String] = Map.empty)
+
+  private[graft] def formatOf(name: Option[String], at: String,
+                              allowBucketed: Boolean = false): TableFormat =
+    name match {
+      case None | Some("snapshot") => SnapshotTableFormat
+      case Some("delta-log")       => DeltaLogTableFormat
+      case Some("bucketed") if allowBucketed => BucketedTableFormat()
+      case Some(s) if allowBucketed && s.startsWith("bucketed:") &&
+          s.stripPrefix("bucketed:").nonEmpty &&
+          s.stripPrefix("bucketed:").forall(_.isDigit) =>
+        BucketedTableFormat(s.stripPrefix("bucketed:").toInt)
+      case Some(other) => throw new ConfigError(at,
+        s"unknown table format '$other' (snapshot | delta-log" +
+          (if (allowBucketed) " | bucketed[:N])" else ")"))
+    }
+
+  def parseIncrementalDedup(json: String): IncrementalDedupConfig = {
+    val root = mapper.readTree(json)
+    if (root == null || !root.isObject)
+      throw new ConfigError("$", "config must be a JSON object")
+    IncrementalDedupConfig(
+      member = need(root, "member", "$").asText,
+      silverPath = need(root, "silverPath", "$").asText,
+      checkpoint = need(root, "checkpoint", "$").asText,
+      stateDir = need(root, "stateDir", "$").asText,
+      goldPath = need(root, "goldPath", "$").asText,
+      idCol = need(root, "idCol", "$").asText,
+      contentCol = need(root, "contentCol", "$").asText,
+      appendOnly = opt(root, "appendOnly").exists(_.asBoolean),
+      // silver is a merge-table the feed diffs — bucketed works there
+      // too (it is a TableFormat), so both accept the full menu
+      silverFormat = formatOf(opt(root, "silverFormat").map(_.asText),
+        "$.silverFormat", allowBucketed = true),
+      stateFormat = formatOf(opt(root, "stateFormat").map(_.asText),
+        "$.stateFormat", allowBucketed = true),
+      params = opt(root, "params").map(p => strMap(p).toMap)
+        .getOrElse(Map.empty))
+  }
+
+  def loadIncrementalDedup(path: String): IncrementalDedupConfig =
+    parseIncrementalDedup(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
 
   private def need(n: JsonNode, field: String, at: String): JsonNode = {
     val v = n.get(field)

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.pipeline._
+import graft.streaming.IncrementalDedupJob
 
 class ConfigSpec extends SparkSpec {
 
@@ -43,6 +44,89 @@ class ConfigSpec extends SparkSpec {
     assert(t.count() > 0 && t.count() == df.count())
     assert(spark.read.parquet(s"$audit/dq_results").count() == 2)
     assert(spark.read.parquet(s"$audit/audit_log").count() == 1)
+  }
+
+  test("JSON config drives the incremental minhash member end to end: fold, gold equals batch, deletes") {
+    // the incremental dedup family's config surface (r16): a
+    // medallion job declares a member + state dirs + knobs as JSON
+    // and IncrementalDedupJob walks the silver change feed through
+    // it — no hand-wired MergeTableStream plumbing. Gold must equal
+    // the batch recompute after every fold (including a fold the
+    // config's non-default threshold changes), and the delete feed
+    // must flow through.
+    import SparkSpec.spark.implicits._
+    val silver = Files.createTempDirectory("graft_cfg_inc_silver").toString
+    val work = Files.createTempDirectory("graft_cfg_inc").toString
+    val cfg = ConfigHandler.parseIncrementalDedup(
+      s"""{
+         |  "member": "minhash",
+         |  "silverPath": "$silver",
+         |  "checkpoint": "$work/ck",
+         |  "stateDir": "$work/state",
+         |  "goldPath": "$work/gold",
+         |  "idCol": "doc_id",
+         |  "contentCol": "text",
+         |  "silverFormat": "delta-log",
+         |  "stateFormat": "bucketed:8",
+         |  "params": {"n": "3", "numPerm": "16", "bands": "4",
+         |             "threshold": "0.5", "maxBucket": "10"}
+         |}""".stripMargin)
+    assert(cfg.stateFormat == graft.pipeline.BucketedTableFormat(8))
+    val sfmt = graft.pipeline.DeltaLogTableFormat
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    def checkGold(label: String): Unit = {
+      val truth = graft.operators.Dedup.minhashLshStats(
+        sfmt.read(spark, silver).select("doc_id", "text")
+          .filter(col("text").isNotNull), "doc_id", "text",
+        n = 3, numPerm = 16, bands = 4, threshold = 0.5, maxBucket = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      val got = cfg.stateFormat.read(spark, cfg.goldPath)
+        .select(col("id"), col("n_candidates"), col("n_near"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      assert(got == truth, s"$label: $got vs $truth")
+    }
+    // batch 1: a duplicate pair + an unrelated doc
+    sfmt.scd1Merge(spark, silver, Seq(
+        (1L, dupText, 0), (2L, dupText, 0),
+        (3L, "one two three four five six seven", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(IncrementalDedupJob.run(spark, cfg).nonEmpty)
+    checkGold("after batch 1")
+    // batch 2: doc 4 joins the family; caught-up run folds nothing
+    sfmt.scd1Merge(spark, silver,
+      Seq((4L, dupText, 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(IncrementalDedupJob.run(spark, cfg).nonEmpty)
+    checkGold("after batch 2")
+    assert(IncrementalDedupJob.run(spark, cfg).isEmpty)
+    // hard delete flows through the feed into the member
+    sfmt.deleteKeys(spark, silver, Seq(2L).toDF("doc_id"), Seq("doc_id"))
+    assert(IncrementalDedupJob.run(spark, cfg).nonEmpty)
+    checkGold("after hard delete")
+    assert(cfg.stateFormat.read(spark, cfg.goldPath)
+      .filter(col("id") === 2L).count() == 0)
+    // validation: unknown member, typo'd param, resolve+appendOnly
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))
+    }
+    val err = intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark,
+        cfg.copy(params = Map("treshold" -> "0.5")))
+    }
+    assert(err.getMessage.contains("treshold"))
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark,
+        cfg.copy(member = "resolve", appendOnly = true))
+    }
+    intercept[ConfigHandler.ConfigError] {
+      ConfigHandler.parseIncrementalDedup(
+        """{"member":"minhash","silverPath":"x","checkpoint":"c",
+          |"stateDir":"s","goldPath":"g","idCol":"i","contentCol":"t",
+          |"stateFormat":"bucketed:abc"}""".stripMargin)
+    }
   }
 
   test("failOnDqViolation gates the write") {
