@@ -440,7 +440,9 @@ object Dedup {
     * per doc id. Duplicate ids would double-count document frequency
     * in the candidate qualifier and duplicate verify pairs. Keyed
     * tables satisfy it by construction; hand-built frames can run
-    * the change-feed reduction (one row per key) first.
+    * the change-feed reduction (one row per key) first. Violations
+    * FAIL LOUDLY: both entry points run a cheap id-only uniqueness
+    * guard (skippable via `-Dgraft.dedup.skipIdCheck=true`).
     */
   def ngramJaccardStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, maxDf: Int = 20,
@@ -448,6 +450,7 @@ object Dedup {
     // materialize once: the hash arrays feed candidate generation AND
     // both sides of the verify join (3 evaluations otherwise)
     val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
+    requireUniqueIds(docsH, "ngramJaccardStats")
     jaccardPairStats(df, idCol, docsH,
       rareShingleCandidates(docsH, maxDf), threshold)
   }
@@ -458,6 +461,30 @@ object Dedup {
     * would make the pairing quadratic in corpus size, so they are
     * excluded from candidate generation (never from verification).
     */
+  /** Fail-loud guard for the one-row-per-doc-id PRECONDITION the
+    * shingle candidate index counts on (document frequency =
+    * count(1) over the posting expansion — a duplicated id would
+    * silently inflate df and flip the 2 ≤ df ≤ maxDf qualifier).
+    * One id-only aggregate over the already-materialized hash frame
+    * (map-side combinable longs — far cheaper than the
+    * countDistinct posting shuffle the precondition replaces, and a
+    * fixed small fraction of the verify join that follows). Callers
+    * that guarantee keyed input can skip it with
+    * `-Dgraft.dedup.skipIdCheck=true`.
+    */
+  private def requireUniqueIds(docsH: DataFrame, op: String): Unit =
+    if (!java.lang.Boolean.getBoolean("graft.dedup.skipIdCheck")) {
+      val dup = docsH.groupBy(col("id")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"$op requires one row per doc id, but id ${dup.head.get(0)} " +
+          s"appears ${dup.head.getLong(1)} times — document frequency " +
+          "and candidate qualification would silently skew. Reduce to " +
+          "one row per key first (e.g. Cdc.latestPerKey), or set " +
+          "-Dgraft.dedup.skipIdCheck=true when uniqueness is guaranteed " +
+          "upstream.")
+    }
+
   private def rareShingleCandidates(docsH: DataFrame, maxDf: Int): DataFrame = {
     val sh = docsH.select(col("id"), explode(col("shash")).as("h"))
     // two-phase (r14): count document frequency FIRST (map-side
@@ -507,6 +534,7 @@ object Dedup {
                             n: Int = 5, maxDf: Int = 20,
                             threshold: Double = 0.5): DataFrame = {
     val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
+    requireUniqueIds(docsH, "ngramContainmentStats")
     val cand = rareShingleCandidates(docsH, maxDf)
     // one intersection per pair, both directional ratios from it;
     // materialized because the union mirror references it twice

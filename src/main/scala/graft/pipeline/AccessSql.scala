@@ -28,7 +28,9 @@ package graft.pipeline
   *    `Format(x, "f")` → `date_format(x, 'f')`;
   *  - Access LIKE wildcards, ONLY inside the pattern literal of a
   *    LIKE: `*` → `%`, `?` → `_` (the reference rewrites every `*`
-  *    in the statement);
+  *    in the statement); patterns using Access's `#` (one digit) or
+  *    `[charlist]`/`[!charlist]` classes — which LIKE cannot express
+  *    — compile to an anchored RLIKE regex instead;
   *  - `#3/14/2024#` date literals → `DATE'2024-03-14'` (US m/d/y,
   *    Access's literal order; with a time part → `TIMESTAMP'…'`);
   *  - `&` string concatenation → `||`;
@@ -141,6 +143,51 @@ object AccessSql {
     if (parts.length == 2) s"TIMESTAMP'$iso ${parts(1)}'" else s"DATE'$iso'"
   }
 
+  /** Access LIKE pattern → (operator, Spark pattern). Plain `*`/`?`
+    * wildcards map onto LIKE's `%`/`_`. Access additionally supports
+    * `#` (exactly one digit) and `[charlist]`/`[!charlist]` classes,
+    * which have NO LIKE equivalent — those patterns compile to an
+    * anchored RLIKE regex instead (LIKE and RLIKE share Spark's
+    * three-valued NULL semantics, and `NOT RLIKE` parses, so the
+    * surrounding predicate is unchanged). Every literal character is
+    * regex-escaped; an unterminated `[` falls back to a literal
+    * bracket rather than a broken class.
+    */
+  private def likeToSpark(pattern: String): (String, String) =
+    if (!pattern.exists(c => c == '#' || c == '['))
+      ("LIKE", pattern.replace('*', '%').replace('?', '_'))
+    else {
+      val sb = new StringBuilder("^")
+      def esc(c: Char): String =
+        if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) "\\" + c else c.toString
+      var i = 0
+      while (i < pattern.length) {
+        pattern.charAt(i) match {
+          case '*' => sb.append(".*"); i += 1
+          case '?' => sb.append('.'); i += 1
+          case '#' => sb.append("[0-9]"); i += 1
+          case '[' =>
+            val close = pattern.indexOf(']', i + 1)
+            if (close < 0) { sb.append("\\["); i += 1 }
+            else {
+              var body = pattern.substring(i + 1, close)
+              val neg = body.startsWith("!")
+              if (neg) body = body.substring(1)
+              // '-' keeps its range meaning (shared by Access and
+              // regex classes); class-meta chars are escaped
+              val escd = body.flatMap(ch =>
+                if (ch == '\\' || ch == '^' || ch == ']') "\\" + ch
+                else ch.toString)
+              sb.append(if (neg) s"[^$escd]" else s"[$escd]")
+              i = close + 1
+            }
+          case other => sb.append(esc(other)); i += 1
+        }
+      }
+      sb.append('$')
+      ("RLIKE", sb.toString)
+    }
+
   private val fnRename = Map(
     "nz" -> "coalesce", "ucase" -> "upper", "lcase" -> "lower",
     "len" -> "length", "instr" -> "instr", "mid" -> "substr",
@@ -159,6 +206,9 @@ object AccessSql {
     // SELECT … INTO t FROM …   →  drop INTO t, remember t for a view
     var limit: Option[String] = None
     var intoTable: Option[String] = None
+    val firstKeyword: Option[String] = toks.collectFirst {
+      case w: Word => w.text.toLowerCase
+    }
     val core = Vector.newBuilder[Tok]
     var i = 0
     def isW(t: Tok, w: String): Boolean =
@@ -184,7 +234,11 @@ object AccessSql {
           limit = Some(toks(j).text)
           i = nextNonWs(j + 1) // skip TOP, n, and the following gap
         } else { core += t; i += 1 }
-      } else if (depth == 0 && isW(t, "into") && intoTable.isEmpty) {
+      } else if (depth == 0 && isW(t, "into") && intoTable.isEmpty &&
+          firstKeyword.contains("select")) {
+        // only the Access make-table form (SELECT … INTO t FROM …)
+        // strips INTO; INSERT INTO / anything non-SELECT passes
+        // through untouched (rewriting those produced invalid SQL)
         val j = nextNonWs(i + 1)
         val name = toks.lift(j) match {
           case Some(BracketId(x)) => Some(x)
@@ -275,17 +329,18 @@ object AccessSql {
               nextNonWs(j + 1) < to && isOpen(nextNonWs(j + 1)) =>
             emit(fnRename(w.toLowerCase)); j += 1
           case Word(w) if w.equalsIgnoreCase("like") =>
-            emit("LIKE")
             // Access wildcards live in the pattern literal only
             val j2 = nextNonWs(j + 1)
             ts.lift(j2) match {
               case Some(Str(raw)) if j2 < to =>
                 val lit = toSingleQuoted(raw)
-                val inner = lit.substring(1, lit.length - 1)
-                  .replace('*', '%').replace('?', '_')
-                emit(" '" + inner + "'")
+                val (op, inner) =
+                  likeToSpark(lit.substring(1, lit.length - 1))
+                // backslashes doubled: Spark's SQL string literals
+                // are escape-processed before the regex sees them
+                emit(op + " '" + inner.replace("\\", "\\\\") + "'")
                 j = j2 + 1
-              case _ => j += 1
+              case _ => emit("LIKE"); j += 1
             }
           case Word(w) =>
             lowerMap.get(w.toLowerCase) match {

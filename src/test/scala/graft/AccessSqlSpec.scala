@@ -49,6 +49,45 @@ class AccessSqlSpec extends SparkSpec {
       == "CREATE OR REPLACE TEMPORARY VIEW `staging out` AS\nSELECT a, b FROM t WHERE a > 1")
   }
 
+  test("INTO strips only in the SELECT make-table form; INSERT INTO passes through") {
+    // the INTO pass used to be statement-agnostic, mangling INSERT
+    // INTO into an invalid CREATE VIEW ... INSERT — only Access's
+    // make-table (SELECT ... INTO t FROM ...) may restructure
+    val ins = "INSERT INTO t VALUES (1, 'x')"
+    assert(translate(ins) == ins)
+    val insSel = "INSERT INTO t SELECT a FROM s WHERE a > 1"
+    assert(translate(insSel) == insSel)
+    // the make-table form still restructures
+    assert(translate("SELECT a INTO t2 FROM t")
+      == "CREATE OR REPLACE TEMPORARY VIEW t2 AS\nSELECT a FROM t")
+  }
+
+  test("Access-only LIKE wildcards (# digit, charlists) compile to anchored RLIKE") {
+    // '#' (one digit) and [charlist]/[!charlist] have no LIKE
+    // equivalent — those patterns become anchored regexes; plain
+    // patterns keep using LIKE (previous test)
+    assert(translate("""SELECT a FROM t WHERE a LIKE "A#"""")
+      == "SELECT a FROM t WHERE a RLIKE '^A[0-9]$'")
+    assert(translate("""x LIKE "m[ae]n"""") == "x RLIKE '^m[ae]n$'")
+    assert(translate("""x LIKE "b[!ae]ll*"""") == "x RLIKE '^b[^ae]ll.*$'")
+    // literal regex metacharacters are escaped; the backslash is
+    // doubled because Spark's string-literal layer consumes one
+    assert(translate("""x LIKE "1.5#"""") == "x RLIKE '^1\\\\.5[0-9]$'")
+    // execution agrees with Access semantics, including NOT LIKE
+    def matching(pattern: String, not: Boolean = false): Seq[String] =
+      spark.sql("SELECT v FROM VALUES ('man'),('men'),('mun'),('A7'),"
+          + "('Ax'),('1.5'),('1x5') AS t(v) WHERE "
+          + translate(s"""v ${if (not) "NOT " else ""}LIKE "$pattern""""))
+        .collect().map(_.getString(0)).toSeq.sorted
+    assert(matching("m[ae]n") == Seq("man", "men"))
+    assert(matching("m[!ae]n") == Seq("mun"))
+    assert(matching("A#") == Seq("A7"))
+    assert(matching("1.#") == Seq("1.5"),
+      "dot matches literally ('1x5' excluded), not as regex any-char")
+    assert(matching("m[ae]n", not = true) ==
+      Seq("1.5", "1x5", "A7", "Ax", "mun"))
+  }
+
   test("table renames hit identifiers only, never string literals") {
     val out = translate("""SELECT 'orders' AS lit FROM orders JOIN [orders] o2 ON 1=1""",
       Map("orders" -> "lake.orders_v"))

@@ -465,6 +465,40 @@ class DedupSpec extends SparkSpec {
     assert(nd.sameElements(nc), s"NaN merge: ${nd.mkString(",")} vs ${nc.mkString(",")}")
   }
 
+  test("shingle stats fail loudly on duplicate doc ids") {
+    // the candidate qualifier counts document frequency as count(1)
+    // over the posting expansion — sound ONLY under the documented
+    // one-row-per-id precondition. A raw change log (duplicate ids)
+    // must fail with the remediation, not silently skew candidates.
+    import SparkSpec.spark.implicits._
+    val dup = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    for (op <- Seq("ngramJaccardStats", "ngramContainmentStats")) {
+      val err = intercept[IllegalArgumentException] {
+        val out =
+          if (op == "ngramJaccardStats")
+            graft.operators.Dedup.ngramJaccardStats(dup, "doc_id", "text")
+          else graft.operators.Dedup.ngramContainmentStats(dup, "doc_id", "text")
+        out.collect()
+      }
+      assert(err.getMessage.contains("one row per doc id") &&
+        err.getMessage.contains("latestPerKey"),
+        s"$op guard must name the precondition and remediation: ${err.getMessage}")
+    }
+    // unique ids still run (the guard is a pass-through, not a gate
+    // on shape) and the skip property bypasses the check entirely
+    val ok = dup.dropDuplicates("doc_id")
+    assert(graft.operators.Dedup.ngramJaccardStats(ok, "doc_id", "text")
+      .count() == 2)
+    System.setProperty("graft.dedup.skipIdCheck", "true")
+    try assert(graft.operators.Dedup
+        .ngramJaccardStats(dup, "doc_id", "text").count() >= 2)
+    finally System.clearProperty("graft.dedup.skipIdCheck")
+  }
+
   test("embeddingStats fails fast beyond its all-pairs row cap") {
     val e = Tables.load(spark, sf, "embeddings")
     val err = intercept[IllegalArgumentException] {

@@ -340,7 +340,29 @@ class MergeSpec extends SparkSpec {
     fmt.registerTable(spark, p, name)
     assert(tableHash(spark.table(name)) == tableHash(fmt.read(spark, p)),
       "re-registration must pick up the newly merged version")
+    // RE-registration with NO intervening writes must NOT re-compact:
+    // the live set is already exactly one commit subdir's complete
+    // listing (the prior registration's compactFull), so register
+    // reuses it directly — compact-per-register-call was a
+    // full-table rewrite per call at 100 TB
+    val vAfter = fmt.currentVersion(p).get
+    fmt.registerTable(spark, p, name)
+    assert(fmt.currentVersion(p).contains(vAfter),
+      "idempotent re-registration must not commit another compactFull")
+    assert(tableHash(spark.table(name)) == tableHash(fmt.read(spark, p)))
     spark.sql(s"DROP TABLE `$name`")
+    // ...and a FRESH partitioned table (one partitioned write — live
+    // set already one whole subdir) registers with no compact at all
+    val fresh = tmp()
+    fmt.scd1MergePruned(spark, fresh, base, Seq("id"), "ord", "bucket")
+    val v0 = fmt.currentVersion(fresh).get
+    val fname = s"graft_reg_fresh_${System.nanoTime()}"
+    fmt.registerTable(spark, fresh, fname)
+    assert(fmt.currentVersion(fresh).contains(v0),
+      "a fresh partitioned write is already one whole subdir — no compact")
+    assert(tableHash(spark.table(fname)) == tableHash(fmt.read(spark, fresh)))
+    assert(spark.table(fname).count() == 40)
+    spark.sql(s"DROP TABLE `$fname`")
     // the SNAPSHOT format registers the same partitioned shape fine:
     // its version IS a directory, and LOCATION v=N runs the exact
     // partition discovery MergeTable.read performs
