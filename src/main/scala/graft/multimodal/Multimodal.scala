@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * Audio decode is REAL too (r15) — JDK-only [[AudioCodec]]
   * (javax.sound.sampled: WAV/AIFF/AU, PCM/ULAW/ALAW) behind
   * [[decodeAudio]]/[[resampleAudio]], which executes [[resamplePlan]]
-  * for real. VIDEO decode remains a STUB — no video codec ships with
-  * the JDK — replaced by a deterministic fake (payload-slice
-  * hashes). Everything
+  * for real. VIDEO decode is REAL for the one JDK-reachable
+  * container/codec pair (r16) — MJPEG-in-AVI via [[VideoCodec]]
+  * (RIFF chunk walk + imageio JPEG per frame) behind
+  * [[decodeVideoFrames]]; every OTHER video codec (H.264/VP9/AV1…)
+  * has no JDK decoder and stays the declared STUB, replaced by a
+  * deterministic fake (payload-slice hashes). Everything
   * around both is the real Spark plumbing a 100 TB media pipeline
   * needs: a typed payload schema, a
   * mapPartitions iterator that processes one asset at a time (never
@@ -360,6 +363,48 @@ object Multimodal {
     * `frame_hash` with pixel output without touching the plan shape.
     * Non-video assets pass through with a single frame row (idx 0).
     */
+  final case class DecodedFrame(
+      asset_id: Long, decoded: Boolean, fps: Double, n_frames: Long,
+      frame_idx: Long, width: Int, height: Int, mean_luma: Double)
+
+  /** REAL video frame sampling for the one JDK-reachable
+    * container/codec pair — MJPEG-in-AVI ([[VideoCodec]]: RIFF walk
+    * + imageio JPEG per frame). Every `everyN`-th frame of the TRUE
+    * container frame list decodes to pixels and reports real
+    * dims/luma — the same everyN arithmetic as the [[sampleFrames]]
+    * plan, applied to decoded truth instead of claimed metadata.
+    * Payloads that are not MJPEG AVIs (H.264 and friends have no JDK
+    * decoder — the declared stub boundary) come back as ONE
+    * `decoded = false` row carrying the claimed n_frames, so decode
+    * failure stays a data category to aggregate over. Frames whose
+    * JPEG bytes are corrupt report `decoded = true` for the asset
+    * but `-1` luma for that frame (the container parsed; the frame
+    * didn't).
+    */
+  def decodeVideoFrames(assets: Dataset[MediaAsset],
+                        everyN: Int = 30): Dataset[DecodedFrame] = {
+    import assets.sparkSession.implicits._
+    require(everyN > 0, "everyN must be positive")
+    assets.mapPartitions(_.flatMap { a =>
+      VideoCodec.decode(a.payload) match {
+        case Some(v) =>
+          (0 until v.frames.length by everyN).iterator.map { i =>
+            ImageCodec.decode(v.frames(i)) match {
+              case Some(img) => DecodedFrame(a.asset_id, decoded = true,
+                v.fps, v.frames.length.toLong, i.toLong,
+                img.getWidth, img.getHeight, ImageCodec.meanLuma(img))
+              case None => DecodedFrame(a.asset_id, decoded = true,
+                v.fps, v.frames.length.toLong, i.toLong, v.width,
+                v.height, -1.0)
+            }
+          }
+        case None => Iterator.single(DecodedFrame(a.asset_id,
+          decoded = false, 0.0, a.n_frames.toLong, 0L, a.width,
+          a.height, -1.0))
+      }
+    })
+  }
+
   def sampleFrames(assets: DataFrame, everyN: Int = 30): DataFrame = {
     require(everyN > 0, "everyN must be positive")
     val lastIdx = greatest(col("n_frames") - 1, lit(0)).cast("bigint")

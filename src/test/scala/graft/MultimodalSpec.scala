@@ -161,6 +161,78 @@ class MultimodalSpec extends SparkSpec {
       d => (d.asset_id, d.width, d.height, d.mean_luma)).toSet)
   }
 
+  test("real MJPEG-AVI video decode samples true frames; other codecs stay the declared stub") {
+    // the one JDK-reachable video pair (r16): a generated MJPEG AVI
+    // (RIFF walk + imageio JPEG per frame) decodes REAL frames with
+    // true dims/luma; anything else stays decoded=false. Fixture:
+    // 10 frames whose gray level encodes the frame index, so the
+    // sampled rows prove WHICH frames were decoded, not just counts.
+    import graft.multimodal.VideoCodec
+    def grayFrame(level: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(level, level, level))
+        g.fillRect(0, 0, 64, 48)
+      } finally g.dispose()
+      img
+    }
+    val avi = VideoCodec.encodeAviMjpeg(
+      (0 until 10).map(i => grayFrame(20 * i + 10)), fps = 5)
+    // codec-level round trip: container metadata + every frame
+    val dec = VideoCodec.decode(avi).get
+    assert(dec.width == 64 && dec.height == 48 && dec.frames.length == 10)
+    assert(math.abs(dec.fps - 5.0) < 1e-6, s"fps ${dec.fps}")
+    // claimed metadata deliberately wrong (1x1, 999 frames): only the
+    // real container walk can report truth
+    val fixture = Seq(
+      MediaAsset(1L, "video", avi, 1, 1, 0, 999),
+      MediaAsset(2L, "video", "not a video".getBytes("UTF-8"), 7, 9, 0, 42))
+      .toDS()
+    val out = Multimodal.decodeVideoFrames(fixture, everyN = 3)
+      .collect().groupBy(_.asset_id)
+    // everyN arithmetic on the TRUE frame list: ceil(10/3) = indices
+    // 0,3,6,9 — matching the sampleFrames plan's sequence(0, n-1, N)
+    val rows = out(1L).sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0L, 3L, 6L, 9L),
+      rows.mkString(","))
+    assert(rows.forall(r => r.decoded && r.n_frames == 10L &&
+      r.width == 64 && r.height == 48))
+    // gray level i*20+10: JPEG is lossy but flat fields hold within 2
+    rows.foreach(r => assert(
+      math.abs(r.mean_luma - (20 * r.frame_idx + 10)) < 2.0, r.toString))
+    // non-AVI payload: ONE stub row, claimed metadata passed through
+    val stub = out(2L)
+    assert(stub.length == 1 && !stub.head.decoded &&
+      stub.head.n_frames == 42L && stub.head.width == 7)
+    // deterministic under repartitioning
+    val again = Multimodal.decodeVideoFrames(fixture.repartition(3), everyN = 3)
+      .collect().map(r => (r.asset_id, r.frame_idx, r.width, r.mean_luma)).toSet
+    assert(again == (out(1L) ++ out(2L)).map(
+      r => (r.asset_id, r.frame_idx, r.width, r.mean_luma)).toSet)
+    // corrupt ONE frame's bytes in place: container still parses,
+    // the damaged frame reports luma -1, the rest decode
+    val broken = avi.clone()
+    val jpegStart = {
+      // find the first 00dc chunk's JPEG SOI marker and wreck it
+      var i = 12; var found = -1
+      while (found < 0 && i < broken.length - 4) {
+        if (broken(i) == '0' && broken(i + 1) == '0' &&
+            broken(i + 2) == 'd' && broken(i + 3) == 'c') found = i + 8
+        i += 1
+      }
+      found
+    }
+    assert(jpegStart > 0)
+    java.util.Arrays.fill(broken, jpegStart, jpegStart + 8, 0xAB.toByte)
+    val crk = Multimodal.decodeVideoFrames(
+      Seq(MediaAsset(3L, "video", broken, 1, 1, 0, 0)).toDS(), everyN = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(crk.forall(_.decoded) && crk.head.mean_luma == -1.0 &&
+      crk.drop(1).forall(_.mean_luma >= 0), crk.mkString(","))
+  }
+
   test("real resize executes the plan's dims on actual pixels and re-encodes") {
     // metadata dims set to the TRUE dims so resizePlan's arithmetic
     // and the pixel execution can be compared 1:1
