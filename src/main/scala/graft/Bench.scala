@@ -95,6 +95,40 @@ object Bench {
         "(a subset artifact at the default path would overwrite the " +
         "committed full-run one)")
 
+    // HOST CALIBRATION (r16): two fixed synthetic jobs — a pure
+    // CPU-bound fold over a constant range and a fixed-size shuffle —
+    // run (median of 3) before and after the query loop. They depend
+    // on nothing but the host, so cross-round per-query comparisons
+    // can divide out ambient host drift (r14→r15's "untouched
+    // queries +3.8x worst-attempt" was argued by hand; now the
+    // artifact carries the denominator). Pre AND post: drift that
+    // changes DURING the ~90 s run shows up as pre/post disagreement
+    // instead of silently skewing half the board.
+    def calibrate(): (Double, Double) = {
+      def med3(f: => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        ts.sorted.apply(1)
+      }
+      val cpu = med3 {
+        spark.range(0L, 400000000L, 1L, 32)
+          .selectExpr("sum(id * id) as s").collect()
+      }
+      val shuffle = med3 {
+        spark.range(0L, 4000000L, 1L, 32)
+          .selectExpr("id", "id % 9973 as k",
+            "concat('row-', cast(id as string)) as s")
+          .repartition(64, org.apache.spark.sql.functions.col("k"))
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.count("s"),
+            org.apache.spark.sql.functions.sum("id"))
+          .queryExecution.toRdd.count()
+      }
+      (cpu, shuffle)
+    }
+    val (calCpuPre, calShufPre) = calibrate()
+
     val metrics = new BenchMetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
@@ -173,10 +207,15 @@ object Bench {
     // that shift; the stamp makes the switch visible in the artifact
     // itself rather than only in prose.
     val methodology = "quiesce=unpersist+gc2+250ms (since r8)"
+    dropPersistedBlocks()
+    val (calCpuPost, calShufPost) = calibrate()
+    val calib = s"""{"cpu_pre":${r3(calCpuPre)},"shuffle_pre":${r3(
+      calShufPre)},"cpu_post":${r3(calCpuPost)},"shuffle_post":${r3(
+      calShufPost)}}"""
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val driverLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_note":"top-10 medians only; full map in detail artifact","runs":$runsPer,"failed":$failed,"sf":"$sfDir","detail":"$detailPath","methodology":"$methodology"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_note":"top-10 medians only; full map in detail artifact","runs":$runsPer,"failed":$failed,"calib":$calib,"sf":"$sfDir","detail":"$detailPath","methodology":"$methodology"}"""
     // Full-precision detail (cold + every attempt) is too large for the
     // harness's bounded output tail — persist it as a repo artifact.
     val detail = results.map { case (k, ts, stageJson) =>
@@ -185,7 +224,7 @@ object Bench {
         ",\"attempts\":" + attempts + ",\"stage\":" + stageJson + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"methodology":"$methodology","queries":$detail}"""
+      s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"calib":$calib,"methodology":"$methodology","queries":$detail}"""
     try {
       val w = new java.io.PrintWriter(detailPath)
       try w.println(detailJson) finally w.close()
