@@ -106,14 +106,18 @@ object Bench {
     // instead of silently skewing half the board.
     def calibrate(): (Double, Double) = {
       def med3(f: => Unit): Double = {
+        f // untimed warmup: JIT/codegen of the probe itself must not
+          // read as host drift in the pre-loop sample
         val ts = (1 to 3).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
         ts.sorted.apply(1)
       }
       val cpu = med3 {
+        // modulo keeps each term < 1e9 so the 4e8-term sum stays far
+        // inside a long (plain sum(id*id) overflows under ANSI mode)
         spark.range(0L, 400000000L, 1L, 32)
-          .selectExpr("sum(id * id) as s").collect()
+          .selectExpr("sum((id * id) % 1000000007) as s").collect()
       }
       val shuffle = med3 {
         spark.range(0L, 4000000L, 1L, 32)

@@ -271,6 +271,14 @@ object DedupQueries {
       Similarity.annRecallSampled(e, "vec_id", "embedding",
         Similarity.annLsh(e, "vec_id", "embedding"))
     }),
+    // the sampled audit against the IVF index — same distributed
+    // exact-truth side (probes broadcast, corpus unbounded), scoring
+    // the other stored index family
+    "ann_recall_sampled_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annRecallSampled(e, "vec_id", "embedding",
+        Similarity.annIvf(e, "vec_id", "embedding"))
+    }),
     // the same audit for the IVF index (inverted lists + nprobe)
     "ann_recall_ivf" -> ((s, d) => {
       val e = embs(s, d)
@@ -1077,6 +1085,7 @@ object DedupQueries {
     "ann_recall_lsh_multiprobe" -> annRecallSql(annLshMultiprobeSql),
     "ann_recall" -> annRecallSql(annLshSql),
     "ann_recall_sampled" -> annRecallSampledSql(annLshSql),
+    "ann_recall_sampled_ivf" -> annRecallSampledSql(annIvfSql),
     "ann_recall_ivf" -> annRecallSql(annIvfSql),
     "ann_ivf_topk" -> annIvfSql,
     "dedup_exact" ->
