@@ -124,9 +124,13 @@ final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
                                    path: String): Option[String] =
     inner.registrableLocation(spark, path)
 
+  /** Registers with the USER schema — the `__kbucket` layout column
+    * stays invisible to SQL clients (parquet reads columns by name,
+    * so the declared-schema scan simply never materializes it).
+    */
   override def registerTable(spark: SparkSession, path: String,
                              name: String): Unit =
-    inner.registerTable(spark, path, name)
+    inner.registerTableAs(spark, path, name, read(spark, path).schema)
 }
 
 object BucketedTableFormat {

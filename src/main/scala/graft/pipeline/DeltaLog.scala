@@ -1435,7 +1435,18 @@ object DeltaLogTableFormat extends TableFormat {
     * no skipping power a parquet reader can use.
     */
   override def registerTable(spark: SparkSession, path: String,
-                             name: String): Unit = {
+                             name: String): Unit =
+    registerTableAs(spark, path, name, read(spark, path).schema)
+
+  /** [[registerTable]] with a caller-declared schema — parquet reads
+    * columns by name, so a decorator that adds internal layout
+    * columns ([[BucketedTableFormat]]'s `__kbucket`) can register
+    * the USER schema and keep the layout invisible to SQL clients.
+    */
+  private[pipeline] def registerTableAs(spark: SparkSession, path: String,
+                                        name: String,
+                                        schema: org.apache.spark.sql.types
+                                          .StructType): Unit = {
     val qName = TableFormat.quoteIdent(name)
     def alreadyCompact: Option[String] = currentVersion(path)
       .flatMap(v => wholeSubdirLive(path, replayState(spark, path, v).live))
@@ -1462,7 +1473,7 @@ object DeltaLogTableFormat extends TableFormat {
       }
     }
     val escLoc = loc.replace("'", "''")
-    val schemaDdl = read(spark, path).schema.toDDL
+    val schemaDdl = schema.toDDL
     val opts =
       if (recursive) " OPTIONS (recursiveFileLookup 'true')" else ""
     spark.sql(s"DROP TABLE IF EXISTS $qName")

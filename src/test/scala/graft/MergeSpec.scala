@@ -376,6 +376,55 @@ class MergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $snapName")
   }
 
+  test("bucketed format: same seam contract, layout invisible, deleteMissing refused") {
+    // the key-hash-bucketed decorator behaves as any TableFormat at
+    // the seam: identical result sets to the other formats, scd2
+    // history through the same trait, the __kbucket layout column
+    // never visible via read/readVersion/registration, the stats-
+    // pruned delete, and the documented deleteMissing refusal
+    val fmt: TableFormat = graft.pipeline.BucketedTableFormat(buckets = 4)
+    val p = tmp()
+    fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord")
+    fmt.scd1Merge(spark, p, updates2, Seq("id"), "ord")
+    val sp = tmp()
+    SnapshotTableFormat.scd1Merge(spark, sp, updates1, Seq("id"), "ord")
+    SnapshotTableFormat.scd1Merge(spark, sp, updates2, Seq("id"), "ord")
+    assert(tableHash(fmt.read(spark, p)) ==
+      tableHash(SnapshotTableFormat.read(spark, sp)))
+    assert(!fmt.read(spark, p).columns.contains("__kbucket") &&
+      !fmt.readVersion(spark, p, 0).columns.contains("__kbucket"))
+    // one file per touched bucket per commit (the onePerTuple write)
+    val files0 = graft.pipeline.DeltaLogTableFormat
+      .readVersion(spark, p, 0).inputFiles.length
+    assert(files0 <= 4, s"v0 must hold at most one file per bucket: $files0")
+    // scd2 through the same trait equals the delta-log scd2
+    fmt.scd2Merge(spark, p + "_h", updates1, Seq("id"), "ord")
+    fmt.scd2Merge(spark, p + "_h", updates2, Seq("id"), "ord")
+    assert(fmt.read(spark, p + "_h")
+      .filter(col("is_current") === 1).count() == 4)
+    assert(!fmt.read(spark, p + "_h").columns.contains("__kbucket"))
+    // keyed delete routes through the stats-pruned path
+    fmt.deleteKeys(spark, p, Seq((2L, "x", 9)).toDF("id", "v", "ord")
+      .select("id"), Seq("id"))
+    assert(fmt.read(spark, p).filter(col("id") === 2L).count() == 0)
+    // registration exposes the USER schema — no layout column
+    val name = s"graft_reg_bkt_${System.nanoTime()}"
+    fmt.registerTable(spark, p, name)
+    assert(!spark.table(name).columns.contains("__kbucket"),
+      spark.table(name).columns.mkString(","))
+    assert(tableHash(spark.table(name)) == tableHash(fmt.read(spark, p)))
+    spark.sql(s"DROP TABLE `$name`")
+    // contract refusals: deleteMissing and the reserved column
+    intercept[IllegalArgumentException] {
+      fmt.scd1Merge(spark, p, updates1, Seq("id"), "ord",
+        deleteMissing = true)
+    }
+    intercept[IllegalArgumentException] {
+      fmt.scd1Merge(spark, p,
+        updates1.withColumn("__kbucket", lit(1)), Seq("id"), "ord")
+    }
+  }
+
   test("delta-log format: same seam contract, protocol-shaped log") {
     val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
     val p = tmp()
