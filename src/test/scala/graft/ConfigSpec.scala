@@ -108,6 +108,32 @@ class ConfigSpec extends SparkSpec {
     checkGold("after hard delete")
     assert(cfg.stateFormat.read(spark, cfg.goldPath)
       .filter(col("id") === 2L).count() == 0)
+    // appendOnly config path: a fresh insert-only pipeline through
+    // the cheaper no-delete walk + the member's append-only fast
+    // path, gold still equals batch after a second increment
+    val aoSilver = Files.createTempDirectory("graft_cfg_ao_silver").toString
+    val aoWork = Files.createTempDirectory("graft_cfg_ao").toString
+    val aoCfg = cfg.copy(appendOnly = true, silverPath = aoSilver,
+      checkpoint = s"$aoWork/ck", stateDir = s"$aoWork/state",
+      goldPath = s"$aoWork/gold")
+    sfmt.scd1Merge(spark, aoSilver, Seq(
+        (1L, dupText, 0), (2L, dupText, 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(IncrementalDedupJob.run(spark, aoCfg).nonEmpty)
+    sfmt.scd1Merge(spark, aoSilver,
+      Seq((5L, dupText, 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(IncrementalDedupJob.run(spark, aoCfg).nonEmpty)
+    val aoTruth = graft.operators.Dedup.minhashLshStats(
+      sfmt.read(spark, aoSilver).select("doc_id", "text"), "doc_id",
+      "text", n = 3, numPerm = 16, bands = 4, threshold = 0.5,
+      maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sortBy(_._1)
+    val aoGold = aoCfg.stateFormat.read(spark, aoCfg.goldPath)
+      .select(col("id"), col("n_near"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(aoGold == aoTruth, s"appendOnly: $aoGold vs $aoTruth")
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))
