@@ -130,19 +130,51 @@ object IncrementalDedupJob {
       }
     }
 
+    runFolds(spark, cfg, fold)
+  }
+
+  /** Control-table fleet runner — the incremental-dedup analogue of
+    * [[graft.pipeline.ConfigHandler.runAll]]: every enabled row's
+    * JSON block runs in sequence, one source's failure never stops
+    * the rest, and the per-source outcome (versions folded or the
+    * error) comes back for the caller's run log. This is the
+    * reference's whole operating model (one generic job + a config
+    * table; add a corpus by inserting a row) applied to near-dup
+    * state maintenance.
+    */
+  def runAll(spark: SparkSession,
+             configs: org.apache.spark.sql.DataFrame,
+             jsonCol: String = "config_json")
+      : Seq[(String, Either[Throwable, Seq[Int]])] = {
+    import org.apache.spark.sql.functions.col
+    val active =
+      if (configs.columns.contains("enabled")) configs.filter(col("enabled"))
+      else configs
+    active.select(col(jsonCol)).collect().toSeq.map { r =>
+      val json = r.getString(0)
+      try {
+        val cfg = graft.pipeline.ConfigHandler.parseIncrementalDedup(json)
+        s"${cfg.member}:${cfg.silverPath}" -> Right(run(spark, cfg))
+      } catch { case e: Throwable => s"<unparsed:${json.take(40)}>" -> Left(e) }
+    }
+  }
+
+  private def runFolds(spark: SparkSession, cfg: IncrementalDedupConfig,
+                       fold: (DataFrame, Option[DataFrame], Int, Boolean)
+                         => Unit): Seq[Int] = {
     if (cfg.appendOnly)
       // insert-only corpus: no delete accounting, no gold read —
       // the members' append-only fast path end to end
       MergeTableStream.processAvailable(spark, cfg.silverPath,
         cfg.checkpoint, cfg.silverFormat) { (chg, v) =>
-        fold(chg, dels = None, v, resync = false)
+        fold(chg, None, v, false)
       }
     else if (cfg.member == "resolve")
       // resolve maintains cluster labels from the change feed only
       // (no delete/fullResync contract on the member)
       MergeTableStream.processAvailable(spark, cfg.silverPath,
         cfg.checkpoint, cfg.silverFormat) { (chg, v) =>
-        fold(chg, dels = None, v, resync = false)
+        fold(chg, None, v, false)
       }
     else
       MergeTableStream.processAvailableWithDeletes(spark, cfg.silverPath,

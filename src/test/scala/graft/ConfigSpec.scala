@@ -153,6 +153,30 @@ class ConfigSpec extends SparkSpec {
           |"stateDir":"s","goldPath":"g","idCol":"i","contentCol":"t",
           |"stateFormat":"bucketed:abc"}""".stripMargin)
     }
+    // control-table fleet: a healthy config and a broken one — the
+    // failure is reported per-source and never stops the fleet
+    val fleetWork = Files.createTempDirectory("graft_cfg_fleet").toString
+    val goodJson =
+      s"""{"member": "exact", "silverPath": "$silver",
+         |"checkpoint": "$fleetWork/ck", "stateDir": "$fleetWork/state",
+         |"goldPath": "$fleetWork/gold", "idCol": "doc_id",
+         |"contentCol": "text", "silverFormat": "delta-log"}"""
+        .stripMargin.replace("\n", " ")
+    val control = Seq(
+      (goodJson, true),
+      ("""{"member": "fuzzy"}""", true),
+      ("""{"member": "never-runs"}""", false))
+      .toDF("config_json", "enabled")
+    val outcomes = IncrementalDedupJob.runAll(spark, control)
+    assert(outcomes.length == 2, "disabled rows never run")
+    val good = outcomes.find(_._1.startsWith("exact:")).get
+    val bad = outcomes.find(_._1.startsWith("<unparsed:")).get
+    assert(good._2.toOption.exists(_.nonEmpty),
+      s"healthy config must fold: $good")
+    assert(bad._2.isLeft, "broken config reports its error")
+    assert(IncrementalDedupJob.run(spark, ConfigHandler
+        .parseIncrementalDedup(goodJson)).isEmpty,
+      "caught-up fleet member folds nothing on re-run")
   }
 
   test("failOnDqViolation gates the write") {
