@@ -132,7 +132,8 @@ object ConfigHandler {
       appendOnly: Boolean = false,
       silverFormat: TableFormat = SnapshotTableFormat,
       stateFormat: TableFormat = SnapshotTableFormat,
-      params: Map[String, String] = Map.empty)
+      params: Map[String, String] = Map.empty,
+      retainVersions: Option[Int] = None)
 
   private[graft] def formatOf(name: Option[String], at: String,
                               allowBucketed: Boolean = false): TableFormat =
@@ -169,7 +170,20 @@ object ConfigHandler {
       stateFormat = formatOf(opt(root, "stateFormat").map(_.asText),
         "$.stateFormat", allowBucketed = true),
       params = opt(root, "params").map(p => strMap(p).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      // without retention the state/gold dirs keep every fold's
+      // superseded files forever — at daily folds over 100 TB state
+      // that is the next disk-space killer; opt-in because vacuuming
+      // gold truncates how far behind a downstream feed consumer may
+      // lag before it degrades to a full-snapshot re-delivery
+      retainVersions = opt(root, "retainVersions").map(_.asInt)) match {
+      case c =>
+        c.retainVersions.foreach(k => if (k < 2)
+          throw new ConfigError("$.retainVersions",
+            s"must keep >= 2 versions (crash replay needs the previous " +
+              s"commit), got $k"))
+        c
+    }
   }
 
   def loadIncrementalDedup(path: String): IncrementalDedupConfig =

@@ -130,7 +130,32 @@ object IncrementalDedupJob {
       }
     }
 
-    runFolds(spark, cfg, fold)
+    val folded = runFolds(spark, cfg, fold)
+    // opt-in retention: drop state/gold versions past the window so
+    // per-fold superseded files don't accumulate forever (the members
+    // themselves never vacuum — a library call can't know the job's
+    // downstream-lag tolerance; the config can declare it)
+    cfg.retainVersions.foreach { keep =>
+      if (folded.nonEmpty) vacuumAll(cfg.stateFormat, cfg.stateDir,
+        cfg.goldPath, keep)
+    }
+    folded
+  }
+
+  private def vacuumAll(fmt: graft.pipeline.TableFormat, stateDir: String,
+                        goldPath: String, keep: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    def tryVacuum(p: String): Unit =
+      if (fmt.exists(p)) { fmt.vacuum(p, keep); () }
+    // single-table members use stateDir AS the table; multi-table
+    // members nest docs/groups/bands (etc.) one level below it
+    tryVacuum(stateDir)
+    val d = java.nio.file.Paths.get(stateDir)
+    if (java.nio.file.Files.isDirectory(d))
+      scala.util.Using.resource(java.nio.file.Files.list(d))(
+        _.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+          .foreach(c => tryVacuum(c.toString)))
+    tryVacuum(goldPath)
   }
 
   /** Control-table fleet runner — the incremental-dedup analogue of

@@ -69,7 +69,8 @@ class ConfigSpec extends SparkSpec {
          |  "silverFormat": "delta-log",
          |  "stateFormat": "bucketed:8",
          |  "params": {"n": "3", "numPerm": "16", "bands": "4",
-         |             "threshold": "0.5", "maxBucket": "10"}
+         |             "threshold": "0.5", "maxBucket": "10"},
+         |  "retainVersions": 2
          |}""".stripMargin)
     assert(cfg.stateFormat == graft.pipeline.BucketedTableFormat(8))
     val sfmt = graft.pipeline.DeltaLogTableFormat
@@ -108,6 +109,26 @@ class ConfigSpec extends SparkSpec {
     checkGold("after hard delete")
     assert(cfg.stateFormat.read(spark, cfg.goldPath)
       .filter(col("id") === 2L).count() == 0)
+    // retainVersions: after three folded versions the state/gold dirs
+    // hold only the configured window (every fold's superseded files
+    // would otherwise accumulate forever)
+    for (t <- Seq(s"${cfg.stateDir}/docs", s"${cfg.stateDir}/groups",
+        s"${cfg.stateDir}/bands", cfg.goldPath)) {
+      // the delta-log never truncates its LOG: retention is visible
+      // as readable (data-complete) versions, not logged ones
+      val readable = cfg.stateFormat.readableVersions(spark, t)
+      assert(readable.isEmpty || readable.length <= 2,
+        s"$t must retain <= 2 readable versions, has ${readable.mkString(",")}")
+    }
+    assert(cfg.stateFormat.versions(s"${cfg.stateDir}/docs").length >
+      cfg.stateFormat.readableVersions(spark, s"${cfg.stateDir}/docs").length,
+      "vacuum must actually have dropped an old docs version")
+    intercept[ConfigHandler.ConfigError] {
+      ConfigHandler.parseIncrementalDedup(
+        """{"member":"minhash","silverPath":"x","checkpoint":"c",
+          |"stateDir":"s","goldPath":"g","idCol":"i","contentCol":"t",
+          |"retainVersions": 1}""".stripMargin)
+    }
     // appendOnly config path: a fresh insert-only pipeline through
     // the cheaper no-delete walk + the member's append-only fast
     // path, gold still equals batch after a second increment
