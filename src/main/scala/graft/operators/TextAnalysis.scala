@@ -267,6 +267,71 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reference-corpus bigram FAMILIARITY — the CCNet-style LM
+    * quality gate (score each document by how probable its text is
+    * under a language model trained on a trusted reference corpus;
+    * Wenzek et al. 2020, public) re-expressed cross-engine exact.
+    * The classic form sums log-probabilities, but transcendental
+    * logs are not correctly rounded across engines (the same reason
+    * text_diversity ships Gini–Simpson instead of Shannon), so the
+    * score is the equivalent RATIONAL aggregate of the add-one-
+    * smoothed bigram model: per document,
+    *
+    *   familiarity = (Σ c(w₁w₂) + n) / (Σ c(w₁) + n·V)
+    *
+    * over its n bigrams — exact BIGINT sums (order-free, shuffle-
+    * safe) and ONE IEEE division, always in (0, 1] (c(w₁w₂) ≤ c(w₁)
+    * per term and 1 ≤ V), higher = more in-distribution, monotone in
+    * the same per-bigram smoothed ratios the log form sums. Unseen
+    * bigrams/words contribute only smoothing mass, so OOV text
+    * scores near 1/V.
+    *
+    * Scale shape: two reference passes (unigram + bigram counts,
+    * map-side combinable to vocabulary size), the corpus's exploded
+    * bigrams joined against the model (plain hash joins — AQE
+    * broadcasts a pruned/small model by itself), integer per-doc
+    * re-aggregation, the vocabulary size attached by the one-row
+    * constant-key broadcast (the q15 pmod shape — never a cartesian).
+    * Tokenization matches [[collocationsTopK]]/wordNgrams: split on
+    * one space, empty tokens count.
+    *
+    * Output: (id, n_bigrams, n_known, sum_big, sum_uni, familiarity)
+    * — one row per input row; 0-bigram docs (≤1 word, null text)
+    * carry zero counts and a NULL score.
+    */
+  def lmFamiliarity(df: DataFrame, idCol: String, textCol: String,
+                    refFilter: Column): DataFrame = {
+    val ref = df.filter(refFilter)
+    val uni = ref.select(explode_outer(split(col(textCol), " ")).as("_w1"))
+      .filter(col("_w1").isNotNull)
+      .groupBy("_w1").agg(count(lit(1)).as("cu"))
+    val big = ref.select(explode_outer(
+        graft.functions.HashFunctions.wordNgrams(col(textCol), 2)).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val vsize = uni.agg(count(lit(1)).as("_v"))
+      .withColumn("_k", pmod(col("_v"), lit(1)).cast("int"))
+    val docBi = df.select(col(idCol), explode_outer(
+      graft.functions.HashFunctions.wordNgrams(col(textCol), 2)).as("bigram"))
+    docBi
+      .withColumn("_w1", split(col("bigram"), " ").getItem(0))
+      .join(big, Seq("bigram"), "left")
+      .join(uni, Seq("_w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("bigram")).as("n_bigrams"),
+        sum(when(col("cb").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(coalesce(col("cb"), lit(0L))).as("sum_big"),
+        sum(coalesce(col("cu"), lit(0L))).as("sum_uni"))
+      .withColumn("_k", pmod(col("n_bigrams"), lit(1)).cast("int"))
+      .join(broadcast(vsize), Seq("_k"))
+      .select(col(idCol), col("n_bigrams"), col("n_known"),
+        col("sum_big"), col("sum_uni"),
+        when(col("n_bigrams") === 0L, lit(null).cast("double"))
+          .otherwise((col("sum_big") + col("n_bigrams")).cast("double") /
+            (col("sum_uni") + col("n_bigrams") * col("_v")).cast("double"))
+          .as("familiarity"))
+  }
+
   /** Corpus vocabulary summary in one pass over the word-count
     * frame: vocabulary size, total tokens, hapax legomena (words
     * seen once — the classic crawl-noise signal: OCR junk and

@@ -138,6 +138,14 @@ object TextQueries {
   def textVocabStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabStats(docs(spark, dir), "text")
 
+  /** CCNet-style reference-LM familiarity: src0 documents play the
+    * trusted reference corpus (the decontaminate convention), every
+    * document scores against its add-one-smoothed bigram model.
+    */
+  def textLmFamiliarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmFamiliarity(docs(spark, dir), "doc_id", "text",
+      col("source") === "src0")
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -195,7 +203,8 @@ object TextQueries {
     "text_rarity" -> (textRarity _),
     "text_word_counts" -> (textWordCounts _),
     "text_collocations" -> (textCollocations _),
-    "text_vocab_stats" -> (textVocabStats _))
+    "text_vocab_stats" -> (textVocabStats _),
+    "text_lm_familiarity" -> (textLmFamiliarity _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -246,6 +255,52 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_rate,
         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS type_token_ratio
         |FROM wc""".stripMargin,
+    // same src0 reference model; exact BIGINT sums per doc, one IEEE
+    // division. Tokenization = the collocations convention (split on
+    // one space, empty tokens count, no length filter)
+    "text_lm_familiarity" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS words
+        |  FROM documents),
+        |ref AS (SELECT words FROM w WHERE source = 'src0'),
+        |uni AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(words) AS word FROM ref) GROUP BY word),
+        |big AS (
+        |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM (
+        |    SELECT unnest(list_transform(
+        |      range(1, greatest(len(words) - 1, 0) + 1),
+        |      i -> words[i] || ' ' || words[i+1])) AS bigram
+        |    FROM ref)
+        |  GROUP BY bigram),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM uni),
+        |db AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(words) - 1, 0) + 1),
+        |    i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM w),
+        |per AS (
+        |  SELECT db.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN big.cb IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_known,
+        |    CAST(SUM(COALESCE(big.cb, 0)) AS BIGINT) AS sum_big,
+        |    CAST(SUM(COALESCE(uni.cu, 0)) AS BIGINT) AS sum_uni
+        |  FROM db
+        |  LEFT JOIN big ON big.bigram = db.bigram
+        |  LEFT JOIN uni ON uni.word = string_split(db.bigram, ' ')[1]
+        |  GROUP BY db.doc_id)
+        |SELECT w.doc_id,
+        |  CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(per.n_known, 0) AS BIGINT) AS n_known,
+        |  CAST(COALESCE(per.sum_big, 0) AS BIGINT) AS sum_big,
+        |  CAST(COALESCE(per.sum_uni, 0) AS BIGINT) AS sum_uni,
+        |  CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN NULL
+        |    ELSE CAST(per.sum_big + per.n_bigrams AS DOUBLE)
+        |      / CAST(per.sum_uni + per.n_bigrams * v.vv AS DOUBLE)
+        |  END AS familiarity
+        |FROM w LEFT JOIN per ON per.doc_id = w.doc_id CROSS JOIN v""".stripMargin,
     // the in-row fold counts exactly what a per-doc group-by counts
     "text_word_counts" ->
       """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n

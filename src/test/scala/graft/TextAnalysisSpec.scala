@@ -470,4 +470,47 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 3L, 1.0 - 3.0 / 9),
       (3L, 3L, 1.0 - 5.0 / 9)), out.toString)
   }
+
+  test("lm familiarity: exact smoothed bigram ratios against a reference corpus") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    // reference (ref=true): "a b", "a b c" -> unigrams a:2 b:2 c:1
+    // (V=3), bigrams "a b":2, "b c":1
+    val df = Seq(
+      (1L, "a b", true),      // bigrams: "a b"(cb 2, cu(a) 2)
+      (2L, "a b c", true),    // "a b"(2,2), "b c"(1,2)
+      (3L, "a b x", false),   // "a b"(2,2), "b x"(0,2)
+      (4L, "z z", false),     // "z z"(0,0)
+      (5L, "solo", false),    // no bigrams
+      (6L, null.asInstanceOf[String], false))
+      .toDF("doc_id", "text", "is_ref")
+    val out = TextAnalysis.lmFamiliarity(df, "doc_id", "text", col("is_ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    val V = 3L
+    def fam(sumBig: Long, sumUni: Long, n: Long): Option[Double] =
+      if (n == 0) None
+      else Some((sumBig + n).toDouble / (sumUni + n * V).toDouble)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 2L, 2L, fam(2, 2, 1)),
+      (2L, 2L, 2L, 3L, 4L, fam(3, 4, 2)),
+      (3L, 2L, 1L, 2L, 4L, fam(2, 4, 2)),
+      (4L, 1L, 0L, 0L, 0L, fam(0, 0, 1)),
+      (5L, 0L, 0L, 0L, 0L, None),
+      (6L, 0L, 0L, 0L, 0L, None)), out.mkString(","))
+    // score is a probability-mass ratio: always in (0, 1], and the
+    // fully in-distribution doc outscores the OOV one
+    val scores = out.flatMap(_._6)
+    assert(scores.forall(s => s > 0.0 && s <= 1.0), scores.mkString(","))
+    assert(out(0)._6.get > out(3)._6.get, "in-distribution > OOV")
+    // deterministic under repartitioning (integer sums, one division)
+    val again = TextAnalysis.lmFamiliarity(df.repartition(5), "doc_id",
+        "text", col("is_ref"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(5)).map(d => java.lang.Double.doubleToLongBits(
+          d.asInstanceOf[Double])))).sortBy(_._1)
+    assert(again.sameElements(out.map(t =>
+      (t._1, t._6.map(java.lang.Double.doubleToLongBits)))))
+  }
 }
