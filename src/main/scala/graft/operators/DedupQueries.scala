@@ -308,6 +308,22 @@ object DedupQueries {
     "corpus_curate" -> ((s, d) =>
       Curation.curate(docs(s, d), "doc_id", "text",
         col("source") === "src0", Seq("source", "lang"))),
+    // curation with the CCNet-style LM pre-gate composed in front:
+    // non-reference docs below familiarity 0.031 (vs the src0 bigram
+    // model) drop BEFORE the quality/dedup/decontamination pipeline;
+    // reference docs pass through untouched (they must stay visible
+    // to curate's decontamination side)
+    "corpus_curate_lm" -> ((s, d) => {
+      val all = docs(s, d)
+      val pass = TextAnalysis.lmFamiliarity(all, "doc_id", "text",
+          col("source") === "src0")
+        .filter(col("familiarity") >= 0.031).select(col("doc_id"))
+      val gated = all.filter(col("source") === "src0").unionByName(
+        all.filter(col("source") =!= "src0")
+          .join(pass, Seq("doc_id"), "left_semi"))
+      Curation.curate(gated, "doc_id", "text",
+        col("source") === "src0", Seq("source", "lang"))
+    }),
     // benchmark decontamination: docs from src0 play the eval set,
     // everything else is the training corpus; n=13 exact overlap
     "dedup_decontaminate" -> ((s, d) => {
@@ -658,15 +674,22 @@ object DedupQueries {
     * exact dedup, and 13-gram decontamination with the same fragments
     * the standalone oracles use, then rolls up.
     */
-  private val corpusCurateSql: String = {
+  private val corpusCurateSql: String = corpusCurateSqlFrom("documents")
+
+  /** [[corpusCurateSql]] parameterized over the source relation so a
+    * pre-gate (the LM familiarity composition) can replace the raw
+    * table. Emits the CTE LIST + final select WITHOUT the leading
+    * `WITH` keyword so callers can prepend their own CTEs.
+    */
+  private def corpusCurateCtesFrom(rel: String): String = {
     // 30-char decontamination grams (~5 words): the verbatim-leak
     // scale, vs the 13-char overlap COUNTER in dedup_decontaminate
     def shingles30(where: String) =
       s"""SELECT doc_id, unnest(list_distinct(list_transform(
          |    range(1, greatest(length(text) - 29, 1) + 1),
          |    pos -> substr(text, CAST(pos AS INT), 30)))) AS sh
-         |  FROM documents WHERE $where""".stripMargin
-    s"""WITH m AS (
+         |  FROM $rel WHERE $where""".stripMargin
+    s"""m AS (
        |  SELECT doc_id, source, lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -676,7 +699,7 @@ object DedupQueries {
        |      w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS BIGINT) AS top_cnt,
        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est,
        |    md5(text) AS h
-       |  FROM documents
+       |  FROM $rel
        |  WHERE source != 'src0'),
        |g AS (
        |  SELECT * FROM m
@@ -697,6 +720,9 @@ object DedupQueries {
        |  CAST(SUM(est) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
        |FROM clean GROUP BY source, lang""".stripMargin
   }
+
+  private def corpusCurateSqlFrom(rel: String): String =
+    s"WITH ${corpusCurateCtesFrom(rel)}"
 
   private val crossCorpusSql: String =
     s"""WITH ${minhashSigCtes()},
@@ -1044,6 +1070,16 @@ object DedupQueries {
     "embedding_kmeans_centroids" -> kmeansCentroidsSql(8, 2),
     "embedding_quantize" -> embeddingQuantizeSql,
     "corpus_curate" -> corpusCurateSql,
+    // the LM familiarity CTEs (shared with text_lm_familiarity) feed
+    // a gated relation into the SAME curate CTE list
+    "corpus_curate_lm" ->
+      s"""WITH ${TextQueries.lmFamiliarityCtes},
+         |gated AS (
+         |  SELECT d.* FROM documents d
+         |  WHERE d.source = 'src0'
+         |     OR d.doc_id IN (
+         |       SELECT doc_id FROM fam WHERE familiarity >= 0.031)),
+         |${corpusCurateCtesFrom("gated")}""".stripMargin,
     "dedup_decontaminate" -> decontaminateSql,
     // the Bloom path promises bit-identical output; same oracle
     "dedup_decontaminate_bloom" -> decontaminateSql,

@@ -213,6 +213,56 @@ object TextQueries {
   private def score(ws: Seq[String]): String =
     ws.map(w => occ("text", w)).mkString(" + ")
 
+  /** CTE list (no leading WITH) ending in `fam(doc_id, n_bigrams,
+    * n_known, sum_big, sum_uni, familiarity)` — the reference-LM
+    * familiarity model over `documents` with src0 as the reference.
+    * Shared with DedupQueries' curate-with-LM-gate composition.
+    */
+  private[operators] val lmFamiliarityCtes: String =
+    """w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS words
+      |  FROM documents),
+      |ref AS (SELECT words FROM w WHERE source = 'src0'),
+      |uni AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cu
+      |  FROM (SELECT unnest(words) AS word FROM ref) GROUP BY word),
+      |big AS (
+      |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM (
+      |    SELECT unnest(list_transform(
+      |      range(1, greatest(len(words) - 1, 0) + 1),
+      |      i -> words[i] || ' ' || words[i+1])) AS bigram
+      |    FROM ref)
+      |  GROUP BY bigram),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM uni),
+      |db AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(words) - 1, 0) + 1),
+      |    i -> words[i] || ' ' || words[i+1])) AS bigram
+      |  FROM w),
+      |lmper AS (
+      |  SELECT db.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN big.cb IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_known,
+      |    CAST(SUM(COALESCE(big.cb, 0)) AS BIGINT) AS sum_big,
+      |    CAST(SUM(COALESCE(uni.cu, 0)) AS BIGINT) AS sum_uni
+      |  FROM db
+      |  LEFT JOIN big ON big.bigram = db.bigram
+      |  LEFT JOIN uni ON uni.word = string_split(db.bigram, ' ')[1]
+      |  GROUP BY db.doc_id),
+      |fam AS (
+      |  SELECT w.doc_id,
+      |    CAST(COALESCE(lmper.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(COALESCE(lmper.n_known, 0) AS BIGINT) AS n_known,
+      |    CAST(COALESCE(lmper.sum_big, 0) AS BIGINT) AS sum_big,
+      |    CAST(COALESCE(lmper.sum_uni, 0) AS BIGINT) AS sum_uni,
+      |    CASE WHEN COALESCE(lmper.n_bigrams, 0) = 0 THEN NULL
+      |      ELSE CAST(lmper.sum_big + lmper.n_bigrams AS DOUBLE)
+      |        / CAST(lmper.sum_uni + lmper.n_bigrams * v.vv AS DOUBLE)
+      |    END AS familiarity
+      |  FROM w LEFT JOIN lmper ON lmper.doc_id = w.doc_id CROSS JOIN v)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same single-space tokenization as the n-gram kernel (empty
     // tokens count); lift = two double multiplies and one divide in
@@ -259,48 +309,9 @@ object TextQueries {
     // division. Tokenization = the collocations convention (split on
     // one space, empty tokens count, no length filter)
     "text_lm_familiarity" ->
-      """WITH w AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS words
-        |  FROM documents),
-        |ref AS (SELECT words FROM w WHERE source = 'src0'),
-        |uni AS (
-        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cu
-        |  FROM (SELECT unnest(words) AS word FROM ref) GROUP BY word),
-        |big AS (
-        |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cb
-        |  FROM (
-        |    SELECT unnest(list_transform(
-        |      range(1, greatest(len(words) - 1, 0) + 1),
-        |      i -> words[i] || ' ' || words[i+1])) AS bigram
-        |    FROM ref)
-        |  GROUP BY bigram),
-        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM uni),
-        |db AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(words) - 1, 0) + 1),
-        |    i -> words[i] || ' ' || words[i+1])) AS bigram
-        |  FROM w),
-        |per AS (
-        |  SELECT db.doc_id,
-        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |    CAST(SUM(CASE WHEN big.cb IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_known,
-        |    CAST(SUM(COALESCE(big.cb, 0)) AS BIGINT) AS sum_big,
-        |    CAST(SUM(COALESCE(uni.cu, 0)) AS BIGINT) AS sum_uni
-        |  FROM db
-        |  LEFT JOIN big ON big.bigram = db.bigram
-        |  LEFT JOIN uni ON uni.word = string_split(db.bigram, ' ')[1]
-        |  GROUP BY db.doc_id)
-        |SELECT w.doc_id,
-        |  CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(COALESCE(per.n_known, 0) AS BIGINT) AS n_known,
-        |  CAST(COALESCE(per.sum_big, 0) AS BIGINT) AS sum_big,
-        |  CAST(COALESCE(per.sum_uni, 0) AS BIGINT) AS sum_uni,
-        |  CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN NULL
-        |    ELSE CAST(per.sum_big + per.n_bigrams AS DOUBLE)
-        |      / CAST(per.sum_uni + per.n_bigrams * v.vv AS DOUBLE)
-        |  END AS familiarity
-        |FROM w LEFT JOIN per ON per.doc_id = w.doc_id CROSS JOIN v""".stripMargin,
+      s"""WITH $lmFamiliarityCtes
+        |SELECT doc_id, n_bigrams, n_known, sum_big, sum_uni, familiarity
+        |FROM fam""".stripMargin,
     // the in-row fold counts exactly what a per-doc group-by counts
     "text_word_counts" ->
       """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
