@@ -301,7 +301,17 @@ object TextAnalysis {
     */
   def lmFamiliarity(df: DataFrame, idCol: String, textCol: String,
                     refFilter: Column): DataFrame = {
-    val ref = df.filter(refFilter)
+    val (uni, big) = lmModel(df.filter(refFilter), textCol)
+    lmScore(df, idCol, textCol, uni, big)
+  }
+
+  /** The reference bigram model: (unigram counts `(_w1, cu)`,
+    * bigram counts `(bigram, cb)`) — the trainable state the
+    * incremental member persists and [[lmFamiliarity]] derives
+    * inline.
+    */
+  private[operators] def lmModel(ref: DataFrame,
+                                 textCol: String): (DataFrame, DataFrame) = {
     val uni = ref.select(explode_outer(split(col(textCol), " ")).as("_w1"))
       .filter(col("_w1").isNotNull)
       .groupBy("_w1").agg(count(lit(1)).as("cu"))
@@ -309,6 +319,16 @@ object TextAnalysis {
         graft.functions.HashFunctions.wordNgrams(col(textCol), 2)).as("bigram"))
       .filter(col("bigram").isNotNull)
       .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    (uni, big)
+  }
+
+  /** Score `df` against a (uni, big) model — ONE implementation for
+    * the batch operator and the incremental member, so their scores
+    * cannot drift by a bit.
+    */
+  private[operators] def lmScore(df: DataFrame, idCol: String,
+                                 textCol: String, uni: DataFrame,
+                                 big: DataFrame): DataFrame = {
     val vsize = uni.agg(count(lit(1)).as("_v"))
       .withColumn("_k", pmod(col("_v"), lit(1)).cast("int"))
     val docBi = df.select(col(idCol), explode_outer(
@@ -330,6 +350,76 @@ object TextAnalysis {
           .otherwise((col("sum_big") + col("n_bigrams")).cast("double") /
             (col("sum_uni") + col("n_bigrams") * col("_v")).cast("double"))
           .as("familiarity"))
+  }
+
+  /** Incremental [[lmFamiliarity]] — the FROZEN-EPOCH member of the
+    * incremental family (SURVEY.md §2 #35c streaming twin), and its
+    * simplest: the model is trained ONCE from the FIRST fold's
+    * reference rows (exists-guarded — idempotent at window
+    * granularity, the same epoch contract as annIvfIncremental's
+    * centroids) and never updated, so per-doc scores are INDEPENDENT
+    * — no cross-doc staleness exists by construction. Each fold
+    * scores only its batch (O(batch · model) work), merges into gold
+    * keyed by id, retracts update-to-null rows, folds the hard-delete
+    * feed, and reconciles gold against a `fullResync` snapshot.
+    * Reference rows arriving in LATER folds are scored like any doc
+    * but do NOT change the model — the documented epoch semantics
+    * (retraining is a new state dir), spec-pinned.
+    *
+    * Gold rows: (id, n_bigrams, n_known, sum_big, sum_uni,
+    * familiarity, _ord) — score columns bit-identical to the batch
+    * operator against the same frozen reference (shared [[lmScore]]).
+    */
+  def lmFamiliarityIncremental(spark: SparkSession, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               stateDir: String, goldPath: String,
+                               batchOrd: Long, refFilter: Column,
+                               deletes: Option[DataFrame] = None,
+                               fullResync: Boolean = false,
+                               appendOnly: Boolean = false,
+                               fmt: graft.pipeline.TableFormat =
+                                 graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val uniPath = s"$stateDir/uni"
+    val bigPath = s"$stateDir/big"
+    val batchAll = graft.Materialize.eager(Dedup.oneRowPerId(
+      batch.select(col(idCol).as("id"), col(textCol).as("text"),
+        refFilter.as("_ref")), "id", Seq("text", "_ref")))
+    if (!fmt.exists(uniPath)) {
+      // epoch training: the first fold that carries reference rows
+      // freezes the model; folds before that have nothing to score
+      // against and return (their docs re-score via fullResync or
+      // re-delivery once the model exists)
+      val refDocs = batchAll.filter(col("_ref") && col("text").isNotNull)
+      if (refDocs.isEmpty) return
+      val (uni, big) = lmModel(refDocs, "text")
+      fmt.scd1Merge(spark, uniPath,
+        uni.withColumn("_ord", lit(batchOrd)), Seq("_w1"), "_ord",
+        compareExclude = Nil)
+      fmt.scd1Merge(spark, bigPath,
+        big.withColumn("_ord", lit(batchOrd)), Seq("bigram"), "_ord",
+        compareExclude = Nil)
+    }
+    val uni = fmt.read(spark, uniPath).select(col("_w1"), col("cu"))
+    val big = fmt.read(spark, bigPath).select(col("bigram"), col("cb"))
+    val scores = lmScore(batchAll.filter(col("text").isNotNull)
+        .select(col("id"), col("text")), "id", "text", uni, big)
+      .withColumn("_ord", lit(batchOrd))
+    if (!scores.isEmpty)
+      fmt.scd1Merge(spark, goldPath, scores, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (!appendOnly) {
+      val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
+        fullResync, goldPath, batchAll.select(col("id")), fmt)
+      val drops = graft.Materialize.eager(
+        delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+          _.unionByName(batchAll.filter(col("text").isNull)
+            .select(col("id")))).distinct())
+      if (fmt.exists(goldPath) && !drops.isEmpty)
+        fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    }
   }
 
   /** Corpus vocabulary summary in one pass over the word-count

@@ -42,7 +42,8 @@ object IncrementalDedupJob {
       "minBands"),
     "segment" -> Set("segWords", "minDocs"),
     "embedding" -> Set("threshold", "planes", "seed", "maxBucket"),
-    "ivf" -> Set("k", "nlist", "nprobe"))
+    "ivf" -> Set("k", "nlist", "nprobe"),
+    "lmfamiliarity" -> Set("refWhere"))
 
   /** Walk every unprocessed silver version through the configured
     * member. Returns the versions folded this call (empty = caught
@@ -63,6 +64,10 @@ object IncrementalDedupJob {
     require(cfg.member != "embedding" || cfg.params.contains("planes"),
       "the embedding member requires explicit 'planes' (state needs ONE " +
         "fixed plane count across every batch)")
+    require(cfg.member != "lmfamiliarity" || cfg.params.contains("refWhere"),
+      "the lmfamiliarity member requires 'refWhere' (a SQL predicate over " +
+        "the silver row naming the reference corpus, e.g. " +
+        "\"source = 'src0'\")")
 
     val p = cfg.params
     def int(k: String, d: Int): Int = p.get(k).map(_.toInt).getOrElse(d)
@@ -74,6 +79,14 @@ object IncrementalDedupJob {
       val batch = chg.select(col(cfg.idCol), col(cfg.contentCol))
       val ord = v.toLong
       cfg.member match {
+        case "lmfamiliarity" =>
+          // refWhere evaluates over the FULL silver row, so this
+          // member receives the unprojected change batch
+          TextAnalysis.lmFamiliarityIncremental(spark, chg,
+            cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+            org.apache.spark.sql.functions.expr(p("refWhere")),
+            deletes = dels, fullResync = resync,
+            appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
         case "exact" => Dedup.exactDedupIncremental(spark, batch,
           cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
           deletes = dels, fullResync = resync, appendOnly = cfg.appendOnly,

@@ -155,6 +155,24 @@ class ConfigSpec extends SparkSpec {
       .select(col("id"), col("n_near"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(aoGold == aoTruth, s"appendOnly: $aoGold vs $aoTruth")
+    // the lmfamiliarity member dispatches through the runner (its
+    // exactness contract is pinned in StreamingSpec): refWhere
+    // evaluates over the full silver row, the frozen-epoch model
+    // folds every version, deleted docs leave gold
+    val lmWork = Files.createTempDirectory("graft_cfg_lm").toString
+    val lmCfg = cfg.copy(member = "lmfamiliarity",
+      checkpoint = s"$lmWork/ck", stateDir = s"$lmWork/state",
+      goldPath = s"$lmWork/gold",
+      params = Map("refWhere" -> "doc_id <= 2"))
+    assert(IncrementalDedupJob.run(spark, lmCfg).nonEmpty)
+    val lmGold = lmCfg.stateFormat.read(spark, lmCfg.goldPath)
+    assert(lmGold.filter(col("id") === 2L).count() == 0,
+      "hard-deleted doc must leave lm gold")
+    assert(lmGold.filter(col("familiarity").isNotNull).count() ==
+      sfmt.read(spark, silver).filter(col("text").isNotNull).count())
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, lmCfg.copy(params = Map.empty))
+    }
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

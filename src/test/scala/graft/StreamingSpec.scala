@@ -1683,6 +1683,91 @@ class StreamingSpec extends SparkSpec {
       "doc 5 must lose its nulled partner")
   }
 
+  test("incremental LM familiarity: frozen-epoch model, gold equals batch, retracts, replays, deletes") {
+    // the 10th incremental member (r16): reference-LM familiarity
+    // with the FROZEN-EPOCH contract — the model trains once from
+    // the first fold's reference rows (the IVF-centroid epoch
+    // pattern) and per-doc scores are independent thereafter. Pins:
+    // (a) gold equals the batch operator against the SAME frozen
+    // reference after every fold; (b) a reference doc arriving LATER
+    // scores like any doc but does NOT change the model (documented
+    // epoch divergence from a retrained batch op); (c) update
+    // re-scores, update-to-null retracts, hard delete removes;
+    // (d) crash replay (same batch, same ord) converges.
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val work = Files.createTempDirectory("graft_lm_inc").toString
+    val stateDir = s"$work/state"
+    val gold = s"$work/gold"
+    var live = Map.empty[Long, (String, Boolean)] // id -> (text, isRef)
+    val epochRef = Seq((1L, "a b c a b"), (2L, "a b d"))
+    def foldBatch(ord: Long, dels: Seq[Long],
+                  rows: (Long, String, Boolean)*): Unit = {
+      live ++= rows.map(r => r._1 -> (r._2, r._3)).toMap
+      live --= dels
+      TextAnalysis.lmFamiliarityIncremental(spark,
+        rows.toSeq.toDF("doc_id", "text", "is_ref"), "doc_id", "text",
+        stateDir, gold, batchOrd = ord, refFilter = col("is_ref"),
+        deletes = if (dels.isEmpty) None else Some(dels.toDF("doc_id")),
+        fmt = fmt)
+    }
+    def checkGoldEqualsBatch(label: String): Unit = {
+      // batch truth: the public operator over the LIVE corpus with
+      // ref flags pinned to the EPOCH membership (ids 1,2 — never
+      // the current is_ref flags, which fold 3 extends)
+      val epochIds = epochRef.map(_._1).toSet
+      val truthDf = live.toSeq.map { case (id, (t, _)) =>
+        (id, t, epochIds.contains(id)) }.toDF("doc_id", "text", "is_ref")
+      val truth = TextAnalysis.lmFamiliarity(
+          truthDf.filter(col("text").isNotNull), "doc_id", "text",
+          col("is_ref"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(d => java.lang.Double.doubleToLongBits(
+            d.asInstanceOf[Double])))).sortBy(_._1)
+      val got = fmt.read(spark, gold)
+        .select("id", "n_bigrams", "n_known", "sum_big", "sum_uni",
+          "familiarity")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(d => java.lang.Double.doubleToLongBits(
+            d.asInstanceOf[Double])))).sortBy(_._1)
+      assert(got.toSeq == truth.toSeq,
+        s"$label: gold ${got.mkString(";")} vs batch ${truth.mkString(";")}")
+    }
+    // fold 1: the epoch — reference + one corpus doc
+    foldBatch(0L, Nil, (1L, "a b c a b", true), (2L, "a b d", true),
+      (10L, "a b x", false))
+    checkGoldEqualsBatch("after epoch fold")
+    // fold 2: new corpus docs score against the frozen model
+    foldBatch(1L, Nil, (11L, "a b a b", false), (12L, "q r s", false))
+    checkGoldEqualsBatch("after fold 2")
+    // fold 3: a LATE reference doc — scored, but the model is frozen:
+    // doc 11's stored score must not move even though a retrained
+    // model would change it
+    val before11 = fmt.read(spark, gold).filter(col("id") === 11L)
+      .head.getAs[Double]("familiarity")
+    foldBatch(2L, Nil, (3L, "a b a b a b", true))
+    checkGoldEqualsBatch("after late-reference fold (frozen model)")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L)
+      .head.getAs[Double]("familiarity") == before11,
+      "late reference must not retrain the epoch model")
+    // fold 4: update re-scores; update-to-null retracts
+    foldBatch(3L, Nil, (10L, "q q q", false),
+      (12L, null.asInstanceOf[String], false))
+    live -= 12L // null text leaves gold
+    checkGoldEqualsBatch("after update + null retraction")
+    assert(fmt.read(spark, gold).filter(col("id") === 12L).count() == 0)
+    // crash replay: same batch, same ord — gold converges
+    foldBatch(3L, Nil, (10L, "q q q", false))
+    checkGoldEqualsBatch("after crash replay")
+    // hard delete
+    foldBatch(4L, Seq(11L))
+    checkGoldEqualsBatch("after hard delete")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L).count() == 0)
+  }
+
   test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
     // Task: the incremental members' state/gold merges on the
     // BucketedTableFormat layout — key-hash bucket partition columns
