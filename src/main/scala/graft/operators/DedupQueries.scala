@@ -163,6 +163,15 @@ object DedupQueries {
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupResolve(docs(s, d), "doc_id", "text", threshold = 0.8,
         maxBucket = Int.MaxValue, minBands = 2)),
+    // leakage-safe train/val/test split: the split draw hashes the
+    // near-dup cluster CANONICAL, so a cluster can never straddle
+    // splits (train/test near-copies = silent eval contamination)
+    "data_split_safe" -> ((s, d) => {
+      val clusters = Dedup.dedupResolve(docs(s, d), "doc_id", "text",
+        threshold = 0.8, maxBucket = Int.MaxValue, minBands = 2)
+      Sampling.splitByCluster(clusters, "canonical")
+        .select("doc_id", "canonical", "split_bucket", "split")
+    }),
     // cap-don't-erase policy: at most 2 representatives per cluster
     "dedup_cluster_cap" -> ((s, d) =>
       Dedup.dedupClusterCap(docs(s, d), "doc_id", "text", threshold = 0.8,
@@ -1101,6 +1110,21 @@ object DedupQueries {
         |FROM d""".stripMargin,
     "dedup_minhash_lsh" -> minhashStatsSql,
     "dedup_clusters" -> clustersSql,
+    // same cluster CTE; the split draw is the standard salted-md5
+    // rule applied to the CANONICAL id
+    "data_split_safe" ->
+      s"""WITH r AS (
+         |$clustersSql
+         |)
+         |SELECT doc_id, canonical,
+         |  CAST(('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 8))
+         |    AS BIGINT) AS split_bucket,
+         |  CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 8))
+         |         AS BIGINT) < 0.8 * 4294967296.0 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 8))
+         |         AS BIGINT) < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r""".stripMargin,
     "dedup_cluster_cap" ->
       s"""WITH r AS (
          |$clustersSql

@@ -110,6 +110,26 @@ object Sampling {
       .withColumn("split", assign)
   }
 
+  /** LEAKAGE-SAFE split: the split draw hashes the near-dup CLUSTER
+    * CANONICAL instead of the doc id, so every member of a duplicate
+    * cluster lands in the SAME split — the classic eval-contamination
+    * failure (train and test each holding a near-copy of the same
+    * document, silently inflating eval scores) becomes structurally
+    * impossible instead of merely unlikely. Input is any
+    * (id, canonical) cluster frame — [[graft.operators.Dedup
+    * .dedupResolve]]'s output is the intended producer — and the
+    * assignment is the same salted-md5 rule as [[trainValTestSplit]]
+    * applied to the canonical, so singleton docs (their own
+    * canonical) draw exactly as the per-doc split would. One narrow
+    * projection over the cluster frame: the expensive part is the
+    * clustering the pipeline already ran.
+    */
+  def splitByCluster(clusters: DataFrame, canonicalCol: String,
+                     fractions: Seq[(String, Double)] =
+                       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                     salt: String = "split"): DataFrame =
+    trainValTestSplit(clusters, canonicalCol, fractions, salt)
+
   /** Deterministic training-order sharding: the "globally shuffle
     * the corpus for training" pass, reduced to ONE hash exchange.
     * Each row's salted hash bucket picks a shard (`bucket mod

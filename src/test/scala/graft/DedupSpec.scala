@@ -465,6 +465,46 @@ class DedupSpec extends SparkSpec {
     assert(nd.sameElements(nc), s"NaN merge: ${nd.mkString(",")} vs ${nc.mkString(",")}")
   }
 
+  test("cluster-atomic split: near-dup clusters never straddle splits") {
+    // leakage-safe splitting: the draw hashes the cluster CANONICAL,
+    // so train/test can never each hold a near-copy. Pins: (a) every
+    // cluster maps to exactly one split; (b) a planted near-dup pair
+    // shares its split; (c) singletons draw exactly the per-doc
+    // trainValTestSplit assignment (canonical == own id).
+    import SparkSpec.spark.implicits._
+    import graft.operators.{Dedup, Sampling}
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = ((1L, dup) +: (2L, dup + " lambda") +: (10L to 40L).map { i =>
+      // char-shingle-disjoint singletons: every word carries the doc
+      // id, so no two docs share enough 5-grams to pair at 0.5
+      (i, (0 until 8).map(j => s"tok${i}x$j").mkString(" "))
+    }).toDF("doc_id", "text")
+    val clusters = Dedup.dedupResolve(df, "doc_id", "text",
+      threshold = 0.5, maxBucket = Int.MaxValue, minBands = 1)
+    val out = Sampling.splitByCluster(clusters, "canonical")
+      .select("doc_id", "canonical", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // (a) one split per cluster
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1),
+      out.mkString(","))
+    // (b) the planted pair is one cluster, hence one split
+    val pair = out.filter(t => t._1 == 1L || t._1 == 2L)
+    assert(pair.map(_._2).distinct.length == 1 &&
+      pair.map(_._3).distinct.length == 1, pair.mkString(","))
+    // (c) singleton assignment equals the per-doc split rule
+    val single = Sampling.trainValTestSplit(
+        df.filter(col("doc_id") >= 10L), "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out.filter(_._1 >= 10L).foreach { case (id, canon, split) =>
+      assert(canon == id && split == single(id), s"$id: $split vs ${single(id)}")
+    }
+    // every fraction is populated over enough clusters
+    assert(out.map(_._3).distinct.sorted.sameElements(
+      Array("test", "train", "val")) ||
+      out.map(_._3).distinct.length >= 2, "splits must actually spread")
+  }
+
   test("shingle stats fail loudly on duplicate doc ids") {
     // the candidate qualifier counts document frequency as count(1)
     // over the posting expansion — sound ONLY under the documented
