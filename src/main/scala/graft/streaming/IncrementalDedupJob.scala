@@ -190,10 +190,17 @@ object IncrementalDedupJob {
       else configs
     active.select(col(jsonCol)).collect().toSeq.map { r =>
       val json = r.getString(0)
-      try {
-        val cfg = graft.pipeline.ConfigHandler.parseIncrementalDedup(json)
-        s"${cfg.member}:${cfg.silverPath}" -> Right(run(spark, cfg))
-      } catch { case e: Throwable => s"<unparsed:${json.take(40)}>" -> Left(e) }
+      // parse and run fail separately so the outcome key names the
+      // member when the config parsed but the fold failed
+      scala.util.Try(
+        graft.pipeline.ConfigHandler.parseIncrementalDedup(json)) match {
+        case scala.util.Failure(e) =>
+          s"<unparsed:${json.take(40)}>" -> Left(e)
+        case scala.util.Success(cfg) =>
+          s"${cfg.member}:${cfg.silverPath}" ->
+            (try Right(run(spark, cfg))
+            catch { case e: Throwable => Left(e) })
+      }
     }
   }
 
