@@ -422,6 +422,52 @@ object TextAnalysis {
     }
   }
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    * 2003 — the MOSS algorithm, public): per document, hash every
+    * char k-gram positionally, slide a window of `w` consecutive
+    * hashes, keep each window's MINIMUM, and emit the DISTINCT
+    * selected hashes. The guarantee that makes it the standard
+    * partial-overlap detector: any shared substring of length
+    * ≥ w + k − 1 yields at least one shared fingerprint, while only
+    * ~2/(w+1) of positions are ever kept — a sparse, alignment-free
+    * signature [[fingerprint]]'s single whole-doc hash cannot give.
+    *
+    * Cross-engine-exact by construction: the k-gram hash is the
+    * engine's salted-md5 bucket (the `Sampling.hashBucket` idiom —
+    * any SQL engine with md5 replays it), the window minimum is an
+    * integer fold, and ties inside a window collapse via DISTINCT.
+    * One codegen'd projection per document (two nested `transform`s
+    * over index sequences — O(len·w) comparisons in-row, no UDF, no
+    * shuffle); the explode ships only the ~2n/(w+1) selected
+    * fingerprints.
+    *
+    * Output: (id, fingerprint) distinct rows; documents shorter than
+    * k + w − 1 chars (or null) emit nothing, exactly the algorithm's
+    * domain.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
+    val nGrams = length(col(textCol)) - (k - 1)
+    // sequence(1, 0) would DESCEND ([1,0]) — short/null docs must
+    // yield an empty gram list instead
+    val hashes = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams),
+        i => Sampling.hashBucket(col(textCol).substr(i, lit(k)))))
+    // the hash ARRAY must materialize once per row: inlining it into
+    // the window lambda re-evaluates all n gram md5s per window
+    // position — O(n²·k) hashing per document (measured as a hung
+    // sf0.1 pass). A separate projection pins it: the array is
+    // referenced by multiple non-cheap consumers, so CollapseProject
+    // keeps the boundary instead of merging the md5s back in.
+    val mins = when(size(col("_hs")) >= w,
+      transform(sequence(lit(1), size(col("_hs")) - lit(w - 1)),
+        j => array_min(slice(col("_hs"), j, lit(w)))))
+    df.select(col(idCol), hashes.as("_hs"))
+      .select(col(idCol), explode(mins).as("fingerprint"))
+      .distinct()
+  }
+
   /** Corpus vocabulary summary in one pass over the word-count
     * frame: vocabulary size, total tokens, hapax legomena (words
     * seen once — the classic crawl-noise signal: OCR junk and

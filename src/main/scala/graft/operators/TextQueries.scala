@@ -146,6 +146,11 @@ object TextQueries {
     TextAnalysis.lmFamiliarity(docs(spark, dir), "doc_id", "text",
       col("source") === "src0")
 
+  /** Winnowing fingerprint sets (MOSS): 8-char grams, window 4. */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(spark, dir), "doc_id", "text",
+      k = 8, w = 4)
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -204,7 +209,8 @@ object TextQueries {
     "text_word_counts" -> (textWordCounts _),
     "text_collocations" -> (textCollocations _),
     "text_vocab_stats" -> (textVocabStats _),
-    "text_lm_familiarity" -> (textLmFamiliarity _))
+    "text_lm_familiarity" -> (textLmFamiliarity _),
+    "text_winnow" -> (textWinnow _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -312,6 +318,21 @@ object TextQueries {
       s"""WITH $lmFamiliarityCtes
         |SELECT doc_id, n_bigrams, n_known, sum_big, sum_uni, familiarity
         |FROM fam""".stripMargin,
+    // same positional salted-md5 gram hashes, window minima via
+    // inclusive list_slice, DISTINCT collapses in-window ties
+    "text_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))
+        |        AS BIGINT)) AS hs
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(hs) - 3, 0) + 1),
+        |    j -> list_min(list_slice(hs, j, j + 3)))) AS fingerprint
+        |  FROM h WHERE len(hs) >= 4)
+        |SELECT DISTINCT doc_id, fingerprint FROM m""".stripMargin,
     // the in-row fold counts exactly what a per-doc group-by counts
     "text_word_counts" ->
       """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n

@@ -513,4 +513,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.sameElements(out.map(t =>
       (t._1, t._6.map(java.lang.Double.doubleToLongBits)))))
   }
+
+  test("winnowing: shared substrings guarantee shared fingerprints, selection is sparse") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    // two documents sharing one long substring (>= w + k - 1 = 11
+    // chars guarantees >= 1 shared fingerprint), one unrelated doc
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (1L, "PREFIX aaaa " + shared + " SUFFIX bbbb"),
+      (2L, "zz " + shared + " qq"),
+      (3L, "completely different content with no overlap at all xyz"),
+      (4L, "short"), // below k + w - 1: no fingerprints
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(df, "doc_id", "text",
+      k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the guarantee: docs 1 and 2 share at least one fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared substring must fingerprint")
+    // the unrelated doc shares nothing with either
+    assert((byDoc(3L) & (byDoc(1L) ++ byDoc(2L))).isEmpty)
+    // short/null docs emit nothing (the algorithm's domain)
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    // sparsity: far fewer fingerprints than gram positions (the
+    // ~2/(w+1) density is the algorithm's point)
+    val grams1 = df.filter(col("doc_id") === 1L)
+      .head.getString(1).length - 7
+    assert(byDoc(1L).size < grams1 / 2,
+      s"${byDoc(1L).size} fingerprints over $grams1 grams is not sparse")
+    // deterministic under repartitioning
+    val again = TextAnalysis.winnowFingerprints(df.repartition(3),
+        "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == out.toSet)
+  }
 }
