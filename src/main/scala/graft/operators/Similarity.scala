@@ -152,6 +152,11 @@ object Similarity {
     * partition's top-k, and the (cos desc via nanCmp, id asc)
     * comparator is total over the distinct neighbor ids, so the
     * merge order cannot change the set (DedupSpec pins equality).
+    * The equivalence REQUIRES one probe row per id — the collect form
+    * emits an independent top-k per probe ROW while this form's final
+    * per-probe merge is keyed by vec_id, so duplicate probe ids would
+    * collapse into one ranked list; probe-id uniqueness is enforced
+    * below rather than silently diverging.
     *
     * `maxProbeRows` gates the one remaining driver collect — the
     * probe side, which a sampled audit makes small by construction
@@ -179,6 +184,13 @@ object Similarity {
         s"probe sample rate (the corpus side is unbounded — only probes " +
         s"are gated), or raise the cap explicitly if executors can hold " +
         s"the probe set.")
+    // one row per probe id: the documented precondition for collect-
+    // form equivalence (see scaladoc) — fail fast instead of merging
+    // duplicate ids into one ranked list
+    require(collected.iterator.map(_._1).toSet.size == collected.length,
+      "annBruteForceDistributed needs distinct probe ids (duplicate ids " +
+        "would collapse into one merged top-k, diverging from the " +
+        "per-row collect form) — dedupe the probe set first")
     val bcast = spark.sparkContext.broadcast(
       collected.map { case (id, v) => (id, v, normF(v)) })
     val corpusDs = corpus

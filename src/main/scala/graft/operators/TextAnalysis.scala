@@ -387,7 +387,14 @@ object TextAnalysis {
     val batchAll = graft.Materialize.eager(Dedup.oneRowPerId(
       batch.select(col(idCol).as("id"), col(textCol).as("text"),
         refFilter.as("_ref")), "id", Seq("text", "_ref")))
-    if (!fmt.exists(uniPath)) {
+    // crash-atomic epoch guard: the model is TWO tables written
+    // sequentially, so a crash between the merges leaves uni present
+    // and big missing — guarding on uni alone would then skip
+    // training forever and wedge the state dir at fmt.read(bigPath).
+    // Guarding on EITHER missing re-enters training from the
+    // redelivered epoch batch; the scd1Merges are idempotent at the
+    // same batchOrd, so the replay converges.
+    if (!fmt.exists(uniPath) || !fmt.exists(bigPath)) {
       // epoch training: the first fold that carries reference rows
       // freezes the model; folds before that have nothing to score
       // against and return (their docs re-score via fullResync or

@@ -151,10 +151,15 @@ object AccessSql {
     * three-valued NULL semantics, and `NOT RLIKE` parses, so the
     * surrounding predicate is unchanged). Every literal character is
     * regex-escaped; an unterminated `[` falls back to a literal
-    * bracket rather than a broken class.
+    * bracket rather than a broken class. Backslash-bearing patterns
+    * (e.g. `C:\*`) also route to RLIKE: the emitter doubles
+    * backslashes for Spark's string-literal layer, which in the LIKE
+    * fast path would leave the engine seeing `\%` — LIKE's escape for
+    * a literal percent — silently disabling the wildcard, whereas the
+    * regex compiler escapes the backslash as a literal correctly.
     */
   private def likeToSpark(pattern: String): (String, String) =
-    if (!pattern.exists(c => c == '#' || c == '['))
+    if (!pattern.exists(c => c == '#' || c == '[' || c == '\\'))
       ("LIKE", pattern.replace('*', '%').replace('?', '_'))
     else {
       val sb = new StringBuilder("^")

@@ -144,7 +144,18 @@ object ConfigHandler {
       case Some(s) if allowBucketed && s.startsWith("bucketed:") &&
           s.stripPrefix("bucketed:").nonEmpty &&
           s.stripPrefix("bucketed:").forall(_.isDigit) =>
-        BucketedTableFormat(s.stripPrefix("bucketed:").toInt)
+        // config-layer validation owns BOTH failure shapes here: an
+        // Int-overflowing digit string (toInt would throw
+        // NumberFormatException) and a sub-minimum count
+        // (BucketedTableFormat's require would throw
+        // IllegalArgumentException) must surface as ConfigError at
+        // this path like every other config validation
+        val n = s.stripPrefix("bucketed:")
+        scala.util.Try(n.toInt).toOption.filter(_ >= 2) match {
+          case Some(b) => BucketedTableFormat(b)
+          case None => throw new ConfigError(at,
+            s"bucketed:N needs an integer bucket count >= 2, got '$n'")
+        }
       case Some(other) => throw new ConfigError(at,
         s"unknown table format '$other' (snapshot | delta-log" +
           (if (allowBucketed) " | bucketed[:N])" else ")"))

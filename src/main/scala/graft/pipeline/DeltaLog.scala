@@ -1415,6 +1415,49 @@ object DeltaLogTableFormat extends TableFormat {
       }
     }
 
+  /** The live files' log-recorded partitionValues, driver-side from
+    * the log alone (no data scan) — lets layout decorators sanity-
+    * check a table's recorded partition tokens cheaply.
+    */
+  private[pipeline] def livePartitionValues(spark: SparkSession,
+      path: String): Seq[Map[String, String]] =
+    currentVersion(path).map(v =>
+      replayState(spark, path, v).liveMap.values.map(_.pv).toSeq)
+      .getOrElse(Nil)
+
+  /** Full-rewrite RELAYOUT commit: read the whole live set, apply
+    * `transform` — which may rewrite layout columns, the one commit
+    * shape allowed to move a key between partitions because it
+    * replaces every live file in a single atomic commit — and write
+    * back partitioned by `partitionCols`, one file per tuple.
+    * User-visible rows must be unchanged (`dataChange = false`, like
+    * OPTIMIZE: change-feed readers skip it). The explicit re-bucket
+    * commit `BucketedTableFormat.relayout` rides on this. Returns the
+    * committed version; the current head unchanged when the live set
+    * is empty; None when the table does not exist.
+    */
+  private[pipeline] def relayoutFull(spark: SparkSession, path: String,
+      transform: DataFrame => DataFrame,
+      partitionCols: Seq[String]): Option[Int] =
+    withCommitRetry(s"relayoutFull($path)") {
+      currentVersion(path).map { head =>
+        val st = replayState(spark, path, head)
+        if (st.liveMap.isEmpty) head
+        else {
+          val df0 = st.schemaJson
+            .map(s => spark.read.schema(
+              DataType.fromJson(s).asInstanceOf[StructType]))
+            .getOrElse(spark.read)
+            .parquet(st.live.map(f => s"$path/$f"): _*)
+          val df = transform(df0)
+          commitFiles(path, df, partitionBy = partitionCols,
+            removeOf = (_, _) => st.live, basedOn = Some(head),
+            dataChange = false, operation = Some("RELAYOUT"),
+            onePerTuple = true)
+        }
+      }
+    }
+
   /** Catalog registration for EVERY current layout — the delta-log
     * answer to the reference's per-load external tables. A
     * single-subdir unpartitioned live set registers as a plain

@@ -88,6 +88,23 @@ class AccessSqlSpec extends SparkSpec {
       Seq("1.5", "1x5", "A7", "Ax", "mun"))
   }
 
+  test("backslash-bearing patterns route to RLIKE so the wildcard survives") {
+    // in the LIKE fast path the emitter's backslash doubling would
+    // reach the engine as \% — LIKE's escape for a literal percent —
+    // silently disabling the wildcard; such patterns compile through
+    // the regex path instead
+    assert(translate("""x LIKE "C:\*"""") == """x RLIKE '^C:\\\\.*$'""")
+    // NB doubled backslashes inside the SQL literals: Spark's string
+    // parser consumes one layer, so '\\' yields a single backslash in
+    // the value (and '\t' would otherwise become a tab)
+    val got = spark.sql("""SELECT v FROM VALUES ('C:\\temp\\f.txt'),"""
+        + """('C:'),('D:\\x') AS t(v) WHERE """
+        + translate("""v LIKE "C:\*""""))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(got == Seq("C:\\temp\\f.txt"),
+      s"'C:\\*' must match files under C:\\ only, got $got")
+  }
+
   test("table renames hit identifiers only, never string literals") {
     val out = translate("""SELECT 'orders' AS lit FROM orders JOIN [orders] o2 ON 1=1""",
       Map("orders" -> "lake.orders_v"))

@@ -192,6 +192,19 @@ class ConfigSpec extends SparkSpec {
           |"stateDir":"s","goldPath":"g","idCol":"i","contentCol":"t",
           |"stateFormat":"bucketed:abc"}""".stripMargin)
     }
+    // every bucketed:N failure shape surfaces as ConfigError at the
+    // field's path — an Int-overflowing digit string must not escape
+    // as NumberFormatException, nor a sub-minimum count as the
+    // format's bare require
+    for (bad <- Seq("bucketed:99999999999", "bucketed:1", "bucketed:0")) {
+      val e = intercept[ConfigHandler.ConfigError] {
+        ConfigHandler.parseIncrementalDedup(
+          s"""{"member":"minhash","silverPath":"x","checkpoint":"c",
+             |"stateDir":"s","goldPath":"g","idCol":"i","contentCol":"t",
+             |"stateFormat":"$bad"}""".stripMargin)
+      }
+      assert(e.getMessage.contains("stateFormat"), e.getMessage)
+    }
     // control-table fleet: a healthy config and a broken one — the
     // failure is reported per-source and never stops the fleet
     val fleetWork = Files.createTempDirectory("graft_cfg_fleet").toString

@@ -463,6 +463,16 @@ class DedupSpec extends SparkSpec {
     val nc = key(Similarity.annBruteForceAgainst(
       nan, nan, "vec_id", "embedding", k = 2))
     assert(nd.sameElements(nc), s"NaN merge: ${nd.mkString(",")} vs ${nc.mkString(",")}")
+    // duplicate probe ids break the collect-form equivalence (the
+    // per-probe merge is keyed by vec_id, the collect form is
+    // per-ROW) — the documented precondition is enforced, not
+    // silently diverged from
+    val dupErr = intercept[IllegalArgumentException] {
+      Similarity.annBruteForceDistributed(
+        nan.unionAll(nan.limit(1)), nan, "vec_id", "embedding", k = 2)
+    }
+    assert(dupErr.getMessage.contains("distinct probe ids"),
+      dupErr.getMessage)
   }
 
   test("cluster-atomic split: near-dup clusters never straddle splits") {

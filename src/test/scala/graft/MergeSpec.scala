@@ -425,6 +425,78 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed format: stamped spec fails fast on count/key drift; relayout re-buckets atomically") {
+    import graft.pipeline.BucketedTableFormat
+    // the r16-verdict hazard: __kbucket is recomputed from the
+    // constructor N on every merge, so changing N (config edit, typo,
+    // two jobs sharing a state dir) sends the same key to a different
+    // bucket — an upsert would INSERT there while the old row stays
+    // live. The spec sidecar must refuse exactly that, and the
+    // explicit relayout commit must be the sanctioned escape hatch.
+    val p = tmp()
+    BucketedTableFormat(buckets = 4).scd1Merge(
+      spark, p, updates1, Seq("id"), "ord")
+    assert(BucketedTableFormat.readSpec(p).contains((4, Seq("id"))))
+    // a different count is refused naming both counts
+    val eN = intercept[IllegalArgumentException] {
+      BucketedTableFormat(buckets = 8).scd1Merge(
+        spark, p, updates2, Seq("id"), "ord")
+    }
+    assert(eN.getMessage.contains("buckets=4") &&
+      eN.getMessage.contains("buckets=8"), eN.getMessage)
+    // different merge keys are refused too (xxhash64 is
+    // position-sensitive, so key identity AND order are part of the
+    // layout spec)
+    intercept[IllegalArgumentException] {
+      BucketedTableFormat(buckets = 4).scd1Merge(
+        spark, p, updates2, Seq("id", "ord"), "ord")
+    }
+    // deleteKeys runs the same guard
+    intercept[IllegalArgumentException] {
+      BucketedTableFormat(buckets = 8).deleteKeys(
+        spark, p, updates2.select("id"), Seq("id"))
+    }
+    // and the table is untouched by every refusal
+    assert(BucketedTableFormat(4).read(spark, p).count() == 3)
+    // explicit relayout to 8: rows identical, spec restamped, merges
+    // at the new count proceed and stay correct (no duplicate keys —
+    // the corruption the guard exists to prevent)
+    val before = tableHash(BucketedTableFormat(4).read(spark, p))
+    assert(BucketedTableFormat(buckets = 8).relayout(spark, p).nonEmpty)
+    assert(BucketedTableFormat.readSpec(p).contains((8, Seq("id"))))
+    assert(tableHash(BucketedTableFormat(8).read(spark, p)) == before)
+    BucketedTableFormat(buckets = 8).scd1Merge(
+      spark, p, updates2, Seq("id"), "ord")
+    val after = BucketedTableFormat(8).read(spark, p)
+    assert(after.count() == 4)
+    assert(after.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() == 0, "duplicate keys after relayout")
+    val sp = tmp()
+    SnapshotTableFormat.scd1Merge(spark, sp, updates1, Seq("id"), "ord")
+    SnapshotTableFormat.scd1Merge(spark, sp, updates2, Seq("id"), "ord")
+    assert(tableHash(after) == tableHash(SnapshotTableFormat.read(spark, sp)))
+    // old-count merges stay refused after the relayout
+    intercept[IllegalArgumentException] {
+      BucketedTableFormat(buckets = 4).scd1Merge(
+        spark, p, updates2, Seq("id"), "ord")
+    }
+    // a crashed relayout (marker present, spec/data possibly
+    // disagreeing) refuses merges until relayout re-runs to completion
+    val marker = java.nio.file.Paths.get(p, "_delta_log",
+      "_graft_buckets.relayout")
+    java.nio.file.Files.write(marker, "{\"from\":8,\"to\":16}".getBytes)
+    val eM = intercept[IllegalArgumentException] {
+      BucketedTableFormat(buckets = 8).scd1Merge(
+        spark, p, updates2, Seq("id"), "ord")
+    }
+    assert(eM.getMessage.contains("relayout"), eM.getMessage)
+    assert(BucketedTableFormat(buckets = 16).relayout(spark, p).nonEmpty)
+    assert(!java.nio.file.Files.exists(marker))
+    assert(BucketedTableFormat.readSpec(p).contains((16, Seq("id"))))
+    assert(tableHash(BucketedTableFormat(16).read(spark, p)) ==
+      tableHash(SnapshotTableFormat.read(spark, sp)))
+  }
+
   test("delta-log format: same seam contract, protocol-shaped log") {
     val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
     val p = tmp()
@@ -577,8 +649,8 @@ class MergeSpec extends SparkSpec {
       .empty[String, Map[String, String]]
     val logDir = java.nio.file.Paths.get(p, "_delta_log")
     val logs = scala.util.Using.resource(java.nio.file.Files.list(logDir))(
-      _.iterator().asScala.map(_.toString).filter(_.endsWith(".json"))
-        .toSeq.sorted)
+      _.iterator().asScala.map(_.toString)
+        .filter(_.matches(".*/\\d{20}\\.json")).toSeq.sorted)
     logs.foreach { lf =>
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf))
         .asScala.filter(_.nonEmpty).foreach { line =>

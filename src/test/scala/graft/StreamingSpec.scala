@@ -1768,6 +1768,47 @@ class StreamingSpec extends SparkSpec {
     assert(fmt.read(spark, gold).filter(col("id") === 11L).count() == 0)
   }
 
+  test("incremental LM familiarity: epoch training is crash-atomic across its two model tables") {
+    // the model is TWO tables merged sequentially (uni then big); a
+    // crash between them used to wedge the state dir forever: the
+    // uni-only guard skipped retraining and every later fold threw
+    // at fmt.read(bigPath). The guard now re-enters training when
+    // EITHER table is missing, and the redelivered epoch batch
+    // converges (same batchOrd — the merges are idempotent).
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val work = Files.createTempDirectory("graft_lm_crash").toString
+    val stateDir = s"$work/state"
+    val gold = s"$work/gold"
+    val epoch = Seq((1L, "a b c a b", true), (2L, "a b d", true),
+      (10L, "a b x", false))
+    def fold(): Unit = TextAnalysis.lmFamiliarityIncremental(spark,
+      epoch.toDF("doc_id", "text", "is_ref"), "doc_id", "text",
+      stateDir, gold, batchOrd = 0L, refFilter = col("is_ref"), fmt = fmt)
+    fold()
+    assert(fmt.exists(s"$stateDir/uni") && fmt.exists(s"$stateDir/big"))
+    val truth = fmt.read(spark, gold).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    // simulate the crash window: uni committed, big lost
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p))(
+          _.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete))
+    }
+    rmrf(java.nio.file.Paths.get(stateDir, "big"))
+    assert(!fmt.exists(s"$stateDir/big"))
+    // redelivery of the epoch batch must retrain BOTH tables and
+    // converge to the same gold, not throw at the missing big table
+    fold()
+    assert(fmt.exists(s"$stateDir/uni") && fmt.exists(s"$stateDir/big"))
+    assert(fmt.read(spark, gold).orderBy("id")
+      .collect().map(_.toSeq).toSeq == truth,
+      "redelivered epoch fold must converge after a mid-training crash")
+  }
+
   test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
     // Task: the incremental members' state/gold merges on the
     // BucketedTableFormat layout — key-hash bucket partition columns
@@ -1828,8 +1869,10 @@ class StreamingSpec extends SparkSpec {
     assert(sfmt.read(spark, gold).filter(col("id") === 1L)
         .head.getAs[Long]("n_near") == 1L, "doc 1 must gain its partner")
     val logDir = java.nio.file.Paths.get(docsPath, "_delta_log")
+    // commit files only — the log dir also holds the format's
+    // _graft_buckets.json layout sidecar
     val mergeCommit = java.nio.file.Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.getFileName.toString).filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toInt).max
     val commitLines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(docsPath, "_delta_log", f"$mergeCommit%020d.json"))
