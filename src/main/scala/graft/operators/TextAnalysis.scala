@@ -391,9 +391,11 @@ object TextAnalysis {
     // sequentially, so a crash between the merges leaves uni present
     // and big missing — guarding on uni alone would then skip
     // training forever and wedge the state dir at fmt.read(bigPath).
-    // Guarding on EITHER missing re-enters training from the
-    // redelivered epoch batch; the scd1Merges are idempotent at the
-    // same batchOrd, so the replay converges.
+    // Guarding on EITHER missing re-enters training from the next
+    // reference-carrying batch — the identical redelivery OR a
+    // different fold — and the recovery path below reconciles the
+    // surviving table to exactly the retrained frame, so either way
+    // the frozen model matches one single training batch.
     if (!fmt.exists(uniPath) || !fmt.exists(bigPath)) {
       // epoch training: the first fold that carries reference rows
       // freezes the model; folds before that have nothing to score
@@ -401,13 +403,31 @@ object TextAnalysis {
       // re-delivery once the model exists)
       val refDocs = batchAll.filter(col("_ref") && col("text").isNotNull)
       if (refDocs.isEmpty) return
+      // crash RECOVERY (exactly one table survived the crashed
+      // epoch): the retrain batch is not guaranteed to be the
+      // identical redelivery — if a DIFFERENT fold carrying
+      // reference rows arrives first, upserting alone would leave
+      // the crashed epoch's stale rows live in the surviving table
+      // and freeze a MIXED model matching neither epoch. Reconcile
+      // each table to exactly the retrained frame: upsert, then
+      // delete keys the new model does not contain. On the identical
+      // redelivery the delete set is empty and the replay converges
+      // as before; on a clean first fold neither table exists and
+      // no reconcile work runs.
+      val recovering = fmt.exists(uniPath) || fmt.exists(bigPath)
       val (uni, big) = lmModel(refDocs, "text")
-      fmt.scd1Merge(spark, uniPath,
-        uni.withColumn("_ord", lit(batchOrd)), Seq("_w1"), "_ord",
-        compareExclude = Nil)
-      fmt.scd1Merge(spark, bigPath,
-        big.withColumn("_ord", lit(batchOrd)), Seq("bigram"), "_ord",
-        compareExclude = Nil)
+      def trainMerge(path: String, model: DataFrame, key: String): Unit = {
+        fmt.scd1Merge(spark, path,
+          model.withColumn("_ord", lit(batchOrd)), Seq(key), "_ord",
+          compareExclude = Nil)
+        if (recovering) {
+          val stale = fmt.read(spark, path).select(col(key))
+            .join(model.select(col(key)), Seq(key), "left_anti")
+          if (!stale.isEmpty) fmt.deleteKeys(spark, path, stale, Seq(key))
+        }
+      }
+      trainMerge(uniPath, uni, "_w1")
+      trainMerge(bigPath, big, "bigram")
     }
     val uni = fmt.read(spark, uniPath).select(col("_w1"), col("cu"))
     val big = fmt.read(spark, bigPath).select(col("bigram"), col("cb"))

@@ -50,13 +50,26 @@ import graft.sources.Sources
   * and `require`s equality on every later merge/delete. Changing the
   * count is an explicit [[relayout]] commit, crash-guarded by a
   * marker file that refuses merges until a crashed relayout is
-  * re-run to completion. Pre-guard tables (no sidecar) adopt the
-  * configured spec after a log-driven sanity check that every live
-  * file's recorded bucket token is < buckets — which catches a
-  * too-small configured N; a too-LARGE N against a legacy table is
-  * undetectable without a data scan and is the one documented
-  * residual upgrade hazard (post-guard tables are always stamped, so
-  * it exists only for tables created before the sidecar shipped).
+  * re-run to completion. The guard holds INSIDE the commit-retry
+  * loop too (the pruned merges' `preAttempt` hook re-checks marker +
+  * spec at every attempt): a relayout that lands mid-merge forces a
+  * version conflict, and the losing merge's retry is refused instead
+  * of replayed with `__kbucket` computed at the stale count.
+  *
+  * Pre-guard tables (no sidecar) adopt the configured spec after a
+  * log-driven sanity check: every live file must CARRY a bucket
+  * token (a token-less live file means the table was written
+  * unbucketed — refused) and every token must be < buckets (catches
+  * a too-small configured N). TWO residual upgrade hazards survive
+  * the log-only check, both undetectable without a data scan and
+  * both existing only for tables created before the sidecar shipped
+  * (post-guard tables are always stamped): a too-LARGE configured N
+  * (all tokens < N vacuously) and WRONG MERGE KEYS — key identity or
+  * order (`xxhash64(a,b)` ≠ `xxhash64(b,a)`) re-hash every key while
+  * leaving the recorded tokens plausible. Adoption therefore logs a
+  * one-time warning naming both; the safe upgrade for any pre-guard
+  * table whose creation spec is uncertain is an explicit
+  * [[relayout]].
   */
 final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
   require(buckets >= 2, s"need at least 2 buckets, got $buckets")
@@ -83,19 +96,50 @@ final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
         "layout is ambiguous; re-run BucketedTableFormat(N).relayout to " +
         "finish it")
     readSpec(path) match {
-      case Some((n, ks)) =>
-        require(n == buckets && ks == keys,
+      case Some((n, ks)) if n != buckets || ks != keys =>
+        // ORPHANED spec: a first writer stamped before its first
+        // commit and then failed/was abandoned, so a durable spec
+        // exists for a table that was never created. Refusing a
+        // later legitimate first writer forever would make the
+        // abandonment permanent — re-stamp instead (there is no data
+        // whose layout could disagree), then re-check emptiness:
+        // a first commit landing in the overwrite window means a
+        // live writer owns the old spec after all, so refuse.
+        if (!inner.exists(path)) {
+          writeSpec(path, buckets, keys, overwrite = true)
+          val (n2, ks2) = readSpec(path).get
+          require(n2 == buckets && ks2 == keys,
+            s"lost the bucket-spec re-stamp race at $path to a writer " +
+              s"with buckets=$n2 keys=[${ks2.mkString(",")}] — rerun " +
+              "with that spec")
+          require(!inner.exists(path),
+            s"bucket spec at $path was re-stamped over an orphaned spec " +
+              s"(buckets=$n, keys=[${ks.mkString(",")}]) but a concurrent " +
+              "first commit landed under the old spec — relayout " +
+              "explicitly or rerun with the original spec")
+        } else require(false,
           s"bucketed layout mismatch at $path: table stamped buckets=$n " +
             s"keys=[${ks.mkString(",")}] but this merge uses " +
             s"buckets=$buckets keys=[${keys.mkString(",")}] — the same key " +
             "would hash to a different bucket and the pruned merge would " +
             "duplicate it silently; use the stamped spec, or change the " +
             "count explicitly via BucketedTableFormat(N).relayout")
+      case Some(_) => // stamped with exactly this spec
       case None =>
         if (inner.exists(path)) {
           // pre-guard adoption: cheap log-only sanity check (no scan)
-          val toks = inner.livePartitionValues(spark, path)
-            .flatMap(_.get(BucketCol))
+          val liveVals = inner.livePartitionValues(spark, path)
+          val toks = liveVals.flatMap(_.get(BucketCol))
+          // a live file with NO bucket token means the table was
+          // written unbucketed (or under another layout column) —
+          // adopting would stamp a spec the data does not satisfy
+          // and the vacuous all-tokens-valid pass below would let it
+          require(toks.size == liveVals.size,
+            s"cannot adopt bucket spec at $path: ${liveVals.size - toks.size} " +
+              s"of ${liveVals.size} live files carry no $BucketCol " +
+              "partition token — the table was not written through " +
+              "BucketedTableFormat; use an unbucketed format, or rewrite " +
+              "it through this one")
           val bad = toks.filter(t =>
             scala.util.Try(t.toLong).toOption.forall(_ >= buckets))
           require(bad.isEmpty,
@@ -103,6 +147,16 @@ final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
               s"tokens ${bad.distinct.take(5).mkString(",")} outside " +
               s"[0, $buckets) — the table was laid out with a different " +
               "bucket count; relayout it explicitly")
+          // one-time visibility for the two residuals the log-only
+          // check CANNOT catch (see class doc): too-LARGE N and
+          // wrong key identity/order both re-hash silently
+          System.err.println(
+            s"[graft] adopting pre-guard bucketed table $path with " +
+              s"buckets=$buckets keys=[${keys.mkString(",")}]: the " +
+              "log-only check cannot verify a too-LARGE bucket count or " +
+              "different merge keys against the existing data — if either " +
+              "might differ from how the table was created, run " +
+              "BucketedTableFormat(N).relayout before merging")
         }
         writeSpec(path, buckets, keys)
         // a concurrent first writer may have won the stamp race — the
@@ -112,6 +166,39 @@ final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
         require(n == buckets && ks == keys,
           s"lost the bucket-spec stamp race at $path to a writer with " +
             s"buckets=$n keys=[${ks.mkString(",")}] — rerun with that spec")
+    }
+  }
+
+  /** Check-only twin of [[validateOrStamp]], run INSIDE every commit
+    * attempt (the inner merges' `preAttempt` hook — including
+    * version-race retries). The pre-call validation alone is
+    * check-then-act: a relayout can start and COMPLETE between it
+    * and the commit publish, and the losing merge's retry would then
+    * replan against the re-bucketed state while its updates still
+    * carry `__kbucket` computed at the stale count — landing upserts
+    * as INSERTs in wrong buckets, exactly the silent duplication the
+    * guard exists to refuse. The relayout always bumps the version
+    * (full-rewrite commit), so a merge racing it is guaranteed a
+    * conflict → retry → this hook, which sees either the marker
+    * (relayout in flight or crashed) or the re-stamped spec
+    * (relayout completed) and refuses.
+    */
+  private[graft] def revalidate(path: String, keys: Seq[String]): Unit = {
+    require(!java.nio.file.Files.exists(markerPath(path)),
+      s"a relayout of $path started while this merge was in flight — " +
+        "the bucket layout is changing under the merge's precomputed " +
+        s"$BucketCol values; re-run the merge after the relayout completes")
+    readSpec(path) match {
+      case Some((n, ks)) =>
+        require(n == buckets && ks == keys,
+          s"the bucket layout of $path changed mid-merge (now buckets=$n " +
+            s"keys=[${ks.mkString(",")}], this merge computed $BucketCol " +
+            s"at buckets=$buckets keys=[${keys.mkString(",")}]) — a " +
+            "relayout won the commit race; re-run the merge under the " +
+            "new spec")
+      case None => throw new IllegalStateException(
+        s"bucket spec sidecar at $path disappeared mid-merge — refusing " +
+          "to commit against an unverifiable layout")
     }
   }
 
@@ -172,7 +259,7 @@ final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
     // commits, every subsequent read paying 16k file opens.
     inner.mergePruned(spark, path, withBucket(updates, keys), keys,
       orderBy, Seq(BucketCol), scdType = 1, compareExclude,
-      onePerTuple = true)
+      onePerTuple = true, preAttempt = () => revalidate(path, keys))
   }
 
   override def scd2Merge(spark: SparkSession, path: String, updates: DataFrame,
@@ -187,7 +274,7 @@ final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
     validateOrStamp(spark, path, keys)
     inner.mergePruned(spark, path, withBucket(updates, keys), keys,
       orderBy, Seq(BucketCol), scdType = 2, compareExclude,
-      onePerTuple = true)
+      onePerTuple = true, preAttempt = () => revalidate(path, keys))
   }
 
   /** Stats-pruned delete: only files whose log-recorded key stats can
@@ -200,7 +287,8 @@ final case class BucketedTableFormat(buckets: Int = 64) extends TableFormat {
   override def deleteKeys(spark: SparkSession, path: String,
                           delKeys: DataFrame, keys: Seq[String]): MergeStats = {
     validateOrStamp(spark, path, keys)
-    inner.deleteKeysPruned(spark, path, delKeys, keys, onePerTuple = true)
+    inner.deleteKeysPruned(spark, path, delKeys, keys, onePerTuple = true,
+      preAttempt = () => revalidate(path, keys))
   }
 
   override def vacuum(path: String, keepVersions: Int = 2): Seq[Int] =

@@ -970,8 +970,10 @@ object DeltaLogTableFormat extends TableFormat {
 
   private def deleteKeysRewrite(spark: SparkSession, path: String,
                                 delKeys: DataFrame, keys: Seq[String],
-                                onePerTuple: Boolean): MergeStats =
+                                onePerTuple: Boolean,
+                                preAttempt: () => Unit = () => ()): MergeStats =
     withCommitRetry(s"deleteKeys($path)") {
+      preAttempt()
       val head = currentVersion(path).getOrElse(
         throw new IllegalArgumentException(s"no delta-log table at $path"))
       val tagged = MergeTable.deleteTagged(
@@ -1015,7 +1017,8 @@ object DeltaLogTableFormat extends TableFormat {
   def deleteKeysPruned(spark: SparkSession, path: String,
                        delKeys: DataFrame, keys: Seq[String],
                        maxKeys: Int = 100000,
-                       onePerTuple: Boolean = false): MergeStats = {
+                       onePerTuple: Boolean = false,
+                       preAttempt: () => Unit = () => ()): MergeStats = {
     // existence first: an empty tombstone batch against a mistyped
     // path must fail like every other call, not silently no-op
     require(exists(path), s"no delta-log table at $path")
@@ -1025,7 +1028,8 @@ object DeltaLogTableFormat extends TableFormat {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
     val tuples = dk.limit(maxKeys + 1).collect()
     if (tuples.length > maxKeys)
-      return deleteKeysRewrite(spark, path, delKeys, keys, onePerTuple)
+      return deleteKeysRewrite(spark, path, delKeys, keys, onePerTuple,
+        preAttempt)
     if (tuples.isEmpty) return MergeStats(0, 0, 0)
     // per-key bounds over the WHOLE feed: one range check per
     // (file, key) rejects most files before the per-tuple loop —
@@ -1052,6 +1056,7 @@ object DeltaLogTableFormat extends TableFormat {
     }
     val keyBounds = keys.indices.map(boundsOf)
     withCommitRetry(s"deleteKeysPruned($path)") {
+      preAttempt()
       val head = currentVersion(path).getOrElse(
         throw new IllegalArgumentException(s"no delta-log table at $path"))
       val st = replayState(spark, path, head)
@@ -1174,13 +1179,26 @@ object DeltaLogTableFormat extends TableFormat {
     mergePruned(spark, path, updates, keys, orderBy, partitionCols,
       scdType = 2, compareExclude)
 
+  /** `preAttempt` runs at the start of EVERY commit attempt,
+    * including retries after a version-race loss. Decorators whose
+    * validity can be revoked by a concurrent commit (the bucketed
+    * layout guard: a relayout that lands mid-merge changes where
+    * every key hashes) re-check their invariants here — a
+    * once-before-the-call check is check-then-act: the losing
+    * attempt would otherwise replan against the winner's state while
+    * its updates still carry columns computed under the old layout.
+    * Any conflicting commit bumps the version, so the loser is
+    * GUARANTEED to re-enter this hook before it can publish.
+    */
   private[pipeline] def mergePruned(spark: SparkSession, path: String,
                           updates: DataFrame,
                           keys: Seq[String], orderBy: String,
                           partitionCols: Seq[String], scdType: Int,
                           compareExclude: Seq[String],
-                          onePerTuple: Boolean = false): MergeStats =
+                          onePerTuple: Boolean = false,
+                          preAttempt: () => Unit = () => ()): MergeStats =
     withCommitRetry(s"mergePruned($path)") {
+      preAttempt()
       mergePrunedOnce(spark, path, updates, keys, orderBy, partitionCols,
         scdType, compareExclude, onePerTuple)
     }

@@ -497,6 +497,85 @@ class MergeSpec extends SparkSpec {
       tableHash(SnapshotTableFormat.read(spark, sp)))
   }
 
+  test("bucketed format: layout guard holds inside commit retries; adoption and orphan-spec hardening") {
+    import graft.pipeline.{BucketedTableFormat, DeltaLogTableFormat}
+    // (1) the check-then-act window: validateOrStamp runs once before
+    // the merge, but the commit retries — a relayout landing mid-merge
+    // must refuse the retry, not let it replay stale __kbucket values.
+    // revalidate is the per-attempt hook; pin its three verdicts
+    // against real on-disk states, then pin that the inner merges
+    // actually run their preAttempt hook inside every attempt.
+    val p = tmp()
+    BucketedTableFormat(buckets = 4).scd1Merge(
+      spark, p, updates1, Seq("id"), "ord")
+    BucketedTableFormat(4).revalidate(p, Seq("id")) // clean: passes
+    // relayout completed after this merge's pre-check → spec mismatch
+    assert(BucketedTableFormat(buckets = 8).relayout(spark, p).nonEmpty)
+    val eSpec = intercept[IllegalArgumentException] {
+      BucketedTableFormat(4).revalidate(p, Seq("id"))
+    }
+    assert(eSpec.getMessage.contains("mid-merge"), eSpec.getMessage)
+    // relayout in flight (or crashed) → marker refusal
+    val marker = java.nio.file.Paths.get(p, "_delta_log",
+      "_graft_buckets.relayout")
+    Files.write(marker, "{\"from\":8,\"to\":16}".getBytes)
+    val eMark = intercept[IllegalArgumentException] {
+      BucketedTableFormat(8).revalidate(p, Seq("id"))
+    }
+    assert(eMark.getMessage.contains("relayout"), eMark.getMessage)
+    Files.delete(marker)
+    BucketedTableFormat(8).revalidate(p, Seq("id"))
+    // the hook is invoked INSIDE the attempt: a preAttempt that
+    // throws must abort the commit, leaving the table version
+    // untouched (deleteKeysPruned is the public seam carrying it)
+    var calls = 0
+    val vBefore = DeltaLogTableFormat.currentVersion(p)
+    intercept[IllegalStateException] {
+      DeltaLogTableFormat.deleteKeysPruned(spark, p,
+        updates1.select("id"), Seq("id"),
+        preAttempt = () => { calls += 1; throw new IllegalStateException("no") })
+    }
+    assert(calls == 1 && DeltaLogTableFormat.currentVersion(p) == vBefore)
+    // and a passing hook runs exactly once on the conflict-free path
+    calls = 0
+    DeltaLogTableFormat.deleteKeysPruned(spark, p,
+      updates1.select("id").limit(1), Seq("id"),
+      preAttempt = () => calls += 1)
+    assert(calls == 1)
+
+    // (2) adopting a table whose live files carry NO bucket token
+    // (written unbucketed) must refuse instead of stamping a spec the
+    // data does not satisfy (the pre-fix check passed vacuously)
+    val up = tmp()
+    DeltaLogTableFormat.scd1Merge(spark, up, updates1, Seq("id"), "ord")
+    val eAdopt = intercept[IllegalArgumentException] {
+      BucketedTableFormat(4).scd1Merge(spark, up, updates2, Seq("id"), "ord")
+    }
+    assert(eAdopt.getMessage.contains("no __kbucket"), eAdopt.getMessage)
+    assert(BucketedTableFormat.readSpec(up).isEmpty, "refusal must not stamp")
+
+    // (3) an ORPHANED spec (first writer stamped, then failed before
+    // its first commit) must not permanently refuse a later first
+    // writer with a different legitimate spec
+    val op = tmp()
+    intercept[Exception] {
+      BucketedTableFormat(4).scd1Merge(spark, op,
+        updates1.withColumn("name",
+          raise_error(lit("injected first-write failure"))),
+        Seq("id"), "ord")
+    }
+    assert(BucketedTableFormat.readSpec(op).contains((4, Seq("id"))),
+      "the abandoned writer left its stamp")
+    assert(!DeltaLogTableFormat.exists(op), "no commit ever landed")
+    BucketedTableFormat(8).scd1Merge(spark, op, updates1, Seq("id"), "ord")
+    assert(BucketedTableFormat.readSpec(op).contains((8, Seq("id"))))
+    assert(BucketedTableFormat(8).read(spark, op).count() == 3)
+    // but once a table EXISTS, a mismatched spec stays refused
+    intercept[IllegalArgumentException] {
+      BucketedTableFormat(16).scd1Merge(spark, op, updates2, Seq("id"), "ord")
+    }
+  }
+
   test("delta-log format: same seam contract, protocol-shaped log") {
     val fmt: TableFormat = graft.pipeline.DeltaLogTableFormat
     val p = tmp()

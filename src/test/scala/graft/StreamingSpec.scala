@@ -1807,6 +1807,45 @@ class StreamingSpec extends SparkSpec {
     assert(fmt.read(spark, gold).orderBy("id")
       .collect().map(_.toSeq).toSeq == truth,
       "redelivered epoch fold must converge after a mid-training crash")
+
+    // DIVERGENT recovery: crash again, but the next reference-
+    // carrying fold is a DIFFERENT batch (at-least-once delivery does
+    // not guarantee the identical epoch batch returns first). The
+    // surviving uni table still holds the crashed epoch's rows —
+    // upserting alone would freeze a MIXED model matching neither
+    // epoch; the recovery path must reconcile both tables to exactly
+    // the retrained frame. 'zzz' exists only in the crashed epoch's
+    // references: any trace of it after recovery is the stale-row bug.
+    val work2 = Files.createTempDirectory("graft_lm_crash2").toString
+    val state2 = s"$work2/state"
+    val gold2 = s"$work2/gold"
+    def fold2(ord: Long, rows: Seq[(Long, String, Boolean)]): Unit =
+      TextAnalysis.lmFamiliarityIncremental(spark,
+        rows.toDF("doc_id", "text", "is_ref"), "doc_id", "text",
+        state2, gold2, batchOrd = ord, refFilter = col("is_ref"), fmt = fmt)
+    fold2(0L, Seq((1L, "zzz yyy zzz", true), (10L, "a b", false)))
+    rmrf(java.nio.file.Paths.get(state2, "big"))
+    val epochB = Seq((2L, "a b c a b", true), (3L, "a b d", true),
+      (11L, "a b x", false))
+    fold2(1L, epochB)
+    assert(fmt.read(spark, s"$state2/uni")
+        .filter(col("_w1") === "zzz").count() == 0,
+      "recovery must purge the crashed epoch's rows from the " +
+        "surviving model table, not upsert around them")
+    // the frozen model now matches epoch B alone: every epoch-B doc's
+    // gold row equals the batch operator trained on exactly epoch B
+    val truthB = TextAnalysis.lmFamiliarity(
+        epochB.toDF("doc_id", "text", "is_ref"), "doc_id", "text",
+        col("is_ref"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val goldB = fmt.read(spark, gold2)
+      .filter(col("id").isin(epochB.map(_._1): _*))
+      .select(col("id"), col("n_bigrams"), col("n_known"),
+        col("sum_big"), col("sum_uni"), col("familiarity"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(goldB == truthB,
+      s"divergent recovery must freeze epoch B's model exactly: " +
+        s"$goldB vs $truthB")
   }
 
   test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
