@@ -535,6 +535,22 @@ object Dedup {
                             threshold: Double = 0.5): DataFrame = {
     val docsH = shingleHashes(df, idCol, textCol, n).transform(graft.Materialize.eager)
     requireUniqueIds(docsH, "ngramContainmentStats")
+    containmentPerDoc(df, idCol, docsH, maxDf, threshold,
+      "n_contained", "max_containment")
+  }
+
+  /** Shared verdict tail of [[ngramContainmentStats]] and
+    * [[winnowOverlapStats]] — the two operators differ only in WHAT
+    * the per-doc hash set contains (all shingle hashes vs the sparse
+    * winnow-selected prints); the rare-element candidate index, the
+    * one-intersection-per-pair verify join, and the per-doc rollup
+    * are identical. `docsH` must carry (id, shash sorted-distinct
+    * array) with unique ids.
+    */
+  private def containmentPerDoc(df: DataFrame, idCol: String,
+                                docsH: DataFrame, maxDf: Int,
+                                threshold: Double, nearName: String,
+                                maxName: String): DataFrame = {
     val cand = rareShingleCandidates(docsH, maxDf)
     // one intersection per pair, both directional ratios from it;
     // materialized because the union mirror references it twice
@@ -552,13 +568,62 @@ object Dedup {
     val per = both.groupBy("id").agg(
       count(lit(1)).as("n_candidates"),
       sum(when(col("containment") >= threshold, 1L).otherwise(0L))
-        .as("n_contained"),
-      max(col("containment")).as("max_containment"))
+        .as(nearName),
+      max(col("containment")).as(maxName))
     df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_contained"), lit(0L)).as("n_contained"),
-        col("max_containment"))
+        coalesce(col(nearName), lit(0L)).as(nearName),
+        col(maxName))
+  }
+
+  /** WINNOW OVERLAP — the pairing consumer of
+    * [[TextAnalysis.winnowFingerprints]]: the MOSS verdict (Schleimer
+    * et al. 2003 §4, public) that turns per-document fingerprint sets
+    * into directional overlap scores. Two documents sharing any
+    * substring of length ≥ w + k − 1 share at least one print
+    * (winnowing's guarantee), so shared prints anchor partial-copy
+    * candidates that whole-doc hashing and even shingle Jaccard miss;
+    * the score |shared prints| / |own prints| is the containment
+    * metric over print sets — near 1 for a document substantially
+    * duplicated inside a partner, regardless of how much LARGER the
+    * partner is.
+    *
+    * Scale shape = [[ngramContainmentStats]] with the posting index
+    * built over the ~2n/(w+1)-sparse print sets instead of ALL
+    * shingles — candidate generation pairs only docs sharing a
+    * discriminative print (2 ≤ df ≤ maxDf; flood prints — boilerplate
+    * every doc carries — generate no pairs), and verification is one
+    * sorted-intersection per candidate pair. Never all-pairs, and the
+    * per-doc state is the sparse print set, ~10× smaller than the
+    * shingle set the containment operator carries.
+    *
+    * PRECONDITION (shared with the shingle operators, same fail-loud
+    * guard): one row per doc id.
+    *
+    * `prodHash` selects the xxhash64 gram hash
+    * ([[TextAnalysis.winnowFingerprints]]'s production variant);
+    * default md5 keeps the operator SQL-oracle-replayable.
+    *
+    * Output per document: (idCol, n_candidates, n_overlapping,
+    * max_overlap) — docs shorter than k + w − 1 chars emit no prints
+    * and report 0 candidates / null max, the algorithm's domain.
+    */
+  def winnowOverlapStats(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4, maxDf: Int = 20,
+                         threshold: Double = 0.5,
+                         prodHash: Boolean = false): DataFrame = {
+    requireUniqueIds(df.select(col(idCol).as("id")), "winnowOverlapStats")
+    val docsH = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w,
+        prodHash)
+      .select(col(idCol).as("id"), col("fingerprint"))
+      .groupBy("id")
+      // prints are DISTINCT upstream; sort once so the verify join's
+      // sorted-intersection kernel applies unchanged
+      .agg(sort_array(collect_list(col("fingerprint"))).as("shash"))
+      .transform(graft.Materialize.eager)
+    containmentPerDoc(df, idCol, docsH, maxDf, threshold,
+      "n_overlapping", "max_overlap")
   }
 
   /** Incremental [[ngramContainmentStats]] — the CONTAINMENT member

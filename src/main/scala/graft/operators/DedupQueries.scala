@@ -142,6 +142,13 @@ object DedupQueries {
       Dedup.ngramJaccardStats(docs(s, d), "doc_id", "text")),
     "dedup_containment" -> ((s, d) =>
       Dedup.ngramContainmentStats(docs(s, d), "doc_id", "text")),
+    // the MOSS verdict over winnow fingerprint sets: shared-print
+    // candidate pairs (rare-print posting index), directional
+    // |shared|/|own prints| overlap — the pairing consumer of
+    // text_winnow's generation side (md5 prints here, so the oracle
+    // replays them; production callers flip prodHash)
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowOverlapStats(docs(s, d), "doc_id", "text")),
     // maxBucket = uncapped, explicitly: the SQL oracles have no bucket
     // cap, so the oracle callers opt out of the operator's finite
     // flood-guard default to stay bit-comparable at any SF
@@ -1175,6 +1182,57 @@ object DedupQueries {
         |  min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
         |  COUNT(DISTINCT md5(text)) AS n_raw_variants
         |FROM documents GROUP BY 1""".stripMargin,
+    // text_winnow's print CTEs (same positional salted-md5 gram
+    // hashes, window minima, DISTINCT tie collapse) composed with the
+    // containment verdict shape: rare prints (df <= 20; df >= 2
+    // implied by the pair join) qualify candidate pairs, the metric
+    // divides the shared-print count by EACH side's own print count
+    "dedup_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))
+        |        AS BIGINT)) AS hs
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(hs) - 3, 0) + 1),
+        |    j -> list_min(list_slice(hs, j, j + 3)))) AS fingerprint
+        |  FROM h WHERE len(hs) >= 4),
+        |fp AS (SELECT DISTINCT doc_id AS id, fingerprint FROM m),
+        |sizes AS (SELECT id, count(*) AS np FROM fp GROUP BY id),
+        |rare AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+        |         HAVING count(*) <= 20),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb
+        |  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id < b.id
+        |  WHERE a.fingerprint IN (SELECT fingerprint FROM rare)),
+        |shared AS (
+        |  SELECT c.ida, c.idb, count(*) AS shared
+        |  FROM cand c
+        |  JOIN fp sa ON sa.id = c.ida
+        |  JOIN fp sb ON sb.id = c.idb AND sb.fingerprint = sa.fingerprint
+        |  GROUP BY c.ida, c.idb),
+        |ov AS (
+        |  SELECT ida, idb,
+        |    CAST(shared AS DOUBLE) / za.np AS ov_a,
+        |    CAST(shared AS DOUBLE) / zb.np AS ov_b
+        |  FROM shared
+        |  JOIN sizes za ON za.id = ida
+        |  JOIN sizes zb ON zb.id = idb),
+        |per AS (
+        |  SELECT id, count(*) AS n_candidates,
+        |    CAST(SUM(CASE WHEN overlap >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overlapping,
+        |    max(overlap) AS max_overlap
+        |  FROM (SELECT ida AS id, ov_a AS overlap FROM ov
+        |        UNION ALL SELECT idb AS id, ov_b AS overlap FROM ov)
+        |  GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_candidates, 0) AS n_candidates,
+        |  COALESCE(p.n_overlapping, 0) AS n_overlapping,
+        |  p.max_overlap
+        |FROM documents d LEFT JOIN per p ON p.id = d.doc_id""".stripMargin,
     // same shingle/rare-candidate CTEs as dedup_ngram_jaccard; the
     // metric divides the shared count by EACH side's own set size
     // (directional containment), thresholded at 0.5

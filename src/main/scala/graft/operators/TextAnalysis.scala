@@ -471,16 +471,32 @@ object TextAnalysis {
     * Output: (id, fingerprint) distinct rows; documents shorter than
     * k + w − 1 chars (or null) emit nothing, exactly the algorithm's
     * domain.
+    *
+    * `prodHash = true` swaps the salted-md5 gram hash for xxhash64 —
+    * the PRODUCTION variant: winnowing's guarantee holds for ANY
+    * deterministic gram hash (only equality and a total order are
+    * used), and md5 exists here purely as the cross-engine oracle
+    * rule. The md5 gram hashing dominates the operator (~5× the rest
+    * of the plan at sf10 — TIMINGS); xxhash64 is codegen'd and
+    * 64-bit (fewer fingerprint collisions on top of being cheaper).
+    * The two variants compile to the SAME plan shape — one
+    * projection chain, explode, distinct; nothing about
+    * selection density or the shared-substring guarantee changes —
+    * spec-pinned (TextAnalysisSpec). Use md5 only where a SQL engine
+    * must replay the prints.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         k: Int = 8, w: Int = 4): DataFrame = {
+                         k: Int = 8, w: Int = 4,
+                         prodHash: Boolean = false): DataFrame = {
     require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
     val nGrams = length(col(textCol)) - (k - 1)
+    def gramHash(g: Column): Column =
+      if (prodHash) xxhash64(g) else Sampling.hashBucket(g)
     // sequence(1, 0) would DESCEND ([1,0]) — short/null docs must
     // yield an empty gram list instead
     val hashes = when(nGrams >= 1,
       transform(sequence(lit(1), nGrams),
-        i => Sampling.hashBucket(col(textCol).substr(i, lit(k)))))
+        i => gramHash(col(textCol).substr(i, lit(k)))))
     // the hash ARRAY must materialize once per row: inlining it into
     // the window lambda re-evaluates all n gram md5s per window
     // position — O(n²·k) hashing per document (measured as a hung

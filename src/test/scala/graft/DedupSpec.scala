@@ -1725,4 +1725,63 @@ class DedupSpec extends SparkSpec {
     assert(d3.getLong(d3.fieldIndex("n_candidates")) == 0L &&
       d3.isNullAt(d3.fieldIndex("max_containment")), d3.toString)
   }
+
+  test("winnow overlap: shared-print pairs score directional MOSS overlap; prod hash keeps the plan") {
+    import graft.operators.TextAnalysis
+    // planted shared substring >= w + k - 1 = 11 chars: winnowing
+    // GUARANTEES docs 1 and 2 share a print, so the overlap operator
+    // must pair them; doc 2 is mostly the shared region (its
+    // directional score dominates doc 1's — MOSS's partial-copy
+    // asymmetry); doc 3 is alphabet-disjoint; 4/5 below the domain
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, "PREFIX aaaa " + shared + " SUFFIX bbbb with a long tail " +
+        "of further unrelated padding words stretching onward"),
+      (2L, "zz " + shared + " qq"),
+      (3L, "zzzzz qqqqq wwwww qqqqq zzzzz qqqqq wwwww eeeee rrrrr"),
+      (4L, "short"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowOverlapStats(docs, "doc_id", "text",
+        k = 8, w = 4, maxDf = 20, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // ground truth recomputed from the print sets directly
+    val prints = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+        k = 8, w = 4)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sh12 = (prints(1L) & prints(2L)).size.toDouble
+    assert(sh12 >= 1, "planted guarantee: docs 1/2 must share a print")
+    assert((prints(3L) & (prints(1L) ++ prints(2L))).isEmpty)
+    val d1 = out(1L); val d2 = out(2L)
+    assert(d1.getLong(1) == 1L && d2.getLong(1) == 1L,
+      s"exactly the planted pair: $d1 $d2")
+    assert(d1.getDouble(3) == sh12 / prints(1L).size, d1.toString)
+    assert(d2.getDouble(3) == sh12 / prints(2L).size, d2.toString)
+    assert(d2.getDouble(3) > d1.getDouble(3),
+      "the mostly-shared doc's directional overlap must dominate")
+    // n_overlapping folds the same threshold the scores imply
+    assert(d1.getLong(2) == (if (d1.getDouble(3) >= 0.5) 1L else 0L))
+    assert(d2.getLong(2) == (if (d2.getDouble(3) >= 0.5) 1L else 0L))
+    // out-of-domain and unrelated docs: zero candidates, null max
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(out(id).getLong(1) == 0L && out(id).isNullAt(3), out(id).toString)
+    }
+    // production xxhash64 variant: IDENTICAL optimized plan shape
+    // (the hash literal is the only difference — no extra shuffle,
+    // projection, or exchange sneaks in) and the same guarantee
+    def shape(q: org.apache.spark.sql.DataFrame): Seq[String] =
+      q.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    assert(
+      shape(TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 8, 4,
+        prodHash = true)) ==
+      shape(TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 8, 4)),
+      "prod-hash sibling must not change the plan shape")
+    val prodOut = Dedup.winnowOverlapStats(docs, "doc_id", "text",
+        k = 8, w = 4, maxDf = 20, threshold = 0.5, prodHash = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(prodOut(1L).getLong(1) == 1L && prodOut(2L).getLong(1) == 1L,
+      "the winnowing guarantee is hash-agnostic")
+    assert(prodOut(2L).getDouble(3) > prodOut(1L).getDouble(3))
+  }
 }
