@@ -630,9 +630,10 @@ object Dedup {
     * of the incremental gold-hop family (siblings:
     * [[exactDedupIncremental]], [[minhashLshStatsIncremental]],
     * [[simhashStatsIncremental]], [[embeddingStatsLshIncremental]],
-    * [[dedupResolveIncremental]], [[jaccardStatsIncremental]] —
-    * which shares THIS member's posting state and implementation,
-    * differing only in the pair score —
+    * [[dedupResolveIncremental]], [[jaccardStatsIncremental]] and
+    * [[winnowStatsIncremental]] — which share THIS member's posting
+    * state and implementation, differing only in the pair score and
+    * the per-doc hash set —
     * [[TextAnalysis.segmentDedupIncremental]], `annIvfIncremental`;
     * same keyed-state + XOR-signature-staleness design; same n /
     * maxDf / threshold across calls).
@@ -689,9 +690,10 @@ object Dedup {
                                   appendOnly: Boolean = false,
                                   fmt: graft.pipeline.TableFormat =
                                     graft.pipeline.SnapshotTableFormat): Unit =
-    shingleStatsIncremental(spark, batch, idCol, textCol, stateDir, goldPath,
-      batchOrd, n, maxDf, threshold, deletes, fullResync, appendOnly, fmt,
-      jaccard = false)
+    postingStatsIncremental(spark, batch, idCol, textCol, stateDir, goldPath,
+      batchOrd, maxDf, threshold, deletes, fullResync, appendOnly, fmt,
+      jaccard = false, hashOf = shingleHashes(_, "id", "text", n),
+      nearName = "n_contained", maxName = "max_containment")
 
   /** Incremental [[ngramJaccardStats]] — the symmetric JACCARD
     * member of the incremental family, completing the pairing with
@@ -718,19 +720,84 @@ object Dedup {
                               appendOnly: Boolean = false,
                               fmt: graft.pipeline.TableFormat =
                                 graft.pipeline.SnapshotTableFormat): Unit =
-    shingleStatsIncremental(spark, batch, idCol, textCol, stateDir, goldPath,
-      batchOrd, n, maxDf, threshold, deletes, fullResync, appendOnly, fmt,
-      jaccard = true)
+    postingStatsIncremental(spark, batch, idCol, textCol, stateDir, goldPath,
+      batchOrd, maxDf, threshold, deletes, fullResync, appendOnly, fmt,
+      jaccard = true, hashOf = shingleHashes(_, "id", "text", n),
+      nearName = "n_near", maxName = "max_jaccard")
 
-  private def shingleStatsIncremental(spark: SparkSession, batch: DataFrame,
+  /** Incremental [[winnowOverlapStats]] — the WINNOW member of the
+    * incremental family, the MOSS overlap verdict maintained across
+    * micro-batches. It IS the containment member with the per-doc
+    * hash set swapped: the posting index is built over the
+    * ~2n/(w+1)-sparse winnow-selected prints instead of ALL shingle
+    * hashes, so the `shingles` posting table is ~10× smaller per
+    * distinct content while the partial-copy guarantee (any shared
+    * substring ≥ w + k − 1 chars shares a print) is preserved. The
+    * state layout (`docs`/`groups`/`shingles` group-keyed tables),
+    * 2 ≤ df ≤ maxDf bucket qualification, XOR-signature staleness,
+    * append-only fast path, and delete/null-retraction/fullResync
+    * contracts are the shared implementation's, proven by the
+    * containment member's crash-replay spec; the winnow spec pins
+    * what is NEW — print-set state, printless short docs (an empty
+    * print set: a gold row with 0 candidates / null max, matching
+    * the batch operator's domain), and batch equality.
+    *
+    * `prodHash` selects the xxhash64 gram hash (the production
+    * variant — see [[TextAnalysis.winnowFingerprints]]); a state dir
+    * is bound to ONE variant (the prints ARE the posting keys), so
+    * changing it requires a state rebuild, same as changing k or w.
+    *
+    * Gold rows: (id, n_candidates, n_overlapping, max_overlap, _ord,
+    * _shingle_sig) — stats columns identical to the batch operator,
+    * spec-proven equal to its recompute over every document seen.
+    */
+  def winnowStatsIncremental(spark: SparkSession, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             stateDir: String, goldPath: String,
+                             batchOrd: Long,
+                             k: Int = 8, w: Int = 4, maxDf: Int = 20,
+                             threshold: Double = 0.5,
+                             prodHash: Boolean = false,
+                             deletes: Option[DataFrame] = None,
+                             fullResync: Boolean = false,
+                             appendOnly: Boolean = false,
+                             fmt: graft.pipeline.TableFormat =
+                               graft.pipeline.SnapshotTableFormat): Unit =
+    postingStatsIncremental(spark, batch, idCol, textCol, stateDir, goldPath,
+      batchOrd, maxDf, threshold, deletes, fullResync, appendOnly, fmt,
+      jaccard = false, hashOf = winnowHashFrame(_, k, w, prodHash),
+      nearName = "n_overlapping", maxName = "max_overlap")
+
+  /** (id, shash) frame for the winnow member: the sorted-distinct
+    * print set per document, with an explicit EMPTY array for docs
+    * shorter than k + w − 1 chars (they emit no prints — the
+    * algorithm's domain — but must still hold a state row so their
+    * gold row exists and retracts like any other).
+    */
+  private def winnowHashFrame(docs: DataFrame, k: Int, w: Int,
+                              prodHash: Boolean): DataFrame = {
+    val prints = TextAnalysis.winnowFingerprints(docs, "id", "text", k, w,
+        prodHash)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("fingerprint"))).as("_sh"))
+    docs.select(col("id"))
+      .join(prints, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_sh"), array().cast("array<long>")).as("shash"))
+  }
+
+  private def postingStatsIncremental(spark: SparkSession, batch: DataFrame,
                                       idCol: String, textCol: String,
                                       stateDir: String, goldPath: String,
-                                      batchOrd: Long, n: Int, maxDf: Int,
+                                      batchOrd: Long, maxDf: Int,
                                       threshold: Double,
                                       deletes: Option[DataFrame],
                                       fullResync: Boolean, appendOnly: Boolean,
                                       fmt: graft.pipeline.TableFormat,
-                                      jaccard: Boolean): Unit = {
+                                      jaccard: Boolean,
+                                      hashOf: DataFrame => DataFrame,
+                                      nearName: String,
+                                      maxName: String): Unit = {
     require(!(appendOnly && deletes.nonEmpty),
       "appendOnly declares an insert-only corpus; a delete feed " +
         "contradicts it — drop the flag and use the general path")
@@ -738,11 +805,6 @@ object Dedup {
     val groupsPath = s"$stateDir/groups"   // (chash, shash) representatives
     val postPath = s"$stateDir/shingles"   // (h, chash) group posting rows
     requireGroupKeyedState(spark, docsPath, fmt, legacyCol = "shash")
-    // the two members differ ONLY here: the per-ordered-pair score
-    // and the gold stat column names
-    val (nearName, maxName) =
-      if (jaccard) ("n_near", "max_jaccard")
-      else ("n_contained", "max_containment")
 
     // EXACT-DUPLICATE COLLAPSE (r15): the posting state is an
     // inverted index over DISTINCT contents — O(shingles per distinct
@@ -866,8 +928,7 @@ object Dedup {
     if (appendOnly && !fullResync) {
       if (batchDocs.isEmpty) return
       val batchH = graft.Materialize.eager(
-        shingleHashes(batchDocs, "id", "text", n)
-          .withColumn("chash", xxhash64(col("shash"))))
+        hashOf(batchDocs).withColumn("chash", xxhash64(col("shash"))))
       mergeState(batchH)
       val members = fmt.read(spark, docsPath).select(col("id"), col("chash"))
       val groupsT = fmt.read(spark, groupsPath)
@@ -879,9 +940,14 @@ object Dedup {
       // corpus — and the two-hop posting neighborhood as the slice
       val touched = batchH.select(col("chash"), explode(col("shash")).as("h"))
         .select(col("h")).distinct()
+      // union the batch's own groups: a group with an EMPTY hash set
+      // (a printless winnow doc) touches no bucket yet still needs
+      // its gold row written this fold
       val affectedGroups = graft.Materialize.eager(
         postT.join(touched, Seq("h"), "left_semi")
-          .select(col("chash")).distinct())
+          .select(col("chash"))
+          .unionByName(batchH.select(col("chash")))
+          .distinct())
       val affBuckets = postT.join(affectedGroups, Seq("chash"), "left_semi")
         .select(col("h")).distinct()
       val nbrPost = graft.Materialize.eager(
@@ -925,8 +991,7 @@ object Dedup {
           batchAll.select(col("id")).distinct(), Seq("id"))
       if (!batchDocs.isEmpty) {
         val batchH = graft.Materialize.eager(
-          shingleHashes(batchDocs, "id", "text", n)
-            .withColumn("chash", xxhash64(col("shash"))))
+          hashOf(batchDocs).withColumn("chash", xxhash64(col("shash"))))
         mergeState(batchH)
       }
     }

@@ -173,6 +173,25 @@ class ConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, lmCfg.copy(params = Map.empty))
     }
+    // the winnow member (the 11th) dispatches through the runner:
+    // the JSON knobs (k/w/threshold) reach the fold, and gold equals
+    // the batch MOSS verdict over silver-current (its fold-by-fold
+    // exactness contract is pinned in StreamingSpec)
+    val wnWork = Files.createTempDirectory("graft_cfg_wn").toString
+    val wnCfg = cfg.copy(member = "winnow",
+      checkpoint = s"$wnWork/ck", stateDir = s"$wnWork/state",
+      goldPath = s"$wnWork/gold",
+      params = Map("k" -> "4", "w" -> "3", "threshold" -> "0.5"))
+    assert(IncrementalDedupJob.run(spark, wnCfg).nonEmpty)
+    val wnTruth = graft.operators.Dedup.winnowOverlapStats(
+        sfmt.read(spark, silver).filter(col("text").isNotNull)
+          .select("doc_id", "text"), "doc_id", "text", k = 4, w = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_overlapping")))
+      .toSeq.sortBy(_._1)
+    val wnGold = wnCfg.stateFormat.read(spark, wnCfg.goldPath)
+      .select(col("id"), col("n_overlapping"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(wnGold == wnTruth, s"winnow via runner: $wnGold vs $wnTruth")
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

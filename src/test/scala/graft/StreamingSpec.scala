@@ -2375,6 +2375,127 @@ class StreamingSpec extends SparkSpec {
       s"containment over shared state: $contGot vs $contTruth")
   }
 
+  test("incremental winnow stats: gold equals batch recompute, printless docs, append-only path") {
+    // WINNOW member (the 11th): the shared posting implementation
+    // with the per-doc hash set swapped to winnow prints. Crash
+    // replay / delete / resync contracts are the shared machinery
+    // proven by the containment spec; this pins what is NEW —
+    // (a) the MOSS overlap verdict equals Dedup.winnowOverlapStats
+    // over silver-current after every fold, (b) PRINTLESS short docs
+    // (no prints — outside the algorithm's domain) still get a gold
+    // row with 0 candidates / null max and retract cleanly on
+    // update, (c) the append-only fast path handles a printless
+    // batch doc (it touches no posting bucket yet must land a gold
+    // row this fold).
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_wn_silver").toString
+    val stateDir = Files.createTempDirectory("graft_wn_state").toString
+    val gold = Files.createTempDirectory("graft_wn_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_wn_ck").toString
+    val P = (4, 3, 20, 0.5) // k, w, maxDf, threshold — printless under 6 chars
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        Dedup.winnowStatsIncremental(spark,
+          chg.select("doc_id", "text"), "doc_id", "text",
+          stateDir, gold, batchOrd = v.toLong,
+          k = P._1, w = P._2, maxDf = P._3, threshold = P._4)
+      }
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_overlapping"),
+        Option(r.get(r.fieldIndex("max_overlap"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = stats(Dedup.winnowOverlapStats(
+        fmt.read(spark, silver).select("doc_id", "text")
+          .filter(col("text").isNotNull), "doc_id", "text",
+        k = P._1, w = P._2, maxDf = P._3, threshold = P._4), "doc_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    val page = "the quick brown fox jumps over the lazy dog"
+    val frag = "quick brown fox jumps"
+    // batch 1: fragment inside page (shared substring >> w + k - 1 =
+    // 6 chars, so they MUST share a print), an unrelated doc, and a
+    // PRINTLESS 4-char doc
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, page, 0), (2L, frag, 0), (3L, "zzz yyy xxx www vvv", 0),
+        (4L, "tiny", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 1")
+    val g2 = MergeTable.read(spark, gold).filter(col("id") === 2L).head
+    assert(g2.getAs[Long]("n_overlapping") == 1L &&
+      g2.getAs[Double]("max_overlap") >= 0.5,
+      s"the fragment must report winnow overlap into the page: $g2")
+    val g4 = MergeTable.read(spark, gold).filter(col("id") === 4L).head
+    assert(g4.getAs[Long]("n_candidates") == 0L &&
+      g4.isNullAt(g4.fieldIndex("max_overlap")),
+      s"a printless doc must report 0 candidates / null max: $g4")
+
+    // batch 2: the printless doc grows text that shares the page's
+    // substring — OLD doc 1 gains a partner via the retract+reinsert
+    fmt.scd1Merge(spark, silver,
+      Seq((4L, "jumps over the lazy dog", 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 2 (printless doc grows prints)")
+
+    // batch 3: doc 2's update shrinks it BELOW the print domain —
+    // the page loses a partner and doc 2 must go printless, not stale
+    fmt.scd1Merge(spark, silver,
+      Seq((2L, "abc", 2)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 3 (update to printless retracts)")
+
+    // hard delete flows through like the siblings
+    val delIds = Seq(4L).toDF("doc_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
+    Dedup.winnowStatsIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 4L,
+      k = P._1, w = P._2, maxDf = P._3, threshold = P._4,
+      deletes = Some(delIds))
+    checkGoldEqualsBatch("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 4L).count() == 0)
+
+    // APPEND-ONLY fast path on fresh state: batch 2 carries a
+    // printless doc (touches no bucket — the explicit batch-group
+    // union must still land its gold row) plus a near-copy that
+    // makes OLD docs re-verify
+    val base = graft.pipeline.SnapshotTableFormat
+    val stA = Files.createTempDirectory("graft_wn_stA").toString
+    val goA = Files.createTempDirectory("graft_wn_goA").toString + "/t"
+    val batches = Seq(
+      Seq((1L, page), (3L, "zzz yyy xxx www vvv")),
+      Seq((5L, "tiny"), (6L, frag)))
+    var seen = Seq.empty[(Long, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      Dedup.winnowStatsIncremental(spark, b.toDF("doc_id", "text"),
+        "doc_id", "text", stA, goA, batchOrd = i.toLong,
+        k = P._1, w = P._2, maxDf = P._3, threshold = P._4,
+        appendOnly = true, fmt = base)
+      val truth = stats(Dedup.winnowOverlapStats(
+        seen.toDF("doc_id", "text"), "doc_id", "text",
+        k = P._1, w = P._2, maxDf = P._3, threshold = P._4), "doc_id")
+      val got = stats(MergeTable.read(spark, goA)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"append-only batch $i: ${got.mkString("; ")} vs ${truth.mkString("; ")}")
+    }
+  }
+
   test("append-only containment fast path: neighborhood re-verify equals batch and general path") {
     // two-hop case for the containment member: batch fragment 4
     // lands in the page's buckets, so OLD docs (not in the batch)
