@@ -511,6 +511,127 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** POSITIONAL winnow selection — [[winnowFingerprints]] keeping the
+    * gram position of each window minimum (leftmost on ties; either
+    * tie rule preserves the coverage guarantee — Schleimer et al. §4
+    * pick rightmost to minimize selections, but position identity is
+    * what [[spanDedupStats]] needs, and leftmost is what both
+    * `array_position` and DuckDB `list_position` compute, keeping the
+    * operator oracle-replayable). Output: (idCol, pos, fingerprint)
+    * distinct rows, `pos` the 1-based char offset of the selected
+    * k-gram's start. Same kernel shape as the print variant: the hash
+    * array materializes once per row (the documented O(n²) inlining
+    * trap), the argmin runs in-row over w-element slices, and the
+    * explode ships only the ~2n/(w+1) selected positions.
+    */
+  def winnowAnchorPositions(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4,
+                            prodHash: Boolean = false): DataFrame = {
+    require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
+    val nGrams = length(col(textCol)) - (k - 1)
+    def gramHash(g: Column): Column =
+      if (prodHash) xxhash64(g) else Sampling.hashBucket(g)
+    val hashes = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams),
+        i => gramHash(col(textCol).substr(i, lit(k)))))
+    val sel = when(size(col("_hs")) >= w,
+      transform(sequence(lit(1), size(col("_hs")) - lit(w - 1)), j => {
+        val sl = slice(col("_hs"), j, lit(w))
+        val m = array_min(sl)
+        struct((j.cast("long") - 1L + array_position(sl, m)).as("pos"),
+          m.as("h"))
+      }))
+    df.select(col(idCol), hashes.as("_hs"))
+      .select(col(idCol), explode(sel).as("_sw"))
+      .select(col(idCol), col("_sw.pos").as("pos"),
+        col("_sw.h").as("fingerprint"))
+      .distinct()
+  }
+
+  /** Cross-document duplicated-SPAN statistics — the engine's member
+    * of the exact-substring dedup family (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * public: remove verbatim substrings shared across documents
+    * rather than whole documents). The exact method builds a corpus
+    * suffix array — inherently sequential and memory-resident, the
+    * wrong shape for a distributed engine — so this is the winnow-
+    * anchored APPROXIMATION with a precise contract:
+    *
+    *   1. anchors = positional winnow prints
+    *      ([[winnowAnchorPositions]]) whose print hash occurs in ≥ 2
+    *      DISTINCT documents. Winnowing's guarantee makes anchors
+    *      dense inside any cross-doc duplicated substring: interior
+    *      selection depends only on a w + k − 1-char context that
+    *      both copies share, so both docs select the same interior
+    *      grams and every interior anchor gap is ≤ w positions.
+    *   2. per doc, anchors sorted by position merge into one span
+    *      while consecutive gaps are ≤ w + k − 1 (a new island
+    *      starts past that); a merged island covers
+    *      [first_pos, last_pos + k − 1].
+    *   3. spans shorter than `minSpan` chars are dropped — k-gram
+    *      incidental collisions give single isolated anchors, never
+    *      a ≥ minSpan run of ≤ w-spaced ones.
+    *
+    * Approximation vs the suffix-array truth, both directions and
+    * both bounded: reported span BOUNDARIES can undershoot the true
+    * duplicated extent by < w + k − 1 chars at each end (boundary
+    * windows see mixed context), and two true spans separated by a
+    * gap < w + k − 1 chars report as one. What it cannot do is pair
+    * span occurrences: an anchor proves its print exists in some
+    * other document, so a reported span is a run of cross-doc-shared
+    * grams, not necessarily one contiguous substring of a single
+    * partner — the conservative (over-flagging) direction for a
+    * dedup gate. Within-doc repetition is intentionally out of
+    * scope ([[TextQueries]] `text_repetition` / `text_dup_ngrams`
+    * cover it); df counts DISTINCT docs.
+    *
+    * Scale shape: the winnow kernel is a scan-shaped projection; the
+    * only shuffles are the (print, id)-distinct document-frequency
+    * aggregate (the same posting shuffle as the winnow overlap
+    * operator, map-side combinable, NEVER a pair join — no flood cap
+    * needed because no candidate pairs are formed) and a per-doc
+    * window over the sparse anchor sequence (partitioned by doc id,
+    * bounded by doc length). `prodHash` swaps the oracle-replayable
+    * salted-md5 gram hash for xxhash64, same plan shape.
+    *
+    * Output per document: (idCol, n_dup_spans, dup_chars,
+    * max_span_len) — docs with no qualifying span report 0/0/null.
+    */
+  def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, w: Int = 4, minSpan: Int = 30,
+                     prodHash: Boolean = false): DataFrame = {
+    require(minSpan >= k, s"minSpan ($minSpan) below k ($k) is vacuous")
+    val gap = w + k - 1
+    val sel = winnowAnchorPositions(df, idCol, textCol, k, w, prodHash)
+      .select(col(idCol).as("id"), col("pos"), col("fingerprint"))
+      .transform(graft.Materialize.eager)
+    val shared = sel.groupBy(col("fingerprint"))
+      .agg(countDistinct(col("id")).as("_docs"))
+      .filter(col("_docs") >= 2).select(col("fingerprint"))
+    val anchors = sel.join(shared, Seq("fingerprint"), "left_semi")
+    val W = org.apache.spark.sql.expressions.Window
+    val byPos = W.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = anchors
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= gap, 0L)
+          .otherwise(1L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        byPos.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg((max(col("pos")) + (k - 1) - min(col("pos")) + 1L)
+        .as("span_len"))
+      .filter(col("span_len") >= minSpan)
+    val per = spans.groupBy("id").agg(
+      count(lit(1)).as("n_dup_spans"),
+      sum(col("span_len")).as("dup_chars"),
+      max(col("span_len")).as("max_span_len"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("max_span_len"))
+  }
+
   /** Corpus vocabulary summary in one pass over the word-count
     * frame: vocabulary size, total tokens, hapax legomena (words
     * seen once — the classic crawl-noise signal: OCR junk and

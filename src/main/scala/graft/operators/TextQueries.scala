@@ -151,6 +151,14 @@ object TextQueries {
     TextAnalysis.winnowFingerprints(docs(spark, dir), "doc_id", "text",
       k = 8, w = 4)
 
+  /** Cross-document duplicated-span stats (the Lee et al. 2022
+    * exact-substring dedup class, winnow-anchored approximation):
+    * 8-char grams, window 4, spans ≥ 30 chars.
+    */
+  def textSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanDedupStats(docs(spark, dir), "doc_id", "text",
+      k = 8, w = 4, minSpan = 30)
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -210,7 +218,8 @@ object TextQueries {
     "text_collocations" -> (textCollocations _),
     "text_vocab_stats" -> (textVocabStats _),
     "text_lm_familiarity" -> (textLmFamiliarity _),
-    "text_winnow" -> (textWinnow _))
+    "text_winnow" -> (textWinnow _),
+    "text_span_dedup" -> (textSpanDedup _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -333,6 +342,55 @@ object TextQueries {
         |    j -> list_min(list_slice(hs, j, j + 3)))) AS fingerprint
         |  FROM h WHERE len(hs) >= 4)
         |SELECT DISTINCT doc_id, fingerprint FROM m""".stripMargin,
+    // text_winnow's gram CTEs with POSITIONAL selection (leftmost
+    // argmin per window — list_position = array_position), then the
+    // span assembly: anchors = selected prints in >= 2 distinct docs,
+    // islands break when the anchor gap exceeds w + k - 1 = 11,
+    // a span covers [first_pos, last_pos + k - 1], keep >= 30 chars
+    "text_span_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))
+        |        AS BIGINT)) AS hs
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, hs, unnest(list_transform(
+        |    range(1, greatest(len(hs) - 3, 0) + 1),
+        |    j -> CAST(j - 1 + list_position(list_slice(hs, j, j + 3),
+        |      list_min(list_slice(hs, j, j + 3))) AS BIGINT))) AS pos
+        |  FROM h WHERE len(hs) >= 4),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, pos, hs[CAST(pos AS INT)] AS fp FROM m),
+        |shared AS (
+        |  SELECT fp FROM sel GROUP BY fp
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |anch AS (
+        |  SELECT doc_id, pos FROM sel
+        |  WHERE fp IN (SELECT fp FROM shared)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      <= 11 THEN 0 ELSE 1 END AS brk
+        |  FROM anch),
+        |grp AS (
+        |  SELECT doc_id, pos, SUM(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, MAX(pos) + 7 - MIN(pos) + 1 AS span_len
+        |  FROM grp GROUP BY doc_id, g
+        |  HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 30),
+        |per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(SUM(span_len) AS BIGINT) AS dup_chars,
+        |    CAST(MAX(span_len) AS BIGINT) AS max_span_len
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(p.dup_chars, 0) AS dup_chars,
+        |  p.max_span_len
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
     // the in-row fold counts exactly what a per-doc group-by counts
     "text_word_counts" ->
       """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n

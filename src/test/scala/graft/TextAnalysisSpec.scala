@@ -549,4 +549,63 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == out.toSet)
   }
+
+  test("span dedup: planted shared spans are found with bounded boundaries, separated spans stay separate") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val (k, w) = (8, 4)
+    val slack = w + k - 1 // the documented per-end boundary tolerance
+    // two spans planted across documents; fillers share no 8-gram
+    // with anything (distinct character sets per filler)
+    val s1 = "the quick brown fox jumps over the lazy dog again and again" // 60
+    val s2 = "pack my box with five dozen liquor jugs right now please ok" // 60
+    val df = Seq(
+      // doc 1 carries BOTH spans, separated by > w + k - 1 unique
+      // chars — they must report as TWO spans, not merge
+      (1L, "AAAA BBBB CCCC " + s1 + " DDDD EEEE FFFF GGGG " + s2 +
+        " HHHH IIII"),
+      (2L, "zzzz xxxx " + s1 + " yyyy wwww"), // span 1's partner
+      (3L, "qqqq rrrr " + s2 + " ssss tttt"), // span 2's partner
+      (4L, "1111 2222 3333 4444 5555 6666 7777 8888 9999 0000"), // unrelated
+      (5L, "short"), // below the k + w - 1 print domain
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedupStats(df, "doc_id", "text",
+        k = k, w = w, minSpan = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // doc 1: exactly two spans, each within the boundary contract of
+    // its planted 60-char span (undershoot < slack per end, and the
+    // separating unique filler prevents an overshoot past the mate)
+    assert(byDoc(1L)._2 == 2L, s"doc 1 must report 2 spans: ${byDoc(1L)}")
+    assert(byDoc(1L)._4.get >= s1.length - 2 * slack &&
+      byDoc(1L)._4.get <= s1.length + 2 * slack,
+      s"span length must track the planted span: ${byDoc(1L)}")
+    // partners report their single span
+    assert(byDoc(2L)._2 == 1L && byDoc(3L)._2 == 1L,
+      s"partners must each report one span: ${byDoc(2L)} ${byDoc(3L)}")
+    assert(byDoc(2L)._4.get >= s1.length - 2 * slack,
+      s"partner span must cover the planted extent: ${byDoc(2L)}")
+    // unrelated / printless / null docs report 0 spans, null max
+    for (id <- Seq(4L, 5L, 6L))
+      assert(byDoc(id) == ((id, 0L, 0L, None)), s"doc $id: ${byDoc(id)}")
+    // dup_chars sums the spans
+    assert(byDoc(1L)._3 >= 2 * (s1.length - 2 * slack) &&
+      byDoc(1L)._3 <= 2 * (s1.length + 2 * slack),
+      s"dup_chars must sum both spans: ${byDoc(1L)}")
+    // deterministic under repartitioning
+    val again = TextAnalysis.spanDedupStats(df.repartition(3), "doc_id",
+        "text", k = k, w = w, minSpan = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    assert(again.sameElements(out))
+    // prodHash variant: same spans (the guarantee is hash-agnostic)
+    val prod = TextAnalysis.spanDedupStats(df, "doc_id", "text",
+        k = k, w = w, minSpan = 20, prodHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(prod.map(_._2).sameElements(out.map(_._2)),
+      "xxhash64 anchors must find the same planted spans")
+  }
 }
