@@ -295,6 +295,17 @@ object DedupQueries {
       Similarity.annRecallSampled(e, "vec_id", "embedding",
         Similarity.annIvf(e, "vec_id", "embedding"))
     }),
+    // the sampled audit against the IVF-PQ index — rows-only like
+    // every PQ entry (the Lloyd-refined quantizer is data-derived;
+    // a static oracle SQL cannot embed per-corpus codebooks, and the
+    // oracle-able raw-sample quantizer costs the measured 9 recall
+    // points). DedupSpec pins the strong internal property instead:
+    // per-probe rows value-identical to the full PQ audit's
+    "ann_recall_sampled_ivfpq" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annRecallSampled(e, "vec_id", "embedding",
+        Similarity.annIvfPq(e, "vec_id", "embedding"))
+    }),
     // the same audit for the IVF index (inverted lists + nprobe)
     "ann_recall_ivf" -> ((s, d) => {
       val e = embs(s, d)

@@ -410,6 +410,45 @@ class DedupSpec extends SparkSpec {
         "within 0.2 at rate 0.1")
   }
 
+  test("sampled ANN recall audits the IVF-PQ index: probe rows equal the full audit's") {
+    // the PQ instantiation of the sampled audit (its own entry,
+    // ann_recall_sampled_ivfpq, rows-only DECLARED: the PQ side's
+    // Lloyd-refined quantizer is data-derived, and the driver's
+    // oracle SQL is a static string — it cannot embed codebooks that
+    // differ per sf dir, and regressing to an oracle-able raw-sample
+    // quantizer costs the measured 9 recall points). The spec is the
+    // strong engine-internal substitute: per-probe rows are
+    // value-identical to the FULL PQ audit's (ann_recall_ivfpq's
+    // shape) for the same probes, and the probe draw is the same
+    // deterministic md5-bucket rule as the hash-green siblings.
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val approx = Similarity.annIvfPq(e, "vec_id", "embedding")
+      .transform(graft.Materialize.eager) // both audits read it
+    val full = Similarity.annRecall(
+      Similarity.annBruteForce(e, "vec_id", "embedding"), approx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).sortBy(_._1)
+    val sampled = Similarity.annRecallSampled(e, "vec_id", "embedding",
+        approx, rate = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).sortBy(_._1)
+    assert(sampled.nonEmpty && sampled.length < full.length,
+      s"probe sample must be a strict non-empty subset: " +
+        s"${sampled.length}/${full.length}")
+    val probeIds = sampled.map(_._1).toSet
+    val fullOnProbes = full.filter(r => probeIds.contains(r._1))
+    assert(sampled.sameElements(fullOnProbes),
+      "sampled PQ audit rows must be value-identical to the full " +
+        s"audit's probe rows (first diff: " +
+        s"${sampled.zip(fullOnProbes).find(p => p._1 != p._2)})")
+    // the reranked PQ pipeline's sampled mean holds the spec-pinned
+    // recall floor of the full audit on this corpus
+    val meanSampled = sampled.map(t =>
+      java.lang.Double.longBitsToDouble(t._4)).sum / sampled.length
+    assert(meanSampled >= 0.3,
+      f"sampled PQ mean recall $meanSampled%.3f below the 0.3 floor")
+  }
+
   test("distributed brute force equals the collect form, corpus unbounded") {
     // the 100 TB form: probes broadcast, corpus scanned distributed.
     // Three pins: (a) bit-exact equality with the corpus-collect
