@@ -53,6 +53,31 @@ object Materialize {
     */
   def lazily(df: DataFrame): DataFrame = strategy(df, eagerEval = false)
 
+  /** Materialize a BULK frame — one whose row count rivals the corpus
+    * (posting expansions, positional print sets) rather than the
+    * usual signature/candidate frames. Same lineage-truncation
+    * semantics as [[eager]], but stored DISK_ONLY: a corpus-sized
+    * deserialized MEMORY_AND_DISK checkpoint fills the protected
+    * storage region of unified memory, and the 32-way aggregate
+    * stages that read it next starve to a hard
+    * UNABLE_TO_ACQUIRE_MEMORY (measured: the sf10 span-dedup probe's
+    * 58M-row print frame killed the document-frequency aggregate at
+    * the default heap; DISK_ONLY reads back compact unsafe rows and
+    * exerts no storage pressure). `reliable` already lands on stable
+    * storage; `persist` keeps its replica semantics on disk.
+    */
+  def eagerBulk(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "local") match {
+      case "local"    => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+      case "reliable" => df.checkpoint(true)
+      case "persist" =>
+        val r = df.rdd.persist(StorageLevel.DISK_ONLY_2)
+        r.count()
+        df.sparkSession.createDataFrame(r, df.schema)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be local|reliable|persist, got '$other'")
+    }
+
   private def strategy(df: DataFrame, eagerEval: Boolean): DataFrame =
     df.sparkSession.conf.get(ConfKey, "local") match {
       case "local"    => df.localCheckpoint(eagerEval)

@@ -487,29 +487,16 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4,
-                         prodHash: Boolean = false): DataFrame = {
-    require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
-    val nGrams = length(col(textCol)) - (k - 1)
-    def gramHash(g: Column): Column =
-      if (prodHash) xxhash64(g) else Sampling.hashBucket(g)
-    // sequence(1, 0) would DESCEND ([1,0]) — short/null docs must
-    // yield an empty gram list instead
-    val hashes = when(nGrams >= 1,
-      transform(sequence(lit(1), nGrams),
-        i => gramHash(col(textCol).substr(i, lit(k)))))
-    // the hash ARRAY must materialize once per row: inlining it into
-    // the window lambda re-evaluates all n gram md5s per window
-    // position — O(n²·k) hashing per document (measured as a hung
-    // sf0.1 pass). A separate projection pins it: the array is
-    // referenced by multiple non-cheap consumers, so CollapseProject
-    // keeps the boundary instead of merging the md5s back in.
-    val mins = when(size(col("_hs")) >= w,
-      transform(sequence(lit(1), size(col("_hs")) - lit(w - 1)),
-        j => array_min(slice(col("_hs"), j, lit(w)))))
-    df.select(col(idCol), hashes.as("_hs"))
-      .select(col(idCol), explode(mins).as("fingerprint"))
+                         prodHash: Boolean = false): DataFrame =
+    // the DISTINCT window-min VALUE set == the value set at the
+    // selected positions, so the positional kernel serves both
+    // operators (r18: it replaced the per-window slice/argmin form —
+    // no per-window array allocation, and it ships ~2/(w+1)·n rows
+    // into this distinct instead of the n−w+1 per-window emissions).
+    // The distinct stays: one VALUE can be selected at two positions.
+    winnowAnchorPositions(df, idCol, textCol, k, w, prodHash)
+      .select(col(idCol), col("fingerprint"))
       .distinct()
-  }
 
   /** POSITIONAL winnow selection — [[winnowFingerprints]] keeping the
     * gram position of each window minimum (leftmost on ties; either
@@ -534,18 +521,46 @@ object TextAnalysis {
     val hashes = when(nGrams >= 1,
       transform(sequence(lit(1), nGrams),
         i => gramHash(col(textCol).substr(i, lit(k)))))
-    val sel = when(size(col("_hs")) >= w,
-      transform(sequence(lit(1), size(col("_hs")) - lit(w - 1)), j => {
-        val sl = slice(col("_hs"), j, lit(w))
-        val m = array_min(sl)
-        struct((j.cast("long") - 1L + array_position(sl, m)).as("pos"),
-          m.as("h"))
-      }))
+    val n = size(col("_hs"))
+    // PER-POSITION characterization instead of per-window argmin:
+    // position i is some window's leftmost minimum iff a w-window
+    // containing i fits inside [i − L, i + R], where L = length of
+    // the consecutive run of STRICTLY greater hashes to the left and
+    // R = the run of ≥ hashes to the right (both capped at w − 1).
+    // Equivalent selected SET (the oracle replays the slice/argmin
+    // form per window — the compare is the cross-check), but: no
+    // slice allocation per window (the argmin form cost 113 s vs the
+    // print kernel's 41 s at the sf10 probe), each position emits at
+    // most once so the n−w+1 per-window rows and their corpus-wide
+    // DISTINCT shuffle disappear, and the run folds encode
+    // run-alive/count in one int (cnt+1 while alive, negated dead).
+    def runLen(left: Boolean, i: Column): Column =
+      aggregate(
+        sequence(lit(1), lit(w - 1)),
+        lit(1),
+        (acc, d) => {
+          val t = if (left) i - d else i + d
+          val inb = if (left) t >= 1 else t <= n
+          val cmp =
+            if (left) element_at(col("_hs"), t) > element_at(col("_hs"), i)
+            else element_at(col("_hs"), t) >= element_at(col("_hs"), i)
+          when(acc > 0 && inb && cmp, acc + 1).otherwise(-abs(acc))
+        },
+        a => abs(a) - 1)
+    val iSel =
+      if (w == 1) sequence(lit(1), n) // every 1-window is its own min
+      else filter(sequence(lit(1), n), i => {
+        val sMin = greatest(i - runLen(left = true, i), i - (w - 1), lit(1))
+        val sMax = least(i, i + runLen(left = false, i) - (w - 1), n - (w - 1))
+        sMin <= sMax
+      })
+    val selPairs = when(n >= w, transform(iSel, i =>
+      struct(i.cast("long").as("pos"),
+        element_at(col("_hs"), i).as("h"))))
     df.select(col(idCol), hashes.as("_hs"))
-      .select(col(idCol), explode(sel).as("_sw"))
+      .select(col(idCol), explode(selPairs).as("_sw"))
       .select(col(idCol), col("_sw.pos").as("pos"),
         col("_sw.h").as("fingerprint"))
-      .distinct()
   }
 
   /** Cross-document duplicated-SPAN statistics — the engine's member
@@ -604,27 +619,41 @@ object TextAnalysis {
     val gap = w + k - 1
     val sel = winnowAnchorPositions(df, idCol, textCol, k, w, prodHash)
       .select(col(idCol).as("id"), col("pos"), col("fingerprint"))
-      .transform(graft.Materialize.eager)
+      .transform(graft.Materialize.eagerBulk)
+    // "occurs in >= 2 DISTINCT docs" == min(id) != max(id): exact,
+    // and a fixed-width map-side-combinable aggregate — the
+    // countDistinct form builds a corpus-sized (print, id) dedup map
+    // whose partial stage OOM'd at the sf10 probe under the
+    // checkpoint's storage pressure
     val shared = sel.groupBy(col("fingerprint"))
-      .agg(countDistinct(col("id")).as("_docs"))
-      .filter(col("_docs") >= 2).select(col("fingerprint"))
+      .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+      .filter(col("_lo") =!= col("_hi")).select(col("fingerprint"))
     val anchors = sel.join(shared, Seq("fingerprint"), "left_semi")
-    val W = org.apache.spark.sql.expressions.Window
-    val byPos = W.partitionBy(col("id")).orderBy(col("pos"))
-    val spans = anchors
-      .withColumn("_brk",
-        when(col("pos") - lag(col("pos"), 1).over(byPos) <= gap, 0L)
-          .otherwise(1L))
-      .withColumn("_isl", sum(col("_brk")).over(
-        byPos.rowsBetween(W.unboundedPreceding, W.currentRow)))
-      .groupBy(col("id"), col("_isl"))
-      .agg((max(col("pos")) + (k - 1) - min(col("pos")) + 1L)
-        .as("span_len"))
-      .filter(col("span_len") >= minSpan)
-    val per = spans.groupBy("id").agg(
-      count(lit(1)).as("n_dup_spans"),
-      sum(col("span_len")).as("dup_chars"),
-      max(col("span_len")).as("max_span_len"))
+      .select(col("id"), col("pos"))
+    // island assembly runs IN-ROW: a doc's anchors are bounded by its
+    // length, so one hash aggregate collects the sorted position
+    // array and codegen'd HOFs fold it into spans — no global
+    // (id, pos) sort, no WindowExec, no second shuffle (a window
+    // formulation measured ~1.6× slower at the sf10 probe)
+    val ps = col("_ps")
+    val starts = filter(sequence(lit(1), size(ps)),
+      i => (i === 1) ||
+        (element_at(ps, i) - element_at(ps, i - 1) > gap))
+    val lens = transform(sequence(lit(1), size(col("_st"))), m => {
+      val sIdx = element_at(col("_st"), m)
+      val eIdx = when(m < size(col("_st")),
+        element_at(col("_st"), m + 1) - 1).otherwise(size(ps))
+      element_at(ps, eIdx) - element_at(ps, sIdx) + (k - 1) + 1L
+    })
+    val q = col("_q")
+    val per = anchors.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .withColumn("_st", starts)
+      .withColumn("_q", filter(lens, l => l >= minSpan))
+      .select(col("id"),
+        size(q).cast("long").as("n_dup_spans"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("dup_chars"),
+        array_max(q).as("max_span_len"))
     df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
