@@ -601,12 +601,12 @@ object TextAnalysis {
     * cover it); df counts DISTINCT docs.
     *
     * Scale shape: the winnow kernel is a scan-shaped projection; the
-    * only shuffles are the (print, id)-distinct document-frequency
-    * aggregate (the same posting shuffle as the winnow overlap
-    * operator, map-side combinable, NEVER a pair join — no flood cap
-    * needed because no candidate pairs are formed) and a per-doc
-    * window over the sparse anchor sequence (partitioned by doc id,
-    * bounded by doc length). `prodHash` swaps the oracle-replayable
+    * only shuffles are the fixed-width document-frequency aggregate
+    * (min(id) != max(id) decides ">= 2 distinct docs" exactly —
+    * map-side combinable, NEVER a pair join, no flood cap needed
+    * because no candidate pairs are formed) and the per-doc anchor
+    * collection whose island fold runs in-row (a doc's anchors are
+    * bounded by its length). `prodHash` swaps the oracle-replayable
     * salted-md5 gram hash for xxhash64, same plan shape.
     *
     * Output per document: (idCol, n_dup_spans, dup_chars,
@@ -615,6 +615,80 @@ object TextAnalysis {
   def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, w: Int = 4, minSpan: Int = 30,
                      prodHash: Boolean = false): DataFrame = {
+    def spanLen(sp: Column): Column =
+      sp.getField("e") - sp.getField("s") + 1L
+    val per = spanFrame(df, idCol, textCol, k, w, minSpan, prodHash)
+      .select(col("id"),
+        size(col("_spans")).cast("long").as("n_dup_spans"),
+        aggregate(col("_spans"), lit(0L), (acc, sp) => acc + spanLen(sp))
+          .as("dup_chars"),
+        array_max(transform(col("_spans"), spanLen(_))).as("max_span_len"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("max_span_len"))
+  }
+
+  /** Duplicated-span EXCISION — the action [[spanDedupStats]]
+    * measures (Lee et al. 2022's ExactSubstr dedup removes the
+    * duplicated substrings from the training corpus; the whole-doc
+    * operators can only drop or keep documents). Every qualifying
+    * span (same anchoring, merging, and minSpan contract as the
+    * stats operator — one shared span frame) is cut from every
+    * document carrying it; the aggressive every-occurrence form is
+    * the deliberate contract, since choosing a canonical surviving
+    * occurrence requires cross-doc span identity that print-level
+    * evidence does not establish. Merged islands are provably
+    * disjoint with > w−1 chars between them (consecutive anchors
+    * within an island are ≤ w+k−1 apart, island breaks are further),
+    * so the in-row excision fold never sees overlapping cuts.
+    *
+    * One extra join vs the stats operator: the span frame (docs with
+    * ≥1 span only) joins back to the text column, and the kept
+    * segments concatenate in one in-row fold over the sorted span
+    * array. Docs with no qualifying span (or null text) pass through
+    * untouched.
+    *
+    * Output per document: (idCol, clean_text, removed_chars).
+    */
+  def spanDedupClean(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, w: Int = 4, minSpan: Int = 30,
+                     prodHash: Boolean = false): DataFrame = {
+    val spans = spanFrame(df, idCol, textCol, k, w, minSpan, prodHash)
+    val t = col("_text")
+    // fold state: (pe = previous span's end, acc = kept text so far);
+    // each span appends the untouched segment before it, the finish
+    // step appends the tail after the last span
+    val clean = aggregate(col("_spans"),
+      struct(lit(0L).as("pe"), lit("").as("acc")),
+      (a, sp) => struct(
+        sp.getField("e").as("pe"),
+        concat(a.getField("acc"),
+          t.substr((a.getField("pe") + 1L).cast("int"),
+            (sp.getField("s") - a.getField("pe") - 1L).cast("int")))
+          .as("acc")),
+      a => concat(a.getField("acc"),
+        t.substr((a.getField("pe") + 1L).cast("int"), length(t))))
+    df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("clean_text",
+        when(col("_spans").isNull, t).otherwise(clean))
+      .select(col("id").as(idCol), col("clean_text"),
+        coalesce(length(t).cast("long") -
+          length(col("clean_text")).cast("long"), lit(0L))
+          .as("removed_chars"))
+  }
+
+  /** Shared span assembly of [[spanDedupStats]] and
+    * [[spanDedupClean]]: per document the sorted, disjoint,
+    * minSpan-qualified duplicated-span intervals as one
+    * `array<struct<s, e>>` row (1-based char offsets, inclusive).
+    * Only documents with ≥ 1 qualifying span emit a row.
+    */
+  private def spanFrame(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int, minSpan: Int,
+                        prodHash: Boolean): DataFrame = {
     require(minSpan >= k, s"minSpan ($minSpan) below k ($k) is vacuous")
     val gap = w + k - 1
     val sel = winnowAnchorPositions(df, idCol, textCol, k, w, prodHash)
@@ -639,26 +713,21 @@ object TextAnalysis {
     val starts = filter(sequence(lit(1), size(ps)),
       i => (i === 1) ||
         (element_at(ps, i) - element_at(ps, i - 1) > gap))
-    val lens = transform(sequence(lit(1), size(col("_st"))), m => {
+    val spans = transform(sequence(lit(1), size(col("_st"))), m => {
       val sIdx = element_at(col("_st"), m)
       val eIdx = when(m < size(col("_st")),
         element_at(col("_st"), m + 1) - 1).otherwise(size(ps))
-      element_at(ps, eIdx) - element_at(ps, sIdx) + (k - 1) + 1L
+      struct(element_at(ps, sIdx).as("s"),
+        (element_at(ps, eIdx) + (k - 1)).as("e"))
     })
-    val q = col("_q")
-    val per = anchors.groupBy(col("id"))
+    anchors.groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("_ps"))
       .withColumn("_st", starts)
-      .withColumn("_q", filter(lens, l => l >= minSpan))
       .select(col("id"),
-        size(q).cast("long").as("n_dup_spans"),
-        aggregate(q, lit(0L), (acc, x) => acc + x).as("dup_chars"),
-        array_max(q).as("max_span_len"))
-    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        col("max_span_len"))
+        filter(spans,
+          sp => sp.getField("e") - sp.getField("s") + 1L >= minSpan)
+          .as("_spans"))
+      .filter(size(col("_spans")) > 0)
   }
 
   /** Corpus vocabulary summary in one pass over the word-count

@@ -159,6 +159,14 @@ object TextQueries {
     TextAnalysis.spanDedupStats(docs(spark, dir), "doc_id", "text",
       k = 8, w = 4, minSpan = 30)
 
+  /** Duplicated-span EXCISION (the Lee et al. action): every
+    * qualifying span cut from every document, same span contract as
+    * `text_span_dedup`.
+    */
+  def textSpanClean(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanDedupClean(docs(spark, dir), "doc_id", "text",
+      k = 8, w = 4, minSpan = 30)
+
   /** Gini–Simpson lexical diversity per document (integer-exact
     * frequency sums, one IEEE division).
     */
@@ -219,7 +227,8 @@ object TextQueries {
     "text_vocab_stats" -> (textVocabStats _),
     "text_lm_familiarity" -> (textLmFamiliarity _),
     "text_winnow" -> (textWinnow _),
-    "text_span_dedup" -> (textSpanDedup _))
+    "text_span_dedup" -> (textSpanDedup _),
+    "text_span_clean" -> (textSpanClean _))
 
   /** occurrence-count SQL fragment (length/replace trick). */
   private def occ(expr: String, w: String): String =
@@ -227,6 +236,49 @@ object TextQueries {
 
   private def score(ws: Seq[String]): String =
     ws.map(w => occ("text", w)).mkString(" + ")
+
+  /** CTE list (no leading WITH) ending in `spans(doc_id, s, e)` —
+    * the winnow-anchored duplicated-span assembly shared by
+    * `text_span_dedup` and `text_span_clean`: positional winnow
+    * selection (leftmost argmin per window, DISTINCT positions),
+    * anchors = selected prints occurring in ≥ 2 distinct docs,
+    * gaps-and-islands merge at tolerance w + k − 1 = 11, spans cover
+    * [first_pos, last_pos + k − 1] and keep length ≥ 30.
+    */
+  private val spanCtes: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+      |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))
+      |        AS BIGINT)) AS hs
+      |  FROM documents WHERE text IS NOT NULL),
+      |m AS (
+      |  SELECT doc_id, hs, unnest(list_transform(
+      |    range(1, greatest(len(hs) - 3, 0) + 1),
+      |    j -> CAST(j - 1 + list_position(list_slice(hs, j, j + 3),
+      |      list_min(list_slice(hs, j, j + 3))) AS BIGINT))) AS pos
+      |  FROM h WHERE len(hs) >= 4),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, pos, hs[CAST(pos AS INT)] AS fp FROM m),
+      |shared AS (
+      |  SELECT fp FROM sel GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |anch AS (
+      |  SELECT doc_id, pos FROM sel
+      |  WHERE fp IN (SELECT fp FROM shared)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      <= 11 THEN 0 ELSE 1 END AS brk
+      |  FROM anch),
+      |grp AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (
+      |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      |  FROM grp GROUP BY doc_id, g
+      |  HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 30)""".stripMargin
 
   /** CTE list (no leading WITH) ending in `fam(doc_id, n_bigrams,
     * n_known, sum_big, sum_uni, familiarity)` — the reference-LM
@@ -348,49 +400,43 @@ object TextQueries {
     // islands break when the anchor gap exceeds w + k - 1 = 11,
     // a span covers [first_pos, last_pos + k - 1], keep >= 30 chars
     "text_span_dedup" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
-        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))
-        |        AS BIGINT)) AS hs
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id, hs, unnest(list_transform(
-        |    range(1, greatest(len(hs) - 3, 0) + 1),
-        |    j -> CAST(j - 1 + list_position(list_slice(hs, j, j + 3),
-        |      list_min(list_slice(hs, j, j + 3))) AS BIGINT))) AS pos
-        |  FROM h WHERE len(hs) >= 4),
-        |sel AS (
-        |  SELECT DISTINCT doc_id, pos, hs[CAST(pos AS INT)] AS fp FROM m),
-        |shared AS (
-        |  SELECT fp FROM sel GROUP BY fp
-        |  HAVING COUNT(DISTINCT doc_id) >= 2),
-        |anch AS (
-        |  SELECT doc_id, pos FROM sel
-        |  WHERE fp IN (SELECT fp FROM shared)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-        |      <= 11 THEN 0 ELSE 1 END AS brk
-        |  FROM anch),
-        |grp AS (
-        |  SELECT doc_id, pos, SUM(brk) OVER (
-        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
-        |  FROM isl),
-        |spans AS (
-        |  SELECT doc_id, MAX(pos) + 7 - MIN(pos) + 1 AS span_len
-        |  FROM grp GROUP BY doc_id, g
-        |  HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 30),
+      s"""WITH $spanCtes,
         |per AS (
         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-        |    CAST(SUM(span_len) AS BIGINT) AS dup_chars,
-        |    CAST(MAX(span_len) AS BIGINT) AS max_span_len
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+        |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span_len
         |  FROM spans GROUP BY doc_id)
         |SELECT d.doc_id,
         |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
         |  COALESCE(p.dup_chars, 0) AS dup_chars,
         |  p.max_span_len
         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
+    // the same span CTEs, reconstructing each doc as the concat of
+    // kept segments between its sorted spans plus the tail after the
+    // last span — every occurrence cut, the Spark operator's contract
+    "text_span_clean" ->
+      s"""WITH $spanCtes,
+        |sp AS (
+        |  SELECT doc_id, s, e,
+        |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        |  FROM spans),
+        |recon AS (
+        |  SELECT sp.doc_id,
+        |    string_agg(substr(d.text, CAST(sp.pe + 1 AS INT),
+        |      CAST(sp.s - sp.pe - 1 AS INT)), '' ORDER BY sp.s) AS kept_mid,
+        |    MAX(sp.e) AS max_e
+        |  FROM sp JOIN documents d ON d.doc_id = sp.doc_id
+        |  GROUP BY sp.doc_id),
+        |cleaned AS (
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN r.doc_id IS NULL THEN d.text
+        |      ELSE r.kept_mid || substr(d.text, CAST(r.max_e + 1 AS INT))
+        |    END AS clean_text
+        |  FROM documents d LEFT JOIN recon r ON r.doc_id = d.doc_id)
+        |SELECT doc_id, clean_text,
+        |  COALESCE(CAST(length(text) AS BIGINT)
+        |    - CAST(length(clean_text) AS BIGINT), 0) AS removed_chars
+        |FROM cleaned""".stripMargin,
     // the in-row fold counts exactly what a per-doc group-by counts
     "text_word_counts" ->
       """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n

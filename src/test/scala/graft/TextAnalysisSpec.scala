@@ -607,5 +607,33 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(prod.map(_._2).sameElements(out.map(_._2)),
       "xxhash64 anchors must find the same planted spans")
+
+    // EXCISION (spanDedupClean): same span frame, so removed_chars
+    // must equal the stats operator's dup_chars doc for doc, the
+    // kept text must be the original minus exactly those chars, and
+    // the planted span's interior must be gone from every carrier
+    val orig = df.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)))).toMap
+    val clean = TextAnalysis.spanDedupClean(df, "doc_id", "text",
+        k = k, w = w, minSpan = 20)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2))).sortBy(_._1)
+    assert(clean.map(t => (t._1, t._3)).sameElements(
+      out.map(t => (t._1, t._3))),
+      s"removed_chars must equal stats dup_chars: ${clean.mkString("; ")}")
+    clean.foreach { case (id, ct, removed) =>
+      assert(ct.map(_.length).getOrElse(0) + removed ==
+        orig(id).map(_.length).getOrElse(0),
+        s"doc $id: kept + removed must partition the original")
+      // the planted spans' interiors (boundary slack trimmed) are cut
+      val core1 = s1.substring(slack, s1.length - slack)
+      val core2 = s2.substring(slack, s2.length - slack)
+      if (id <= 3L) {
+        assert(!ct.exists(_.contains(core1)) || id == 3L,
+          s"doc $id must lose span 1's interior")
+        assert(!ct.exists(_.contains(core2)) || id == 2L,
+          s"doc $id must lose span 2's interior")
+      } else assert(ct == orig(id), s"doc $id must pass through untouched")
+    }
   }
 }
