@@ -615,14 +615,8 @@ object TextAnalysis {
   def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, w: Int = 4, minSpan: Int = 30,
                      prodHash: Boolean = false): DataFrame = {
-    def spanLen(sp: Column): Column =
-      sp.getField("e") - sp.getField("s") + 1L
-    val per = spanFrame(df, idCol, textCol, k, w, minSpan, prodHash)
-      .select(col("id"),
-        size(col("_spans")).cast("long").as("n_dup_spans"),
-        aggregate(col("_spans"), lit(0L), (acc, sp) => acc + spanLen(sp))
-          .as("dup_chars"),
-        array_max(transform(col("_spans"), spanLen(_))).as("max_span_len"))
+    val per = spanStatsOf(
+      spanFrame(df, idCol, textCol, k, w, minSpan, prodHash), "id")
     df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
@@ -690,7 +684,6 @@ object TextAnalysis {
                         k: Int, w: Int, minSpan: Int,
                         prodHash: Boolean): DataFrame = {
     require(minSpan >= k, s"minSpan ($minSpan) below k ($k) is vacuous")
-    val gap = w + k - 1
     val sel = winnowAnchorPositions(df, idCol, textCol, k, w, prodHash)
       .select(col(idCol).as("id"), col("pos"), col("fingerprint"))
       .transform(graft.Materialize.eagerBulk)
@@ -704,11 +697,265 @@ object TextAnalysis {
       .filter(col("_lo") =!= col("_hi")).select(col("fingerprint"))
     val anchors = sel.join(shared, Seq("fingerprint"), "left_semi")
       .select(col("id"), col("pos"))
-    // island assembly runs IN-ROW: a doc's anchors are bounded by its
-    // length, so one hash aggregate collects the sorted position
-    // array and codegen'd HOFs fold it into spans — no global
-    // (id, pos) sort, no WindowExec, no second shuffle (a window
-    // formulation measured ~1.6× slower at the sf10 probe)
+    islandSpans(anchors, "id", k, w, minSpan)
+  }
+
+  /** Incremental [[spanDedupStats]] — the SPAN member (the 12th) of
+    * the incremental dedup family. Spans are a PURE FUNCTION of a
+    * document's content given per-print qualification, so the state
+    * is group-keyed with no pair machinery at all:
+    *
+    *   - `docs`   (id, chash): membership, one row per live doc;
+    *   - `groups` (chash, prints): one representative POSITIONAL
+    *     print list (sorted array<struct<pos, h>>) per distinct
+    *     content — immutable for the life of the group;
+    *   - `prints` (h, chash): the distinct-print posting index.
+    *
+    * Qualification of print h = total live docs across the groups
+    * carrying it ≥ 2 (the batch operator's min(id) ≠ max(id) rule —
+    * two identical docs qualify every print they share). A group's
+    * span stats depend ONLY on which of ITS OWN prints qualify, so
+    * staleness is the XOR over its buckets of xxhash64(h, q): a
+    * mate's arrival or departure matters exactly when it flips some
+    * shared bucket's qualification — in particular a duplicate
+    * arriving in an existing group (df 2 → 3) changes nothing and
+    * recomputes nothing, unlike the pair-verdict members. Affected
+    * groups re-fold their kept positions through the same in-row
+    * [[islandSpans]] the batch operator uses; per-doc gold rows are
+    * the group stats expanded through membership.
+    *
+    * Delete / update-to-null retraction, fullResync reconciliation,
+    * orphan sweep, and the append-only fast path follow the family
+    * contracts ([[Dedup.containmentStatsIncremental]] documents
+    * them); StreamingSpec pins fold-by-fold equality against the
+    * batch recompute including a df 2→1 disqualification that must
+    * retract a surviving doc's spans.
+    *
+    * Gold rows: (id, n_dup_spans, dup_chars, max_span_len, _ord,
+    * _span_sig) — stats columns identical to the batch operator.
+    */
+  def spanStatsIncremental(spark: SparkSession, batch: DataFrame,
+                           idCol: String, textCol: String,
+                           stateDir: String, goldPath: String,
+                           batchOrd: Long,
+                           k: Int = 8, w: Int = 4, minSpan: Int = 30,
+                           prodHash: Boolean = false,
+                           deletes: Option[DataFrame] = None,
+                           fullResync: Boolean = false,
+                           appendOnly: Boolean = false,
+                           fmt: graft.pipeline.TableFormat =
+                             graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    require(minSpan >= k, s"minSpan ($minSpan) below k ($k) is vacuous")
+    val docsPath = s"$stateDir/docs"
+    val groupsPath = s"$stateDir/groups"
+    val postPath = s"$stateDir/prints"
+
+    def hashFrame(docs: DataFrame): DataFrame = {
+      val pr = winnowAnchorPositions(docs, "id", "text", k, w, prodHash)
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(
+          struct(col("pos"), col("fingerprint").as("h")))).as("_pr"))
+      docs.select(col("id"))
+        .join(pr, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_pr"),
+            array().cast("array<struct<pos:bigint,h:bigint>>"))
+            .as("prints"))
+        .withColumn("chash", xxhash64(col("prints")))
+    }
+    def mergeState(batchH: DataFrame): Unit = {
+      fmt.scd1Merge(spark, docsPath,
+        batchH.select(col("id"), col("chash"))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("id"), "_ord", compareExclude = Nil)
+      val batchGroups = graft.Materialize.eager(
+        batchH.groupBy(col("chash")).agg(first(col("prints")).as("prints")))
+      fmt.scd1Merge(spark, groupsPath,
+        batchGroups.withColumn("_ord", lit(batchOrd)),
+        Seq("chash"), "_ord", compareExclude = Nil)
+      fmt.scd1Merge(spark, postPath,
+        batchGroups.select(col("chash"),
+          explode(array_distinct(
+            transform(col("prints"), _.getField("h")))).as("h"))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("h", "chash"), "_ord", compareExclude = Nil)
+    }
+    def bucketAgg(postIn: DataFrame, gsizes: DataFrame): DataFrame =
+      postIn.join(gsizes, Seq("chash"))
+        .groupBy(col("h"))
+        .agg(sum(col("gsize")).as("_df"))
+        .withColumn("_q", col("_df") >= 2)
+    def groupSig(postIn: DataFrame, buckets: DataFrame): DataFrame =
+      postIn.join(buckets, Seq("h"))
+        .groupBy(col("chash"))
+        .agg(bit_xor(xxhash64(col("h"), col("_q").cast("int")))
+          .as("_gsig"))
+    def refresh(members: DataFrame, groupsT: DataFrame,
+                buckets: DataFrame, affectedDocs: DataFrame,
+                affectedGroups: DataFrame, sigNowDoc: DataFrame,
+                drops: Option[DataFrame]): Unit = {
+      val qb = buckets.filter(col("_q")).select(col("h"))
+      val keptPos = groupsT
+        .join(affectedGroups, Seq("chash"), "left_semi")
+        .select(col("chash"), explode(col("prints")).as("_p"))
+        .select(col("chash"), col("_p.pos").as("pos"), col("_p.h").as("h"))
+        .join(qb, Seq("h"), "left_semi")
+        .select(col("chash"), col("pos"))
+      val gstats = spanStatsOf(
+        islandSpans(keptPos, "chash", k, w, minSpan), "chash")
+      val statsRows = affectedDocs
+        .join(members, Seq("id"), "left")
+        .join(gstats, Seq("chash"), "left")
+        .join(sigNowDoc, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          col("max_span_len"), lit(batchOrd).as("_ord"),
+          coalesce(col("_sig_now"), lit(0L)).as("_span_sig"))
+      if (!statsRows.isEmpty)
+        fmt.scd1Merge(spark, goldPath, statsRows, Seq("id"), "_ord",
+          compareExclude = Nil)
+      drops.foreach { d =>
+        if (fmt.exists(goldPath) && !d.isEmpty)
+          fmt.deleteKeys(spark, goldPath, d, Seq("id"))
+      }
+    }
+
+    val batchAll = graft.Materialize.eager(
+      Dedup.oneRowPerId(
+        batch.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", Seq("text")))
+    val batchDocs = batchAll.filter(col("text").isNotNull)
+    if (appendOnly && !fullResync) {
+      if (batchDocs.isEmpty) return
+      val batchH = graft.Materialize.eager(hashFrame(batchDocs))
+      mergeState(batchH)
+      val members = fmt.read(spark, docsPath).select(col("id"), col("chash"))
+      val groupsT = fmt.read(spark, groupsPath)
+        .select(col("chash"), col("prints"))
+      val postT = fmt.read(spark, postPath).select(col("chash"), col("h"))
+      // groups whose own-bucket qualification can flip = groups
+      // sharing a batch-touched bucket, plus the batch's groups
+      // (a printless group touches nothing yet needs its gold row);
+      // their span folds need q for ALL their buckets, so the slice
+      // is the two-hop posting neighborhood
+      val touched = batchH.select(explode(array_distinct(
+        transform(col("prints"), _.getField("h")))).as("h")).distinct()
+      val affectedGroups = graft.Materialize.eager(
+        postT.join(touched, Seq("h"), "left_semi")
+          .select(col("chash"))
+          .unionByName(batchH.select(col("chash")))
+          .distinct())
+      val affBuckets = postT.join(affectedGroups, Seq("chash"), "left_semi")
+        .select(col("h")).distinct()
+      val nbrPost = graft.Materialize.eager(
+        postT.join(affBuckets, Seq("h"), "left_semi"))
+      val gsizes = graft.Materialize.eager(
+        members.join(nbrPost.select(col("chash")).distinct(),
+            Seq("chash"), "left_semi")
+          .groupBy(col("chash")).agg(count(lit(1)).as("gsize")))
+      val buckets = graft.Materialize.eager(bucketAgg(nbrPost, gsizes))
+      val gsig = groupSig(
+        nbrPost.join(affectedGroups, Seq("chash"), "left_semi"), buckets)
+      val affectedDocs = graft.Materialize.eager(
+        members.join(affectedGroups, Seq("chash"), "left_semi")
+          .select(col("id")))
+      val sigNowDoc = members.join(gsig, Seq("chash"))
+        .select(col("id"), col("_gsig").as("_sig_now"))
+      refresh(members, groupsT, buckets, affectedDocs, affectedGroups,
+        sigNowDoc, None)
+      return
+    }
+    val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
+      fullResync, docsPath, batchAll.select(col("id")), fmt)
+    val drops = graft.Materialize.eager(
+      delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+        _.unionByName(batchAll.filter(col("text").isNull).select(col("id"))))
+        .distinct())
+    val retIds = graft.Materialize.eager(
+      batchAll.select(col("id")).unionByName(drops).distinct())
+    val touchedOld: Option[DataFrame] =
+      if (fmt.exists(docsPath) && !retIds.isEmpty)
+        Some(graft.Materialize.eager(
+          fmt.read(spark, docsPath)
+            .join(retIds, Seq("id"), "left_semi")
+            .select(col("chash")).distinct()))
+      else None
+    if (!batchAll.isEmpty) {
+      if (fmt.exists(docsPath))
+        fmt.deleteKeys(spark, docsPath,
+          batchAll.select(col("id")).distinct(), Seq("id"))
+      if (!batchDocs.isEmpty)
+        mergeState(graft.Materialize.eager(hashFrame(batchDocs)))
+    }
+    delIds.foreach { d =>
+      if (fmt.exists(docsPath) && !d.isEmpty)
+        fmt.deleteKeys(spark, docsPath, d, Seq("id"))
+    }
+    touchedOld.foreach { t =>
+      val orphans = graft.Materialize.eager(
+        t.join(fmt.read(spark, docsPath).select(col("chash")),
+          Seq("chash"), "left_anti"))
+      if (!orphans.isEmpty) {
+        if (fmt.exists(groupsPath))
+          fmt.deleteKeys(spark, groupsPath, orphans, Seq("chash"))
+        if (fmt.exists(postPath))
+          fmt.deleteKeys(spark, postPath, orphans, Seq("chash"))
+      }
+    }
+    if (!fmt.exists(docsPath)) return // empty first batch
+
+    val members = graft.Materialize.eager(
+      fmt.read(spark, docsPath).select(col("id"), col("chash")))
+    val groupsT = fmt.read(spark, groupsPath)
+      .select(col("chash"), col("prints"))
+    val postT = fmt.read(spark, postPath).select(col("chash"), col("h"))
+    val gsizes = graft.Materialize.eager(
+      members.groupBy(col("chash")).agg(count(lit(1)).as("gsize")))
+    val buckets = graft.Materialize.eager(bucketAgg(postT, gsizes))
+    val sigNowDoc = graft.Materialize.eager(
+      members.join(groupSig(postT, buckets), Seq("chash"))
+        .select(col("id"), col("_gsig").as("_sig_now")))
+    val affectedAll =
+      if (fmt.exists(goldPath)) {
+        val goldDf = fmt.read(spark, goldPath)
+        val withSig =
+          if (goldDf.columns.contains("_span_sig")) goldDf
+          else goldDf.withColumn("_span_sig", lit(null).cast("long"))
+        withSig
+          .join(sigNowDoc, Seq("id"), "left_outer")
+          .filter(!(col("_span_sig") <=> coalesce(col("_sig_now"), lit(0L))))
+          .select(col("id"))
+          .unionByName(batchDocs.select(col("id"))).distinct()
+      } else batchDocs.select(col("id")).distinct()
+    val affected = graft.Materialize.eager(
+      if (drops.isEmpty) affectedAll
+      else affectedAll.join(drops, Seq("id"), "left_anti"))
+    val affectedGroups = graft.Materialize.eager(
+      members.join(affected, Seq("id"), "left_semi")
+        .select(col("chash")).distinct())
+    refresh(members, groupsT, buckets, affected, affectedGroups,
+      sigNowDoc, if (drops.isEmpty) None else Some(drops))
+  }
+
+  /** Gaps-and-islands over qualified anchor positions, IN-ROW: a
+    * key's anchors are bounded by its document length, so one hash
+    * aggregate collects the sorted position array and codegen'd HOFs
+    * fold it into spans — no global (key, pos) sort, no WindowExec,
+    * no second shuffle (a window formulation measured ~1.6× slower
+    * at the sf10 probe). Input: (keyCol, pos) rows. Output:
+    * (keyCol, _spans array<struct<s, e>>), only keys with ≥ 1
+    * qualifying span. Shared by the batch span operators (keyed by
+    * doc id) and the incremental member (keyed by content hash —
+    * spans are a pure function of content given qualification).
+    */
+  private[operators] def islandSpans(anchors: DataFrame, keyCol: String,
+                                     k: Int, w: Int,
+                                     minSpan: Int): DataFrame = {
+    val gap = w + k - 1
     val ps = col("_ps")
     val starts = filter(sequence(lit(1), size(ps)),
       i => (i === 1) ||
@@ -720,14 +967,29 @@ object TextAnalysis {
       struct(element_at(ps, sIdx).as("s"),
         (element_at(ps, eIdx) + (k - 1)).as("e"))
     })
-    anchors.groupBy(col("id"))
+    anchors.groupBy(col(keyCol))
       .agg(sort_array(collect_list(col("pos"))).as("_ps"))
       .withColumn("_st", starts)
-      .select(col("id"),
+      .select(col(keyCol),
         filter(spans,
           sp => sp.getField("e") - sp.getField("s") + 1L >= minSpan)
           .as("_spans"))
       .filter(size(col("_spans")) > 0)
+  }
+
+  /** (keyCol, _spans) → (keyCol, n_dup_spans, dup_chars,
+    * max_span_len) — the stats derivation shared by
+    * [[spanDedupStats]] and the incremental member's refresh.
+    */
+  private[operators] def spanStatsOf(spansDf: DataFrame,
+                                     keyCol: String): DataFrame = {
+    def spanLen(sp: Column): Column =
+      sp.getField("e") - sp.getField("s") + 1L
+    spansDf.select(col(keyCol),
+      size(col("_spans")).cast("long").as("n_dup_spans"),
+      aggregate(col("_spans"), lit(0L), (acc, sp) => acc + spanLen(sp))
+        .as("dup_chars"),
+      array_max(transform(col("_spans"), spanLen(_))).as("max_span_len"))
   }
 
   /** Corpus vocabulary summary in one pass over the word-count

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.ConfigHandler.IncrementalDedupConfig
 
-/** Config-driven driver for the eleven-member incremental dedup family
+/** Config-driven driver for the twelve-member incremental dedup family
   * — the reference's whole operating model is JSON-config → pipeline
   * (ingest-framework builder/engine.py), and until r16 the
   * incremental members were library-only: spec-verified, but a
@@ -39,6 +39,7 @@ object IncrementalDedupJob {
     "jaccard" -> Set("n", "maxDf", "threshold"),
     "containment" -> Set("n", "maxDf", "threshold"),
     "winnow" -> Set("k", "w", "maxDf", "threshold", "prodHash"),
+    "span" -> Set("k", "w", "minSpan", "prodHash"),
     "resolve" -> Set("n", "numPerm", "bands", "threshold", "maxBucket",
       "minBands"),
     "segment" -> Set("segWords", "minDocs"),
@@ -121,6 +122,12 @@ object IncrementalDedupJob {
           cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
           k = int("k", 8), w = int("w", 4), maxDf = int("maxDf", 20),
           threshold = dbl("threshold", 0.5),
+          prodHash = p.get("prodHash").exists(_.toBoolean),
+          deletes = dels, fullResync = resync, appendOnly = cfg.appendOnly,
+          fmt = cfg.stateFormat)
+        case "span" => TextAnalysis.spanStatsIncremental(spark, batch,
+          cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+          k = int("k", 8), w = int("w", 4), minSpan = int("minSpan", 30),
           prodHash = p.get("prodHash").exists(_.toBoolean),
           deletes = dels, fullResync = resync, appendOnly = cfg.appendOnly,
           fmt = cfg.stateFormat)

@@ -51,6 +51,17 @@ object SpanProbe {
     t("island fold + join")(
       graft.operators.TextAnalysis.spanDedupStats(
         docs, "doc_id", "text").count())
+    // the winnow OVERLAP pair verdict, oracle hash vs production hash
+    // — quantifies the remaining md5 gram tax end to end
+    t("winnowOverlapStats md5")(
+      graft.operators.Dedup.winnowOverlapStats(
+        docs, "doc_id", "text").count())
+    t("winnowOverlapStats xxhash64 (prodHash)")(
+      graft.operators.Dedup.winnowOverlapStats(
+        docs, "doc_id", "text", prodHash = true).count())
+    t("spanDedupClean")(
+      graft.operators.TextAnalysis.spanDedupClean(
+        docs, "doc_id", "text").count())
     spark.stop()
   }
 }

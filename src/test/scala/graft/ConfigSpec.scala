@@ -192,6 +192,24 @@ class ConfigSpec extends SparkSpec {
       .select(col("id"), col("n_overlapping"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(wnGold == wnTruth, s"winnow via runner: $wnGold vs $wnTruth")
+    // the span member (the 12th) dispatches too: JSON knobs reach the
+    // fold and gold equals the batch span stats over silver-current
+    val spWork = Files.createTempDirectory("graft_cfg_sp").toString
+    val spCfg = cfg.copy(member = "span",
+      checkpoint = s"$spWork/ck", stateDir = s"$spWork/state",
+      goldPath = s"$spWork/gold",
+      params = Map("k" -> "4", "w" -> "3", "minSpan" -> "10"))
+    assert(IncrementalDedupJob.run(spark, spCfg).nonEmpty)
+    val spTruth = graft.operators.TextAnalysis.spanDedupStats(
+        sfmt.read(spark, silver).filter(col("text").isNotNull)
+          .select("doc_id", "text"), "doc_id", "text",
+        k = 4, w = 3, minSpan = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_dup_spans")))
+      .toSeq.sortBy(_._1)
+    val spGold = spCfg.stateFormat.read(spark, spCfg.goldPath)
+      .select(col("id"), col("n_dup_spans"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(spGold == spTruth, s"span via runner: $spGold vs $spTruth")
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

@@ -2496,6 +2496,183 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental span stats: gold equals batch recompute, qualification flips retract, crash replays") {
+    // SPAN member (the 12th): per-doc duplicated-span stats
+    // maintained across micro-batches must equal
+    // TextAnalysis.spanDedupStats over silver-current after every
+    // fold. Own implementation (group-keyed positional print state,
+    // q = total docs >= 2 per print, per-group island re-fold), so
+    // this spec exercises its own contracts: a duplicate ARRIVING
+    // flips q false->true for an old doc's prints (whole-doc spans
+    // appear), an update retracts a partnership (q true->false — the
+    // surviving doc's spans must retract), a crash between the state
+    // and gold merges replays via the q-flip signature, a hard
+    // delete drops df back under 2, update-to-null retracts, and a
+    // printless doc holds a 0/0/null row throughout.
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.streaming.MergeTableStream
+    val fmt = graft.pipeline.DeltaLogTableFormat
+    val silver = Files.createTempDirectory("graft_sp_silver").toString
+    val stateDir = Files.createTempDirectory("graft_sp_state").toString
+    val gold = Files.createTempDirectory("graft_sp_gold").toString + "/t"
+    val ck = Files.createTempDirectory("graft_sp_ck").toString
+    val P = (4, 3, 10) // k, w, minSpan
+
+    def fold(): Seq[Int] =
+      MergeTableStream.processAvailable(spark, silver, ck, fmt) { (chg, v) =>
+        TextAnalysis.spanStatsIncremental(spark,
+          chg.select("doc_id", "text"), "doc_id", "text",
+          stateDir, gold, batchOrd = v.toLong,
+          k = P._1, w = P._2, minSpan = P._3)
+      }
+    def stats(df: org.apache.spark.sql.DataFrame,
+              idName: String): Seq[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_chars"),
+        Option(r.get(r.fieldIndex("max_span_len"))).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+    def checkGoldEqualsBatch(label: String): Unit = {
+      val truth = stats(TextAnalysis.spanDedupStats(
+        fmt.read(spark, silver).select("doc_id", "text")
+          .filter(col("text").isNotNull), "doc_id", "text",
+        k = P._1, w = P._2, minSpan = P._3), "doc_id")
+      val got = stats(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    val page = "the quick brown fox jumps over the lazy dog"
+    val frag = "quick brown fox jumps"
+    val uniq = "zzzz yyyy xxxx wwww vvvv"
+    // batch 1: fragment inside page (shared span), unrelated doc,
+    // printless doc
+    fmt.scd1Merge(spark, silver, Seq(
+        (1L, page, 0), (2L, frag, 0), (3L, uniq, 0), (4L, "abc", 0))
+      .toDF("doc_id", "text", "ord"), Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 1")
+    val g1 = MergeTable.read(spark, gold).filter(col("id") === 1L).head
+    assert(g1.getAs[Long]("n_dup_spans") == 1L,
+      s"the page must report the shared span: $g1")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 4L)
+        .head.getAs[Long]("n_dup_spans") == 0L,
+      "printless doc reports zero spans")
+
+    // batch 2: doc 5 duplicates doc 3's content — q flips false→true
+    // for OLD doc 3's prints without doc 3 being in the batch
+    fmt.scd1Merge(spark, silver,
+      Seq((5L, uniq, 1)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 2 (duplicate arrival flips q)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L)
+        .head.getAs[Long]("n_dup_spans") == 1L,
+      "the old duplicate must gain its whole-doc span")
+
+    // batch 3: doc 2's update leaves — the page's span must retract
+    // (its prints' q drops back under 2)
+    fmt.scd1Merge(spark, silver,
+      Seq((2L, "pppp qqqq rrrr ssss", 2)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    assert(fold().nonEmpty)
+    checkGoldEqualsBatch("after batch 3 (update retracts the span)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_dup_spans") == 0L,
+      "the page must lose its span when the fragment leaves")
+
+    // CRASH REPLAY: batch 4 duplicates the page (doc 6), state
+    // merges, then gold rolls back to the pre-batch snapshot — the
+    // q-flip signature must re-flag the untouched old doc 1
+    def copyDir(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+        st.forEach { p =>
+          val dest = Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dest)
+          else java.nio.file.Files.copy(p, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    def deleteDir(d: String): Unit = {
+      val p = Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+    }
+    val goldBackup = Files.createTempDirectory("graft_sp_gbak").toString + "/t"
+    copyDir(gold, goldBackup)
+    val b4 = Seq((6L, page, 3)).toDF("doc_id", "text", "ord")
+    fmt.scd1Merge(spark, silver, b4, Seq("doc_id"), "ord",
+      compareExclude = Nil)
+    TextAnalysis.spanStatsIncremental(spark, b4.select("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 3L,
+      k = P._1, w = P._2, minSpan = P._3)
+    deleteDir(gold); copyDir(goldBackup, gold) // gold rolled back, state kept
+    assert(fold().nonEmpty, "the crashed batch must be redelivered")
+    checkGoldEqualsBatch("after crash-replay of batch 4")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+        .head.getAs[Long]("n_dup_spans") == 1L,
+      "replay must re-flag the untouched old doc 1 via the q flip")
+
+    assert(fold().isEmpty, "caught-up consumer must re-process nothing")
+    checkGoldEqualsBatch("after no-op fold")
+
+    // hard DELETE: doc 5 leaves — doc 3's df drops to 1, spans retract
+    val delIds = Seq(5L).toDF("doc_id")
+    fmt.deleteKeys(spark, silver, delIds, Seq("doc_id"))
+    TextAnalysis.spanStatsIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 4L,
+      k = P._1, w = P._2, minSpan = P._3, deletes = Some(delIds))
+    checkGoldEqualsBatch("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 5L).count() == 0)
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L)
+        .head.getAs[Long]("n_dup_spans") == 0L,
+      "the surviving duplicate must lose its span when its mate is deleted")
+
+    // update TO null retracts like a delete — doc 6 nulls out, doc 1
+    // loses its mate again
+    fmt.scd1Merge(spark, silver,
+      Seq((6L, null.asInstanceOf[String], 5)).toDF("doc_id", "text", "ord"),
+      Seq("doc_id"), "ord", compareExclude = Nil)
+    TextAnalysis.spanStatsIncremental(spark,
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, gold, batchOrd = 5L,
+      k = P._1, w = P._2, minSpan = P._3)
+    checkGoldEqualsBatch("after update-to-null retraction")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 6L).count() == 0)
+
+    // APPEND-ONLY fast path on fresh state: the second batch brings a
+    // duplicate of an old doc (two-hop q flip) plus a printless doc
+    val base = graft.pipeline.SnapshotTableFormat
+    val stA = Files.createTempDirectory("graft_sp_stA").toString
+    val goA = Files.createTempDirectory("graft_sp_goA").toString + "/t"
+    val batches = Seq(
+      Seq((1L, page), (3L, uniq)),
+      Seq((7L, "abc"), (8L, frag)))
+    var seen = Seq.empty[(Long, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      TextAnalysis.spanStatsIncremental(spark, b.toDF("doc_id", "text"),
+        "doc_id", "text", stA, goA, batchOrd = i.toLong,
+        k = P._1, w = P._2, minSpan = P._3, appendOnly = true, fmt = base)
+      val truth = stats(TextAnalysis.spanDedupStats(
+        seen.toDF("doc_id", "text"), "doc_id", "text",
+        k = P._1, w = P._2, minSpan = P._3), "doc_id")
+      val got = stats(MergeTable.read(spark, goA)
+        .withColumnRenamed("id", "doc_id"), "doc_id")
+      assert(got == truth,
+        s"append-only batch $i: ${got.mkString("; ")} vs ${truth.mkString("; ")}")
+    }
+  }
+
   test("append-only containment fast path: neighborhood re-verify equals batch and general path") {
     // two-hop case for the containment member: batch fragment 4
     // lands in the page's buckets, so OLD docs (not in the batch)
