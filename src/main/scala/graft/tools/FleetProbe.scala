@@ -68,7 +68,8 @@ object FleetProbe {
       cfgJson("exact"),
       cfgJson("minhash", """, "stateFormat": "bucketed:64""""),
       cfgJson("containment"),
-      cfgJson("winnow"))
+      cfgJson("winnow"),
+      cfgJson("span"))
     val control = rows.map((_, true)).toDF("config_json", "enabled")
 
     // wave 1: catch-up fold, the real fleet API end to end
