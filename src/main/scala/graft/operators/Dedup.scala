@@ -472,7 +472,7 @@ object Dedup {
     * that guarantee keyed input can skip it with
     * `-Dgraft.dedup.skipIdCheck=true`.
     */
-  private def requireUniqueIds(docsH: DataFrame, op: String): Unit =
+  private[operators] def requireUniqueIds(docsH: DataFrame, op: String): Unit =
     if (!java.lang.Boolean.getBoolean("graft.dedup.skipIdCheck")) {
       val dup = docsH.groupBy(col("id")).agg(count(lit(1)).as("_n"))
         .filter(col("_n") > 1).limit(1).collect()

@@ -506,10 +506,11 @@ object TextAnalysis {
     * `array_position` and DuckDB `list_position` compute, keeping the
     * operator oracle-replayable). Output: (idCol, pos, fingerprint)
     * distinct rows, `pos` the 1-based char offset of the selected
-    * k-gram's start. Same kernel shape as the print variant: the hash
-    * array materializes once per row (the documented O(n²) inlining
-    * trap), the argmin runs in-row over w-element slices, and the
-    * explode ships only the ~2n/(w+1) selected positions.
+    * k-gram's start. The hash array materializes once per row (the
+    * documented O(n²) inlining trap), selection is the per-position
+    * run-length characterization (see the body comment — no
+    * per-window allocation, each position emitted at most once), and
+    * the explode ships only the ~2n/(w+1) selected positions.
     */
   def winnowAnchorPositions(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, w: Int = 4,
@@ -684,6 +685,11 @@ object TextAnalysis {
                         k: Int, w: Int, minSpan: Int,
                         prodHash: Boolean): DataFrame = {
     require(minSpan >= k, s"minSpan ($minSpan) below k ($k) is vacuous")
+    // the family's fail-loud one-row-per-id guard: a duplicated id
+    // would make min(id) == max(id) for prints shared only by its
+    // two rows (silent under-qualification) and interleave two
+    // texts' anchor positions in one island fold
+    Dedup.requireUniqueIds(df.select(col(idCol).as("id")), "spanDedup")
     val sel = winnowAnchorPositions(df, idCol, textCol, k, w, prodHash)
       .select(col(idCol).as("id"), col("pos"), col("fingerprint"))
       .transform(graft.Materialize.eagerBulk)
