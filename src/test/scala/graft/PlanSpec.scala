@@ -204,6 +204,21 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("span dedup plans no WindowExec: islands fold in-row") {
+    // the span family's island assembly is an in-row HOF fold over
+    // per-doc anchor arrays — a regression to the gaps-and-islands
+    // WINDOW formulation (global (id, pos) sort + WindowExec)
+    // measured ~1.6× slower at the sf10 probe and must not creep
+    // back; same pin for the winnow overlap verdict, whose pairing
+    // is posting joins + aggregates, never a window
+    Seq("text_span_dedup", "text_span_clean", "dedup_winnow").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$q must not plan a window:\n${plan.take(2500)}")
+    }
+  }
+
   test("top-quantile gate shares one exchange across both windows") {
     val plan = SparkEntry.queries("curate_top_quantile")(spark, sf)
       .queryExecution.executedPlan.toString
