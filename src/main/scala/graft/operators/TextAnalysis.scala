@@ -214,6 +214,126 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Full BPE tokenizer TRAINING loop (Sennrich et al. 2016): run
+    * `merges` rounds of (count adjacent symbol pairs over the word
+    * vocabulary, merge the most frequent pair everywhere) and return
+    * the learned merge table — the artifact a production tokenizer
+    * (GPT-2/LLaMA-family BPE) ships. Extends [[bpePairStats]], which
+    * is exactly this loop's FIRST pair-count, to the whole trainer.
+    *
+    * Scale shape (the trick every industrial trainer uses): the only
+    * corpus-sized job is the word-frequency aggregate (map-side
+    * combine down to vocabulary size). Every merge round then runs
+    * over the DISTINCT-WORD table — pair counts shuffle (pair,
+    * partial-sum) groups bounded by the symbol-bigram vocabulary,
+    * the argmax is a TakeOrderedAndProject (per-partition top-1 +
+    * 1-row driver merge, the bounded-collect class the k-means loop
+    * already uses), and the merge application is a codegen'd
+    * higher-order-function fold over each word's symbol array,
+    * guarded so only words containing the pair re-fold. State is
+    * re-materialized per round through the [[graft.Materialize]]
+    * seam — without the cut, round r's plan would embed all r-1
+    * prior folds.
+    *
+    * Determinism: pair counts are exact longs; ties break (lhs asc,
+    * rhs asc) in binary string order — the same total order DuckDB
+    * applies, so the whole training trajectory is engine-exact and
+    * the oracle replays it round by round. Pair occurrences count
+    * every adjacent position ("aaa" contributes 2 to (a,a)); the
+    * merge applies greedily left-to-right, non-overlapping (["a","a",
+    * "a"] + (a,a) → ["aa","a"]) — the reference BPE semantics.
+    *
+    * Pre-tokenizer and initial alphabet match [[bpePairStats]]
+    * (lowercase-run words ≥ 2 chars, single-character symbols), so
+    * rank-1 of the merge table equals that operator's top row.
+    *
+    * Returns (merge_rank, lhs, rhs, pair_count), one row per learned
+    * merge, rank ascending; stops early if the vocabulary saturates.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val (table, _) = bpeLoop(df, textCol, merges)
+    val spark = df.sparkSession
+    import spark.implicits._
+    table.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Corpus token frequencies AFTER [[bpeTrain]]'s `merges` rounds —
+    * the trained tokenizer's encoding of its own training corpus
+    * (for the training vocabulary, applying the merges in rank order
+    * IS the final training state, so this costs nothing beyond the
+    * loop). Top-k tokens by total occurrences, count desc / token
+    * asc. The encode work runs per DISTINCT word (vocabulary-sized),
+    * never per document — the same collapse the dedup family uses.
+    */
+  def bpeEncodeTopK(df: DataFrame, textCol: String, merges: Int,
+                    k: Int = 40): DataFrame = {
+    val (_, state) = bpeLoop(df, textCol, merges)
+    state.select(col("wc"), explode(col("seq")).as("token"))
+      .groupBy("token").agg(sum(col("wc")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** The shared trainer: returns (merge rows, final word-state frame
+    * (w, wc, seq)). Bounded driver state: one (lhs, rhs, count) row
+    * per round.
+    */
+  private def bpeLoop(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(merges >= 1, "bpeTrain needs at least one merge round")
+    val init = df
+      .select(explode_outer(split(col(textCol), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("seq"))
+    var state = graft.Materialize.eager(init)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var saturated = false
+    while (rank <= merges && !saturated) {
+      val adj = zip_with(
+        slice(col("seq"), lit(1), size(col("seq")) - 1),
+        slice(col("seq"), lit(2), size(col("seq")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      val top = state
+        .select(col("wc"), explode(adj).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) saturated = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((rank, l, r, cnt))
+        val hasPair = exists(
+          zip_with(
+            slice(col("seq"), lit(1), size(col("seq")) - 1),
+            slice(col("seq"), lit(2), size(col("seq")) - 1),
+            (a, b) => a === lit(l) && b === lit(r)),
+          m => m)
+        // greedy left-to-right non-overlapping fold; a just-merged
+        // token can never re-match lhs within the round (lhs+rhs is
+        // strictly longer than lhs), so one pass is exact
+        val folded = aggregate(
+          slice(col("seq"), lit(2), size(col("seq")) - 1),
+          slice(col("seq"), lit(1), lit(1)),
+          (acc, s) => when(
+            element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+        state = graft.Materialize.eager(state.select(
+          col("w"), col("wc"),
+          when(hasPair, folded).otherwise(col("seq")).as("seq")))
+        rank += 1
+      }
+    }
+    (out.result(), state)
+  }
+
   /** Collocation extraction by LIFT — n(xy)·N / (n(x)·n(y)), the
     * rational core of pointwise mutual information (PMI = log lift;
     * the log is monotone, so ranking by lift IS ranking by PMI, and

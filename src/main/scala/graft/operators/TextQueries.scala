@@ -181,6 +181,23 @@ object TextQueries {
   def bpePairTopK(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairStats(docs(spark, dir), "text", k = 50)
 
+  /** Full BPE trainer: 10 merge rounds over the corpus vocabulary —
+    * the learned merge table (rank, lhs, rhs, pair_count). The oracle
+    * replays the whole training trajectory round by round in chained
+    * CTEs ([[bpeCtes]]).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(docs(spark, dir), "text", merges = BpeMerges)
+
+  /** Corpus token frequencies after the 10 learned merges — the
+    * trained tokenizer encoding its own training vocabulary.
+    */
+  def bpeEncodeTopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncodeTopK(docs(spark, dir), "text",
+      merges = BpeMerges, k = 40)
+
+  private val BpeMerges = 10
+
   /** RAG-shape chunking: 200-char windows, 50-char overlap. */
   def textChunk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -219,6 +236,8 @@ object TextQueries {
     "text_chunk" -> (textChunk _),
     "text_redact" -> (textRedact _),
     "bpe_pair_topk" -> (bpePairTopK _),
+    "bpe_train" -> (bpeTrain _),
+    "bpe_encode_topk" -> (bpeEncodeTopK _),
     "text_diversity" -> (textDiversity _),
     "text_oov" -> (textOov _),
     "text_rarity" -> (textRarity _),
@@ -236,6 +255,69 @@ object TextQueries {
 
   private def score(ws: Seq[String]): String =
     ws.map(w => occ("text", w)).mkString(" + ")
+
+  /** Chained-CTE replay of the whole BPE training trajectory: `w0` is
+    * the word/char-sequence vocabulary, then per round r — `p{r}`
+    * pair counts, `b{r}` deterministic argmax (cnt desc, lhs, rhs),
+    * `e{r}` positional explode with candidate marks, `g{r}`/`a{r}`
+    * greedy non-overlapping selection (runs of consecutive candidate
+    * positions only form when lhs = rhs; within a run, parity picks
+    * every other start — exactly the left-to-right fold), and the
+    * rebuilt state `w{r}` (applied position emits the merged token,
+    * the position it consumed is dropped via LAG). MATERIALIZED on
+    * each state/count CTE pins linear evaluation — inlined, every
+    * round would re-evaluate its predecessor once per reference and
+    * the replay would go exponential in rounds.
+    */
+  private def bpeCtes(merges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wc,
+        |    list_transform(range(1, length(w) + 1),
+        |      i -> substring(w, CAST(i AS INT), 1)) AS seq
+        |  FROM (SELECT unnest(string_split_regex(text, '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2
+        |  GROUP BY w)""".stripMargin)
+    for (r <- 1 to merges) {
+      val prev = s"w${r - 1}"
+      sb.append(s""",
+        |p$r AS MATERIALIZED (
+        |  SELECT seq[CAST(i AS INT)] AS l, seq[CAST(i AS INT) + 1] AS r,
+        |    CAST(SUM(wc) AS BIGINT) AS cnt
+        |  FROM $prev, UNNEST(range(1, len(seq))) AS t(i)
+        |  GROUP BY 1, 2),
+        |b$r AS MATERIALIZED (
+        |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |e$r AS (
+        |  SELECT w, wc, CAST(i AS INT) AS i, seq[CAST(i AS INT)] AS sym,
+        |    COALESCE(seq[CAST(i AS INT)] = b.l AND CAST(i AS INT) < len(seq)
+        |      AND seq[CAST(i AS INT) + 1] = b.r, FALSE) AS cand
+        |  FROM $prev, b$r b, UNNEST(range(1, len(seq) + 1)) AS t(i)),
+        |g$r AS (
+        |  SELECT w, wc, i, sym, cand,
+        |    i - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY w ORDER BY i) AS run
+        |  FROM e$r),
+        |a$r AS (
+        |  SELECT w, wc, i, sym,
+        |    cand AND ((i - MIN(i) OVER (PARTITION BY w, cand, run)) % 2 = 0)
+        |      AS applied
+        |  FROM g$r),
+        |w$r AS MATERIALIZED (
+        |  SELECT w, wc,
+        |    LIST(CASE WHEN applied THEN b.l || b.r ELSE sym END ORDER BY i)
+        |      AS seq
+        |  FROM (SELECT w, wc, i, sym, applied,
+        |          COALESCE(LAG(applied) OVER (PARTITION BY w ORDER BY i),
+        |            FALSE) AS consumed
+        |        FROM a$r) x, b$r b
+        |  WHERE NOT consumed
+        |  GROUP BY w, wc)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** CTE list (no leading WITH) ending in `spans(doc_id, s, e)` —
     * the winnow-anchored duplicated-span assembly shared by
@@ -525,6 +607,19 @@ object TextQueries {
         |FROM p GROUP BY pair
         |ORDER BY n_occurrences DESC, pair ASC
         |LIMIT 50""".stripMargin,
+    "bpe_train" -> {
+      val unions = (1 to BpeMerges).map(r =>
+        s"SELECT CAST($r AS INT) AS merge_rank, l AS lhs, r AS rhs, " +
+          s"cnt AS pair_count FROM b$r").mkString("\nUNION ALL\n")
+      s"WITH ${bpeCtes(BpeMerges)}\n$unions\nORDER BY merge_rank"
+    },
+    "bpe_encode_topk" ->
+      s"""WITH ${bpeCtes(BpeMerges)}
+         |SELECT u.sym AS token, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+         |FROM w$BpeMerges, UNNEST(seq) AS u(sym)
+         |GROUP BY 1
+         |ORDER BY n_occurrences DESC, token ASC
+         |LIMIT 40""".stripMargin,
     "text_langid" -> {
       val s = markers.map { case (l, ws) => s"${score(ws)} AS score_$l" }
       s"""WITH scored AS (

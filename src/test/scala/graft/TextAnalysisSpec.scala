@@ -375,6 +375,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._1) == Seq("ab", "aa", "bc"))
   }
 
+  test("bpe trainer learns the Sennrich example's merge trajectory") {
+    import SparkSpec.spark.implicits._
+    // the classic BPE walkthrough corpus: low x5, lower x2,
+    // newest x6, widest x3 (word frequencies planted via repetition)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", merges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand-computed: (e,s)=9 ties (s,t)=9 -> (e,s) wins on lhs;
+    // then (es,t)=9; then (l,o)=7 ties (o,w)=7 -> (l,o); then the
+    // fold having built "lo", (lo,w)=7
+    assert(out(0) == ((1, "e", "s", 9L)), out.mkString(","))
+    assert(out(1) == ((2, "es", "t", 9L)), out.mkString(","))
+    assert(out(2) == ((3, "l", "o", 7L)), out.mkString(","))
+    assert(out(3) == ((4, "lo", "w", 7L)), out.mkString(","))
+  }
+
+  test("bpe merge application is greedy left-to-right, non-overlapping") {
+    import SparkSpec.spark.implicits._
+    // one word "aaaa" (freq 1): pair (a,a) counts every adjacent
+    // position = 3; the merge folds greedily -> [aa, aa], so round 2
+    // counts (aa,aa)=1 — overlap-counted stats, non-overlap apply
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", merges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1, "a", "a", 3L)), out.mkString(","))
+    assert(out(1) == ((2, "aa", "aa", 1L)), out.mkString(","))
+    // odd run: "aaaaa" -> [aa, aa, a]; (aa,aa)=1 and (aa,a)=1, tie
+    // broken rhs asc: "a" < "aa"
+    val odd = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.bpeTrain(odd, "text", merges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(o2(1) == ((2, "aa", "a", 1L)), o2.mkString(","))
+  }
+
+  test("bpe trainer stops at vocabulary saturation; encode matches the fold") {
+    import SparkSpec.spark.implicits._
+    // "ab" saturates after one merge: no pairs remain anywhere
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", merges = 5).collect()
+    assert(out.length == 1 && out(0).getString(1) == "a")
+    val enc = TextAnalysis.bpeEncodeTopK(docs, "text", merges = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(enc.toSeq == Seq(("ab", 3L)), enc.mkString(","))
+  }
+
+  test("bpe rank-1 merge equals the standalone pair-stats top row") {
+    val docs = Tables.load(spark, sf, "documents")
+    val top = TextAnalysis.bpePairStats(docs, "text", k = 1).collect()(0)
+    val m1 = TextAnalysis.bpeTrain(docs, "text", merges = 1).collect()(0)
+    assert(m1.getString(1) + m1.getString(2) == top.getString(0))
+    assert(m1.getLong(3) == top.getLong(1))
+  }
+
   test("oov rate counts exactly the words outside the top-K vocabulary") {
     import SparkSpec.spark.implicits._
     // corpus vocab by count: a(4) b(3) c(1) zq(1) -> top-2 = {a, b}
