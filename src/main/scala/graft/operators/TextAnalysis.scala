@@ -274,6 +274,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document token counts under the TRAINED tokenizer — the real
+    * token-budget accounting the data-mix/packing operators estimate
+    * with chars/4. For the training corpus, a word's encoding is its
+    * final training state, so the count is one broadcast dictionary
+    * join: explode doc words, attach |final symbol seq| per distinct
+    * word, sum per document. The pre-tokenizer defines the token
+    * stream (lowercase runs ≥ 2 chars); everything else contributes
+    * zero, and a document with no qualifying words counts 0.
+    *
+    * Scale shape: two corpus passes (the trainer's word-frequency
+    * aggregate + this count's explode), a vocabulary-sized broadcast,
+    * one map-side-combinable per-doc aggregate. Nothing corpus-sized
+    * crosses the wire beyond (doc_id, partial sum).
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     merges: Int): DataFrame = {
+    val (_, state) = bpeLoop(df, textCol, merges)
+    val vocab = state.select(col("w"),
+      size(col("seq")).cast("long").as("n_sub"))
+    df.select(col(idCol),
+        explode_outer(split(coalesce(col(textCol), lit("")), "[^a-z]+"))
+          .as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("n_sub"), lit(0L))).as("n_bpe_tokens"))
+  }
+
   /** The shared trainer: returns (merge rows, final word-state frame
     * (w, wc, seq)). Bounded driver state: one (lhs, rhs, count) row
     * per round.

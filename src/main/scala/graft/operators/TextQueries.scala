@@ -196,6 +196,11 @@ object TextQueries {
     TextAnalysis.bpeEncodeTopK(docs(spark, dir), "text",
       merges = BpeMerges, k = 40)
 
+  /** Per-doc token counts under the trained 10-merge tokenizer. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCounts(docs(spark, dir), "doc_id", "text",
+      merges = BpeMerges)
+
   private val BpeMerges = 10
 
   /** RAG-shape chunking: 200-char windows, 50-char overlap. */
@@ -238,6 +243,7 @@ object TextQueries {
     "bpe_pair_topk" -> (bpePairTopK _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode_topk" -> (bpeEncodeTopK _),
+    "text_tokens_bpe" -> (bpeTokenCounts _),
     "text_diversity" -> (textDiversity _),
     "text_oov" -> (textOov _),
     "text_rarity" -> (textRarity _),
@@ -620,6 +626,16 @@ object TextQueries {
          |GROUP BY 1
          |ORDER BY n_occurrences DESC, token ASC
          |LIMIT 40""".stripMargin,
+    "text_tokens_bpe" ->
+      s"""WITH ${bpeCtes(BpeMerges)},
+         |v AS (SELECT w, CAST(len(seq) AS BIGINT) AS n_sub FROM w$BpeMerges),
+         |d AS (SELECT doc_id,
+         |        unnest(string_split_regex(COALESCE(text, ''), '[^a-z]+')) AS w
+         |      FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(SUM(COALESCE(v.n_sub, 0)) AS BIGINT) AS n_bpe_tokens
+         |FROM d LEFT JOIN v ON d.w = v.w
+         |GROUP BY d.doc_id""".stripMargin,
     "text_langid" -> {
       val s = markers.map { case (l, ws) => s"${score(ws)} AS score_$l" }
       s"""WITH scored AS (

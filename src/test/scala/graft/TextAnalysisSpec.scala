@@ -422,6 +422,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc.toSeq == Seq(("ab", 3L)), enc.mkString(","))
   }
 
+  test("bpe token counts sum final-state sequence lengths per doc") {
+    import SparkSpec.spark.implicits._
+    // vocab: ab(x3), cd(x1). merge 1 = (a,b); merge 2 = (c,d).
+    // doc 1: "ab ab cd" -> ab(1)+ab(1)+cd(1) = 3 tokens;
+    // doc 2: "ab x 7" -> ab(1) + dropped + dropped = 1;
+    // doc 3: no qualifying words -> 0
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab x 7"), (3L, "z 9 !"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 0L), out.toString)
+    // fewer merges -> never fewer tokens (merges only shrink seqs)
+    val out0 = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out0 == Map(1L -> 4L, 2L -> 1L, 3L -> 0L), out0.toString)
+  }
+
   test("bpe rank-1 merge equals the standalone pair-stats top row") {
     val docs = Tables.load(spark, sf, "documents")
     val top = TextAnalysis.bpePairStats(docs, "text", k = 1).collect()(0)
