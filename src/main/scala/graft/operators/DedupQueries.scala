@@ -335,6 +335,13 @@ object DedupQueries {
     "corpus_curate" -> ((s, d) =>
       Curation.curate(docs(s, d), "doc_id", "text",
         col("source") === "src0", Seq("source", "lang"))),
+    // the same pipeline's gate-by-gate attrition funnel: docs and
+    // estimated tokens entering/surviving/removed per stage; the
+    // stage-4 docs_out row reconciles exactly with corpus_curate's
+    // roll-up totals (spec-pinned)
+    "curate_attrition" -> ((s, d) =>
+      Curation.attrition(docs(s, d), "doc_id", "text",
+        col("source") === "src0")),
     // curation with the CCNet-style LM pre-gate composed in front:
     // non-reference docs below familiarity 0.031 (vs the src0 bigram
     // model) drop BEFORE the quality/dedup/decontamination pipeline;
@@ -751,6 +758,73 @@ object DedupQueries {
   private def corpusCurateSqlFrom(rel: String): String =
     s"WITH ${corpusCurateCtesFrom(rel)}"
 
+  /** The attrition funnel over corpus_curate's exact gate/dedup/
+    * decontamination fragments: each document labeled with its FIRST
+    * failing stage (null gates coalesce to fail, matching the Spark
+    * side), then the 4-row funnel via conditional counts. The CROSS
+    * JOIN is oracle-side only — the Spark plan reshapes a ≤5-row
+    * aggregate through a constant-key broadcast join.
+    */
+  private val attritionSql: String = {
+    def shingles30(where: String) =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 29, 1) + 1),
+         |    pos -> substr(text, CAST(pos AS INT), 30)))) AS sh
+         |  FROM documents WHERE $where""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS awl,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+       |      w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS BIGINT) AS top_cnt,
+       |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est,
+       |    md5(text) AS h
+       |  FROM documents
+       |  WHERE source != 'src0'),
+       |lab0 AS (
+       |  SELECT doc_id, est, h,
+       |    CASE
+       |      WHEN NOT COALESCE(n_words >= 20 AND awl < 8.0, FALSE) THEN 1
+       |      WHEN NOT COALESCE(CAST(n_distinct AS DOUBLE) / n_words > 0.2
+       |        AND CAST(top_cnt AS DOUBLE) / n_words < 0.2, FALSE) THEN 2
+       |      ELSE 0 END AS ff0
+       |  FROM m),
+       |kd AS (SELECT h, min(doc_id) AS keeper FROM lab0 WHERE ff0 = 0 GROUP BY h),
+       |lab1 AS (
+       |  SELECT l.doc_id, l.est,
+       |    CASE WHEN l.ff0 > 0 THEN l.ff0
+       |         WHEN l.doc_id <> k.keeper THEN 3 ELSE 0 END AS ff1
+       |  FROM lab0 l LEFT JOIN kd k ON k.h = l.h),
+       |corp AS (
+       |  ${shingles30("source != 'src0'")}),
+       |bench AS (
+       |  SELECT DISTINCT sh FROM (${shingles30("source = 'src0'")})),
+       |hits AS (
+       |  SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON b.sh = c.sh),
+       |lab AS (
+       |  SELECT l.doc_id, l.est,
+       |    CASE WHEN l.ff1 > 0 THEN l.ff1
+       |         WHEN h2.doc_id IS NOT NULL THEN 4 ELSE 0 END AS ff
+       |  FROM lab1 l LEFT JOIN hits h2 ON h2.doc_id = l.doc_id),
+       |stages(stage_idx, stage) AS (VALUES
+       |  (1, 'quality'), (2, 'repetition'),
+       |  (3, 'exact_dedup'), (4, 'decontaminate'))
+       |SELECT s.stage_idx, s.stage,
+       |  CAST(COUNT(CASE WHEN l.ff = 0 OR l.ff >= s.stage_idx THEN 1 END)
+       |    AS BIGINT) AS docs_in,
+       |  CAST(COUNT(CASE WHEN l.ff = 0 OR l.ff > s.stage_idx THEN 1 END)
+       |    AS BIGINT) AS docs_out,
+       |  CAST(COUNT(CASE WHEN l.ff = s.stage_idx THEN 1 END)
+       |    AS BIGINT) AS docs_removed,
+       |  CAST(COALESCE(SUM(CASE WHEN l.ff = 0 OR l.ff > s.stage_idx
+       |    THEN l.est END), 0) AS BIGINT) AS tokens_out
+       |FROM stages s CROSS JOIN lab l
+       |GROUP BY s.stage_idx, s.stage
+       |ORDER BY s.stage_idx""".stripMargin
+  }
+
   private val crossCorpusSql: String =
     s"""WITH ${minhashSigCtes()},
        |corpusd AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
@@ -1097,6 +1171,7 @@ object DedupQueries {
     "embedding_kmeans_centroids" -> kmeansCentroidsSql(8, 2),
     "embedding_quantize" -> embeddingQuantizeSql,
     "corpus_curate" -> corpusCurateSql,
+    "curate_attrition" -> attritionSql,
     // the LM familiarity CTEs (shared with text_lm_familiarity) feed
     // a gated relation into the SAME curate CTE list
     "corpus_curate_lm" ->

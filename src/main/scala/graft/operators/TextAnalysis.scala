@@ -499,6 +499,205 @@ object TextAnalysis {
           .as("familiarity"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. NeurIPS 2023, public): score each
+    * document by how TARGET-like its hashed n-gram profile is —
+    * features are word unigrams + bigrams hashed into `buckets`
+    * buckets (the paper's hashed bag-of-n-grams feature space), a
+    * multinomial model is counted over the target slice and over the
+    * full raw corpus, and the weight is target-likelihood over
+    * raw-likelihood. The paper's log form Σ f(b)·(log p̂_t(b) −
+    * log p̂_r(b)) sums transcendental logs that are not correctly
+    * rounded across engines, so — like [[lmFamiliarity]] — the score
+    * ships as the equivalent RATIONAL aggregate: per document with
+    * n features,
+    *
+    *   w = ((Σ c_t(b) + n) / (T + B)) / ((Σ c_r(b) + n) / (R + B))
+    *
+    * the ratio of the document's average add-one-smoothed target
+    * feature frequency to its average smoothed raw frequency (the
+    * per-feature n's cancel). Exact BIGINT sums, three IEEE
+    * divisions in a fixed tree — cross-engine exact. w > 1 ⇒ the
+    * document looks more like the target than like the average raw
+    * document; monotone in the same smoothed frequency ratios the
+    * log form sums. Selection (the "IR" in DSIR) composes
+    * [[Curation.topQuantileByGroup]] over the weight — hash-
+    * deterministic, no Gumbel RNG, replayable.
+    *
+    * Hashing is the portable salted-md5 bucket
+    * ([[Sampling.hashBucket]] idiom) so an external auditor — or the
+    * DuckDB oracle — reproduces every bucket id; tokenization is the
+    * house convention (split on one space, empty tokens count,
+    * [[graft.functions.HashFunctions.wordNgrams]] bigrams).
+    *
+    * Scale shape: the model is ≤ `buckets` rows (counted with
+    * map-side partial aggregation, B=1024 default — broadcast
+    * everywhere after), totals attach through a one-row constant-key
+    * broadcast. Costs one text pass over the target slice and two
+    * over the corpus (model count + scoring) — deliberately
+    * re-scanned, since materializing the exploded (doc, gram) frame
+    * to save a pass would write ~2 rows per corpus word. Output:
+    * (id, n_feats, sum_target, sum_raw, dsir_weight), one row per
+    * input row; unscoreable docs (null text) carry zero counts and a
+    * NULL weight.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetFilter: Column, buckets: Int = 1024): DataFrame =
+    dsirScore(df, idCol, textCol,
+      dsirModel(df, textCol, targetFilter, buckets), buckets)
+
+  /** The hashed feature frame shared by the DSIR model and scoring
+    * passes: one row per (kept columns, gram), `_g` the gram and
+    * `_b` its salted-md5 bucket in [0, buckets).
+    */
+  private def dsirBucketed(d: DataFrame, textCol: String, buckets: Int,
+                           keep: Column*): DataFrame = {
+    val grams = concat(split(col(textCol), " "),
+      graft.functions.HashFunctions.wordNgrams(col(textCol), 2))
+    d.select(keep :+ explode_outer(grams).as("_g"): _*)
+      .withColumn("_b", pmod(conv(substring(
+        md5(concat(lit("dsir:"), col("_g"))), 1, 8), 16, 10)
+        .cast("long"), lit(buckets.toLong)))
+  }
+
+  /** The DSIR importance MODEL: per hashed feature bucket, its raw-
+    * corpus count and target-slice count — the trainable ≤ `buckets`-
+    * row state [[dsirScore]] consumes, [[dsirWeights]] derives
+    * inline, and the incremental member freezes. Output:
+    * (bucket, c_raw, c_target).
+    */
+  def dsirModel(df: DataFrame, textCol: String, targetFilter: Column,
+                buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tgt = dsirBucketed(df.filter(targetFilter), textCol, buckets)
+      .filter(col("_g").isNotNull)
+      .groupBy(col("_b").as("bucket")).agg(count(lit(1)).as("c_target"))
+    dsirBucketed(df, textCol, buckets)
+      .filter(col("_g").isNotNull)
+      .groupBy(col("_b").as("bucket")).agg(count(lit(1)).as("c_raw"))
+      .join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), col("c_raw"),
+        coalesce(col("c_target"), lit(0L)).as("c_target"))
+      .transform(graft.Materialize.eager)
+  }
+
+  /** Score `df` against a (bucket, c_raw, c_target) model — ONE
+    * implementation for the batch operator and the incremental
+    * member (the [[lmScore]] contract: scores cannot drift by a
+    * bit), and the deployment shape DSIR actually runs at scale —
+    * train the model once on a corpus snapshot, then score any
+    * stream of documents against it.
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = lit(buckets.toLong)
+    // totals attach via the q15 pmod constant-key shape (lit = lit
+    // would fold to a BroadcastNestedLoopJoin)
+    val tot = model.agg(sum(col("c_target")).as("_t"),
+        sum(col("c_raw")).as("_r"), count(lit(1)).as("_nb"))
+      .withColumn("_k", pmod(col("_nb"), lit(1)).cast("int"))
+      .drop("_nb")
+    dsirBucketed(df, textCol, buckets, col(idCol))
+      .join(broadcast(model.withColumnRenamed("bucket", "_b")), Seq("_b"),
+        "left")
+      .groupBy(col(idCol))
+      .agg(count(col("_g")).as("n_feats"),
+        sum(coalesce(col("c_target"), lit(0L))).as("sum_target"),
+        sum(coalesce(col("c_raw"), lit(0L))).as("sum_raw"))
+      .withColumn("_k", pmod(col("n_feats"), lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("_k"))
+      .select(col(idCol), col("n_feats"), col("sum_target"), col("sum_raw"),
+        when(col("n_feats") === 0L, lit(null).cast("double"))
+          .otherwise(
+            ((col("sum_target") + col("n_feats")).cast("double") /
+              (col("_t") + b).cast("double")) /
+            ((col("sum_raw") + col("n_feats")).cast("double") /
+              (col("_r") + b).cast("double")))
+          .as("dsir_weight"))
+  }
+
+  /** Incremental [[dsirWeights]] — the 13th member of the
+    * incremental family, and a second FROZEN-EPOCH member (the
+    * [[lmFamiliarityIncremental]] contract): DSIR weights depend on
+    * the raw-corpus profile, so a live-updating model would make
+    * EVERY stored score stale on EVERY insert — the epoch reading
+    * freezes both profiles from the first fold that carries target
+    * rows (target counts from its target slice, raw counts from the
+    * whole fold) and scores every later document independently
+    * against that snapshot. Retraining is a new state dir, the
+    * documented epoch semantics.
+    *
+    * The model is ONE table (`stateDir/model`: bucket, c_raw,
+    * c_target, n_buckets, _ord), so epoch training has no
+    * two-table crash window — the scd1Merge is atomic per the
+    * format's contract and a replayed epoch fold converges by merge
+    * idempotence. `n_buckets` stamps the feature-space size into the
+    * state: a later fold configured with a different `buckets` would
+    * silently hash into a different space, so the mismatch refuses
+    * fast (the bucketed-layout guard philosophy).
+    *
+    * Folds before any target rows arrive have nothing to train from
+    * and return; their docs score via redelivery or `fullResync`
+    * once the model exists. Update re-scores, update-to-null
+    * retracts, hard deletes and `fullResync` reconcile gold — the
+    * family's standard contracts. Gold rows: (id, n_feats,
+    * sum_target, sum_raw, dsir_weight, _ord), score columns
+    * bit-identical to [[dsirScore]] against the same frozen model.
+    */
+  def dsirIncremental(spark: SparkSession, batch: DataFrame,
+                      idCol: String, textCol: String,
+                      stateDir: String, goldPath: String,
+                      batchOrd: Long, targetFilter: Column,
+                      buckets: Int = 1024,
+                      deletes: Option[DataFrame] = None,
+                      fullResync: Boolean = false,
+                      appendOnly: Boolean = false,
+                      fmt: graft.pipeline.TableFormat =
+                        graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val modelPath = s"$stateDir/model"
+    val batchAll = graft.Materialize.eager(Dedup.oneRowPerId(
+      batch.select(col(idCol).as("id"), col(textCol).as("text"),
+        targetFilter.as("_tgt")), "id", Seq("text", "_tgt")))
+    if (!fmt.exists(modelPath)) {
+      val tgtDocs = batchAll.filter(col("_tgt") && col("text").isNotNull)
+      if (tgtDocs.isEmpty) return
+      val model = dsirModel(batchAll.filter(col("text").isNotNull),
+        "text", col("_tgt"), buckets)
+      fmt.scd1Merge(spark, modelPath,
+        model.withColumn("n_buckets", lit(buckets))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("bucket"), "_ord", compareExclude = Nil)
+    }
+    val persisted = fmt.read(spark, modelPath)
+    val storedB = persisted.select(max(col("n_buckets"))).head.getInt(0)
+    require(storedB == buckets,
+      s"state at $modelPath was trained with buckets=$storedB; this fold " +
+        s"is configured with buckets=$buckets — the hashed feature spaces " +
+        "differ. Use the stored value or retrain in a new state dir.")
+    val model = persisted.select(col("bucket"), col("c_raw"),
+      col("c_target"))
+    val scores = dsirScore(batchAll.filter(col("text").isNotNull)
+        .select(col("id"), col("text")), "id", "text", model, buckets)
+      .withColumn("_ord", lit(batchOrd))
+    if (!scores.isEmpty)
+      fmt.scd1Merge(spark, goldPath, scores, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (!appendOnly) {
+      val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
+        fullResync, goldPath, batchAll.select(col("id")), fmt)
+      val drops = graft.Materialize.eager(
+        delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+          _.unionByName(batchAll.filter(col("text").isNull)
+            .select(col("id")))).distinct())
+      if (fmt.exists(goldPath) && !drops.isEmpty)
+        fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    }
+  }
+
   /** Incremental [[lmFamiliarity]] — the FROZEN-EPOCH member of the
     * incremental family (SURVEY.md §2 #35c streaming twin), and its
     * simplest: the model is trained ONCE from the FIRST fold's

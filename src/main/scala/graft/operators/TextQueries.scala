@@ -146,6 +146,36 @@ object TextQueries {
     TextAnalysis.lmFamiliarity(docs(spark, dir), "doc_id", "text",
       col("source") === "src0")
 
+  /** CCNet head/middle/tail terciles of the familiarity score, per
+    * language (Wenzek et al. 2020) — src0 is the trusted reference,
+    * the decontaminate convention.
+    */
+  def textCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    Curation.familiarityBuckets(docs(spark, dir), "doc_id", "text",
+      "lang", col("source") === "src0")
+
+  /** DSIR-style importance weights (Xie et al. 2023): src0 plays the
+    * high-quality target distribution; 1024 hashed unigram+bigram
+    * feature buckets.
+    */
+  def textDsir(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(docs(spark, dir), "doc_id", "text",
+      col("source") === "src0")
+
+  /** The "IR" in DSIR — deterministic importance-rank selection:
+    * per language, keep the top quarter by DSIR weight (weight desc,
+    * id asc), composed from [[Curation.topQuantileByGroup]].
+    */
+  def dataSelectDsir(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val w = TextAnalysis.dsirWeights(d, "doc_id", "text",
+      col("source") === "src0")
+      .select(col("doc_id"), col("dsir_weight"))
+    Curation.topQuantileByGroup(
+      d.select(col("doc_id"), col("lang")).join(w, Seq("doc_id")),
+      "lang", "dsir_weight", "doc_id", 0.25)
+  }
+
   /** Winnowing fingerprint sets (MOSS): 8-char grams, window 4. */
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowFingerprints(docs(spark, dir), "doc_id", "text",
@@ -251,6 +281,9 @@ object TextQueries {
     "text_collocations" -> (textCollocations _),
     "text_vocab_stats" -> (textVocabStats _),
     "text_lm_familiarity" -> (textLmFamiliarity _),
+    "text_ccnet_buckets" -> (textCcnetBuckets _),
+    "text_dsir" -> (textDsir _),
+    "data_select_dsir" -> (dataSelectDsir _),
     "text_winnow" -> (textWinnow _),
     "text_span_dedup" -> (textSpanDedup _),
     "text_span_clean" -> (textSpanClean _))
@@ -418,6 +451,54 @@ object TextQueries {
       |    END AS familiarity
       |  FROM w LEFT JOIN lmper ON lmper.doc_id = w.doc_id CROSS JOIN v)""".stripMargin
 
+  /** CTE list (no leading WITH) ending in `dsir(doc_id, n_feats,
+    * sum_target, sum_raw, dsir_weight)` — the DSIR-style importance
+    * model over `documents` with src0 as the target and 1024 hashed
+    * unigram+bigram buckets (the Spark side's salted-md5 bucket rule
+    * replayed verbatim). Shared between the weight entry and the
+    * rank-selection entry.
+    */
+  private[operators] val dsirCtes: String =
+    """dw AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS words
+      |  FROM documents),
+      |dg AS (
+      |  SELECT doc_id, source, unnest(words || list_transform(
+      |    range(1, greatest(len(words) - 1, 0) + 1),
+      |    i -> words[i] || ' ' || words[i+1])) AS g
+      |  FROM dw),
+      |dbk AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5('dsir:' || g), 1, 8)) AS BIGINT)
+      |      % 1024 AS b
+      |  FROM dg),
+      |dtgt AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+      |  FROM dbk WHERE source = 'src0' GROUP BY b),
+      |draw AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr
+      |  FROM dbk GROUP BY b),
+      |dtot AS (
+      |  SELECT
+      |    (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM dtgt) AS t,
+      |    (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM draw) AS r),
+      |dper AS (
+      |  SELECT d.doc_id, CAST(COUNT(k.b) AS BIGINT) AS n_feats,
+      |    CAST(COALESCE(SUM(t.ct), 0) AS BIGINT) AS sum_target,
+      |    CAST(COALESCE(SUM(r.cr), 0) AS BIGINT) AS sum_raw
+      |  FROM documents d
+      |  LEFT JOIN dbk k ON k.doc_id = d.doc_id
+      |  LEFT JOIN dtgt t ON t.b = k.b
+      |  LEFT JOIN draw r ON r.b = k.b
+      |  GROUP BY d.doc_id),
+      |dsir AS (
+      |  SELECT doc_id, n_feats, sum_target, sum_raw,
+      |    CASE WHEN n_feats = 0 THEN NULL ELSE
+      |      (CAST(sum_target + n_feats AS DOUBLE) / CAST(t + 1024 AS DOUBLE))
+      |      / (CAST(sum_raw + n_feats AS DOUBLE) / CAST(r + 1024 AS DOUBLE))
+      |    END AS dsir_weight
+      |  FROM dper CROSS JOIN dtot)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same single-space tokenization as the n-gram kernel (empty
     // tokens count); lift = two double multiplies and one divide in
@@ -467,6 +548,51 @@ object TextQueries {
       s"""WITH $lmFamiliarityCtes
         |SELECT doc_id, n_bigrams, n_known, sum_big, sum_uni, familiarity
         |FROM fam""".stripMargin,
+    // the familiarity CTEs + per-language terciles; ntile ties are
+    // broken (familiarity desc, doc_id asc) on both engines and
+    // remainders go to the earliest buckets — the standard SQL
+    // contract. Unscoreable docs (NULL familiarity) keep a NULL
+    // bucket row instead of polluting the tail tercile
+    "text_ccnet_buckets" ->
+      s"""WITH $lmFamiliarityCtes,
+        |sc AS (
+        |  SELECT d.doc_id, d.lang, f.familiarity
+        |  FROM documents d JOIN fam f ON f.doc_id = d.doc_id),
+        |nn AS (
+        |  SELECT doc_id, lang, familiarity,
+        |    CAST(ntile(3) OVER (
+        |      PARTITION BY lang ORDER BY familiarity DESC, doc_id ASC)
+        |      AS INT) AS bucket_idx
+        |  FROM sc WHERE familiarity IS NOT NULL)
+        |SELECT doc_id, lang, familiarity, bucket_idx,
+        |  CASE bucket_idx WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+        |    ELSE 'middle' END AS bucket
+        |FROM nn
+        |UNION ALL
+        |SELECT doc_id, lang, familiarity, CAST(NULL AS INT) AS bucket_idx,
+        |  CAST(NULL AS VARCHAR) AS bucket
+        |FROM sc WHERE familiarity IS NULL""".stripMargin,
+    // exact BIGINT feature-count sums; the weight is three IEEE
+    // divisions in the same fixed tree as the Spark side
+    "text_dsir" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, n_feats, sum_target, sum_raw, dsir_weight
+        |FROM dsir""".stripMargin,
+    // the curate_top_quantile selection rule over the DSIR weight:
+    // per language, q_rank <= ceil(n * 0.25), rank ties broken
+    // (weight desc, doc_id asc)
+    "data_select_dsir" ->
+      s"""WITH $dsirCtes,
+        |dsel AS (
+        |  SELECT s.doc_id, d.lang, s.dsir_weight,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY d.lang ORDER BY s.dsir_weight DESC, s.doc_id ASC)
+        |      AS INT) AS q_rank,
+        |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM dsir s JOIN documents d ON d.doc_id = s.doc_id
+        |  WHERE s.dsir_weight IS NOT NULL)
+        |SELECT doc_id, lang, dsir_weight, q_rank
+        |FROM dsel WHERE q_rank <= ceil(n * 0.25)""".stripMargin,
     // same positional salted-md5 gram hashes, window minima via
     // inclusive list_slice, DISTINCT collapses in-window ties
     "text_winnow" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.ConfigHandler.IncrementalDedupConfig
 
-/** Config-driven driver for the twelve-member incremental dedup family
+/** Config-driven driver for the thirteen-member incremental dedup family
   * — the reference's whole operating model is JSON-config → pipeline
   * (ingest-framework builder/engine.py), and until r16 the
   * incremental members were library-only: spec-verified, but a
@@ -45,7 +45,8 @@ object IncrementalDedupJob {
     "segment" -> Set("segWords", "minDocs"),
     "embedding" -> Set("threshold", "planes", "seed", "maxBucket"),
     "ivf" -> Set("k", "nlist", "nprobe"),
-    "lmfamiliarity" -> Set("refWhere"))
+    "lmfamiliarity" -> Set("refWhere"),
+    "dsir" -> Set("targetWhere", "buckets"))
 
   /** Walk every unprocessed silver version through the configured
     * member. Returns the versions folded this call (empty = caught
@@ -70,6 +71,9 @@ object IncrementalDedupJob {
       "the lmfamiliarity member requires 'refWhere' (a SQL predicate over " +
         "the silver row naming the reference corpus, e.g. " +
         "\"source = 'src0'\")")
+    require(cfg.member != "dsir" || cfg.params.contains("targetWhere"),
+      "the dsir member requires 'targetWhere' (a SQL predicate over the " +
+        "silver row naming the target slice, e.g. \"source = 'src0'\")")
 
     val p = cfg.params
     def int(k: String, d: Int): Int = p.get(k).map(_.toInt).getOrElse(d)
@@ -87,6 +91,15 @@ object IncrementalDedupJob {
           TextAnalysis.lmFamiliarityIncremental(spark, chg,
             cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
             org.apache.spark.sql.functions.expr(p("refWhere")),
+            deletes = dels, fullResync = resync,
+            appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
+        case "dsir" =>
+          // targetWhere evaluates over the FULL silver row — the
+          // same unprojected-batch contract as lmfamiliarity
+          TextAnalysis.dsirIncremental(spark, chg,
+            cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+            org.apache.spark.sql.functions.expr(p("targetWhere")),
+            buckets = int("buckets", 1024),
             deletes = dels, fullResync = resync,
             appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
         case "exact" => Dedup.exactDedupIncremental(spark, batch,

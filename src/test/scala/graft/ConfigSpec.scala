@@ -210,6 +210,25 @@ class ConfigSpec extends SparkSpec {
       .select(col("id"), col("n_dup_spans"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(spGold == spTruth, s"span via runner: $spGold vs $spTruth")
+    // the dsir member (the 13th) dispatches through the runner:
+    // targetWhere evaluates over the full silver row, the buckets
+    // knob reaches the fold, every live non-null doc scores against
+    // the frozen-epoch model, deleted docs leave gold (fold-by-fold
+    // exactness is pinned in StreamingSpec)
+    val dsWork = Files.createTempDirectory("graft_cfg_ds").toString
+    val dsCfg = cfg.copy(member = "dsir",
+      checkpoint = s"$dsWork/ck", stateDir = s"$dsWork/state",
+      goldPath = s"$dsWork/gold",
+      params = Map("targetWhere" -> "doc_id <= 2", "buckets" -> "256"))
+    assert(IncrementalDedupJob.run(spark, dsCfg).nonEmpty)
+    val dsGold = dsCfg.stateFormat.read(spark, dsCfg.goldPath)
+    assert(dsGold.filter(col("id") === 2L).count() == 0,
+      "hard-deleted doc must leave dsir gold")
+    assert(dsGold.filter(col("dsir_weight").isNotNull).count() ==
+      sfmt.read(spark, silver).filter(col("text").isNotNull).count())
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, dsCfg.copy(params = Map.empty))
+    }
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

@@ -708,6 +708,50 @@ class DedupSpec extends SparkSpec {
     assert(web.getLong(3) == math.ceil(good.length / 4.0).toLong)
   }
 
+  test("curate attrition: each stage accounts its removals; the funnel reconciles with curate") {
+    val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val good2 = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3).trim
+    val contaminatedDoc = good2 + " benchmark holdout sequence example"
+    val rows = Seq(
+      (1L, good, "web", "en"),                 // survives
+      (2L, good, "web", "en"),                 // exact dup of 1 -> stage 3
+      (3L, "too short", "web", "en"),          // -> stage 1
+      (4L, ("spam " * 30).trim, "web", "en"),  // -> stage 2
+      (5L, contaminatedDoc, "web", "en"),      // -> stage 4
+      (6L, good2, "books", "en"),              // survives
+      (99L, "benchmark holdout sequence example row", "src0", "en"))
+    val out = Curation.attrition(rows.toDF("doc_id", "text", "source", "lang"),
+        "doc_id", "text", col("source") === "src0")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    def tok(s: String) = math.ceil(s.length / 4.0).toLong
+    val (t1, t4, t5, t6) = (tok(good), tok(("spam " * 30).trim),
+      tok(contaminatedDoc), tok(good2))
+    // one planted failure per stage; tokens_out tracks the survivors
+    assert(out.toSeq == Seq(
+      (1, "quality", 6L, 5L, 1L, 2 * t1 + t4 + t5 + t6),
+      (2, "repetition", 5L, 4L, 1L, 2 * t1 + t5 + t6),
+      (3, "exact_dedup", 4L, 3L, 1L, t1 + t5 + t6),
+      (4, "decontaminate", 3L, 2L, 1L, t1 + t6)), out.mkString("; "))
+    // funnel invariants: docs_out = docs_in - docs_removed, stages chain
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 == b._3, s"stage ${b._1} docs_in must chain from ${a._1}")
+    }
+    assert(out.forall(t => t._4 == t._3 - t._5))
+    // the stage-4 survivors are exactly curate's roll-up — same
+    // gates, same order, same defaults (here on the real sf corpus)
+    val corpus = Tables.load(spark, sf, "documents")
+    val funnel = Curation.attrition(corpus, "doc_id", "text",
+      col("source") === "src0").collect().map(r =>
+        (r.getInt(0), r.getLong(3), r.getLong(5))).sortBy(_._1)
+    val rollup = Curation.curate(corpus, "doc_id", "text",
+        col("source") === "src0", Seq("source", "lang"))
+      .agg(sum("n_docs"), sum("n_tokens")).head
+    assert(funnel.last._2 == rollup.getLong(0) &&
+      funnel.last._3 == rollup.getLong(1),
+      s"funnel ${funnel.last} vs curate (${rollup.getLong(0)}, ${rollup.getLong(1)})")
+  }
+
   test("ann ivf pairs carry exact cosines and probe only nprobe lists") {
     val e = Tables.load(spark, sf, "embeddings")
     val ivf = Similarity.annIvf(e, "vec_id", "embedding", k = 3,

@@ -1848,6 +1848,106 @@ class StreamingSpec extends SparkSpec {
         s"$goldB vs $truthB")
   }
 
+  test("incremental DSIR: frozen-epoch model, gold equals frozen-score truth, retracts, replays, deletes, bucket guard") {
+    // the 13th incremental member (r18): DSIR importance weights
+    // with the frozen-epoch contract — BOTH profiles (target slice +
+    // raw corpus) freeze from the first target-carrying fold, since
+    // a live raw profile would stale every stored score on every
+    // insert. Pins: (a) a pre-target fold trains nothing; (b) gold
+    // equals dsirScore against the frozen model after every fold
+    // (the shared-kernel contract); (c) a LATE target doc scores but
+    // does not retrain; (d) update re-scores, update-to-null
+    // retracts, hard delete removes, crash replay converges; (e) a
+    // fold configured with a different bucket count refuses fast.
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val work = Files.createTempDirectory("graft_dsir_inc").toString
+    val stateDir = s"$work/state"
+    val gold = s"$work/gold"
+    val B = 64
+    var live = Map.empty[Long, String] // id -> non-null live text
+    def foldBatch(ord: Long, dels: Seq[Long],
+                  rows: (Long, String, Boolean)*): Unit = {
+      live ++= rows.filter(_._2 != null).map(r => r._1 -> r._2).toMap
+      live --= rows.filter(_._2 == null).map(_._1)
+      live --= dels
+      TextAnalysis.dsirIncremental(spark,
+        rows.toSeq.toDF("doc_id", "text", "is_tgt"), "doc_id", "text",
+        stateDir, gold, batchOrd = ord, targetFilter = col("is_tgt"),
+        buckets = B,
+        deletes = if (dels.isEmpty) None else Some(dels.toDF("doc_id")),
+        fmt = fmt)
+    }
+    // fold 0: no target rows yet — nothing to train, nothing to score
+    foldBatch(0L, Nil, (9L, "pre epoch doc", false))
+    assert(!fmt.exists(s"$stateDir/model") && !fmt.exists(gold),
+      "a pre-target fold must not train or score")
+    live -= 9L // doc 9 was never scored; it re-enters via fold 2
+    // fold 1: the epoch — target slice + corpus freeze both profiles
+    val epoch = Seq((1L, "a b c a b", true), (2L, "a b d", true),
+      (10L, "a b x", false))
+    val frozen = TextAnalysis.dsirModel(
+      epoch.toDF("doc_id", "text", "is_tgt"), "text", col("is_tgt"), B)
+    def checkGold(label: String): Unit = {
+      val truth = TextAnalysis.dsirScore(
+          live.toSeq.toDF("doc_id", "text"), "doc_id", "text", frozen, B)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)).map(d =>
+            java.lang.Double.doubleToLongBits(d.asInstanceOf[Double]))))
+        .sortBy(_._1).toSeq
+      val got = fmt.read(spark, gold)
+        .select("id", "n_feats", "sum_target", "sum_raw", "dsir_weight")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)).map(d =>
+            java.lang.Double.doubleToLongBits(d.asInstanceOf[Double]))))
+        .sortBy(_._1).toSeq
+      assert(got == truth, s"$label: gold $got vs frozen truth $truth")
+    }
+    foldBatch(1L, Nil, epoch.map(r => (r._1, r._2, r._3)): _*)
+    assert(fmt.exists(s"$stateDir/model"))
+    checkGold("after epoch fold")
+    // fold 2: doc 9 redelivers and new docs score against the frozen
+    // model
+    foldBatch(2L, Nil, (9L, "pre epoch doc", false),
+      (11L, "a b a b", false), (12L, "q r s", false))
+    checkGold("after fold 2")
+    // fold 3: a LATE target doc — scored, but neither profile moves:
+    // doc 11's stored row must not change even though a retrained
+    // model would move both its sums
+    val before11 = fmt.read(spark, gold).filter(col("id") === 11L)
+      .select("sum_target", "sum_raw", "dsir_weight")
+      .head.toSeq
+    foldBatch(3L, Nil, (3L, "a b a b a b", true))
+    checkGold("after late-target fold (frozen model)")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L)
+      .select("sum_target", "sum_raw", "dsir_weight")
+      .head.toSeq == before11,
+      "a late target doc must not retrain the frozen epoch model")
+    // fold 4: update re-scores; update-to-null retracts
+    foldBatch(4L, Nil, (10L, "q q q", false),
+      (12L, null.asInstanceOf[String], false))
+    checkGold("after update + null retraction")
+    assert(fmt.read(spark, gold).filter(col("id") === 12L).count() == 0)
+    // crash replay: same batch, same ord — gold converges
+    foldBatch(4L, Nil, (10L, "q q q", false))
+    checkGold("after crash replay")
+    // hard delete
+    foldBatch(5L, Seq(11L))
+    checkGold("after hard delete")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L).count() == 0)
+    // bucket-count drift refuses fast, naming both values
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirIncremental(spark,
+        Seq((13L, "a b", false)).toDF("doc_id", "text", "is_tgt"),
+        "doc_id", "text", stateDir, gold, batchOrd = 6L,
+        targetFilter = col("is_tgt"), buckets = 128, fmt = fmt)
+    }
+    assert(err.getMessage.contains("64") && err.getMessage.contains("128"),
+      err.getMessage)
+    checkGold("after refused mismatched fold (state untouched)")
+  }
+
   test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
     // Task: the incremental members' state/gold merges on the
     // BucketedTableFormat layout — key-hash bucket partition columns

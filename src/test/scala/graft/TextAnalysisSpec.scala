@@ -708,4 +708,98 @@ class TextAnalysisSpec extends SparkSpec {
       } else assert(ct == orig(id), s"doc $id must pass through untouched")
     }
   }
+
+  test("dsir weights: rational importance score reconciles from its integer sums") {
+    import SparkSpec.spark.implicits._
+    // target slice: doc 1. 16 distinct grams across the corpus hash
+    // into 16 distinct buckets (verified in DuckDB), so the expected
+    // integer sums below are collision-free ground truth
+    val df = Seq(
+      (1L, "a b c a b", true),  // target: a:2 b:2 c:1, "a b":2 "b c":1 "c a":1
+      (2L, "a b c", false),     // pure target vocabulary
+      (3L, "x y z w q", false), // disjoint vocabulary
+      (4L, "solo", false),      // one word: one feature, no bigrams
+      (5L, null.asInstanceOf[String], false))
+      .toDF("doc_id", "text", "is_tgt")
+    val out = TextAnalysis.dsirWeights(df, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).toSeq
+    // n_feats = 2·words − 1 (unigrams + bigrams); null text scores 0
+    // features and a NULL weight
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(
+      (1L, 9L, 15L), (2L, 5L, 8L), (3L, 9L, 0L), (4L, 1L, 0L),
+      (5L, 0L, 0L)), out.mkString(","))
+    assert(out(4)._5.isEmpty, "null text must carry a NULL weight")
+    // totals are bucket-independent (T = Σ n_feats over the target
+    // slice, R = over the corpus): reconcile every weight from the
+    // returned integer sums, bit for bit — the fixed three-division
+    // tree of the scaladoc
+    val T = 9L
+    val R = out.map(_._2).sum
+    def w(st: Long, sr: Long, n: Long): Double =
+      ((st + n).toDouble / (T + 1024L).toDouble) /
+        ((sr + n).toDouble / (R + 1024L).toDouble)
+    out.filter(_._2 > 0).foreach { t =>
+      assert(java.lang.Double.doubleToLongBits(t._5.get) ==
+        java.lang.Double.doubleToLongBits(w(t._3, t._4, t._2)),
+        s"doc ${t._1}: ${t._5.get} != ${w(t._3, t._4, t._2)}")
+    }
+    // the "importance" reading: target-vocabulary docs outscore
+    // disjoint-vocabulary docs, whose target mass is smoothing only
+    assert(out(0)._5.get > out(2)._5.get && out(1)._5.get > out(2)._5.get)
+    // deterministic under repartitioning (integer sums + fixed tree)
+    val again = TextAnalysis.dsirWeights(df.repartition(5), "doc_id",
+        "text", col("is_tgt"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(4)).map(d => java.lang.Double.doubleToLongBits(
+          d.asInstanceOf[Double])))).sortBy(_._1).toSeq
+    assert(again == out.map(t =>
+      (t._1, t._5.map(java.lang.Double.doubleToLongBits))))
+  }
+
+  test("ccnet buckets: per-group terciles ordered by familiarity, NULL bucket for unscoreable docs") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.Curation
+    val df = Seq(
+      (0L, "a b c d", "en", true), // the reference — also bucketed
+      (1L, "a b c d", "en", false), // identical to the reference
+      (2L, "a b c x", "en", false),
+      (3L, "a b x y", "en", false),
+      (4L, "a x y z", "en", false),
+      (5L, "x y z w", "en", false),
+      (6L, "p q r s", "en", false),
+      (7L, "solo", "en", false),    // zero bigrams: unscoreable
+      (8L, "a b c d", "fr", false),
+      (9L, "x y z q", "fr", false))
+      .toDF("doc_id", "text", "lang", "is_ref")
+    val out = Curation.familiarityBuckets(df, "doc_id", "text", "lang",
+      col("is_ref")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        Option(r.getString(4))))
+    assert(out.length == 10, "one row per input document")
+    // the unscoreable doc keeps its row with NULL score AND bucket
+    val solo = out.find(_._1 == 7L).get
+    assert(solo._3.isEmpty && solo._4.isEmpty && solo._5.isEmpty)
+    // en: 7 scored docs cut 3/2/2 (ntile remainders go to head)
+    val en = out.filter(t => t._2 == "en" && t._4.nonEmpty)
+    assert(en.count(_._4.get == 1) == 3 && en.count(_._4.get == 2) == 2 &&
+      en.count(_._4.get == 3) == 2, en.mkString(","))
+    // terciles respect the score order: head >= middle >= tail
+    def scores(b: Int) = en.filter(_._4.get == b).map(_._3.get)
+    assert(scores(1).min >= scores(2).max && scores(2).min >= scores(3).max)
+    // the reference-identical docs are the most familiar: both head
+    assert(out.filter(t => t._1 <= 1L).forall(_._5.contains("head")))
+    // labels follow the index mapping everywhere
+    assert(out.filter(_._4.nonEmpty).forall(t => t._5.get == (t._4.get match {
+      case 1 => "head"; case 3 => "tail"; case _ => "middle" })))
+    // a 2-doc group fills buckets 1..2: head and middle, no tail —
+    // the standard ntile small-group contract, spec-pinned
+    val fr = out.filter(_._2 == "fr")
+    assert(fr.flatMap(_._4).sorted.sameElements(Array(1, 2)))
+    assert(fr.find(_._1 == 8L).get._5.contains("head") &&
+      fr.find(_._1 == 9L).get._5.contains("middle"))
+  }
 }
