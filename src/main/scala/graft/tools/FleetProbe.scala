@@ -54,8 +54,9 @@ object FleetProbe {
       Seq("doc_id"), "_ord", compareExclude = Nil)
     println(f"[fleet-probe] silver v0 merge: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    // the fleet: four members, one on bucketed:64 state (the pruned
-    // delta-log layout whose spec guard must see sf10 merges)
+    // the fleet: six members, one on bucketed:64 state (the pruned
+    // delta-log layout whose spec guard must see sf10 merges) and
+    // one frozen-epoch scorer (dsir — the epoch trains from wave 1)
     def cfgJson(member: String, extra: String = ""): String =
       s"""{"member": "$member", "silverPath": "$silver",
          |"checkpoint": "$workDir/$member/ck",
@@ -69,7 +70,9 @@ object FleetProbe {
       cfgJson("minhash", """, "stateFormat": "bucketed:64""""),
       cfgJson("containment"),
       cfgJson("winnow"),
-      cfgJson("span"))
+      cfgJson("span"),
+      cfgJson("dsir",
+        """, "params": {"targetWhere": "doc_id % 10 = 0"}"""))
     val control = rows.map((_, true)).toDF("config_json", "enabled")
 
     // wave 1: catch-up fold, the real fleet API end to end
