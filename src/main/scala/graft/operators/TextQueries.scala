@@ -176,6 +176,57 @@ object TextQueries {
       "lang", "dsir_weight", "doc_id", 0.25)
   }
 
+  /** The paper's RESAMPLING form of DSIR selection: keep each
+    * document with probability proportional to its importance weight
+    * (scaled so the top-weighted document keeps at `rate`), via the
+    * engine's hash-deterministic sampling rule instead of Gumbel
+    * noise — keep iff salted-bucket < (w / wmax) · rate · 2³².
+    * Reproducible across runs/engines/cluster sizes, and the kept
+    * set is monotone in `rate` (a later run can EXTEND the sample).
+    * The weight normalization is one max aggregate attached through
+    * the constant-key broadcast.
+    */
+  def dataSampleDsir(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val w = TextAnalysis.dsirWeights(d, "doc_id", "text",
+        col("source") === "src0")
+      .select(col("doc_id"), col("dsir_weight"))
+      .filter(col("dsir_weight").isNotNull)
+    val wmax = w.agg(max(col("dsir_weight")).as("_wmax"),
+        count(lit(1)).as("_n"))
+      .withColumn("_k", pmod(col("_n"), lit(1)).cast("int"))
+      .drop("_n")
+    w.withColumn("_k", pmod(col("doc_id"), lit(1)).cast("int"))
+      .join(broadcast(wmax), Seq("_k"))
+      .withColumn("sample_bucket", Sampling.hashBucket(
+        concat(lit("dsirsample:"), col("doc_id").cast("string"))))
+      .filter(col("sample_bucket") <
+        col("dsir_weight") / col("_wmax") * lit(0.5) * lit(4294967296.0))
+      .select(col("doc_id"), col("dsir_weight"), col("sample_bucket"))
+  }
+
+  /** Tokenizer-efficiency report: per source, characters per token
+    * under the trained 10-merge BPE tokenizer — the bytes-per-token
+    * compression rate a tokenizer evaluation reports per domain
+    * (and the measured replacement for the chars/4 estimate).
+    */
+  def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = TextAnalysis.bpeTokenCounts(d, "doc_id", "text",
+      merges = BpeMerges)
+    d.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("_chars"))
+      .join(counts, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_chars").cast("double") /
+            col("n_bpe_tokens").cast("double")))
+  }
+
   /** Winnowing fingerprint sets (MOSS): 8-char grams, window 4. */
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowFingerprints(docs(spark, dir), "doc_id", "text",
@@ -284,6 +335,8 @@ object TextQueries {
     "text_ccnet_buckets" -> (textCcnetBuckets _),
     "text_dsir" -> (textDsir _),
     "data_select_dsir" -> (dataSelectDsir _),
+    "data_sample_dsir" -> (dataSampleDsir _),
+    "bpe_compression" -> (bpeCompression _),
     "text_winnow" -> (textWinnow _),
     "text_span_dedup" -> (textSpanDedup _),
     "text_span_clean" -> (textSpanClean _))
@@ -593,6 +646,43 @@ object TextQueries {
         |  WHERE s.dsir_weight IS NOT NULL)
         |SELECT doc_id, lang, dsir_weight, q_rank
         |FROM dsel WHERE q_rank <= ceil(n * 0.25)""".stripMargin,
+    // the resampling form: keep iff salted-bucket < (w/wmax)·rate·2³²
+    // — the same float tree (two multiplies after one divide) as the
+    // Spark side, same md5 bucket rule as data_sample_weighted
+    "data_sample_dsir" ->
+      s"""WITH $dsirCtes,
+        |dw2 AS (SELECT doc_id, dsir_weight FROM dsir
+        |        WHERE dsir_weight IS NOT NULL),
+        |wm AS (SELECT MAX(dsir_weight) AS wmax FROM dw2)
+        |SELECT doc_id, dsir_weight,
+        |  CAST(('0x' || substr(md5('dsirsample:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT) AS sample_bucket
+        |FROM dw2 CROSS JOIN wm
+        |WHERE CAST(('0x' || substr(md5('dsirsample:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT)
+        |  < dsir_weight / wmax * 0.5 * 4294967296.0""".stripMargin,
+    // the trained-tokenizer CTEs of text_tokens_bpe, rolled up to the
+    // per-source compression rate
+    "bpe_compression" ->
+      s"""WITH ${bpeCtes(BpeMerges)},
+         |v AS (SELECT w, CAST(len(seq) AS BIGINT) AS n_sub FROM w$BpeMerges),
+         |d AS (SELECT doc_id,
+         |        unnest(string_split_regex(COALESCE(text, ''), '[^a-z]+')) AS w
+         |      FROM documents),
+         |per AS (
+         |  SELECT d.doc_id,
+         |    CAST(SUM(COALESCE(v.n_sub, 0)) AS BIGINT) AS n_bpe_tokens
+         |  FROM d LEFT JOIN v ON d.w = v.w
+         |  GROUP BY d.doc_id)
+         |SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(length(doc.text)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CASE WHEN SUM(p.n_bpe_tokens) = 0 THEN NULL
+         |    ELSE CAST(SUM(length(doc.text)) AS DOUBLE)
+         |      / CAST(SUM(p.n_bpe_tokens) AS DOUBLE)
+         |  END AS chars_per_token
+         |FROM documents doc JOIN per p ON p.doc_id = doc.doc_id
+         |GROUP BY doc.source""".stripMargin,
     // same positional salted-md5 gram hashes, window minima via
     // inclusive list_slice, DISTINCT collapses in-window ties
     "text_winnow" ->

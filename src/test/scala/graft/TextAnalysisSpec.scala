@@ -802,4 +802,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fr.find(_._1 == 8L).get._5.contains("head") &&
       fr.find(_._1 == 9L).get._5.contains("middle"))
   }
+
+  test("dsir resampling keeps exactly the hash-thresholded set, proportional to weight") {
+    // independent recompute: the kept set must equal {doc : md5
+    // bucket of 'dsirsample:<id>' < (w/wmax)·rate·2³²} with weights
+    // from the (spec-trusted) batch operator and buckets from
+    // java.security MessageDigest — no Spark expression reuse
+    val d = Tables.load(spark, sf, "documents")
+    val w = TextAnalysis.dsirWeights(d, "doc_id", "text",
+        col("source") === "src0")
+      .collect().flatMap(r => Option(r.get(4)).map(v =>
+        r.getLong(0) -> v.asInstanceOf[Double])).toMap
+    val wmax = w.values.max
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dsirsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val expected = w.collect {
+      case (id, wt) if bucket(id) < wt / wmax * 0.5 * 4294967296.0 => id
+    }.toSet
+    val got = graft.operators.TextQueries
+      .queries("data_sample_dsir")(SparkSpec.spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"kept ${got.size} vs expected ${expected.size}; " +
+        s"diff ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty && got.size < w.size,
+      "rate 0.5 over varied weights must keep a strict non-empty subset")
+  }
+
+  test("bpe compression rolls up exactly the per-doc trained-tokenizer counts") {
+    val d = Tables.load(spark, sf, "documents")
+    val perDoc = TextAnalysis.bpeTokenCounts(d, "doc_id", "text", merges = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meta = d.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("ch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = graft.operators.TextQueries
+      .queries("bpe_compression")(SparkSpec.spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    meta.groupBy(_._2).foreach { case (src, rows) =>
+      val (nd, nc, nt) = (rows.size.toLong, rows.map(_._3).sum,
+        rows.map(t => perDoc(t._1)).sum)
+      val (gnd, gnc, gnt, gcpt) = out(src)
+      assert((gnd, gnc, gnt) == ((nd, nc, nt)), s"source $src")
+      assert(java.lang.Double.doubleToLongBits(gcpt) ==
+        java.lang.Double.doubleToLongBits(nc.toDouble / nt.toDouble),
+        s"source $src chars_per_token")
+    }
+  }
 }
