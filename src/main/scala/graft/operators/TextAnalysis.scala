@@ -728,27 +728,51 @@ object TextAnalysis {
     require(!(appendOnly && deletes.nonEmpty),
       "appendOnly declares an insert-only corpus; a delete feed " +
         "contradicts it — drop the flag and use the general path")
-    val uniPath = s"$stateDir/uni"
-    val bigPath = s"$stateDir/big"
     val batchAll = graft.Materialize.eager(Dedup.oneRowPerId(
       batch.select(col(idCol).as("id"), col(textCol).as("text"),
         refFilter.as("_ref")), "id", Seq("text", "_ref")))
-    // crash-atomic epoch guard: the model is TWO tables written
-    // sequentially, so a crash between the merges leaves uni present
-    // and big missing — guarding on uni alone would then skip
-    // training forever and wedge the state dir at fmt.read(bigPath).
-    // Guarding on EITHER missing re-enters training from the next
-    // reference-carrying batch — the identical redelivery OR a
-    // different fold — and the recovery path below reconciles the
-    // surviving table to exactly the retrained frame, so either way
-    // the frozen model matches one single training batch.
+    val model = lmEnsureModel(spark, batchAll, stateDir, batchOrd, fmt)
+    if (model.isEmpty) return
+    val (uni, big) = model.get
+    val scores = lmScore(batchAll.filter(col("text").isNotNull)
+        .select(col("id"), col("text")), "id", "text", uni, big)
+      .withColumn("_ord", lit(batchOrd))
+    if (!scores.isEmpty)
+      fmt.scd1Merge(spark, goldPath, scores, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (!appendOnly)
+      lmFoldDeletes(spark, batchAll, idCol, goldPath, deletes,
+        fullResync, fmt)
+  }
+
+  /** The frozen-epoch LM model lifecycle shared by the lmfamiliarity
+    * and ccnet members: train-once from the first reference-carrying
+    * fold, crash-atomic across the two model tables, then read. None
+    * = no model exists yet (a pre-reference fold — nothing to score).
+    *
+    * Crash-atomic epoch guard: the model is TWO tables written
+    * sequentially, so a crash between the merges leaves uni present
+    * and big missing — guarding on uni alone would then skip
+    * training forever and wedge the state dir at fmt.read(bigPath).
+    * Guarding on EITHER missing re-enters training from the next
+    * reference-carrying batch — the identical redelivery OR a
+    * different fold — and the recovery path below reconciles the
+    * surviving table to exactly the retrained frame, so either way
+    * the frozen model matches one single training batch.
+    */
+  private def lmEnsureModel(spark: SparkSession, batchAll: DataFrame,
+                            stateDir: String, batchOrd: Long,
+                            fmt: graft.pipeline.TableFormat)
+      : Option[(DataFrame, DataFrame)] = {
+    val uniPath = s"$stateDir/uni"
+    val bigPath = s"$stateDir/big"
     if (!fmt.exists(uniPath) || !fmt.exists(bigPath)) {
       // epoch training: the first fold that carries reference rows
       // freezes the model; folds before that have nothing to score
       // against and return (their docs re-score via fullResync or
       // re-delivery once the model exists)
       val refDocs = batchAll.filter(col("_ref") && col("text").isNotNull)
-      if (refDocs.isEmpty) return
+      if (refDocs.isEmpty) return None
       // crash RECOVERY (exactly one table survived the crashed
       // epoch): the retrain batch is not guaranteed to be the
       // identical redelivery — if a DIFFERENT fold carrying
@@ -775,24 +799,120 @@ object TextAnalysis {
       trainMerge(uniPath, uni, "_w1")
       trainMerge(bigPath, big, "bigram")
     }
-    val uni = fmt.read(spark, uniPath).select(col("_w1"), col("cu"))
-    val big = fmt.read(spark, bigPath).select(col("bigram"), col("cb"))
-    val scores = lmScore(batchAll.filter(col("text").isNotNull)
-        .select(col("id"), col("text")), "id", "text", uni, big)
-      .withColumn("_ord", lit(batchOrd))
-    if (!scores.isEmpty)
-      fmt.scd1Merge(spark, goldPath, scores, Seq("id"), "_ord",
-        compareExclude = Nil)
-    if (!appendOnly) {
-      val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
-        fullResync, goldPath, batchAll.select(col("id")), fmt)
-      val drops = graft.Materialize.eager(
-        delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
-          _.unionByName(batchAll.filter(col("text").isNull)
-            .select(col("id")))).distinct())
-      if (fmt.exists(goldPath) && !drops.isEmpty)
-        fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    Some((fmt.read(spark, uniPath).select(col("_w1"), col("cu")),
+      fmt.read(spark, bigPath).select(col("bigram"), col("cb"))))
+  }
+
+  /** The retraction/delete tail shared by the LM-model members:
+    * update-to-null retracts, the hard-delete feed and `fullResync`
+    * reconcile gold.
+    */
+  private def lmFoldDeletes(spark: SparkSession, batchAll: DataFrame,
+                            idCol: String, goldPath: String,
+                            deletes: Option[DataFrame],
+                            fullResync: Boolean,
+                            fmt: graft.pipeline.TableFormat): Unit = {
+    val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
+      fullResync, goldPath, batchAll.select(col("id")), fmt)
+    val drops = graft.Materialize.eager(
+      delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+        _.unionByName(batchAll.filter(col("text").isNull)
+          .select(col("id")))).distinct())
+    if (fmt.exists(goldPath) && !drops.isEmpty)
+      fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+  }
+
+  /** Incremental CCNet bucketing — the 14th member of the
+    * incremental family, the FROZEN-THRESHOLD twin of
+    * [[Curation.familiarityBuckets]]: tercile membership is
+    * corpus-relative (every insert moves some quantile), so the
+    * streaming reading freezes the CUTOFF VALUES at the epoch and
+    * assigns every later document by comparison — the standard
+    * frozen-quantile-threshold pattern of production score gates.
+    *
+    * Epoch: the LM model freezes exactly like the lmfamiliarity
+    * member (shared [[lmEnsureModel]] — same two-table crash
+    * atomicity), and the first fold with scoreable docs AFTER the
+    * model exists freezes the cutoffs from ITS scored docs: `t1` =
+    * the minimum familiarity ntile(3)-bucket-1 reaches, `t2` = the
+    * minimum bucket-2 reaches (ntile over (familiarity desc, id
+    * asc), the batch operator's rule). Assignment thereafter is BY
+    * VALUE — `head` iff familiarity ≥ t1, `middle` iff ≥ t2, else
+    * `tail` — so gold is a pure per-doc function of the frozen
+    * state: no cross-doc staleness exists, and epoch docs at a
+    * cutoff boundary that ntile split by id tiebreak land in the
+    * HIGHER bucket under the value rule (documented divergence from
+    * the batch operator's exact terciles; spec-pinned).
+    *
+    * Gold rows: (id, familiarity, bucket, _ord); unscoreable docs
+    * keep a NULL familiarity and bucket. The cuts table
+    * (`stateDir/cuts`: t1, t2, _ord) is one row, constant-key
+    * broadcast into the assignment.
+    */
+  def ccnetBucketsIncremental(spark: SparkSession, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              stateDir: String, goldPath: String,
+                              batchOrd: Long, refFilter: Column,
+                              deletes: Option[DataFrame] = None,
+                              fullResync: Boolean = false,
+                              appendOnly: Boolean = false,
+                              fmt: graft.pipeline.TableFormat =
+                                graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val cutsPath = s"$stateDir/cuts"
+    val batchAll = graft.Materialize.eager(Dedup.oneRowPerId(
+      batch.select(col(idCol).as("id"), col(textCol).as("text"),
+        refFilter.as("_ref")), "id", Seq("text", "_ref")))
+    val model = lmEnsureModel(spark, batchAll, stateDir, batchOrd, fmt)
+    if (model.isEmpty) return
+    val (uni, big) = model.get
+    val scores = graft.Materialize.eager(
+      lmScore(batchAll.filter(col("text").isNotNull)
+        .select(col("id"), col("text")), "id", "text", uni, big))
+    if (!fmt.exists(cutsPath)) {
+      // cutoff epoch: terciles of THIS fold's scoreable docs (the
+      // fold that froze the model, unless it had none — then the
+      // first later fold that does). One bounded 2-value driver fold
+      // over a batch-sized frame.
+      val scored = scores.filter(col("familiarity").isNotNull)
+      if (!scored.isEmpty) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("familiarity").desc, col("id").asc)
+        val cuts = scored
+          .withColumn("_b", ntile(3).over(w))
+          .groupBy()
+          .agg(min(when(col("_b") === 1, col("familiarity"))).as("t1"),
+            min(when(col("_b") <= 2, col("familiarity"))).as("t2"))
+          .withColumn("_cut", lit(0))
+          .withColumn("_ord", lit(batchOrd))
+        fmt.scd1Merge(spark, cutsPath, cuts, Seq("_cut"), "_ord",
+          compareExclude = Nil)
+      }
     }
+    if (fmt.exists(cutsPath)) {
+      // the stored _cut column (always 0) is the broadcast join key —
+      // read from storage it is a column reference, so Catalyst
+      // cannot fold the condition away into a nested-loop join
+      val cuts = fmt.read(spark, cutsPath)
+        .select(col("t1"), col("t2"), col("_cut").cast("int").as("_k"))
+      val gold = scores
+        .withColumn("_k", pmod(col("n_bigrams"), lit(1)).cast("int"))
+        .join(broadcast(cuts), Seq("_k"))
+        .select(col("id"), col("familiarity"),
+          when(col("familiarity").isNull, lit(null).cast("string"))
+            .when(col("familiarity") >= col("t1"), "head")
+            .when(col("familiarity") >= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .withColumn("_ord", lit(batchOrd))
+      if (!gold.isEmpty)
+        fmt.scd1Merge(spark, goldPath, gold, Seq("id"), "_ord",
+          compareExclude = Nil)
+    }
+    if (!appendOnly)
+      lmFoldDeletes(spark, batchAll, idCol, goldPath, deletes,
+        fullResync, fmt)
   }
 
   /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.ConfigHandler.IncrementalDedupConfig
 
-/** Config-driven driver for the thirteen-member incremental dedup family
+/** Config-driven driver for the fourteen-member incremental dedup family
   * — the reference's whole operating model is JSON-config → pipeline
   * (ingest-framework builder/engine.py), and until r16 the
   * incremental members were library-only: spec-verified, but a
@@ -46,6 +46,7 @@ object IncrementalDedupJob {
     "embedding" -> Set("threshold", "planes", "seed", "maxBucket"),
     "ivf" -> Set("k", "nlist", "nprobe"),
     "lmfamiliarity" -> Set("refWhere"),
+    "ccnet" -> Set("refWhere"),
     "dsir" -> Set("targetWhere", "buckets"))
 
   /** Walk every unprocessed silver version through the configured
@@ -71,6 +72,9 @@ object IncrementalDedupJob {
       "the lmfamiliarity member requires 'refWhere' (a SQL predicate over " +
         "the silver row naming the reference corpus, e.g. " +
         "\"source = 'src0'\")")
+    require(cfg.member != "ccnet" || cfg.params.contains("refWhere"),
+      "the ccnet member requires 'refWhere' (a SQL predicate over the " +
+        "silver row naming the reference corpus, e.g. \"source = 'src0'\")")
     require(cfg.member != "dsir" || cfg.params.contains("targetWhere"),
       "the dsir member requires 'targetWhere' (a SQL predicate over the " +
         "silver row naming the target slice, e.g. \"source = 'src0'\")")
@@ -89,6 +93,13 @@ object IncrementalDedupJob {
           // refWhere evaluates over the FULL silver row, so this
           // member receives the unprojected change batch
           TextAnalysis.lmFamiliarityIncremental(spark, chg,
+            cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+            org.apache.spark.sql.functions.expr(p("refWhere")),
+            deletes = dels, fullResync = resync,
+            appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
+        case "ccnet" =>
+          // refWhere over the full silver row, like lmfamiliarity
+          TextAnalysis.ccnetBucketsIncremental(spark, chg,
             cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
             org.apache.spark.sql.functions.expr(p("refWhere")),
             deletes = dels, fullResync = resync,

@@ -54,9 +54,10 @@ object FleetProbe {
       Seq("doc_id"), "_ord", compareExclude = Nil)
     println(f"[fleet-probe] silver v0 merge: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    // the fleet: six members, one on bucketed:64 state (the pruned
+    // the fleet: seven members, one on bucketed:64 state (the pruned
     // delta-log layout whose spec guard must see sf10 merges) and
-    // one frozen-epoch scorer (dsir — the epoch trains from wave 1)
+    // two frozen-epoch scorers (dsir + ccnet — epochs train from
+    // wave 1)
     def cfgJson(member: String, extra: String = ""): String =
       s"""{"member": "$member", "silverPath": "$silver",
          |"checkpoint": "$workDir/$member/ck",
@@ -72,7 +73,9 @@ object FleetProbe {
       cfgJson("winnow"),
       cfgJson("span"),
       cfgJson("dsir",
-        """, "params": {"targetWhere": "doc_id % 10 = 0"}"""))
+        """, "params": {"targetWhere": "doc_id % 10 = 0"}"""),
+      cfgJson("ccnet",
+        """, "params": {"refWhere": "doc_id % 10 = 0"}"""))
     val control = rows.map((_, true)).toDF("config_json", "enabled")
 
     // wave 1: catch-up fold, the real fleet API end to end

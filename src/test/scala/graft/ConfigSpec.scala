@@ -229,6 +229,24 @@ class ConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, dsCfg.copy(params = Map.empty))
     }
+    // the ccnet member (the 14th) dispatches through the runner:
+    // frozen-threshold buckets land on every live scoreable doc
+    // (fold-by-fold exactness is pinned in StreamingSpec)
+    val ccWork = Files.createTempDirectory("graft_cfg_cc").toString
+    val ccCfg = cfg.copy(member = "ccnet",
+      checkpoint = s"$ccWork/ck", stateDir = s"$ccWork/state",
+      goldPath = s"$ccWork/gold",
+      params = Map("refWhere" -> "doc_id <= 2"))
+    assert(IncrementalDedupJob.run(spark, ccCfg).nonEmpty)
+    val ccGold = ccCfg.stateFormat.read(spark, ccCfg.goldPath)
+    assert(ccGold.filter(col("id") === 2L).count() == 0,
+      "hard-deleted doc must leave ccnet gold")
+    assert(ccGold.filter(col("bucket").isin("head", "middle", "tail"))
+        .count() == ccGold.filter(col("familiarity").isNotNull).count(),
+      "every scored doc must carry a tercile bucket")
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, ccCfg.copy(params = Map.empty))
+    }
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

@@ -1848,6 +1848,125 @@ class StreamingSpec extends SparkSpec {
         s"$goldB vs $truthB")
   }
 
+  test("incremental ccnet buckets: frozen model AND cutoffs, value-rule assignment, retracts, replays, deletes") {
+    // the 14th incremental member (r18): CCNet terciles with the
+    // FROZEN-THRESHOLD contract — tercile membership is corpus-
+    // relative, so the streaming form freezes the cutoff VALUES from
+    // the epoch fold's scored docs and assigns every later doc by
+    // comparison. Pins: (a) pre-reference folds train nothing;
+    // (b) gold equals (frozen-model familiarity, value-rule bucket)
+    // after every fold; (c) boundary ties land in the HIGHER bucket
+    // under the value rule (the documented divergence from exact
+    // ntile terciles); (d) late reference docs move neither the
+    // model nor the cuts; (e) update re-scores/re-buckets,
+    // update-to-null retracts, hard delete removes, crash replay
+    // converges.
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val work = Files.createTempDirectory("graft_ccnet_inc").toString
+    val stateDir = s"$work/state"
+    val gold = s"$work/gold"
+    val epochRefIds = Set(1L, 2L)
+    var live = Map.empty[Long, String]
+    def foldBatch(ord: Long, dels: Seq[Long],
+                  rows: (Long, String, Boolean)*): Unit = {
+      live ++= rows.filter(_._2 != null).map(r => r._1 -> r._2).toMap
+      live --= rows.filter(_._2 == null).map(_._1)
+      live --= dels
+      TextAnalysis.ccnetBucketsIncremental(spark,
+        rows.toSeq.toDF("doc_id", "text", "is_ref"), "doc_id", "text",
+        stateDir, gold, batchOrd = ord, refFilter = col("is_ref"),
+        deletes = if (dels.isEmpty) None else Some(dels.toDF("doc_id")),
+        fmt = fmt)
+    }
+    // frozen-model familiarity for any live corpus: the public batch
+    // operator with ref flags pinned to the EPOCH membership
+    def famOf(docs: Map[Long, String]): Map[Long, Option[Double]] =
+      TextAnalysis.lmFamiliarity(
+          docs.toSeq.map { case (id, t) => (id, t, epochRefIds(id)) }
+            .toDF("doc_id", "text", "is_ref"),
+          "doc_id", "text", col("is_ref"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.get(5)).map(_.asInstanceOf[Double])).toMap
+    // fold 0: no reference rows — nothing trains, nothing scores
+    foldBatch(0L, Nil, (9L, "pre epoch doc", false))
+    assert(!fmt.exists(s"$stateDir/uni") && !fmt.exists(s"$stateDir/cuts")
+      && !fmt.exists(gold), "a pre-reference fold must not train")
+    live -= 9L // never scored; re-enters in fold 2
+    // fold 1: the epoch — refs 1,2 plus a tied corpus pair. Scored
+    // ranking: doc1, doc2, then docs 10=11 tied at the bucket-2/3
+    // boundary (n=4 -> ntile sizes 2,1,1; t2 = the tied value)
+    val epoch = Seq((1L, "a b c a b", true), (2L, "a b d", true),
+      (10L, "a b x", false), (11L, "a b x", false))
+    foldBatch(1L, Nil, epoch: _*)
+    assert(fmt.exists(s"$stateDir/cuts"))
+    // frozen cutoffs, recomputed independently: ntile(3) by hand over
+    // the epoch fold's scored docs (fam desc, id asc)
+    val epochFams = famOf(epoch.map(r => r._1 -> r._2).toMap)
+    val ranked = epochFams.toSeq.flatMap { case (id, f) => f.map(id -> _) }
+      .sortBy { case (id, f) => (-f, id) }
+    val n = ranked.size
+    val sizes = (0 until 3).map(i => n / 3 + (if (i < n % 3) 1 else 0))
+    val t1 = ranked.take(sizes(0)).map(_._2).min
+    val t2 = ranked.take(sizes(0) + sizes(1)).map(_._2).min
+    def bucketOf(f: Option[Double]): Option[String] = f.map {
+      case v if v >= t1 => "head"
+      case v if v >= t2 => "middle"
+      case _ => "tail"
+    }
+    def checkGold(label: String): Unit = {
+      val fams = famOf(live)
+      val truth = live.keys.toSeq.sorted.map { id =>
+        (id, fams(id).map(java.lang.Double.doubleToLongBits),
+          bucketOf(fams(id)))
+      }
+      val got = fmt.read(spark, gold)
+        .select("id", "familiarity", "bucket")
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(d => java.lang.Double.doubleToLongBits(
+            d.asInstanceOf[Double])), Option(r.getString(2))))
+        .sortBy(_._1).toSeq
+      assert(got == truth, s"$label: gold $got vs truth $truth")
+    }
+    checkGold("after epoch fold")
+    // the boundary pin: docs 10 and 11 tie AT t2, so the value rule
+    // lands BOTH in middle even though exact terciles would push the
+    // id-tiebroken one to tail
+    val b1011 = fmt.read(spark, gold)
+      .filter(col("id").isin(10L, 11L)).select("bucket")
+      .collect().map(_.getString(0)).toSeq
+    assert(b1011 == Seq("middle", "middle"), b1011.toString)
+    // fold 2: doc 9 redelivers; an in-distribution doc lands head, a
+    // one-word doc keeps a NULL bucket
+    foldBatch(2L, Nil, (9L, "pre epoch doc", false),
+      (12L, "a b c a b", false), (13L, "solo", false))
+    checkGold("after fold 2")
+    assert(fmt.read(spark, gold).filter(col("id") === 12L)
+      .head.getString(2) == "head")
+    assert(fmt.read(spark, gold).filter(col("id") === 13L)
+      .head.isNullAt(2))
+    // fold 3: a LATE reference doc changes neither model nor cuts
+    val cutsBefore = fmt.read(spark, s"$stateDir/cuts")
+      .select("t1", "t2").head.toSeq
+    foldBatch(3L, Nil, (3L, "a b a b a b", true))
+    checkGold("after late-reference fold")
+    assert(fmt.read(spark, s"$stateDir/cuts")
+      .select("t1", "t2").head.toSeq == cutsBefore)
+    // fold 4: update re-buckets; update-to-null retracts
+    foldBatch(4L, Nil, (10L, "q q q", false),
+      (13L, null.asInstanceOf[String], false))
+    checkGold("after update + null retraction")
+    assert(fmt.read(spark, gold).filter(col("id") === 13L).count() == 0)
+    // crash replay converges
+    foldBatch(4L, Nil, (10L, "q q q", false))
+    checkGold("after crash replay")
+    // hard delete
+    foldBatch(5L, Seq(12L))
+    checkGold("after hard delete")
+    assert(fmt.read(spark, gold).filter(col("id") === 12L).count() == 0)
+  }
+
   test("incremental DSIR: frozen-epoch model, gold equals frozen-score truth, retracts, replays, deletes, bucket guard") {
     // the 13th incremental member (r18): DSIR importance weights
     // with the frozen-epoch contract — BOTH profiles (target slice +
