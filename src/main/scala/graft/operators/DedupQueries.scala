@@ -179,6 +179,21 @@ object DedupQueries {
       Sampling.splitByCluster(clusters, "canonical")
         .select("doc_id", "canonical", "split_bucket", "split")
     }),
+    // the leakage AUDIT over the same clusters: a naive per-doc hash
+    // split leaks near-dup pairs across the boundary, the
+    // cluster-atomic split provably leaks zero — counted from
+    // per-cluster per-split sizes, no pair ever materializes
+    "data_split_audit" -> ((s, d) => {
+      val clusters = Dedup.dedupResolve(docs(s, d), "doc_id", "text",
+        threshold = 0.8, maxBucket = Int.MaxValue, minBands = 2)
+      val naive = Sampling.trainValTestSplit(clusters, "doc_id")
+      val safe = Sampling.splitByCluster(clusters, "canonical")
+      Sampling.splitLeakageAudit(naive, "canonical", "split")
+        .select(lit("naive").as("rule"), col("*"))
+        .unionByName(
+          Sampling.splitLeakageAudit(safe, "canonical", "split")
+            .select(lit("cluster").as("rule"), col("*")))
+    }),
     // cap-don't-erase policy: at most 2 representatives per cluster
     "dedup_cluster_cap" -> ((s, d) =>
       Dedup.dedupClusterCap(docs(s, d), "doc_id", "text", threshold = 0.8,
@@ -1218,6 +1233,49 @@ object DedupQueries {
          |         AS BIGINT) < (0.8 + 0.1) * 4294967296.0 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM r""".stripMargin,
+    // same clusters CTE; both split rules labeled per doc, then the
+    // audit folds per-cluster per-split sizes into pair counts —
+    // cross = C(n,2) − Σ_s C(n_s,2), exact integer // division
+    "data_split_audit" ->
+      s"""WITH r AS (
+         |$clustersSql
+         |),
+         |lab AS (
+         |  SELECT canonical,
+         |    CASE WHEN nb < 0.8 * 4294967296.0 THEN 'train'
+         |         WHEN nb < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+         |         ELSE 'test' END AS naive_split,
+         |    CASE WHEN cb < 0.8 * 4294967296.0 THEN 'train'
+         |         WHEN cb < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+         |         ELSE 'test' END AS cluster_split
+         |  FROM (SELECT canonical,
+         |      CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+         |        1, 8)) AS BIGINT) AS nb,
+         |      CAST(('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)),
+         |        1, 8)) AS BIGINT) AS cb
+         |    FROM r)),
+         |aud(rule, split, canonical) AS (
+         |  SELECT 'naive', naive_split, canonical FROM lab
+         |  UNION ALL
+         |  SELECT 'cluster', cluster_split, canonical FROM lab),
+         |cs AS (
+         |  SELECT rule, canonical, split, CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM aud GROUP BY rule, canonical, split),
+         |pc AS (
+         |  SELECT rule, canonical, CAST(SUM(ns) AS BIGINT) AS n,
+         |    CAST(SUM((ns * (ns - 1)) // 2) AS BIGINT) AS same
+         |  FROM cs GROUP BY rule, canonical)
+         |SELECT rule, CAST(SUM(n) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multi_clusters,
+         |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_pairs,
+         |  CAST(SUM((n * (n - 1)) // 2 - same) AS BIGINT) AS n_cross_pairs,
+         |  CASE WHEN SUM((n * (n - 1)) // 2) = 0 THEN NULL
+         |    ELSE CAST(SUM((n * (n - 1)) // 2 - same) AS DOUBLE)
+         |      / CAST(SUM((n * (n - 1)) // 2) AS DOUBLE)
+         |  END AS leak_rate
+         |FROM pc GROUP BY rule""".stripMargin,
     "dedup_cluster_cap" ->
       s"""WITH r AS (
          |$clustersSql

@@ -130,6 +130,46 @@ object Sampling {
                      salt: String = "split"): DataFrame =
     trainValTestSplit(clusters, canonicalCol, fractions, salt)
 
+  /** Split LEAKAGE AUDIT — how many near-duplicate pairs straddle a
+    * split boundary under a given assignment. The number every
+    * benchmark-integrity review asks for: a train/test near-copy is
+    * silent eval contamination, [[splitByCluster]] makes it
+    * structurally impossible, and this operator PROVES it (or
+    * measures the damage of a naive per-doc split).
+    *
+    * `assigned` carries one row per document with its near-dup
+    * cluster canonical and its split label. Cross-split pairs are
+    * counted from per-cluster per-split COUNTS — for a cluster of n
+    * docs with n_s per split, cross = C(n,2) − Σ_s C(n_s,2) — so no
+    * pair ever materializes: two integer aggregates at any corpus
+    * size, exact BIGINT arithmetic (`div 2` on the always-even
+    * products), one IEEE division to the rate. Output is ONE row:
+    * (n_docs, n_clusters, n_multi_clusters, n_pairs, n_cross_pairs,
+    * leak_rate) where n_pairs counts within-cluster pairs and
+    * leak_rate = cross/pairs (NULL when the corpus has no near-dup
+    * pairs at all).
+    */
+  def splitLeakageAudit(assigned: DataFrame, canonicalCol: String,
+                        splitCol: String): DataFrame = {
+    val perCS = assigned.groupBy(col(canonicalCol), col(splitCol))
+      .agg(count(lit(1)).as("_ns"))
+    val perC = perCS.groupBy(col(canonicalCol))
+      .agg(sum(col("_ns")).as("_n"),
+        sum(expr("(_ns * (_ns - 1)) div 2")).as("_same"))
+      .withColumn("_pairs", expr("(_n * (_n - 1)) div 2"))
+    perC.agg(
+        sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("_n") > 1L, 1L).otherwise(0L)).as("n_multi_clusters"),
+        sum(col("_pairs")).as("n_pairs"),
+        sum(col("_pairs") - col("_same")).as("n_cross_pairs"))
+      .select(col("n_docs"), col("n_clusters"), col("n_multi_clusters"),
+        col("n_pairs"), col("n_cross_pairs"),
+        when(col("n_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_cross_pairs").cast("double") /
+            col("n_pairs").cast("double")).as("leak_rate"))
+  }
+
   /** Deterministic training-order sharding: the "globally shuffle
     * the corpus for training" pass, reduced to ONE hash exchange.
     * Each row's salted hash bucket picks a shard (`bucket mod

@@ -708,6 +708,44 @@ class DedupSpec extends SparkSpec {
     assert(web.getLong(3) == math.ceil(good.length / 4.0).toLong)
   }
 
+  test("split leakage audit: exact pair counts from cluster/split sizes; cluster splits leak zero") {
+    import graft.operators.Sampling
+    // planted assignment: cluster c1 = {1 train, 2 test, 3 train},
+    // c2 = {4 val, 5 val}, c3 = {6 train} — pairs 3 + 1 + 0 = 4,
+    // cross pairs: c1 contributes C(3,2) − C(2,2 trains) − C(1,2) =
+    // 3 − 1 − 0 = 2, c2 contributes 0 → leak_rate 0.5
+    val assigned = Seq(
+      (1L, "c1", "train"), (2L, "c1", "test"), (3L, "c1", "train"),
+      (4L, "c2", "val"), (5L, "c2", "val"), (6L, "c3", "train"))
+      .toDF("doc_id", "canonical", "split")
+    val row = Sampling.splitLeakageAudit(assigned, "canonical", "split")
+      .head
+    assert(row.toSeq.take(5) == Seq(6L, 3L, 2L, 4L, 2L), row.toString)
+    assert(row.getDouble(5) == 0.5)
+    // the structural guarantee on the real corpus: the cluster-atomic
+    // split leaks ZERO pairs, over the same clusters the naive
+    // per-doc split is measured against
+    val clusters = Dedup.dedupResolve(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      threshold = 0.8, maxBucket = Int.MaxValue, minBands = 2)
+    val safe = Sampling.splitLeakageAudit(
+      Sampling.splitByCluster(clusters, "canonical"), "canonical", "split")
+      .head
+    val naive = Sampling.splitLeakageAudit(
+      Sampling.trainValTestSplit(clusters, "doc_id"), "canonical", "split")
+      .head
+    assert(safe.getLong(4) == 0L,
+      s"cluster-atomic split must leak zero pairs: $safe")
+    assert(safe.getLong(3) == naive.getLong(3),
+      "both rules audit the same pair universe")
+    // an all-singleton corpus has no pairs: the rate is NULL, not 0/0
+    val singletons = Seq((1L, "a", "train"), (2L, "b", "test"))
+      .toDF("doc_id", "canonical", "split")
+    val s0 = Sampling.splitLeakageAudit(singletons, "canonical", "split")
+      .head
+    assert(s0.getLong(3) == 0L && s0.isNullAt(5))
+  }
+
   test("curate attrition: each stage accounts its removals; the funnel reconciles with curate") {
     val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
     val good2 = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3).trim
