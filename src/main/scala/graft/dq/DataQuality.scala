@@ -699,4 +699,51 @@ object DataQuality {
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Chi-square CONTINGENCY cells for two categorical columns — the
+    * association/drift test the numeric dq family (histograms,
+    * Benford, correlation) lacks: "did the language mix shift per
+    * source", "is quality_pass independent of domain". Emits one row
+    * per (a, b) cell of the FULL cross grid — including cells the
+    * data never hits, whose expected count still contributes —
+    * with observed, expected = row·col/N, and the cell's χ²
+    * contribution (o−e)²/e.
+    *
+    * Deliberately PER-CELL: each value is a fixed tree of exact
+    * integer counts and correctly-rounded IEEE ops (order-free, so
+    * cross-engine hash-exact), whereas the summed statistic would
+    * depend on float summation order. Consumers sum `contribution`
+    * and compare against the χ² quantile for (|A|−1)(|B|−1) dof; the
+    * spec pins the planted-table statistic.
+    *
+    * Scale shape: three count aggregates (cells, row marginals,
+    * column marginals — each map-side combinable to the category
+    * cardinality), the full grid built by a constant-key broadcast
+    * join of the two marginal frames (the q15 pmod shape, never a
+    * cartesian), one broadcast of the observed cells onto it. Null
+    * categories are excluded (a null level is a completeness finding
+    * for [[metrics]], not an association level).
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val o = base.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val ra = base.groupBy(col(aCol)).agg(count(lit(1)).as("_ra"))
+      .withColumn("_k", pmod(col("_ra"), lit(1)).cast("int"))
+    val cb = base.groupBy(col(bCol)).agg(count(lit(1)).as("_cb"))
+      .withColumn("_k", pmod(col("_cb"), lit(1)).cast("int"))
+    val n = base.agg(count(lit(1)).as("_n"))
+      .withColumn("_k", pmod(col("_n"), lit(1)).cast("int"))
+    val e = (col("_ra") * col("_cb")).cast("double") /
+      col("_n").cast("double")
+    val diff = coalesce(col("observed"), lit(0L)).cast("double") - col("expected")
+    ra.join(broadcast(cb), Seq("_k"))
+      .join(broadcast(n), Seq("_k"))
+      .join(broadcast(o), Seq(aCol, bCol), "left")
+      .select(col(aCol), col(bCol),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        col("_ra").as("row_total"), col("_cb").as("col_total"),
+        e.as("expected"))
+      .withColumn("contribution", diff * diff / col("expected"))
+  }
 }

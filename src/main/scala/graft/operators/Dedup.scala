@@ -1698,6 +1698,47 @@ object Dedup {
     * drops ~99% of single-collision noise pairs from the exact-verify
     * join while missing a true threshold pair with prob < 0.3%.
     */
+  /** NEAR-dup ROI — the bytes a keep-canonical-only pass would save,
+    * from [[dedupResolve]] clusters: the fuzzy sibling of
+    * [[dedupSavings]] (which prices exact duplicates only), and the
+    * number that justifies running near-dup at all. Per cluster the
+    * keeper is the canonical (the true doc-id minimum), so
+    * bytes_saved = Σ bytes − canonical's bytes; all integer
+    * aggregates over the cluster frame plus one IEEE division to
+    * each rate — no pair or text shuffle beyond what resolution
+    * already did. Output ONE row: (n_docs, n_clusters, n_dup,
+    * bytes_total, bytes_saved, dup_rate, bytes_saved_rate).
+    */
+  def dedupClusterSavings(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, numPerm: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.1,
+                          maxBucket: Int = 10000,
+                          minBands: Int = 1): DataFrame = {
+    val clusters = dedupResolve(df, idCol, textCol, n = n,
+      numPerm = numPerm, bands = bands, threshold = threshold,
+      maxBucket = maxBucket, minBands = minBands)
+    val sized = clusters.join(
+      df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("_bytes")), Seq(idCol))
+    sized.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("_n"), sum(col("_bytes")).as("_b"),
+        sum(when(col(idCol) === col("canonical"), col("_bytes"))
+          .otherwise(0L)).as("_keep"))
+      .agg(sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("_n") - 1L).as("n_dup"),
+        sum(col("_b")).as("bytes_total"),
+        sum(col("_b") - col("_keep")).as("bytes_saved"))
+      .select(col("n_docs"), col("n_clusters"), col("n_dup"),
+        col("bytes_total"), col("bytes_saved"),
+        when(col("n_docs") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_dup").cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"),
+        when(col("bytes_total") === 0L, lit(null).cast("double"))
+          .otherwise(col("bytes_saved").cast("double") /
+            col("bytes_total").cast("double")).as("bytes_saved_rate"))
+  }
+
   def dedupResolve(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.1,

@@ -373,6 +373,26 @@ object DedupQueries {
       Curation.curate(gated, "doc_id", "text",
         col("source") === "src0", Seq("source", "lang"))
     }),
+    // curation with the DSIR importance pre-gate (the lm-gate
+    // pattern): non-target docs below the median-ish weight 0.775
+    // drop BEFORE the pipeline; target docs pass through (they must
+    // stay visible to decontamination)
+    "corpus_curate_dsir" -> ((s, d) => {
+      val all = docs(s, d)
+      val pass = TextAnalysis.dsirWeights(all, "doc_id", "text",
+          col("source") === "src0")
+        .filter(col("dsir_weight") >= 0.775).select(col("doc_id"))
+      val gated = all.filter(col("source") === "src0").unionByName(
+        all.filter(col("source") =!= "src0")
+          .join(pass, Seq("doc_id"), "left_semi"))
+      Curation.curate(gated, "doc_id", "text",
+        col("source") === "src0", Seq("source", "lang"))
+    }),
+    // near-dup ROI over the resolved clusters: what keep-canonical-
+    // only would save — the fuzzy sibling of dedup_savings
+    "dedup_cluster_savings" -> ((s, d) =>
+      Dedup.dedupClusterSavings(docs(s, d), "doc_id", "text",
+        threshold = 0.8, maxBucket = Int.MaxValue, minBands = 2)),
     // benchmark decontamination: docs from src0 play the eval set,
     // everything else is the training corpus; n=13 exact overlap
     "dedup_decontaminate" -> ((s, d) => {
@@ -1197,6 +1217,45 @@ object DedupQueries {
          |     OR d.doc_id IN (
          |       SELECT doc_id FROM fam WHERE familiarity >= 0.031)),
          |${corpusCurateCtesFrom("gated")}""".stripMargin,
+    // the DSIR CTEs as the pre-gate, then corpus_curate's CTEs over
+    // the gated relation — the corpus_curate_lm composition pattern
+    "corpus_curate_dsir" ->
+      s"""WITH ${TextQueries.dsirCtes},
+         |gated AS (
+         |  SELECT d.* FROM documents d
+         |  WHERE d.source = 'src0'
+         |     OR d.doc_id IN (
+         |       SELECT doc_id FROM dsir WHERE dsir_weight >= 0.775)),
+         |${corpusCurateCtesFrom("gated")}""".stripMargin,
+    // same clusters CTE; keeper = the canonical (the true min id),
+    // bytes via strlen (octet length), one-row roll-up
+    "dedup_cluster_savings" ->
+      s"""WITH r AS (
+         |$clustersSql
+         |),
+         |sz AS (
+         |  SELECT r.canonical, r.doc_id,
+         |    CAST(strlen(d.text) AS BIGINT) AS b
+         |  FROM r JOIN documents d ON d.doc_id = r.doc_id),
+         |pc AS (
+         |  SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(b) AS BIGINT) AS bytes,
+         |    CAST(SUM(CASE WHEN doc_id = canonical THEN b ELSE 0 END)
+         |      AS BIGINT) AS keep
+         |  FROM sz GROUP BY canonical)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(n - 1) AS BIGINT) AS n_dup,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(bytes - keep) AS BIGINT) AS bytes_saved,
+         |  CASE WHEN SUM(n) = 0 THEN NULL
+         |    ELSE CAST(SUM(n - 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+         |  END AS dup_rate,
+         |  CASE WHEN SUM(bytes) = 0 THEN NULL
+         |    ELSE CAST(SUM(bytes - keep) AS DOUBLE)
+         |      / CAST(SUM(bytes) AS DOUBLE)
+         |  END AS bytes_saved_rate
+         |FROM pc""".stripMargin,
     "dedup_decontaminate" -> decontaminateSql,
     // the Bloom path promises bit-identical output; same oracle
     "dedup_decontaminate_bloom" -> decontaminateSql,

@@ -259,6 +259,15 @@ object PipelineQueries {
   def dqBenford(spark: SparkSession, dir: String): DataFrame =
     DataQuality.benfordProfile(t(spark, dir, "orders"), "o_totalprice")
 
+  /** #18j Chi-square contingency cells: is the language mix
+    * independent of the source? Per-cell rows keep every value a
+    * fixed order-free float tree (cross-engine hash-exact); the
+    * summed statistic is the consumer's one-liner.
+    */
+  def dqChisq(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.chiSquareCells(t(spark, dir, "documents"),
+      "source", "lang")
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -303,6 +312,7 @@ object PipelineQueries {
     "dq_corr" -> (dqCorr _),
     "dq_funcdep" -> (dqFuncdep _),
     "dq_benford" -> (dqBenford _),
+    "dq_chisq" -> (dqChisq _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -321,6 +331,33 @@ object PipelineQueries {
     // IEEE normalization chain as the Spark side (a CTE per step so
     // neither engine duplicates the CASE operand); the share total
     // runs over the <=9-row aggregated frame
+    // the full |sources| x |langs| grid (missing cells observed 0),
+    // expected = row·col/N and contribution (o−e)²/e in the same
+    // fixed float tree as the Spark side
+    "dq_chisq" ->
+      """WITH base AS (
+        |  SELECT source, lang FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS observed
+        |      FROM base GROUP BY source, lang),
+        |ra AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS row_total
+        |       FROM base GROUP BY source),
+        |cb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS col_total
+        |       FROM base GROUP BY lang),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+        |grid AS (
+        |  SELECT ra.source, cb.lang,
+        |    COALESCE(o.observed, 0) AS observed,
+        |    ra.row_total, cb.col_total,
+        |    CAST(ra.row_total * cb.col_total AS DOUBLE)
+        |      / CAST(n.nn AS DOUBLE) AS expected
+        |  FROM ra CROSS JOIN cb CROSS JOIN n
+        |  LEFT JOIN o ON o.source = ra.source AND o.lang = cb.lang)
+        |SELECT source, lang, observed, row_total, col_total, expected,
+        |  (CAST(observed AS DOUBLE) - expected)
+        |    * (CAST(observed AS DOUBLE) - expected) / expected
+        |    AS contribution
+        |FROM grid""".stripMargin,
     "dq_benford" -> {
       val pows = Seq(256, 128, 64, 32, 16, 8, 4, 2, 1)
       val upCtes = pows.zipWithIndex.map { case (p, i) =>

@@ -170,6 +170,64 @@ class CoreQueriesSpec extends SparkSpec {
       out.toString)
   }
 
+  test("chi-square cells cover the full grid with exact marginals and the planted statistic") {
+    import SparkSpec.spark.implicits._
+    // planted 2x2 (+ a level with a structurally-missing cell):
+    // x/p=30 x/q=10 y/p=10 y/q=30 -> e=20 everywhere, chi2 = 4*5 = 20
+    // z appears only with p -> the (z,q) cell is emitted with
+    // observed 0 and a real expected count
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q")) ++
+      Seq.fill(8)(("z", "p")) ++ Seq(("w", null.asInstanceOf[String]))
+    val out = graft.dq.DataQuality
+      .chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(out.size == 6, s"3 levels x 2 levels = 6 cells: ${out.keys}")
+    // null categories are excluded entirely (no 'w' row, no null col)
+    assert(!out.keys.exists(k => k._1 == "w" || k._2 == null))
+    val n = 88.0
+    def cell(o: Long, ra: Long, cb: Long): (Long, Long, Long, Double, Double) = {
+      val e = (ra * cb).toDouble / n
+      val d = o.toDouble - e
+      (o, ra, cb, e, d * d / e)
+    }
+    assert(out(("x", "p")) == cell(30, 40, 48))
+    assert(out(("z", "q")) == cell(0, 8, 40), "missing cell must appear")
+    // the summed statistic over the 2x2 sub-table is the textbook 20
+    val sub = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+    val chi2of2x2 = {
+      // recompute on the x/y-only table for the closed-form check
+      val o2 = graft.dq.DataQuality.chiSquareCells(
+        rows.filter(r => r._1 == "x" || r._1 == "y").toDF("a", "b"),
+        "a", "b").collect().map(_.getDouble(6)).sum
+      o2
+    }
+    assert(math.abs(chi2of2x2 - 20.0) < 1e-9, chi2of2x2.toString)
+    assert(sub.forall(out.contains))
+  }
+
+  test("near-dup cluster savings price keep-canonical-only exactly") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val b = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3
+    // cluster {1,2,3} (identical), {4,5} (identical), {6} singleton
+    val df = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, a + b))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupClusterSavings(df, "doc_id", "text",
+      threshold = 0.8, maxBucket = Int.MaxValue, minBands = 2).head
+    val (ba, bb) = (a.getBytes("UTF-8").length.toLong,
+      b.getBytes("UTF-8").length.toLong)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L,
+      r.toString)
+    assert(r.getLong(3) == 3 * ba + 2 * bb + (ba + bb))
+    assert(r.getLong(4) == 2 * ba + bb, "save every non-canonical byte")
+    assert(r.getDouble(5) == 3.0 / 6.0)
+    assert(r.getDouble(6) == (2 * ba + bb).toDouble / (4 * ba + 3 * bb))
+  }
+
   test("value concentration keeps exactly ceil(n*pct/100) top users") {
     import SparkSpec.spark.implicits._
     import java.sql.Timestamp
