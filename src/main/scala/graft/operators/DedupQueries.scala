@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, posexplode_outer}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod, posexplode_outer}
 
 import graft.Tables
 
@@ -293,6 +293,20 @@ object DedupQueries {
       Similarity.annRecall(
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annLsh(e, "vec_id", "embedding"))
+    }),
+    // Matryoshka-style truncation audit: top-k recall when scoring
+    // on only the FIRST HALF of each embedding — the 2x storage/
+    // compute lever dimension-truncated indexes buy, with its recall
+    // cost measured instead of assumed. Exact brute force on both
+    // sides; the truncated cosine re-norms implicitly (the kernel
+    // computes norms of whatever vector it gets)
+    "ann_recall_truncated" -> ((s, d) => {
+      val e = embs(s, d)
+      val half = e.select(col("vec_id"),
+        expr("slice(embedding, 1, size(embedding) div 2)").as("embedding"))
+      Similarity.annRecall(
+        Similarity.annBruteForce(e, "vec_id", "embedding"),
+        Similarity.annBruteForce(half, "vec_id", "embedding"))
     }),
     // SAMPLED recall audit — the 100 TB-safe form: exact truth only
     // for a deterministic md5-bucket probe sample (rate 0.1, salted),
@@ -1354,6 +1368,16 @@ object DedupQueries {
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "ann_recall_lsh_multiprobe" -> annRecallSql(annLshMultiprobeSql),
     "ann_recall" -> annRecallSql(annLshSql),
+    // the same brute-force CTE over half-truncated embeddings (the
+    // kernel re-norms whatever vector it gets, so truncation is one
+    // list_slice)
+    "ann_recall_truncated" -> annRecallSql(
+      s"""WITH temb AS (
+         |  SELECT vec_id, list_slice(embedding, 1, len(embedding) // 2)
+         |    AS embedding
+         |  FROM embeddings),
+         |${annBruteForceSql.stripPrefix("WITH ")
+             .replace("FROM embeddings", "FROM temb")}""".stripMargin),
     "ann_recall_sampled" -> annRecallSampledSql(annLshSql),
     "ann_recall_sampled_ivf" -> annRecallSampledSql(annIvfSql),
     "ann_recall_ivf" -> annRecallSql(annIvfSql),

@@ -708,6 +708,29 @@ class DedupSpec extends SparkSpec {
     assert(web.getLong(3) == math.ceil(good.length / 4.0).toLong)
   }
 
+  test("truncated-dimension recall: identity recalls 1.0, half dims keep real signal") {
+    import org.apache.spark.sql.functions.{avg, expr => sqlExpr}
+    val e = Tables.load(spark, sf, "embeddings")
+    val truth = Similarity.annBruteForce(e, "vec_id", "embedding")
+    def meanRecall(ap: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecall(truth, ap).agg(avg("recall")).head.getDouble(0)
+    // the audit's ceiling: scoring on the full vector recalls itself
+    assert(meanRecall(truth) == 1.0)
+    // half the dimensions: strictly lossy on this corpus but far
+    // above the k/(N-1) random floor — the truncation lever keeps
+    // real ranking signal
+    val half = e.select(col("vec_id"),
+      sqlExpr("slice(embedding, 1, size(embedding) div 2)").as("embedding"))
+    val n = e.count()
+    val rec = meanRecall(Similarity.annBruteForce(half, "vec_id", "embedding"))
+    val floor = 5.0 / (n - 1).toDouble
+    assert(rec > 4 * floor && rec < 1.0,
+      s"half-dim recall $rec vs floor $floor over $n vectors")
+    // dimensionality check: the truncated side really is half-width
+    assert(half.select(sqlExpr("size(embedding)")).head.getInt(0) * 2 ==
+      e.select(sqlExpr("size(embedding)")).head.getInt(0))
+  }
+
   test("split leakage audit: exact pair counts from cluster/split sizes; cluster splits leak zero") {
     import graft.operators.Sampling
     // planted assignment: cluster c1 = {1 train, 2 test, 3 train},
