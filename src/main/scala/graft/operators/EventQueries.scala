@@ -101,6 +101,10 @@ object EventQueries {
   def eventsPaths(spark: SparkSession, dir: String): DataFrame =
     Events.entryPaths(ev(spark, dir))
 
+  /** Last-touch attribution of purchases to the preceding channel. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    Events.lastTouchAttribution(ev(spark, dir))
+
   /** RFM quintile segmentation, anchored after the corpus window. */
   def eventsRfm(spark: SparkSession, dir: String): DataFrame =
     Events.rfm(ev(spark, dir), anchor = "2024-02-01")
@@ -144,6 +148,7 @@ object EventQueries {
     "events_transitions" -> (eventsTransitions _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_paths" -> (eventsPaths _),
+    "events_attribution" -> (eventsAttribution _),
     "events_rfm" -> (eventsRfm _),
     "events_rfm_sketch" -> (eventsRfmSketch _),
     "events_dedup_window" -> (eventsDedupWindow _),
@@ -263,6 +268,33 @@ object EventQueries {
         |SELECT d.day, d.dau, w.wau,
         |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
         |FROM dau d JOIN wau w USING (day)""".stripMargin,
+    // the touch column nulls out conversions, last_value IGNORE
+    // NULLS carries the latest channel forward over (ts, event_id)
+    // — a unique ordering, so ROWS == Spark's RANGE default frame;
+    // money sums in exact DECIMAL(18,2), surfaced as DOUBLE
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type = 'purchase' THEN NULL
+        |         ELSE event_type END AS touch
+        |  FROM events),
+        |lt AS (
+        |  SELECT event_type, value,
+        |    last_value(touch IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+        |  FROM e),
+        |per AS (
+        |  SELECT COALESCE(touch, 'direct') AS channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM lt WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS t FROM per)
+        |SELECT channel, n_conversions,
+        |  CAST(v AS DOUBLE) AS attributed_value,
+        |  CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE)
+        |    AS conversion_share
+        |FROM per CROSS JOIN tot""".stripMargin,
     "events_paths" ->
       """WITH r AS (
         |  SELECT user_id, event_type,

@@ -368,6 +368,47 @@ object Events {
     * Output: (path, n_keys, k) — top k paths by key count,
     * deterministic (count desc, path asc).
     */
+  /** LAST-TOUCH conversion attribution: credit each conversion to
+    * the nearest PRECEDING non-conversion event of the same user —
+    * the standard product/marketing attribution rollup ("which
+    * channel gets the purchase"). Per attributed channel:
+    * conversions, exactly-summed attributed value (DECIMAL(18,2)
+    * sums — the events family's money-math contract — surfaced as
+    * DOUBLE), and the conversion share.
+    *
+    * One window over (key, ts, id) — the sessionize exchange shape;
+    * `last(_, ignoreNulls)` carries the latest touch forward, so a
+    * conversion with no preceding touch lands in 'direct'.
+    * Conversion rows and null-typed rows are not touches. The
+    * per-channel rollup is |channels|-sized; the share total
+    * attaches through the constant-key broadcast.
+    */
+  def lastTouchAttribution(events: DataFrame, keyCol: String = "user_id",
+                           tsCol: String = "ts", typeCol: String = "event_type",
+                           idCol: String = "event_id",
+                           valueCol: String = "value",
+                           conversionType: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val touch = when(col(typeCol) === conversionType,
+      lit(null).cast("string")).otherwise(col(typeCol))
+    val per = graft.Materialize.eager(events
+      .withColumn("_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("_touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("_v")))
+    val tot = per.agg(sum(col("n_conversions")).as("_t"),
+        count(lit(1)).as("_nc"))
+      .withColumn("_k", pmod(col("_nc"), lit(1)).cast("int")).drop("_nc")
+    per.withColumn("_k", pmod(col("n_conversions"), lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("_k"))
+      .select(col("channel"), col("n_conversions"),
+        col("_v").cast("double").as("attributed_value"),
+        (col("n_conversions").cast("double") / col("_t").cast("double"))
+          .as("conversion_share"))
+  }
+
   def entryPaths(events: DataFrame, keyCol: String = "user_id",
                  tsCol: String = "ts", typeCol: String = "event_type",
                  idCol: String = "event_id", steps: Int = 3,

@@ -336,4 +336,29 @@ class EventsSpec extends SparkSpec {
       r.getInt(r.fieldIndex("m_score")))).distinct
     assert(scores.length == 1, s"tied metrics split scores: ${scores.toSeq}")
   }
+
+  test("last-touch attribution credits the nearest preceding channel, direct when none") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: view, click, purchase(5), purchase(7), signup, purchase(3)
+    //   -> click x2 (12.00), signup x1 (3.00)
+    // user 2: purchase(9) with no prior touch -> direct
+    // user 3: null-typed event then purchase -> null types are not
+    //   touches, lands in direct too
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 0.0), (2L, t(2), 1L, "click", 0.0),
+      (3L, t(3), 1L, "purchase", 5.0), (4L, t(4), 1L, "purchase", 7.0),
+      (5L, t(5), 1L, "signup", 0.0), (6L, t(6), 1L, "purchase", 3.0),
+      (7L, t(1), 2L, "purchase", 9.0),
+      (8L, t(1), 3L, null.asInstanceOf[String], 0.0),
+      (9L, t(2), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.lastTouchAttribution(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet == Set("click", "signup", "direct"), out.toString)
+    assert(out("click") == ((2L, 12.0, 2.0 / 5.0)))
+    assert(out("signup") == ((1L, 3.0, 1.0 / 5.0)))
+    assert(out("direct") == ((2L, 10.0, 2.0 / 5.0)))
+  }
+
 }
