@@ -105,6 +105,10 @@ object EventQueries {
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     Events.lastTouchAttribution(ev(spark, dir))
 
+  /** The 6-hour-lookback sibling: staler touches fall to 'direct'. */
+  def eventsAttributionWindowed(spark: SparkSession, dir: String): DataFrame =
+    Events.lastTouchAttributionWindowed(ev(spark, dir))
+
   /** RFM quintile segmentation, anchored after the corpus window. */
   def eventsRfm(spark: SparkSession, dir: String): DataFrame =
     Events.rfm(ev(spark, dir), anchor = "2024-02-01")
@@ -149,6 +153,7 @@ object EventQueries {
     "events_anomaly" -> (eventsAnomaly _),
     "events_paths" -> (eventsPaths _),
     "events_attribution" -> (eventsAttribution _),
+    "events_attribution_windowed" -> (eventsAttributionWindowed _),
     "events_rfm" -> (eventsRfm _),
     "events_rfm_sketch" -> (eventsRfmSketch _),
     "events_dedup_window" -> (eventsDedupWindow _),
@@ -286,6 +291,39 @@ object EventQueries {
         |  FROM e),
         |per AS (
         |  SELECT COALESCE(touch, 'direct') AS channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM lt WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS t FROM per)
+        |SELECT channel, n_conversions,
+        |  CAST(v AS DOUBLE) AS attributed_value,
+        |  CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE)
+        |    AS conversion_share
+        |FROM per CROSS JOIN tot""".stripMargin,
+    // the lookback sibling: the touch timestamp rides a second
+    // IGNORE NULLS last_value nulling on the same rows, so channel
+    // and timestamp always describe the same touch; stale -> direct
+    "events_attribution_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type = 'purchase' OR ts IS NULL THEN NULL
+        |         ELSE event_type END AS touch,
+        |    CASE WHEN event_type = 'purchase' OR ts IS NULL THEN NULL
+        |         ELSE epoch_us(ts) END AS tus
+        |  FROM events),
+        |lt AS (
+        |  SELECT ts, event_type, value,
+        |    last_value(touch IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch,
+        |    last_value(tus IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tus
+        |  FROM e),
+        |per AS (
+        |  SELECT CASE WHEN touch IS NOT NULL
+        |      AND epoch_us(ts) - tus <= CAST(21600 AS BIGINT) * 1000000
+        |      THEN touch ELSE 'direct' END AS channel,
         |    CAST(COUNT(*) AS BIGINT) AS n_conversions,
         |    SUM(CAST(value AS DECIMAL(18,2))) AS v
         |  FROM lt WHERE event_type = 'purchase' GROUP BY 1),

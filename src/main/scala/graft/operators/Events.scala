@@ -392,10 +392,58 @@ object Events {
       .orderBy(col(tsCol).asc, col(idCol).asc)
     val touch = when(col(typeCol) === conversionType,
       lit(null).cast("string")).otherwise(col(typeCol))
-    val per = graft.Materialize.eager(events
+    attributionRollup(events
       .withColumn("_touch", last(touch, ignoreNulls = true).over(w))
       .filter(col(typeCol) === conversionType)
-      .groupBy(coalesce(col("_touch"), lit("direct")).as("channel"))
+      .withColumn("channel", coalesce(col("_touch"), lit("direct"))),
+      valueCol)
+  }
+
+  /** [[lastTouchAttribution]] under a LOOKBACK WINDOW: a touch gets
+    * credit only if it happened within `withinSec` of the
+    * conversion — staler touches fall to 'direct'. The
+    * [[funnel]]/[[funnelWindowed]] symmetry applied to attribution
+    * (an hours-old page view should not claim tonight's purchase).
+    * The touch timestamp rides a second ignore-nulls `last` that
+    * nulls on exactly the same rows as the channel column, so both
+    * always describe the same touch event; null-ts rows are not
+    * touches. Same plan shape as the unwindowed form — one window,
+    * one tiny rollup.
+    */
+  def lastTouchAttributionWindowed(events: DataFrame,
+                                   keyCol: String = "user_id",
+                                   tsCol: String = "ts",
+                                   typeCol: String = "event_type",
+                                   idCol: String = "event_id",
+                                   valueCol: String = "value",
+                                   conversionType: String = "purchase",
+                                   withinSec: Long = 21600L): DataFrame = {
+    require(withinSec > 0, "withinSec must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val touch = when(col(typeCol) === conversionType ||
+      col(tsCol).isNull, lit(null).cast("string")).otherwise(col(typeCol))
+    val touchUs = when(touch.isNotNull, unix_micros(col(tsCol)))
+    attributionRollup(events
+      .withColumn("_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("_tus", last(touchUs, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("channel",
+        when(col("_touch").isNotNull &&
+          unix_micros(col(tsCol)) - col("_tus") <= withinSec * 1000000L,
+          col("_touch")).otherwise(lit("direct"))),
+      valueCol)
+  }
+
+  /** The shared attribution tail: per-channel conversions, exact
+    * DECIMAL(18,2) value sums surfaced as DOUBLE, and the share via
+    * the constant-key broadcast total — one implementation so the
+    * windowed and unwindowed forms cannot drift.
+    */
+  private def attributionRollup(conv: DataFrame,
+                                valueCol: String): DataFrame = {
+    val per = graft.Materialize.eager(conv
+      .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_conversions"),
         sum(col(valueCol).cast("decimal(18,2)")).as("_v")))
     val tot = per.agg(sum(col("n_conversions")).as("_t"),

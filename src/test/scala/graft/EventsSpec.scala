@@ -359,6 +359,18 @@ class EventsSpec extends SparkSpec {
     assert(out("click") == ((2L, 12.0, 2.0 / 5.0)))
     assert(out("signup") == ((1L, 3.0, 1.0 / 5.0)))
     assert(out("direct") == ((2L, 10.0, 2.0 / 5.0)))
+    // the LOOKBACK sibling: purchase@4 sits exactly 120s after its
+    // click touch — the window is INCLUSIVE, so within=120 matches
+    // the unwindowed rollup while within=90 pushes it to direct
+    def windowed(sec: Long) = Events
+      .lastTouchAttributionWindowed(rows, withinSec = sec).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(windowed(120L) == out, "inclusive boundary must match")
+    val tight = windowed(90L)
+    assert(tight("click") == ((1L, 5.0, 1.0 / 5.0)))
+    assert(tight("signup") == ((1L, 3.0, 1.0 / 5.0)))
+    assert(tight("direct") == ((3L, 17.0, 3.0 / 5.0)), tight.toString)
   }
 
 }
