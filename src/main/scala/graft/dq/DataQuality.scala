@@ -736,7 +736,6 @@ object DataQuality {
       .withColumn("_k", pmod(col("_n"), lit(1)).cast("int"))
     val e = (col("_ra") * col("_cb")).cast("double") /
       col("_n").cast("double")
-    val diff = coalesce(col("observed"), lit(0L)).cast("double") - col("expected")
     ra.join(broadcast(cb), Seq("_k"))
       .join(broadcast(n), Seq("_k"))
       .join(broadcast(o), Seq(aCol, bCol), "left")
@@ -744,6 +743,12 @@ object DataQuality {
         coalesce(col("observed"), lit(0L)).as("observed"),
         col("_ra").as("row_total"), col("_cb").as("col_total"),
         e.as("expected"))
-      .withColumn("contribution", diff * diff / col("expected"))
+      .withColumn("contribution", {
+        // computed from the post-select frame's own output columns
+        // (no pre-select alias dependence); diff*diff, not pow, to
+        // stay bit-identical with the oracle's (o−e)*(o−e)
+        val d = col("observed").cast("double") - col("expected")
+        d * d / col("expected")
+      })
   }
 }

@@ -132,6 +132,20 @@ object DedupQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
+  /** The shared pre-curation gate: reference (src0) docs pass
+    * through untouched, every OTHER doc — including null-source
+    * docs — survives only if its doc_id is in `pass`. The non-target
+    * branch is the NULL-SAFE complement (`!(source <=> 'src0')`):
+    * `=!=` would silently drop null-source docs from both branches,
+    * while the oracle's `source = 'src0' OR doc_id IN (pass)` keeps
+    * them when they pass the gate.
+    */
+  private[graft] def preCurateGate(all: DataFrame,
+                                   pass: DataFrame): DataFrame =
+    all.filter(col("source") === "src0").unionByName(
+      all.filter(!(col("source") <=> "src0"))
+        .join(pass, Seq("doc_id"), "left_semi"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
     "dedup_savings" -> ((s, d) =>
@@ -381,10 +395,7 @@ object DedupQueries {
       val pass = TextAnalysis.lmFamiliarity(all, "doc_id", "text",
           col("source") === "src0")
         .filter(col("familiarity") >= 0.031).select(col("doc_id"))
-      val gated = all.filter(col("source") === "src0").unionByName(
-        all.filter(col("source") =!= "src0")
-          .join(pass, Seq("doc_id"), "left_semi"))
-      Curation.curate(gated, "doc_id", "text",
+      Curation.curate(preCurateGate(all, pass), "doc_id", "text",
         col("source") === "src0", Seq("source", "lang"))
     }),
     // curation with the DSIR importance pre-gate (the lm-gate
@@ -396,10 +407,7 @@ object DedupQueries {
       val pass = TextAnalysis.dsirWeights(all, "doc_id", "text",
           col("source") === "src0")
         .filter(col("dsir_weight") >= 0.775).select(col("doc_id"))
-      val gated = all.filter(col("source") === "src0").unionByName(
-        all.filter(col("source") =!= "src0")
-          .join(pass, Seq("doc_id"), "left_semi"))
-      Curation.curate(gated, "doc_id", "text",
+      Curation.curate(preCurateGate(all, pass), "doc_id", "text",
         col("source") === "src0", Seq("source", "lang"))
     }),
     // near-dup ROI over the resolved clusters: what keep-canonical-

@@ -273,14 +273,16 @@ object EventQueries {
         |SELECT d.day, d.dau, w.wau,
         |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
         |FROM dau d JOIN wau w USING (day)""".stripMargin,
-    // the touch column nulls out conversions, last_value IGNORE
-    // NULLS carries the latest channel forward over (ts, event_id)
-    // — a unique ordering, so ROWS == Spark's RANGE default frame;
-    // money sums in exact DECIMAL(18,2), surfaced as DOUBLE
+    // the touch column nulls out conversions and null-ts rows,
+    // last_value IGNORE NULLS carries the latest channel forward
+    // over (ts, event_id) — a unique ordering, so ROWS == Spark's
+    // RANGE default frame; DuckDB's ASC default is NULLS LAST,
+    // matching the Spark side's pinned asc_nulls_last; money sums
+    // in exact DECIMAL(18,2), surfaced as DOUBLE
     "events_attribution" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, event_type, value,
-        |    CASE WHEN event_type = 'purchase' THEN NULL
+        |    CASE WHEN event_type = 'purchase' OR ts IS NULL THEN NULL
         |         ELSE event_type END AS touch
         |  FROM events),
         |lt AS (

@@ -379,7 +379,10 @@ object Events {
     * One window over (key, ts, id) — the sessionize exchange shape;
     * `last(_, ignoreNulls)` carries the latest touch forward, so a
     * conversion with no preceding touch lands in 'direct'.
-    * Conversion rows and null-typed rows are not touches. The
+    * Conversion rows, null-typed rows, and null-ts rows are not
+    * touches (an event with no timestamp cannot claim recency), and
+    * the ordering is pinned NULLS LAST so both engines place any
+    * null-ts conversion at the same end of its partition. The
     * per-channel rollup is |channels|-sized; the share total
     * attaches through the constant-key broadcast.
     */
@@ -389,9 +392,9 @@ object Events {
                            valueCol: String = "value",
                            conversionType: String = "purchase"): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col(idCol).asc)
-    val touch = when(col(typeCol) === conversionType,
-      lit(null).cast("string")).otherwise(col(typeCol))
+      .orderBy(col(tsCol).asc_nulls_last, col(idCol).asc)
+    val touch = when(col(typeCol) === conversionType ||
+      col(tsCol).isNull, lit(null).cast("string")).otherwise(col(typeCol))
     attributionRollup(events
       .withColumn("_touch", last(touch, ignoreNulls = true).over(w))
       .filter(col(typeCol) === conversionType)
@@ -420,7 +423,7 @@ object Events {
                                    withinSec: Long = 21600L): DataFrame = {
     require(withinSec > 0, "withinSec must be positive")
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .orderBy(col(tsCol).asc_nulls_last, col(idCol).asc)
     val touch = when(col(typeCol) === conversionType ||
       col(tsCol).isNull, lit(null).cast("string")).otherwise(col(typeCol))
     val touchUs = when(touch.isNotNull, unix_micros(col(tsCol)))

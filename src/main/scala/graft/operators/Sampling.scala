@@ -158,11 +158,13 @@ object Sampling {
         sum(expr("(_ns * (_ns - 1)) div 2")).as("_same"))
       .withColumn("_pairs", expr("(_n * (_n - 1)) div 2"))
     perC.agg(
-        sum(col("_n")).as("n_docs"),
+        coalesce(sum(col("_n")), lit(0L)).as("n_docs"),
         count(lit(1)).as("n_clusters"),
-        sum(when(col("_n") > 1L, 1L).otherwise(0L)).as("n_multi_clusters"),
-        sum(col("_pairs")).as("n_pairs"),
-        sum(col("_pairs") - col("_same")).as("n_cross_pairs"))
+        coalesce(sum(when(col("_n") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_multi_clusters"),
+        coalesce(sum(col("_pairs")), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("_pairs") - col("_same")), lit(0L))
+          .as("n_cross_pairs"))
       .select(col("n_docs"), col("n_clusters"), col("n_multi_clusters"),
         col("n_pairs"), col("n_cross_pairs"),
         when(col("n_pairs") === 0L, lit(null).cast("double"))

@@ -767,6 +767,28 @@ class DedupSpec extends SparkSpec {
     val s0 = Sampling.splitLeakageAudit(singletons, "canonical", "split")
       .head
     assert(s0.getLong(3) == 0L && s0.isNullAt(5))
+    // an EMPTY assignment frame reports integer zeros (not NULL
+    // sums) with a NULL leak_rate — the scaladoc's count contract
+    val e0 = Sampling.splitLeakageAudit(
+      singletons.filter(col("doc_id") < 0L), "canonical", "split").head
+    assert(e0.toSeq.take(5) == Seq(0L, 0L, 0L, 0L, 0L), e0.toString)
+    assert(e0.isNullAt(5))
+  }
+
+  test("pre-curate gate: null-source docs face the gate instead of vanishing") {
+    import graft.operators.DedupQueries
+    val all = Seq(
+      (1L, "ref doc", "src0"), (2L, "gated pass", "web"),
+      (3L, "gated fail", "web"), (4L, "null pass", null),
+      (5L, "null fail", null))
+      .toDF("doc_id", "text", "source")
+    val pass = Seq(2L, 4L).toDF("doc_id")
+    val kept = DedupQueries.preCurateGate(all, pass)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // src0 passes unconditionally; web and NULL-source docs survive
+    // iff in pass — a non-null-safe complement would drop 4 and 5
+    // from both branches, losing the passing null-source doc 4
+    assert(kept == Set(1L, 2L, 4L), kept.toString)
   }
 
   test("curate attrition: each stage accounts its removals; the funnel reconciles with curate") {

@@ -373,4 +373,24 @@ class EventsSpec extends SparkSpec {
     assert(tight("direct") == ((3L, 17.0, 3.0 / 5.0)), tight.toString)
   }
 
+  test("attribution: null-ts events are not touches in either form") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1's only touch has a NULL timestamp: it must not claim
+    // the purchase in the unwindowed OR windowed form (an event with
+    // no timestamp cannot establish recency), and with the pinned
+    // NULLS LAST ordering both engines would agree on its position
+    val rows = Seq(
+      (1L, null.asInstanceOf[Timestamp], 1L, "click", 0.0),
+      (2L, t(2), 1L, "purchase", 4.0),
+      (3L, t(1), 2L, "view", 0.0), (4L, t(2), 2L, "purchase", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = m(Events.lastTouchAttribution(rows))
+    val win = m(Events.lastTouchAttributionWindowed(rows))
+    val want = Map("direct" -> ((1L, 4.0)), "view" -> ((1L, 6.0)))
+    assert(plain == want, plain.toString)
+    assert(win == want, win.toString)
+  }
+
 }
