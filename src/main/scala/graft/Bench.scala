@@ -142,12 +142,30 @@ object Bench {
       // Settle the heap between queries: round 7's artifact showed
       // alphabetical NEIGHBORS of allocation-heavy queries paying
       // their GC debt (events_json_extract 5.04 s in-sequence vs
-      // 0.62 s isolated). Two explicit collections + a short pause
-      // make each query's median start from a quiet heap, so the
-      // artifact measures plans instead of predecessors' garbage.
-      System.gc()
-      System.gc()
-      Thread.sleep(250)
+      // 0.62 s isolated). Round 8's fix (2×System.gc + 250 ms) was
+      // sized for a ~60-query board; at 171 queries the fixed dose
+      // stopped settling the heap — r18's dedup_cluster_cap posted
+      // 2.42× its r17 median with BIT-IDENTICAL shuffle/task/input
+      // metrics and gc_ms 26→411, attempts converging 7.7/6.5/3.4 as
+      // successive runs paid down the predecessors' garbage, and the
+      // 151 common queries drifted +10% in pure GC. The settle is
+      // now ADAPTIVE: collect until two consecutive collections each
+      // reclaim under 64 MB (heap has stopped shrinking — the
+      // ContextCleaner's reference queue has drained and old-gen is
+      // as empty as it gets), capped at 10 rounds. Cost scales with
+      // the garbage actually present instead of assuming r8's board.
+      val rt = Runtime.getRuntime
+      var prev = rt.totalMemory() - rt.freeMemory()
+      var rounds = 0
+      var stable = 0
+      while (rounds < 10 && stable < 2) {
+        System.gc()
+        Thread.sleep(100)
+        val used = rt.totalMemory() - rt.freeMemory()
+        if (prev - used < (64L << 20)) stable += 1 else stable = 0
+        prev = used
+        rounds += 1
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -207,10 +225,12 @@ object Bench {
     // methodology stamp: the round-8 inter-query quiesce (unpersist +
     // 2×System.gc + 250 ms settle) changed what the medians measure —
     // a quiet-heap plan cost instead of plans-plus-predecessor-GC.
-    // Cross-round comparisons against pre-stamp artifacts must expect
-    // that shift; the stamp makes the switch visible in the artifact
-    // itself rather than only in prose.
-    val methodology = "quiesce=unpersist+gc2+250ms (since r8)"
+    // Round 19 made the settle ADAPTIVE (collect until stable, see
+    // dropPersistedBlocks) after the fixed dose stopped settling the
+    // 171-query board. Cross-round comparisons against pre-stamp
+    // artifacts must expect those shifts; the stamp makes each switch
+    // visible in the artifact itself rather than only in prose.
+    val methodology = "quiesce=unpersist+gcSettle<=10x@64MB (since r19; r8-r18 gc2+250ms)"
     dropPersistedBlocks()
     val (calCpuPost, calShufPost) = calibrate()
     val calib = s"""{"cpu_pre":${r3(calCpuPre)},"shuffle_pre":${r3(

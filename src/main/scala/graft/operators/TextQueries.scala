@@ -306,8 +306,19 @@ object TextQueries {
         md5(TextAnalysis.redact(planted)).as("redacted_md5"): _*)
   }
 
+  /** Char-bigram language ID v2: model trained on the labeled src0
+    * reference slice, every doc classified by smoothed-likelihood
+    * argmax (the corpus is synthetic, so — as with the marker
+    * heuristic — the machinery is what the oracle verifies; the
+    * real-language discrimination claim is spec-pinned).
+    */
+  def textLangidNgram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageIdNgram(docs(spark, dir), "doc_id", "text",
+      "lang", col("source") === "src0")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
+    "text_langid_ngram" -> (textLangidNgram _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
@@ -553,6 +564,70 @@ object TextQueries {
       |  FROM dper CROSS JOIN dtot)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // langid v2 (Cavnar-Trenkle): per-lang top-300 char 1/2/3-gram
+    // rank profiles over the src0 slice, per-doc profiles ranked
+    // identically, out-of-place distance = Σ |drank − lrank| with
+    // k=300 for missing grams — all BIGINT, argmin by (dist ASC
+    // NULLS LAST, lang ASC), both engines' explicit ordering
+    "text_langid_ngram" -> {
+      // list_concat, not the || operator: this fragment is
+      // interpolated into a template whose own stripMargin would eat
+      // the first pipe of a line-leading `||`
+      val gramsOf = (src: String) =>
+        s"""SELECT $src, unnest(list_concat(list_concat(
+           |    list_transform(range(1, greatest(length(text), 0) + 1),
+           |      i -> substr(text, CAST(i AS INT), 1)),
+           |    list_transform(range(1, greatest(length(text) - 1, 0) + 1),
+           |      i -> substr(text, CAST(i AS INT), 2))),
+           |    list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+           |      i -> substr(text, CAST(i AS INT), 3)))) AS g""".stripMargin
+      s"""WITH refg AS (
+         |  ${gramsOf("lang")}
+         |  FROM documents WHERE source = 'src0' AND lang IS NOT NULL),
+         |mc AS (SELECT lang, g, COUNT(*) AS c FROM refg GROUP BY lang, g),
+         |model AS (
+         |  SELECT * FROM (
+         |    SELECT lang, g, CAST(row_number() OVER (
+         |      PARTITION BY lang ORDER BY c DESC, g ASC) AS INT) AS lrank
+         |    FROM mc) WHERE lrank <= 300),
+         |langs AS (SELECT DISTINCT lang FROM model),
+         |docg AS (
+         |  ${gramsOf("doc_id")}
+         |  FROM documents),
+         |dcc AS (SELECT doc_id, g, COUNT(*) AS c FROM docg GROUP BY doc_id, g),
+         |dprof AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, g, CAST(row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS INT) AS drank
+         |    FROM dcc) WHERE drank <= 300),
+         |dist AS (
+         |  SELECT p.doc_id, l.lang,
+         |    CAST(SUM(COALESCE(abs(p.drank - m.lrank), 300)) AS BIGINT) AS d
+         |  FROM dprof p CROSS JOIN langs l
+         |  LEFT JOIN model m ON m.lang = l.lang AND m.g = p.g
+         |  GROUP BY p.doc_id, l.lang),
+         |base AS (
+         |  SELECT d.doc_id, d.lang AS declared_lang,
+         |    CAST(greatest(COALESCE(length(d.text), 0), 0)
+         |      + greatest(COALESCE(length(d.text), 0) - 1, 0)
+         |      + greatest(COALESCE(length(d.text), 0) - 2, 0) AS BIGINT)
+         |      AS n_grams,
+         |    l.lang
+         |  FROM documents d CROSS JOIN langs l),
+         |j AS (
+         |  SELECT b.doc_id, b.declared_lang, b.n_grams, b.lang, dist.d
+         |  FROM base b
+         |  LEFT JOIN dist ON dist.doc_id = b.doc_id AND dist.lang = b.lang),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY d ASC NULLS LAST, lang ASC) AS INT) AS rn
+         |  FROM j)
+         |SELECT doc_id, declared_lang, n_grams,
+         |  CASE WHEN n_grams = 0 THEN 'und' ELSE lang END AS lang_guess,
+         |  d AS lang_dist
+         |FROM r WHERE rn = 1""".stripMargin
+    },
     // same single-space tokenization as the n-gram kernel (empty
     // tokens count); lift = two double multiplies and one divide in
     // the SAME order as the Spark side

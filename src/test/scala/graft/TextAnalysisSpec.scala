@@ -854,4 +854,58 @@ class TextAnalysisSpec extends SparkSpec {
         s"source $src chars_per_token")
     }
   }
+
+  test("char-ngram langid beats the marker heuristic on held-out real-language docs") {
+    // real-language fixtures: a labeled reference slice to train on
+    // and HELD-OUT sentences to classify. The held-out sentences
+    // share almost no words with the training slice — orthographic
+    // char-bigram profiles (sch/ij/é/ción...) are what must carry.
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and runs away"),
+      ("en", "a journey of a thousand miles begins with a single step forward"),
+      ("en", "knowledge and wisdom are gathered through reading and practice"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund und läuft weg"),
+      ("de", "eine reise von tausend meilen beginnt mit einem einzigen schritt"),
+      ("de", "wissen und weisheit sammelt man durch lesen und übung"),
+      ("fr", "le rapide renard brun saute par dessus le chien paresseux puis s'enfuit"),
+      ("fr", "un voyage de mille lieues commence par un premier pas en avant"),
+      ("fr", "le savoir et la sagesse viennent de la lecture et de la pratique"),
+      ("es", "el rápido zorro marrón salta sobre el perro perezoso y huye corriendo"),
+      ("es", "un viaje de mil millas comienza con un solo paso adelante"),
+      ("es", "el conocimiento y la sabiduría se adquieren leyendo y practicando"))
+    val heldOut = Seq(
+      ("en", "practical experience helps programmers debug tricky software quickly"),
+      ("en", "every reader should finish this book before winter arrives"),
+      ("de", "praktische erfahrung hilft beim schnellen beheben schwieriger fehler"),
+      ("de", "jeder leser sollte dieses buch vor dem winter fertig lesen"),
+      ("fr", "une expérience pratique aide à corriger rapidement des erreurs difficiles"),
+      ("fr", "chaque lecteur devrait finir ce livre avant l'hiver prochain"),
+      ("es", "una experiencia práctica ayuda a corregir errores difíciles rápidamente"),
+      ("es", "cada lector debería terminar este libro antes del invierno próximo"))
+    val rows = (train.map(t => (t._1, t._2, true)) ++
+      heldOut.map(t => (t._1, t._2, false))).zipWithIndex
+      .map { case ((l, t, r), i) => (i.toLong, l, t, r) }
+    val df = rows.toDF("doc_id", "lang", "text", "is_ref")
+    val byId = TextAnalysis.languageIdNgram(df, "doc_id", "text",
+        "lang", col("is_ref"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val testIds = rows.filter(!_._4).map(r => (r._1, r._2))
+    val ngramRight = testIds.count { case (id, l) => byId(id) == l }
+    // the marker heuristic with FAIR language-appropriate markers
+    // (the production markers are synthetic-corpus words and would
+    // score everything 'und' — a hollow comparison)
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of"), "de" -> Seq("der", "und", "die"),
+      "fr" -> Seq("le", "et", "les"), "es" -> Seq("el", "y", "los"))
+    val scores = TextAnalysis.languageScores(col("text"), markers)
+    val markerById = df.filter(!col("is_ref"))
+      .select(col("doc_id"), TextAnalysis.languageGuess(scores).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val markerRight = testIds.count { case (id, l) => markerById(id) == l }
+    assert(ngramRight >= 7,
+      s"ngram model got $ngramRight/8: ${testIds.map(t => byId(t._1))}")
+    assert(ngramRight > markerRight,
+      s"ngram $ngramRight/8 must beat markers $markerRight/8 " +
+        s"(markers guessed ${testIds.map(t => markerById(t._1))})")
+  }
 }
