@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the heap: without -Xms, the bench's inter-query settle
+  // (forced full GCs) lets G1 uncommit and shrink the young gen, so
+  // every query restarts on a cold heap and pays minor-GC churn that
+  // reads as plan cost (r19: board gc_ms 7.3 s -> 17.7 s from the
+  // settle alone until pinned)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

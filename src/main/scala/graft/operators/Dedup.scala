@@ -2551,13 +2551,33 @@ object Dedup {
     * the benchmark; `contaminated` = n_hits > 0.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+                    idCol: String, textCol: String, n: Int = 13): DataFrame =
+    decontaminateScore(corpus, benchHashSet(benchmark, idCol, textCol, n),
+      idCol, textCol, n)
+
+  /** The benchmark side of [[decontaminate]] as a reusable frame:
+    * the DISTINCT n-gram hash set — the trainable state the
+    * incremental member freezes and the batch operator derives
+    * inline. Output: (h), one row per distinct benchmark shingle.
+    */
+  private[operators] def benchHashSet(benchmark: DataFrame, idCol: String,
+                                      textCol: String, n: Int): DataFrame =
+    shingleHashes(benchmark, idCol, textCol, n)
+      .select(explode_outer(col("shash")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+
+  /** Score `corpus` against a benchmark hash-set frame — ONE
+    * implementation for the batch operator and the incremental
+    * member (the lmScore single-kernel contract: scores cannot
+    * drift by a bit).
+    */
+  private[operators] def decontaminateScore(corpus: DataFrame,
+                                            b: DataFrame, idCol: String,
+                                            textCol: String,
+                                            n: Int): DataFrame = {
     val c = shingleHashes(corpus, idCol, textCol, n)
       .select(col("id"), explode_outer(col("shash")).as("h"))
       .filter(col("h").isNotNull) // see shingles: outer+filter defense
-    val b = shingleHashes(benchmark, idCol, textCol, n)
-      .select(explode_outer(col("shash")).as("h"))
-      .filter(col("h").isNotNull).distinct()
     val hits = c.join(broadcast(b), "h")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left")
@@ -2596,6 +2616,91 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Incremental [[decontaminate]] — the 15th member of the
+    * incremental family, a FROZEN-EPOCH member (the
+    * lmFamiliarityIncremental contract): benchmark sets change
+    * rarely, so the benchmark's distinct 13-gram hash set freezes
+    * from the FIRST fold whose rows match `benchFilter` (exists-
+    * guarded, ONE state table — no two-table crash window; a crash
+    * mid-merge is resolved by the format's atomicity and the replay
+    * converges by merge idempotence). Every fold then probes its own
+    * batch against the frozen set: O(batch · |bench set|) work, the
+    * deployment shape decontamination actually runs at scale —
+    * benchmark uploaded once, every new crawl screened against it.
+    * Benchmark rows arriving in LATER folds do NOT grow the set —
+    * the documented epoch semantics (a benchmark refresh is a new
+    * state dir), spec-pinned.
+    *
+    * Gold holds one row per NON-benchmark document: (id, n_hits,
+    * contaminated, _ord) — score columns bit-identical to the batch
+    * operator against the same frozen benchmark (shared
+    * [[decontaminateScore]] kernel). Benchmark docs never enter gold
+    * (the batch operator's corpus/benchmark partition), and a doc
+    * UPDATED into the benchmark slice retracts from gold like an
+    * update-to-null. The n-gram width stamps into the state
+    * (`n_shingle`) and a fold configured with a different `n`
+    * refuses fast — the dsir bucket-guard philosophy: a silent
+    * width change would probe a different shingle space.
+    */
+  def decontaminateIncremental(spark: SparkSession, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               stateDir: String, goldPath: String,
+                               batchOrd: Long, benchFilter: Column,
+                               n: Int = 13,
+                               deletes: Option[DataFrame] = None,
+                               fullResync: Boolean = false,
+                               appendOnly: Boolean = false,
+                               fmt: graft.pipeline.TableFormat =
+                                 graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val benchPath = s"$stateDir/bench"
+    val batchAll = graft.Materialize.eager(oneRowPerId(
+      batch.select(col(idCol).as("id"), col(textCol).as("text"),
+        benchFilter.as("_bench")), "id", Seq("text", "_bench")))
+    if (!fmt.exists(benchPath)) {
+      val benchDocs = batchAll
+        .filter((col("_bench") <=> true) && col("text").isNotNull)
+      if (benchDocs.isEmpty) return
+      fmt.scd1Merge(spark, benchPath,
+        benchHashSet(benchDocs, "id", "text", n)
+          .withColumn("n_shingle", lit(n))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("h"), "_ord", compareExclude = Nil)
+    }
+    val persisted = fmt.read(spark, benchPath)
+    val storedN = persisted.select(max(col("n_shingle"))).head.getInt(0)
+    require(storedN == n,
+      s"state at $benchPath was frozen with n=$storedN; this fold is " +
+        s"configured with n=$n — the shingle spaces differ. Use the " +
+        "stored value or retrain in a new state dir.")
+    val scores = decontaminateScore(
+        batchAll.filter(col("text").isNotNull && !(col("_bench") <=> true))
+          .select(col("id"), col("text")),
+        persisted.select(col("h")), "id", "text", n)
+      .withColumn("_ord", lit(batchOrd))
+    if (!scores.isEmpty)
+      fmt.scd1Merge(spark, goldPath, scores, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (!appendOnly) {
+      // gold's id universe is the NON-benchmark slice, so the
+      // resync snapshot and the retraction set both exclude it:
+      // update-to-null retracts, update-into-benchmark retracts
+      val delIds = combinedDeletes(spark, deletes, idCol, "id",
+        fullResync, goldPath,
+        batchAll.filter(col("text").isNotNull &&
+          !(col("_bench") <=> true)).select(col("id")), fmt)
+      val retracted = batchAll
+        .filter(col("text").isNull || (col("_bench") <=> true))
+        .select(col("id"))
+      val drops = graft.Materialize.eager(
+        delIds.fold(retracted)(_.unionByName(retracted)).distinct())
+      if (fmt.exists(goldPath) && !drops.isEmpty)
+        fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    }
   }
 
   /** #31 Embedding-cosine near-dup, brute-force all-pairs baseline

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, pmod, posexplode_outer}
+import org.apache.spark.sql.functions.{col, expr, lit, octet_length, pmod, posexplode_outer}
 
 import graft.Tables
 
@@ -212,6 +212,28 @@ object DedupQueries {
     "dedup_cluster_cap" -> ((s, d) =>
       Dedup.dedupClusterCap(docs(s, d), "doc_id", "text", threshold = 0.8,
         maxPerCluster = 2, maxBucket = Int.MaxValue, minBands = 2)),
+    // the COMPOSED cluster board — the production shape of the whole
+    // cluster family: ONE materialized resolution serves the cluster
+    // map, the cap verdict, the leakage-safe split, and the byte
+    // accounting in a single per-doc frame (the standalone entries
+    // above each re-run the propagation by the driver's one-query-
+    // per-entry contract; a real pipeline runs THIS). Spec-pinned
+    // equal to every standalone operator it composes; the savings
+    // and audit aggregates reconcile from exactly these columns.
+    "dedup_cluster_board" -> ((s, d) => {
+      val dd = docs(s, d)
+      val resolved = graft.Materialize.eager(
+        Dedup.dedupResolve(dd, "doc_id", "text", threshold = 0.8,
+          maxBucket = Int.MaxValue, minBands = 2))
+      Dedup.dedupClusterCap(resolved, "doc_id", maxPerCluster = 2)
+        .join(Sampling.splitByCluster(resolved, "canonical")
+          .select(col("doc_id"), col("split")), Seq("doc_id"))
+        .join(dd.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("canonical"), col("is_dup"),
+          col("cluster_rank"), col("kept"), col("split"), col("n_bytes"))
+    }),
     // embedding-space anisotropy diagnostic (decimal-exact sums ->
     // engine-exact covariance)
     "embedding_covariance" -> ((s, d) =>
@@ -1368,6 +1390,27 @@ object DedupQueries {
          |  row_number() OVER (
          |    PARTITION BY canonical ORDER BY doc_id ASC) <= 2 AS kept
          |FROM r""".stripMargin,
+    // one clusters CTE serving cap rank + canonical-hash split +
+    // byte accounting — the composed board's oracle
+    "dedup_cluster_board" ->
+      s"""WITH r AS (
+         |$clustersSql
+         |)
+         |SELECT r.doc_id, r.canonical, r.is_dup,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY canonical ORDER BY r.doc_id ASC) AS INT)
+         |    AS cluster_rank,
+         |  row_number() OVER (
+         |    PARTITION BY canonical ORDER BY r.doc_id ASC) <= 2 AS kept,
+         |  CASE WHEN CAST(('0x' || substr(md5('split:' ||
+         |         CAST(canonical AS VARCHAR)), 1, 8)) AS BIGINT)
+         |         < 0.8 * 4294967296.0 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5('split:' ||
+         |         CAST(canonical AS VARCHAR)), 1, 8)) AS BIGINT)
+         |         < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(strlen(d.text) AS BIGINT) AS n_bytes
+         |FROM r JOIN documents d ON d.doc_id = r.doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" -> embeddingStatsSql,
     "dedup_embedding_lsh" -> embeddingLshStatsSql,

@@ -247,6 +247,25 @@ object TextAnalysis {
     * (lowercase-run words ≥ 2 chars, single-character symbols), so
     * rank-1 of the merge table equals that operator's top row.
     *
+    * MERGE-COUNT BOUND (the honest 100 TB statement): the loop is
+    * O(merges) DRIVER-SYNCHRONIZED Spark jobs — each round is one
+    * vocabulary-sized pair count + one 1-row argmax collect + one
+    * fold, and round r+1 cannot plan until round r's winner is
+    * known, because exact BPE is inherently sequential in merge
+    * rank. Per-round cost is vocabulary-sized (independent of corpus
+    * size after the first aggregate), so the wall-clock model is
+    * `corpus_scan + merges · (job_overhead + vocab_work)`; measured
+    * at sf10 the fixed per-round job overhead dominates vocab_work
+    * (see TIMINGS "bpe trainer merge bound"), putting a production
+    * 32k-merge vocabulary at hours of driver-loop latency on this
+    * shape. The published escapes are batched/approximate merge
+    * selection (apply the top-B non-interacting pairs per round —
+    * the SentencePiece/fast-BPE family of optimizations) or
+    * single-node training on the vocabulary table itself, which is
+    * vocabulary-sized and fits one machine at any corpus scale;
+    * both are deliberate non-goals here until an exactness contract
+    * for batched merges is settled.
+    *
     * Returns (merge_rank, lhs, rhs, pair_count), one row per learned
     * merge, rank ascending; stops early if the vocabulary saturates.
     */

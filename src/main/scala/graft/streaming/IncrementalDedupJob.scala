@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.ConfigHandler.IncrementalDedupConfig
 
-/** Config-driven driver for the fourteen-member incremental dedup family
+/** Config-driven driver for the fifteen-member incremental dedup family
   * — the reference's whole operating model is JSON-config → pipeline
   * (ingest-framework builder/engine.py), and until r16 the
   * incremental members were library-only: spec-verified, but a
@@ -47,7 +47,8 @@ object IncrementalDedupJob {
     "ivf" -> Set("k", "nlist", "nprobe"),
     "lmfamiliarity" -> Set("refWhere"),
     "ccnet" -> Set("refWhere"),
-    "dsir" -> Set("targetWhere", "buckets"))
+    "dsir" -> Set("targetWhere", "buckets"),
+    "decontaminate" -> Set("benchWhere", "n"))
 
   /** Walk every unprocessed silver version through the configured
     * member. Returns the versions folded this call (empty = caught
@@ -78,6 +79,10 @@ object IncrementalDedupJob {
     require(cfg.member != "dsir" || cfg.params.contains("targetWhere"),
       "the dsir member requires 'targetWhere' (a SQL predicate over the " +
         "silver row naming the target slice, e.g. \"source = 'src0'\")")
+    require(cfg.member != "decontaminate" || cfg.params.contains("benchWhere"),
+      "the decontaminate member requires 'benchWhere' (a SQL predicate " +
+        "over the silver row naming the benchmark slice, e.g. " +
+        "\"source = 'src0'\")")
 
     val p = cfg.params
     def int(k: String, d: Int): Int = p.get(k).map(_.toInt).getOrElse(d)
@@ -111,6 +116,14 @@ object IncrementalDedupJob {
             cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
             org.apache.spark.sql.functions.expr(p("targetWhere")),
             buckets = int("buckets", 1024),
+            deletes = dels, fullResync = resync,
+            appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
+        case "decontaminate" =>
+          // benchWhere over the full silver row, like lmfamiliarity
+          Dedup.decontaminateIncremental(spark, chg,
+            cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+            org.apache.spark.sql.functions.expr(p("benchWhere")),
+            n = int("n", 13),
             deletes = dels, fullResync = resync,
             appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
         case "exact" => Dedup.exactDedupIncremental(spark, batch,

@@ -247,6 +247,30 @@ class ConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, ccCfg.copy(params = Map.empty))
     }
+    // the decontaminate member (the 15th) dispatches through the
+    // runner: benchWhere evaluates over the full silver row, the
+    // benchmark set freezes from the first matching fold, benchmark
+    // docs never enter gold (fold-by-fold exactness is pinned in
+    // StreamingSpec). Silver here: docs 1,2 = dupText (benchmark),
+    // 3 = unrelated (clean), 4 = dupText (fully contaminated),
+    // 2 hard-deleted
+    val dcWork = Files.createTempDirectory("graft_cfg_dc").toString
+    val dcCfg = cfg.copy(member = "decontaminate",
+      checkpoint = s"$dcWork/ck", stateDir = s"$dcWork/state",
+      goldPath = s"$dcWork/gold",
+      params = Map("benchWhere" -> "doc_id <= 2", "n" -> "13"))
+    assert(IncrementalDedupJob.run(spark, dcCfg).nonEmpty)
+    val dcGold = dcCfg.stateFormat.read(spark, dcCfg.goldPath)
+      .select(col("id"), col("n_hits"), col("contaminated"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(dcGold.keySet == Set(3L, 4L),
+      s"gold must hold exactly the non-benchmark docs: $dcGold")
+    assert(dcGold(3L) == ((0L, false)) && dcGold(4L)._1 > 0L &&
+      dcGold(4L)._2, s"contamination verdicts: $dcGold")
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, dcCfg.copy(params = Map.empty))
+    }
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

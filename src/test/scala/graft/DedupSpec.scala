@@ -775,6 +775,52 @@ class DedupSpec extends SparkSpec {
     assert(e0.isNullAt(5))
   }
 
+  test("cluster board: one resolution serves cap, split, savings, and audit exactly") {
+    import graft.operators.{DedupQueries, Sampling}
+    val board = DedupQueries.queries("dedup_cluster_board")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3), r.getBoolean(4), r.getString(5), r.getLong(6)))
+    val byId = board.map(b => b._1 -> b).toMap
+    // cap verdicts: board columns == the standalone cap entry
+    val cap = DedupQueries.queries("dedup_cluster_cap")(spark, sf)
+      .select("doc_id", "canonical", "is_dup", "cluster_rank", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3), r.getBoolean(4)))
+    assert(cap.length == board.length)
+    cap.foreach { c =>
+      val b = byId(c._1)
+      assert((b._2, b._3, b._4, b._5) == ((c._2, c._3, c._4, c._5)),
+        s"cap row mismatch for doc ${c._1}")
+    }
+    // split labels: board == the standalone leakage-safe split
+    DedupQueries.queries("data_split_safe")(spark, sf)
+      .select("doc_id", "split").collect()
+      .foreach(r => assert(byId(r.getLong(0))._6 == r.getString(1),
+        s"split mismatch for doc ${r.getLong(0)}"))
+    // savings: the standalone one-row rollup reconciles from exactly
+    // the board's (canonical, doc_id, n_bytes) columns
+    val sv = DedupQueries.queries("dedup_cluster_savings")(spark, sf).head
+    val perCluster = board.groupBy(_._2)
+    val nDocs = board.length.toLong
+    val nDup = nDocs - perCluster.size.toLong
+    val bytesTotal = board.map(_._7).sum
+    val bytesSaved = bytesTotal -
+      perCluster.values.map(rows => rows.find(b => b._1 == b._2).get._7).sum
+    assert((sv.getLong(0), sv.getLong(1), sv.getLong(2), sv.getLong(3),
+      sv.getLong(4)) ==
+      ((nDocs, perCluster.size.toLong, nDup, bytesTotal, bytesSaved)),
+      s"savings rollup vs board: $sv")
+    // audit: the standalone cluster-rule row reconciles from the
+    // board's (canonical, split) columns through the same fold
+    val boardDf = board.toSeq
+      .map(b => (b._1, b._2, b._6)).toDF("doc_id", "canonical", "split")
+    val fromBoard = Sampling.splitLeakageAudit(boardDf, "canonical", "split")
+      .head.toSeq
+    val auditRow = DedupQueries.queries("data_split_audit")(spark, sf)
+      .filter(col("rule") === "cluster").head.toSeq.drop(1)
+    assert(fromBoard == auditRow, s"$fromBoard vs $auditRow")
+  }
+
   test("pre-curate gate: null-source docs face the gate instead of vanishing") {
     import graft.operators.DedupQueries
     val all = Seq(

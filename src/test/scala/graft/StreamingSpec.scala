@@ -2067,6 +2067,105 @@ class StreamingSpec extends SparkSpec {
     checkGold("after refused mismatched fold (state untouched)")
   }
 
+  test("incremental decontamination: frozen benchmark set, gold equals batch truth, retracts, replays, deletes, width guard") {
+    // the 15th incremental member (r19): benchmark decontamination
+    // with the frozen-epoch contract — benchmark sets change rarely,
+    // so the distinct n-gram hash set freezes from the first
+    // benchmark-carrying fold and every later fold probes its batch
+    // against it. Pins: (a) a pre-benchmark fold trains nothing;
+    // (b) gold equals batch decontaminate against the frozen
+    // benchmark after every fold (shared-kernel contract), and
+    // benchmark docs never enter gold; (c) a LATE benchmark doc does
+    // not grow the frozen set; (d) update re-scores, update-to-null
+    // retracts, update-INTO-benchmark retracts, hard delete removes,
+    // crash replay converges; (e) a fold configured with a different
+    // n-gram width refuses fast.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val work = Files.createTempDirectory("graft_decon_inc").toString
+    val stateDir = s"$work/state"
+    val gold = s"$work/gold"
+    val N = 5 // 5-char shingles so short fixtures can overlap
+    var live = Map.empty[Long, String] // live NON-benchmark docs
+    var benchDocs = Seq.empty[(Long, String)] // frozen at the epoch
+    def foldBatch(ord: Long, dels: Seq[Long],
+                  rows: (Long, String, Boolean)*): Unit = {
+      live ++= rows.filter(r => r._2 != null && !r._3)
+        .map(r => r._1 -> r._2)
+      live --= rows.filter(r => r._2 == null || r._3).map(_._1)
+      live --= dels
+      Dedup.decontaminateIncremental(spark,
+        rows.toSeq.toDF("doc_id", "text", "is_bench"), "doc_id", "text",
+        stateDir, gold, batchOrd = ord, benchFilter = col("is_bench"),
+        n = N,
+        deletes = if (dels.isEmpty) None else Some(dels.toDF("doc_id")),
+        fmt = fmt)
+    }
+    def checkGold(label: String): Unit = {
+      val truth = Dedup.decontaminate(live.toSeq.toDF("doc_id", "text"),
+          benchDocs.toDF("doc_id", "text"), "doc_id", "text", n = N)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      val got = fmt.read(spark, gold).select("id", "n_hits", "contaminated")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(got == truth, s"$label: gold $got vs batch truth $truth")
+    }
+    // fold 0: no benchmark rows yet — nothing to freeze or score
+    foldBatch(0L, Nil, (9L, "pre epoch corpus doc", false))
+    assert(!fmt.exists(s"$stateDir/bench") && !fmt.exists(gold),
+      "a pre-benchmark fold must not train or score")
+    live -= 9L // doc 9 was never scored; it re-enters via fold 2
+    // fold 1: the epoch — the benchmark hash set freezes, corpus
+    // docs in the same fold score against it
+    benchDocs = Seq((1L, "abcdefghij"), (2L, "hello bench world"))
+    foldBatch(1L, Nil, (1L, "abcdefghij", true),
+      (2L, "hello bench world", true),
+      (10L, "xx abcdefgh yy", false), (11L, "totally unrelated", false))
+    assert(fmt.exists(s"$stateDir/bench"))
+    checkGold("after epoch fold")
+    assert(fmt.read(spark, gold).filter(col("id").isin(1L, 2L)).count()
+      == 0, "benchmark docs must never enter gold")
+    // fold 2: doc 9 redelivers; one contaminated, one clean newcomer
+    foldBatch(2L, Nil, (9L, "pre epoch corpus doc", false),
+      (12L, "zz hello bench zz", false), (13L, "clean as can be", false))
+    checkGold("after fold 2")
+    // fold 3: a LATE benchmark doc — it must neither grow the frozen
+    // set (doc 14 sharing only ITS text stays clean) nor enter gold
+    foldBatch(3L, Nil, (3L, "uvwxyz12345", true),
+      (14L, "xx uvwxyz1 yy", false))
+    checkGold("after late-benchmark fold (frozen set)")
+    assert(fmt.read(spark, gold).filter(col("id") === 14L)
+      .head.getLong(1) == 0L,
+      "a late benchmark doc must not grow the frozen epoch set")
+    // fold 4: update re-scores; update-to-null retracts; an update
+    // INTO the benchmark slice retracts like a null
+    foldBatch(4L, Nil, (10L, "now perfectly clean", false),
+      (11L, null.asInstanceOf[String], false),
+      (12L, "zz hello bench zz", true))
+    checkGold("after update + null retraction + bench flip")
+    assert(fmt.read(spark, gold).filter(col("id").isin(11L, 12L))
+      .count() == 0)
+    // crash replay: same batch, same ord — gold converges
+    foldBatch(4L, Nil, (10L, "now perfectly clean", false))
+    checkGold("after crash replay")
+    // hard delete
+    foldBatch(5L, Seq(13L))
+    checkGold("after hard delete")
+    assert(fmt.read(spark, gold).filter(col("id") === 13L).count() == 0)
+    // n-gram width drift refuses fast, naming both values
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateIncremental(spark,
+        Seq((15L, "whatever text", false)).toDF("doc_id", "text", "is_bench"),
+        "doc_id", "text", stateDir, gold, batchOrd = 6L,
+        benchFilter = col("is_bench"), n = 7, fmt = fmt)
+    }
+    assert(err2.getMessage.contains("5") && err2.getMessage.contains("7"),
+      err2.getMessage)
+    checkGold("after refused mismatched fold (state untouched)")
+  }
+
   test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
     // Task: the incremental members' state/gold merges on the
     // BucketedTableFormat layout — key-hash bucket partition columns
