@@ -391,6 +391,111 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+object CharNgramOps {
+
+  /** Per-document Cavnar–Trenkle char-n-gram RANK PROFILE in one
+    * tight pass: char-offset scan (UTF-8 lead bytes), all 1..maxOrder
+    * grams as zero-copy byte spans, binary-order span sort,
+    * run-length distinct counts, stable top-`k` by (count desc, gram
+    * asc) — the stable sort over the gram-ascending distinct list IS
+    * the tiebreak. Returns struct(gram, rank) rows in rank order,
+    * 1-based.
+    *
+    * Exists because the declarative formulations measured wrong at
+    * scale: exploding every gram occurrence through a (doc, gram)
+    * aggregate + per-doc window shuffles ~|chars|·maxOrder corpus
+    * rows for a ≤k-row-per-doc result, and the in-row HOF chain
+    * (array_sort + run-length filter) pays per-element expression
+    * overhead ~100× this loop. Binary UTF8String order == both
+    * engines' binary string collation, so the oracle's groupBy +
+    * row_number replay ranks identically.
+    */
+  def charNgramProfile(text: UTF8String, maxOrder: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var numChars = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xc0) != 0x80) numChars += 1; i += 1 }
+    val starts = new Array[Int](numChars + 1)
+    var c = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(numChars) = len
+    var total = 0
+    var o = 1
+    while (o <= maxOrder) { if (numChars >= o) total += numChars - o + 1; o += 1 }
+    if (total == 0) return new GenericArrayData(Array.empty[Any])
+    val grams = new Array[UTF8String](total)
+    var g = 0
+    o = 1
+    while (o <= maxOrder) {
+      var s = 0
+      while (s + o <= numChars) {
+        grams(g) = UTF8String.fromBytes(bytes, starts(s),
+          starts(s + o) - starts(s))
+        g += 1
+        s += 1
+      }
+      o += 1
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    val dg = new Array[UTF8String](total)
+    val dc = new Array[Int](total)
+    var m = 0
+    i = 0
+    while (i < total) {
+      var j = i + 1
+      while (j < total && grams(j) == grams(i)) j += 1
+      dg(m) = grams(i)
+      dc(m) = j - i
+      m += 1
+      i = j
+    }
+    val idx = new Array[Integer](m)
+    i = 0
+    while (i < m) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+      if (dc(b.intValue) != dc(a.intValue)) dc(b.intValue) - dc(a.intValue)
+      else a.intValue - b.intValue)
+    val kk = math.min(k, m)
+    val out = new Array[Any](kk)
+    i = 0
+    while (i < kk) {
+      out(i) = new GenericInternalRow(
+        Array[Any](dg(idx(i).intValue), i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `char_ngram_profile(text)`: codegen'd per-document
+  * Cavnar–Trenkle top-k char-n-gram rank profile
+  * (array of struct(_g, _drank), rank order).
+  */
+case class CharNgramProfile(child: Expression, maxOrder: Int, k: Int)
+    extends UnaryExpression {
+  require(maxOrder >= 1 && k >= 1, "need maxOrder >= 1 and k >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_g", StringType, nullable = false),
+    StructField("_drank", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "char_ngram_profile"
+
+  override protected def nullSafeEval(text: Any): Any =
+    CharNgramOps.charNgramProfile(text.asInstanceOf[UTF8String], maxOrder, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.CharNgramOps.charNgramProfile($t, $maxOrder, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramProfile =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -416,4 +521,8 @@ object HashFunctions {
 
   def dupNgramCounts(text: Column, n: Int): Column =
     ColumnBridge.column(DupNgramCounts(ColumnBridge.expression(text), n))
+
+  def charNgramProfile(text: Column, maxOrder: Int, k: Int): Column =
+    ColumnBridge.column(
+      CharNgramProfile(ColumnBridge.expression(text), maxOrder, k))
 }

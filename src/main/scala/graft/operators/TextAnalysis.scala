@@ -559,10 +559,10 @@ object TextAnalysis {
     * aggregate collapses the corpus first), not corpus rows.
     */
   def langIdModel(ref: DataFrame, textCol: String, langCol: String,
-                  orders: Seq[Int] = Seq(1, 2, 3),
-                  k: Int = 300): DataFrame = {
-    require(orders.nonEmpty && k > 0, "need n-gram orders and k > 0")
-    val allGrams = concat(orders.map(n => charNgrams(col(textCol), n)): _*)
+                  maxOrder: Int = 3, k: Int = 300): DataFrame = {
+    require(maxOrder >= 1 && k > 0, "need maxOrder >= 1 and k > 0")
+    val allGrams = concat(
+      (1 to maxOrder).map(n => charNgrams(col(textCol), n)): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("_c").desc, col("_g").asc)
     ref.filter(col(langCol).isNotNull)
@@ -585,10 +585,12 @@ object TextAnalysis {
     * — an exact BIGINT sum (order-free, shuffle-safe, cross-engine
     * replayable), argmin with ties broken lang-ascending.
     *
-    * Scale shape: the doc side aggregates to (doc, DISTINCT gram,
-    * cnt) before anything else (repetition collapses in the gram
-    * count), the per-doc ranking window partitions by doc, profiles
-    * are ≤ k rows per doc, the model attaches by broadcast, the
+    * Scale shape: the doc profile builds IN-ROW inside one codegen'd
+    * kernel ([[graft.functions.CharNgramOps.charNgramProfile]]: span
+    * sort, run-length count, stable top-k), so the explode ships
+    * ≤ k rows per doc, NOTHING per-gram ever shuffles on the corpus
+    * side, and no per-doc window runs; the model attaches by
+    * broadcast, the
     * |langs|-row-per-doc grid forms via the q15 pmod constant-key
     * broadcast (never a cartesian), and per-(doc, lang) penalty sums
     * are map-side combinable. Docs with 0 grams (null/empty text)
@@ -601,27 +603,37 @@ object TextAnalysis {
     */
   def langIdScore(df: DataFrame, idCol: String, textCol: String,
                   langCol: String, model: DataFrame,
-                  orders: Seq[Int] = Seq(1, 2, 3),
-                  k: Int = 300): DataFrame = {
-    require(orders.nonEmpty && k > 0, "need n-gram orders and k > 0")
-    val langs = model.groupBy(col("lang")).agg(count(lit(1)).as("_np"))
+                  maxOrder: Int = 3, k: Int = 300): DataFrame = {
+    require(maxOrder >= 1 && k > 0, "need maxOrder >= 1 and k > 0")
+    // the (model-sized) profile frame is referenced by the lang
+    // list, the distance join, and the broadcast — materialize once
+    // instead of re-running its explode+aggregate+window per ref
+    val m = graft.Materialize.eager(model)
+    val langs = m.groupBy(col("lang")).agg(count(lit(1)).as("_np"))
       .withColumn("_k", pmod(col("_np"), lit(1)).cast("int"))
       .select(col("lang"), col("_k"))
-    val allGrams = concat(orders.map(n => charNgrams(col(textCol), n)): _*)
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_cnt").desc, col("_g").asc)
+    // The doc profile builds IN-ROW inside ONE codegen'd kernel
+    // ([[graft.functions.CharNgramOps.charNgramProfile]]) — a doc's
+    // top-k gram ranking depends on nothing outside the doc, so
+    // shipping every gram occurrence through a (doc, gram) hash
+    // aggregate plus a per-doc ranking window (the first
+    // formulation) shuffled ~|corpus chars|·maxOrder corpus rows for
+    // a ≤k-row-per-doc result (11 s at sf0.1, unbounded growth at
+    // 100 TB), and the declarative in-row HOF chain paid ~100× the
+    // loop in per-element expression overhead. The explode ships
+    // only ≤ k rows per doc and no window ever runs.
     val docProf = df
-      .select(col(idCol), explode(allGrams).as("_g"))
-      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_drank", row_number().over(wDoc))
-      .filter(col("_drank") <= k)
-      .withColumn("_k", pmod(col("_cnt"), lit(1)).cast("int"))
+      .select(col(idCol), explode(graft.functions.HashFunctions
+        .charNgramProfile(col(textCol), maxOrder, k)).as("_p"))
+      .select(col(idCol), col("_p._g").as("_g"),
+        col("_p._drank").as("_drank"))
+      .withColumn("_k", pmod(col("_drank"), lit(1)).cast("int"))
     val dist = docProf.join(broadcast(langs), Seq("_k"))
-      .join(broadcast(model), Seq("lang", "_g"), "left")
+      .join(broadcast(m), Seq("lang", "_g"), "left")
       .groupBy(col(idCol), col("lang"))
       .agg(sum(coalesce(abs(col("_drank") - col("_lrank")).cast("long"),
         lit(k.toLong))).as("_dist"))
-    val nGrams = orders.map(n => charNgramCount(col(textCol), n))
+    val nGrams = (1 to maxOrder).map(n => charNgramCount(col(textCol), n))
       .reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
@@ -650,11 +662,10 @@ object TextAnalysis {
     */
   def languageIdNgram(df: DataFrame, idCol: String, textCol: String,
                       langCol: String, refFilter: Column,
-                      orders: Seq[Int] = Seq(1, 2, 3),
-                      k: Int = 300): DataFrame =
+                      maxOrder: Int = 3, k: Int = 300): DataFrame =
     langIdScore(df, idCol, textCol, langCol,
-      langIdModel(df.filter(refFilter), textCol, langCol, orders, k),
-      orders, k)
+      langIdModel(df.filter(refFilter), textCol, langCol, maxOrder, k),
+      maxOrder, k)
 
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. NeurIPS 2023, public): score each
