@@ -667,6 +667,89 @@ object TextAnalysis {
       langIdModel(df.filter(refFilter), textCol, langCol, maxOrder, k),
       maxOrder, k)
 
+  /** Incremental [[languageIdNgram]] — the 16th member of the
+    * incremental family, a FROZEN-EPOCH member (the
+    * lmFamiliarityIncremental contract): the per-language rank
+    * profiles freeze from the FIRST fold carrying labeled reference
+    * rows (`refFilter` over the full silver row, labels from
+    * `langLabel`; exists-guarded, ONE state table — a crash
+    * mid-merge resolves by the format's atomicity and replay
+    * converges by merge idempotence). Every fold then classifies its
+    * own batch against the frozen profiles: O(batch · model) work,
+    * the production shape — train the language profiles once on a
+    * trusted slice, classify every new crawl. Labeled rows arriving
+    * in LATER folds score like any doc but do NOT retrain — the
+    * documented epoch semantics (retraining is a new state dir),
+    * spec-pinned.
+    *
+    * Gold rows: (id, declared_lang, n_grams, lang_guess, lang_dist,
+    * _ord) — bit-identical to the batch operator against the same
+    * frozen profiles (shared [[langIdScore]] kernel). `maxOrder` and
+    * `k` stamp into the state and a mismatched later fold refuses
+    * fast (the dsir bucket-guard philosophy: either would silently
+    * rank a different profile space).
+    */
+  def langIdIncremental(spark: SparkSession, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        stateDir: String, goldPath: String,
+                        batchOrd: Long, refFilter: Column,
+                        langLabel: Column,
+                        maxOrder: Int = 3, k: Int = 300,
+                        deletes: Option[DataFrame] = None,
+                        fullResync: Boolean = false,
+                        appendOnly: Boolean = false,
+                        fmt: graft.pipeline.TableFormat =
+                          graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    val modelPath = s"$stateDir/model"
+    val batchAll = graft.Materialize.eager(Dedup.oneRowPerId(
+      batch.select(col(idCol).as("id"), col(textCol).as("text"),
+        langLabel.as("_label"), refFilter.as("_ref")),
+      "id", Seq("text", "_label", "_ref")))
+    if (!fmt.exists(modelPath)) {
+      val refDocs = batchAll.filter((col("_ref") <=> true) &&
+        col("text").isNotNull && col("_label").isNotNull)
+      if (refDocs.isEmpty) return
+      fmt.scd1Merge(spark, modelPath,
+        langIdModel(refDocs, "text", "_label", maxOrder, k)
+          .withColumn("max_order", lit(maxOrder))
+          .withColumn("top_k", lit(k))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("lang", "_g"), "_ord", compareExclude = Nil)
+    }
+    val persisted = fmt.read(spark, modelPath)
+    val stamped = persisted
+      .agg(max(col("max_order")).as("_o"), max(col("top_k")).as("_k"))
+      .head
+    require(stamped.getInt(0) == maxOrder && stamped.getInt(1) == k,
+      s"state at $modelPath was frozen with maxOrder=${stamped.getInt(0)}" +
+        s", k=${stamped.getInt(1)}; this fold is configured with " +
+        s"maxOrder=$maxOrder, k=$k — the profile spaces differ. Use the " +
+        "stored values or retrain in a new state dir.")
+    val scores = langIdScore(
+        batchAll.filter(col("text").isNotNull)
+          .select(col("id"), col("text"), col("_label")),
+        "id", "text", "_label",
+        persisted.select(col("lang"), col("_g"), col("_lrank")),
+        maxOrder, k)
+      .withColumn("_ord", lit(batchOrd))
+    if (!scores.isEmpty)
+      fmt.scd1Merge(spark, goldPath, scores, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (!appendOnly) {
+      val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
+        fullResync, goldPath, batchAll.select(col("id")), fmt)
+      val drops = graft.Materialize.eager(
+        delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+          _.unionByName(batchAll.filter(col("text").isNull)
+            .select(col("id")))).distinct())
+      if (fmt.exists(goldPath) && !drops.isEmpty)
+        fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    }
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. NeurIPS 2023, public): score each
     * document by how TARGET-like its hashed n-gram profile is —

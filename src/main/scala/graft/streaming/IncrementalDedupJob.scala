@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.ConfigHandler.IncrementalDedupConfig
 
-/** Config-driven driver for the fifteen-member incremental dedup family
+/** Config-driven driver for the sixteen-member incremental dedup family
   * — the reference's whole operating model is JSON-config → pipeline
   * (ingest-framework builder/engine.py), and until r16 the
   * incremental members were library-only: spec-verified, but a
@@ -48,7 +48,8 @@ object IncrementalDedupJob {
     "lmfamiliarity" -> Set("refWhere"),
     "ccnet" -> Set("refWhere"),
     "dsir" -> Set("targetWhere", "buckets"),
-    "decontaminate" -> Set("benchWhere", "n"))
+    "decontaminate" -> Set("benchWhere", "n"),
+    "langid" -> Set("refWhere", "langExpr", "maxOrder", "k"))
 
   /** Walk every unprocessed silver version through the configured
     * member. Returns the versions folded this call (empty = caught
@@ -83,6 +84,11 @@ object IncrementalDedupJob {
       "the decontaminate member requires 'benchWhere' (a SQL predicate " +
         "over the silver row naming the benchmark slice, e.g. " +
         "\"source = 'src0'\")")
+    require(cfg.member != "langid" || cfg.params.contains("refWhere"),
+      "the langid member requires 'refWhere' (a SQL predicate over the " +
+        "silver row naming the labeled reference slice, e.g. " +
+        "\"source = 'src0'\"); 'langExpr' names the label column or " +
+        "expression (default \"lang\")")
 
     val p = cfg.params
     def int(k: String, d: Int): Int = p.get(k).map(_.toInt).getOrElse(d)
@@ -124,6 +130,16 @@ object IncrementalDedupJob {
             cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
             org.apache.spark.sql.functions.expr(p("benchWhere")),
             n = int("n", 13),
+            deletes = dels, fullResync = resync,
+            appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
+        case "langid" =>
+          // refWhere + langExpr over the full silver row
+          TextAnalysis.langIdIncremental(spark, chg,
+            cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+            org.apache.spark.sql.functions.expr(p("refWhere")),
+            org.apache.spark.sql.functions.expr(
+              p.getOrElse("langExpr", "lang")),
+            maxOrder = int("maxOrder", 3), k = int("k", 300),
             deletes = dels, fullResync = resync,
             appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
         case "exact" => Dedup.exactDedupIncremental(spark, batch,

@@ -271,6 +271,30 @@ class ConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, dcCfg.copy(params = Map.empty))
     }
+    // the langid member (the 16th) dispatches through the runner:
+    // refWhere + langExpr evaluate over the full silver row (the
+    // silver has no label column, so the label is an expression —
+    // exactly the production "labels ride a projection" case);
+    // profiles freeze from the matching fold, every live non-null
+    // doc classifies, deleted docs leave gold (fold-by-fold
+    // exactness is pinned in StreamingSpec)
+    val liWork = Files.createTempDirectory("graft_cfg_li").toString
+    val liCfg = cfg.copy(member = "langid",
+      checkpoint = s"$liWork/ck", stateDir = s"$liWork/state",
+      goldPath = s"$liWork/gold",
+      params = Map("refWhere" -> "doc_id <= 2",
+        "langExpr" -> "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END",
+        "k" -> "100"))
+    assert(IncrementalDedupJob.run(spark, liCfg).nonEmpty)
+    val liGold = liCfg.stateFormat.read(spark, liCfg.goldPath)
+    assert(liGold.filter(col("id") === 2L).count() == 0,
+      "hard-deleted doc must leave langid gold")
+    assert(liGold.filter(col("lang_guess").isin("even", "odd")).count() ==
+      sfmt.read(spark, silver).filter(col("text").isNotNull).count(),
+      "every live doc must carry a language verdict")
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, liCfg.copy(params = Map.empty))
+    }
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

@@ -2166,6 +2166,110 @@ class StreamingSpec extends SparkSpec {
     checkGold("after refused mismatched fold (state untouched)")
   }
 
+  test("incremental langid: frozen rank profiles, gold equals frozen-score truth, retracts, replays, deletes, param guard") {
+    // the 16th incremental member (r19): Cavnar–Trenkle language ID
+    // with the frozen-epoch contract — per-language rank profiles
+    // freeze from the first labeled-reference fold. Pins: (a) a
+    // pre-reference fold trains nothing; (b) gold equals langIdScore
+    // against the frozen profiles after every fold (shared-kernel
+    // contract); (c) a LATE labeled doc scores but does not retrain;
+    // (d) update re-scores, update-to-null retracts, hard delete
+    // removes, crash replay converges; (e) a fold configured with a
+    // different maxOrder or k refuses fast.
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val work = Files.createTempDirectory("graft_langid_inc").toString
+    val stateDir = s"$work/state"
+    val gold = s"$work/gold"
+    val K = 50
+    var live = Map.empty[Long, (String, String)] // id -> (text, label)
+    def foldBatch(ord: Long, dels: Seq[Long],
+                  rows: (Long, String, String, Boolean)*): Unit = {
+      live ++= rows.filter(_._2 != null).map(r => r._1 -> (r._2, r._3))
+      live --= rows.filter(_._2 == null).map(_._1)
+      live --= dels
+      TextAnalysis.langIdIncremental(spark,
+        rows.toSeq.toDF("doc_id", "text", "lang", "is_ref"),
+        "doc_id", "text", stateDir, gold, batchOrd = ord,
+        refFilter = col("is_ref"), langLabel = col("lang"), k = K,
+        deletes = if (dels.isEmpty) None else Some(dels.toDF("doc_id")),
+        fmt = fmt)
+    }
+    // fold 0: no labeled reference rows — nothing to train or score
+    foldBatch(0L, Nil, (9L, "ein vortrag ueber sprachen", "de", false))
+    assert(!fmt.exists(s"$stateDir/model") && !fmt.exists(gold),
+      "a pre-reference fold must not train or score")
+    live -= 9L // never scored; re-enters via fold 2
+    // fold 1: the epoch — labeled reference docs freeze the profiles
+    val epoch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", true),
+      (2L, "reading and writing are learned through practice", "en", true),
+      (3L, "der schnelle braune fuchs springt und laeuft weg", "de", true),
+      (4L, "wissen und weisheit kommen durch lesen und uebung", "de", true),
+      (10L, "every reader should finish this book", "en", false))
+    val frozen = TextAnalysis.langIdModel(
+      epoch.filter(_._4).map(r => (r._1, r._2, r._3))
+        .toDF("doc_id", "text", "lang"), "text", "lang", k = K)
+    def checkGold(label: String): Unit = {
+      val truth = TextAnalysis.langIdScore(
+          live.toSeq.map(kv => (kv._1, kv._2._1, kv._2._2))
+            .toDF("doc_id", "text", "lang"),
+          "doc_id", "text", "lang", frozen, k = K)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      val got = fmt.read(spark, gold)
+        .select("id", "declared_lang", "n_grams", "lang_guess", "lang_dist")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got == truth, s"$label: gold $got vs frozen truth $truth")
+    }
+    foldBatch(1L, Nil, epoch: _*)
+    assert(fmt.exists(s"$stateDir/model"))
+    checkGold("after epoch fold")
+    assert(fmt.read(spark, gold).filter(col("id") === 10L)
+      .head.getString(3) == "en", "held-out english doc classifies en")
+    // fold 2: doc 9 redelivers and classifies against the frozen model
+    foldBatch(2L, Nil, (9L, "ein vortrag ueber sprachen und worte", "de", false),
+      (11L, "durch uebung und lesen lernt der fuchs", "de", false))
+    checkGold("after fold 2")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L)
+      .head.getString(3) == "de", "held-out german doc classifies de")
+    // fold 3: a LATE labeled doc — scored, but the profiles must not
+    // move: doc 11's stored row must not change
+    val before11 = fmt.read(spark, gold).filter(col("id") === 11L)
+      .select("lang_guess", "lang_dist").head.toSeq
+    foldBatch(3L, Nil, (5L, "mit mehr deutschen woertern und saetzen", "de", true))
+    checkGold("after late-reference fold (frozen profiles)")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L)
+      .select("lang_guess", "lang_dist").head.toSeq == before11,
+      "a late labeled doc must not retrain the frozen profiles")
+    // fold 4: update re-scores; update-to-null retracts
+    foldBatch(4L, Nil, (10L, "the reader finished another book", "en", false),
+      (11L, null.asInstanceOf[String], null.asInstanceOf[String], false))
+    checkGold("after update + null retraction")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L).count() == 0)
+    // crash replay: same batch, same ord — gold converges
+    foldBatch(4L, Nil, (10L, "the reader finished another book", "en", false))
+    checkGold("after crash replay")
+    // hard delete
+    foldBatch(5L, Seq(9L))
+    checkGold("after hard delete")
+    assert(fmt.read(spark, gold).filter(col("id") === 9L).count() == 0)
+    // maxOrder/k drift refuses fast, naming the stored values
+    val errL = intercept[IllegalArgumentException] {
+      TextAnalysis.langIdIncremental(spark,
+        Seq((12L, "whatever", "en", false))
+          .toDF("doc_id", "text", "lang", "is_ref"),
+        "doc_id", "text", stateDir, gold, batchOrd = 6L,
+        refFilter = col("is_ref"), langLabel = col("lang"), k = 40,
+        fmt = fmt)
+    }
+    assert(errL.getMessage.contains("50") && errL.getMessage.contains("40"),
+      errL.getMessage)
+    checkGold("after refused mismatched fold (state untouched)")
+  }
+
   test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
     // Task: the incremental members' state/gold merges on the
     // BucketedTableFormat layout — key-hash bucket partition columns
