@@ -751,4 +751,75 @@ object DataQuality {
         d * d / col("expected")
       })
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic — the dq family's
+    * distribution-drift test for NUMERIC columns (chi-square covers
+    * categorical): D = sup over observed values of |F_a(x) − F_b(x)|
+    * between the empirical CDFs of groups `a` and `b`. "Did this
+    * source's price distribution shift", "do the two shards draw the
+    * same score distribution" — the standard nonparametric answer.
+    * Output ONE row: (n_a, n_b, ks_d, ks_at) where `ks_at` is the
+    * smallest value attaining the supremum (deterministic tiebreak);
+    * an empty selection yields an empty frame.
+    *
+    * Exactness: per-value counts are exact BIGINTs; each CDF point
+    * is ONE IEEE division, the statistic one subtraction + abs —
+    * a fixed tree, cross-engine exact (the lm-familiarity
+    * discipline); the argmax is an orderBy(ks_d desc, v asc) limit 1
+    * (TakeOrderedAndProject, never a global sort).
+    *
+    * Scale shape — the distributed EXACT prefix sum: the naive
+    * formulation windows the whole distinct-value frame on ONE
+    * partition. Instead the value space splits into `buckets`
+    * fixed-width range buckets (bounds from one min/max pass, the
+    * same two-pass discipline as dq histograms): per-bucket totals
+    * fold map-side to ≤`buckets` rows whose running offsets cost one
+    * BOUNDED window (≤`buckets` rows — the events-family bounded-
+    * frame class, never corpus-sized), broadcast back, and the
+    * within-bucket cumsum windows partition BY bucket — every
+    * corpus-sized exchange is hash-partitioned, nothing funnels to
+    * one task. (The DuckDB oracle replays the plain single window —
+    * same values, different physical plan.)
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             a: String, b: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val base = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"),
+        col(groupCol).as("_g"))
+    val c = base.groupBy(col("_v"))
+      .agg(sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
+    val mm = c.agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+        sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+      .withColumn("_k", pmod(col("_na") + col("_nb"), lit(1)).cast("int"))
+    val withB = c
+      .withColumn("_k", pmod(col("_ca") + col("_cb"), lit(1)).cast("int"))
+      .join(broadcast(mm), Seq("_k"))
+      .withColumn("_bkt", when(col("_hi") === col("_lo"), lit(0))
+        .otherwise(least(
+          floor((col("_v") - col("_lo")) /
+            ((col("_hi") - col("_lo")) / lit(buckets.toDouble))),
+          lit((buckets - 1).toDouble)).cast("int")))
+    val wB = Window.orderBy(col("_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = withB.groupBy(col("_bkt"))
+      .agg(sum(col("_ca")).as("_ta"), sum(col("_cb")).as("_tb"))
+      .withColumn("_oa", sum(col("_ta")).over(wB) - col("_ta"))
+      .withColumn("_ob", sum(col("_tb")).over(wB) - col("_tb"))
+      .select(col("_bkt"), col("_oa"), col("_ob"))
+    val wV = Window.partitionBy(col("_bkt")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offs), Seq("_bkt"))
+      .withColumn("_cca", sum(col("_ca")).over(wV) + col("_oa"))
+      .withColumn("_ccb", sum(col("_cb")).over(wV) + col("_ob"))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"),
+        abs(col("_cca").cast("double") / col("_na").cast("double") -
+          col("_ccb").cast("double") / col("_nb").cast("double"))
+          .as("ks_d"),
+        col("_v").as("ks_at"))
+      .orderBy(col("ks_d").desc, col("ks_at").asc)
+      .limit(1)
+  }
 }

@@ -268,6 +268,14 @@ object PipelineQueries {
     DataQuality.chiSquareCells(t(spark, dir, "documents"),
       "source", "lang")
 
+  /** #18k Two-sample Kolmogorov–Smirnov: do urgent and low-priority
+    * orders draw the same total-price distribution? The dq family's
+    * numeric drift test (chi-square covers categorical).
+    */
+  def dqKs(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.ksTest(t(spark, dir, "orders"), "o_totalprice",
+      "o_orderpriority", "1-URGENT", "5-LOW")
+
   /** #20 Audit merge-shape record: single-join plan, no actions. */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     val target = t(spark, dir, "customer")
@@ -313,6 +321,7 @@ object PipelineQueries {
     "dq_funcdep" -> (dqFuncdep _),
     "dq_benford" -> (dqBenford _),
     "dq_chisq" -> (dqChisq _),
+    "dq_ks" -> (dqKs _),
     "audit_log" -> (auditLog _),
     "ingest_metadata" -> (ingestMetadata _))
 
@@ -358,6 +367,40 @@ object PipelineQueries {
         |    * (CAST(observed AS DOUBLE) - expected) / expected
         |    AS contribution
         |FROM grid""".stripMargin,
+    // KS: per-value exact counts, running CDFs over ONE window (the
+    // Spark side replays the same values through its bucketed
+    // distributed prefix sum), one IEEE division per CDF point,
+    // argmax by (ks_d DESC, value ASC) LIMIT 1
+    "dq_ks" ->
+      """WITH base AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderpriority AS g
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_totalprice IS NOT NULL),
+        |c AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM base GROUP BY v),
+        |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |e AS (
+        |  SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cca,
+        |    CAST(SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS ccb
+        |  FROM c)
+        |SELECT n.na AS n_a, n.nb AS n_b,
+        |  abs(CAST(cca AS DOUBLE) / CAST(n.na AS DOUBLE)
+        |    - CAST(ccb AS DOUBLE) / CAST(n.nb AS DOUBLE)) AS ks_d,
+        |  v AS ks_at
+        |FROM e CROSS JOIN n
+        |ORDER BY ks_d DESC, ks_at ASC LIMIT 1""".stripMargin,
     "dq_benford" -> {
       val pows = Seq(256, 128, 64, 32, 16, 8, 4, 2, 1)
       val upCtes = pows.zipWithIndex.map { case (p, i) =>

@@ -208,6 +208,35 @@ class CoreQueriesSpec extends SparkSpec {
     assert(sub.forall(out.contains))
   }
 
+  test("ks statistic: planted distributions give the hand-computed supremum") {
+    import SparkSpec.spark.implicits._
+    import graft.dq.DataQuality
+    // a = {1,2,3,4}, b = {3,4,5,6}: D = 0.5, attained at v ∈ {2,3,4}
+    // — the tiebreak must pick the SMALLEST attaining value (2)
+    val rows = (Seq(1, 2, 3, 4).map(v => (v.toDouble, "a")) ++
+      Seq(3, 4, 5, 6).map(v => (v.toDouble, "b"))).toDF("v", "g")
+    val r = DataQuality.ksTest(rows, "v", "g", "a", "b").head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 2.0, r.toString)
+    // the bucketed distributed prefix sum equals the degenerate
+    // single-bucket path bit for bit
+    val r1 = DataQuality.ksTest(rows, "v", "g", "a", "b", buckets = 1).head
+    assert(r1.toSeq == r.toSeq)
+    // identical samples: D = 0 at the smallest observed value
+    val same = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))
+      .toDF("v", "g")
+    val r0 = DataQuality.ksTest(same, "v", "g", "a", "b").head
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 1.0)
+    // disjoint samples: D = 1 at a's maximum
+    val dis = Seq((1.0, "a"), (2.0, "a"), (5.0, "b"), (6.0, "b"))
+      .toDF("v", "g")
+    val rd = DataQuality.ksTest(dis, "v", "g", "a", "b").head
+    assert(rd.getDouble(2) == 1.0 && rd.getDouble(3) == 2.0)
+    // an empty selection yields an empty frame, not a NULL row
+    assert(DataQuality.ksTest(same.filter(col("v") < 0), "v", "g",
+      "a", "b").isEmpty)
+  }
+
   test("near-dup cluster savings price keep-canonical-only exactly") {
     import SparkSpec.spark.implicits._
     import graft.operators.Dedup
