@@ -316,9 +316,28 @@ object TextQueries {
     TextAnalysis.languageIdNgram(docs(spark, dir), "doc_id", "text",
       "lang", col("source") === "src0")
 
+  /** Confusion matrix of the char-ngram classifier against the
+    * declared labels — the audit every production classifier ships
+    * with: per (declared, guess) cell, exact doc counts and the
+    * per-declared share. |langs|²-sized everywhere past the scored
+    * frame.
+    */
+  def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val per = textLangidNgram(spark, dir)
+      .groupBy(col("declared_lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.groupBy(col("declared_lang"))
+      .agg(sum(col("n_docs")).as("_t"))
+    per.join(tot, Seq("declared_lang"))
+      .select(col("declared_lang"), col("lang_guess"), col("n_docs"),
+        (col("n_docs").cast("double") / col("_t").cast("double"))
+          .as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_langid_ngram" -> (textLangidNgram _),
+    "text_langid_confusion" -> (textLangidConfusion _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
@@ -563,13 +582,13 @@ object TextQueries {
       |    END AS dsir_weight
       |  FROM dper CROSS JOIN dtot)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    // langid v2 (Cavnar-Trenkle): per-lang top-300 char 1/2/3-gram
-    // rank profiles over the src0 slice, per-doc profiles ranked
-    // identically, out-of-place distance = Σ |drank − lrank| with
-    // k=300 for missing grams — all BIGINT, argmin by (dist ASC
-    // NULLS LAST, lang ASC), both engines' explicit ordering
-    "text_langid_ngram" -> {
+  // langid v2 (Cavnar-Trenkle): per-lang top-300 char 1/2/3-gram
+  // rank profiles over the src0 slice, per-doc profiles ranked
+  // identically, out-of-place distance = Σ |drank − lrank| with
+  // k=300 for missing grams — all BIGINT, argmin by (dist ASC
+  // NULLS LAST, lang ASC), both engines' explicit ordering.
+  // Shared between the per-doc entry and the confusion rollup.
+  private val langidNgramSql: String = {
       // list_concat, not the || operator: this fragment is
       // interpolated into a template whose own stripMargin would eat
       // the first pipe of a line-leading `||`
@@ -627,7 +646,27 @@ object TextQueries {
          |  CASE WHEN n_grams = 0 THEN 'und' ELSE lang END AS lang_guess,
          |  d AS lang_dist
          |FROM r WHERE rn = 1""".stripMargin
-    },
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_langid_ngram" -> langidNgramSql,
+    // the classifier-audit rollup over the same scored frame: one
+    // exact count per (declared, guess) cell + one IEEE division to
+    // the per-declared share
+    "text_langid_confusion" ->
+      s"""WITH q AS (
+         |$langidNgramSql
+         |),
+         |per AS (
+         |  SELECT declared_lang, lang_guess,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM q GROUP BY declared_lang, lang_guess),
+         |tot AS (
+         |  SELECT declared_lang, CAST(SUM(n_docs) AS BIGINT) AS t
+         |  FROM per GROUP BY declared_lang)
+         |SELECT per.declared_lang, per.lang_guess, per.n_docs,
+         |  CAST(per.n_docs AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+         |FROM per JOIN tot USING (declared_lang)""".stripMargin,
     // same single-space tokenization as the n-gram kernel (empty
     // tokens count); lift = two double multiplies and one divide in
     // the SAME order as the Spark side

@@ -54,10 +54,10 @@ object FleetProbe {
       Seq("doc_id"), "_ord", compareExclude = Nil)
     println(f"[fleet-probe] silver v0 merge: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    // the fleet: seven members, one on bucketed:64 state (the pruned
+    // the fleet: nine members, one on bucketed:64 state (the pruned
     // delta-log layout whose spec guard must see sf10 merges) and
-    // two frozen-epoch scorers (dsir + ccnet — epochs train from
-    // wave 1)
+    // four frozen-epoch members (dsir + ccnet + decontaminate +
+    // langid — epochs train from wave 1)
     def cfgJson(member: String, extra: String = ""): String =
       s"""{"member": "$member", "silverPath": "$silver",
          |"checkpoint": "$workDir/$member/ck",
@@ -75,7 +75,13 @@ object FleetProbe {
       cfgJson("dsir",
         """, "params": {"targetWhere": "doc_id % 10 = 0"}"""),
       cfgJson("ccnet",
-        """, "params": {"refWhere": "doc_id % 10 = 0"}"""))
+        """, "params": {"refWhere": "doc_id % 10 = 0"}"""),
+      cfgJson("decontaminate",
+        """, "params": {"benchWhere": "doc_id % 10 = 0"}"""),
+      cfgJson("langid",
+        """, "params": {"refWhere": "doc_id % 10 = 0", "langExpr": """ +
+          """"CASE WHEN doc_id % 3 = 0 THEN 'a' WHEN doc_id % 3 = 1 """ +
+          """THEN 'b' ELSE 'c' END"}"""))
     val control = rows.map((_, true)).toDF("config_json", "enabled")
 
     // wave 1: catch-up fold, the real fleet API end to end
