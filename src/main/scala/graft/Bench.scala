@@ -162,7 +162,14 @@ object Bench {
         System.gc()
         Thread.sleep(100)
         val used = rt.totalMemory() - rt.freeMemory()
-        if (prev - used < (64L << 20)) stable += 1 else stable = 0
+        // only a small NON-NEGATIVE delta counts as stable: heap
+        // GROWTH between collections (ContextCleaner work allocating
+        // during the drain) means reclaimable garbage may still be
+        // pending, so a negative delta must reset the streak, not
+        // satisfy "< 64 MB" and end the settle early
+        val reclaimed = prev - used
+        if (reclaimed >= 0 && reclaimed < (64L << 20)) stable += 1
+        else stable = 0
         prev = used
         rounds += 1
       }

@@ -2665,14 +2665,31 @@ object Dedup {
       val benchDocs = batchAll
         .filter((col("_bench") <=> true) && col("text").isNotNull)
       if (benchDocs.isEmpty) return
+      // the DERIVED set can be empty even when benchDocs is not
+      // (every bench text shorter than n chars yields zero
+      // shingles); merging the empty frame would still create the
+      // state table, whose NULL max(n_shingle) stamp then NPEs this
+      // and every later fold — an opaque, unrecoverable crash where
+      // the contract is "wait for a usable benchmark slice"
+      val derived = graft.Materialize.eager(
+        benchHashSet(benchDocs, "id", "text", n))
+      if (derived.isEmpty) return
       fmt.scd1Merge(spark, benchPath,
-        benchHashSet(benchDocs, "id", "text", n)
+        derived
           .withColumn("n_shingle", lit(n))
           .withColumn("_ord", lit(batchOrd)),
         Seq("h"), "_ord", compareExclude = Nil)
     }
     val persisted = fmt.read(spark, benchPath)
-    val storedN = persisted.select(max(col("n_shingle"))).head.getInt(0)
+    // null-safe stamp read: a state table that exists but is EMPTY
+    // (pre-r20 versions could create one from a zero-shingle epoch)
+    // must refuse with a recoverable message, not NPE on getInt
+    val stampRow = persisted.select(max(col("n_shingle"))).head
+    require(!stampRow.isNullAt(0),
+      s"state at $benchPath exists but holds no benchmark shingles " +
+        "(an empty epoch merge, pre-r20) — delete the state dir and " +
+        "retrain on a fold with a usable benchmark slice")
+    val storedN = stampRow.getInt(0)
     require(storedN == n,
       s"state at $benchPath was frozen with n=$storedN; this fold is " +
         s"configured with n=$n — the shingle spaces differ. Use the " +

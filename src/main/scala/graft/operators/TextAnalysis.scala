@@ -712,8 +712,16 @@ object TextAnalysis {
       val refDocs = batchAll.filter((col("_ref") <=> true) &&
         col("text").isNotNull && col("_label").isNotNull)
       if (refDocs.isEmpty) return
+      // the DERIVED model can be empty even when refDocs is not
+      // (every labeled reference text is the empty string — zero
+      // n-grams); merging it would create an empty model table whose
+      // NULL max(max_order) stamp then NPEs every later fold. Wait
+      // for a trainable slice instead (the decontaminate guard).
+      val model = graft.Materialize.eager(
+        langIdModel(refDocs, "text", "_label", maxOrder, k))
+      if (model.isEmpty) return
       fmt.scd1Merge(spark, modelPath,
-        langIdModel(refDocs, "text", "_label", maxOrder, k)
+        model
           .withColumn("max_order", lit(maxOrder))
           .withColumn("top_k", lit(k))
           .withColumn("_ord", lit(batchOrd)),
@@ -723,6 +731,13 @@ object TextAnalysis {
     val stamped = persisted
       .agg(max(col("max_order")).as("_o"), max(col("top_k")).as("_k"))
       .head
+    // null-safe stamp read: an existing-but-EMPTY model table
+    // (pre-r20 versions could create one from a zero-gram epoch)
+    // must refuse with a recoverable message, not NPE on getInt
+    require(!stamped.isNullAt(0) && !stamped.isNullAt(1),
+      s"state at $modelPath exists but holds no rank profiles (an " +
+        "empty epoch merge, pre-r20) — delete the state dir and " +
+        "retrain on a fold with a usable labeled reference slice")
     require(stamped.getInt(0) == maxOrder && stamped.getInt(1) == k,
       s"state at $modelPath was frozen with maxOrder=${stamped.getInt(0)}" +
         s", k=${stamped.getInt(1)}; this fold is configured with " +

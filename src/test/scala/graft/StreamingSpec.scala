@@ -2270,6 +2270,73 @@ class StreamingSpec extends SparkSpec {
     checkGold("after refused mismatched fold (state untouched)")
   }
 
+  test("frozen-epoch members with an empty DERIVED state skip the epoch instead of poisoning it") {
+    // r19 advisory: a fold whose slice rows are non-empty but whose
+    // DERIVED state is empty (bench texts all shorter than the
+    // shingle width; reference texts all empty strings) used to
+    // create an empty state table whose NULL param stamp NPE'd every
+    // later fold. The contract is the benchDocs.isEmpty one: the
+    // epoch has not arrived yet — train on the first fold that
+    // actually yields state.
+    import SparkSpec.spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val fmt = graft.pipeline.SnapshotTableFormat
+    // decontaminate: the shingle kernel emits >=1 hash per non-null
+    // text (count = max(len-n+1, 1)), so a zero-shingle epoch cannot
+    // be constructed through the public API — the skip guard there
+    // is defensive. What CAN exist is a state table already poisoned
+    // by a pre-guard version: simulate it and pin the recoverable
+    // refusal (was: NPE on the null stamp).
+    val workD = Files.createTempDirectory("graft_decon_empty").toString
+    fmt.scd1Merge(spark, s"$workD/state/bench",
+      Seq.empty[(Long, Int, Long)].toDF("h", "n_shingle", "_ord"),
+      Seq("h"), "_ord", compareExclude = Nil)
+    val errD = intercept[IllegalArgumentException] {
+      Dedup.decontaminateIncremental(spark,
+        Seq((2L, "real corpus doc here", false))
+          .toDF("doc_id", "text", "is_bench"),
+        "doc_id", "text", s"$workD/state", s"$workD/gold", batchOrd = 1L,
+        benchFilter = col("is_bench"), n = 5, fmt = fmt)
+    }
+    assert(errD.getMessage.contains("no benchmark shingles"),
+      errD.getMessage)
+    // langid: all-empty reference texts yield no n-grams
+    val workL = Files.createTempDirectory("graft_langid_empty").toString
+    TextAnalysis.langIdIncremental(spark,
+      Seq((1L, "", "en", true), (2L, "ein echter satz", "de", false))
+        .toDF("doc_id", "text", "lang", "is_ref"),
+      "doc_id", "text", s"$workL/state", s"$workL/gold", batchOrd = 0L,
+      refFilter = col("is_ref"), langLabel = col("lang"), k = 50, fmt = fmt)
+    assert(!fmt.exists(s"$workL/state/model") && !fmt.exists(s"$workL/gold"),
+      "a zero-gram reference fold must not create state")
+    TextAnalysis.langIdIncremental(spark,
+      Seq((3L, "the quick brown fox jumps", "en", true),
+        (4L, "der schnelle braune fuchs springt", "de", true),
+        (5L, "another quick brown fox jumps", "en", false))
+        .toDF("doc_id", "text", "lang", "is_ref"),
+      "doc_id", "text", s"$workL/state", s"$workL/gold", batchOrd = 1L,
+      refFilter = col("is_ref"), langLabel = col("lang"), k = 50, fmt = fmt)
+    assert(fmt.read(spark, s"$workL/gold").filter(col("id") === 5L)
+      .head.getAs[String]("lang_guess") == "en",
+      "the first usable reference fold trains and scores")
+    // ...and a legacy-poisoned EMPTY model table refuses with the
+    // recoverable message instead of NPE-ing on the null stamp
+    val workL2 = Files.createTempDirectory("graft_langid_poison").toString
+    fmt.scd1Merge(spark, s"$workL2/state/model",
+      Seq.empty[(String, String, Int, Int, Int, Long)]
+        .toDF("lang", "_g", "_lrank", "max_order", "top_k", "_ord"),
+      Seq("lang", "_g"), "_ord", compareExclude = Nil)
+    val errL = intercept[IllegalArgumentException] {
+      TextAnalysis.langIdIncremental(spark,
+        Seq((6L, "some text", "en", false))
+          .toDF("doc_id", "text", "lang", "is_ref"),
+        "doc_id", "text", s"$workL2/state", s"$workL2/gold", batchOrd = 1L,
+        refFilter = col("is_ref"), langLabel = col("lang"), k = 50,
+        fmt = fmt)
+    }
+    assert(errL.getMessage.contains("no rank profiles"), errL.getMessage)
+  }
+
   test("incremental minhash on bucketed delta-log state: folds prune to touched buckets, gold equals batch, crashes replay") {
     // Task: the incremental members' state/gold merges on the
     // BucketedTableFormat layout — key-hash bucket partition columns
