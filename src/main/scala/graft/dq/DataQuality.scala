@@ -771,15 +771,29 @@ object DataQuality {
     * Scale shape — the distributed EXACT prefix sum: the naive
     * formulation windows the whole distinct-value frame on ONE
     * partition. Instead the value space splits into `buckets`
-    * fixed-width range buckets (bounds from one min/max pass, the
-    * same two-pass discipline as dq histograms): per-bucket totals
-    * fold map-side to ≤`buckets` rows whose running offsets cost one
-    * BOUNDED window (≤`buckets` rows — the events-family bounded-
-    * frame class, never corpus-sized), broadcast back, and the
-    * within-bucket cumsum windows partition BY bucket — every
+    * EQUI-DEPTH range buckets — split points are KLL sketch
+    * quantiles of the DISTINCT-value frame ([[graft.functions.Kll]],
+    * each distinct value weight 1), assigned per row by a codegen'd
+    * binary search, so every per-bucket frame holds ≈|distinct|/
+    * buckets values NO MATTER how the values are distributed. (The
+    * r19 equi-width form took bounds from one min/max pass: a single
+    * far outlier — a 9e18 sentinel — stretched the range until
+    * virtually all distinct values collapsed into ONE bucket, whose
+    * within-bucket cumsum then ran as one task over a near-corpus-
+    * sized frame, exactly the shape this design exists to kill. The
+    * sketch bounds only ROUTE; every count stays exact.) Per-bucket
+    * totals fold map-side to ≤`buckets` rows whose running offsets
+    * cost one BOUNDED window (≤`buckets` rows — the events-family
+    * bounded-frame class, never corpus-sized), broadcast back, and
+    * the within-bucket cumsum windows partition BY bucket — every
     * corpus-sized exchange is hash-partitioned, nothing funnels to
     * one task. (The DuckDB oracle replays the plain single window —
     * same values, different physical plan.)
+    *
+    * A selection where either group is EMPTY yields an empty frame
+    * (like the both-empty case): one-sample drift against nothing is
+    * not a statistic, and the NULL-division row Spark would emit
+    * diverges from IEEE engines (DuckDB: inf/NaN).
     */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              a: String, b: String, buckets: Int = 1024): DataFrame = {
@@ -791,17 +805,21 @@ object DataQuality {
     val c = base.groupBy(col("_v"))
       .agg(sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
-    val mm = c.agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
-        sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    val qs: Seq[Double] = (1 until buckets).map(_.toDouble / buckets)
+    val mm = c.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"),
+        graft.functions.Kll.kllSketch(col("_v")).as("_sk"))
+      .withColumn("_splits",
+        if (qs.isEmpty) array().cast("array<double>")
+        else graft.functions.Kll.kllQuantiles(col("_sk"), qs))
+      .drop("_sk")
       .withColumn("_k", pmod(col("_na") + col("_nb"), lit(1)).cast("int"))
     val withB = c
       .withColumn("_k", pmod(col("_ca") + col("_cb"), lit(1)).cast("int"))
       .join(broadcast(mm), Seq("_k"))
-      .withColumn("_bkt", when(col("_hi") === col("_lo"), lit(0))
-        .otherwise(least(
-          floor((col("_v") - col("_lo")) /
-            ((col("_hi") - col("_lo")) / lit(buckets.toDouble))),
-          lit((buckets - 1).toDouble)).cast("int")))
+      .filter(col("_na") > 0 && col("_nb") > 0)
+      .withColumn("_bkt", graft.functions.HashFunctions
+        .sortedUpperBound(col("_splits"), col("_v")))
+      .drop("_splits")
     val wB = Window.orderBy(col("_bkt").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = withB.groupBy(col("_bkt"))

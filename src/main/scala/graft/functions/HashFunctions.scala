@@ -169,6 +169,24 @@ object SetOps {
     }
     n
   }
+
+  /** Number of elements <= v in a SORTED (non-decreasing) double
+    * array — the binary-search bucket router for quantile split
+    * points (O(log n) per row vs a 1000-element HOF scan). NaN
+    * routes past every split (bucket = len), matching Spark's and
+    * DuckDB's NaN-greatest sort order, so the bucket index stays
+    * monotone in the column's sort order.
+    */
+  def sortedUpperBound(splits: ArrayData, v: Double): Int = {
+    val n = splits.numElements()
+    if (java.lang.Double.isNaN(v)) return n
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (splits.getDouble(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }
 
 /** `sorted_intersect_count(a, b)`: codegen'd merge-intersect size. */
@@ -186,6 +204,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sorted_upper_bound(splits, v)`: codegen'd binary-search count of
+  * sorted split points <= v — quantile-bucket routing.
+  */
+case class SortedUpperBound(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_upper_bound"
+
+  override protected def nullSafeEval(splits: Any, v: Any): Any =
+    SetOps.sortedUpperBound(splits.asInstanceOf[ArrayData],
+      v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, v) => s"graft.functions.SetOps.sortedUpperBound($s, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedUpperBound =
     copy(left = newLeft, right = newRight)
 }
 
@@ -525,4 +564,8 @@ object HashFunctions {
   def charNgramProfile(text: Column, maxOrder: Int, k: Int): Column =
     ColumnBridge.column(
       CharNgramProfile(ColumnBridge.expression(text), maxOrder, k))
+
+  def sortedUpperBound(splits: Column, v: Column): Column =
+    ColumnBridge.column(SortedUpperBound(
+      ColumnBridge.expression(splits), ColumnBridge.expression(v)))
 }

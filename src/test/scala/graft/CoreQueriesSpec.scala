@@ -235,6 +235,62 @@ class CoreQueriesSpec extends SparkSpec {
     // an empty selection yields an empty frame, not a NULL row
     assert(DataQuality.ksTest(same.filter(col("v") < 0), "v", "g",
       "a", "b").isEmpty)
+    // ONE-group-empty selections too (r19 advisory): Spark's NULL
+    // division would emit a garbage (n, 0, null, v) row where an
+    // IEEE engine computes inf/NaN — a latent cross-engine split
+    assert(DataQuality.ksTest(same.filter(col("g") === "a"), "v", "g",
+      "a", "b").isEmpty)
+    assert(DataQuality.ksTest(same.filter(col("g") === "b"), "v", "g",
+      "a", "b").isEmpty)
+  }
+
+  test("ks equi-depth routing survives a planted far outlier") {
+    import SparkSpec.spark.implicits._
+    import graft.dq.DataQuality
+    // 1000 well-behaved values + one 9e18 sentinel: the r19
+    // equi-width bounds (min/max) collapsed everything but the
+    // sentinel into bucket 0 — a near-corpus-sized single-task
+    // window. Equi-depth splits from the KLL sketch of the DISTINCT
+    // values must spread them over many buckets regardless.
+    val vals = (1 to 1000).map(_.toDouble) :+ 9e18
+    val rows = (vals.map(v => (v, "a")) ++
+      vals.filter(_ <= 500).map(v => (v, "b"))).toDF("v", "g")
+    // correctness first: F_a jumps by 1/1001 per value, F_b by 1/500
+    // up to 500 then flat; D is attained at v=500:
+    // |500/1001 - 500/500| = 501/1001
+    val r = DataQuality.ksTest(rows, "v", "g", "a", "b", buckets = 16).head
+    assert((r.getLong(0), r.getLong(1)) == ((1001L, 500L)))
+    assert(math.abs(r.getDouble(2) - (1.0 - 500.0 / 1001.0)) < 1e-12 &&
+      r.getDouble(3) == 500.0, r.toString)
+    // the routing property itself, on the same public kernels the
+    // operator composes: quantile splits of the distinct values put
+    // the population in >1 bucket (equi-width put 1001 of 1001 in
+    // bucket 0)
+    val distinct = vals.toDF("v")
+    val qs = (1 until 16).map(_.toDouble / 16)
+    val splits = distinct
+      .agg(graft.functions.Kll.kllSketch(col("v")).as("s"))
+      .select(graft.functions.Kll.kllQuantiles(col("s"), qs).as("q"))
+      .head.getSeq[Double](0)
+    val populated = distinct
+      .select(graft.functions.HashFunctions.sortedUpperBound(
+        typedLit(splits), col("v")).as("b"))
+      .distinct().count()
+    assert(populated > 1, s"equi-depth routing left $populated bucket(s)")
+    // kernel boundary cases: upper bound is count of splits <= v,
+    // NaN routes past every split (sort-order consistent)
+    val k = Seq((Array(1.0, 2.0, 2.0, 5.0), 2.0)).toDF("s", "v")
+      .select(graft.functions.HashFunctions.sortedUpperBound(
+        col("s"), col("v"))).head.getInt(0)
+    assert(k == 3)
+    val kn = Seq((Array(1.0, 2.0), Double.NaN)).toDF("s", "v")
+      .select(graft.functions.HashFunctions.sortedUpperBound(
+        col("s"), col("v"))).head.getInt(0)
+    assert(kn == 2)
+    val ke = Seq((Array.empty[Double], 7.0)).toDF("s", "v")
+      .select(graft.functions.HashFunctions.sortedUpperBound(
+        col("s"), col("v"))).head.getInt(0)
+    assert(ke == 0)
   }
 
   test("near-dup cluster savings price keep-canonical-only exactly") {
