@@ -175,6 +175,60 @@ object Bench {
       }
     }
 
+    // SELF-ADJUDICATION (r20): two consecutive rounds of driver
+    // artifacts diverged from quiet-host ground truth on identical
+    // plans (r18: GC debt; r19: a 216 s host stall inside one
+    // query's attempts), and each time the noise had to be argued by
+    // hand from calib stamps and stage metrics. The artifact now
+    // carries the discard discipline itself:
+    //   - per query, when successful WARM attempts (the cold first
+    //     attempt is excluded: plan compile + codegen legitimately
+    //     run it 3-5x over warm, and the median is warm-dominated
+    //     anyway) disperse more than DISP_BOUND (max/min > 3 with
+    //     the max >= 0.3 s — sub-0.3 s queries flap on scheduler
+    //     jitter and are below the cross-round comparison floor
+    //     anyway), up to `maxExtra` extra attempts run so the MEDIAN
+    //     converges past the outlier; queries still dispersed after
+    //     that are flagged "unstable" in the detail artifact;
+    //   - a ~30 ms pure-JVM host probe (fixed arithmetic fold, no
+    //     Spark) runs before EVERY query, giving the detail artifact
+    //     a host-health TIMELINE: a load window that opens after the
+    //     pre-calib and closes before the post-calib — invisible to
+    //     the endpoint probes by construction — shows up as elevated
+    //     probe_ms exactly on the queries it inflated (validated by
+    //     a deliberately mid-run-loaded run; see TIMINGS r20);
+    //   - the driver line carries a "noise" verdict: directional
+    //     pre/post calib slowdown ratios, the probe timeline's
+    //     median/max, a mechanical calib_degraded flag, re-attempt
+    //     and unstable counts, and the worst dispersion — so a
+    //     degraded-host run identifies ITSELF instead of presenting
+    //     stall-inflated medians with quiet-run authority.
+    // Stage metrics snapshot after the FIRST runsPer attempts only:
+    // cross-round "bit-identical shuffle/task/input" triage assumes
+    // a fixed attempt count, and extra attempts must not inflate it.
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
+    val DISP_BOUND = 3.0
+    val DISP_FLOOR_SEC = 0.3
+    // warm slice: everything after the cold first attempt
+    def warmOf(ts: Seq[Option[Double]]): Seq[Double] = ts.drop(1).flatten
+    def dispersionOf(ok: Seq[Double]): Double =
+      if (ok.size >= 2 && ok.min > 0) ok.max / ok.min else 1.0
+    def disperses(ok: Seq[Double]): Boolean =
+      ok.size >= 2 && ok.max >= DISP_FLOOR_SEC && dispersionOf(ok) > DISP_BOUND
+    // the per-query host probe: a fixed driver-side arithmetic fold,
+    // deliberately Spark-free so it measures nothing but CPU
+    // contention on this machine at this instant (~30 ms quiet; the
+    // observed failure mode is another JVM sharing the host, which
+    // is CPU+memory-bandwidth contention this fold feels directly)
+    var probeSink = 0L
+    def hostProbeMs(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0L
+      while (i < 20000000L) { s += (i * i) % 1000000007L; i += 1 }
+      probeSink ^= s // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    hostProbeMs(); hostProbeMs() // JIT-compile the probe itself
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -183,8 +237,9 @@ object Bench {
         // above already idled the scheduler, drain any stragglers'
         // events, then reset the accumulators.
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val probeMs = hostProbeMs()
         metrics.reset()
-        val attempts: Seq[Option[Double]] = (1 to runsPer).map { _ =>
+        def attempt(): Option[Double] = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).queryExecution.toRdd.count()
                 Some((System.nanoTime() - t0) / 1e9) }
@@ -193,9 +248,17 @@ object Bench {
             None
           }
         }
+        var attempts: Seq[Option[Double]] = (1 to runsPer).map(_ => attempt())
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
-        (name, attempts, metrics.snapshotJson)
+        val stageJson = metrics.snapshotJson
+        var extra = 0
+        while (extra < maxExtra && disperses(warmOf(attempts))) {
+          attempts = attempts :+ attempt()
+          extra += 1
+        }
+        (name, attempts, stageJson, extra, probeMs)
       }
+    if (probeSink == Long.MinValue) System.err.println("[bench] probe sink")
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     // Locale.ROOT: a comma-decimal default locale would render
     // "1234,568" and break the JSON contract this main exists for
@@ -209,7 +272,7 @@ object Bench {
     // attempts succeeded (a cold-run-only crash must not hide behind
     // a healthy warm median). -1 marks all-runs-failed medians and a
     // failed cold attempt.
-    val medians: Seq[(String, Double)] = results.map { case (k, ts, _) =>
+    val medians: Seq[(String, Double)] = results.map { case (k, ts, _, _, _) =>
       val ok = ts.flatten
       (k, if (ok.nonEmpty) median(ok) else -1.0)
     }
@@ -224,10 +287,10 @@ object Bench {
       "\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val failed = results.collect {
-      case (k, ts, _) if ts.exists(_.isEmpty) => "\"" + k + "\""
+      case (k, ts, _, _, _) if ts.exists(_.isEmpty) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.collect {
-      case (_, ts, _) if ts.flatten.nonEmpty => median(ts.flatten)
+      case (_, ts, _, _, _) if ts.flatten.nonEmpty => median(ts.flatten)
     }.sum
     // methodology stamp: the round-8 inter-query quiesce (unpersist +
     // 2×System.gc + 250 ms settle) changed what the medians measure —
@@ -237,25 +300,83 @@ object Bench {
     // 171-query board. Cross-round comparisons against pre-stamp
     // artifacts must expect those shifts; the stamp makes each switch
     // visible in the artifact itself rather than only in prose.
-    val methodology = "quiesce=unpersist+gcSettle<=10x@64MB (since r19; r8-r18 gc2+250ms)"
+    val methodology = "quiesce=unpersist+gcSettle<=10x@64MB; dispersion>3x re-runs<=3 + noise verdict (since r20)"
     dropPersistedBlocks()
     val (calCpuPost, calShufPost) = calibrate()
     val calib = s"""{"cpu_pre":${r3(calCpuPre)},"shuffle_pre":${r3(
       calShufPre)},"cpu_post":${r3(calCpuPost)},"shuffle_post":${r3(
       calShufPost)}}"""
+    // The noise verdict (see the self-adjudication block above):
+    // calib slowdown is DIRECTIONAL post/pre of each probe pair —
+    // the probes depend on nothing but the host, so post/pre > 1.15
+    // means the machine got slower DURING the run (quiet-host
+    // history maxes at 1.07; r19's degraded driver run read shuffle
+    // 0.563 -> 0.689 = 1.22 while 12 queries "regressed" on
+    // bit-identical stage metrics; r16's first catch read
+    // 0.529 -> 1.030). Directional because the CPU probe's pre
+    // sample is structurally ~1.8x SLOWER than post on every quiet
+    // run (whole-JVM warmup the probe's own warmup lap can't cover)
+    // — a symmetric max/min ratio would cry wolf every round.
+    // Dispersion/unstable counts surface mid-run stalls even when
+    // the calib endpoints happen to land quiet.
+    def slowdown(pre: Double, post: Double): Double =
+      if (pre > 0) post / pre else 1.0
+    val calibDriftCpu = slowdown(calCpuPre, calCpuPost)
+    val calibDriftShuf = slowdown(calShufPre, calShufPost)
+    // ABSOLUTE bands catch a run that was loaded from the start (or
+    // through both calib endpoints), where the directional ratio
+    // stays flat: each probe is fixed work, so exceeding the worst
+    // quiet-host sample in four rounds of artifact history by ~25%
+    // (shuffle: 0.69 r16-r19 worst incl. the degraded r19 post →
+    // band 0.85; cpu pre: 0.28 worst → band 0.40) means the machine
+    // is contended at that endpoint. Overridable per host.
+    val shufBand = sys.env.getOrElse("SPARK_GRAFT_CALIB_SHUF_BAND",
+      "0.85").toDouble
+    val cpuBand = sys.env.getOrElse("SPARK_GRAFT_CALIB_CPU_BAND",
+      "0.40").toDouble
+    val calibOverBand = math.max(calShufPre, calShufPost) > shufBand ||
+      math.max(calCpuPre, calCpuPost) > cpuBand
+    val unstable = results.collect {
+      case (k, ts, _, _, _) if disperses(warmOf(ts)) => k
+    }
+    val nReattempted = results.count(_._4 > 0)
+    val maxDisp = (1.0 +: results.map(r => dispersionOf(warmOf(r._2)))).max
+    // the probe timeline's verdict: the median is this run's quiet
+    // floor; a max >= 2x it means a contended WINDOW existed inside
+    // the run even if both calib endpoints were quiet (quiet-run
+    // max/med measured 1.12; a 28-spinner-on-32-core load read 2.43;
+    // a co-tenant JVM stall reads far past that)
+    val probes = results.map(_._5)
+    val probeMed = if (probes.nonEmpty) median(probes) else 0.0
+    val probeMax = if (probes.nonEmpty) probes.max else 0.0
+    val probeWindow = probeMed > 0 && probeMax / probeMed >= 2.0
+    val calibDegraded = calibDriftCpu > 1.15 || calibDriftShuf > 1.15 ||
+      calibOverBand || probeWindow
+    val noise =
+      s"""{"calib_slowdown_cpu":${r3(calibDriftCpu)},"calib_slowdown_shuffle":${
+        r3(calibDriftShuf)},"calib_over_band":$calibOverBand,"probe_med_ms":${
+        r3(probeMed)},"probe_max_ms":${r3(probeMax)},"probe_window":$probeWindow,"calib_degraded":$calibDegraded,"n_reattempted":$nReattempted,"n_unstable":${
+        unstable.size},"max_dispersion":${r3(maxDisp)},"unstable":${
+        unstable.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val driverLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_note":"top-10 medians only; full map in detail artifact","runs":$runsPer,"failed":$failed,"calib":$calib,"sf":"$sfDir","detail":"$detailPath","methodology":"$methodology"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_note":"top-10 medians only; full map in detail artifact","runs":$runsPer,"failed":$failed,"calib":$calib,"noise":$noise,"sf":"$sfDir","detail":"$detailPath","methodology":"$methodology"}"""
     // Full-precision detail (cold + every attempt) is too large for the
     // harness's bounded output tail — persist it as a repo artifact.
-    val detail = results.map { case (k, ts, stageJson) =>
+    val detail = results.map { case (k, ts, stageJson, extra, probeMs) =>
       val attempts = ts.map(_.map(r6).getOrElse("-1")).mkString("[", ",", "]")
+      val disp = dispersionOf(warmOf(ts))
       "\"" + k + "\":{\"cold\":" + ts.head.map(r6).getOrElse("-1") +
-        ",\"attempts\":" + attempts + ",\"stage\":" + stageJson + "}"
+        ",\"attempts\":" + attempts +
+        ",\"dispersion\":" + r3(disp) +
+        ",\"extra_attempts\":" + extra +
+        ",\"unstable\":" + disperses(warmOf(ts)) +
+        ",\"probe_ms\":" + r3(probeMs) +
+        ",\"stage\":" + stageJson + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"calib":$calib,"methodology":"$methodology","queries":$detail}"""
+      s"""{"total":${r3(total)},"runs":$runsPer,"sf":"$sfDir","failed":$failed,"calib":$calib,"noise":$noise,"methodology":"$methodology","queries":$detail}"""
     try {
       val w = new java.io.PrintWriter(detailPath)
       try w.println(detailJson) finally w.close()
