@@ -128,4 +128,76 @@ object ImageCodec {
     ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** JPEG re-encode (JRE writer, default quality) — the lossy
+    * sibling [[dhash64]]'s spec fixtures re-compress through.
+    */
+  def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** The (w+1)×h luma grid both perceptual hashes reduce through:
+    * bilinear resize (compositing alpha away — [[resize]]'s RGB
+    * contract), Rec. 601 luma per cell. Tiny fixed allocation.
+    */
+  private def lumaGrid(img: BufferedImage, w: Int, h: Int): Array[Double] = {
+    val small = resize(img, w, h)
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = small.getRGB(x, y)
+        out(y * w + x) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit DIFFERENCE hash (Krawetz's public dHash): resize to 9×8,
+    * one bit per horizontal luma gradient (bit y·8+x set iff
+    * luma(x,y) < luma(x+1,y)). Gradient SIGNS survive re-encoding,
+    * rescaling and monotone tone shifts (gamma), which is exactly
+    * the near-duplicate equivalence class a crawled image corpus
+    * needs — MultimodalSpec pins re-encoded/resized/gamma-shifted
+    * variants within a small Hamming radius and distinct images far
+    * outside it.
+    */
+  def dhash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) < g(y * 9 + x + 1)) bits |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** 64-bit AVERAGE hash (aHash, same public family): resize to 8×8,
+    * one bit per cell vs the grid's mean luma. Cheaper mentally,
+    * weaker against local tone shifts than [[dhash64]] — shipped for
+    * the family completeness the near-dup operator's `method` knob
+    * exposes; the operator defaults to dHash.
+    */
+  def ahash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 8, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
 }

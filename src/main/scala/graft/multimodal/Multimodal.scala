@@ -405,6 +405,48 @@ object Multimodal {
     })
   }
 
+  final case class PerceptualHash(
+      asset_id: Long, media_type: String, decoded: Boolean, phash: Long)
+
+  /** 64-bit perceptual signature per asset — the generation side of
+    * binary near-dup dedup (the text family has five near-dup
+    * operators; this is the asset-side sibling of the exact
+    * payload-hash dedup). Assets whose payload DECODES as an image
+    * hash by [[ImageCodec.dhash64]] (default) or
+    * [[ImageCodec.ahash64]]: re-encodes, rescales and tone shifts of
+    * the same picture land within a small Hamming radius.
+    * Undecodable payloads (corrupt bytes, non-image media, the text
+    * test double) degrade to the first 8 bytes of the payload MD5 —
+    * you cannot perceive what you cannot decode, so identity
+    * collapses to exact content: byte-identical copies still pair at
+    * Hamming 0, and the fallback is portable SQL (the oracle recipe)
+    * so the whole pipeline stays oracle-checkable on the text
+    * fixture while the decode path is spec-verified on real images.
+    * Same iterator-per-asset contract as [[decodeImages]].
+    */
+  def perceptualHashes(assets: Dataset[MediaAsset],
+                       method: String = "dhash"): Dataset[PerceptualHash] = {
+    import assets.sparkSession.implicits._
+    require(method == "dhash" || method == "ahash",
+      s"unknown perceptual hash method '$method' (dhash | ahash)")
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        ImageCodec.decode(a.payload) match {
+          case Some(img) =>
+            val h = if (method == "ahash") ImageCodec.ahash64(img)
+                    else ImageCodec.dhash64(img)
+            PerceptualHash(a.asset_id, a.media_type, decoded = true, h)
+          case None =>
+            md.reset()
+            val d = md.digest(a.payload)
+            PerceptualHash(a.asset_id, a.media_type, decoded = false,
+              java.nio.ByteBuffer.wrap(d, 0, 8).getLong)
+        }
+      }
+    }
+  }
+
   def sampleFrames(assets: DataFrame, everyN: Int = 30): DataFrame = {
     require(everyN > 0, "everyN must be positive")
     val lastIdx = greatest(col("n_frames") - 1, lit(0)).cast("bigint")

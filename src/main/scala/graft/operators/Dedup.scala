@@ -2076,6 +2076,22 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"),
       HashFunctions.simhash64(split(col(textCol), " ")).as("simhash"))
       .transform(graft.Materialize.eager)
+    hammingNearDupFromHashes(hashed, idCol, maxHamming, maxBucket)
+  }
+
+  /** The 64-bit-Hamming near-dup machinery [[simhashStats]] runs
+    * over its text SimHashes, extracted (r20) so any OTHER 64-bit
+    * perceptual signature — the multimodal dHash family — pairs
+    * through the identical chunk-bucket/flood-cap/exact-collapse
+    * pipeline instead of reimplementing it. `hashed` is an already-
+    * MATERIALIZED (id, simhash) frame (callers own the Materialize
+    * seam because they own how the hash is produced); output is one
+    * row per input row: (idCol, simhash, n_candidates, n_near,
+    * min_hamming).
+    */
+  private[graft] def hammingNearDupFromHashes(
+      hashed: DataFrame, idCol: String,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     // EXACT-DUPLICATE COLLAPSE (r14, the minhashLshStats design):
     // the verification metric (bit_count of the XOR) depends ONLY on
     // the two simhash values, so all bucket/pair work runs per

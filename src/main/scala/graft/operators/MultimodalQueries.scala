@@ -59,14 +59,107 @@ object MultimodalQueries {
       .withColumn("bytes_saved", (col("n_copies") - 1L) * col("n_bytes"))
   }
 
+  /** Perceptual NEAR-dup for binary assets — the asset-side sibling
+    * of the five text near-dup operators: 64-bit dHash per asset
+    * ([[Multimodal.perceptualHashes]]; MD5-prefix degradation for
+    * undecodable payloads), then per media type the SAME chunk-
+    * bucket/flood-cap/exact-collapse Hamming pipeline SimHash uses
+    * ([[Dedup.hammingNearDupFromHashes]] — by pigeonhole any pair
+    * within Hamming 3 shares a 16-bit chunk; verified by
+    * bit_count(xor)). Types pair independently (an audio clip's
+    * bytes colliding with an image is coincidence, not duplication
+    * — the [[multimodalDedup]] scoping rule), as three small
+    * invocations of the shared machinery unioned back: |types| is a
+    * fixed 3, so this costs three bounded job groups, never a
+    * per-type plan explosion. The text fixture exercises the MD5
+    * path end-to-end against the DuckDB oracle (hash-exact, the
+    * portable-md5 recipe); the decode path — real images re-encoded,
+    * rescaled, gamma-shifted pairing within radius — is
+    * MultimodalSpec-pinned.
+    */
+  def multimodalNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val assets = Multimodal
+      .assetsFromDocuments(Tables.load(spark, dir, "documents"))
+      .as[Multimodal.MediaAsset]
+    // one decode pass over the payloads, reused by every per-type
+    // invocation AND the final join
+    val hashes = graft.Materialize.eager(
+      Multimodal.perceptualHashes(assets).toDF())
+    val stats = Seq("image", "audio", "video").map { t =>
+      Dedup.hammingNearDupFromHashes(
+        hashes.filter(col("media_type") === t)
+          .select(col("asset_id").as("id"), col("phash").as("simhash")),
+        "id", maxHamming = 8, maxBucket = 10000)
+    }.reduce(_.unionByName(_))
+    hashes.join(
+        stats.select(col("id").as("asset_id"), col("n_candidates"),
+          col("n_near"), col("min_hamming")),
+        Seq("asset_id"))
+      .select(col("asset_id"), col("media_type"), col("decoded"),
+        col("phash"), col("n_candidates"), col("n_near"),
+        col("min_hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_dedup" -> (multimodalDedup _),
+    "multimodal_near_dedup" -> (multimodalNearDedup _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_resample" -> (multimodalResample _))
 
   val oracleSql: Map[String, String] = Map(
+    // the MD5-degradation path end to end: phash = first 8 md5 bytes
+    // (the portable-md5 recipe, 64-bit form), chunk buckets / flood
+    // cap / distinct pairs / bit_count(xor) verify replayed per
+    // media_type — the simhash oracle's shape with the type key.
+    // decoded is constant false on the text fixture (nothing parses
+    // as an image); the decode path is MultimodalSpec-pinned.
+    "multimodal_near_dedup" ->
+      """WITH ph AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS u
+        |  FROM documents),
+        |chunksall AS (
+        |  SELECT asset_id, media_type, u, CAST(c AS INT) AS chunk,
+        |    (u >> (CAST(c AS INT) * 16)) & 65535 AS cval
+        |  FROM ph, range(4) t(c)),
+        |flood AS (
+        |  SELECT media_type, chunk, cval FROM chunksall
+        |  GROUP BY media_type, chunk, cval HAVING count(*) > 10000),
+        |chunks AS (
+        |  SELECT c.* FROM chunksall c ANTI JOIN flood f
+        |    ON c.media_type = f.media_type AND c.chunk = f.chunk
+        |   AND c.cval = f.cval),
+        |cand AS (
+        |  SELECT DISTINCT a.asset_id AS ida, a.u AS ua,
+        |    b.asset_id AS idb, b.u AS ub
+        |  FROM chunks a JOIN chunks b
+        |    ON a.media_type = b.media_type AND a.chunk = b.chunk
+        |   AND a.cval = b.cval AND a.asset_id < b.asset_id),
+        |ham AS (
+        |  SELECT ida, idb, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+        |  FROM cand),
+        |per AS (
+        |  SELECT id, COUNT(*) AS n_candidates,
+        |    CAST(SUM(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_near,
+        |    min(hamming) AS min_hamming
+        |  FROM (SELECT ida AS id, hamming FROM ham
+        |        UNION ALL SELECT idb AS id, hamming FROM ham)
+        |  GROUP BY id)
+        |SELECT p.asset_id, p.media_type, false AS decoded,
+        |  CAST(CASE WHEN p.u >= 9223372036854775808
+        |       THEN CAST(p.u AS HUGEINT) - 18446744073709551616
+        |       ELSE CAST(p.u AS HUGEINT) END AS BIGINT) AS phash,
+        |  COALESCE(per.n_candidates, 0) AS n_candidates,
+        |  COALESCE(per.n_near, 0) AS n_near,
+        |  per.min_hamming
+        |FROM ph p LEFT JOIN per ON per.id = p.asset_id""".stripMargin,
     // md5(text) == md5 of the utf-8 payload bytes (the cast the
     // Spark side applies); media_type replays the doc_id % 3 rule
     "multimodal_dedup" ->

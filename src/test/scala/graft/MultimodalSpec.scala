@@ -454,6 +454,97 @@ class MultimodalSpec extends SparkSpec {
       "streamed resample plan must equal the batch plan")
   }
 
+  test("perceptual near-dup: re-encode/rescale/gamma variants pair, distinct images and cross-type twins do not") {
+    import graft.multimodal.ImageCodec
+    // smooth sinusoidal luma fields: resize-robust structure whose
+    // gradient signs differ between (a, b) frequency pairs — a solid
+    // color would dHash to 0 and collide with every other solid
+    def texture(w: Int, h: Int, a: Double, b: Double)
+        : java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val lum = (128 + 90 * math.sin(
+          2 * math.Pi * (a * x / w + b * y / h))).toInt.max(0).min(255)
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      }
+      img
+    }
+    def gammaShift(img: java.awt.image.BufferedImage, g: Double)
+        : java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        def f(c: Int): Int =
+          (math.pow(c / 255.0, g) * 255.0).round.toInt.max(0).min(255)
+        val rgb = img.getRGB(x, y)
+        out.setRGB(x, y, (f((rgb >> 16) & 0xff) << 16) |
+          (f((rgb >> 8) & 0xff) << 8) | f(rgb & 0xff))
+      }
+      out
+    }
+    val base = texture(64, 48, 1.5, 1.0)
+    val distinct = texture(64, 48, 3.0, 2.2)
+    val hBase = ImageCodec.dhash64(base)
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // the perceptual equivalence class, kernel level: PNG re-encode
+    // is pixel-lossless (Hamming 0), JPEG/rescale/gamma land within
+    // the radius, a different texture lands far outside
+    val reEncoded = ImageCodec.decode(ImageCodec.encodePng(base)).get
+    assert(ham(hBase, ImageCodec.dhash64(reEncoded)) == 0)
+    val jpeg = ImageCodec.decode(ImageCodec.encodeJpeg(base)).get
+    assert(ham(hBase, ImageCodec.dhash64(jpeg)) <= 8)
+    val resized = ImageCodec.resize(base, 32, 24)
+    assert(ham(hBase, ImageCodec.dhash64(resized)) <= 8)
+    val gamma = gammaShift(base, 0.8)
+    assert(ham(hBase, ImageCodec.dhash64(gamma)) <= 8)
+    assert(ham(hBase, ImageCodec.dhash64(distinct)) >= 16,
+      s"distinct textures must not collide: ${
+        ham(hBase, ImageCodec.dhash64(distinct))}")
+    // aHash: same contract on the lossless/monotone variants
+    val aBase = ImageCodec.ahash64(base)
+    assert(ham(aBase, ImageCodec.ahash64(reEncoded)) == 0)
+    assert(ham(aBase, ImageCodec.ahash64(gamma)) <= 8)
+    // operator end to end on a planted asset table: decoded images
+    // pair through real dHash, undecodable payloads degrade to the
+    // MD5-prefix identity (byte twins pair at Hamming 0), and twins
+    // under DIFFERENT media types never pair
+    def asset(id: Long, t: String, payload: Array[Byte]) =
+      MediaAsset(id, t, payload, 0, 0, 0, 0)
+    val rows = Seq(
+      asset(1L, "image", ImageCodec.encodePng(base)),
+      asset(2L, "image", ImageCodec.encodePng(reEncoded)),
+      asset(3L, "image", ImageCodec.encodePng(distinct)),
+      asset(4L, "audio", "identical audio payload bytes".getBytes("UTF-8")),
+      asset(5L, "audio", "identical audio payload bytes".getBytes("UTF-8")),
+      asset(6L, "audio", "a different audio payload".getBytes("UTF-8")),
+      asset(7L, "video", "identical audio payload bytes".getBytes("UTF-8")))
+    val hashes = graft.Materialize.eager(
+      Multimodal.perceptualHashes(rows.toDS()).toDF())
+    assert(hashes.filter(col("asset_id").isin(1L, 2L, 3L))
+      .select("decoded").as[Boolean].collect().forall(identity))
+    assert(!hashes.filter(col("asset_id") >= 4L)
+      .select("decoded").as[Boolean].collect().exists(identity))
+    val stats = Seq("image", "audio", "video").map { t =>
+      graft.operators.Dedup.hammingNearDupFromHashes(
+        hashes.filter(col("media_type") === t)
+          .select(col("asset_id").as("id"), col("phash").as("simhash")),
+        "id", maxHamming = 8, maxBucket = 10000)
+    }.reduce(_.unionByName(_))
+    val byId = stats.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    assert(byId(1L) == ((1L, 1L, 0)), s"1 pairs its re-encode: ${byId(1L)}")
+    assert(byId(2L) == ((1L, 1L, 0)), byId(2L).toString)
+    assert(byId(3L)._2 == 0L, "distinct image has no near pair")
+    assert(byId(4L) == ((1L, 1L, 0)), "byte twins pair at Hamming 0")
+    assert(byId(5L) == ((1L, 1L, 0)), byId(5L).toString)
+    assert(byId(6L)._2 == 0L)
+    assert(byId(7L) == ((0L, 0L, -1)),
+      "a byte twin under a different media type must not pair")
+  }
+
   test("asset dedup partitions assets per type and prices the duplicate bytes") {
     val out = graft.operators.MultimodalQueries
       .multimodalDedup(spark, sf).collect()
