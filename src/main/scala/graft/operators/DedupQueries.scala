@@ -432,6 +432,24 @@ object DedupQueries {
       Curation.curate(preCurateGate(all, pass), "doc_id", "text",
         col("source") === "src0", Seq("source", "lang"))
     }),
+    // curation with the langid-MISMATCH pre-gate (CCNet's mislabel
+    // filter pressed into the pipeline, the lm-gate pattern):
+    // non-reference docs whose declared language disagrees with the
+    // char-ngram classifier's guess drop BEFORE the
+    // quality/dedup/decontamination stages; reference docs pass
+    // through (they must stay visible to decontamination). Strict
+    // equality as the pass condition: an 'und' guess (no grams) or a
+    // null declared label cannot CONFIRM the label, so those drop —
+    // text_langid_mismatch is this gate's complement as a selection
+    "corpus_curate_langid" -> ((s, d) => {
+      val all = docs(s, d)
+      val pass = TextAnalysis.languageIdNgram(all, "doc_id", "text",
+          "lang", col("source") === "src0")
+        .filter(col("lang_guess") === col("declared_lang"))
+        .select(col("doc_id"))
+      Curation.curate(preCurateGate(all, pass), "doc_id", "text",
+        col("source") === "src0", Seq("source", "lang"))
+    }),
     // near-dup ROI over the resolved clusters: what keep-canonical-
     // only would save — the fuzzy sibling of dedup_savings
     "dedup_cluster_savings" -> ((s, d) =>
@@ -1270,6 +1288,19 @@ object DedupQueries {
          |  WHERE d.source = 'src0'
          |     OR d.doc_id IN (
          |       SELECT doc_id FROM dsir WHERE dsir_weight >= 0.775)),
+         |${corpusCurateCtesFrom("gated")}""".stripMargin,
+    // the langid scored frame as the pre-gate (strict declared ==
+    // guessed pass), then corpus_curate's CTEs over the gated
+    // relation — the same composition pattern
+    "corpus_curate_langid" ->
+      s"""WITH q AS (
+         |${TextQueries.langidNgramSql}
+         |),
+         |gated AS (
+         |  SELECT d.* FROM documents d
+         |  WHERE d.source = 'src0'
+         |     OR d.doc_id IN (
+         |       SELECT doc_id FROM q WHERE lang_guess = declared_lang)),
          |${corpusCurateCtesFrom("gated")}""".stripMargin,
     // same clusters CTE; keeper = the canonical (the true min id),
     // bytes via strlen (octet length), one-row roll-up

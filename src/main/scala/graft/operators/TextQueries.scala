@@ -334,10 +334,22 @@ object TextQueries {
           .as("share"))
   }
 
+  /** The mislabel SELECTION the confusion matrix aggregates — docs
+    * whose declared language disagrees with the classifier's guess
+    * (CCNet's mislabel filter): the rows a curation pipeline drops
+    * or reroutes. Null-safe disequality so a null declared label
+    * surfaces as a mismatch (an unlabeled doc cannot confirm its
+    * label) — same rule the curate gate applies in reverse.
+    */
+  def textLangidMismatch(spark: SparkSession, dir: String): DataFrame =
+    textLangidNgram(spark, dir)
+      .filter(!(col("lang_guess") <=> col("declared_lang")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_langid_ngram" -> (textLangidNgram _),
     "text_langid_confusion" -> (textLangidConfusion _),
+    "text_langid_mismatch" -> (textLangidMismatch _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
@@ -588,7 +600,7 @@ object TextQueries {
   // k=300 for missing grams — all BIGINT, argmin by (dist ASC
   // NULLS LAST, lang ASC), both engines' explicit ordering.
   // Shared between the per-doc entry and the confusion rollup.
-  private val langidNgramSql: String = {
+  private[operators] val langidNgramSql: String = {
       // list_concat, not the || operator: this fragment is
       // interpolated into a template whose own stripMargin would eat
       // the first pipe of a line-leading `||`
@@ -667,6 +679,13 @@ object TextQueries {
          |SELECT per.declared_lang, per.lang_guess, per.n_docs,
          |  CAST(per.n_docs AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
          |FROM per JOIN tot USING (declared_lang)""".stripMargin,
+    // the scored frame filtered to null-safe disagreement
+    "text_langid_mismatch" ->
+      s"""WITH q AS (
+         |$langidNgramSql
+         |)
+         |SELECT doc_id, declared_lang, n_grams, lang_guess, lang_dist
+         |FROM q WHERE lang_guess IS DISTINCT FROM declared_lang""".stripMargin,
     // same single-space tokenization as the n-gram kernel (empty
     // tokens count); lift = two double multiplies and one divide in
     // the SAME order as the Spark side

@@ -837,6 +837,44 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L), kept.toString)
   }
 
+  test("langid mismatch selection complements the curate gate; the gated pipeline reconciles") {
+    import graft.operators.{Curation, DedupQueries, TextAnalysis, TextQueries}
+    val all = Tables.load(spark, sf, "documents")
+    val scored = TextQueries.queries("text_langid_ngram")(spark, sf)
+    val allIds = scored.select("doc_id").as[Long].collect().toSet
+    // the mismatch SELECTION is the exact complement of the strict
+    // declared == guessed pass set (no null labels on this table, so
+    // null-safe disagreement == strict-equality complement)
+    val mism = TextQueries.queries("text_langid_mismatch")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val pass = scored
+      .filter(col("lang_guess") === col("declared_lang"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(mism == (allIds -- pass),
+      s"mismatch selection must complement the pass set (${mism.size} " +
+        s"vs ${(allIds -- pass).size})")
+    // the composed entry IS curate over the gated frame — pinned
+    // against the runtime entry map, the corpus_curate_lm contract
+    val expected = Curation.curate(
+        DedupQueries.preCurateGate(all,
+          pass.toSeq.toDF("doc_id")),
+        "doc_id", "text", col("source") === "src0",
+        Seq("source", "lang"))
+      .collect().map(_.toSeq).toSet
+    val got = DedupQueries.queries("corpus_curate_langid")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, "composed entry must equal curate over the " +
+      "hand-gated frame")
+    // reference docs always face curation regardless of their own
+    // mismatch status: every src0 group present in plain curate
+    // stays present under the gate
+    val srcRows = got.filter(_.head == "src0")
+    val plain = Curation.curate(all, "doc_id", "text",
+        col("source") === "src0", Seq("source", "lang"))
+      .collect().map(_.toSeq).filter(_.head == "src0").toSet
+    assert(srcRows == plain, "src0 rows must pass the gate untouched")
+  }
+
   test("curate attrition: each stage accounts its removals; the funnel reconciles with curate") {
     val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
     val good2 = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3).trim
