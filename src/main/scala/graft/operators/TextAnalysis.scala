@@ -355,29 +355,176 @@ object TextAnalysis {
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((rank, l, r, cnt))
-        val hasPair = exists(
-          zip_with(
-            slice(col("seq"), lit(1), size(col("seq")) - 1),
-            slice(col("seq"), lit(2), size(col("seq")) - 1),
-            (a, b) => a === lit(l) && b === lit(r)),
-          m => m)
-        // greedy left-to-right non-overlapping fold; a just-merged
-        // token can never re-match lhs within the round (lhs+rhs is
-        // strictly longer than lhs), so one pass is exact
-        val folded = aggregate(
-          slice(col("seq"), lit(2), size(col("seq")) - 1),
-          slice(col("seq"), lit(1), lit(1)),
-          (acc, s) => when(
-            element_at(acc, -1) === lit(l) && s === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(s))))
         state = graft.Materialize.eager(state.select(
           col("w"), col("wc"),
-          when(hasPair, folded).otherwise(col("seq")).as("seq")))
+          bpeMergeOnce(col("seq"), l, r).as("seq")))
         rank += 1
       }
     }
     (out.result(), state)
+  }
+
+  /** ONE greedy left-to-right non-overlapping application of merge
+    * (l, r) to a symbol-array column — the single kernel shared by
+    * the trainer's round fold and the frozen-table encoder
+    * ([[bpeEncodeWords]]): both sides MUST merge identically or an
+    * encode under the shipped table drifts from the training state
+    * it is defined to reproduce. A just-merged token can never
+    * re-match lhs within the pass (lhs+rhs is strictly longer than
+    * lhs), so one pass is exact.
+    */
+  private def bpeMergeOnce(seq: Column, l: String, r: String): Column = {
+    val hasPair = exists(
+      zip_with(
+        slice(seq, lit(1), size(seq) - 1),
+        slice(seq, lit(2), size(seq) - 1),
+        (a, b) => a === lit(l) && b === lit(r)),
+      m => m)
+    val folded = aggregate(
+      slice(seq, lit(2), size(seq) - 1),
+      slice(seq, lit(1), lit(1)),
+      (acc, s) => when(
+        element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+    when(hasPair, folded).otherwise(seq)
+  }
+
+  /** Encode a distinct-word frame under a FROZEN rank-ordered merge
+    * list: char-split each word, apply every merge in rank order
+    * through [[bpeMergeOnce]]. For a word the table was trained on
+    * this replays its training trajectory exactly (training applies
+    * the same merges in the same order); for a NEW word it is the
+    * standard BPE encode under a shipped tokenizer. Returns (w, seq).
+    *
+    * Same O(|merges|) driver-synchronized bound as the trainer
+    * (each round re-materializes through the [[graft.Materialize]]
+    * seam so round r+1's plan doesn't embed all r prior folds) —
+    * but over the BATCH's distinct words only, which is what makes
+    * the frozen member's fold cost batch-sized, not corpus-sized.
+    */
+  private[operators] def bpeEncodeWords(words: DataFrame,
+                                        merges: Seq[(String, String)])
+      : DataFrame = {
+    var state = graft.Materialize.eager(words.select(col("w"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("seq")))
+    merges.foreach { case (l, r) =>
+      state = graft.Materialize.eager(
+        state.select(col("w"), bpeMergeOnce(col("seq"), l, r).as("seq")))
+    }
+    state
+  }
+
+  /** Per-document token counts under a GIVEN (frozen) merge table —
+    * [[bpeTokenCounts]]'s shape with the training replaced by a
+    * table lookup: the production "tokenize new crawls under the
+    * shipped tokenizer" path, and the single kernel the incremental
+    * member and its spec share. On the training corpus itself this
+    * equals [[bpeTokenCounts]] bit for bit (encode == final training
+    * state — TextAnalysisSpec pins it). The merge-table collect is
+    * the trainer's own bounded driver state (one row per merge).
+    */
+  def bpeTokenCountsFrozen(df: DataFrame, idCol: String, textCol: String,
+                           mergeTable: DataFrame): DataFrame = {
+    val merges = mergeTable.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy(col("merge_rank").asc).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = df
+      .select(explode_outer(split(coalesce(col(textCol), lit("")),
+        "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2).distinct()
+    val vocab = bpeEncodeWords(words, merges)
+      .select(col("w"), size(col("seq")).cast("long").as("n_sub"))
+    df.select(col(idCol),
+        explode_outer(split(coalesce(col(textCol), lit("")), "[^a-z]+"))
+          .as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("n_sub"), lit(0L))).as("n_bpe_tokens"))
+  }
+
+  /** Incremental [[bpeTokenCountsFrozen]] — the 17th member of the
+    * incremental family, a FROZEN-EPOCH member (the
+    * lmFamiliarityIncremental contract): the merge table trains ONCE
+    * on the first fold carrying `trainFilter` rows with usable text
+    * (exists-guarded, ONE state table; an empty DERIVED table — no
+    * words ≥ 2 chars — skips the epoch, the r20 guard), then every
+    * fold encodes its own batch under the frozen table: O(batch
+    * distinct words · merges) work, the deployment shape — train the
+    * tokenizer on a trusted slice, token-count every new crawl under
+    * it. Training rows arriving in LATER folds encode like any doc
+    * but do NOT retrain (a tokenizer refresh is a new state dir).
+    *
+    * Gold rows: (id, n_bpe_tokens, _ord) — bit-identical to the
+    * batch [[bpeTokenCountsFrozen]] against the same frozen table
+    * (shared kernel). The REQUESTED merge count stamps into the
+    * state (`merges_cfg` — the trainer may saturate earlier, so the
+    * stamp is the configuration, not the row count) and a mismatched
+    * later fold refuses fast; a legacy-empty state table refuses
+    * with a recoverable message (null-safe stamp read).
+    */
+  def bpeTokenCountsIncremental(spark: SparkSession, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                stateDir: String, goldPath: String,
+                                batchOrd: Long, trainFilter: Column,
+                                merges: Int = 40,
+                                deletes: Option[DataFrame] = None,
+                                fullResync: Boolean = false,
+                                appendOnly: Boolean = false,
+                                fmt: graft.pipeline.TableFormat =
+                                  graft.pipeline.SnapshotTableFormat): Unit = {
+    require(!(appendOnly && deletes.nonEmpty),
+      "appendOnly declares an insert-only corpus; a delete feed " +
+        "contradicts it — drop the flag and use the general path")
+    require(merges >= 1, "bpe member needs at least one merge round")
+    val modelPath = s"$stateDir/model"
+    val batchAll = graft.Materialize.eager(Dedup.oneRowPerId(
+      batch.select(col(idCol).as("id"), col(textCol).as("text"),
+        trainFilter.as("_train")),
+      "id", Seq("text", "_train")))
+    if (!fmt.exists(modelPath)) {
+      val trainDocs = batchAll.filter((col("_train") <=> true) &&
+        col("text").isNotNull)
+      if (trainDocs.isEmpty) return
+      val table = graft.Materialize.eager(
+        bpeTrain(trainDocs, "text", merges))
+      if (table.isEmpty) return
+      fmt.scd1Merge(spark, modelPath,
+        table
+          .withColumn("merges_cfg", lit(merges))
+          .withColumn("_ord", lit(batchOrd)),
+        Seq("merge_rank"), "_ord", compareExclude = Nil)
+    }
+    val persisted = fmt.read(spark, modelPath)
+    val stamp = persisted.agg(max(col("merges_cfg"))).head
+    require(!stamp.isNullAt(0),
+      s"state at $modelPath exists but holds no merges (an empty epoch " +
+        "merge) — delete the state dir and retrain on a fold with a " +
+        "usable training slice")
+    require(stamp.getInt(0) == merges,
+      s"state at $modelPath was frozen with merges=${stamp.getInt(0)}; " +
+        s"this fold is configured with merges=$merges — the token spaces " +
+        "differ. Use the stored value or retrain in a new state dir.")
+    val scores = bpeTokenCountsFrozen(
+        batchAll.filter(col("text").isNotNull)
+          .select(col("id"), col("text")),
+        "id", "text",
+        persisted.select(col("merge_rank"), col("lhs"), col("rhs")))
+      .withColumn("_ord", lit(batchOrd))
+    if (!scores.isEmpty)
+      fmt.scd1Merge(spark, goldPath, scores, Seq("id"), "_ord",
+        compareExclude = Nil)
+    if (!appendOnly) {
+      val delIds = Dedup.combinedDeletes(spark, deletes, idCol, "id",
+        fullResync, goldPath, batchAll.select(col("id")), fmt)
+      val drops = graft.Materialize.eager(
+        delIds.fold(batchAll.filter(col("text").isNull).select(col("id")))(
+          _.unionByName(batchAll.filter(col("text").isNull)
+            .select(col("id")))).distinct())
+      if (fmt.exists(goldPath) && !drops.isEmpty)
+        fmt.deleteKeys(spark, goldPath, drops, Seq("id"))
+    }
   }
 
   /** Collocation extraction by LIFT — n(xy)·N / (n(x)·n(y)), the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.ConfigHandler.IncrementalDedupConfig
 
-/** Config-driven driver for the sixteen-member incremental dedup family
+/** Config-driven driver for the seventeen-member incremental dedup family
   * — the reference's whole operating model is JSON-config → pipeline
   * (ingest-framework builder/engine.py), and until r16 the
   * incremental members were library-only: spec-verified, but a
@@ -49,7 +49,8 @@ object IncrementalDedupJob {
     "ccnet" -> Set("refWhere"),
     "dsir" -> Set("targetWhere", "buckets"),
     "decontaminate" -> Set("benchWhere", "n"),
-    "langid" -> Set("refWhere", "langExpr", "maxOrder", "k"))
+    "langid" -> Set("refWhere", "langExpr", "maxOrder", "k"),
+    "bpe" -> Set("trainWhere", "merges"))
 
   /** Walk every unprocessed silver version through the configured
     * member. Returns the versions folded this call (empty = caught
@@ -89,6 +90,10 @@ object IncrementalDedupJob {
         "silver row naming the labeled reference slice, e.g. " +
         "\"source = 'src0'\"); 'langExpr' names the label column or " +
         "expression (default \"lang\")")
+    require(cfg.member != "bpe" || cfg.params.contains("trainWhere"),
+      "the bpe member requires 'trainWhere' (a SQL predicate over the " +
+        "silver row naming the tokenizer training slice, e.g. " +
+        "\"source = 'src0'\")")
 
     val p = cfg.params
     def int(k: String, d: Int): Int = p.get(k).map(_.toInt).getOrElse(d)
@@ -140,6 +145,14 @@ object IncrementalDedupJob {
             org.apache.spark.sql.functions.expr(
               p.getOrElse("langExpr", "lang")),
             maxOrder = int("maxOrder", 3), k = int("k", 300),
+            deletes = dels, fullResync = resync,
+            appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
+        case "bpe" =>
+          // trainWhere over the full silver row, like lmfamiliarity
+          TextAnalysis.bpeTokenCountsIncremental(spark, chg,
+            cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+            org.apache.spark.sql.functions.expr(p("trainWhere")),
+            merges = int("merges", 40),
             deletes = dels, fullResync = resync,
             appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
         case "exact" => Dedup.exactDedupIncremental(spark, batch,

@@ -54,10 +54,10 @@ object FleetProbe {
       Seq("doc_id"), "_ord", compareExclude = Nil)
     println(f"[fleet-probe] silver v0 merge: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    // the fleet: nine members, one on bucketed:64 state (the pruned
+    // the fleet: ten members, one on bucketed:64 state (the pruned
     // delta-log layout whose spec guard must see sf10 merges) and
-    // four frozen-epoch members (dsir + ccnet + decontaminate +
-    // langid — epochs train from wave 1)
+    // five frozen-epoch members (dsir + ccnet + decontaminate +
+    // langid + bpe — epochs train from wave 1)
     def cfgJson(member: String, extra: String = ""): String =
       s"""{"member": "$member", "silverPath": "$silver",
          |"checkpoint": "$workDir/$member/ck",
@@ -81,7 +81,9 @@ object FleetProbe {
       cfgJson("langid",
         """, "params": {"refWhere": "doc_id % 10 = 0", "langExpr": """ +
           """"CASE WHEN doc_id % 3 = 0 THEN 'a' WHEN doc_id % 3 = 1 """ +
-          """THEN 'b' ELSE 'c' END"}"""))
+          """THEN 'b' ELSE 'c' END"}"""),
+      cfgJson("bpe",
+        """, "params": {"trainWhere": "doc_id % 10 = 0", "merges": "16"}"""))
     val control = rows.map((_, true)).toDF("config_json", "enabled")
 
     // wave 1: catch-up fold, the real fleet API end to end
@@ -118,13 +120,22 @@ object FleetProbe {
     // cross-member gold sanity (state dirs never collided, every
     // feed walked both versions): per-doc members hold one row per
     // live doc id; the exact member's gold is keyed per DISTINCT
-    // content (text_hash)
+    // content (text_hash); the decontaminate member's universe is
+    // the NON-benchmark slice (benchmark docs never enter gold — the
+    // r19 probe's check missed this and tripped AFTER printing the
+    // per-member numbers TIMINGS quotes; fixed r20 so the probe
+    // exits 0 end to end)
     val silverCur = sfmt.read(spark, silver)
     val perDoc = silverCur.count()
     val perContent = silverCur.select(col("text")).distinct().count()
+    val perNonBench = silverCur.filter(expr("NOT (doc_id % 10 = 0)")).count()
     cfgs.foreach { cfg =>
       val rowsG = cfg.stateFormat.read(spark, cfg.goldPath).count()
-      val expected = if (cfg.member == "exact") perContent else perDoc
+      val expected = cfg.member match {
+        case "exact" => perContent
+        case "decontaminate" => perNonBench
+        case _ => perDoc
+      }
       println(s"[fleet-probe] ${cfg.member} gold rows $rowsG")
       require(rowsG == expected,
         s"${cfg.member} gold $rowsG != expected $expected")

@@ -295,6 +295,32 @@ class ConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, liCfg.copy(params = Map.empty))
     }
+    // the bpe member (the 17th) dispatches through the runner:
+    // trainWhere over the full silver row, the merge table freezes
+    // from the first matching fold, every live non-null doc carries
+    // a token count under the frozen table, deleted docs leave gold
+    // (fold-by-fold exactness is pinned in StreamingSpec)
+    val bpWork = Files.createTempDirectory("graft_cfg_bp").toString
+    val bpCfg = cfg.copy(member = "bpe",
+      checkpoint = s"$bpWork/ck", stateDir = s"$bpWork/state",
+      goldPath = s"$bpWork/gold",
+      params = Map("trainWhere" -> "doc_id <= 2", "merges" -> "3"))
+    assert(IncrementalDedupJob.run(spark, bpCfg).nonEmpty)
+    val bpGold = bpCfg.stateFormat.read(spark, bpCfg.goldPath)
+    assert(bpGold.filter(col("id") === 2L).count() == 0,
+      "hard-deleted doc must leave bpe gold")
+    val bpTruth = graft.operators.TextAnalysis.bpeTokenCountsFrozen(
+        sfmt.read(spark, silver).filter(col("text").isNotNull)
+          .select("doc_id", "text"), "doc_id", "text",
+        bpCfg.stateFormat.read(spark, s"${bpCfg.stateDir}/model")
+          .select("merge_rank", "lhs", "rhs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val bpRows = bpGold.select(col("id"), col("n_bpe_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(bpRows == bpTruth, s"bpe via runner: $bpRows vs $bpTruth")
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, bpCfg.copy(params = Map.empty))
+    }
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

@@ -2270,6 +2270,104 @@ class StreamingSpec extends SparkSpec {
     checkGold("after refused mismatched fold (state untouched)")
   }
 
+  test("incremental bpe tokenizer: frozen merge table, gold equals frozen-encode truth, retracts, replays, deletes, param guard") {
+    // the 17th incremental member (r20): per-doc token counts under
+    // a FROZEN-EPOCH BPE merge table — train the tokenizer once on a
+    // trusted slice, token-count every new crawl under it. Pins:
+    // (a) a pre-training fold trains nothing; a training fold whose
+    // slice yields no words >= 2 chars skips the epoch (the r20
+    // guard); (b) gold equals batch bpeTokenCountsFrozen against the
+    // frozen table after every fold (shared-kernel contract);
+    // (c) a LATE training doc encodes but does NOT retrain;
+    // (d) update re-scores, update-to-null retracts, hard delete
+    // removes, crash replay converges; (e) a fold configured with a
+    // different merge count refuses fast.
+    import SparkSpec.spark.implicits._
+    import graft.operators.TextAnalysis
+    val fmt = graft.pipeline.SnapshotTableFormat
+    val work = Files.createTempDirectory("graft_bpe_inc").toString
+    val stateDir = s"$work/state"
+    val gold = s"$work/gold"
+    val M = 2
+    var live = Map.empty[Long, String]
+    def foldBatch(ord: Long, dels: Seq[Long],
+                  rows: (Long, String, Boolean)*): Unit = {
+      live ++= rows.filter(_._2 != null).map(r => r._1 -> r._2)
+      live --= rows.filter(_._2 == null).map(_._1)
+      live --= dels
+      TextAnalysis.bpeTokenCountsIncremental(spark,
+        rows.toSeq.toDF("doc_id", "text", "is_train"),
+        "doc_id", "text", stateDir, gold, batchOrd = ord,
+        trainFilter = col("is_train"), merges = M,
+        deletes = if (dels.isEmpty) None else Some(dels.toDF("doc_id")),
+        fmt = fmt)
+    }
+    def frozen() = fmt.read(spark, s"$stateDir/model")
+      .select("merge_rank", "lhs", "rhs")
+    def checkGold(label: String): Unit = {
+      val truth = TextAnalysis.bpeTokenCountsFrozen(
+          live.toSeq.toDF("doc_id", "text"), "doc_id", "text", frozen())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val got = fmt.read(spark, gold).select("id", "n_bpe_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == truth, s"$label: gold $got vs frozen-encode $truth")
+    }
+    // fold 0: no training rows — nothing to train or score
+    foldBatch(0L, Nil, (9L, "abab corpus text", false))
+    assert(!fmt.exists(s"$stateDir/model") && !fmt.exists(gold),
+      "a pre-training fold must not train or score")
+    live -= 9L
+    // fold 0b: a training slice with no words >= 2 chars derives an
+    // EMPTY merge table — skip the epoch, don't poison it
+    foldBatch(0L, Nil, (8L, "a 7 !", true))
+    assert(!fmt.exists(s"$stateDir/model"),
+      "a zero-word training fold must not create state")
+    live -= 8L
+    // fold 1: the epoch — merges freeze as (a,b) then (ab,ab)
+    foldBatch(1L, Nil, (1L, "abab abab abab", true),
+      (10L, "ababab fresh words", false))
+    assert(fmt.exists(s"$stateDir/model"))
+    assert(frozen().orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+      == Seq(("a", "b"), ("ab", "ab")), "frozen trajectory")
+    checkGold("after epoch fold")
+    // 'ababab' -> [abab, ab] = 2, 'fresh' -> 5 chars no merges = 5,
+    // 'words' -> 5: the held-out doc counts 12 under the frozen table
+    assert(fmt.read(spark, gold).filter(col("id") === 10L)
+      .head.getAs[Long]("n_bpe_tokens") == 12L)
+    // fold 2: new docs encode against the frozen table
+    foldBatch(2L, Nil, (9L, "abab corpus text", false),
+      (11L, "abcab xyz", false))
+    checkGold("after fold 2")
+    // fold 3: a LATE training doc encodes but must not retrain
+    foldBatch(3L, Nil, (2L, "cdcd cdcd cdcd", true))
+    checkGold("after late-training fold (frozen table)")
+    assert(frozen().count() == 2L,
+      "a late training doc must not grow the frozen merge table")
+    // fold 4: update re-scores; update-to-null retracts
+    foldBatch(4L, Nil, (10L, "ab ab ab", false),
+      (11L, null.asInstanceOf[String], false))
+    checkGold("after update + null retraction")
+    assert(fmt.read(spark, gold).filter(col("id") === 11L).count() == 0)
+    // crash replay: same batch, same ord — gold converges
+    foldBatch(4L, Nil, (10L, "ab ab ab", false))
+    checkGold("after crash replay")
+    // hard delete
+    foldBatch(5L, Seq(9L))
+    checkGold("after hard delete")
+    assert(fmt.read(spark, gold).filter(col("id") === 9L).count() == 0)
+    // merge-count drift refuses fast, naming both values
+    val errB = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTokenCountsIncremental(spark,
+        Seq((12L, "whatever", false)).toDF("doc_id", "text", "is_train"),
+        "doc_id", "text", stateDir, gold, batchOrd = 6L,
+        trainFilter = col("is_train"), merges = 5, fmt = fmt)
+    }
+    assert(errB.getMessage.contains("2") && errB.getMessage.contains("5"),
+      errB.getMessage)
+    checkGold("after refused mismatched fold (state untouched)")
+  }
+
   test("frozen-epoch members with an empty DERIVED state skip the epoch instead of poisoning it") {
     // r19 advisory: a fold whose slice rows are non-empty but whose
     // DERIVED state is empty (bench texts all shorter than the

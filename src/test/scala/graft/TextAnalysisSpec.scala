@@ -439,6 +439,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out0 == Map(1L -> 4L, 2L -> 1L, 3L -> 0L), out0.toString)
   }
 
+  test("frozen-table encode equals training state on the corpus and handles new words") {
+    import SparkSpec.spark.implicits._
+    // on the TRAINING corpus the frozen encode must replay the
+    // training trajectory bit for bit (shared bpeMergeOnce kernel)
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val m = 6
+    val table = TextAnalysis.bpeTrain(docs, "text", merges = m)
+    val trained = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frozen = TextAnalysis
+      .bpeTokenCountsFrozen(docs, "doc_id", "text", table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(frozen == trained,
+      "encode under the trained table must equal the training state")
+    // a NEW word encodes under the frozen merges in rank order:
+    // train on "abab"-heavy text -> merges (a,b) then (ab,ab);
+    // the unseen word "ababab" encodes greedily to [abab, ab] = 2,
+    // "abcab" to [ab, c, ab] = 3, "xyz" (no merges apply) to 3
+    val train = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
+    val t2 = TextAnalysis.bpeTrain(train, "text", merges = 2)
+    assert(t2.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      == Seq(("a", "b"), ("ab", "ab")))
+    val fresh = Seq((10L, "ababab abcab xyz"))
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis
+      .bpeTokenCountsFrozen(fresh, "doc_id", "text", t2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(enc == Map(10L -> (2L + 3L + 3L)), enc.toString)
+  }
+
   test("bpe rank-1 merge equals the standalone pair-stats top row") {
     val docs = Tables.load(spark, sf, "documents")
     val top = TextAnalysis.bpePairStats(docs, "text", k = 1).collect()(0)
