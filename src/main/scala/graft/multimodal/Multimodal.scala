@@ -432,19 +432,51 @@ object Multimodal {
     assets.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
-        ImageCodec.decode(a.payload) match {
-          case Some(img) =>
-            val h = if (method == "ahash") ImageCodec.ahash64(img)
-                    else ImageCodec.dhash64(img)
-            PerceptualHash(a.asset_id, a.media_type, decoded = true, h)
-          case None =>
-            md.reset()
-            val d = md.digest(a.payload)
-            PerceptualHash(a.asset_id, a.media_type, decoded = false,
-              java.nio.ByteBuffer.wrap(d, 0, 8).getLong)
-        }
+        val (decoded, h) = perceptualHashOne(md, a.payload, method)
+        PerceptualHash(a.asset_id, a.media_type, decoded, h)
       }
     }
+  }
+
+  /** The decode-or-degrade kernel both hash producers share: a
+    * decodable image hashes perceptually; anything else degrades to
+    * the first 8 MD5 bytes (exact-content identity, the portable
+    * oracle recipe). Payload must be non-null (callers filter).
+    */
+  private def perceptualHashOne(md: java.security.MessageDigest,
+                                payload: Array[Byte],
+                                method: String): (Boolean, Long) =
+    ImageCodec.decode(payload) match {
+      case Some(img) =>
+        (true, if (method == "ahash") ImageCodec.ahash64(img)
+               else ImageCodec.dhash64(img))
+      case None =>
+        md.reset()
+        (false, java.nio.ByteBuffer.wrap(md.digest(payload), 0, 8).getLong)
+    }
+
+  /** Column-frame form of [[perceptualHashes]] for callers outside
+    * the MediaAsset schema — the incremental member's hash kernel:
+    * (idCol: long, payloadCol: binary-castable) → (idCol, phash).
+    * Same iterator-per-asset contract; rows with null payloads must
+    * be filtered by the caller (retraction is the caller's
+    * semantic, not a hash).
+    */
+  def perceptualHash64(df: DataFrame, idCol: String, payloadCol: String,
+                       method: String = "dhash"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(method == "dhash" || method == "ahash",
+      s"unknown perceptual hash method '$method' (dhash | ahash)")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          (id, perceptualHashOne(md, payload, method)._2)
+        }
+      }
+      .toDF(idCol, "phash")
   }
 
   def sampleFrames(assets: DataFrame, everyN: Int = 30): DataFrame = {

@@ -2280,17 +2280,66 @@ object Dedup {
                               fullResync: Boolean = false,
                               appendOnly: Boolean = false,
                               fmt: graft.pipeline.TableFormat =
-                                graft.pipeline.SnapshotTableFormat): Unit = {
+                                graft.pipeline.SnapshotTableFormat): Unit =
+    hammingStatsIncrementalImpl(spark,
+      batch.select(col(idCol).as("id"), col(textCol).as("text")),
+      df => df.select(col("id"),
+        HashFunctions.simhash64(split(col("text"), " ")).as("simhash")),
+      idCol, statePath, goldPath, batchOrd, maxHamming, maxBucket,
+      deletes, fullResync, appendOnly, fmt)
+
+  /** Incremental 64-bit-Hamming near-dup over PERCEPTUAL hashes —
+    * the 18th member of the incremental family and the streaming
+    * sibling of `multimodal_near_dedup`: state is (id, signature)
+    * where the signature is [[graft.multimodal.Multimodal
+    * .perceptualHash64]]'s dHash/aHash for decodable images and the
+    * MD5-prefix degradation otherwise; pairing/verify/affected-set
+    * maintenance is [[simhashStatsIncremental]]'s machinery verbatim
+    * (shared impl — the two members CANNOT drift). Expects a
+    * SINGLE-ASSET-TYPE feed (one control-table row per media type,
+    * each with its own state dir — the fleet pattern; cross-type
+    * pairs are coincidence, not duplication, per the
+    * multimodal_dedup scoping rule). Gold schema matches the simhash
+    * member's: the `simhash` column carries the 64-bit signature.
+    */
+  def phashStatsIncremental(spark: SparkSession, batch: DataFrame,
+                            idCol: String, payloadCol: String,
+                            statePath: String, goldPath: String,
+                            batchOrd: Long, method: String = "dhash",
+                            maxHamming: Int = 8, maxBucket: Int = 10000,
+                            deletes: Option[DataFrame] = None,
+                            fullResync: Boolean = false,
+                            appendOnly: Boolean = false,
+                            fmt: graft.pipeline.TableFormat =
+                              graft.pipeline.SnapshotTableFormat): Unit =
+    hammingStatsIncrementalImpl(spark,
+      batch.select(col(idCol).as("id"),
+        col(payloadCol).cast("binary").as("text")),
+      df => graft.multimodal.Multimodal.perceptualHash64(
+        df, "id", "text", method).withColumnRenamed("phash", "simhash"),
+      idCol, statePath, goldPath, batchOrd, maxHamming, maxBucket,
+      deletes, fullResync, appendOnly, fmt)
+
+  /** The shared fold behind [[simhashStatsIncremental]] and
+    * [[phashStatsIncremental]]: `batchAll0` is the (id, text) change
+    * batch where `text` is the hashable content in ANY type (string
+    * tokens, binary payload — null means retraction), and
+    * `hashBatch` maps a non-null (id, text) frame to (id, simhash).
+    * Everything below the hash is signature-generic.
+    */
+  private def hammingStatsIncrementalImpl(
+      spark: SparkSession, batchAll0: DataFrame,
+      hashBatch: DataFrame => DataFrame, idCol: String,
+      statePath: String, goldPath: String, batchOrd: Long,
+      maxHamming: Int, maxBucket: Int,
+      deletes: Option[DataFrame], fullResync: Boolean,
+      appendOnly: Boolean, fmt: graft.pipeline.TableFormat): Unit = {
     require(!(appendOnly && deletes.nonEmpty),
       "appendOnly declares an insert-only corpus; a delete feed " +
         "contradicts it — drop the flag and use the general path")
     val batchAll = graft.Materialize.eager(
-      oneRowPerId(batch.select(col(idCol).as("id"), col(textCol).as("text")),
-        "id", Seq("text")))
+      oneRowPerId(batchAll0, "id", Seq("text")))
     val batchDocs = batchAll.filter(col("text").isNotNull)
-    def hashBatch(df: DataFrame): DataFrame =
-      df.select(col("id"),
-        HashFunctions.simhash64(split(col("text"), " ")).as("simhash"))
 
     // EXACT-DUPLICATE COLLAPSE (r15, carrying the batch operator's
     // r14 design into the fold): the state stays (id, simhash) — the

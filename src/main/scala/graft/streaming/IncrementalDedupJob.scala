@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.ConfigHandler.IncrementalDedupConfig
 
-/** Config-driven driver for the seventeen-member incremental dedup family
+/** Config-driven driver for the eighteen-member incremental dedup family
   * — the reference's whole operating model is JSON-config → pipeline
   * (ingest-framework builder/engine.py), and until r16 the
   * incremental members were library-only: spec-verified, but a
@@ -50,7 +50,8 @@ object IncrementalDedupJob {
     "dsir" -> Set("targetWhere", "buckets"),
     "decontaminate" -> Set("benchWhere", "n"),
     "langid" -> Set("refWhere", "langExpr", "maxOrder", "k"),
-    "bpe" -> Set("trainWhere", "merges"))
+    "bpe" -> Set("trainWhere", "merges"),
+    "phash" -> Set("method", "maxHamming", "maxBucket"))
 
   /** Walk every unprocessed silver version through the configured
     * member. Returns the versions folded this call (empty = caught
@@ -94,6 +95,12 @@ object IncrementalDedupJob {
       "the bpe member requires 'trainWhere' (a SQL predicate over the " +
         "silver row naming the tokenizer training slice, e.g. " +
         "\"source = 'src0'\")")
+    // validate the method VALUE at dispatch time: the kernel's own
+    // require only fires inside a fold, so a caught-up checkpoint
+    // would accept a typo'd method silently until the next version
+    require(cfg.member != "phash" ||
+      Set("dhash", "ahash")(cfg.params.getOrElse("method", "dhash")),
+      "the phash member's 'method' must be dhash | ahash")
 
     val p = cfg.params
     def int(k: String, d: Int): Int = p.get(k).map(_.toInt).getOrElse(d)
@@ -166,6 +173,17 @@ object IncrementalDedupJob {
           maxBucket = int("maxBucket", 10000), minBands = int("minBands", 1),
           deletes = dels, fullResync = resync, appendOnly = cfg.appendOnly,
           fmt = cfg.stateFormat)
+        case "phash" =>
+          // the binary-asset sibling of the simhash member: expects
+          // a single-asset-type feed (one control row per media
+          // type), contentCol names the payload column
+          Dedup.phashStatsIncremental(spark, batch,
+            cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
+            method = p.getOrElse("method", "dhash"),
+            maxHamming = int("maxHamming", 8),
+            maxBucket = int("maxBucket", 10000),
+            deletes = dels, fullResync = resync,
+            appendOnly = cfg.appendOnly, fmt = cfg.stateFormat)
         case "simhash" => Dedup.simhashStatsIncremental(spark, batch,
           cfg.idCol, cfg.contentCol, cfg.stateDir, cfg.goldPath, ord,
           maxHamming = int("maxHamming", 8),

@@ -54,10 +54,12 @@ object FleetProbe {
       Seq("doc_id"), "_ord", compareExclude = Nil)
     println(f"[fleet-probe] silver v0 merge: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    // the fleet: ten members, one on bucketed:64 state (the pruned
-    // delta-log layout whose spec guard must see sf10 merges) and
-    // five frozen-epoch members (dsir + ccnet + decontaminate +
-    // langid + bpe — epochs train from wave 1)
+    // the fleet: eleven members, one on bucketed:64 state (the
+    // pruned delta-log layout whose spec guard must see sf10 merges)
+    // and five frozen-epoch members (dsir + ccnet + decontaminate +
+    // langid + bpe — epochs train from wave 1); phash runs the md5
+    // degradation path over the text payloads (the binary-asset
+    // member under text-silver traffic)
     def cfgJson(member: String, extra: String = ""): String =
       s"""{"member": "$member", "silverPath": "$silver",
          |"checkpoint": "$workDir/$member/ck",
@@ -83,7 +85,8 @@ object FleetProbe {
           """"CASE WHEN doc_id % 3 = 0 THEN 'a' WHEN doc_id % 3 = 1 """ +
           """THEN 'b' ELSE 'c' END"}"""),
       cfgJson("bpe",
-        """, "params": {"trainWhere": "doc_id % 10 = 0", "merges": "16"}"""))
+        """, "params": {"trainWhere": "doc_id % 10 = 0", "merges": "16"}"""),
+      cfgJson("phash"))
     val control = rows.map((_, true)).toDF("config_json", "enabled")
 
     // wave 1: catch-up fold, the real fleet API end to end

@@ -321,6 +321,30 @@ class ConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, bpCfg.copy(params = Map.empty))
     }
+    // the phash member (the 18th) dispatches through the runner:
+    // contentCol names the payload column (a string casts to binary
+    // — the md5 degradation path on this text silver), pairing is
+    // the simhash member's shared machinery (fold-by-fold exactness
+    // is pinned in StreamingSpec)
+    val phWork = Files.createTempDirectory("graft_cfg_ph").toString
+    val phCfg = cfg.copy(member = "phash",
+      checkpoint = s"$phWork/ck", stateDir = s"$phWork/state",
+      goldPath = s"$phWork/gold",
+      params = Map("method" -> "dhash", "maxHamming" -> "8"))
+    assert(IncrementalDedupJob.run(spark, phCfg).nonEmpty)
+    val phGold = phCfg.stateFormat.read(spark, phCfg.goldPath)
+    assert(phGold.filter(col("id") === 2L).count() == 0,
+      "hard-deleted doc must leave phash gold")
+    // docs 1 and 4 carry identical bytes (dupText): md5 twins pair
+    // at Hamming 0; the unrelated doc 3 pairs with nothing
+    assert(phGold.filter(col("id").isin(1L, 4L)).collect()
+      .forall(_.getAs[Long]("n_near") == 1L), "byte twins must pair")
+    assert(phGold.filter(col("id") === 3L)
+      .head.getAs[Long]("n_near") == 0L)
+    intercept[IllegalArgumentException] {
+      IncrementalDedupJob.run(spark, phCfg.copy(
+        params = Map("method" -> "sift")))
+    }
     // validation: unknown member, typo'd param, resolve+appendOnly
     intercept[IllegalArgumentException] {
       IncrementalDedupJob.run(spark, cfg.copy(member = "fuzzy"))

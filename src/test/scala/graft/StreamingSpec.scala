@@ -2368,6 +2368,104 @@ class StreamingSpec extends SparkSpec {
     checkGold("after refused mismatched fold (state untouched)")
   }
 
+  test("incremental phash stats: streamed gold equals batch perceptual near-dup, updates retract, replays, deletes") {
+    // the 18th incremental member (r20): perceptual near-dup for
+    // binary assets over the change feed — the streaming sibling of
+    // multimodal_near_dedup, sharing the simhash member's fold
+    // machinery verbatim. Decodable images pair through real dHash
+    // (a re-encode sits at Hamming 0), undecodable payloads through
+    // the MD5-prefix identity; gold must equal the batch Hamming
+    // stats over live-current after every fold.
+    import SparkSpec.spark.implicits._
+    import graft.operators.Dedup
+    import graft.multimodal.{ImageCodec, Multimodal}
+    val state = Files.createTempDirectory("graft_ph_state").toString + "/t"
+    val gold = Files.createTempDirectory("graft_ph_gold").toString + "/t"
+    var live = scala.collection.immutable.SortedMap.empty[Long, Array[Byte]]
+
+    def texture(a: Double, b: Double): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val lum = (128 + 90 * math.sin(
+          2 * math.Pi * (a * x / 64 + b * y / 48))).toInt.max(0).min(255)
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      }
+      ImageCodec.encodePng(img)
+    }
+    val imgA = texture(1.5, 1.0)
+    // same pixels through a decode+re-encode round trip: Hamming 0
+    val imgA2 = ImageCodec.encodePng(ImageCodec.decode(imgA).get)
+    val imgB = texture(3.0, 2.2)
+    val txt1 = "identical asset payload bytes".getBytes("UTF-8")
+    val txt2 = "a different asset payload".getBytes("UTF-8")
+
+    def fold(batch: Seq[(Long, Array[Byte])], ord: Long,
+             dels: Option[Seq[Long]] = None): Unit =
+      Dedup.phashStatsIncremental(spark,
+        batch.toDF("asset_id", "payload"), "asset_id", "payload",
+        state, gold, batchOrd = ord,
+        deletes = dels.map(_.toDF("asset_id")))
+    def rows(df: org.apache.spark.sql.DataFrame,
+             idName: String): Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long](idName),
+        r.getAs[Long]("simhash"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_near"))).toSeq.sortBy(_._1)
+    def check(label: String): Unit = {
+      val hashed = graft.Materialize.eager(
+        Multimodal.perceptualHash64(
+            live.toSeq.toDF("asset_id", "payload"), "asset_id", "payload")
+          .select(col("asset_id").as("id"), col("phash").as("simhash")))
+      val truth = rows(
+        Dedup.hammingNearDupFromHashes(hashed, "asset_id",
+          maxHamming = 8, maxBucket = 10000), "asset_id")
+      val got = rows(MergeTable.read(spark, gold)
+        .withColumnRenamed("id", "asset_id"), "asset_id")
+      assert(got == truth,
+        s"$label: gold ${got.mkString("; ")} vs batch ${truth.mkString("; ")}")
+    }
+
+    // batch 1: an image + its re-encode (dHash twins), a distinct
+    // image, an undecodable payload
+    val b1 = Seq(1L -> imgA, 2L -> imgA2, 3L -> imgB, 4L -> txt1)
+    live ++= b1; fold(b1, 0L); check("after batch 1")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+      .head.getAs[Long]("n_near") == 1L,
+      "the re-encoded image must pair with its original")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L)
+      .head.getAs[Long]("n_near") == 0L)
+
+    // batch 2: a byte twin of the undecodable payload — OLD doc 4
+    // gains a partner through the MD5 identity
+    val b2 = Seq(5L -> txt1)
+    live ++= b2; fold(b2, 1L); check("after batch 2 (md5 twin joins)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 4L)
+      .head.getAs[Long]("n_near") == 1L)
+
+    // batch 3: doc 2's update leaves the image family
+    val b3 = Seq(2L -> txt2)
+    live ++= b3; fold(b3, 2L); check("after batch 3 (update retracts)")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 1L)
+      .head.getAs[Long]("n_near") == 0L,
+      "the original must lose its re-encode partner on update")
+
+    // crash replay: same batch, same ord — gold converges
+    fold(b3, 2L); check("after crash replay")
+
+    // hard delete: doc 5 leaves, doc 4 loses its md5 twin
+    live -= 5L; fold(Nil, 3L, dels = Some(Seq(5L)))
+    check("after hard delete")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 5L).count() == 0)
+    assert(MergeTable.read(spark, gold).filter(col("id") === 4L)
+      .head.getAs[Long]("n_near") == 0L)
+
+    // null payload retracts like an update-to-null
+    live -= 3L
+    fold(Seq(3L -> null.asInstanceOf[Array[Byte]]), 4L)
+    check("after null retraction")
+    assert(MergeTable.read(spark, gold).filter(col("id") === 3L).count() == 0)
+  }
+
   test("frozen-epoch members with an empty DERIVED state skip the epoch instead of poisoning it") {
     // r19 advisory: a fold whose slice rows are non-empty but whose
     // DERIVED state is empty (bench texts all shorter than the
