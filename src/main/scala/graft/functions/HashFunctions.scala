@@ -430,6 +430,23 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Binary (UTF-8 byte) ordering for UTF8String sorts. Spark 4's
+  * `UTF8String.compareTo` guards EVERY call with
+  * `SparkEnvUtils.isTesting` — a `System.getenv` lookup that
+  * string-encodes the variable name per comparison — so a
+  * `Arrays.sort` over the natural ordering spends most of its time
+  * reading the process environment (measured: the charNgramProfile
+  * sort was ~10× slower than the same sort through this comparator).
+  * `binaryCompare` is the exact order compareTo delegates to.
+  */
+object Utf8Order {
+  val Binary: java.util.Comparator[UTF8String] =
+    new java.util.Comparator[UTF8String] {
+      override def compare(a: UTF8String, b: UTF8String): Int =
+        a.binaryCompare(b)
+    }
+}
+
 object CharNgramOps {
 
   /** Per-document Cavnar–Trenkle char-n-gram RANK PROFILE in one
@@ -480,7 +497,7 @@ object CharNgramOps {
       }
       o += 1
     }
-    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    java.util.Arrays.sort(grams, Utf8Order.Binary)
     val dg = new Array[UTF8String](total)
     val dc = new Array[Int](total)
     var m = 0

@@ -670,7 +670,9 @@ object TextAnalysis {
     * null text yields an EMPTY array, so 0-gram docs fall out of the
     * explode rather than carrying nulls.
     */
-  private def charNgrams(text: Column, n: Int): Column =
+  // reference semantics for the codegen'd char_ngram_counts kernel
+  // (TextAnalysisSpec replays the explode+count form through this)
+  private[operators] def charNgrams(text: Column, n: Int): Column =
     coalesce(
       when(length(text) >= n,
         transform(sequence(lit(1), length(text) - lit(n - 1)),
@@ -708,13 +710,20 @@ object TextAnalysis {
   def langIdModel(ref: DataFrame, textCol: String, langCol: String,
                   maxOrder: Int = 3, k: Int = 300): DataFrame = {
     require(maxOrder >= 1 && k > 0, "need maxOrder >= 1 and k > 0")
-    val allGrams = concat(
-      (1 to maxOrder).map(n => charNgrams(col(textCol), n)): _*)
+    // per-doc distinct-gram COUNTS build in-row inside one codegen'd
+    // kernel (r21): the explode ships Σ|doc distinct grams| rows into
+    // the (lang, gram) aggregate instead of Σ|doc chars|·maxOrder
+    // occurrence rows through an interpreted transform(sequence(...))
+    // chain — summed counts are value-identical (count(*) over
+    // occurrences == sum of per-doc occurrence counts; spec-pinned)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("_c").desc, col("_g").asc)
     ref.filter(col(langCol).isNotNull)
-      .select(col(langCol).as("lang"), explode(allGrams).as("_g"))
-      .groupBy(col("lang"), col("_g")).agg(count(lit(1)).as("_c"))
+      .select(col(langCol).as("lang"),
+        explode(graft.functions.TextStatsFunctions
+          .charNgramCounts(col(textCol), maxOrder)).as("_gc"))
+      .select(col("lang"), col("_gc._g").as("_g"), col("_gc._c").as("_cc"))
+      .groupBy(col("lang"), col("_g")).agg(sum(col("_cc")).as("_c"))
       .withColumn("_lrank", row_number().over(w))
       .filter(col("_lrank") <= k)
       .select(col("lang"), col("_g"), col("_lrank"))
@@ -1395,6 +1404,29 @@ object TextAnalysis {
                             k: Int = 8, w: Int = 4,
                             prodHash: Boolean = false): DataFrame = {
     require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
+    // ONE compiled byte scan per row (r21): hash array, run-length
+    // selection and pair emission all happen inside the codegen'd
+    // kernel — the declarative form below ([[winnowAnchorPositionsHof]],
+    // kept as the reference semantics the equivalence spec replays)
+    // is a higher-order-function chain that never enters codegen and
+    // was the single most expensive kernel on the r21 baseline board.
+    df.select(col(idCol),
+        explode(graft.functions.WinnowFunctions
+          .winnowAnchorPairs(col(textCol), k, w, prodHash)).as("_sw"))
+      .select(col(idCol), col("_sw.pos").as("pos"),
+        col("_sw.h").as("fingerprint"))
+  }
+
+  /** The declarative (higher-order-function) formulation of
+    * [[winnowAnchorPositions]] — the reference semantics. HOFs are
+    * interpreted, so the codegen kernel above is the hot-path form;
+    * TextAnalysisSpec pins row-for-row equality between the two.
+    */
+  private[operators] def winnowAnchorPositionsHof(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4,
+      prodHash: Boolean = false): DataFrame = {
+    require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
     val nGrams = length(col(textCol)) - (k - 1)
     def gramHash(g: Column): Column =
       if (prodHash) xxhash64(g) else Sampling.hashBucket(g)
@@ -2014,17 +2046,21 @@ object TextAnalysis {
     * the split — no shuffle, no UDFs.
     */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = {
-    val words = split(text, " ")
-    val nWords = size(words).cast("long")
-    val nDistinct = size(array_distinct(words)).cast("long")
+    // ONE codegen'd byte scan (r21): the interpreted HOF form
+    // (aggregate over array_distinct with a filter-rescan per
+    // distinct word) is O(distinct · n) with per-element expression
+    // interpretation; the kernel's sorted-span run-length counts are
+    // value-identical (TextAnalysisSpec pins it)
+    val st = graft.functions.TextStatsFunctions.wordFreqStats(text)
+    val nWords = st.getField("n_words")
+    val nDistinct = st.getField("n_distinct")
     Seq(
       "n_words" -> nWords,
       "distinct_word_ratio" -> (nDistinct.cast("double") / nWords),
       "dup_word_fraction" -> ((nWords - nDistinct).cast("double") / nWords),
       // dominance of the single most frequent word
-      "top_word_fraction" -> (aggregate(array_distinct(words), lit(0L),
-        (acc, w) => greatest(acc, size(filter(words, x => x === w)).cast("long")))
-        .cast("double") / nWords))
+      "top_word_fraction" ->
+        (st.getField("top_count").cast("double") / nWords))
   }
 
   /** Lexical diversity via the Gini–Simpson index: 1 − Σ(cᵢ/n)²
@@ -2038,13 +2074,12 @@ object TextAnalysis {
     * [[repetitionMetrics]] — no shuffle at any corpus size.
     */
   def diversityMetrics(text: Column): Seq[(String, Column)] = {
-    val words = split(text, " ")
-    val nWords = size(words).cast("long")
-    val sumSq = aggregate(array_distinct(words), lit(0L),
-      (acc, w) => acc + {
-        val c = size(filter(words, x => x === w)).cast("long")
-        c * c
-      })
+    // same codegen'd kernel as [[repetitionMetrics]] (r21): Σcᵢ²
+    // accumulates as exact longs inside the byte-scan kernel instead
+    // of the O(distinct · n) interpreted filter-rescan fold
+    val st = graft.functions.TextStatsFunctions.wordFreqStats(text)
+    val nWords = st.getField("n_words")
+    val sumSq = st.getField("sum_sq")
     Seq(
       "n_words" -> nWords,
       "simpson_diversity" ->
