@@ -247,6 +247,21 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
           }
+          finally {
+            // Inter-ATTEMPT unpersist (r21 measurement fix): each
+            // attempt constructs a FRESH plan, so blocks a previous
+            // attempt localCheckpointed are dead weight — never
+            // reused, but squeezing unified memory until later
+            // attempts of materialization-heavy queries degrade
+            // (ann_recall_ivfpq measured 2.1 s -> 17.4 s across six
+            // attempts as its own dead checkpoints accumulated; the
+            // dispersion re-attempt rule then RAISED the median the
+            // re-runs were meant to stabilize). The full GC settle
+            // stays per-query; this only drops the dead blocks.
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
+            spark.sharedState.cacheManager.clearCache()
+          }
         }
         var attempts: Seq[Option[Double]] = (1 to runsPer).map(_ => attempt())
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
@@ -300,7 +315,7 @@ object Bench {
     // 171-query board. Cross-round comparisons against pre-stamp
     // artifacts must expect those shifts; the stamp makes each switch
     // visible in the artifact itself rather than only in prose.
-    val methodology = "quiesce=unpersist+gcSettle<=10x@64MB; dispersion>3x re-runs<=3 + noise verdict (since r20)"
+    val methodology = "quiesce=unpersist+gcSettle<=10x@64MB; interAttemptUnpersist (r21); dispersion>3x re-runs<=3 + noise verdict (since r20)"
     dropPersistedBlocks()
     val (calCpuPost, calShufPost) = calibrate()
     val calib = s"""{"cpu_pre":${r3(calCpuPre)},"shuffle_pre":${r3(

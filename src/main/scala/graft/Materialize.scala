@@ -78,6 +78,24 @@ object Materialize {
         s"$ConfKey must be local|reliable|persist, got '$other'")
     }
 
+  /** Construct independent frames concurrently (r21, guide §2.6:
+    * overlap independent jobs). Several operators run driver-
+    * synchronized work at CONSTRUCTION time — eager materializations,
+    * bounded collects, driver-side quantizer training — and a
+    * composition that builds such branches sequentially serializes
+    * those jobs even though Spark's scheduler would happily overlap
+    * them (the next branch's tasks back-fill executors the previous
+    * branch's tail leaves idle). Each thunk must be independent of
+    * the others; results return in input order, so compositions stay
+    * deterministic. Exceptions propagate to the caller.
+    */
+  def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+  }
+
   private def strategy(df: DataFrame, eagerEval: Boolean): DataFrame =
     df.sparkSession.conf.get(ConfKey, "local") match {
       case "local"    => df.localCheckpoint(eagerEval)

@@ -146,6 +146,18 @@ object DedupQueries {
       all.filter(!(col("source") <=> "src0"))
         .join(pass, Seq("doc_id"), "left_semi"))
 
+  // r21: truth and approx sides of a recall audit are independent
+  // job chains (brute force collects the corpus; IVF/PQ count,
+  // sample and train at construction) — build them concurrently so
+  // the scheduler overlaps those driver-synchronized jobs (guide
+  // §2.6); results identical.
+  private def recallPair(truth: => org.apache.spark.sql.DataFrame,
+                         approx: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fs = graft.Materialize.inParallel(Seq(() => truth, () => approx))
+    Similarity.annRecall(fs(0), fs(1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
     "dedup_savings" -> ((s, d) =>
@@ -318,7 +330,7 @@ object DedupQueries {
     // ~(planes+1)-table candidate coverage
     "ann_recall_lsh_multiprobe" -> ((s, d) => {
       val e = embs(s, d)
-      Similarity.annRecall(
+      recallPair(
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annLshMultiprobe(e, "vec_id", "embedding"))
     }),
@@ -326,7 +338,7 @@ object DedupQueries {
     // the accept/reject evidence for every ANN parameter trade
     "ann_recall" -> ((s, d) => {
       val e = embs(s, d)
-      Similarity.annRecall(
+      recallPair(
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annLsh(e, "vec_id", "embedding"))
     }),
@@ -340,7 +352,7 @@ object DedupQueries {
       val e = embs(s, d)
       val half = e.select(col("vec_id"),
         expr("slice(embedding, 1, size(embedding) div 2)").as("embedding"))
-      Similarity.annRecall(
+      recallPair(
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annBruteForce(half, "vec_id", "embedding"))
     }),
@@ -374,7 +386,7 @@ object DedupQueries {
     // the same audit for the IVF index (inverted lists + nprobe)
     "ann_recall_ivf" -> ((s, d) => {
       val e = embs(s, d)
-      Similarity.annRecall(
+      recallPair(
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annIvf(e, "vec_id", "embedding"))
     }),
@@ -390,7 +402,7 @@ object DedupQueries {
     // rows-only (the PQ side has no SQL oracle), floor spec-pinned
     "ann_recall_ivfpq" -> ((s, d) => {
       val e = embs(s, d)
-      Similarity.annRecall(
+      recallPair(
         Similarity.annBruteForce(e, "vec_id", "embedding"),
         Similarity.annIvfPq(e, "vec_id", "embedding"))
     }),

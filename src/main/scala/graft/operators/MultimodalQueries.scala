@@ -87,12 +87,18 @@ object MultimodalQueries {
     // invocation AND the final join
     val hashes = graft.Materialize.eager(
       Multimodal.perceptualHashes(assets).toDF())
-    val stats = Seq("image", "audio", "video").map { t =>
-      Dedup.hammingNearDupFromHashes(
-        hashes.filter(col("media_type") === t)
-          .select(col("asset_id").as("id"), col("phash").as("simhash")),
-        "id", maxHamming = 8, maxBucket = 10000)
-    }.reduce(_.unionByName(_))
+    // the three per-type invocations are independent job chains
+    // (each runs an eager group materialization + a flood-set
+    // collect at construction); build them CONCURRENTLY so the
+    // scheduler overlaps those driver-synchronized jobs (r21, guide
+    // §2.6) — results identical, union order fixed by the Seq
+    val stats = graft.Materialize.inParallel(
+      Seq("image", "audio", "video").map(t => () =>
+        Dedup.hammingNearDupFromHashes(
+          hashes.filter(col("media_type") === t)
+            .select(col("asset_id").as("id"), col("phash").as("simhash")),
+          "id", maxHamming = 8, maxBucket = 10000)))
+      .reduce(_.unionByName(_))
     hashes.join(
         stats.select(col("id").as("asset_id"), col("n_candidates"),
           col("n_near"), col("min_hamming")),

@@ -334,7 +334,14 @@ object TextAnalysis {
       .select(col("w"), col("wc"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("seq"))
-    var state = graft.Materialize.eager(init)
+    // LAZY checkpoints (r21): the loop is driver-synchronized per
+    // round anyway (the argmax collect), so cutting lineage lazily
+    // lets each round's fold materialize as part of the NEXT round's
+    // pair-count job instead of paying a dedicated checkpoint job —
+    // one driver-synchronized job per round instead of two, same
+    // rows (the measured bpe wall cost is fixed per-round job
+    // overhead, TIMINGS "bpe trainer merge bound")
+    var state = graft.Materialize.lazily(init)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var saturated = false
@@ -355,7 +362,7 @@ object TextAnalysis {
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((rank, l, r, cnt))
-        state = graft.Materialize.eager(state.select(
+        state = graft.Materialize.lazily(state.select(
           col("w"), col("wc"),
           bpeMergeOnce(col("seq"), l, r).as("seq")))
         rank += 1
@@ -406,11 +413,15 @@ object TextAnalysis {
   private[operators] def bpeEncodeWords(words: DataFrame,
                                         merges: Seq[(String, String)])
       : DataFrame = {
-    var state = graft.Materialize.eager(words.select(col("w"),
+    // lazy lineage cuts for the same reason as [[bpeLoop]] (r21):
+    // the encode chain has no per-round collect, so the whole chain
+    // materializes in the consumer's first action while every
+    // round's plan still truncates
+    var state = graft.Materialize.lazily(words.select(col("w"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("seq")))
     merges.foreach { case (l, r) =>
-      state = graft.Materialize.eager(
+      state = graft.Materialize.lazily(
         state.select(col("w"), bpeMergeOnce(col("seq"), l, r).as("seq")))
     }
     state
