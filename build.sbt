@@ -38,3 +38,39 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // settle alone until pinned)
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// r22: SHARD test suites across concurrently forked JVMs. The suite
+// is 392 tests / ~24 min sequential — past the driver's test budget
+// (r21's run was killed mid-suite). Suites mutate shared-session
+// runtime conf (timezone, AQE coalesce, materialize strategy), so
+// in-JVM suite parallelism would cross-talk; separate JVMs each get
+// their own SparkSession and are isolation-safe. Shards are balanced
+// by measured suite durations (StreamingSpec's incremental members
+// were additionally split into two sibling classes — no test changed
+// or removed). 5 shards x local[4] sessions fit the 32-core host;
+// each fork reuses the Test javaOptions (module opens + pinned heap).
+val testShard: String => Int = Map(
+  "graft.StreamingIncrementalDedupSpec" -> 0,
+  "graft.PlanSpec" -> 0,
+  "graft.StreamingIncrementalSpec" -> 1,
+  "graft.QuantileSketchSpec" -> 1,
+  "graft.ConfigSpec" -> 2,
+  "graft.DedupSpec" -> 2,
+  "graft.MergeSpec" -> 3,
+  "graft.CoreQueriesSpec" -> 3,
+  "graft.StreamingIncrementalDedup2Spec" -> 5,
+  "graft.TextAnalysisSpec" -> 5,
+  "graft.KernelEquivalenceR21Spec" -> 5,
+).withDefaultValue(4)
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value
+    .groupBy(t => testShard(t.name)).toSeq.sortBy(_._1)
+    .map { case (shard, suites) =>
+      Tests.Group(s"shard$shard", suites,
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(8))

@@ -256,11 +256,17 @@ object Bench {
             // (ann_recall_ivfpq measured 2.1 s -> 17.4 s across six
             // attempts as its own dead checkpoints accumulated; the
             // dispersion re-attempt rule then RAISED the median the
-            // re-runs were meant to stabilize). The full GC settle
-            // stays per-query; this only drops the dead blocks.
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = true))
-            spark.sharedState.cacheManager.clearCache()
+            // re-runs were meant to stabilize). r22: the unpersist
+            // alone did not stop the escalation — materialization-
+            // heavy queries still drifted 3 -> 9 s across attempts
+            // (r22 baseline corpus_curate_dsir [3.3, 9.5, 5.6];
+            // corpus_curate_langid warm attempts rose monotonically)
+            // because each attempt also leaves broadcast pieces and
+            // shuffle state that only the ContextCleaner reclaims,
+            // and it only acts after a driver GC. The adaptive GC
+            // settle therefore now runs per ATTEMPT (outside the
+            // timed window), exactly like the per-query quiesce.
+            dropPersistedBlocks()
           }
         }
         var attempts: Seq[Option[Double]] = (1 to runsPer).map(_ => attempt())
@@ -315,7 +321,7 @@ object Bench {
     // 171-query board. Cross-round comparisons against pre-stamp
     // artifacts must expect those shifts; the stamp makes each switch
     // visible in the artifact itself rather than only in prose.
-    val methodology = "quiesce=unpersist+gcSettle<=10x@64MB; interAttemptUnpersist (r21); dispersion>3x re-runs<=3 + noise verdict (since r20)"
+    val methodology = "quiesce=unpersist+gcSettle<=10x@64MB per attempt (r22; per query since r8/r19, interAttemptUnpersist r21); dispersion>3x re-runs<=3 + noise verdict (since r20)"
     dropPersistedBlocks()
     val (calCpuPost, calShufPost) = calibrate()
     val calib = s"""{"cpu_pre":${r3(calCpuPre)},"shuffle_pre":${r3(

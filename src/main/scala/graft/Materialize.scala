@@ -90,10 +90,33 @@ object Materialize {
     * deterministic. Exceptions propagate to the caller.
     */
   def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration._
+    import scala.util.{Failure, Try}
+    if (thunks.sizeIs <= 1) return thunks.map(_())
+    // r22 hardening (ADVICE): (a) pool threads have no active
+    // SparkSession — a construction-time SparkSession.active /
+    // SQLConf.get inside a thunk would silently read the DEFAULT
+    // session's conf under multi-session use, so the caller's session
+    // is re-activated in every branch; (b) thunks run driver-
+    // synchronized Spark collects, so they are wrapped in blocking{}
+    // (the global pool spawns a compensating thread instead of
+    // starving if compositions ever nest); (c) ALL branches are
+    // awaited before the first failure rethrows — fail-fast left
+    // orphaned branches creating localCheckpoint blocks AFTER the
+    // caller (e.g. a failed Bench attempt's finally) had unpersisted
+    // everything, contaminating the next attempt; (d) the Inf await
+    // is now a generous finite timeout so a hung branch names itself
+    // instead of hanging the composition forever.
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+    val fs = thunks.map(t => Future {
+      session.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      blocking { t() }
+    })
+    val results = fs.map(f => Try(Await.result(f, 1.hour)))
+    results.collectFirst { case Failure(e) => throw e }
+    results.map(_.get)
   }
 
   private def strategy(df: DataFrame, eagerEval: Boolean): DataFrame =

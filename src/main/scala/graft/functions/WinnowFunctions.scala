@@ -42,7 +42,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns an EMPTY array (explode drops the row, exactly like the
   * HOF form's null-propagating `when` guards) when the text has
   * fewer than k chars or fewer than w grams. Equivalence to the HOF
-  * form is property-pinned in TextAnalysisSpec.
+  * form is property-pinned in KernelEquivalenceR21Spec.
+  *
+  * UTF-8 caveat (r22, documented): character positions step by
+  * counting non-continuation bytes ((b & 0xc0) != 0x80), while
+  * Spark's length/substring — the HOF reference and the SQL oracle —
+  * step via UTF8String.numBytesForFirstByte. The two agree on every
+  * well-formed UTF-8 sequence and can disagree on malformed bytes
+  * (overlong/truncated sequences), so kernel == reference is pinned
+  * for well-formed text only — the corpus contract. The same applies
+  * to CharNgramOps.charNgramProfile.
   */
 object WinnowOps {
 

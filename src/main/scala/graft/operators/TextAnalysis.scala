@@ -752,43 +752,88 @@ object TextAnalysis {
     * — an exact BIGINT sum (order-free, shuffle-safe, cross-engine
     * replayable), argmin with ties broken lang-ascending.
     *
-    * Scale shape: the doc profile builds IN-ROW inside one codegen'd
-    * kernel ([[graft.functions.CharNgramOps.charNgramProfile]]: span
-    * sort, run-length count, stable top-k), so the explode ships
-    * ≤ k rows per doc, NOTHING per-gram ever shuffles on the corpus
-    * side, and no per-doc window runs; the model attaches by
-    * broadcast, the
-    * |langs|-row-per-doc grid forms via the q15 pmod constant-key
-    * broadcast (never a cartesian), and per-(doc, lang) penalty sums
-    * are map-side combinable. Docs with 0 grams (null/empty text)
-    * classify as 'und' with a NULL distance.
+    * Scale shape (r22): the doc profile builds IN-ROW inside one
+    * codegen'd kernel
+    * ([[graft.functions.CharNgramOps.charNgramProfile]]: span sort,
+    * run-length count, stable top-k), and the out-of-place argmin
+    * now ALSO computes in-row against a broadcast of the collected
+    * model ([[graft.functions.CtOopScore]]) — the model is
+    * structurally ≤ |langs|·k rows (the [[langIdModel]] contract:
+    * model-sized, broadcastable, never corpus-sized; the old form
+    * already pulled it to the driver to broadcast-join it), so the
+    * whole classification is ONE projection: no per-gram explode, no
+    * |langs|-per-doc grid, no (doc, lang) hash aggregate, no per-doc
+    * ranking window — zero exchanges on the corpus side where the
+    * r21 shape still paid two. Distances and tiebreaks are
+    * bit-identical to the join/window form (exact long sums; argmin
+    * ties break lang-ascending in binary string order, the window's
+    * `lang asc`); LangIdKernelSpec pins the equivalence and the
+    * three langid oracle queries replay the declarative SQL.
     *
     * Output: (id, declared lang col, n_grams, lang_guess, lang_dist)
-    * — one row per input row. Requires a non-empty labeled reference
-    * slice (an empty model has no languages to score against and
-    * yields an empty frame).
+    * — one row per input row. Docs with 0 grams (null/empty text)
+    * classify as 'und' with a NULL distance. Requires a non-empty
+    * labeled reference slice (an empty model has no languages to
+    * score against and yields an empty frame).
     */
   def langIdScore(df: DataFrame, idCol: String, textCol: String,
                   langCol: String, model: DataFrame,
                   maxOrder: Int = 3, k: Int = 300): DataFrame = {
     require(maxOrder >= 1 && k > 0, "need maxOrder >= 1 and k > 0")
-    // the (model-sized) profile frame is referenced by the lang
-    // list, the distance join, and the broadcast — materialize once
-    // instead of re-running its explode+aggregate+window per ref
+    val nGrams = (1 to maxOrder).map(n => charNgramCount(col(textCol), n))
+      .reduce(_ + _)
+    // bounded driver collect BY CONSTRUCTION (≤ |langs|·k rows): the
+    // reference form broadcast-joined this same frame, which collects
+    // it to the driver anyway — this just keeps the hash map instead
+    // of re-shipping it through two join builds
+    val rows = model.select(col("lang"), col("_g"), col("_lrank")).collect()
+      .map(r => (org.apache.spark.unsafe.types.UTF8String.fromString(
+        r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+        r.getInt(2)))
+    if (rows.isEmpty)
+      return df.filter(lit(false))
+        .select(col(idCol), col(langCol).as("declared_lang"),
+          nGrams.as("n_grams"), lit("und").as("lang_guess"),
+          lit(null).cast("long").as("lang_dist"))
+    val bc = df.sparkSession.sparkContext
+      .broadcast(graft.functions.CtModel(rows, k))
+    // coalesce to "" so null text flows through the kernel as the
+    // 0-gram case (profile empty -> 'und'/NULL) instead of null
+    val score = graft.functions.LangIdFunctions.ctOopScore(
+      graft.functions.HashFunctions.charNgramProfile(
+        coalesce(col(textCol), lit("")), maxOrder, k), bc)
+    // the one-element explode is a PREDICATE-PUSHDOWN BARRIER, not
+    // data shaping: consumers filter on lang_guess (mismatch, the
+    // curate gate), and PushPredicateThroughNonJoin substitutes a
+    // projected alias into the pushed condition — the Filter then
+    // carries its own full copy of the scorer and the kernel runs
+    // TWICE per row (measured: mismatch 2.05 s vs ngram 1.31 s).
+    // Filters on generator output do not push through a Generate, so
+    // the scorer provably evaluates once; array(_s) is never
+    // null/empty, so rows are preserved exactly.
+    df.select(col(idCol), col(langCol).as("declared_lang"),
+        nGrams.as("n_grams"), score.as("_s0"))
+      .select(col(idCol), col("declared_lang"), col("n_grams"),
+        explode(array(col("_s0"))).as("_s"))
+      .select(col(idCol), col("declared_lang"), col("n_grams"),
+        col("_s._guess").as("lang_guess"), col("_s._dist").as("lang_dist"))
+  }
+
+  /** The r21 join/window formulation of [[langIdScore]], kept as the
+    * REFERENCE semantics the in-row kernel must reproduce
+    * (LangIdKernelSpec replays both and compares row-for-row — the
+    * winnowAnchorPositionsHof pattern).
+    */
+  private[graft] def langIdScoreJoinReference(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String, model: DataFrame,
+      maxOrder: Int = 3, k: Int = 300): DataFrame = {
+    require(maxOrder >= 1 && k > 0, "need maxOrder >= 1 and k > 0")
     val m = graft.Materialize.eager(model)
     val langs = m.groupBy(col("lang")).agg(count(lit(1)).as("_np"))
       .withColumn("_k", pmod(col("_np"), lit(1)).cast("int"))
       .select(col("lang"), col("_k"))
-    // The doc profile builds IN-ROW inside ONE codegen'd kernel
-    // ([[graft.functions.CharNgramOps.charNgramProfile]]) — a doc's
-    // top-k gram ranking depends on nothing outside the doc, so
-    // shipping every gram occurrence through a (doc, gram) hash
-    // aggregate plus a per-doc ranking window (the first
-    // formulation) shuffled ~|corpus chars|·maxOrder corpus rows for
-    // a ≤k-row-per-doc result (11 s at sf0.1, unbounded growth at
-    // 100 TB), and the declarative in-row HOF chain paid ~100× the
-    // loop in per-element expression overhead. The explode ships
-    // only ≤ k rows per doc and no window ever runs.
     val docProf = df
       .select(col(idCol), explode(graft.functions.HashFunctions
         .charNgramProfile(col(textCol), maxOrder, k)).as("_p"))
