@@ -108,11 +108,24 @@ object Curation {
     // would evaluate the gate projection — including the per-doc
     // O(words²) top-word scan — twice); the survivors are materialized
     // once and feed both decontamination shingling and the final join
+    // r22 (guide §4.4's duplication disease, expression form): as a
+    // plain .filter(...) the gate conjunction lands in a FilterExec,
+    // which does NO subexpression elimination — the word-freq-stats
+    // kernel (referenced by two repetition metrics) scanned every
+    // document twice. Computing the single gate BOOLEAN inside a
+    // Project (where whole-stage codegen CSE dedups the kernel) and
+    // filtering on the generated column keeps one evaluation; the
+    // one-element explode is the predicate-pushdown barrier that
+    // stops the optimizer substituting the expression back into the
+    // filter (the langIdScore pattern). filter(gate) on a NULL gate
+    // (null text) drops the row in both forms — value-identical.
+    val gate = qm("n_words") >= minWords &&
+      qm("avg_word_len") < maxAvgWordLen &&
+      rm("distinct_word_ratio") > minDistinctRatio &&
+      rm("top_word_fraction") < maxTopWordFraction
     val kept = corpus
-      .filter(qm("n_words") >= minWords &&
-        qm("avg_word_len") < maxAvgWordLen &&
-        rm("distinct_word_ratio") > minDistinctRatio &&
-        rm("top_word_fraction") < maxTopWordFraction)
+      .select(col("*"), explode(array(gate)).as("_pass"))
+      .filter(col("_pass")).drop("_pass")
       .withColumn("_est", est)
       .withColumn("_h", md5(col(textCol)))
       .withColumn("_rn", row_number().over(

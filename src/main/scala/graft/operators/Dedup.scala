@@ -614,13 +614,19 @@ object Dedup {
                          threshold: Double = 0.5,
                          prodHash: Boolean = false): DataFrame = {
     requireUniqueIds(df.select(col(idCol).as("id")), "winnowOverlapStats")
-    val docsH = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w,
-        prodHash)
+    // r22 (guide §2.4): build the per-doc print SET in ONE exchange —
+    // winnowFingerprints is anchor kernel + DISTINCT on (id, print)
+    // (an exchange) and the per-doc array needed a second exchange on
+    // id; sort_array(collect_set(...)) over the positional kernel's
+    // output dedups INSIDE the id-keyed aggregate, so the distinct
+    // exchange disappears and the prints shuffle once. Value-exact:
+    // sort_array ∘ collect_set == sort_array ∘ collect_list ∘ distinct
+    // per id (same element set, one canonical order).
+    val docsH = TextAnalysis
+      .winnowAnchorPositions(df, idCol, textCol, k, w, prodHash)
       .select(col(idCol).as("id"), col("fingerprint"))
       .groupBy("id")
-      // prints are DISTINCT upstream; sort once so the verify join's
-      // sorted-intersection kernel applies unchanged
-      .agg(sort_array(collect_list(col("fingerprint"))).as("shash"))
+      .agg(sort_array(collect_set(col("fingerprint"))).as("shash"))
       .transform(graft.Materialize.eager)
     containmentPerDoc(df, idCol, docsH, maxDf, threshold,
       "n_overlapping", "max_overlap")
@@ -1739,6 +1745,32 @@ object Dedup {
             col("bytes_total").cast("double")).as("bytes_saved_rate"))
   }
 
+  /** Candidate GROUP pairs of a (chash, gsize, shash) group frame:
+    * per-group MinHash band rows, bucket collect with the summed-doc
+    * flood cap, in-bucket pair explode, minBands qualification —
+    * [[dedupResolve]]'s candidate generation, extracted (r22) so the
+    * phase probe (tools.ResolveProbe) measures exactly the pipeline
+    * the operator runs.
+    */
+  private[graft] def groupBandPairs(groups: DataFrame, numPerm: Int,
+                                    bands: Int, maxBucket: Int,
+                                    minBands: Int): DataFrame = {
+    val gFrame = groups.select(col("chash").as("id"), col("shash"))
+    val bandRows = bandRowsFromHashes(gFrame, numPerm, bands)
+      .join(groups.select(col("chash").as("id"), col("gsize")), Seq("id"))
+    bandRows.groupBy("band", "bhash")
+      .agg(collect_set(struct(col("id"), col("gsize"))).as("gs"),
+        sum(col("gsize")).as("_total"))
+      .filter(col("_total") > 1 && col("_total") <= maxBucket)
+      .select(explode(col("gs")).as("a"), col("gs"))
+      .select(col("a"), explode(col("gs")).as("b"))
+      .filter(col("a.id") < col("b.id") ||
+        (col("a.id") === col("b.id") && col("a.gsize") >= 2))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minBands)
+  }
+
   def dedupResolve(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.1,
@@ -1762,25 +1794,26 @@ object Dedup {
     val docsH = shingleHashes(df, idCol, textCol, n)
       .transform(graft.Materialize.eager)
     val members = docsH.select(col("id"), xxhash64(col("shash")).as("chash"))
+    // r22 NOTE (measured, then reverted): the group collapse and the
+    // per-group MinHash signatures run on the checkpoint's stored
+    // partitioning — 1-4 partitions at test SF (single-row-group
+    // scans + AQE-coalesced aggregates), so a scale-adaptive
+    // repartition-to-parallelism (identity on frames already at >=
+    // default-parallelism partitions, i.e. any real cluster) was
+    // tried on both seams to spread the CPU over the machine. Both
+    // variants measured SLOWER (dedup_clusters 2.3 -> 3.0 s,
+    // data_split_audit 3.4 -> 4.2 s): the repartition moves the full
+    // shingle-hash arrays an extra time, and that serialization
+    // outweighs the kernel parallelism at this SF. At cluster scale
+    // the frames carry many partitions natively, so there is nothing
+    // to fix there either.
     val groups = docsH
       .groupBy(xxhash64(col("shash")).as("chash"))
       .agg(count(lit(1)).as("gsize"), min(col("id")).as("gmin"),
         first(col("shash")).as("shash"))
       .transform(graft.Materialize.eager)
     val gFrame = groups.select(col("chash").as("id"), col("shash"))
-    val bandRows = bandRowsFromHashes(gFrame, numPerm, bands)
-      .join(groups.select(col("chash").as("id"), col("gsize")), Seq("id"))
-    val gpairs = bandRows.groupBy("band", "bhash")
-      .agg(collect_set(struct(col("id"), col("gsize"))).as("gs"),
-        sum(col("gsize")).as("_total"))
-      .filter(col("_total") > 1 && col("_total") <= maxBucket)
-      .select(explode(col("gs")).as("a"), col("gs"))
-      .select(col("a"), explode(col("gs")).as("b"))
-      .filter(col("a.id") < col("b.id") ||
-        (col("a.id") === col("b.id") && col("a.gsize") >= 2))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("n_hits"))
-      .filter(col("n_hits") >= minBands)
+    val gpairs = groupBandPairs(groups, numPerm, bands, maxBucket, minBands)
       .transform(graft.Materialize.eager)
     val intra = gpairs.filter(col("ida") === col("idb"))
       .select(col("ida").as("chash")).withColumn("_intra", lit(true))
@@ -2668,6 +2701,13 @@ object Dedup {
     // all previous rounds' plans and the lineage explodes (OOM at
     // plan stringification long before any data is big)
     val p = pairs.transform(graft.Materialize.eager) // evaluate the pair pipeline ONCE
+    // r22 NOTE (measured, kept as-is): dropping the edges/labels
+    // eager seams to save 2 blocking jobs per resolve was A/B'd both
+    // ways and LOST — un-materialized, round 1 references labels
+    // twice (own-label branch + neighbor join) so its distinct
+    // exchange ran twice, and the edge union re-evaluated per round;
+    // the family measured ~0.3-0.5 s/query slower either way. The
+    // per-call job overhead is cheaper than re-derivation here.
     val edges = p.select(col("ida"), col("idb"))
       .unionByName(p.select(col("idb").as("ida"), col("ida").as("idb")))
       .transform(graft.Materialize.eager)
