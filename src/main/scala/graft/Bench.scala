@@ -67,6 +67,9 @@ object Bench {
       // there): bench must measure the plans the library ships
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // match GraftSession (r22): 100-entry codegen cache thrashes
+      // under a 178-query board and later attempts re-pay janino
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing (codegen compiler, parquet

@@ -41,6 +41,12 @@ object GraftSession {
       // itself; no semantics change).
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // r22: the compiled-codegen-class cache defaults to 100 entries
+      // — a 178-query workload (each query tens of codegen units)
+      // thrashes it, so repeated plans pay janino recompilation on
+      // the driver every run. Sized to the workload, not the host:
+      // entries are compiled class references, bounded memory.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = builder()

@@ -161,6 +161,65 @@ case class CharNgramCounts(child: Expression, maxOrder: Int)
     copy(child = newChild)
 }
 
+/** Disjoint `segWords`-word segments of a document as ZERO-COPY byte
+  * spans (r22) — the compiled replacement for segmentRows'
+  * interpreted `transform(sequence(...), i => array_join(slice(
+  * split(text, " "), ...), " "))` chain, which allocated a word
+  * array, per-segment slice copies, and a joined string per segment
+  * with full per-element expression interpretation, twice per
+  * document (the hot-segment aggregate and the reassembly join both
+  * consume the rows).
+  *
+  * Span identity: `split(text, " ")` words are the byte runs between
+  * SINGLE spaces (empty words included), so any CONTIGUOUS word
+  * slice re-joined with " " is exactly the original byte span from
+  * the first word's start to the last word's end — doubled spaces
+  * reproduce themselves through the empty words. Segment count =
+  * ceil(words / segWords) (≥ 1: split of "" is [""], one empty
+  * segment), segments in order — bit-identical to the HOF form
+  * (KernelEquivalenceR21Spec-style pin in SegmentKernelSpec).
+  */
+object WordSegmentOps {
+
+  def wordSegments(text: UTF8String, segWords: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = WordNgramOps.wordStarts(bytes)
+    val m = starts.length - 1
+    val nseg = (m + segWords - 1) / segWords
+    val out = new Array[Any](nseg)
+    var s = 0
+    while (s < nseg) {
+      val w0 = s * segWords
+      val last = math.min(w0 + segWords, m) - 1
+      val from = starts(w0)
+      out(s) = UTF8String.fromBytes(bytes, from, starts(last + 1) - 1 - from)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_segments(text, segWords)`: codegen'd disjoint word segments
+  * (array<string>, in document order; index = seg_idx).
+  */
+case class WordSegments(child: Expression, segWords: Int)
+    extends UnaryExpression {
+  require(segWords >= 1, "need segWords >= 1")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_segments"
+
+  override protected def nullSafeEval(text: Any): Any =
+    WordSegmentOps.wordSegments(text.asInstanceOf[UTF8String], segWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.WordSegmentOps.wordSegments($t, $segWords)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordSegments =
+    copy(child = newChild)
+}
+
 object TextStatsFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -170,4 +229,8 @@ object TextStatsFunctions {
   def charNgramCounts(text: Column, maxOrder: Int): Column =
     ColumnBridge.column(CharNgramCounts(
       ColumnBridge.expression(text), maxOrder))
+
+  def wordSegments(text: Column, segWords: Int): Column =
+    ColumnBridge.column(WordSegments(
+      ColumnBridge.expression(text), segWords))
 }

@@ -2266,12 +2266,30 @@ object TextAnalysis {
     * truth).
     */
   private[graft] def segmentRows(df: DataFrame, idCol: String,
-                                 textCol: String, segWords: Int): DataFrame = {
+                                 textCol: String, segWords: Int): DataFrame =
     // coalesce: a null-text document segments like the empty string
     // (one "" segment), so it KEEPS its output row — with a bare
     // null text the outer+filter shape below would drop the document
     // from segmentDedup entirely, where the pre-r11 inner explode
-    // emitted its (id, "", 1, 0) row
+    // emitted its (id, "", 1, 0) row.
+    // r22: segments come from ONE codegen'd zero-copy kernel
+    // ([[graft.functions.WordSegmentOps.wordSegments]]) instead of
+    // the interpreted transform/slice/array_join chain — value-
+    // identical (SegmentKernelSpec pins kernel == HOF row-for-row;
+    // the HOF reference survives as [[segmentRowsHof]]).
+    df.select(col(idCol),
+      posexplode_outer(graft.functions.TextStatsFunctions
+        .wordSegments(coalesce(col(textCol), lit("")), segWords))
+        .as(Seq("seg_idx", "seg")))
+      .filter(col("seg").isNotNull) // see Dedup.shingles
+
+  /** The pre-r22 declarative segmentation — the REFERENCE semantics
+    * the word-segments kernel must reproduce (SegmentKernelSpec
+    * replays both; the winnowAnchorPositionsHof pattern).
+    */
+  private[graft] def segmentRowsHof(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    segWords: Int): DataFrame = {
     val words = split(coalesce(col(textCol), lit("")), " ")
     val nseg = greatest(
       ceil(size(words).cast("double") / segWords).cast("int"), lit(1))
@@ -2286,8 +2304,8 @@ object TextAnalysis {
     * (one column `seg`). The hot set is boilerplate by construction
     * — tiny relative to the corpus — so it broadcasts.
     */
-  private def cleanAgainstHot(segs: DataFrame, hot: DataFrame,
-                              idCol: String): DataFrame =
+  private[graft] def cleanAgainstHot(segs: DataFrame, hot: DataFrame,
+                                     idCol: String): DataFrame =
     segs.join(broadcast(hot.select(col("seg"), lit(true).as("_hot"))),
         Seq("seg"), "left")
       .groupBy(col(idCol))
