@@ -2106,7 +2106,14 @@ object TextAnalysis {
     // (aggregate over array_distinct with a filter-rescan per
     // distinct word) is O(distinct · n) with per-element expression
     // interpretation; the kernel's sorted-span run-length counts are
-    // value-identical (TextAnalysisSpec pins it)
+    // value-identical (TextAnalysisSpec pins it).
+    // r22 CSE NOTE (ADVICE): each derived metric embeds its own copy
+    // of the kernel expression; in a PROJECT, whole-stage codegen
+    // subexpression elimination provably evaluates it once, but
+    // FilterExec does no CSE — callers must not put several of these
+    // metrics in a raw filter (Curation.curate computes its gate as
+    // one boolean inside a Project behind an explode barrier for
+    // exactly this reason).
     val st = graft.functions.TextStatsFunctions.wordFreqStats(text)
     val nWords = st.getField("n_words")
     val nDistinct = st.getField("n_distinct")
